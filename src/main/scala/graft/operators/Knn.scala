@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps._
+
+/** kNN similarity search over an embedding column — the query surface the
+  * reference delegates to Qdrant (cosine named-vector collections,
+  * `bob_vector_db/qdrant_embedder.py:92-103`; SURVEY.md §2.2 V2/V3).
+  *
+  * Scale design: the query side is always the SMALL side — a literal vector
+  * or a small query table — so every plan here is a broadcast (map-side)
+  * scan over the big collection followed by a top-k reduction.
+  * `orderBy(desc).limit(k)` planifies to `TakeOrderedAndProject`, which
+  * keeps a k-sized heap per partition and merges heaps on the driver: no
+  * full sort, no shuffle of the collection. Multi-query kNN broadcasts the
+  * query table (never shuffles the 100 TB side) and reduces per query id
+  * with a partial top-k (`Window` + AQE) — see [[knnMulti]].
+  */
+object Knn {
+
+  /** Score every row against one query vector; single-pass, no shuffle. */
+  def scoreAll(coll: DataFrame, vecCol: String, query: Seq[Double],
+               metric: (Column, Column) => Column = cosine): DataFrame = {
+    val q = typedLit(query)
+    coll.withColumn("score", metric(col(vecCol), q))
+  }
+
+  /** Top-k by cosine (or any metric) against one query vector. */
+  def knn(coll: DataFrame, vecCol: String, query: Seq[Double], k: Int,
+          metric: (Column, Column) => Column = cosine): DataFrame =
+    scoreAll(coll, vecCol, query, metric)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+
+  /** Multi-query kNN: broadcast the (small) query set against the (huge)
+    * collection, score each pair map-side, then keep top-k per query via a
+    * window rank. The collection side is never shuffled — only the scored
+    * pairs (|Q| rows per collection row pre-limit) move, and Spark's
+    * WindowGroupLimit pushes the rank filter below the shuffle so each
+    * partition emits at most k rows per query id. */
+  def knnMulti(coll: DataFrame, queries: DataFrame, vecCol: String,
+               qIdCol: String, qVecCol: String, k: Int,
+               metric: (Column, Column) => Column = cosine): DataFrame = {
+    val pairs = coll.crossJoin(
+        broadcast(queries.select(col(qIdCol).as("query_id"),
+                                 col(qVecCol).as("__qv"))))
+      .withColumn("score", round(metric(col(vecCol), col("__qv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), col("vec_id"))
+    pairs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .drop("__qv")
+  }
+}

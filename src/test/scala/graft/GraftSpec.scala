@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session + sf0.001 fixture dir for all suites. */
+trait SparkSpec { self: AnyFunSuite =>
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class RegistrySpec extends AnyFunSuite with SparkSpec {
+  test("entry smoke: >0 rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+  test("every oracleSql key has a queries entry") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+  test("every declared query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+}
+
+class VectorOpsSpec extends AnyFunSuite with SparkSpec {
+  import graft.functions.VectorOps._
+  import org.apache.spark.sql.functions._
+
+  test("cosine self-similarity is 1, bounds hold, symmetric") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(50).cache()
+    val selfSim = emb.select(cosine(col("embedding"), col("embedding")).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(selfSim.forall(s => math.abs(s - 1.0) < 1e-9))
+    val a = emb.select(col("embedding").as("va"), col("vec_id").as("ia"))
+    val b = emb.select(col("embedding").as("vb"), col("vec_id").as("ib"))
+    val pairs = a.crossJoin(b)
+      .select(cosine(col("va"), col("vb")).as("ab"),
+              cosine(col("vb"), col("va")).as("ba")).collect()
+    assert(pairs.forall(r => r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9))
+    assert(pairs.forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("topk(k) is a prefix of topk(k+1)") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val k5 = graft.operators.Knn.knn(emb, "embedding", q, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val k6 = graft.operators.Knn.knn(emb, "embedding", q, 6)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(k6.take(5) == k5)
+  }
+
+  test("l2 of identical vectors is 0") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(10)
+    val d = emb.select(l2(col("embedding"), col("embedding")).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(d.forall(_ == 0.0))
+  }
+}
