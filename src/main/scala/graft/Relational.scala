@@ -49,5 +49,198 @@ object Relational {
       ORDER BY l_returnflag, l_linestatus
     """))
 
-  def queries: Seq[Q] = Seq(q1Pricing)
+  /** Q3-style shipping priority: 3-way join with the big fact table last,
+    * dimension filters pushed below the joins. customer/orders are small
+    * relative to lineitem; at scale customer broadcasts and orders⨝lineitem
+    * co-partitions on orderkey. Top-10 → TakeOrderedAndProject. */
+  val q3TopOrders = Q("q3_top_orders",
+    (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(20,4)")).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+    },
+    Some("""
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             o_orderpriority,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10
+    """))
+
+  /** Q5-style region revenue: 5-way snowflake join. All dimension chains
+    * (region→nation→customer, supplier) broadcast; only orders⨝lineitem is
+    * a real shuffle at scale. */
+  val q5RegionRevenue = Q("q5_region_revenue",
+    (s, dir) => {
+      val region = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = Tables.load(s, dir, "nation")
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val sup = Tables.load(s, dir, "supplier")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(20,4)")).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name
+    """))
+
+  /** Broadcast dim join + agg by brand (part is tiny vs lineitem). */
+  val qBrandAgg = Q("q_brand_agg",
+    (s, dir) => {
+      val part = Tables.load(s, dir, "part")
+      val li = Tables.load(s, dir, "lineitem")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(20,2)")).cast("double").as("sum_qty"))
+        .orderBy("p_brand", "p_type")
+    },
+    Some("""
+      SELECT p_brand, p_type, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, p_type
+      ORDER BY p_brand, p_type
+    """))
+
+  /** Window top-N: top-3 orders per customer. Spark plans a single shuffle
+    * on o_custkey; WindowGroupLimit prunes each partition to 3 rows before
+    * the exchange. */
+  val qWindowTopn = Q("q_window_topn",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn
+    """))
+
+  /** ROLLUP grouping sets over order status/priority. */
+  val qRollup = Q("q_rollup",
+    (s, dir) => {
+      Tables.load(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(20,2)")).cast("double").as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """))
+
+  /** Anti join (set-difference): customers with no orders. At scale this is
+    * a broadcast/shuffled LeftAnti — no full materialization of the
+    * difference. */
+  val qCustNoOrders = Q("q_cust_no_orders",
+    (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey
+    """))
+
+  /** Tumbling-hour event rollup over the ns-timestamp stream table (batch
+    * form of the streaming windowed agg; ns kept exact as epoch-ns BIGINT,
+    * SURVEY.md §7 nanosecond risk). */
+  val qEventsHourly = Q("q_events_hourly",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      ev.withColumn("hour_bucket",
+          floor(col("ts") / lit(3600000000000L)).cast("long"))
+        .groupBy("event_type", "hour_bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,2)")).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type", "hour_bucket")
+    },
+    Some("""
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY event_type, hour_bucket
+    """))
+
+  /** JSON payload predicate + agg — the Qdrant payload-filter surface
+    * (SURVEY.md §2.2 V3) over the `props` JSON column. */
+  val qEventsJson = Q("q_events_json",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      ev.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k") > 50)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("k").as("sum_k"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+      FROM events
+      WHERE CAST(props->>'$.k' AS BIGINT) > 50
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
+  def queries: Seq[Q] = Seq(q1Pricing, q3TopOrders, q5RegionRevenue,
+    qBrandAgg, qWindowTopn, qRollup, qCustNoOrders, qEventsHourly, qEventsJson)
 }

@@ -54,5 +54,136 @@ object VectorQueries {
       LIMIT 10
     """))
 
-  def queries: Seq[Q] = Seq(vCosine, vKnn)
+  /** V2 multi-query — broadcast the 5-vector query set, per-query top-3 via
+    * window rank (collection side unshuffled; see Knn.knnMulti). */
+  val vKnnMulti = Q("v_knn_multi",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Knn.knnMulti(emb, qs, "embedding", "qid", "qv", 3)
+        .select("query_id", "vec_id", "score", "rnk")
+        .orderBy("query_id", "rnk")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 5),
+      pairs AS (SELECT q.query_id, e.vec_id,
+                       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+                FROM embeddings e CROSS JOIN q),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, vec_id) AS rnk
+            FROM pairs)
+      SELECT query_id, vec_id, score, rnk FROM r WHERE rnk <= 3
+      ORDER BY query_id, rnk
+    """))
+
+  /** V3 — payload-filtered kNN (the Qdrant filter-DSL surface): predicate
+    * applied BEFORE scoring, so the filter pushes to the parquet scan. */
+  val vKnnFiltered = Q("v_knn_filtered",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings").filter(col("label") === 3)
+      Knn.knn(emb, "embedding", queryVec(s, dir, 0), 10)
+        .select("vec_id", "label", "score")
+    },
+    Some(s"""
+      SELECT vec_id, label,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQ0), 6) AS score
+      FROM embeddings
+      WHERE label = 3
+      ORDER BY score DESC, vec_id
+      LIMIT 10
+    """))
+
+  /** V4 — L2 (Chroma's default space): nearest 10 by euclidean distance. */
+  val vL2 = Q("v_l2",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      emb.withColumn("dist",
+          round(VectorOps.l2(col("embedding"),
+            typedLit(queryVec(s, dir, 0))), 6))
+        .orderBy(asc("dist"), col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "dist")
+    },
+    Some(s"""
+      SELECT vec_id, label,
+             ROUND(list_distance(CAST(embedding AS DOUBLE[]), $oracleQ0), 6) AS dist
+      FROM embeddings
+      ORDER BY dist ASC, vec_id
+      LIMIT 10
+    """))
+
+  /** V4 — inner-product score variant. */
+  val vDot = Q("v_dot",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      emb.withColumn("score",
+          round(VectorOps.dot(col("embedding"),
+            typedLit(queryVec(s, dir, 0))), 6))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "score")
+    },
+    Some(s"""
+      SELECT vec_id, label,
+             ROUND(list_inner_product(CAST(embedding AS DOUBLE[]), $oracleQ0), 6) AS score
+      FROM embeddings
+      ORDER BY score DESC, vec_id
+      LIMIT 10
+    """))
+
+  /** V8 — multimodal named-vector fusion: weighted blend of two per-vector
+    * scores (the engine's model of Qdrant's `{"text","image"}` named
+    * vectors, SURVEY.md §1.4 — here two query vectors against the same
+    * embedding column). */
+  val vFusion = Q("v_fusion",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q0 = typedLit(queryVec(s, dir, 0))
+      val q1 = typedLit(queryVec(s, dir, 1))
+      emb.withColumn("score",
+          round(VectorOps.cosine(col("embedding"), q0) * 0.5 +
+                VectorOps.cosine(col("embedding"), q1) * 0.5, 6))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "score")
+    },
+    Some({
+      val q1 = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)"
+      s"""
+      SELECT vec_id, label,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQ0) * 0.5 +
+                   list_cosine_similarity(CAST(embedding AS DOUBLE[]), $q1) * 0.5, 6) AS score
+      FROM embeddings
+      ORDER BY score DESC, vec_id
+      LIMIT 10
+    """
+    }))
+
+  /** V9 — collection stats: per-label cardinality, dim check, mean norm
+    * (decimal-summed for order-independence). */
+  val collStats = Q("coll_stats",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      emb.withColumn("nrm",
+          VectorOps.norm(col("embedding")).cast("decimal(20,12)"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          min(size(col("embedding"))).as("min_dim"),
+          max(size(col("embedding"))).as("max_dim"),
+          round(sum(col("nrm")).cast("double") / count(lit(1)), 6).as("avg_norm"))
+        .orderBy("label")
+    },
+    Some("""
+      SELECT label, COUNT(*) AS n,
+             MIN(len(embedding)) AS min_dim, MAX(len(embedding)) AS max_dim,
+             ROUND(CAST(SUM(CAST(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
+      FROM embeddings
+      GROUP BY label
+      ORDER BY label
+    """))
+
+  def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnMulti, vKnnFiltered,
+    vL2, vDot, vFusion, collStats)
 }
