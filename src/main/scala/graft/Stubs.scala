@@ -1,7 +1,6 @@
 package graft
 
 // Module stubs — filled in as SURVEY.md §7 build steps land.
-object IngestQueries     { def queries: Seq[Q] = Seq() }
 object EmbedQueries      { def queries: Seq[Q] = Seq() }
 object DedupQueries      { def queries: Seq[Q] = Seq() }
 object TextQueries       { def queries: Seq[Q] = Seq() }
