@@ -14,9 +14,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    import numpy as np
+    def cell(v):
+        if isinstance(v, np.ndarray):
+            return tuple(cell(x) for x in v.tolist())
+        if isinstance(v, list):
+            return tuple(cell(x) for x in v)
+        if isinstance(v, float) and v == 0.0:
+            return 0.0  # fold -0.0
+        return v
+    df = df[sorted(df.columns)].map(cell)
     if len(df):
-        df = df.sort_values(by=list(df.columns), ignore_index=True)
+        df = df.sort_values(by=list(df.columns), ignore_index=True,
+                            key=lambda s: s.map(str))
     return df.reset_index(drop=True)
 
 def cells_equal(a, b):
