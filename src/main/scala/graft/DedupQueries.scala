@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Declared deduplication queries (SURVEY.md §2.2 V5/V6 + the
+  * training-data-pipeline suite). The fixture corpus has no duplicates, so
+  * each query PLANTS them inside the query itself — exact copies
+  * (doc_id+100000) and near-copies with a token tail appended
+  * (doc_id+200000) — and the oracle replants identically in SQL. Every
+  * emitted number is an integer (md5-derived hashes, counts, micro-unit
+  * ratios), so the driver's exact hash compare is drift-free. */
+object DedupQueries {
+
+  /** Corpus + planted dups: exact copy of every doc_id % 100 == 0, near
+    * copy (4 tokens appended) of every doc_id % 100 == 1. */
+  private def planted(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+    d.unionAll(d.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionAll(d.filter(col("doc_id") % 100 === 1)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" extra trailing tokens appended"))
+            .as("text")))
+  }
+
+  private val plantedSql = """
+      docs2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 100 = 0
+        UNION ALL
+        SELECT doc_id + 200000, text || ' extra trailing tokens appended'
+        FROM documents WHERE doc_id % 100 = 1)"""
+
+  /** Shared shingle CTE (lowercase whitespace tokens → distinct word
+    * 3-grams; short docs contribute their whole token list). */
+  private val shingleSql = s"""
+      WITH $plantedSql,
+      tk AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM docs2),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(tk) >= 3
+                 THEN list_transform(range(len(tk) - 2),
+                        i -> array_to_string(tk[(i+1):(i+3)], ' '))
+                 ELSE [array_to_string(tk, ' ')] END) AS sh
+        FROM tk)"""
+
+  /** V5 — exact content dedup: one hash-shuffle on md5(text). */
+  val dedupExact = Q("dedup_exact",
+    (s, dir) =>
+      planted(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper"))
+        .orderBy("content_hash"),
+    Some(s"""
+      WITH $plantedSql
+      SELECT md5(text) AS content_hash, COUNT(*) AS n_dups,
+             MIN(doc_id) AS keeper
+      FROM docs2 GROUP BY 1 ORDER BY 1"""))
+
+  /** V6 — MinHash (16 hashes) + LSH (4 bands × 4 rows) candidate pairs. */
+  val dedupMinhash = Q("dedup_minhash",
+    (s, dir) => {
+      val sig = Dedup.minhash(planted(s, dir), "doc_id", "text",
+        numHashes = 16, shingleN = 3)
+      Dedup.lshCandidates(Dedup.lshBands(sig, "doc_id", rowsPerBand = 4),
+          "doc_id")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(shingleSql + """,
+      hs AS (
+        SELECT doc_id, seed,
+               MIN(('0x' || substr(md5(seed::VARCHAR || '|' || sh), 1, 8))::BIGINT)
+                 AS minhash
+        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               string_agg(minhash::VARCHAR, '-' ORDER BY seed) AS band_sig
+        FROM hs GROUP BY doc_id, seed // 4)
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+      ORDER BY doc_a, doc_b"""))
+
+  /** V6 — SimHash near-dup pairs: 60-bit signatures, hamming ≤ 8. The
+    * all-pairs hamming join is the small-SF verification form; at scale
+    * pairing goes through signature-prefix bucketing (see Dedup scaladoc). */
+  val dedupSimhash = Q("dedup_simhash",
+    (s, dir) => {
+      val sig = Dedup.simhash(planted(s, dir), "doc_id", "text")
+      val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+        .filter(col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH $plantedSql,
+      tok AS (
+        SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS tok
+        FROM docs2),
+      th AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        FROM tok),
+      bits AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th CROSS JOIN (SELECT unnest(range(60)) AS j) js
+        GROUP BY doc_id, j),
+      sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                 AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+      ORDER BY doc_a, doc_b"""))
+
+  /** V6 — exact n-gram Jaccard ≥ 0.3 via inverted-index join (only pairs
+    * sharing a shingle are materialized). */
+  val dedupNgram = Q("dedup_ngram",
+    (s, dir) =>
+      Dedup.ngramJaccard(planted(s, dir), "doc_id", "text", shingleN = 3)
+        .filter(col("jacc_micro") >= 300000)
+        .orderBy("doc_a", "doc_b"),
+    Some(shingleSql + """,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, inter,
+             inter * 1000000 // (sa.n_sh + sb.n_sh - inter) AS jacc_micro
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE inter * 1000000 // (sa.n_sh + sb.n_sh - inter) >= 300000
+      ORDER BY doc_a, doc_b"""))
+
+  /** V6 — embedding-cosine near-dup: top-20 most similar vector pairs.
+    * Small-SF form is the exact all-pairs join; the scale path prefilters
+    * candidates with ANN bucketing (see AnnQueries). */
+  val dedupEmbed = Q("dedup_embed",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val a = emb.select(col("vec_id").as("doc_a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("doc_b"), col("embedding").as("vb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("score",
+          graft.functions.VectorOps.cosine(col("va"), col("vb")))
+        .orderBy(desc("score"), col("doc_a"), col("doc_b"))
+        .limit(20)
+        .select(col("doc_a"), col("doc_b"),
+          floor(col("score") * 1e6 + lit(0.5)).cast("long").as("score_micro"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))))
+                 AS score
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT doc_a, doc_b,
+             CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+      FROM pairs
+      ORDER BY score DESC, doc_a, doc_b
+      LIMIT 20"""))
+
+  def queries: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash,
+    dedupNgram, dedupEmbed)
+}

@@ -5,10 +5,22 @@ import graft.operators.Embed
 
 /** Declared embedding queries. The DuckDB oracle recomputes the whole
   * feature-hash pipeline (tokenize → md5 bucket/sign → bucket sums →
-  * dense → L2 normalize) independently in SQL. */
+  * dense → L2 normalize) independently in SQL.
+  *
+  * Cross-engine exactness: every emitted number is an INTEGER in micro
+  * units — element values are quantized with `floor(x*1e6 + 0.5)`, which
+  * both engines evaluate on bit-identical doubles (integer-valued inputs,
+  * IEEE sqrt/divide), so the ±0.5 margin makes the integer immune to
+  * last-ulp drift. `round()` is deliberately avoided: Spark rounds via
+  * exact BigDecimal, DuckDB via `std::round(x*1e6)/1e6`, and the two
+  * disagree on values whose decimal expansion sits at the .5 boundary —
+  * that killed the round-1 hash match. Arrays are never emitted directly
+  * (the driver's row-sorting compare can't order array cells); vectors
+  * travel as comma-joined integer strings. */
 object EmbedQueries {
 
-  /** Shared oracle CTE chain producing (doc_id, embedding DOUBLE[dim]). */
+  /** Shared oracle CTE chain producing (doc_id, embedding DOUBLE[dim])
+    * with floor-quantized elements. */
   private def oracleVecSql(dim: Int): String = s"""
       WITH toks AS (
         SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
@@ -36,35 +48,43 @@ object EmbedQueries {
       emb AS (
         SELECT doc_id,
                CASE WHEN n = 0 THEN raw
-                    ELSE list_transform(raw, x -> round(x / n, 6)) END AS embedding
+                    ELSE list_transform(raw,
+                      x -> CAST(floor(x / n * 1000000 + 0.5) AS DOUBLE) / 1000000)
+               END AS embedding
         FROM nrm)"""
 
-  /** O9/O10 — embed every document; full vector output. */
+  /** O9/O10 — embed every document; vector emitted as a comma-joined
+    * string of micro-unit (1e-6) integers. */
   val embedText = Q("embed_text",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Embed.embedText(docs, "doc_id", "text", model = "graft/hash-64")
-        .select("doc_id", "embedding")
+        .select(col("doc_id"),
+          array_join(transform(col("embedding"),
+            x => floor(x * 1e6 + lit(0.5)).cast("string")), ",").as("vec_str"))
         .orderBy("doc_id")
     },
-    Some(oracleVecSql(64) +
-      " SELECT doc_id, embedding FROM emb ORDER BY doc_id"))
+    Some(oracleVecSql(64) + """
+      SELECT doc_id,
+             array_to_string(list_transform(embedding,
+               x -> CAST(CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS VARCHAR)), ',') AS vec_str
+      FROM emb ORDER BY doc_id"""))
 
-  /** Scalar fold of the same pipeline (hedge in case array columns hash
-    * differently in the driver compare): dim, unit norm, element checksum. */
+  /** Scalar fold of the same pipeline: dim + micro-unit element checksum. */
   val embedChecksum = Q("embed_checksum",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Embed.embedText(docs, "doc_id", "text", model = "graft/hash-64")
         .select(col("doc_id"),
           size(col("embedding")).as("dim"),
-          round(aggregate(col("embedding"), lit(0.0), (a, x) => a + x), 6)
-            .as("checksum"))
+          aggregate(transform(col("embedding"), x => floor(x * 1e6 + lit(0.5))),
+            lit(0L), (a, x) => a + x).as("checksum_micro"))
         .orderBy("doc_id")
     },
     Some(oracleVecSql(64) + """
       SELECT doc_id, len(embedding)::INT AS dim,
-             round(list_sum(embedding), 6) AS checksum
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))) AS BIGINT) AS checksum_micro
       FROM emb ORDER BY doc_id"""))
 
   def queries: Seq[Q] = Seq(embedText, embedChecksum)

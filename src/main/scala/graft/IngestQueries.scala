@@ -48,12 +48,18 @@ object IngestQueries {
     Some(s"""
       WITH input(msg_id, raw) AS (VALUES $fixtureValues),
       cls AS (
+        -- json_type(raw::JSON) must stay inside a THEN branch: DuckDB
+        -- evaluates CASE *conditions* for every row, and the ::JSON cast
+        -- throws on non-JSON input.
         SELECT msg_id, raw,
-          json_valid(raw) AND json_type(raw::JSON) = 'OBJECT' AS is_obj,
-          CASE WHEN json_valid(raw) AND json_type(raw::JSON) = 'OBJECT'
-               THEN json_extract(raw, '$$.collection') IS NOT NULL
-                AND json_extract(raw, '$$.documents') IS NOT NULL
-                AND json_extract(raw, '$$.metadatas') IS NOT NULL
+          CASE WHEN json_valid(raw)
+               THEN json_type(raw::JSON) = 'OBJECT' ELSE FALSE END AS is_obj,
+          CASE WHEN json_valid(raw)
+               THEN CASE WHEN json_type(raw::JSON) = 'OBJECT'
+                    THEN json_extract(raw, '$$.collection') IS NOT NULL
+                     AND json_extract(raw, '$$.documents') IS NOT NULL
+                     AND json_extract(raw, '$$.metadatas') IS NOT NULL
+                    ELSE FALSE END
                ELSE FALSE END AS is_full
         FROM input),
       canon AS (
@@ -72,7 +78,7 @@ object IngestQueries {
         FROM cls),
       pts AS (
         SELECT msg_id, raw, is_obj, is_full, collection, docs, ids,
-               unnest(range(n_rows)) AS idx
+               unnest(range(CAST(n_rows AS BIGINT))) AS idx
         FROM canon),
       out AS (
         SELECT msg_id, idx, collection,

@@ -21,6 +21,7 @@ object Queries {
     EmbedQueries.queries ++
     DedupQueries.queries ++
     TextQueries.queries ++
+    AnnQueries.queries ++
     MultimodalQueries.queries ++
     StreamingQueries.queries
 

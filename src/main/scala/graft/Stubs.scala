@@ -1,8 +1,6 @@
 package graft
 
-// Module stubs — filled in as SURVEY.md §7 build steps land.
-
-object DedupQueries      { def queries: Seq[Q] = Seq() }
-object TextQueries       { def queries: Seq[Q] = Seq() }
+/** Placeholders for suites not yet implemented — each is replaced by a
+  * real file as its operators land (SURVEY.md §7 build order). */
 object MultimodalQueries { def queries: Seq[Q] = Seq() }
 object StreamingQueries  { def queries: Seq[Q] = Seq() }

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Declared text-analysis queries over the `documents` fixture (V7 +
+  * training-data-pipeline suite): token counting, language ID, quality
+  * scoring, fingerprinting, corpus rollups. All emitted numbers are
+  * integers (counts, micro-unit ratios, md5-derived hashes) for exact
+  * oracle hashing. */
+object TextQueries {
+
+  /** DuckDB token-array CTE matching TextAnalysis.tokens. */
+  private val tkSql = """
+      WITH tk AS (
+        SELECT doc_id, lang, source, n_chars, text,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           t -> t <> '') AS tk
+        FROM documents)"""
+
+  /** V7 — token counting: whitespace tokens, BPE-ish subwords, distinct
+    * tokens, type-token ratio. */
+  val txtTokens = Q("txt_tokens",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("__tk", TextAnalysis.tokens(col("text")))
+      d.select(col("doc_id"),
+          size(col("__tk")).as("ws_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("subwords"),
+          size(array_distinct(col("__tk"))).as("uniq_tokens"),
+          expr("CAST(size(array_distinct(__tk)) AS BIGINT) * 1000000 DIV size(__tk)")
+            .as("ttr_micro"))
+        .orderBy("doc_id")
+    },
+    Some(tkSql + """
+      SELECT doc_id,
+             len(tk) AS ws_tokens,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+               AS subwords,
+             len(list_distinct(tk)) AS uniq_tokens,
+             len(list_distinct(tk)) * 1000000 // len(tk) AS ttr_micro
+      FROM tk ORDER BY doc_id"""))
+
+  /** V7 — stopword-heuristic language ID; output is the (actual,
+    * predicted) confusion matrix. */
+  val txtLangid = Q("txt_langid",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("__tk", TextAnalysis.tokens(col("text")))
+        .withColumn("pred_lang", TextAnalysis.langId(col("__tk")))
+      d.groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    },
+    Some {
+      val scoreCols = TextAnalysis.stopwords.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(tk, t -> list_contains($list, t))) AS s_$lang"
+      }.mkString(",\n               ")
+      val langs = TextAnalysis.stopwords.map(_._1)
+      val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val pred = langs.map(l => s"WHEN s_$l = m THEN '$l'")
+        .mkString("CASE ", " ", " END")
+      tkSql + s""",
+      sc AS (
+        SELECT doc_id, lang,
+               $scoreCols
+        FROM tk),
+      p AS (
+        SELECT lang, $pred AS pred_lang
+        FROM (SELECT *, $m AS m FROM sc))
+      SELECT lang, pred_lang, COUNT(*) AS n
+      FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""
+    })
+
+  /** V7 — quality scoring: length/alpha/digit/stopword ratios + a binary
+    * keep flag, the standard pre-training corpus filter shape. */
+  val txtQuality = Q("txt_quality",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("__tk", TextAnalysis.tokens(col("text")))
+        .withColumn("n_tok", size(col("__tk")))
+        .withColumn("alpha",
+          length(regexp_replace(lower(col("text")), "[^a-z]", "")))
+        .withColumn("digits",
+          length(regexp_replace(col("text"), "[^0-9]", "")))
+        .withColumn("nonws",
+          length(regexp_replace(col("text"), "\\s", "")))
+        .withColumn("stop_hits",
+          TextAnalysis.hitCount(col("__tk"),
+            TextAnalysis.stopwords.toMap.apply("en")))
+      d.select(col("doc_id"), col("n_tok"),
+          expr("CAST(alpha AS BIGINT) * 1000000 DIV length(text)").as("alpha_micro"),
+          expr("CAST(digits AS BIGINT) * 1000000 DIV length(text)").as("digit_micro"),
+          expr("CAST(nonws AS BIGINT) * 1000000 DIV n_tok").as("mean_tok_len_micro"),
+          expr("CAST(stop_hits AS BIGINT) * 1000000 DIV n_tok").as("stop_micro"),
+          expr("""CASE WHEN n_tok BETWEEN 10 AND 1000
+                        AND CAST(alpha AS BIGINT) * 1000000 DIV length(text) >= 500000
+                       THEN 1 ELSE 0 END""").as("keep"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val en = TextAnalysis.stopwords.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      tkSql + s""",
+      q AS (
+        SELECT doc_id, text, tk,
+               len(tk) AS n_tok,
+               length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+               length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+               len(list_filter(tk, t -> list_contains($en, t))) AS stop_hits
+        FROM tk)
+      SELECT doc_id, n_tok,
+             alpha * 1000000 // length(text) AS alpha_micro,
+             digits * 1000000 // length(text) AS digit_micro,
+             nonws * 1000000 // n_tok AS mean_tok_len_micro,
+             stop_hits * 1000000 // n_tok AS stop_micro,
+             CASE WHEN n_tok BETWEEN 10 AND 1000
+                   AND alpha * 1000000 // length(text) >= 500000
+                  THEN 1 ELSE 0 END AS keep
+      FROM q ORDER BY doc_id"""
+    })
+
+  /** V7 — rolling-hash fingerprint: min 60-bit hash over char 5-grams. */
+  val txtFingerprint = Q("txt_fingerprint",
+    (s, dir) =>
+      TextAnalysis.fingerprint(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               unnest(CASE WHEN length(text) >= 5
+                 THEN list_transform(range(length(text) - 4),
+                        i -> substr(text, CAST(i + 1 AS INT), 5))
+                 ELSE [text] END) AS gram
+        FROM documents)
+      SELECT doc_id,
+             MIN(('0x' || substr(md5(gram), 1, 15))::BIGINT) AS fingerprint
+      FROM g GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** V7 — corpus rollup by (lang, source) with grouping-set totals. */
+  val txtStats = Q("txt_stats",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          expr("sum(n_chars) * 1000000 DIV count(1)").as("avg_chars_micro"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source")),
+    Some("""
+      SELECT lang, source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(n_chars) AS BIGINT) * 1000000 // COUNT(*) AS avg_chars_micro,
+             MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      FROM documents
+      GROUP BY ROLLUP (lang, source)
+      ORDER BY lang NULLS FIRST, source NULLS FIRST"""))
+
+  def queries: Seq[Q] = Seq(txtTokens, txtLangid, txtQuality,
+    txtFingerprint, txtStats)
+}

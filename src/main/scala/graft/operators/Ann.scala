@@ -1,0 +1,86 @@
+package graft.operators
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Approximate nearest-neighbor search over an embedding column — the
+  * scale path for the query surface the reference delegates to Qdrant
+  * (cosine collections, `bob_vector_db/qdrant_embedder.py:92-103`).
+  * Brute-force top-k (Knn.scala) is the exact baseline; these operators
+  * trade recall for a bounded candidate set:
+  *
+  *  - **IVF**: partition the collection into Voronoi cells around centroid
+  *    vectors; a query probes only the `nprobe` nearest cells. At 100 TB
+  *    the collection is written bucketed/partitioned BY cluster id, so a
+  *    probe is partition pruning — the scan touches nprobe/k of the data.
+  *    Centroid "training" here is deterministic (first k vectors) so the
+  *    DuckDB oracle can recompute the exact same assignment; swapping in
+  *    k-means|| changes only the centroid table.
+  *
+  *  - **Hyperplane LSH**: sign-random-projection buckets. Each of P
+  *    hyperplanes contributes one bit (dot(v, plane) > 0); the P-bit
+  *    bucket id groups similar vectors. Planes are ±1 vectors derived
+  *    from md5 so they are reproducible constants, embedded in the plan
+  *    as literals (no join, no broadcast needed).
+  *
+  * Both searches end with the same map-side score + bounded top-k reduce
+  * as exact kNN — no shuffle of the collection side.
+  */
+object Ann {
+
+  /** Deterministic ±1.0 hyperplane matrix: component (p,i) is +1 when the
+    * first hex digit of md5("p|i") is even. Reproducible anywhere md5
+    * exists (same constants are inlined into the oracle SQL). */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { i =>
+        val hex = md.digest(s"$p|$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** P-bit LSH bucket id of a vector column. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      when(VectorOps.dot(vec, typedLit(plane)) > 0.0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Per-vector argmin cluster (L2, centroid-id tie-break) via a broadcast
+    * cross-score + one hash aggregation keyed by the vector id (map-side
+    * combinable) — the big side never shuffles on data, only on its own
+    * id for the argmin combine. */
+  def argminAssign(coll: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame, cidCol: String, cvCol: String)
+      : DataFrame =
+    coll.crossJoin(
+        broadcast(centroids.select(col(cidCol).as("__cid"),
+                                   col(cvCol).as("__cv"))))
+      .withColumn("__dist", VectorOps.l2(col(vecCol), col("__cv")))
+      .groupBy(idCol)
+      .agg(min_by(col("__cid"), struct(col("__dist"), col("__cid")))
+        .as("cluster"))
+
+  /** IVF search: probe the `nprobe` nearest clusters to the query, exact
+    * cosine top-k within them. */
+  def ivfSearch(coll: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, cidCol: String, cvCol: String,
+                query: Seq[Double], nprobe: Int, k: Int): DataFrame = {
+    val assigned = coll.join(
+      argminAssign(coll, idCol, vecCol, centroids, cidCol, cvCol), idCol)
+    val probed = centroids
+      .withColumn("__qd", VectorOps.l2(col(cvCol), typedLit(query)))
+      .orderBy(col("__qd"), col(cidCol))
+      .limit(nprobe)
+      .select(col(cidCol).as("cluster"))
+    assigned.join(broadcast(probed), "cluster")
+      .withColumn("score", VectorOps.cosine(col(vecCol), typedLit(query)))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines — the
+  * content-level counterpart of the reference's same-id upsert overwrite
+  * (`bob_vector_db/qdrant_embedder.py:130-143`, SURVEY.md §2.2 V5/V6).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-shuffle on the content digest with map-side
+  *    partial aggregation — the optimal distributed form;
+  *  - MinHash+LSH is the near-dup scale path: candidate volume is
+  *    proportional to the number of band-bucket collisions (≈ near-dup
+  *    density), never O(n²); the only shuffles are the signature
+  *    aggregation (keyed by doc) and the band self-join (keyed by
+  *    band+signature, uniformly hashed);
+  *  - SimHash gives a per-doc 60-bit signature in two aggregations; at
+  *    scale, pairing is done by bucketing on signature prefixes (same LSH
+  *    banding idea), the all-pairs hamming join in the declared query is
+  *    the small-SF verification harness;
+  *  - n-gram Jaccard joins only pairs that SHARE a shingle (an inverted-
+  *    index join), so cost tracks shared-content volume, and at scale it
+  *    runs on LSH candidates rather than the raw corpus.
+  *
+  * All hashes are md5-derived (first 8 hex chars → 32-bit int) so the
+  * DuckDB oracle can recompute every pipeline bit-for-bit; arithmetic is
+  * integer-only, immune to float drift.
+  */
+object Dedup {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Word n-gram shingles of a token array; documents shorter than n
+    * tokens contribute their whole token list as a single shingle. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+
+  /** 32-bit hash of a (seed-namespaced) string: first 8 md5 hex chars. */
+  def h32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signatures: one row per (id, seed) with the min hash over the
+    * doc's distinct shingles. Two hash-aggregations, both map-side
+    * combinable. */
+  def minhash(docs: DataFrame, idCol: String, textCol: String,
+              numHashes: Int, shingleN: Int = 3): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
+          .as("__sh"))
+      .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
+      .select(col(idCol), col("seed"),
+        h32(concat(col("seed").cast("string"), lit("|"), col("__sh")))
+          .as("h"))
+      .groupBy(idCol, "seed")
+      .agg(min("h").as("minhash"))
+
+  /** LSH banding: group each doc's signature into bands of `rowsPerBand`
+    * hashes; the band signature is the ordered minhash concatenation. */
+  def lshBands(sig: DataFrame, idCol: String, rowsPerBand: Int): DataFrame =
+    sig
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy(idCol, "band")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
+          s => s.getField("minhash").cast("string")), "-").as("band_sig"))
+
+  /** Candidate near-dup pairs: docs colliding in ≥1 band. Output
+    * (doc_a < doc_b), distinct. */
+  def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col("band"), col("band_sig"), col(idCol).as("doc_a"))
+    val b = bands.select(col("band"), col("band_sig"), col(idCol).as("doc_b"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** SimHash: 60-bit signature (60 bits keeps every intermediate positive
+    * in a signed 64-bit int in both engines). Token weight = occurrence
+    * count (tokens are NOT distinct'd). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = 60): DataFrame =
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .select(col(idCol),
+        conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long").as("h"))
+      .withColumn("j", explode(sequence(lit(0), lit(bits - 1))))
+      // +1 when bit j of h is set, -1 otherwise
+      .withColumn("c", expr("CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END"))
+      .groupBy(idCol, "j")
+      .agg(sum("c").as("s"))
+      .groupBy(idCol)
+      .agg(sum(expr("CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END"))
+        .as("simhash"))
+
+  /** Exact Jaccard similarity over distinct n-gram shingle sets, computed
+    * with an inverted-index join: only pairs sharing ≥1 shingle are ever
+    * materialized. jacc_micro = |∩| * 1e6 div |∪| (integer). */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
+        .as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("id").as("doc_a"), col("sh"))
+      .join(sh.select(col("id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .withColumn("jacc_micro",
+        expr("inter * 1000000 DIV (n_a + n_b - inter)"))
+      .select("doc_a", "doc_b", "inter", "jacc_micro")
+  }
+}

@@ -76,7 +76,10 @@ object Embed {
       .select(col(idCol),
         when(col("__norm") === 0.0, col("__raw"))
           .otherwise(transform(col("__raw"),
-            x => round(x / col("__norm"), 6))).as(outCol))
+            // floor(x*1e6+0.5)/1e6, not round(x,6): the floor form is
+            // bit-reproducible across engines (see EmbedQueries scaladoc).
+            x => floor(x / col("__norm") * 1e6 + lit(0.5)).cast("double") / 1e6))
+          .as(outCol))
     df.join(vecs, Seq(idCol), "left")
   }
 }

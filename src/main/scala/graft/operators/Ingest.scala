@@ -78,20 +78,23 @@ object Ingest {
     * SURVEY.md §7 nondeterminism risk). */
   def makeId(collection: Column, document: Column, idx: Column,
              userIds: Column): Column =
-    coalesce(element_at(userIds, idx + 1),
+    coalesce(try_element_at(userIds, idx + 1),
       sha2(concat_ws("|", collection, coalesce(document, lit("")),
         idx.cast("string")), 256))
 
   /** O14: one row per metadata element — `metadatas` is the row-count
     * authority. Produces (keep..., collection, idx, document, payload,
-    * image, id). */
+    * image, id). `try_element_at` (not `element_at`): under ANSI mode the
+    * doc-underrun case (more metadatas than documents,
+    * `qdrant_embedder.py:141`) must surface as a NULL document, not an
+    * INVALID_ARRAY_INDEX error. */
   def toPoints(messages: DataFrame, keep: Seq[String] = Seq()): DataFrame =
     messages
       .select(keep.map(col) ++ Seq(col("collection"), col("documents"),
         col("ids"), col("images"),
         posexplode(col("metadatas")).as(Seq("idx", "payload"))): _*)
-      .withColumn("document", element_at(col("documents"), col("idx") + 1))
-      .withColumn("image", element_at(col("images"), col("idx") + 1))
+      .withColumn("document", try_element_at(col("documents"), col("idx") + 1))
+      .withColumn("image", try_element_at(col("images"), col("idx") + 1))
       .withColumn("id",
         makeId(col("collection"), col("document"), col("idx"), col("ids")))
       .drop("documents", "ids", "images")

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting (driver north
+  * star, SURVEY.md §2.2 V7). The reference stores raw document text
+  * (`bob_vector_db/qdrant_embedder.py:58-62`); these are the curation ops
+  * a 100 TB corpus of such documents needs before embedding.
+  *
+  * Everything is a narrow per-row column expression — no shuffle, no UDF,
+  * fully codegen-able, trivially data-parallel at any scale. Ratios are
+  * integer micro-units (x*1e6 div y) so the DuckDB oracle matches
+  * bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately literal (broadcast-as-constant): at scale the
+    * real lists ride along inside the generated code, never a join. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+
+  def tokens(text: Column): Column = Dedup.tokens(text)
+
+  /** Count of tokens present in a fixed word list. */
+  def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedLit(words), t)))
+
+  /** Per-language stopword hit counts + argmax prediction (alphabetical
+    * tie-break — first language reaching the max wins). */
+  def langId(toks: Column): Column = {
+    val scores = stopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, t => array_contains(typedLit(words), t)))
+    }
+    val m = greatest(scores.map(_._2): _*)
+    scores.tail.foldLeft(
+      when(scores.head._2 === m, lit(scores.head._1))) {
+      case (acc, (lang, sc)) => acc.when(sc === m, lit(lang))
+    }
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * other non-space chars. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Rolling-hash fingerprint: min 60-bit md5 hash over character
+    * 5-grams (docs shorter than 5 chars hash whole text). A per-doc
+    * constant-size signature — the winnowing building block. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(when(length(col(textCol)) >= 5,
+          transform(sequence(lit(1), length(col(textCol)) - 4),
+            i => col(textCol).substr(i, lit(5))))
+          .otherwise(array(col(textCol)))).as("__gram"))
+      .select(col(idCol),
+        conv(substring(md5(col("__gram")), 1, 15), 16, 10).cast("long")
+          .as("__h"))
+      .groupBy(idCol)
+      .agg(min("__h").as("fingerprint"))
+}

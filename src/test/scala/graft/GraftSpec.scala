@@ -31,10 +31,15 @@ class RegistrySpec extends AnyFunSuite with SparkSpec {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
-  test("every declared query runs and returns rows at sf0.001") {
+  /** Queries whose correct sf0.001 answer is legitimately empty (e.g. the
+    * anti-join finds no customer without orders at tiny SF). */
+  private val mayBeEmpty = Set("q_cust_no_orders", "dedup_simhash")
+
+  test("every declared query runs at sf0.001 (>0 rows unless whitelisted)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
-      assert(n > 0, s"query $name returned 0 rows")
+      if (!mayBeEmpty(name))
+        assert(n > 0, s"query $name returned 0 rows")
     }
   }
 }
