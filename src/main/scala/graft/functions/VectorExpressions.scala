@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for the vector-math hot path (SURVEY.md §4:
+  * "custom codegen'd Expression over ArrayType(FloatType) is the 100-TB
+  * path"). The higher-order-function formulation (`zip_with` +
+  * `aggregate`) is correct but interpreted per element — lambda variables,
+  * a materialized product array, and a double function-call per element.
+  * These expressions generate a single fused Java loop over the two
+  * ArrayData buffers with primitive accumulators: no intermediate array,
+  * no boxing, whole-stage-codegen friendly, and they read FLOAT arrays
+  * in place (no `cast(array<double>)` copy — each element is widened
+  * exactly, so results are bit-identical to the cast-then-HOF pipeline,
+  * keeping the DuckDB oracle parity argument intact: same IEEE ops in the
+  * same order).
+  *
+  * Accumulation order matches the HOF form (index order, independent
+  * accumulators), so `CosineSim(a,b) ==
+  * dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))` bit-for-bit.
+  */
+abstract class VectorBinaryReduce extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<float|double> inputs, " +
+        s"got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  protected def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Java source for element i of `arr` as a double. */
+  protected def getJava(arr: String, i: String, isFloat: Boolean): String =
+    if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+
+  protected def getScala(arr: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+}
+
+/** Σ aᵢ·bᵢ in index order — fused replacement for
+  * `aggregate(zip_with(a,b,(x,y)->x*y), 0d, +)`. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends VectorBinaryReduce {
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += getScala(x, i, lf) * getScala(y, i, rf); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += ${getJava(a, i, lf)} * ${getJava(b, i, rf)};
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cosine(a,b) = dot/(√xx·√yy), three independent index-order accumulators
+  * in one pass — bit-identical to the composed HOF form. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends VectorBinaryReduce {
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+    while (i < n) {
+      val xv = getScala(x, i, lf); val yv = getScala(y, i, rf)
+      dot += xv * yv; xx += xv * xv; yy += yv * yv; i += 1
+    }
+    dot / (math.sqrt(xx) * math.sqrt(yy))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val xx = ctx.freshName("xx")
+      val yy = ctx.freshName("yy")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $xx = 0.0; double $yy = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xv = ${getJava(a, i, lf)};
+          double $yv = ${getJava(b, i, rf)};
+          $dot += $xv * $yv; $xx += $xv * $xv; $yy += $yv * $yv;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** √Σ(aᵢ−bᵢ)² — fused euclidean distance. */
+case class L2DistExpr(left: Expression, right: Expression)
+    extends VectorBinaryReduce {
+  override def prettyName: String = "graft_l2"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val d = getScala(x, i, lf) - getScala(y, i, rf)
+      acc += d * d; i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $d = ${getJava(a, i, lf)} - ${getJava(b, i, rf)};
+          $acc += $d * $d;
+        }
+        ${ev.value} = java.lang.Math.sqrt($acc);
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,30 +1,43 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.functions._
 
 /** Vector math over `ARRAY<FLOAT>` / `ARRAY<DOUBLE>` columns.
   *
   * The reference pins cosine as the collection metric
   * (`bob_vector_db/qdrant_embedder.py:98,101`); L2 and dot are the Chroma /
-  * fastembed variants (SURVEY.md §2.2 V1/V4). Built on Spark higher-order
-  * functions (`zip_with` + `aggregate`), which stay inside whole-stage
-  * codegen — no UDF, no boxing of the whole array into Scala collections.
+  * fastembed variants (SURVEY.md §2.2 V1/V4).
   *
-  * All math is done in DOUBLE: fixture vectors are `float`, the DuckDB
-  * oracle computes in double, and float→double widening is exact, so both
-  * engines see bit-identical inputs and a deterministic left-to-right
-  * summation order.
+  * Two interchangeable engines, bit-identical results:
+  *  - **native** (the default): fused codegen Catalyst expressions
+  *    (VectorExpressions.scala) — one primitive Java loop per row pair,
+  *    float arrays read in place, no intermediate array, no boxing. The
+  *    100 TB path (SURVEY.md §4).
+  *  - **HOF** (`hofDot`/`hofCosine`/`hofL2`): `zip_with` + `aggregate`
+  *    built-ins — kept as the independent reference implementation; the
+  *    test suite asserts bit-equality between the two.
+  *
+  * All math is double: float inputs are widened exactly per element (same
+  * IEEE value as a prior `cast(array<double>)`), summation is index-order
+  * sequential in both engines, so DuckDB-oracle parity arguments carry
+  * over unchanged.
   */
 object VectorOps {
+
+  private def native2(f: (org.apache.spark.sql.catalyst.expressions.Expression,
+                          org.apache.spark.sql.catalyst.expressions.Expression)
+                        => org.apache.spark.sql.catalyst.expressions.Expression)
+                     (a: Column, b: Column): Column =
+    GraftSqlBridge.column(f(GraftSqlBridge.expression(a),
+                            GraftSqlBridge.expression(b)))
 
   /** Exact widening cast `ARRAY<FLOAT>` → `ARRAY<DOUBLE>`. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Σ aᵢ·bᵢ — sequential (deterministic) per-row reduction. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ — fused native expression, index-order accumulation. */
+  def dot(a: Column, b: Column): Column = native2(DotProductExpr.apply)(a, b)
 
   /** Σ aᵢ² (squared L2 norm). */
   def normSq(a: Column): Column = dot(a, a)
@@ -32,12 +45,26 @@ object VectorOps {
   /** ‖a‖₂ */
   def norm(a: Column): Column = sqrt(normSq(a))
 
-  /** cosine(a,b) = dot/(‖a‖‖b‖) — the reference's collection metric. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** cosine(a,b) = dot/(‖a‖‖b‖) — the reference's collection metric.
+    * Single fused pass (three accumulators). */
+  def cosine(a: Column, b: Column): Column = native2(CosineSimExpr.apply)(a, b)
 
   /** Euclidean distance (Chroma's default space). */
-  def l2(a: Column, b: Column): Column =
+  def l2(a: Column, b: Column): Column = native2(L2DistExpr.apply)(a, b)
+
+  // ---- HOF reference implementations (bit-identical, interpreted) ----
+
+  /** `aggregate(zip_with(...))` form of [[dot]] — reference engine. */
+  def hofDot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** HOF form of [[cosine]]. */
+  def hofCosine(a: Column, b: Column): Column =
+    hofDot(a, b) / (sqrt(hofDot(a, a)) * sqrt(hofDot(b, b)))
+
+  /** HOF form of [[l2]]. */
+  def hofL2(a: Column, b: Column): Column =
     sqrt(aggregate(
       zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))
@@ -46,9 +73,7 @@ object VectorOps {
     * computed ONCE in a prior `withColumn` to L2-normalize: pre-normalizing
     * at ingest lets kNN use a plain dot product (one multiply-add per
     * element instead of three reductions per comparison — the 100 TB path;
-    * see Knn.scala). Deliberately not a one-arg `normalize(v)`: embedding
-    * the norm aggregate inside a `transform` lambda would re-reduce the
-    * array per element (O(dim²)). */
+    * see Knn.scala). */
   def scale(v: Column, s: Column): Column =
     transform(asDouble(v), x => x / s)
 

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column operators — the engine's model of
+  * the reference's image path (O3/O7/O11: `sensor_msgs/Image` → cv2 → PIL →
+  * CLIP embed, `bob_vector_db/embedder.py:269-277`,
+  * `qdrant_embedder.py:81-90`).
+  *
+  * Model: media is an opaque `BINARY` column plus a typed metadata struct
+  * (width/height/format/n_frames), exactly what `spark.read.format
+  * ("binaryFile")` + a sidecar table produces at scale. Decode/feature
+  * extraction is a per-row/per-batch function over the bytes; since no
+  * image/audio codec ships in this container, the decode kernel is a
+  * DETERMINISTIC STUB (byte-level statistics standing in for pixel
+  * decode) — the Spark-side plumbing (schema, batching, explode shape,
+  * partition behavior) is the real thing and is what these operators
+  * exercise. A real codec replaces only [[decodeFeaturesBatch]]'s inner
+  * function.
+  *
+  * Scale notes: all ops are narrow per-row transforms (no shuffle);
+  * binary payloads stream through the scan without being collected;
+  * frame sampling explodes bounded sequences (n_frames/stride rows per
+  * doc).
+  */
+object Multimodal {
+
+  /** Attach a synthetic binary payload + media metadata to the documents
+    * fixture: bytes = utf8(text) (a deterministic stand-in for file
+    * content), dims derived from n_chars. */
+  def attachBinary(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content", col("text").cast("binary"))
+      .withColumn("media_meta", struct(
+        (col("n_chars") % 613 + 16).cast("long").as("width"),
+        ((col("n_chars") * 7) % 389 + 16).cast("long").as("height"),
+        lit("png").as("format"),
+        expr("CAST(n_chars DIV 10 + 1 AS BIGINT)").as("n_frames")))
+
+  /** STUB decode: byte-level statistics of the binary content via its hex
+    * rendering (length, header, byte-value sum) — deterministic and
+    * SQL-expressible, so the oracle can replay it. Stands in for "decode
+    * image, compute channel stats". */
+  def byteLen(bin: Column): Column = length(bin).cast("long")
+
+  def headerHex(bin: Column, nBytes: Int): Column =
+    upper(substring(hex(bin), 1, nBytes * 2))
+
+  /** Sum of byte values, computed over a PRE-MATERIALIZED hex-string
+    * column (pass `hex(bin)` through a withColumn first — recomputing the
+    * hex inside the per-element lambda would be O(n²)). */
+  def byteSum(hexStr: Column): Column =
+    aggregate(
+      transform(sequence(lit(1L), (length(hexStr) / 2).cast("long")),
+        i => conv(hexStr.substr((i * 2 - 1).cast("int"), lit(2)), 16, 10)
+          .cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Frame sampling: one output row per sampled frame index
+    * (0, stride, 2·stride, … < n_frames) with a per-frame content hash —
+    * the video-keyframe-extraction shape. */
+  def frameSample(df: DataFrame, idCol: String, nFramesCol: Column,
+                  stride: Int): DataFrame =
+    df.withColumn("frame_idx",
+        explode(sequence(lit(0L), nFramesCol - 1, lit(stride.toLong))))
+      .withColumn("frame_hash",
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+          col("frame_idx").cast("string"))), 1, 8), 16, 10).cast("long"))
+
+  /** Aspect-preserving resize planning (integer micro-unit math): scale =
+    * min(target/w, target/h, 1) — never upscale. */
+  def resizePlan(df: DataFrame, target: Int): DataFrame =
+    df.withColumn("scale_micro",
+        least(expr(s"${target}000000 DIV media_meta.width"),
+          expr(s"${target}000000 DIV media_meta.height"),
+          lit(1000000L)))
+      .withColumn("new_w", expr("media_meta.width * scale_micro DIV 1000000"))
+      .withColumn("new_h", expr("media_meta.height * scale_micro DIV 1000000"))
+
+  /** Typed per-partition batch decode — the Scala analog of a pandas-batch
+    * UDF: each partition's rows are processed as one iterator (a real
+    * codec would init once per partition, then decode per row). Returns
+    * (id, feature vector). The feature kernel is the STUB byte-statistics
+    * above. */
+  def decodeFeaturesBatch(df: DataFrame, idCol: String, binCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init happens HERE once (codec/model handle)
+        rows.map { case (id, bytes) =>
+          val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+          val features = Array(
+            bytes.length.toDouble,
+            if (bytes.nonEmpty) (bytes(0) & 0xff).toDouble else 0.0,
+            sum.toDouble,
+            if (bytes.nonEmpty) sum.toDouble / bytes.length else 0.0)
+          (id, features)
+        }
+      }
+      .toDF(idCol, "features")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import graft.operators.Ingest
+
+/** Structured Streaming ingestion — the engine's form of the reference's
+  * ROS topic subscriptions (O1-O4, `bob_vector_db/embedder.py:161-174`):
+  * an unbounded stream of embed messages, normalized and upserted with
+  * at-least-once + idempotent-write semantics (an upgrade over the
+  * reference's at-most-once drop-on-error, `embedder.py:217-225` — the
+  * checkpoint replaces the fire-and-forget queue).
+  *
+  * Scale notes: the file source scales by `maxFilesPerTrigger` (the
+  * analog of the reference's queue depth 1000); normalization is narrow;
+  * the only stateful ops are watermark-bounded (windowed aggs, within-
+  * watermark dedup), so state size is (window span × key cardinality),
+  * independent of stream length.
+  */
+object Stream {
+
+  /** O1/O2 — unbounded embed-message stream from a drop-directory of
+    * text files (one raw message per line) → canonical points. */
+  def pointsStream(spark: SparkSession, inputDir: String): DataFrame = {
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", 1000)
+      .text(inputDir)
+      .withColumnRenamed("value", "raw")
+    Ingest.toPoints(Ingest.normalize(raw, "raw"))
+  }
+
+  /** Upsert sink: same-id overwrite within each micro-batch (the
+    * streaming form of O14, `qdrant_embedder.py:130-143`) via
+    * foreachBatch — each batch is dropDuplicates("id") then appended;
+    * exactly-once per checkpoint for the file sink. */
+  def upsertSink(points: DataFrame, checkpointDir: String)
+                (onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    points.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onBatch(batch.dropDuplicates("id"), id)
+      }
+
+  /** Streaming tumbling-hour event rollup with a 1-hour watermark — the
+    * streaming twin of the batch `q_events_hourly` query (same answer on
+    * a bounded input via Trigger.AvailableNow). `ts` arrives as epoch-ns
+    * BIGINT (TESTDATA ns parquet); windowing needs TimestampType so it is
+    * truncated to µs — bucket boundaries are hour-aligned, unaffected. */
+  def eventsHourlyStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(eventsDir)
+      .withColumn("tsc", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withWatermark("tsc", "1 hour")
+      .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"))
+  }
+
+  /** Within-watermark streaming dedup on point id — the unbounded-stream
+    * form of upsert (state bounded by the watermark horizon). */
+  def dedupStream(points: DataFrame, tsCol: String): DataFrame =
+    points
+      .withWatermark(tsCol, "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+
+  /** Run a bounded stream to completion (AvailableNow) and wait. */
+  def runAvailableNow(w: DataStreamWriter[Row]): StreamingQuery = {
+    val q = w.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+}

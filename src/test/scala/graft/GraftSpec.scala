@@ -73,6 +73,27 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(k6.take(5) == k5)
   }
 
+  test("native codegen expressions are BIT-identical to the HOF forms") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(100)
+    val q = emb.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val both = emb.select(
+      cosine(col("embedding"), typedLit(q)).as("nc"),
+      hofCosine(col("embedding"), typedLit(q)).as("hc"),
+      dot(col("embedding"), typedLit(q)).as("nd"),
+      hofDot(col("embedding"), typedLit(q)).as("hd"),
+      l2(col("embedding"), typedLit(q)).as("nl"),
+      hofL2(col("embedding"), typedLit(q)).as("hl")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(1)), "cosine")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(3)), "dot")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(5)), "l2")
+    }
+  }
+
   test("l2 of identical vectors is 0") {
     val emb = Tables.load(spark, sf, "embeddings").limit(10)
     val d = emb.select(l2(col("embedding"), col("embedding")).as("d"))

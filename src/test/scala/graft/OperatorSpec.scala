@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+
+/** Property-style unit tests for the dedup / text / ANN / multimodal
+  * operators on small slices of the sf0.001 fixtures. */
+class OperatorSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs20 = Tables.load(spark, sf, "documents")
+    .select("doc_id", "text", "n_chars").limit(20).cache()
+
+  test("minhash: identical docs collide in every LSH band") {
+    val d = docs20.select("doc_id", "text")
+    val dup = d.unionAll(d.select((col("doc_id") + 1000).as("doc_id"),
+      col("text")))
+    val sig = Dedup.minhash(dup, "doc_id", "text", numHashes = 8)
+    val cands = Dedup.lshCandidates(
+      Dedup.lshBands(sig, "doc_id", rowsPerBand = 2), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = d.select("doc_id").collect().map(_.getLong(0))
+    ids.foreach(id => assert(cands.contains((id, id + 1000)),
+      s"exact dup pair ($id, ${id + 1000}) not found by LSH"))
+  }
+
+  test("simhash: identical text → identical signature; sig fits in 60 bits") {
+    val d = docs20.select("doc_id", "text")
+    val dup = d.unionAll(d.select((col("doc_id") + 1000).as("doc_id"),
+      col("text")))
+    val sig = Dedup.simhash(dup, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    d.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(sig(id) == sig(id + 1000))
+      assert(sig(id) >= 0 && sig(id) < (1L << 60))
+    }
+  }
+
+  test("ngram jaccard: self-duplicate scores exactly 1.0 (1e6 micro)") {
+    val d = docs20.select("doc_id", "text")
+    val dup = d.unionAll(d.select((col("doc_id") + 1000).as("doc_id"),
+      col("text")))
+    val j = Dedup.ngramJaccard(dup, "doc_id", "text")
+      .filter(col("doc_b") === col("doc_a") + 1000)
+      .select("jacc_micro").collect().map(_.getLong(0))
+    assert(j.nonEmpty && j.forall(_ == 1000000L))
+  }
+
+  test("langId predicts a declared language; tokens/quality are consistent") {
+    val d = Tables.load(spark, sf, "documents").limit(50)
+      .withColumn("tk", TextAnalysis.tokens(col("text")))
+      .withColumn("pred", TextAnalysis.langId(col("tk")))
+    val langs = TextAnalysis.stopwords.map(_._1).toSet
+    assert(d.select("pred").collect().forall(r => langs(r.getString(0))))
+    val bad = d.filter(size(col("tk")) === 0).count()
+    assert(bad == 0)
+  }
+
+  test("fingerprint: equal text → equal fingerprint, stable across runs") {
+    val d = docs20
+    val f1 = TextAnalysis.fingerprint(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val f2 = TextAnalysis.fingerprint(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f1 == f2)
+  }
+
+  test("IVF search returns a subset of brute-force scoring, k rows") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val res = Ann.ivfSearch(emb, "vec_id", "embedding", cents, "cid", "cv",
+      q, nprobe = 2, k = 10)
+    assert(res.count() == 10)
+    // query vector itself lives in a probed cluster and is its own NN
+    assert(res.select("vec_id").collect().map(_.getLong(0)).contains(0L))
+  }
+
+  test("LSH buckets are within [0, 2^P) and self-consistent") {
+    val planes = Ann.hyperplanes(8, 64)
+    val emb = Tables.load(spark, sf, "embeddings").limit(100)
+      .withColumn("bucket", Ann.lshBucket(col("embedding"), planes))
+    val buckets = emb.select("bucket").collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 256))
+    val again = Tables.load(spark, sf, "embeddings").limit(100)
+      .withColumn("bucket", Ann.lshBucket(col("embedding"), planes))
+      .select("bucket").collect().map(_.getLong(0))
+    assert(buckets.sameElements(again))
+  }
+
+  test("multimodal: byteSum/byteLen agree with driver-side computation") {
+    val d = Multimodal.attachBinary(docs20)
+      .withColumn("hx", upper(hex(col("content"))))
+    val rows = d.select(col("text"), Multimodal.byteLen(col("content")),
+      Multimodal.byteSum(col("hx"))).collect()
+    rows.foreach { r =>
+      val bytes = r.getString(0).getBytes("UTF-8")
+      assert(r.getLong(1) == bytes.length)
+      assert(r.getLong(2) == bytes.map(_ & 0xff).map(_.toLong).sum)
+    }
+  }
+
+  test("multimodal: batch decode features match per-row byte stats") {
+    val feats = Multimodal.decodeFeaturesBatch(
+        Multimodal.attachBinary(docs20), "doc_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    docs20.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val bytes = text.getBytes("UTF-8")
+      val f = feats(id)
+      assert(f(0) == bytes.length.toDouble)
+      assert(f(2) == bytes.map(_ & 0xff).map(_.toLong).sum.toDouble)
+    }
+  }
+
+  test("frame sampling: expected row count per doc (ceil(n/stride))") {
+    val d = Multimodal.attachBinary(docs20)
+    val sampled = Multimodal.frameSample(d, "doc_id",
+      expr("media_meta.n_frames"), stride = 7)
+    val perDoc = sampled.groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    d.select(col("doc_id"), expr("media_meta.n_frames")).collect()
+      .foreach { r =>
+        val expected = (r.getLong(1) + 6) / 7
+        assert(perDoc(r.getLong(0)) == expected)
+      }
+  }
+}
