@@ -23,6 +23,11 @@ object DedupQueries {
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" extra trailing tokens appended"))
             .as("text")))
+      // The fixture is one small parquet file → a single input split; the
+      // explode/hash-heavy dedup pipelines would run on one core. Spread
+      // the corpus first (at real scale the scan has many splits and this
+      // round-robin of a tiny table is noise).
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   private val plantedSql = """
@@ -51,6 +56,23 @@ object DedupQueries {
                  ELSE [array_to_string(tk, ' ')] END) AS sh
         FROM tk)"""
 
+  /** MinHash signature + LSH band CTEs (mirrors Dedup.minhash/lshBands:
+    * one md5 per shingle → affine per-seed hash family → per-band ordered
+    * signature strings). Appended after `shingleSql`. */
+  private val minhashSql = """,
+      hs AS (
+        SELECT doc_id, seed,
+               MIN(((seed*2 + 3) * h + seed*104729 + 12345) % 2147483647)
+                 AS minhash
+        FROM (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+              FROM sh)
+        CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               string_agg(minhash::VARCHAR, '-' ORDER BY seed) AS band_sig
+        FROM hs GROUP BY doc_id, seed // 4)"""
+
   /** V5 — exact content dedup: one hash-shuffle on md5(text). */
   val dedupExact = Q("dedup_exact",
     (s, dir) =>
@@ -73,17 +95,7 @@ object DedupQueries {
           "doc_id")
         .orderBy("doc_a", "doc_b")
     },
-    Some(shingleSql + """,
-      hs AS (
-        SELECT doc_id, seed,
-               MIN(('0x' || substr(md5(seed::VARCHAR || '|' || sh), 1, 8))::BIGINT)
-                 AS minhash
-        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
-        GROUP BY doc_id, seed),
-      bands AS (
-        SELECT doc_id, seed // 4 AS band,
-               string_agg(minhash::VARCHAR, '-' ORDER BY seed) AS band_sig
-        FROM hs GROUP BY doc_id, seed // 4)
+    Some(shingleSql + minhashSql + """
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_sig = b.band_sig
@@ -130,18 +142,35 @@ object DedupQueries {
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
       ORDER BY doc_a, doc_b"""))
 
-  /** V6 — exact n-gram Jaccard ≥ 0.3 via inverted-index join (only pairs
-    * sharing a shingle are materialized). */
+  /** V6 — the canonical TWO-STAGE near-dup pipeline: LSH proposes
+    * candidate pairs, exact n-gram Jaccard verifies them (≥ 0.3). Cost
+    * scales with LSH collision count, never n² — the 100 TB form. (The
+    * raw inverted-index all-pairs Jaccard remains available as
+    * Dedup.ngramJaccard.) */
   val dedupNgram = Q("dedup_ngram",
-    (s, dir) =>
-      Dedup.ngramJaccard(planted(s, dir), "doc_id", "text", shingleN = 3)
+    (s, dir) => {
+      val docs = planted(s, dir)
+      val sig = Dedup.minhash(docs, "doc_id", "text",
+        numHashes = 16, shingleN = 3)
+      val cands = Dedup.lshCandidates(
+        Dedup.lshBands(sig, "doc_id", rowsPerBand = 4), "doc_id")
+      Dedup.jaccardVerify(cands, docs, "doc_id", "text", shingleN = 3)
         .filter(col("jacc_micro") >= 300000)
-        .orderBy("doc_a", "doc_b"),
-    Some(shingleSql + """,
+        .orderBy("doc_a", "doc_b")
+        .select("doc_a", "doc_b", "inter", "jacc_micro")
+    },
+    Some(shingleSql + minhashSql + """,
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id),
       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
       inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
         GROUP BY 1, 2)
       SELECT doc_a, doc_b, inter,
              inter * 1000000 // (sa.n_sh + sb.n_sh - inter) AS jacc_micro

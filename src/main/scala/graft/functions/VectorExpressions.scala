@@ -163,3 +163,91 @@ case class L2DistExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Runtime helper for [[TokensMinHashExpr]] — kept as plain JVM code (not
+  * generated source) so both the interpreted and codegen paths call the
+  * same JIT-compiled loop. */
+object MinHashUtil {
+  private val MOD = 2147483647L
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 32-bit base hash of a shingle's UTF-8 bytes: first 4 md5 digest bytes
+    * as an unsigned int — identical to `('0x'||substr(md5(sh),1,8))::BIGINT`
+    * in the DuckDB oracle and to Dedup.h32. */
+  private def h32(bytes: Array[Byte]): Long = {
+    val d = md5.get(); d.reset()
+    val dig = d.digest(bytes)
+    ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+      ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+  }
+
+  /** MinHash signature straight from the token array: word `shingleN`-grams
+    * joined with ' ' (whole token list when shorter), md5 → 32-bit base
+    * hash, affine per-seed family, running min — no shingle array, no
+    * distinct (duplicates cannot change a min). */
+  def sig(tokens: org.apache.spark.sql.catalyst.util.ArrayData,
+          shingleN: Int, numHashes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = tokens.numElements()
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val space = ' '.toByte
+    def shingleBytes(from: Int, count: Int): Array[Byte] = {
+      var len = if (count > 0) count - 1 else 0
+      var k = 0
+      while (k < count) { len += tokens.getUTF8String(from + k).numBytes(); k += 1 }
+      val buf = new Array[Byte](len)
+      var pos = 0; k = 0
+      while (k < count) {
+        if (k > 0) { buf(pos) = space; pos += 1 }
+        val t = tokens.getUTF8String(from + k)
+        t.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+        pos += t.numBytes(); k += 1
+      }
+      buf
+    }
+    def fold(h: Long): Unit = {
+      var s = 0
+      while (s < numHashes) {
+        val v = ((2L * s + 3L) * h + 104729L * s + 12345L) % MOD
+        if (v < out(s)) out(s) = v
+        s += 1
+      }
+    }
+    if (n >= shingleN) {
+      var i = 0
+      while (i <= n - shingleN) { fold(h32(shingleBytes(i, shingleN))); i += 1 }
+    } else {
+      fold(h32(shingleBytes(0, n)))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Fused tokens → MinHash signature (see [[MinHashUtil.sig]]): replaces a
+  * four-layer interpreted HOF chain (shingle transform, array_join,
+  * array_distinct, per-seed min) that dominated the dedup benchmark. */
+case class TokensMinHashExpr(child: Expression, shingleN: Int, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"tokens_minhash needs array<string>, got ${dt.catalogString}")
+  }
+
+  override def prettyName: String = "graft_tokens_minhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashUtil.sig(input.asInstanceOf[ArrayData], shingleN, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinHashUtil.sig($a, $shingleN, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

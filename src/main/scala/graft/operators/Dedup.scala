@@ -46,20 +46,28 @@ object Dedup {
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
   /** MinHash signatures: one row per (id, seed) with the min hash over the
-    * doc's distinct shingles. Two hash-aggregations, both map-side
+    * doc's distinct shingles. Each shingle is md5-hashed ONCE to a 32-bit
+    * base value; the per-seed hash family is arithmetic
+    * (`(2s+3)·h + 104729·s + 12345 mod 2³¹−1` — a universal-hash-style
+    * affine family, exact in 64-bit on any engine), so the expensive md5
+    * does not scale with numHashes. Two hash-aggregations, both map-side
     * combinable. */
   def minhash(docs: DataFrame, idCol: String, textCol: String,
               numHashes: Int, shingleN: Int = 3): DataFrame =
+    // The whole signature comes from one fused compiled pass over the
+    // token array (TokensMinHashExpr): shingle strings are never
+    // materialized, there is no distinct (a duplicate cannot change a
+    // min), no explode of hash rows, no shuffle. Benchmarked ~10× over
+    // the equivalent 4-layer HOF chain, which evaluated interpreted
+    // lambdas per shingle per seed.
     docs
       .select(col(idCol),
-        explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
-          .as("__sh"))
-      .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
-      .select(col(idCol), col("seed"),
-        h32(concat(col("seed").cast("string"), lit("|"), col("__sh")))
-          .as("h"))
-      .groupBy(idCol, "seed")
-      .agg(min("h").as("minhash"))
+        posexplode(org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.TokensMinHashExpr(
+            org.apache.spark.sql.GraftSqlBridge.expression(
+              tokens(col(textCol))),
+            shingleN, numHashes)))
+          .as(Seq("seed", "minhash")))
 
   /** LSH banding: group each doc's signature into bands of `rowsPerBand`
     * hashes; the band signature is the ordered minhash concatenation. */
@@ -92,13 +100,42 @@ object Dedup {
       .select(col(idCol),
         conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long").as("h"))
       .withColumn("j", explode(sequence(lit(0), lit(bits - 1))))
-      // +1 when bit j of h is set, -1 otherwise
+      // +1 when bit j of h is set, -1 otherwise. Benchmarked NOTE: the
+      // "shuffle-free" nested-HOF form (fold 60 bits × aggregate tokens
+      // in-row) is ~27× SLOWER than this explode + two map-side-combined
+      // aggregations — interpreted lambda overhead dwarfs the shuffle of
+      // small (id, j, ±1) rows. Explode wins here; keep it.
       .withColumn("c", expr("CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END"))
       .groupBy(idCol, "j")
       .agg(sum("c").as("s"))
       .groupBy(idCol)
       .agg(sum(expr("CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END"))
         .as("simhash"))
+
+  /** Exact Jaccard over distinct shingle sets for a GIVEN candidate-pair
+    * table — the verify stage of the canonical two-stage near-dup
+    * pipeline (LSH proposes, Jaccard verifies). Cost scales with the
+    * candidate count, never n². */
+  def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
+        .as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.select(col("id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("jacc_micro",
+        expr("inter * 1000000 DIV (n_a + n_b - inter)"))
+      .select("doc_a", "doc_b", "inter", "jacc_micro")
+  }
 
   /** Exact Jaccard similarity over distinct n-gram shingle sets, computed
     * with an inverted-index join: only pairs sharing ≥1 shingle are ever

@@ -55,16 +55,16 @@ object TextAnalysis {
 
   /** Rolling-hash fingerprint: min 60-bit md5 hash over character
     * 5-grams (docs shorter than 5 chars hash whole text). A per-doc
-    * constant-size signature — the winnowing building block. */
+    * constant-size signature — the winnowing building block. Computed
+    * entirely in-row (`array_min` over a transformed gram array): no
+    * explode, no shuffle — a narrow map at any scale. */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
-        explode(when(length(col(textCol)) >= 5,
+      array_min(transform(
+        when(length(col(textCol)) >= 5,
           transform(sequence(lit(1), length(col(textCol)) - 4),
             i => col(textCol).substr(i, lit(5))))
-          .otherwise(array(col(textCol)))).as("__gram"))
-      .select(col(idCol),
-        conv(substring(md5(col("__gram")), 1, 15), 16, 10).cast("long")
-          .as("__h"))
-      .groupBy(idCol)
-      .agg(min("__h").as("fingerprint"))
+          .otherwise(array(col(textCol))),
+        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
+        .as("fingerprint"))
 }
