@@ -241,6 +241,46 @@ object Relational {
       ORDER BY event_type
     """))
 
+  /** Explicit set operations (beyond the anti-join): INTERSECT and EXCEPT
+    * of two customer-key sets, tagged and unioned into one result. */
+  val qSetOps = Q("q_set_ops",
+    (s, dir) => {
+      val b = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      b.intersect(o).withColumn("tag", lit("both"))
+        .unionAll(b.except(o).withColumn("tag", lit("building_only")))
+        .orderBy("tag", "c_custkey")
+    },
+    Some("""
+      WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      o AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+      i AS (SELECT c_custkey FROM b INTERSECT SELECT c_custkey FROM o),
+      e AS (SELECT c_custkey FROM b EXCEPT SELECT c_custkey FROM o)
+      SELECT c_custkey, 'both' AS tag FROM i
+      UNION ALL
+      SELECT c_custkey, 'building_only' AS tag FROM e
+      ORDER BY tag, c_custkey"""))
+
+  /** CUBE grouping sets (rollup's 2ⁿ-combination sibling). */
+  val qCube = Q("q_cube",
+    (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(20,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority")),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
   def queries: Seq[Q] = Seq(q1Pricing, q3TopOrders, q5RegionRevenue,
-    qBrandAgg, qWindowTopn, qRollup, qCustNoOrders, qEventsHourly, qEventsJson)
+    qBrandAgg, qWindowTopn, qRollup, qCube, qSetOps, qCustNoOrders,
+    qEventsHourly, qEventsJson)
 }

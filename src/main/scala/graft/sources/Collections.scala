@@ -1,0 +1,108 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Collection storage layer — the engine's form of the reference's
+  * collection DDL + sink surface:
+  *
+  *  - O12 `create_collection` iff absent with a fixed vector config
+  *    (`bob_vector_db/qdrant_embedder.py:92-103`): a collection is a
+  *    parquet directory plus a `_collection.json` metadata record pinning
+  *    {dim, metric} — metric defaults to cosine exactly as the reference
+  *    pins `Distance.COSINE` (`qdrant_embedder.py:98,101`).
+  *  - O14 upsert (`upload_points`, same-id overwrite): append + keep-last
+  *    compaction via the ingest-sequence window.
+  *  - O17/O20 the abstract sink interface (`json_embedder.py:3-9`):
+  *    [[CollectionSink]] with a single write(df) method.
+  *  - Dim validation enforces the declared vector size on every write
+  *    (the engine-level form of the collection's fixed vector config).
+  *
+  * Scale notes: a collection directory is a standard partitionable
+  * parquet dataset (split-friendly, predicate-pushdown-friendly);
+  * keep-last compaction is one hash shuffle on id; metadata is a tiny
+  * sidecar file written once.
+  */
+object Collections {
+
+  /** Fixed per-collection vector config (SURVEY.md §1.3). */
+  final case class VectorConfig(dim: Int, metric: String = "cosine")
+
+  private def metaPath(dir: String) = Paths.get(dir, "_collection.json")
+
+  def exists(dir: String): Boolean = Files.exists(metaPath(dir))
+
+  /** O12: create iff absent — records the vector config; no data yet. */
+  def create(dir: String, config: VectorConfig): Unit =
+    if (!exists(dir)) {
+      Files.createDirectories(Paths.get(dir))
+      Files.write(metaPath(dir),
+        s"""{"dim": ${config.dim}, "metric": "${config.metric}"}"""
+          .getBytes(StandardCharsets.UTF_8))
+    }
+
+  def config(dir: String): VectorConfig = {
+    val txt = new String(Files.readAllBytes(metaPath(dir)),
+      StandardCharsets.UTF_8)
+    val dim = """"dim":\s*(\d+)""".r.findFirstMatchIn(txt).get.group(1).toInt
+    val metric = """"metric":\s*"([^"]+)"""".r
+      .findFirstMatchIn(txt).get.group(1)
+    VectorConfig(dim, metric)
+  }
+
+  /** Dim-validation gate: rows whose vector violates the collection's
+    * declared size are rejected (returned separately — the quarantine
+    * analog of the reference's drop-on-error, upgraded to be observable). */
+  def validate(points: DataFrame, vecCol: String, cfg: VectorConfig)
+      : (DataFrame, DataFrame) = {
+    val okCond = VectorOps.hasDim(col(vecCol), cfg.dim)
+    (points.filter(okCond), points.filter(!okCond || col(vecCol).isNull))
+  }
+
+  /** O14: append a batch, then compact to keep-last per id (Qdrant upsert
+    * semantics — same id overwrites). `seqCol` orders versions. */
+  def upsert(spark: SparkSession, dir: String, batch: DataFrame,
+             idCol: String, seqCol: String): Unit = {
+    val dataDir = s"$dir/data"
+    val merged =
+      if (Files.exists(Paths.get(dataDir))) {
+        val existing = spark.read.parquet(dataDir)
+        existing.unionByName(batch)
+      } else batch
+    val compacted = graft.operators.Ingest.upsert(merged, idCol, seqCol)
+    // write to a staging dir then swap — parquet sources cannot overwrite
+    // their own input in place
+    val tmp = s"$dir/.staging"
+    compacted.write.mode("overwrite").parquet(tmp)
+    val target = Paths.get(dataDir)
+    if (Files.exists(target)) {
+      Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.move(Paths.get(tmp), target)
+  }
+
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/data")
+
+  /** O20: the sink interface (`json_embedder.py:3-9`) — one write method,
+    * backends differ only in construction (O18's backend dispatch). */
+  trait CollectionSink {
+    def write(points: DataFrame): Unit
+  }
+
+  /** The default parquet-collection sink with upsert semantics. */
+  final class ParquetCollectionSink(spark: SparkSession, dir: String,
+                                    cfg: VectorConfig, vecCol: String,
+                                    idCol: String, seqCol: String)
+      extends CollectionSink {
+    create(dir, cfg)
+    override def write(points: DataFrame): Unit = {
+      val (ok, _) = validate(points, vecCol, cfg)
+      upsert(spark, dir, ok, idCol, seqCol)
+    }
+  }
+}

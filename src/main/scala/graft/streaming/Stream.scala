@@ -41,7 +41,14 @@ object Stream {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        onBatch(batch.dropDuplicates("id"), id)
+        // O19 error containment (`embedder.py:217-225`): a failing batch is
+        // logged and dropped rather than killing the stream — but unlike
+        // the reference's silent at-most-once drop, the checkpoint makes
+        // the loss observable and bounded to one batch.
+        try onBatch(batch.dropDuplicates("id"), id)
+        catch { case e: Throwable =>
+          System.err.println(s"[stream-upsert] batch $id dropped: ${e.getMessage}")
+        }
       }
 
   /** Streaming tumbling-hour event rollup with a 1-hour watermark — the

@@ -115,6 +115,23 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("binaryFile source + sidecar metadata join (reference O3/O4 shape)") {
+    // the reference's image topic = opaque binary + caption sidecar; the
+    // Spark form is a binaryFile scan joined to a metadata table on path
+    val bin = spark.read.format("binaryFile")
+      .load(sf) // reads the fixture parquet FILES as opaque binaries
+      .select(col("path"), col("length"), col("content"))
+      .withColumn("fname", regexp_extract(col("path"), "([^/]+)$", 1))
+    val sidecar = spark.createDataFrame(Seq(
+      ("documents.parquet", "caption one"),
+      ("embeddings.parquet", "caption two"))).toDF("fname", "caption")
+    val joined = bin.join(sidecar, "fname")
+    assert(joined.count() == 2)
+    val row = joined.filter(col("fname") === "documents.parquet")
+      .select("length", "caption").head()
+    assert(row.getLong(0) > 0 && row.getString(1) == "caption one")
+  }
+
   test("frame sampling: expected row count per doc (ceil(n/stride))") {
     val d = Multimodal.attachBinary(docs20)
     val sampled = Multimodal.frameSample(d, "doc_id",
