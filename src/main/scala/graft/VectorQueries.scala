@@ -78,6 +78,19 @@ object VectorQueries {
       ORDER BY query_id, rnk
     """))
 
+  /** V2 via the bounded-heap TypedImperativeAggregate (same oracle as
+    * v_knn_multi — the two physical forms must hash-match). */
+  val vKnnMultiAgg = Q("v_knn_multi_agg",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Knn.knnMultiAgg(emb, qs, "embedding", "qid", "qv", 3)
+        .select("query_id", "vec_id", "score", "rnk")
+        .orderBy("query_id", "rnk")
+    },
+    vKnnMulti.oracle)
+
   /** V3 — payload-filtered kNN (the Qdrant filter-DSL surface): predicate
     * applied BEFORE scoring, so the filter pushes to the parquet scan. */
   val vKnnFiltered = Q("v_knn_filtered",
@@ -184,6 +197,6 @@ object VectorQueries {
       ORDER BY label
     """))
 
-  def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnMulti, vKnnFiltered,
-    vL2, vDot, vFusion, collStats)
+  def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnMulti, vKnnMultiAgg,
+    vKnnFiltered, vL2, vDot, vFusion, collStats)
 }

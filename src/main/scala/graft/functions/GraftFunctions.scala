@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface of the engine's native expressions: `graft_cosine`,
+  * `graft_dot`, `graft_l2`, `graft_tokens_minhash` become callable from
+  * `spark.sql(...)` — either per-session ([[register]]) or cluster-wide
+  * via `spark.sql.extensions=graft.functions.GraftExtensions`.
+  *
+  * This is the engine's equivalent of the reference's pluggable model
+  * registry surface: the query layer (SQL or DataFrame) names the
+  * function, the implementation is a codegen Catalyst expression. */
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float/double arrays",
+      (es: Seq[Expression]) => CosineSimExpr(es(0), es(1))),
+    ("graft_dot", "graft_dot(a, b) - inner product of two float/double arrays",
+      (es: Seq[Expression]) => DotProductExpr(es(0), es(1))),
+    ("graft_l2", "graft_l2(a, b) - euclidean distance of two float/double arrays",
+      (es: Seq[Expression]) => L2DistExpr(es(0), es(1))),
+    ("graft_tokens_minhash", "graft_tokens_minhash(tokens) - 16-hash MinHash signature of a token array (3-gram shingles)",
+      (es: Seq[Expression]) => TokensMinHashExpr(es(0), 3, 16)))
+
+  /** Register on an existing session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, usage, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""),
+        builder))
+    }
+}

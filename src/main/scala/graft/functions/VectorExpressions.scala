@@ -23,7 +23,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * accumulators), so `CosineSim(a,b) ==
   * dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))` bit-for-bit.
   */
-abstract class VectorBinaryReduce extends BinaryExpression {
+abstract class VectorBinaryReduce extends BinaryExpression
+    with org.apache.spark.sql.GraftArrayInputCasts {
 
   override def dataType: DataType = DoubleType
 

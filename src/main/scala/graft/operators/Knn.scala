@@ -55,4 +55,26 @@ object Knn {
       .filter(col("rnk") <= k)
       .drop("__qv")
   }
+
+  /** Multi-query kNN via the bounded-heap aggregate
+    * (graft.plans.TopKByScore) — hash-identical results to [[knnMulti]],
+    * but the PARTIAL phase keeps a k-heap per query on the map side, so
+    * only |partitions|·|queries|·k rows cross the shuffle instead of
+    * every scored pair. The 100 TB form of the window-rank plan. */
+  def knnMultiAgg(coll: DataFrame, queries: DataFrame, vecCol: String,
+                  qIdCol: String, qVecCol: String, k: Int,
+                  metric: (Column, Column) => Column = cosine): DataFrame =
+    coll.crossJoin(
+        broadcast(queries.select(col(qIdCol).as("query_id"),
+                                 col(qVecCol).as("__qv"))))
+      .withColumn("score", round(metric(col(vecCol), col("__qv")), 6))
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByScore.topK(col("score"), col("vec_id"), k)
+        .as("__topk"))
+      .select(col("query_id"),
+        posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col("query_id"),
+        col("__e.id").as("vec_id"),
+        col("__e.score").as("score"),
+        (col("__pos") + 1).cast("int").as("rnk"))
 }

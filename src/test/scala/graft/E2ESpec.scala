@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Embed, Ingest}
+import graft.sources.Collections
+import graft.sources.Collections.VectorConfig
+
+/** End-to-end reference parity: the complete flow a bob_vector_db user
+  * runs — publish embed messages → normalize → points → embed → upsert
+  * into a cosine collection → kNN query it (DataFrame and SQL). */
+class E2ESpec extends AnyFunSuite with SparkSpec {
+
+  test("embed-message → collection → kNN, end to end") {
+    val dir = Files.createTempDirectory("graft-e2e").toString + "/xfiles"
+
+    // 1. the reference README's own example messages (FIXTURES.md)
+    import spark.implicits._
+    val raw = IngestQueries.fixtures.toDF("msg_id", "raw")
+
+    // 2. normalize + explode to points (O5/O6/O13/O14)
+    val points = Ingest.toPoints(Ingest.normalize(raw, "raw"))
+
+    // 3. embed the document text (O9; 64-dim deterministic model)
+    val embedded = Embed.embedText(
+        points.filter(col("document").isNotNull), "id", "document",
+        model = "graft/hash-64")
+      .select(col("id"), col("collection"), col("document"),
+        col("embedding"), lit(0).as("seq"))
+
+    // 4. upsert into a cosine collection with dim enforcement (O12/O14)
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "id", "seq")
+    sink.write(embedded)
+    assert(Collections.config(dir) == VectorConfig(64, "cosine"))
+
+    // 5. upsert semantics: two fixture messages share id "id1", so the
+    //    collection holds one row per distinct id (same id overwrites —
+    //    `qdrant_embedder.py:130-143`); rewriting the batch is idempotent
+    sink.write(embedded)
+    val stored = Collections.read(spark, dir)
+    assert(stored.count() == embedded.dropDuplicates("id").count())
+    assert(stored.count() < embedded.count()) // the id1 collision collapsed
+
+    // 6. kNN over the collection — DataFrame path
+    val q = stored.orderBy("id").select(col("embedding")).head()
+      .getSeq[Double](0)
+    val top3 = graft.operators.Knn.scoreAll(stored, "embedding", q)
+      .orderBy(desc("score"), col("id")).limit(3)
+    assert(top3.count() == 3)
+    assert(top3.head().getDouble(top3.head().fieldIndex("score")) > 0.999999)
+
+    // 7. same query through SQL with the registered native function
+    graft.functions.GraftFunctions.register(spark)
+    stored.createOrReplaceTempView("xfiles")
+    val sqlTop = spark.sql(
+      s"""SELECT id, graft_cosine(embedding, array(${q.mkString(",")})) AS score
+          FROM xfiles ORDER BY score DESC, id LIMIT 3""").collect()
+    assert(sqlTop.length == 3)
+    assert(sqlTop.head.getDouble(1) > 0.999999)
+  }
+}

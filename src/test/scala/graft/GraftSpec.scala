@@ -94,6 +94,19 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("heap-aggregate topk == window-rank topk (same rows, same order)") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") < 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val win = graft.operators.Knn.knnMulti(emb, qs, "embedding", "qid", "qv", 5)
+      .select("query_id", "vec_id", "score", "rnk")
+      .orderBy("query_id", "rnk").collect().toSeq
+    val agg = graft.operators.Knn.knnMultiAgg(emb, qs, "embedding", "qid", "qv", 5)
+      .select("query_id", "vec_id", "score", "rnk")
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(win == agg)
+  }
+
   test("l2 of identical vectors is 0") {
     val emb = Tables.load(spark, sf, "embeddings").limit(10)
     val d = emb.select(l2(col("embedding"), col("embedding")).as("d"))
