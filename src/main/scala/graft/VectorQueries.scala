@@ -108,6 +108,30 @@ object VectorQueries {
       LIMIT 10
     """))
 
+  /** V3 via the Qdrant filter DSL: the JSON filter language the
+    * reference's collections are queried with, translated to a Catalyst
+    * predicate (operators/PayloadFilter) — must + match + range compose
+    * and push down to the scan like a hand-written WHERE. */
+  val vKnnDsl = Q("v_knn_dsl",
+    (s, dir) => {
+      val filter = graft.operators.PayloadFilter.fromJson("""
+        {"must": [
+          {"key": "label", "match": {"any": [2, 3, 5]}},
+          {"key": "vec_id", "range": {"gte": 10, "lt": 400}}
+        ]}""")
+      val emb = Tables.load(s, dir, "embeddings").filter(filter)
+      Knn.knn(emb, "embedding", queryVec(s, dir, 0), 10)
+        .select("vec_id", "label", "score")
+    },
+    Some(s"""
+      SELECT vec_id, label,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQ0), 6) AS score
+      FROM embeddings
+      WHERE label IN (2, 3, 5) AND vec_id >= 10 AND vec_id < 400
+      ORDER BY score DESC, vec_id
+      LIMIT 10
+    """))
+
   /** V4 — L2 (Chroma's default space): nearest 10 by euclidean distance. */
   val vL2 = Q("v_l2",
     (s, dir) => {
@@ -198,5 +222,5 @@ object VectorQueries {
     """))
 
   def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnMulti, vKnnMultiAgg,
-    vKnnFiltered, vL2, vDot, vFusion, collStats)
+    vKnnFiltered, vKnnDsl, vL2, vDot, vFusion, collStats)
 }

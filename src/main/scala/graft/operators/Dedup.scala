@@ -118,9 +118,14 @@ object Dedup {
     * candidate count, never n². */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 3): DataFrame = {
+    // The shingle table feeds three consumers (sizes, both join sides);
+    // persist it so the explode+HOF chain runs once. MEMORY_AND_DISK,
+    // LRU-evicted — at scale this is the standard "materialize the
+    // inverted index once" step.
     val sh = docs.select(col(idCol).as("id"),
       explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
         .as("sh"))
+      .persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = candidates
       .join(sh.select(col("id").as("doc_a"), col("sh")), Seq("doc_a"))

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.operators.{Dedup, Ingest}
+
+/** ScalaCheck property tests (SURVEY.md §5 step 3): totality of the
+  * normalization over arbitrary strings, cosine bounds/symmetry on
+  * generated vectors, minhash monotonicity, upsert idempotence. Driver
+  * work batches generated cases into single Spark jobs. */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  test("normalization is TOTAL: any string yields exactly the declared shape") {
+    val cases = Gen.listOfN(80,
+      Gen.oneOf(
+        Gen.asciiPrintableStr,
+        Gen.alphaNumStr,
+        Gen.const("""{"a": 1}"""),
+        Gen.const("""{"collection":"c","documents":["d"],"metadatas":[{}]}"""),
+        Gen.const(""), Gen.const("{}"), Gen.const("[1,2]"), Gen.const("null")))
+      .sample.get
+    val df = cases.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "raw")
+    val pts = Ingest.toPoints(Ingest.normalize(df, "raw"), keep = Seq("i"))
+    val rows = pts.collect()
+    // every input row produced >= 1 point; collection/id never null
+    assert(rows.map(_.getInt(0)).toSet == cases.indices.toSet)
+    assert(rows.forall(r => r.getString(r.fieldIndex("collection")) != null))
+    assert(rows.forall(r => r.getString(r.fieldIndex("id")) != null))
+  }
+
+  test("cosine: |cos|<=1+eps, symmetric, self-similarity 1 on generated vectors") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0))
+      .suchThat(v => v.exists(_ != 0.0))
+    val vecs = Gen.listOfN(40, vecGen).sample.get
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val a = df.select(col("id").as("ia"), col("v").as("va"))
+    val b = df.select(col("id").as("ib"), col("v").as("vb"))
+    val pairs = a.crossJoin(b).select(
+      col("ia"), col("ib"),
+      graft.functions.VectorOps.cosine(col("va"), col("vb")).as("ab"),
+      graft.functions.VectorOps.cosine(col("vb"), col("va")).as("ba"))
+      .collect()
+    pairs.foreach { r =>
+      val (ab, ba) = (r.getDouble(2), r.getDouble(3))
+      assert(math.abs(ab) <= 1.0 + 1e-9)
+      assert(ab == ba) // exact: same ops, order swapped only across args
+      if (r.getLong(0) == r.getLong(1)) assert(math.abs(ab - 1.0) < 1e-9)
+    }
+  }
+
+  test("minhash monotonicity: appending text can only LOWER each signature slot") {
+    val base = Gen.listOfN(20, Gen.identifier.suchThat(_.nonEmpty))
+      .sample.get.mkString(" ")
+    val extra = " zz yy xx ww vv uu"
+    val df = Seq((1L, base), (2L, base + extra)).toDF("doc_id", "text")
+    val sig = Dedup.minhash(df, "doc_id", "text", numHashes = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    (0 until 16).foreach { s =>
+      assert(sig((2L, s)) <= sig((1L, s)),
+        s"seed $s: superset text must have <= minhash")
+    }
+  }
+
+  test("upsert idempotence: upsert(upsert(x)) == upsert(x)") {
+    val df = (1L to 50L).map(i => (i % 10, i, s"v$i")).toDF("id", "seq", "v")
+    val once = Ingest.upsert(df, "id", "seq")
+    val twice = Ingest.upsert(once, "id", "seq")
+    assert(once.orderBy("id").collect().toSeq ==
+           twice.orderBy("id").collect().toSeq)
+    assert(once.count() == 10)
+    // keep-last: each id kept the max seq
+    assert(once.agg(sum("seq")).head().getLong(0) ==
+      (41L to 50L).sum)
+  }
+}
