@@ -280,7 +280,24 @@ object Relational {
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
 
+  /** Salted two-phase aggregation (operators/Skew): result must equal the
+    * direct GROUP BY — the oracle IS the direct form, so the gate proves
+    * the salting rewrite is semantics-preserving. */
+  val qSaltedAgg = Q("q_salted_agg",
+    (s, dir) =>
+      graft.operators.Skew.saltedSumCount(
+          Tables.load(s, dir, "events"),
+          keys = Seq("event_type"), valueCol = "value",
+          rowId = "event_id", buckets = 16)
+        .select("event_type", "n", "sum_value")
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY event_type ORDER BY event_type"""))
+
   def queries: Seq[Q] = Seq(q1Pricing, q3TopOrders, q5RegionRevenue,
     qBrandAgg, qWindowTopn, qRollup, qCube, qSetOps, qCustNoOrders,
-    qEventsHourly, qEventsJson)
+    qEventsHourly, qEventsJson, qSaltedAgg)
 }

@@ -66,6 +66,39 @@ object Ann {
       .agg(min_by(col("__cid"), struct(col("__dist"), col("__cid")))
         .as("cluster"))
 
+  /** Build a materialized IVF index: the collection written as parquet
+    * PARTITIONED BY cluster id. At scale this is the whole point of IVF —
+    * a probe of `nprobe` clusters becomes partition pruning, so the scan
+    * touches ~nprobe/k of the bytes (verify with PartitionFilters in the
+    * plan). */
+  def buildIvfIndex(coll: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, cidCol: String, cvCol: String,
+                    indexDir: String): Unit =
+    coll.join(argminAssign(coll, idCol, vecCol, centroids, cidCol, cvCol),
+        idCol)
+      .write.mode("overwrite")
+      .partitionBy("cluster")
+      .parquet(indexDir)
+
+  /** Search a materialized IVF index: the cluster filter prunes
+    * partitions before any IO. */
+  def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, idCol: String, vecCol: String,
+                       centroids: DataFrame, cidCol: String, cvCol: String,
+                       query: Seq[Double], nprobe: Int, k: Int): DataFrame = {
+    val probed = centroids
+      .withColumn("__qd", VectorOps.l2(col(cvCol), typedLit(query)))
+      .orderBy(col("__qd"), col(cidCol))
+      .limit(nprobe)
+      .select(col(cidCol))
+      .collect().map(_.getLong(0))
+    spark.read.parquet(indexDir)
+      .filter(col("cluster").isin(probed: _*))
+      .withColumn("score", VectorOps.cosine(col(vecCol), typedLit(query)))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF search: probe the `nprobe` nearest clusters to the query, exact
     * cosine top-k within them. */
   def ivfSearch(coll: DataFrame, idCol: String, vecCol: String,

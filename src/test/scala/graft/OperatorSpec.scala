@@ -78,6 +78,29 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(res.select("vec_id").collect().map(_.getLong(0)).contains(0L))
   }
 
+  test("materialized IVF index: probe == partition pruning, same top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    Ann.buildIvfIndex(emb, "vec_id", "embedding", cents, "cid", "cv", dir)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+
+    val indexed = Ann.ivfSearchIndexed(spark, dir, "vec_id", "embedding",
+      cents, "cid", "cv", q, nprobe = 2, k = 10)
+    val direct = Ann.ivfSearch(emb, "vec_id", "embedding", cents, "cid", "cv",
+      q, nprobe = 2, k = 10)
+    val a = indexed.select("vec_id").collect().map(_.getLong(0)).toSeq
+    val b = direct.select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+
+    // the probe must reach the scan as PartitionFilters (pruned IO)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"no partition pruning:\n$plan")
+  }
+
   test("LSH buckets are within [0, 2^P) and self-consistent") {
     val planes = Ann.hyperplanes(8, 64)
     val emb = Tables.load(spark, sf, "embeddings").limit(100)
