@@ -19,39 +19,47 @@ import graft.operators.Embed
   * travel as comma-joined integer strings. */
 object EmbedQueries {
 
-  /** Shared oracle CTE chain producing (doc_id, embedding DOUBLE[dim])
-    * with floor-quantized elements. */
-  private def oracleVecSql(dim: Int): String = s"""
-      WITH toks AS (
-        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
-        FROM documents),
-      h AS (
+  /** Prefixed oracle CTE chain producing `{p}emb(doc_id, embedding)` with
+    * floor-quantized elements for a given (dim, seed, source column) —
+    * seed namespaces the hash family exactly like Embed.embedText's
+    * `seed` parameter. Chains compose (multimodal = two chains). */
+  private def vecCtes(p: String, dim: Int, seed: String,
+                      textExpr: String): String = s"""
+      ${p}toks AS (
         SELECT doc_id,
-               ('0x' || substr(md5(tok), 1, 8))::BIGINT % $dim AS bucket,
-               CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
+               unnest(regexp_split_to_array(lower($textExpr), '\\s+')) AS tok
+        FROM documents),
+      ${p}h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('$seed' || tok), 1, 8))::BIGINT % $dim AS bucket,
+               CASE WHEN ('0x' || substr(md5('$seed' || tok), 9, 1))::BIGINT % 2 = 0
                     THEN 1 ELSE -1 END AS sgn
-        FROM toks WHERE tok <> ''),
-      bsum AS (
+        FROM ${p}toks WHERE tok <> ''),
+      ${p}bsum AS (
         SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS v
-        FROM h GROUP BY doc_id, bucket),
-      dense AS (
+        FROM ${p}h GROUP BY doc_id, bucket),
+      ${p}dense AS (
         SELECT d.doc_id, i.bucket, CAST(COALESCE(b.v, 0) AS DOUBLE) AS v
         FROM (SELECT DISTINCT doc_id FROM documents) d
         CROSS JOIN (SELECT unnest(range($dim)) AS bucket) i
-        LEFT JOIN bsum b ON b.doc_id = d.doc_id AND b.bucket = i.bucket),
-      vec AS (
-        SELECT doc_id, list(v ORDER BY bucket) AS raw FROM dense GROUP BY doc_id),
-      nrm AS (
-        SELECT doc_id, raw,
-               sqrt(list_inner_product(raw, raw)) AS n
-        FROM vec),
-      emb AS (
+        LEFT JOIN ${p}bsum b ON b.doc_id = d.doc_id AND b.bucket = i.bucket),
+      ${p}vec AS (
+        SELECT doc_id, list(v ORDER BY bucket) AS raw
+        FROM ${p}dense GROUP BY doc_id),
+      ${p}nrm AS (
+        SELECT doc_id, raw, sqrt(list_inner_product(raw, raw)) AS n
+        FROM ${p}vec),
+      ${p}emb AS (
         SELECT doc_id,
                CASE WHEN n = 0 THEN raw
                     ELSE list_transform(raw,
                       x -> CAST(floor(x / n * 1000000 + 0.5) AS DOUBLE) / 1000000)
                END AS embedding
-        FROM nrm)"""
+        FROM ${p}nrm)"""
+
+  /** Unprefixed single-chain form (text column, no seed). */
+  private def oracleVecSql(dim: Int): String =
+    "\n      WITH " + vecCtes("", dim, "", "text")
 
   /** O9/O10 — embed every document; vector emitted as a comma-joined
     * string of micro-unit (1e-6) integers. */
@@ -87,5 +95,40 @@ object EmbedQueries {
                x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))) AS BIGINT) AS checksum_micro
       FROM emb ORDER BY doc_id"""))
 
-  def queries: Seq[Q] = Seq(embedText, embedChecksum)
+  /** O10/O11 — the multimodal named-vector pair (CLIP text+vision stand-in,
+    * `qdrant_embedder.py:71-90`): both 512-dim vectors per doc, emitted as
+    * micro-unit checksums. The oracle recomputes BOTH hash families
+    * (seed-namespaced) independently. */
+  val embedMm = Q("embed_mm",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("caption", concat(lit("caption of "), col("text")))
+      Embed.embedMultimodal(docs, "doc_id", "text", "caption")
+        .select(col("doc_id"),
+          size(col("text_vec")).as("text_dim"),
+          size(col("image_vec")).as("image_dim"),
+          aggregate(transform(col("text_vec"),
+            x => floor(x * 1e6 + lit(0.5))), lit(0L), (a, x) => a + x)
+            .as("text_checksum_micro"),
+          aggregate(transform(col("image_vec"),
+            x => floor(x * 1e6 + lit(0.5))), lit(0L), (a, x) => a + x)
+            .as("image_checksum_micro"))
+        .orderBy("doc_id")
+    },
+    Some("\n      WITH " +
+      vecCtes("t_", 512, "text|", "text") + "," +
+      vecCtes("i_", 512, "image|", "'caption of ' || text") + """
+      SELECT t.doc_id,
+             len(t.embedding)::INT AS text_dim,
+             len(i.embedding)::INT AS image_dim,
+             CAST(list_sum(list_transform(t.embedding,
+               x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))) AS BIGINT)
+               AS text_checksum_micro,
+             CAST(list_sum(list_transform(i.embedding,
+               x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))) AS BIGINT)
+               AS image_checksum_micro
+      FROM t_emb t JOIN i_emb i ON i.doc_id = t.doc_id
+      ORDER BY t.doc_id"""))
+
+  def queries: Seq[Q] = Seq(embedText, embedChecksum, embedMm)
 }

@@ -82,4 +82,22 @@ object Embed {
           .as(outCol))
     df.join(vecs, Seq(idCol), "left")
   }
+
+  /** Named-vector pair (the reference's multimodal collection shape:
+    * `{"text", "image"}` named vectors from the CLIP text+vision pair,
+    * `qdrant_embedder.py:71-90`): two vector columns produced by the two
+    * halves of `modelPair`, hash families namespaced by seed so the
+    * "models" are genuinely different functions. `textCol` feeds the text
+    * vector; `captionCol` (the image's caption/description stand-in —
+    * a real vision model would read the binary content instead) feeds the
+    * image vector. */
+  def embedMultimodal(df: DataFrame, idCol: String, textCol: String,
+                      captionCol: String,
+                      modelPair: String = multimodalPair): DataFrame = {
+    val Array(textModel, visionModel) = modelPair.split(" ")
+    val withText = embedText(df, idCol, textCol,
+      outCol = "text_vec", model = textModel, seed = "text|")
+    embedText(withText, idCol, captionCol,
+      outCol = "image_vec", model = visionModel, seed = "image|")
+  }
 }

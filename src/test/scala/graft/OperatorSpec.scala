@@ -138,6 +138,34 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("multimodal named-vector pair: two distinct unit vectors per row") {
+    import graft.operators.Embed
+    val d = docs20.withColumn("caption",
+      concat(lit("caption of "), col("text").substr(1, 30)))
+    val mm = Embed.embedMultimodal(d, "doc_id", "text", "caption")
+    val rows = mm.select(
+      size(col("text_vec")), size(col("image_vec")),
+      graft.functions.VectorOps.norm(col("text_vec")),
+      graft.functions.VectorOps.cosine(col("text_vec"), col("image_vec")))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == Embed.dimOf("Qdrant/clip-ViT-B-32-text"))
+      assert(r.getInt(1) == Embed.dimOf("Qdrant/clip-ViT-B-32-vision"))
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-4) // unit norm (quantized)
+      assert(r.getDouble(3) < 0.999999) // the two "models" differ
+    }
+  }
+
+  test("approx_count_distinct (HLL) within 5% of exact on events users") {
+    val ev = Tables.load(spark, sf, "events")
+    val row = ev.agg(
+      approx_count_distinct("user_id").as("approx"),
+      countDistinct("user_id").as("exact")).head()
+    val (approx, exact) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("binaryFile source + sidecar metadata join (reference O3/O4 shape)") {
     // the reference's image topic = opaque binary + caption sidecar; the
     // Spark form is a binaryFile scan joined to a metadata table on path
