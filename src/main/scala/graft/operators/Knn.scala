@@ -27,12 +27,14 @@ object Knn {
     coll.withColumn("score", metric(col(vecCol), q))
   }
 
-  /** Top-k by cosine (or any metric) against one query vector. */
+  /** Top-k by cosine (or any metric) against one query vector; ties
+    * break on `idCol` for determinism. */
   def knn(coll: DataFrame, vecCol: String, query: Seq[Double], k: Int,
-          metric: (Column, Column) => Column = cosine): DataFrame =
+          metric: (Column, Column) => Column = cosine,
+          idCol: String = "vec_id"): DataFrame =
     scoreAll(coll, vecCol, query, metric)
       .withColumn("score", round(col("score"), 6))
-      .orderBy(desc("score"), col("vec_id"))
+      .orderBy(desc("score"), col(idCol))
       .limit(k)
 
   /** Multi-query kNN: broadcast the (small) query set against the (huge)
@@ -43,13 +45,14 @@ object Knn {
     * partition emits at most k rows per query id. */
   def knnMulti(coll: DataFrame, queries: DataFrame, vecCol: String,
                qIdCol: String, qVecCol: String, k: Int,
-               metric: (Column, Column) => Column = cosine): DataFrame = {
+               metric: (Column, Column) => Column = cosine,
+               idCol: String = "vec_id"): DataFrame = {
     val pairs = coll.crossJoin(
         broadcast(queries.select(col(qIdCol).as("query_id"),
                                  col(qVecCol).as("__qv"))))
       .withColumn("score", round(metric(col(vecCol), col("__qv")), 6))
     val w = Window.partitionBy("query_id")
-      .orderBy(desc("score"), col("vec_id"))
+      .orderBy(desc("score"), col(idCol))
     pairs
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -63,18 +66,19 @@ object Knn {
     * every scored pair. The 100 TB form of the window-rank plan. */
   def knnMultiAgg(coll: DataFrame, queries: DataFrame, vecCol: String,
                   qIdCol: String, qVecCol: String, k: Int,
-                  metric: (Column, Column) => Column = cosine): DataFrame =
+                  metric: (Column, Column) => Column = cosine,
+                  idCol: String = "vec_id"): DataFrame =
     coll.crossJoin(
         broadcast(queries.select(col(qIdCol).as("query_id"),
                                  col(qVecCol).as("__qv"))))
       .withColumn("score", round(metric(col(vecCol), col("__qv")), 6))
       .groupBy("query_id")
-      .agg(graft.plans.TopKByScore.topK(col("score"), col("vec_id"), k)
+      .agg(graft.plans.TopKByScore.topK(col("score"), col(idCol), k)
         .as("__topk"))
       .select(col("query_id"),
         posexplode(col("__topk")).as(Seq("__pos", "__e")))
       .select(col("query_id"),
-        col("__e.id").as("vec_id"),
+        col("__e.id").as(idCol),
         col("__e.score").as("score"),
         (col("__pos") + 1).cast("int").as("rnk"))
 }
