@@ -198,6 +198,62 @@ object VectorQueries {
     """
     }))
 
+  /** V8 — HYBRID search: keyword score over the document text fused with
+    * vector cosine via reciprocal-rank fusion (RRF, the standard hybrid
+    * retrieval combiner; integer milli-units so both engines agree
+    * exactly). Ranks use global windows here — the small-SF verification
+    * form; at scale each side is a bounded top-N (TakeOrderedAndProject)
+    * before fusion, so the global rank never materializes. */
+  val vHybridRrf = Q("v_hybrid_rrf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val kws = typedLit(Seq("data", "query", "table"))
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("__tk", graft.operators.TextAnalysis.tokens(col("text")))
+        .withColumn("score_t",
+          size(filter(col("__tk"), t => array_contains(kws, t))))
+        .withColumn("r_t", row_number().over(
+          Window.orderBy(desc("score_t"), col("doc_id"))))
+        .select(col("doc_id"), col("score_t"), col("r_t"))
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("score_vm",
+          floor(VectorOps.cosine(col("embedding"),
+            typedLit(queryVec(s, dir, 0))) * 1e6 + lit(0.5)).cast("long"))
+        .withColumn("r_v", row_number().over(
+          Window.orderBy(desc("score_vm"), col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("r_v"))
+      docs.join(emb, "doc_id")
+        .withColumn("rrf_milli",
+          expr("1000000 DIV (60 + r_t) + 1000000 DIV (60 + r_v)"))
+        .orderBy(desc("rrf_milli"), col("doc_id"))
+        .limit(10)
+        .select("doc_id", "r_t", "r_v", "rrf_milli")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               len(list_filter(
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> ''),
+                 x -> list_contains(['data', 'query', 'table'], x))) AS score_t
+        FROM documents),
+      tr AS (
+        SELECT doc_id, score_t,
+               ROW_NUMBER() OVER (ORDER BY score_t DESC, doc_id) AS r_t
+        FROM t),
+      vr AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY CAST(floor(list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]), $oracleQ0) * 1000000 + 0.5)
+                   AS BIGINT) DESC, vec_id) AS r_v
+        FROM embeddings)
+      SELECT tr.doc_id, r_t, r_v,
+             1000000 // (60 + r_t) + 1000000 // (60 + r_v) AS rrf_milli
+      FROM tr JOIN vr ON vr.doc_id = tr.doc_id
+      ORDER BY rrf_milli DESC, tr.doc_id
+      LIMIT 10"""))
+
   /** V9 — collection stats: per-label cardinality, dim check, mean norm
     * (decimal-summed for order-independence). */
   val collStats = Q("coll_stats",
@@ -222,5 +278,5 @@ object VectorQueries {
     """))
 
   def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnMulti, vKnnMultiAgg,
-    vKnnFiltered, vKnnDsl, vL2, vDot, vFusion, collStats)
+    vKnnFiltered, vKnnDsl, vL2, vDot, vFusion, vHybridRrf, collStats)
 }

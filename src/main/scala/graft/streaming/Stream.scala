@@ -77,6 +77,74 @@ object Stream {
       .withWatermark(tsCol, "1 hour")
       .dropDuplicatesWithinWatermark("id")
 
+  /** One closed session: [start, end] event-time span + aggregates. */
+  final case class Session(userId: Long, startUs: Long, endUs: Long,
+                           nEvents: Long, sumValue: Double)
+
+  /** Open-session state (public: the state encoder's generated code must
+    * be able to construct it). */
+  final case class SessState(startUs: Long, endUs: Long,
+                             nEvents: Long, sumValue: Double)
+
+  /** Custom-state streaming sessionization via flatMapGroupsWithState
+    * (SURVEY.md §2.3 UDF/state row): per-user state holds the open
+    * session; an event past the gap closes and emits it. With an
+    * EventTimeTimeout the state also closes when the watermark passes the
+    * gap — state size is bounded by (active users), independent of stream
+    * length. On a BOUNDED stream the batch twin `q_sessionize` computes
+    * the same sessions (StreamSpec asserts it, modulo the final
+    * still-open session per user which only a stream-end flush emits). */
+  def sessionizeStream(events: DataFrame, gapUs: Long): org.apache.spark.sql.Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the watermark column (tsc) must survive the projection feeding the
+    // stateful operator, or Spark rejects the event-time timeout
+    val typed = events
+      .withColumn("tsu", expr("ts DIV 1000"))
+      .withColumn("tsc", timestamp_micros(col("tsu")))
+      .withWatermark("tsc", "1 hour")
+      .select(col("user_id").as("userId"), col("tsu"),
+        col("value"), col("tsc"))
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+
+    def fn(userId: Long, rows: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+           state: GroupState[SessState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        // watermark passed the gap with no new events: close + emit
+        val s = state.get
+        state.remove()
+        return Iterator(Session(userId, s.startUs, s.endUs, s.nEvents,
+          s.sumValue))
+      }
+      val out = Seq.newBuilder[Session]
+      // micro-batch rows are not ordering-guaranteed; sort within batch
+      val sorted = rows.toSeq.sortBy(_._2)
+      var cur = state.getOption
+      sorted.foreach { case (_, ts, v, _) =>
+        cur match {
+          case Some(s) if ts - s.endUs <= gapUs =>
+            cur = Some(SessState(s.startUs, ts, s.nEvents + 1, s.sumValue + v))
+          case Some(s) =>
+            out += Session(userId, s.startUs, s.endUs, s.nEvents, s.sumValue)
+            cur = Some(SessState(ts, ts, 1, v))
+          case None =>
+            cur = Some(SessState(ts, ts, 1, v))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // close the session when no event arrives within the gap
+        state.setTimeoutTimestamp(s.endUs / 1000 + gapUs / 1000)
+      }
+      out.result().iterator
+    }
+
+    typed.flatMapGroupsWithState(OutputMode.Append(),
+      GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** Run a bounded stream to completion (AvailableNow) and wait. */
   def runAvailableNow(w: DataStreamWriter[Row]): StreamingQuery = {
     val q = w.trigger(Trigger.AvailableNow()).start()
