@@ -21,12 +21,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Accumulation order matches the HOF form (index order, independent
   * accumulators), so `CosineSim(a,b) ==
-  * dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))` bit-for-bit.
+  * dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))` bit-for-bit. NULL semantics
+  * also match the HOF form: a length mismatch (zip_with pads with nulls)
+  * or a null element nulls the whole result.
   */
 abstract class VectorBinaryReduce extends BinaryExpression
     with org.apache.spark.sql.GraftArrayInputCasts {
 
   override def dataType: DataType = DoubleType
+
+  /** Can be NULL even for non-null children (length-mismatch / null
+    * element guard) — the optimizer must not fold IsNotNull over this. */
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -48,6 +54,35 @@ abstract class VectorBinaryReduce extends BinaryExpression
 
   protected def getScala(arr: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  protected def mayHaveNullElems(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  /** HOF-parity guard (zip_with pads a length mismatch with nulls and any
+    * null element nulls the whole reduction): mismatched lengths or a
+    * null element → NULL result. Returns true when the result is NULL. */
+  protected def evalGuard(x: ArrayData, y: ArrayData): Boolean =
+    x.numElements() != y.numElements() ||
+      (mayHaveNullElems(left) && VectorExprUtil.hasNull(x)) ||
+      (mayHaveNullElems(right) && VectorExprUtil.hasNull(y))
+
+  /** Java condition string for the same guard (empty checks elided when
+    * the schema says elements cannot be null). */
+  protected def guardJava(a: String, b: String): String = {
+    val ln = if (mayHaveNullElems(left))
+      s" || graft.functions.VectorExprUtil.hasNull($a)" else ""
+    val rn = if (mayHaveNullElems(right))
+      s" || graft.functions.VectorExprUtil.hasNull($b)" else ""
+    s"$a.numElements() != $b.numElements()$ln$rn"
+  }
+}
+
+object VectorExprUtil {
+  def hasNull(a: ArrayData): Boolean = {
+    var i = 0
+    while (i < a.numElements()) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
 }
 
 /** Σ aᵢ·bᵢ in index order — fused replacement for
@@ -58,8 +93,9 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (evalGuard(x, y)) return null
     val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var acc = 0.0; var i = 0
     while (i < n) { acc += getScala(x, i, lf) * getScala(y, i, rf); i += 1 }
     acc
@@ -71,12 +107,16 @@ case class DotProductExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += ${getJava(a, i, lf)} * ${getJava(b, i, rf)};
+        if (${guardJava(a, b)}) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += ${getJava(a, i, lf)} * ${getJava(b, i, rf)};
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
 
@@ -93,8 +133,9 @@ case class CosineSimExpr(left: Expression, right: Expression)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (evalGuard(x, y)) return null
     val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var dot = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
     while (i < n) {
       val xv = getScala(x, i, lf); val yv = getScala(y, i, rf)
@@ -111,14 +152,18 @@ case class CosineSimExpr(left: Expression, right: Expression)
       val yy = ctx.freshName("yy")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0; double $xx = 0.0; double $yy = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xv = ${getJava(a, i, lf)};
-          double $yv = ${getJava(b, i, rf)};
-          $dot += $xv * $yv; $xx += $xv * $xv; $yy += $yv * $yv;
+        if (${guardJava(a, b)}) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $dot = 0.0; double $xx = 0.0; double $yy = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $xv = ${getJava(a, i, lf)};
+            double $yv = ${getJava(b, i, rf)};
+            $dot += $xv * $yv; $xx += $xv * $xv; $yy += $yv * $yv;
+          }
+          ${ev.value} = $dot / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
       """
     })
 
@@ -134,8 +179,9 @@ case class L2DistExpr(left: Expression, right: Expression)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (evalGuard(x, y)) return null
     val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var acc = 0.0; var i = 0
     while (i < n) {
       val d = getScala(x, i, lf) - getScala(y, i, rf)
@@ -150,13 +196,17 @@ case class L2DistExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $d = ${getJava(a, i, lf)} - ${getJava(b, i, rf)};
-          $acc += $d * $d;
+        if (${guardJava(a, b)}) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $d = ${getJava(a, i, lf)} - ${getJava(b, i, rf)};
+            $acc += $d * $d;
+          }
+          ${ev.value} = java.lang.Math.sqrt($acc);
         }
-        ${ev.value} = java.lang.Math.sqrt($acc);
       """
     })
 

@@ -116,6 +116,11 @@ object Dedup {
     * table — the verify stage of the canonical two-stage near-dup
     * pipeline (LSH proposes, Jaccard verifies). Cost scales with the
     * candidate count, never n². */
+  // jaccardVerify keeps exactly ONE shingle cache alive: each call frees
+  // the previous call's (lazily persisted) table, bounding cache growth
+  // across repeated invocations (bench warm+timed, test loops).
+  private var lastShingleCache: Option[DataFrame] = None
+
   def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 3): DataFrame = {
     // The shingle table feeds three consumers (sizes, both join sides);
@@ -126,6 +131,10 @@ object Dedup {
       explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
         .as("sh"))
       .persist()
+    synchronized {
+      lastShingleCache.foreach(_.unpersist(blocking = false))
+      lastShingleCache = Some(sh)
+    }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = candidates
       .join(sh.select(col("id").as("doc_a"), col("sh")), Seq("doc_a"))

@@ -57,14 +57,21 @@ object PayloadFilter {
     case JObject(fields) =>
       val fm = fields.toMap
       val clauses = Seq.newBuilder[Column]
+      // empty clause arrays are valid Qdrant filters meaning "no
+      // constraint"; must_not negates under Qdrant semantics ("condition
+      // did not match"), so a NULL/missing key PASSES — hence
+      // !coalesce(cond, false), not SQL three-valued !cond.
       fm.get("must").foreach { case JArray(fs) =>
-        clauses += fs.map(build(_, jsonCol)).reduce(_ && _)
+        clauses += fs.map(build(_, jsonCol)).reduceOption(_ && _)
+          .getOrElse(lit(true))
       case other => throw new IllegalArgumentException(s"must: $other") }
       fm.get("should").foreach { case JArray(fs) =>
-        clauses += fs.map(build(_, jsonCol)).reduce(_ || _)
+        clauses += fs.map(build(_, jsonCol)).reduceOption(_ || _)
+          .getOrElse(lit(true))
       case other => throw new IllegalArgumentException(s"should: $other") }
       fm.get("must_not").foreach { case JArray(fs) =>
-        clauses += fs.map(f => !build(f, jsonCol)).reduce(_ && _)
+        clauses += fs.map(f => !coalesce(build(f, jsonCol), lit(false)))
+          .reduceOption(_ && _).getOrElse(lit(true))
       case other => throw new IllegalArgumentException(s"must_not: $other") }
       fm.get("key").foreach { case JString(key) =>
         val c = keyCol(key, jsonCol)

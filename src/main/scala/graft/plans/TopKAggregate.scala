@@ -42,21 +42,30 @@ case class TopKByScore(
 
   override def prettyName: String = "graft_topk"
 
-  /** Heap ordering: head = WORST element (lowest score; on ties the
-    * larger id, because rank prefers the smaller id) so dequeue evicts
-    * correctly when the heap exceeds k. */
-  private val worstFirst: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+  /** Rank order matching Spark's window sort `desc(score), asc(id)`:
+    * best-first, with NaN ordered ABOVE +Inf (java.lang.Double.compare —
+    * the same total order Spark's descending sort uses, so a NaN score
+    * ranks #1 in both physical forms). The max-heap dequeues the GREATEST
+    * element under this ordering = the current worst. */
+  private val rankOrder: Ordering[(Double, Long)] =
+    new Ordering[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1) // higher score first
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
-    mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
+    mutable.PriorityQueue.empty[(Double, Long)](rankOrder)
 
   override def update(buf: mutable.PriorityQueue[(Double, Long)],
                       input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null) {
-      buf.enqueue((s.asInstanceOf[Double], i.asInstanceOf[Long]))
+      // +0.0 normalization: Spark's sort treats -0.0 == 0.0, Double.compare
+      // does not; -0.0 + 0.0 == +0.0 (NaN passes through unchanged)
+      buf.enqueue((s.asInstanceOf[Double] + 0.0, i.asInstanceOf[Long]))
       if (buf.size > k) buf.dequeue()
     }
     buf
@@ -70,7 +79,7 @@ case class TopKByScore(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val sorted = buf.toArray.sortBy { case (s, i) => (-s, i) }
+    val sorted = buf.toArray.sorted(rankOrder)
     new GenericArrayData(sorted.map { case (s, i) =>
       InternalRow(s, i)
     }.asInstanceOf[Array[Any]])

@@ -62,10 +62,24 @@ object Collections {
     (points.filter(okCond), points.filter(!okCond || col(vecCol).isNull))
   }
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
+    finally walk.close()
+  }
+
   /** O14: append a batch, then compact to keep-last per id (Qdrant upsert
-    * semantics — same id overwrites). `seqCol` orders versions. */
+    * semantics — same id overwrites). `seqCol` orders versions.
+    *
+    * Single-writer swap protocol: compact into `.staging`, move `data` →
+    * `.old`, move `.staging` → `data`, drop `.old`. A crash between the
+    * two moves leaves `.old` as a complete backup, which the next upsert
+    * (or read) restores — the collection is never lost, only at most the
+    * crashed batch. */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame,
              idCol: String, seqCol: String): Unit = {
+    recoverIfNeeded(dir)
     val dataDir = s"$dir/data"
     val merged =
       if (Files.exists(Paths.get(dataDir))) {
@@ -73,20 +87,32 @@ object Collections {
         existing.unionByName(batch)
       } else batch
     val compacted = graft.operators.Ingest.upsert(merged, idCol, seqCol)
-    // write to a staging dir then swap — parquet sources cannot overwrite
-    // their own input in place
-    val tmp = s"$dir/.staging"
-    compacted.write.mode("overwrite").parquet(tmp)
+    // stage then swap — parquet sources cannot overwrite their own input
+    val staging = Paths.get(s"$dir/.staging")
+    val old = Paths.get(s"$dir/.old")
     val target = Paths.get(dataDir)
-    if (Files.exists(target)) {
-      Files.walk(target).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-    }
-    Files.move(Paths.get(tmp), target)
+    compacted.write.mode("overwrite").parquet(staging.toString)
+    if (Files.exists(target)) Files.move(target, old)
+    Files.move(staging, target)
+    if (Files.exists(old)) deleteRecursively(old)
   }
 
-  def read(spark: SparkSession, dir: String): DataFrame =
+  /** Crash recovery: if a previous swap died after moving `data` aside,
+    * restore it from the `.old` backup. */
+  private def recoverIfNeeded(dir: String): Unit = {
+    val target = Paths.get(s"$dir/data")
+    val old = Paths.get(s"$dir/.old")
+    if (!Files.exists(target) && Files.exists(old)) Files.move(old, target)
+    val staging = Paths.get(s"$dir/.staging")
+    if (Files.exists(staging)) deleteRecursively(staging)
+  }
+
+  
+
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    recoverIfNeeded(dir)
     spark.read.parquet(s"$dir/data")
+  }
 
   /** O20: the sink interface (`json_embedder.py:3-9`) — one write method,
     * backends differ only in construction (O18's backend dispatch). */

@@ -41,12 +41,22 @@ object Stream {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // same-id overwrite WITHIN a batch must be deterministic: keep the
+        // LAST arrival — dropDuplicates would keep an arbitrary row. The
+        // arrival clock is assigned HERE (monotonically_increasing_id is
+        // batch-only): deterministic for a given file set/layout, which is
+        // exactly the replay-determinism the checkpoint needs.
+        val deduped = Ingest.upsert(
+            batch.withColumn("__seq", monotonically_increasing_id()),
+            "id", "__seq")
+          .drop("__seq")
         // O19 error containment (`embedder.py:217-225`): a failing batch is
         // logged and dropped rather than killing the stream — but unlike
         // the reference's silent at-most-once drop, the checkpoint makes
-        // the loss observable and bounded to one batch.
-        try onBatch(batch.dropDuplicates("id"), id)
-        catch { case e: Throwable =>
+        // the loss observable and bounded to one batch. NonFatal only:
+        // OOM/interrupts must still kill the stream.
+        try onBatch(deduped, id)
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[stream-upsert] batch $id dropped: ${e.getMessage}")
         }
       }
@@ -62,7 +72,7 @@ object Stream {
     spark.readStream
       .schema(schema)
       .parquet(eventsDir)
-      .withColumn("tsc", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("tsc", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("tsc", "1 hour")
       .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))

@@ -19,6 +19,18 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     assert(Collections.config(dir) == VectorConfig(64, "cosine"))
   }
 
+  test("crash recovery: interrupted swap restores from the .old backup") {
+    val dir = Files.createTempDirectory("graft-coll").toString + "/c3"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    sink.write(Tables.load(spark, sf, "embeddings").limit(20)
+      .withColumn("seq", lit(0)))
+    // simulate a crash between the two moves: data gone, .old holds it
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/data"),
+      java.nio.file.Paths.get(s"$dir/.old"))
+    assert(Collections.read(spark, dir).count() == 20) // read recovers
+  }
+
   test("upsert: same id overwrites (keep-last by sequence), dims enforced") {
     val dir = Files.createTempDirectory("graft-coll").toString + "/c2"
     val sink = new Collections.ParquetCollectionSink(spark, dir,

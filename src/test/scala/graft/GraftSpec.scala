@@ -107,6 +107,42 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(win == agg)
   }
 
+  test("NULL semantics match HOF: length mismatch and null elements → NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0)),
+      (3L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("id", "a", "b")
+    val out = df.select(col("id"),
+      cosine(col("a"), col("b")).as("nc"),
+      hofCosine(col("a"), col("b")).as("hc"),
+      dot(col("a"), col("b")).as("nd"),
+      hofDot(col("a"), col("b")).as("hd")).orderBy("id").collect()
+    // row 1: both defined and equal
+    assert(!out(0).isNullAt(1) && !out(0).isNullAt(2))
+    // rows 2 (length mismatch) and 3 (null element): both engines NULL
+    Seq(1, 2).foreach { r =>
+      assert(out(r).isNullAt(1) && out(r).isNullAt(2), s"cosine row $r")
+      assert(out(r).isNullAt(3) && out(r).isNullAt(4), s"dot row $r")
+    }
+  }
+
+  test("heap topk ranks NaN scores exactly like the window form") {
+    import spark.implicits._
+    // zero vector → cosine NaN; both physical forms must rank it the same
+    val rows = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.0, 1.0)), (3L, Seq(1.0, 1.0)), (4L, Seq(-1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((100L, Seq(1.0, 0.0))).toDF("qid", "qv")
+    val win = graft.operators.Knn.knnMulti(rows, qs, "embedding", "qid", "qv", 3)
+      .select("query_id", "vec_id", "rnk").orderBy("rnk").collect().toSeq
+    val agg = graft.operators.Knn.knnMultiAgg(rows, qs, "embedding", "qid", "qv", 3)
+      .select("query_id", "vec_id", "rnk").orderBy("rnk").collect().toSeq
+    assert(win == agg)
+    assert(win.head.getLong(1) == 0L) // NaN sorts first under desc in Spark
+  }
+
   test("l2 of identical vectors is 0") {
     val emb = Tables.load(spark, sf, "embeddings").limit(10)
     val d = emb.select(l2(col("embedding"), col("embedding")).as("d"))

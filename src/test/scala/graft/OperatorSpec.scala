@@ -8,7 +8,7 @@ import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
   * operators on small slices of the sf0.001 fixtures. */
 class OperatorSpec extends AnyFunSuite with SparkSpec {
 
-  private def docs20 = Tables.load(spark, sf, "documents")
+  private lazy val docs20 = Tables.load(spark, sf, "documents")
     .select("doc_id", "text", "n_chars").limit(20).cache()
 
   test("minhash: identical docs collide in every LSH band") {
