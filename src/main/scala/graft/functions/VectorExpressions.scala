@@ -58,30 +58,22 @@ abstract class VectorBinaryReduce extends BinaryExpression
   protected def mayHaveNullElems(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].containsNull
 
-  /** HOF-parity guard (zip_with pads a length mismatch with nulls and any
-    * null element nulls the whole reduction): mismatched lengths or a
-    * null element → NULL result. Returns true when the result is NULL. */
-  protected def evalGuard(x: ArrayData, y: ArrayData): Boolean =
-    x.numElements() != y.numElements() ||
-      (mayHaveNullElems(left) && VectorExprUtil.hasNull(x)) ||
-      (mayHaveNullElems(right) && VectorExprUtil.hasNull(y))
+  /** HOF-parity NULL semantics (zip_with pads a length mismatch with
+    * nulls; any null element nulls the whole reduction). The element null
+    * check is FUSED into the main loop (no second pass) and elided
+    * entirely when the schema says elements cannot be null. */
+  protected def elemNullScala(x: ArrayData, y: ArrayData, i: Int): Boolean =
+    (mayHaveNullElems(left) && x.isNullAt(i)) ||
+      (mayHaveNullElems(right) && y.isNullAt(i))
 
-  /** Java condition string for the same guard (empty checks elided when
-    * the schema says elements cannot be null). */
-  protected def guardJava(a: String, b: String): String = {
-    val ln = if (mayHaveNullElems(left))
-      s" || graft.functions.VectorExprUtil.hasNull($a)" else ""
-    val rn = if (mayHaveNullElems(right))
-      s" || graft.functions.VectorExprUtil.hasNull($b)" else ""
-    s"$a.numElements() != $b.numElements()$ln$rn"
-  }
-}
-
-object VectorExprUtil {
-  def hasNull(a: ArrayData): Boolean = {
-    var i = 0
-    while (i < a.numElements()) { if (a.isNullAt(i)) return true; i += 1 }
-    false
+  /** In-loop Java null check; empty string when schema-impossible. */
+  protected def elemNullJava(ev: ExprCode, a: String, b: String,
+                             i: String): String = {
+    val checks = Seq(
+      if (mayHaveNullElems(left)) Some(s"$a.isNullAt($i)") else None,
+      if (mayHaveNullElems(right)) Some(s"$b.isNullAt($i)") else None).flatten
+    if (checks.isEmpty) ""
+    else s"if (${checks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
   }
 }
 
@@ -93,11 +85,14 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    if (evalGuard(x, y)) return null
+    if (x.numElements() != y.numElements()) return null
     val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
     val n = x.numElements()
     var acc = 0.0; var i = 0
-    while (i < n) { acc += getScala(x, i, lf) * getScala(y, i, rf); i += 1 }
+    while (i < n) {
+      if (elemNullScala(x, y, i)) return null
+      acc += getScala(x, i, lf) * getScala(y, i, rf); i += 1
+    }
     acc
   }
 
@@ -107,15 +102,16 @@ case class DotProductExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-        if (${guardJava(a, b)}) {
+        if ($a.numElements() != $b.numElements()) {
           ${ev.isNull} = true;
         } else {
           int $n = $a.numElements();
           double $acc = 0.0;
           for (int $i = 0; $i < $n; $i++) {
+            ${elemNullJava(ev, a, b, i)}
             $acc += ${getJava(a, i, lf)} * ${getJava(b, i, rf)};
           }
-          ${ev.value} = $acc;
+          if (!${ev.isNull}) { ${ev.value} = $acc; }
         }
       """
     })
@@ -133,11 +129,12 @@ case class CosineSimExpr(left: Expression, right: Expression)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    if (evalGuard(x, y)) return null
+    if (x.numElements() != y.numElements()) return null
     val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
     val n = x.numElements()
     var dot = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
     while (i < n) {
+      if (elemNullScala(x, y, i)) return null
       val xv = getScala(x, i, lf); val yv = getScala(y, i, rf)
       dot += xv * yv; xx += xv * xv; yy += yv * yv; i += 1
     }
@@ -152,17 +149,20 @@ case class CosineSimExpr(left: Expression, right: Expression)
       val yy = ctx.freshName("yy")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
-        if (${guardJava(a, b)}) {
+        if ($a.numElements() != $b.numElements()) {
           ${ev.isNull} = true;
         } else {
           int $n = $a.numElements();
           double $dot = 0.0; double $xx = 0.0; double $yy = 0.0;
           for (int $i = 0; $i < $n; $i++) {
+            ${elemNullJava(ev, a, b, i)}
             double $xv = ${getJava(a, i, lf)};
             double $yv = ${getJava(b, i, rf)};
             $dot += $xv * $yv; $xx += $xv * $xv; $yy += $yv * $yv;
           }
-          ${ev.value} = $dot / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
+          if (!${ev.isNull}) {
+            ${ev.value} = $dot / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
+          }
         }
       """
     })
@@ -179,11 +179,12 @@ case class L2DistExpr(left: Expression, right: Expression)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    if (evalGuard(x, y)) return null
+    if (x.numElements() != y.numElements()) return null
     val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
     val n = x.numElements()
     var acc = 0.0; var i = 0
     while (i < n) {
+      if (elemNullScala(x, y, i)) return null
       val d = getScala(x, i, lf) - getScala(y, i, rf)
       acc += d * d; i += 1
     }
@@ -196,16 +197,17 @@ case class L2DistExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
       s"""
-        if (${guardJava(a, b)}) {
+        if ($a.numElements() != $b.numElements()) {
           ${ev.isNull} = true;
         } else {
           int $n = $a.numElements();
           double $acc = 0.0;
           for (int $i = 0; $i < $n; $i++) {
+            ${elemNullJava(ev, a, b, i)}
             double $d = ${getJava(a, i, lf)} - ${getJava(b, i, rf)};
             $acc += $d * $d;
           }
-          ${ev.value} = java.lang.Math.sqrt($acc);
+          if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($acc); }
         }
       """
     })
