@@ -114,6 +114,40 @@ object Collections {
     spark.read.parquet(s"$dir/data")
   }
 
+  /** Collection info (the Qdrant collection-info shape): declared config
+    * plus live point count. */
+  final case class CollectionInfo(config: VectorConfig, numPoints: Long)
+
+  def info(spark: SparkSession, dir: String): CollectionInfo =
+    CollectionInfo(config(dir), read(spark, dir).count())
+
+  /** "Query the DB and return the results" (`README.md:13`) — one-call
+    * top-k search over a stored collection, scoring with the collection's
+    * DECLARED metric (cosine/l2/dot — the config pinned at creation,
+    * `qdrant_embedder.py:92-103`), with an optional payload filter
+    * (the Qdrant filter DSL via operators/PayloadFilter or any Column). */
+  def search(spark: SparkSession, dir: String, vecCol: String,
+             idCol: String, query: Seq[Double], k: Int,
+             filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val cfg = config(dir)
+    require(query.length == cfg.dim,
+      s"query dim ${query.length} != collection dim ${cfg.dim}")
+    val base = filter.foldLeft(read(spark, dir))((df, f) => df.filter(f))
+    val scored = cfg.metric match {
+      case "cosine" => base.withColumn("score",
+        VectorOps.cosine(col(vecCol), typedLit(query)))
+          .orderBy(desc("score"), col(idCol))
+      case "dot" => base.withColumn("score",
+        VectorOps.dot(col(vecCol), typedLit(query)))
+          .orderBy(desc("score"), col(idCol))
+      case "l2" => base.withColumn("score",
+        VectorOps.l2(col(vecCol), typedLit(query)))
+          .orderBy(asc("score"), col(idCol)) // distance: smaller is better
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+    scored.limit(k)
+  }
+
   /** O20: the sink interface (`json_embedder.py:3-9`) — one write method,
     * backends differ only in construction (O18's backend dispatch). */
   trait CollectionSink {

@@ -19,6 +19,44 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     assert(Collections.config(dir) == VectorConfig(64, "cosine"))
   }
 
+  test("search: metric dispatch (cosine vs l2), info, DSL filter") {
+    val dir = Files.createTempDirectory("graft-coll").toString + "/c4"
+    val emb = Tables.load(spark, sf, "embeddings").withColumn("seq", lit(0))
+    new Collections.ParquetCollectionSink(spark, dir, VectorConfig(64),
+      "embedding", "vec_id", "seq").write(emb)
+
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+
+    val inf = Collections.info(spark, dir)
+    assert(inf.config == VectorConfig(64, "cosine") && inf.numPoints == 500)
+
+    // cosine collection: the query vector is its own best match
+    val hits = Collections.search(spark, dir, "embedding", "vec_id", q, 5)
+    assert(hits.count() == 5)
+    assert(hits.head().getLong(hits.head().fieldIndex("vec_id")) == 0L)
+
+    // filtered search via the Qdrant DSL
+    val filtered = Collections.search(spark, dir, "embedding", "vec_id", q, 5,
+      Some(graft.operators.PayloadFilter.fromJson(
+        """{"key": "label", "match": {"value": 3}}""")))
+    assert(filtered.collect().forall(r => r.getInt(r.fieldIndex("label")) == 3))
+
+    // an l2 collection orders ascending: self-match first with distance 0
+    val dirL2 = Files.createTempDirectory("graft-coll").toString + "/c5"
+    new Collections.ParquetCollectionSink(spark, dirL2,
+      VectorConfig(64, "l2"), "embedding", "vec_id", "seq").write(emb)
+    val l2hits = Collections.search(spark, dirL2, "embedding", "vec_id", q, 3)
+      .collect()
+    assert(l2hits.head.getLong(0) == 0L)
+    assert(l2hits.head.getDouble(l2hits.head.fieldIndex("score")) == 0.0)
+
+    // dim mismatch is rejected up front
+    intercept[IllegalArgumentException] {
+      Collections.search(spark, dir, "embedding", "vec_id", Seq(1.0, 2.0), 3)
+    }
+  }
+
   test("crash recovery: interrupted swap restores from the .old backup") {
     val dir = Files.createTempDirectory("graft-coll").toString + "/c3"
     val sink = new Collections.ParquetCollectionSink(spark, dir,
