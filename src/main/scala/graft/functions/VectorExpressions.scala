@@ -304,3 +304,74 @@ case class TokensMinHashExpr(child: Expression, shingleN: Int, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Fused word n-gram shingle construction: token array → array of
+  * shingle strings (joined with ' '; whole token list when shorter than
+  * n) in one compiled pass — replaces the interpreted
+  * transform(sequence)/slice/array_join chain that dominated the Jaccard
+  * verify stage. Output strings are byte-identical to the HOF form, so
+  * oracle SQL comparing on shingle text is unaffected. */
+case class ShinglesExpr(child: Expression, shingleN: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"shingles needs array<string>, got ${dt.catalogString}")
+  }
+
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleUtil.shingles(input.asInstanceOf[ArrayData], shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleUtil.shingles($a, $shingleN);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleUtil {
+  private val SPACE =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def shingles(tokens: ArrayData, n: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val cnt = tokens.numElements()
+    if (cnt >= n) {
+      val out = new Array[Any](cnt - n + 1)
+      var i = 0
+      while (i <= cnt - n) {
+        val parts = new Array[UTF8String](2 * n - 1)
+        var k = 0
+        while (k < n) {
+          if (k > 0) parts(2 * k - 1) = SPACE
+          parts(2 * k) = tokens.getUTF8String(i + k)
+          k += 1
+        }
+        out(i) = UTF8String.concat(parts: _*)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val parts = new Array[UTF8String](math.max(2 * cnt - 1, 0))
+      var k = 0
+      while (k < cnt) {
+        if (k > 0) parts(2 * k - 1) = SPACE
+        parts(2 * k) = tokens.getUTF8String(k)
+        k += 1
+      }
+      val joined = if (cnt == 0) UTF8String.EMPTY_UTF8
+        else UTF8String.concat(parts: _*)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](joined))
+    }
+  }
+}

@@ -34,12 +34,13 @@ object Dedup {
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
   /** Word n-gram shingles of a token array; documents shorter than n
-    * tokens contribute their whole token list as a single shingle. */
+    * tokens contribute their whole token list as a single shingle.
+    * Fused compiled construction (ShinglesExpr) — byte-identical strings
+    * to the transform/slice/array_join HOF chain it replaces. */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array(array_join(toks, " ")))
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.ShinglesExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(toks), n))
 
   /** 32-bit hash of a (seed-namespaced) string: first 8 md5 hex chars. */
   def h32(s: Column): Column =
