@@ -341,37 +341,37 @@ object ShingleUtil {
   private val SPACE =
     org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 
+  /** Join the [from, from+len) token window with ' ', SKIPPING null
+    * elements — the exact semantics of `array_join(slice(...), " ")`, so
+    * the output never violates the declared containsNull=false schema. */
+  private def joinWindow(tokens: ArrayData, from: Int, len: Int)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val parts = Seq.newBuilder[UTF8String]
+    var k = 0; var first = true
+    while (k < len) {
+      if (!tokens.isNullAt(from + k)) {
+        if (!first) parts += SPACE
+        parts += tokens.getUTF8String(from + k)
+        first = false
+      }
+      k += 1
+    }
+    val ps = parts.result()
+    if (ps.isEmpty) UTF8String.EMPTY_UTF8 else UTF8String.concat(ps: _*)
+  }
+
   def shingles(tokens: ArrayData, n: Int)
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    import org.apache.spark.unsafe.types.UTF8String
     val cnt = tokens.numElements()
     if (cnt >= n) {
       val out = new Array[Any](cnt - n + 1)
       var i = 0
-      while (i <= cnt - n) {
-        val parts = new Array[UTF8String](2 * n - 1)
-        var k = 0
-        while (k < n) {
-          if (k > 0) parts(2 * k - 1) = SPACE
-          parts(2 * k) = tokens.getUTF8String(i + k)
-          k += 1
-        }
-        out(i) = UTF8String.concat(parts: _*)
-        i += 1
-      }
+      while (i <= cnt - n) { out(i) = joinWindow(tokens, i, n); i += 1 }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     } else {
-      val parts = new Array[UTF8String](math.max(2 * cnt - 1, 0))
-      var k = 0
-      while (k < cnt) {
-        if (k > 0) parts(2 * k - 1) = SPACE
-        parts(2 * k) = tokens.getUTF8String(k)
-        k += 1
-      }
-      val joined = if (cnt == 0) UTF8String.EMPTY_UTF8
-        else UTF8String.concat(parts: _*)
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array[Any](joined))
+        Array[Any](joinWindow(tokens, 0, cnt)))
     }
   }
 }

@@ -80,23 +80,36 @@ object Ann {
       .partitionBy("cluster")
       .parquet(indexDir)
 
+  /** The `nprobe` nearest centroids to the query (L2, cid tie-break). */
+  def probeClusters(centroids: DataFrame, cidCol: String, cvCol: String,
+                    query: Seq[Double], nprobe: Int): DataFrame =
+    centroids
+      .withColumn("__qd", VectorOps.l2(col(cvCol), typedLit(query)))
+      .orderBy(col("__qd"), col(cidCol))
+      .limit(nprobe)
+      .select(col(cidCol).as("cluster"))
+
+  /** Exact cosine top-k over a candidate set (shared search tail). */
+  private def topKByCosine(cands: DataFrame, idCol: String, vecCol: String,
+                           query: Seq[Double], k: Int): DataFrame =
+    cands
+      .withColumn("score", VectorOps.cosine(col(vecCol), typedLit(query)))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+
   /** Search a materialized IVF index: the cluster filter prunes
-    * partitions before any IO. */
+    * partitions before any IO. The probe set stays typed as whatever the
+    * centroid id column is (no Long assumption — a semi-join on the tiny
+    * probe table, broadcast by the planner). */
   def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String, idCol: String, vecCol: String,
                        centroids: DataFrame, cidCol: String, cvCol: String,
                        query: Seq[Double], nprobe: Int, k: Int): DataFrame = {
-    val probed = centroids
-      .withColumn("__qd", VectorOps.l2(col(cvCol), typedLit(query)))
-      .orderBy(col("__qd"), col(cidCol))
-      .limit(nprobe)
-      .select(col(cidCol))
-      .collect().map(_.getLong(0))
-    spark.read.parquet(indexDir)
-      .filter(col("cluster").isin(probed: _*))
-      .withColumn("score", VectorOps.cosine(col(vecCol), typedLit(query)))
-      .orderBy(desc("score"), col(idCol))
-      .limit(k)
+    val probed = probeClusters(centroids, cidCol, cvCol, query, nprobe)
+      .collect().map(_.get(0))
+    topKByCosine(
+      spark.read.parquet(indexDir).filter(col("cluster").isin(probed: _*)),
+      idCol, vecCol, query, k)
   }
 
   /** IVF search: probe the `nprobe` nearest clusters to the query, exact
@@ -106,14 +119,8 @@ object Ann {
                 query: Seq[Double], nprobe: Int, k: Int): DataFrame = {
     val assigned = coll.join(
       argminAssign(coll, idCol, vecCol, centroids, cidCol, cvCol), idCol)
-    val probed = centroids
-      .withColumn("__qd", VectorOps.l2(col(cvCol), typedLit(query)))
-      .orderBy(col("__qd"), col(cidCol))
-      .limit(nprobe)
-      .select(col(cidCol).as("cluster"))
-    assigned.join(broadcast(probed), "cluster")
-      .withColumn("score", VectorOps.cosine(col(vecCol), typedLit(query)))
-      .orderBy(desc("score"), col(idCol))
-      .limit(k)
+    val probed = probeClusters(centroids, cidCol, cvCol, query, nprobe)
+    topKByCosine(assigned.join(broadcast(probed), "cluster"),
+      idCol, vecCol, query, k)
   }
 }

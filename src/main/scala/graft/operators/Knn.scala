@@ -28,13 +28,16 @@ object Knn {
   }
 
   /** Top-k by cosine (or any metric) against one query vector; ties
-    * break on `idCol` for determinism. */
+    * break on `idCol` for determinism. `ascending=true` for distance
+    * metrics (smaller is better). */
   def knn(coll: DataFrame, vecCol: String, query: Seq[Double], k: Int,
           metric: (Column, Column) => Column = cosine,
-          idCol: String = "vec_id"): DataFrame =
+          idCol: String = "vec_id",
+          ascending: Boolean = false): DataFrame =
     scoreAll(coll, vecCol, query, metric)
       .withColumn("score", round(col("score"), 6))
-      .orderBy(desc("score"), col(idCol))
+      .filter(col("score").isNotNull) // invalid vectors (dim mismatch) out
+      .orderBy(if (ascending) asc("score") else desc("score"), col(idCol))
       .limit(k)
 
   /** Multi-query kNN: broadcast the (small) query set against the (huge)
@@ -51,6 +54,9 @@ object Knn {
         broadcast(queries.select(col(qIdCol).as("query_id"),
                                  col(qVecCol).as("__qv"))))
       .withColumn("score", round(metric(col(vecCol), col("__qv")), 6))
+      // drop NULL scores (invalid vectors) BEFORE ranking so the window
+      // and heap-aggregate forms stay row-identical (the heap skips nulls)
+      .filter(col("score").isNotNull)
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score"), col(idCol))
     pairs
@@ -72,6 +78,7 @@ object Knn {
         broadcast(queries.select(col(qIdCol).as("query_id"),
                                  col(qVecCol).as("__qv"))))
       .withColumn("score", round(metric(col(vecCol), col("__qv")), 6))
+      .filter(col("score").isNotNull)
       .groupBy("query_id")
       .agg(graft.plans.TopKByScore.topK(col("score"), col(idCol), k)
         .as("__topk"))

@@ -79,7 +79,7 @@ object Collections {
     * crashed batch. */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame,
              idCol: String, seqCol: String): Unit = {
-    recoverIfNeeded(dir)
+    recoverForWrite(dir)
     val dataDir = s"$dir/data"
     val merged =
       if (Files.exists(Paths.get(dataDir))) {
@@ -97,21 +97,32 @@ object Collections {
     if (Files.exists(old)) deleteRecursively(old)
   }
 
-  /** Crash recovery: if a previous swap died after moving `data` aside,
-    * restore it from the `.old` backup. */
-  private def recoverIfNeeded(dir: String): Unit = {
+  /** WRITER-side crash recovery: restore `data` from the `.old` backup if
+    * a swap died between the two moves, drop a stale `.old` left by a
+    * crash after the swap (it would wedge the next `Files.move(target,
+    * old)` forever), and clear any half-written `.staging`. Only the
+    * single writer may call this — destructive repair from the read path
+    * would race an in-flight upsert. */
+  private def recoverForWrite(dir: String): Unit = {
     val target = Paths.get(s"$dir/data")
     val old = Paths.get(s"$dir/.old")
     if (!Files.exists(target) && Files.exists(old)) Files.move(old, target)
+    else if (Files.exists(old)) deleteRecursively(old) // post-swap leftover
     val staging = Paths.get(s"$dir/.staging")
     if (Files.exists(staging)) deleteRecursively(staging)
   }
 
-  
-
+  /** Read-side recovery is NON-destructive (it must not race the writer):
+    * if `data` is missing mid-swap, read the `.old` backup in place. */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    recoverIfNeeded(dir)
-    spark.read.parquet(s"$dir/data")
+    val dataDir = Paths.get(s"$dir/data")
+    val path =
+      if (Files.exists(dataDir)) dataDir
+      else {
+        val old = Paths.get(s"$dir/.old")
+        if (Files.exists(old)) old else dataDir
+      }
+    spark.read.parquet(path.toString)
   }
 
   /** Collection info (the Qdrant collection-info shape): declared config
@@ -133,19 +144,16 @@ object Collections {
     require(query.length == cfg.dim,
       s"query dim ${query.length} != collection dim ${cfg.dim}")
     val base = filter.foldLeft(read(spark, dir))((df, f) => df.filter(f))
-    val scored = cfg.metric match {
-      case "cosine" => base.withColumn("score",
-        VectorOps.cosine(col(vecCol), typedLit(query)))
-          .orderBy(desc("score"), col(idCol))
-      case "dot" => base.withColumn("score",
-        VectorOps.dot(col(vecCol), typedLit(query)))
-          .orderBy(desc("score"), col(idCol))
-      case "l2" => base.withColumn("score",
-        VectorOps.l2(col(vecCol), typedLit(query)))
-          .orderBy(asc("score"), col(idCol)) // distance: smaller is better
+    val (metricFn, ascending) = cfg.metric match {
+      case "cosine" => (VectorOps.cosine _, false)
+      case "dot" => (VectorOps.dot _, false)
+      case "l2" => (VectorOps.l2 _, true) // distance: smaller is better
       case m => throw new IllegalArgumentException(s"unknown metric: $m")
     }
-    scored.limit(k)
+    // delegate to Knn.knn: one top-k implementation, one determinism
+    // contract (round-6 scores, id tie-break, null-score exclusion)
+    graft.operators.Knn.knn(base, vecCol, query, k, metricFn, idCol,
+      ascending)
   }
 
   /** O20: the sink interface (`json_embedder.py:3-9`) — one write method,

@@ -135,7 +135,9 @@ object Stream {
       sorted.foreach { case (_, ts, v, _) =>
         cur match {
           case Some(s) if ts - s.endUs <= gapUs =>
-            cur = Some(SessState(s.startUs, ts, s.nEvents + 1, s.sumValue + v))
+            // a late-but-in-watermark event must never REWIND the span
+            cur = Some(SessState(math.min(s.startUs, ts),
+              math.max(s.endUs, ts), s.nEvents + 1, s.sumValue + v))
           case Some(s) =>
             out += Session(userId, s.startUs, s.endUs, s.nEvents, s.sumValue)
             cur = Some(SessState(ts, ts, 1, v))
