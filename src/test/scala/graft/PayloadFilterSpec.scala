@@ -53,6 +53,22 @@ class PayloadFilterSpec extends AnyFunSuite with SparkSpec {
     assert(a == b && a > 0)
   }
 
+  test("must_not keeps rows with missing/NULL keys (Qdrant semantics)") {
+    val ev = Tables.load(spark, sf, "events")
+    // props lacks key "zzz" everywhere: must_not(zzz = x) keeps ALL rows
+    val dsl = PayloadFilter.fromJson(
+      """{"must_not": [{"key": "zzz", "match": {"value": "x"}}]}""",
+      jsonCol = Some("props"))
+    assert(ev.filter(dsl).count() == ev.count())
+  }
+
+  test("empty clause arrays mean no constraint, not a crash") {
+    val n = emb.count()
+    assert(emb.filter(PayloadFilter.fromJson("""{"must": []}""")).count() == n)
+    assert(emb.filter(PayloadFilter.fromJson(
+      """{"must": [], "must_not": []}""")).count() == n)
+  }
+
   test("filter pushes down to the parquet scan") {
     val plan = emb.filter(PayloadFilter.fromJson(
         """{"must": [{"key": "label", "match": {"value": 3}}]}"""))
