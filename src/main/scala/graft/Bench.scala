@@ -35,17 +35,21 @@ object Bench {
 
     // min of two timed iterations per query: run-to-run spread on a busy
     // box is ±15%, and the minimum is the standard robust estimator of
-    // the query's true cost
+    // the query's true cost. Failed iterations are EXCLUDED from the min
+    // (a fast failure must not masquerade as a fast query); a query with
+    // no successful iteration reports -1 so the JSON carries the failure.
     val results = ordered.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

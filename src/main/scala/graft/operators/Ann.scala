@@ -89,18 +89,24 @@ object Ann {
       .limit(nprobe)
       .select(col(cidCol).as("cluster"))
 
-  /** Exact cosine top-k over a candidate set (shared search tail). */
+  /** Exact cosine top-k over a candidate set (shared search tail).
+    * Deliberately keeps FULL-precision scores (unlike Knn.knn's round-6):
+    * the declared ANN queries quantize with floor-micro at the very end,
+    * and rounding here would change which value the quantization sees.
+    * Null scores (invalid vectors) are excluded, matching Knn. */
   private def topKByCosine(cands: DataFrame, idCol: String, vecCol: String,
                            query: Seq[Double], k: Int): DataFrame =
     cands
       .withColumn("score", VectorOps.cosine(col(vecCol), typedLit(query)))
+      .filter(col("score").isNotNull)
       .orderBy(desc("score"), col(idCol))
       .limit(k)
 
-  /** Search a materialized IVF index: the cluster filter prunes
-    * partitions before any IO. The probe set stays typed as whatever the
-    * centroid id column is (no Long assumption — a semi-join on the tiny
-    * probe table, broadcast by the planner). */
+  /** Search a materialized IVF index: the probe clusters are collected
+    * driver-side and inlined as an `isin` literal list — deliberately NOT
+    * a join, because only literal predicates prune partitions statically
+    * at planning time. The collected values keep the centroid id column's
+    * own type (no Long assumption); nprobe is small by construction. */
   def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String, idCol: String, vecCol: String,
                        centroids: DataFrame, cidCol: String, cvCol: String,

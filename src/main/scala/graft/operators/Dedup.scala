@@ -117,20 +117,26 @@ object Dedup {
     * table — the verify stage of the canonical two-stage near-dup
     * pipeline (LSH proposes, Jaccard verifies). Cost scales with the
     * candidate count, never n². */
+  // Exactly ONE shingle cache stays alive: each call unpersists the
+  // previous call's table (MEMORY_AND_DISK blocks are NOT reclaimed by
+  // LRU alone — CacheManager holds them until an explicit unpersist, so
+  // skipping this would accumulate dead caches for the session's
+  // lifetime). If a concurrent caller's consumers are still running, the
+  // unpersist merely forces a recompute — never a wrong result.
+  private var lastShingleCache: Option[DataFrame] = None
+
   def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 3): DataFrame = {
     // The shingle table feeds three consumers (sizes, both join sides);
-    // persist it so the explode+HOF chain runs once. MEMORY_AND_DISK,
-    // LRU-evicted — at scale this is the standard "materialize the
-    // inverted index once" step.
-    // MEMORY_AND_DISK persist, intentionally NOT manually unpersisted:
-    // an eager global unpersist would race a concurrent caller's still-
-    // running consumers; each entry is a few MB and Spark's LRU block
-    // eviction reclaims them under pressure.
+    // persist it so the explode chain runs once.
     val sh = docs.select(col(idCol).as("id"),
       explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
         .as("sh"))
       .persist()
+    synchronized {
+      lastShingleCache.foreach(_.unpersist(blocking = false))
+      lastShingleCache = Some(sh)
+    }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = candidates
       .join(sh.select(col("id").as("doc_a"), col("sh")), Seq("doc_a"))

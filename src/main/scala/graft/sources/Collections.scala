@@ -94,7 +94,9 @@ object Collections {
     compacted.write.mode("overwrite").parquet(staging.toString)
     if (Files.exists(target)) Files.move(target, old)
     Files.move(staging, target)
-    if (Files.exists(old)) deleteRecursively(old)
+    // `.old` is intentionally KEPT until the next upsert's
+    // recoverForWrite: a concurrent reader that bound its (lazy)
+    // DataFrame to the backup mid-swap can still complete its action.
   }
 
   /** WRITER-side crash recovery: restore `data` from the `.old` backup if
@@ -113,7 +115,11 @@ object Collections {
   }
 
   /** Read-side recovery is NON-destructive (it must not race the writer):
-    * if `data` is missing mid-swap, read the `.old` backup in place. */
+    * if `data` is missing mid-swap, read the `.old` backup in place. The
+    * backup survives until the NEXT upsert starts, so a reader that binds
+    * to it mid-swap can finish its action; only a reader racing TWO
+    * consecutive upserts can lose the directory (single-writer,
+    * read-mostly contract). */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val dataDir = Paths.get(s"$dir/data")
     val path =

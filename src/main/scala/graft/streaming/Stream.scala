@@ -134,10 +134,18 @@ object Stream {
       var cur = state.getOption
       sorted.foreach { case (_, ts, v, _) =>
         cur match {
-          case Some(s) if ts - s.endUs <= gapUs =>
-            // a late-but-in-watermark event must never REWIND the span
+          // merge only when the event is within `gap` of the OPEN SPAN
+          // ([start-gap, end+gap]) — `ts - end <= gap` alone would merge
+          // arbitrarily-early late events. Span can extend, never rewind.
+          case Some(s) if ts >= s.startUs - gapUs && ts <= s.endUs + gapUs =>
             cur = Some(SessState(math.min(s.startUs, ts),
               math.max(s.endUs, ts), s.nEvents + 1, s.sumValue + v))
+          case Some(s) if ts < s.startUs - gapUs =>
+            // a late event more than `gap` BEFORE the open session can
+            // never merge with it: emit it as its own closed session
+            // (approximation for heavily out-of-order input — exact
+            // reconstruction would require buffering to the watermark)
+            out += Session(userId, ts, ts, 1, v)
           case Some(s) =>
             out += Session(userId, s.startUs, s.endUs, s.nEvents, s.sumValue)
             cur = Some(SessState(ts, ts, 1, v))
