@@ -70,6 +70,44 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("sessionize: cross-batch early late event forms its own session") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-late")
+    val gapUs = 1800000000L // 30 min
+    def write(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft-late-w").resolve("out")
+      rows.map { case (id, tsSec) =>
+        (id, tsSec * 1000000000L, 1L, "e", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, dir.resolve(name))
+    }
+    // main session at t=10000..10100s; a late event at t=7000s arrives in
+    // a separate file: more than gap (1800s) before the session start,
+    // inside the 1h watermark — must close immediately as its own session
+    write("a_main.parquet", Seq((1L, 10000L), (2L, 10100L)))
+    write("b_late.parquet", Seq((3L, 7000L)))
+
+    val schema = spark.read.parquet(dir.toString).schema
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // force separate micro-batches
+      .parquet(dir.toString)
+    val q = Stream.sessionizeStream(events, gapUs)
+      .writeStream.format("memory").queryName("latesess")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val closed = spark.table("latesess")
+      .select("startUs", "endUs", "nEvents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // whichever file order the source picked, t=7000s closes as its own
+    // single-event session (the open 10000..10100 session stays in state)
+    assert(closed.contains((7000000000L, 7000000000L, 1L)), s"got $closed")
+    assert(!closed.exists(s => s._1 == 7000000000L && s._3 > 1),
+      "late event must NOT merge into the distant session")
+  }
+
   test("streaming hourly event rollup totals match the batch table") {
     // stream from a drop-directory (the realistic shape): copy the fixture in
     val dir = Files.createTempDirectory("graft-events")
