@@ -65,14 +65,17 @@ object AnnQueries {
   private val NumPlanes = 8
   private lazy val planes = Ann.hyperplanes(NumPlanes, 64)
 
-  private def planeSqlLit(p: Seq[Double]): String =
+  private[graft] def planeSqlLit(p: Seq[Double]): String =
     p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
 
-  /** LSH bucket id SQL expression for a column named `col`. */
-  private def bucketSql(c: String): String =
-    planes.zipWithIndex.map { case (pl, p) =>
+  /** LSH bucket id SQL expression for a column named `c` over `pls` —
+    * DuckDB replay of Ann.lshBucket(c, pls). */
+  private[graft] def bucketSqlFor(c: String, pls: Seq[Seq[Double]]): String =
+    pls.zipWithIndex.map { case (pl, p) =>
       s"(CASE WHEN list_inner_product(CAST($c AS DOUBLE[]), ${planeSqlLit(pl)}) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  private def bucketSql(c: String): String = bucketSqlFor(c, planes)
 
   /** LSH probe: top-10 cosine within the query vector's 8-bit bucket. */
   val annLsh = Q("ann_lsh",

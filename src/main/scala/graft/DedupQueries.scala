@@ -102,15 +102,23 @@ object DedupQueries {
        AND a.doc_id < b.doc_id
       ORDER BY doc_a, doc_b"""))
 
-  /** V6 — SimHash near-dup pairs: 60-bit signatures, hamming ≤ 8. The
-    * all-pairs hamming join is the small-SF verification form; at scale
-    * pairing goes through signature-prefix bucketing (see Dedup scaladoc). */
+  /** V6 — SimHash near-dup pairs: 60-bit signatures, Manku-style band
+    * bucketing (4 bands × 15 bits — the scale form: an equi-join on
+    * (band, band_bits), never all-pairs), exact hamming ≤ 8 verified on
+    * candidates only. Recall is exact for hamming ≤ 3 (pigeonhole over 4
+    * bands); the 4–8 range is found iff one band is untouched — the
+    * standard banded-LSH trade. The oracle replays the identical
+    * band→verify pipeline. */
   val dedupSimhash = Q("dedup_simhash",
     (s, dir) => {
-      val sig = Dedup.simhash(planted(s, dir), "doc_id", "text")
-      val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
-      a.join(b, col("doc_a") < col("doc_b"))
+      val sig = Dedup.simhashCached(planted(s, dir), "doc_id", "text")
+      val cands = Dedup.simhashCandidates(
+        Dedup.simhashBands(sig, "doc_id", bits = 60, bands = 4), "doc_id")
+      cands
+        .join(sig.select(col("doc_id").as("doc_a"),
+          col("simhash").as("sa")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"),
+          col("simhash").as("sb")), "doc_b")
         .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
         .filter(col("hamming") <= 8)
         .select("doc_a", "doc_b", "hamming")
@@ -135,11 +143,21 @@ object DedupQueries {
         SELECT doc_id,
                CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)
                  AS BIGINT) AS simhash
-        FROM bits GROUP BY doc_id)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             bit_count(xor(a.simhash, b.simhash)) AS hamming
-      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        FROM bits GROUP BY doc_id),
+      bnd AS (
+        SELECT doc_id, band, (simhash >> (band * 15)) & 32767 AS band_bits
+        FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) bands),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bnd a JOIN bnd b
+          ON a.band = b.band AND a.band_bits = b.band_bits
+         AND a.doc_id < b.doc_id)
+      SELECT c.doc_a, c.doc_b,
+             bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+      WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 8
       ORDER BY doc_a, doc_b"""))
 
   /** V6 — the canonical TWO-STAGE near-dup pipeline: LSH proposes
@@ -180,15 +198,35 @@ object DedupQueries {
       WHERE inter * 1000000 // (sa.n_sh + sb.n_sh - inter) >= 300000
       ORDER BY doc_a, doc_b"""))
 
-  /** V6 — embedding-cosine near-dup: top-20 most similar vector pairs.
-    * Small-SF form is the exact all-pairs join; the scale path prefilters
-    * candidates with ANN bucketing (see AnnQueries). */
+  /** V6 — embedding-cosine near-dup, the 100 TB form: hyperplane-LSH band
+    * buckets propose candidate pairs (6 bands × 6 planes, OR-construction
+    * — an equi-join on (band, bucket), never a cross join), exact cosine
+    * verifies candidates only, top-20 kept. Per-band collision probability
+    * for a random pair is ~2⁻⁶; recall for cosine≈0.9 pairs is ~0.95
+    * across 6 bands. Planes are md5-derived ±1 constants, so the oracle
+    * replays the identical bucket→verify pipeline. */
+  private val embBands = 6
+  private lazy val embPlanes =
+    graft.operators.Ann.hyperplanes(embBands * 6, 64)
+
   val dedupEmbed = Q("dedup_embed",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val a = emb.select(col("vec_id").as("doc_a"), col("embedding").as("va"))
-      val b = emb.select(col("vec_id").as("doc_b"), col("embedding").as("vb"))
-      a.join(b, col("doc_a") < col("doc_b"))
+      val banded = emb.select(col("vec_id"),
+        posexplode(graft.operators.Ann.lshBandBuckets(
+          col("embedding"), embPlanes, embBands)).as(Seq("band", "bits")))
+      val cands = banded
+        .select(col("band"), col("bits"), col("vec_id").as("doc_a"))
+        .join(banded.select(col("band"), col("bits"),
+          col("vec_id").as("doc_b")), Seq("band", "bits"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+      cands
+        .join(emb.select(col("vec_id").as("doc_a"),
+          col("embedding").as("va")), "doc_a")
+        .join(emb.select(col("vec_id").as("doc_b"),
+          col("embedding").as("vb")), "doc_b")
         .withColumn("score",
           graft.functions.VectorOps.cosine(col("va"), col("vb")))
         .orderBy(desc("score"), col("doc_a"), col("doc_b"))
@@ -196,22 +234,35 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"),
           floor(col("score") * 1e6 + lit(0.5)).cast("long").as("score_micro"))
     },
-    Some("""
-      WITH pairs AS (
-        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-               list_inner_product(CAST(a.embedding AS DOUBLE[]),
-                                  CAST(b.embedding AS DOUBLE[]))
-               / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(a.embedding AS DOUBLE[])))
-                  * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]),
-                                            CAST(b.embedding AS DOUBLE[]))))
+    Some({
+      val per = embPlanes.length / embBands
+      val bucketCols = (0 until embBands).map { b =>
+        s"${AnnQueries.bucketSqlFor("embedding", embPlanes.slice(b * per, (b + 1) * per))} AS b$b"
+      }.mkString(", ")
+      val orJoin = (0 until embBands).map(b => s"a.b$b = c.b$b")
+        .mkString(" OR ")
+      s"""
+      WITH bk AS (
+        SELECT vec_id, embedding, $bucketCols FROM embeddings),
+      cand AS (
+        SELECT a.vec_id AS doc_a, c.vec_id AS doc_b,
+               a.embedding AS va, c.embedding AS vb
+        FROM bk a JOIN bk c ON a.vec_id < c.vec_id AND ($orJoin)),
+      scored AS (
+        SELECT doc_a, doc_b,
+               list_inner_product(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[]))
+               / (sqrt(list_inner_product(CAST(va AS DOUBLE[]),
+                                          CAST(va AS DOUBLE[])))
+                  * sqrt(list_inner_product(CAST(vb AS DOUBLE[]),
+                                            CAST(vb AS DOUBLE[]))))
                  AS score
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        FROM cand)
       SELECT doc_a, doc_b,
              CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
-      FROM pairs
+      FROM scored
       ORDER BY score DESC, doc_a, doc_b
-      LIMIT 20"""))
+      LIMIT 20"""
+    }))
 
   def queries: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash,
     dedupNgram, dedupEmbed)

@@ -201,30 +201,42 @@ object VectorQueries {
   /** V8 — HYBRID search: keyword score over the document text fused with
     * vector cosine via reciprocal-rank fusion (RRF, the standard hybrid
     * retrieval combiner; integer milli-units so both engines agree
-    * exactly). Ranks use global windows here — the small-SF verification
-    * form; at scale each side is a bounded top-N (TakeOrderedAndProject)
-    * before fusion, so the global rank never materializes. */
+    * exactly). Each side is a bounded top-N retrieval list (N=100, plans
+    * to TakeOrderedAndProject — a per-partition heap, no global-window
+    * exchange); ranks are assigned over the N survivors only (a window
+    * over 100 rows, identical to the global rank for every surviving doc).
+    * Fusion is a full outer join of the two lists — the canonical "fuse
+    * two retrieval lists" semantics: a doc contributes 1/(60+r) per list
+    * it appears in; rank 0 marks absence. */
   val vHybridRrf = Q("v_hybrid_rrf",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      val fusionN = 100
       val kws = typedLit(Seq("data", "query", "table"))
-      val docs = Tables.load(s, dir, "documents")
+      val docsTop = Tables.load(s, dir, "documents")
         .withColumn("__tk", graft.operators.TextAnalysis.tokens(col("text")))
         .withColumn("score_t",
           size(filter(col("__tk"), t => array_contains(kws, t))))
+        .orderBy(desc("score_t"), col("doc_id"))
+        .limit(fusionN)
         .withColumn("r_t", row_number().over(
           Window.orderBy(desc("score_t"), col("doc_id"))))
-        .select(col("doc_id"), col("score_t"), col("r_t"))
-      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("doc_id"), col("r_t"))
+      val embTop = Tables.load(s, dir, "embeddings")
         .withColumn("score_vm",
           floor(VectorOps.cosine(col("embedding"),
             typedLit(queryVec(s, dir, 0))) * 1e6 + lit(0.5)).cast("long"))
+        .orderBy(desc("score_vm"), col("vec_id"))
+        .limit(fusionN)
         .withColumn("r_v", row_number().over(
           Window.orderBy(desc("score_vm"), col("vec_id"))))
         .select(col("vec_id").as("doc_id"), col("r_v"))
-      docs.join(emb, "doc_id")
+      docsTop.join(embTop, Seq("doc_id"), "full_outer")
         .withColumn("rrf_milli",
-          expr("1000000 DIV (60 + r_t) + 1000000 DIV (60 + r_v)"))
+          coalesce(expr("1000000 DIV (60 + r_t)"), lit(0)) +
+          coalesce(expr("1000000 DIV (60 + r_v)"), lit(0)))
+        .withColumn("r_t", coalesce(col("r_t"), lit(0)))
+        .withColumn("r_v", coalesce(col("r_v"), lit(0)))
         .orderBy(desc("rrf_milli"), col("doc_id"))
         .limit(10)
         .select("doc_id", "r_t", "r_v", "rrf_milli")
@@ -238,20 +250,24 @@ object VectorQueries {
                  x -> list_contains(['data', 'query', 'table'], x))) AS score_t
         FROM documents),
       tr AS (
-        SELECT doc_id, score_t,
-               ROW_NUMBER() OVER (ORDER BY score_t DESC, doc_id) AS r_t
-        FROM t),
+        SELECT doc_id, r_t FROM (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY score_t DESC, doc_id) AS r_t
+          FROM t) WHERE r_t <= 100),
       vr AS (
-        SELECT vec_id AS doc_id,
-               ROW_NUMBER() OVER (
-                 ORDER BY CAST(floor(list_cosine_similarity(
-                   CAST(embedding AS DOUBLE[]), $oracleQ0) * 1000000 + 0.5)
-                   AS BIGINT) DESC, vec_id) AS r_v
-        FROM embeddings)
-      SELECT tr.doc_id, r_t, r_v,
-             1000000 // (60 + r_t) + 1000000 // (60 + r_v) AS rrf_milli
-      FROM tr JOIN vr ON vr.doc_id = tr.doc_id
-      ORDER BY rrf_milli DESC, tr.doc_id
+        SELECT doc_id, r_v FROM (
+          SELECT vec_id AS doc_id,
+                 ROW_NUMBER() OVER (
+                   ORDER BY CAST(floor(list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]), $oracleQ0) * 1000000 + 0.5)
+                     AS BIGINT) DESC, vec_id) AS r_v
+          FROM embeddings) WHERE r_v <= 100)
+      SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+             COALESCE(r_t, 0) AS r_t, COALESCE(r_v, 0) AS r_v,
+             COALESCE(1000000 // (60 + r_t), 0)
+               + COALESCE(1000000 // (60 + r_v), 0) AS rrf_milli
+      FROM tr FULL OUTER JOIN vr ON vr.doc_id = tr.doc_id
+      ORDER BY rrf_milli DESC, doc_id
       LIMIT 10"""))
 
   /** V9 — collection stats: per-label cardinality, dim check, mean norm

@@ -51,6 +51,20 @@ object Ann {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Per-band LSH bucket ids: splits `planes` into `bands` consecutive
+    * groups and emits one bucket id per band (the OR-construction — a pair
+    * is a near-dup candidate iff >= 1 band bucket matches, which boosts
+    * recall exponentially in the band count while each band stays
+    * selective). Returns an array column of length `bands`. */
+  def lshBandBuckets(vec: Column, planes: Seq[Seq[Double]],
+                     bands: Int): Column = {
+    val per = planes.length / bands
+    require(bands * per == planes.length,
+      s"$bands bands must divide ${planes.length} planes")
+    array((0 until bands).map(b =>
+      lshBucket(vec, planes.slice(b * per, (b + 1) * per))): _*)
+  }
+
   /** Per-vector argmin cluster (L2, centroid-id tie-break) via a broadcast
     * cross-score + one hash aggregation keyed by the vector id (map-side
     * combinable) — the big side never shuffles on data, only on its own

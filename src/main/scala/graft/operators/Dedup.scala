@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   *    density), never O(n²); the only shuffles are the signature
   *    aggregation (keyed by doc) and the band self-join (keyed by
   *    band+signature, uniformly hashed);
-  *  - SimHash gives a per-doc 60-bit signature in two aggregations; at
-  *    scale, pairing is done by bucketing on signature prefixes (same LSH
-  *    banding idea), the all-pairs hamming join in the declared query is
-  *    the small-SF verification harness;
+  *  - SimHash gives a per-doc 60-bit signature in two aggregations;
+  *    pairing buckets on signature bands (simhashBands/simhashCandidates —
+  *    the Manku prefix-bucketing form), an equi-join that never goes
+  *    all-pairs; hamming is verified exactly on the candidates only;
   *  - n-gram Jaccard joins only pairs that SHARE a shingle (an inverted-
   *    index join), so cost tracks shared-content volume, and at scale it
   *    runs on LSH candidates rather than the raw corpus.
@@ -112,6 +112,57 @@ object Dedup {
       .groupBy(idCol)
       .agg(sum(expr("CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END"))
         .as("simhash"))
+
+  /** Band a simhash signature into `bands` equal-width bit groups: one row
+    * per (id, band, band_bits). This is the Manku-style prefix bucketing
+    * that replaces the all-pairs hamming join at scale — pairing becomes an
+    * equi-join on (band, band_bits). Pigeonhole guarantee: a pair differing
+    * in h bits touches at most h bands, so any pair with hamming <= bands-1
+    * collides in at least one band (exact recall); looser thresholds (up to
+    * the verify cutoff) are found iff some band happens to be untouched —
+    * the standard LSH recall trade every banded scheme makes. */
+  def simhashBands(sig: DataFrame, idCol: String, bits: Int = 60,
+                   bands: Int = 4): DataFrame = {
+    val w = bits / bands
+    require(bands * w == bits, s"$bands bands must divide $bits bits")
+    sig
+      .select(col(idCol), col("simhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_bits",
+        expr(s"(simhash >> (band * $w)) & ${(1L << w) - 1}"))
+      .select(idCol, "band", "band_bits")
+  }
+
+  /** Candidate near-dup pairs from banded simhash signatures: docs whose
+    * signatures agree exactly on >= 1 band. Same LSH shape as
+    * [[lshCandidates]] — a shuffled equi-join keyed on (band, band_bits),
+    * candidate volume proportional to band-bucket collision density, never
+    * O(n²). Output (doc_a < doc_b), distinct. */
+  def simhashCandidates(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col("band"), col("band_bits"), col(idCol).as("doc_a"))
+    val b = bands.select(col("band"), col("band_bits"), col(idCol).as("doc_b"))
+    a.join(b, Seq("band", "band_bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  // One-slot cache for the simhash signature table (same bounded-cache
+  // contract as lastShingleCache below: persist the latest, unpersist the
+  // previous — an unpersist under a live concurrent consumer only forces a
+  // recompute, never a wrong result). The signature feeds three consumers
+  // in the banded pipeline (banding + both verify join sides).
+  private var lastSimhashCache: Option[DataFrame] = None
+
+  def simhashCached(docs: DataFrame, idCol: String, textCol: String,
+                    bits: Int = 60): DataFrame = {
+    val sig = simhash(docs, idCol, textCol, bits).persist()
+    synchronized {
+      lastSimhashCache.foreach(_.unpersist(blocking = false))
+      lastSimhashCache = Some(sig)
+    }
+    sig
+  }
 
   /** Exact Jaccard over distinct shingle sets for a GIVEN candidate-pair
     * table — the verify stage of the canonical two-stage near-dup

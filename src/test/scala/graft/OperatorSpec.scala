@@ -36,6 +36,37 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("simhash banding: exact dups collide in every band; candidates " +
+       "cover all hamming<=3 pairs (pigeonhole)") {
+    val d = docs20.select("doc_id", "text")
+    val dup = d.unionAll(d.select((col("doc_id") + 1000).as("doc_id"),
+      col("text")))
+    val sig = Dedup.simhash(dup, "doc_id", "text")
+    val cands = Dedup.simhashCandidates(
+      Dedup.simhashBands(sig, "doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    d.select("doc_id").collect().map(_.getLong(0)).foreach(id =>
+      assert(cands.contains((id, id + 1000)),
+        s"exact dup pair ($id, ${id + 1000}) not proposed by banding"))
+    // pigeonhole: EVERY pair with hamming <= 3 must appear as a candidate
+    val sigs = sig.collect().map(r => r.getLong(0) -> r.getLong(1))
+    for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } assert(cands.contains((ia, ib)),
+      s"hamming<=3 pair ($ia, $ib) missed — pigeonhole violated")
+  }
+
+  test("banded dedup plans contain no nested-loop join") {
+    Seq("dedup_simhash", "dedup_embed").foreach { q =>
+      val plan = Queries.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+             !plan.contains("CartesianProduct"),
+        s"$q plans an all-pairs join:\n$plan")
+    }
+  }
+
   test("ngram jaccard: self-duplicate scores exactly 1.0 (1e6 micro)") {
     val d = docs20.select("doc_id", "text")
     val dup = d.unionAll(d.select((col("doc_id") + 1000).as("doc_id"),
