@@ -2,6 +2,7 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
@@ -35,12 +36,19 @@ object Collections {
 
   def exists(dir: String): Boolean = Files.exists(metaPath(dir))
 
+  /** Fixed bucket count for the hash-bucketed data layout, pinned at
+    * creation (id→bucket must stay stable across the collection's life —
+    * rebucketing would split an id's versions across buckets and break
+    * keep-last compaction). */
+  val DefaultBuckets = 16
+
   /** O12: create iff absent — records the vector config; no data yet. */
-  def create(dir: String, config: VectorConfig): Unit =
+  def create(dir: String, config: VectorConfig,
+             buckets: Int = DefaultBuckets): Unit =
     if (!exists(dir)) {
       Files.createDirectories(Paths.get(dir))
       Files.write(metaPath(dir),
-        s"""{"dim": ${config.dim}, "metric": "${config.metric}"}"""
+        s"""{"dim": ${config.dim}, "metric": "${config.metric}", "buckets": $buckets}"""
           .getBytes(StandardCharsets.UTF_8))
     }
 
@@ -52,6 +60,14 @@ object Collections {
       .findFirstMatchIn(txt).get.group(1)
     VectorConfig(dim, metric)
   }
+
+  /** The collection's pinned bucket count (default for pre-bucket metas). */
+  def numBuckets(dir: String): Int =
+    if (!exists(dir)) DefaultBuckets
+    else """"buckets":\s*(\d+)""".r
+      .findFirstMatchIn(new String(Files.readAllBytes(metaPath(dir)),
+        StandardCharsets.UTF_8))
+      .map(_.group(1).toInt).getOrElse(DefaultBuckets)
 
   /** Dim-validation gate: rows whose vector violates the collection's
     * declared size are rejected (returned separately — the quarantine
@@ -69,66 +85,117 @@ object Collections {
     finally walk.close()
   }
 
+  private val BucketCol = "bucket"
+
+  /** id → bucket: Murmur3 hash mod the collection's pinned bucket count.
+    * Stable per Spark's hash() contract; storage-layout-only (never part
+    * of a declared query result). */
+  private def bucketOf(idCol: String, buckets: Int) =
+    pmod(hash(col(idCol)), lit(buckets))
+
+  private def listBuckets(p: java.nio.file.Path): Map[String, java.nio.file.Path] =
+    if (!Files.isDirectory(p)) Map.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith(s"$BucketCol="))
+        .map(d => d.getFileName.toString -> d).toMap
+      finally s.close()
+    }
+
   /** O14: append a batch, then compact to keep-last per id (Qdrant upsert
     * semantics — same id overwrites). `seqCol` orders versions.
     *
-    * Single-writer swap protocol: compact into `.staging`, move `data` →
-    * `.old`, move `.staging` → `data`, drop `.old`. A crash between the
-    * two moves leaves `.old` as a complete backup, which the next upsert
-    * (or read) restores — the collection is never lost, only at most the
-    * crashed batch. */
+    * INCREMENTAL layout: `data/bucket=k/` subdirectories, id hashed into a
+    * bucket count pinned at creation. A batch reads, compacts, and
+    * rewrites ONLY the buckets its ids touch — per-batch cost is
+    * O(batch + touched-bucket bytes), not O(collection); untouched
+    * buckets' files are never opened or rewritten.
+    *
+    * Single-writer swap protocol, per bucket: compact touched buckets into
+    * `.staging/bucket=k`, then for each one move `data/bucket=k` →
+    * `.old/bucket=k` and `.staging/bucket=k` → `data/bucket=k`. A crash
+    * mid-swap leaves every bucket either fully old (with `.old` holding
+    * nothing for it), or backed up in `.old` — the next upsert's
+    * recoverForWrite restores any bucket whose swap died between the two
+    * moves, so no bucket is ever lost. Atomicity is per BUCKET: a crash
+    * can land some buckets on the new batch and some on the old —
+    * batch-level atomicity across buckets needs a manifest/log-structured
+    * commit (and object stores without atomic rename need it too); that is
+    * the documented next step of this layer, not this POSIX-rename form. */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame,
              idCol: String, seqCol: String): Unit = {
     recoverForWrite(dir)
-    val dataDir = s"$dir/data"
+    val buckets = numBuckets(dir)
+    val dataDir = Paths.get(s"$dir/data")
+    val bucketed = batch.withColumn(BucketCol, bucketOf(idCol, buckets))
+    val touched = bucketed.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    // files do not store the bucket column (it is the directory name);
+    // recompute it on read — same hash, same pinned bucket count
+    val existingDirs = touched
+      .map(k => dataDir.resolve(s"$BucketCol=$k"))
+      .filter(Files.exists(_))
+      .map(_.toString)
     val merged =
-      if (Files.exists(Paths.get(dataDir))) {
-        val existing = spark.read.parquet(dataDir)
-        existing.unionByName(batch)
-      } else batch
+      if (existingDirs.isEmpty) bucketed
+      else spark.read.parquet(existingDirs: _*)
+        .withColumn(BucketCol, bucketOf(idCol, buckets))
+        .unionByName(bucketed)
     val compacted = graft.operators.Ingest.upsert(merged, idCol, seqCol)
-    // stage then swap — parquet sources cannot overwrite their own input
     val staging = Paths.get(s"$dir/.staging")
+    compacted.write.mode("overwrite")
+      .partitionBy(BucketCol).parquet(staging.toString)
     val old = Paths.get(s"$dir/.old")
-    val target = Paths.get(dataDir)
-    compacted.write.mode("overwrite").parquet(staging.toString)
-    if (Files.exists(target)) Files.move(target, old)
-    Files.move(staging, target)
-    // `.old` is intentionally KEPT until the next upsert's
-    // recoverForWrite: a concurrent reader that bound its (lazy)
-    // DataFrame to the backup mid-swap can still complete its action.
+    Files.createDirectories(old)
+    Files.createDirectories(dataDir)
+    touched.foreach { k =>
+      val t = dataDir.resolve(s"$BucketCol=$k")
+      val s = staging.resolve(s"$BucketCol=$k")
+      if (Files.exists(t)) Files.move(t, old.resolve(s"$BucketCol=$k"))
+      if (Files.exists(s)) Files.move(s, t)
+    }
+    // `.staging` now holds only _SUCCESS markers; `.old` is intentionally
+    // KEPT until the next upsert's recoverForWrite so a concurrent reader
+    // that bound its (lazy) DataFrame to a backup bucket mid-swap can
+    // still complete its action.
+    deleteRecursively(staging)
   }
 
-  /** WRITER-side crash recovery: restore `data` from the `.old` backup if
-    * a swap died between the two moves, drop a stale `.old` left by a
-    * crash after the swap (it would wedge the next `Files.move(target,
-    * old)` forever), and clear any half-written `.staging`. Only the
-    * single writer may call this — destructive repair from the read path
-    * would race an in-flight upsert. */
+  /** WRITER-side crash recovery, per bucket: restore any `data/bucket=k`
+    * from its `.old` backup if a swap died between the two moves, drop
+    * backups whose swap completed (they would wedge the next swap's
+    * `Files.move` into `.old`), and clear any half-written `.staging`.
+    * Only the single writer may call this — destructive repair from the
+    * read path would race an in-flight upsert. */
   private def recoverForWrite(dir: String): Unit = {
-    val target = Paths.get(s"$dir/data")
+    val dataDir = Paths.get(s"$dir/data")
     val old = Paths.get(s"$dir/.old")
-    if (!Files.exists(target) && Files.exists(old)) Files.move(old, target)
-    else if (Files.exists(old)) deleteRecursively(old) // post-swap leftover
+    listBuckets(old).foreach { case (name, backup) =>
+      val target = dataDir.resolve(name)
+      if (!Files.exists(target)) Files.move(backup, target)
+      else deleteRecursively(backup) // post-swap leftover
+    }
+    if (Files.exists(old)) deleteRecursively(old)
     val staging = Paths.get(s"$dir/.staging")
     if (Files.exists(staging)) deleteRecursively(staging)
   }
 
   /** Read-side recovery is NON-destructive (it must not race the writer):
-    * if `data` is missing mid-swap, read the `.old` backup in place. The
-    * backup survives until the NEXT upsert starts, so a reader that binds
-    * to it mid-swap can finish its action; only a reader racing TWO
-    * consecutive upserts can lose the directory (single-writer,
-    * read-mostly contract). */
+    * the scan unions `data`'s bucket directories with any `.old` backup
+    * bucket not currently present in `data` (i.e. mid-swap). Backups
+    * survive until the NEXT upsert starts, so a reader that binds to one
+    * mid-swap can finish its action; only a reader racing TWO consecutive
+    * upserts of the SAME bucket can lose it (single-writer, read-mostly
+    * contract). */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val dataDir = Paths.get(s"$dir/data")
-    val path =
-      if (Files.exists(dataDir)) dataDir
-      else {
-        val old = Paths.get(s"$dir/.old")
-        if (Files.exists(old)) old else dataDir
-      }
-    spark.read.parquet(path.toString)
+    val dataB = listBuckets(Paths.get(s"$dir/data"))
+    val oldB = listBuckets(Paths.get(s"$dir/.old"))
+    val use = (oldB ++ dataB).values.map(_.toString).toSeq.sorted
+    if (use.isEmpty) spark.read.parquet(s"$dir/data") // empty/missing: same
+    else spark.read.parquet(use: _*)                  //   error as before
   }
 
   /** Collection info (the Qdrant collection-info shape): declared config

@@ -63,10 +63,71 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
       VectorConfig(64), "embedding", "vec_id", "seq")
     sink.write(Tables.load(spark, sf, "embeddings").limit(20)
       .withColumn("seq", lit(0)))
-    // simulate a crash between the two moves: data gone, .old holds it
-    java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/data"),
-      java.nio.file.Paths.get(s"$dir/.old"))
+    // simulate a crash between the two moves of every bucket's swap:
+    // data/bucket=k gone, .old/bucket=k holds the backup
+    val old = java.nio.file.Paths.get(s"$dir/.old")
+    java.nio.file.Files.createDirectories(old)
+    new java.io.File(s"$dir/data").listFiles().filter(_.isDirectory)
+      .foreach(b => java.nio.file.Files.move(b.toPath,
+        old.resolve(b.getName)))
     assert(Collections.read(spark, dir).count() == 20) // read recovers
+    // and the next write's recovery restores + applies the batch on top
+    sink.write(Tables.load(spark, sf, "embeddings").limit(25)
+      .withColumn("seq", lit(1)))
+    assert(Collections.read(spark, dir).count() == 25)
+  }
+
+  /** Recursive (path → lastModified) snapshot of every FILE under p. */
+  private def fileSnapshot(p: String): Map[String, Long] = {
+    val root = java.nio.file.Paths.get(p)
+    if (!Files.exists(root)) Map.empty
+    else {
+      val walk = Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis)
+          .toMap
+      } finally walk.close()
+    }
+  }
+
+  test("incremental upsert: a one-bucket batch leaves every other " +
+       "bucket's files untouched") {
+    val dir = Files.createTempDirectory("graft-coll").toString + "/c6"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(200)
+    sink.write(emb.withColumn("seq", lit(0)))
+
+    val bucketDirs = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(bucketDirs.size > 1, s"expected several buckets, got $bucketDirs")
+
+    // second batch: ONE id → exactly one touched bucket
+    val one = emb.filter(col("vec_id") === 7)
+      .withColumn("label", col("label") + 100).withColumn("seq", lit(1))
+    val touchedBucket = one
+      .select(pmod(hash(col("vec_id")), lit(Collections.numBuckets(dir))))
+      .head().getInt(0)
+    val before = fileSnapshot(s"$dir/data")
+    sink.write(one)
+    val after = fileSnapshot(s"$dir/data")
+
+    val untouchedPrefixes = (bucketDirs - s"bucket=$touchedBucket")
+      .map(b => s"$dir/data/$b/")
+    def partOf(m: Map[String, Long]) =
+      m.filter { case (f, _) => untouchedPrefixes.exists(f.startsWith) }
+    assert(partOf(before) == partOf(after),
+      "files in untouched buckets were rewritten")
+    // the touched bucket DID change (rewritten part files get new names)
+    assert(before.keySet.filter(_.contains(s"bucket=$touchedBucket/")) !=
+           after.keySet.filter(_.contains(s"bucket=$touchedBucket/")))
+    // … and the merge semantics held: same count, updated label
+    val now = Collections.read(spark, dir)
+    assert(now.count() == 200)
+    assert(now.filter(col("vec_id") === 7).head()
+      .getAs[Int]("label") >= 100)
   }
 
   test("upsert: same id overwrites (keep-last by sequence), dims enforced") {
