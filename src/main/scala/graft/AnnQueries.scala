@@ -19,13 +19,69 @@ object AnnQueries {
   private def cosSql(a: String, b: String) =
     cosineSqlAB.format(a, b, a, a, b, b)
 
-  /** IVF: 8 deterministic centroids (vec_id < 8), nprobe=2, top-10 cosine
-    * within probed cells. */
+  /** DuckDB replay of Ann.kmeansFit(k, iters) over `embeddings`: a CTE
+    * chain ending in `c<iters>` (cid BIGINT, cv DOUBLE[]). Mirrors every
+    * determinism pin of the Scala side — lowest-id seeding, argmin with
+    * (distance, cid) tie-break, DECIMAL(25,12) sums, micro-quantized
+    * means, empty-cluster carry-over. */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    val init = s"""
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM (SELECT * FROM e ORDER BY vec_id LIMIT $k))"""
+    val steps = (0 until iters).map { n =>
+      s""",
+      a${n + 1} AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+          FROM e CROSS JOIN c$n c) WHERE rn = 1),
+      m${n + 1} AS (
+        SELECT a.cid, ii.i,
+               floor((CAST(SUM(CAST(e.v[ii.i + 1] AS DECIMAL(25,12)))
+                             AS DOUBLE) / COUNT(*)) * 1000000 + 0.5)
+                 / 1000000 AS c
+        FROM a${n + 1} a JOIN e ON e.vec_id = a.vec_id
+        CROSS JOIN (SELECT unnest(range(64)) AS i) ii
+        GROUP BY a.cid, ii.i),
+      c${n + 1} AS (
+        SELECT c.cid, COALESCE(m.cv, c.cv) AS cv
+        FROM c$n c LEFT JOIN (
+          SELECT cid, array_agg(c ORDER BY i) AS cv
+          FROM m${n + 1} GROUP BY cid) m ON m.cid = c.cid)"""
+    }.mkString
+    init + steps
+  }
+
+  /** Deterministic k-means centroid table (k=8, 2 Lloyd rounds) as a
+    * declared query — the oracle replays TRAINING itself, so the gate
+    * covers the index build, not just the search. Long format (cid, dim,
+    * micro) because the driver compare cannot hash array columns. */
+  val annKmeans = Q("ann_kmeans",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Ann.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("cid"), posexplode(col("cv")).as(Seq("i", "c")))
+        .select(col("cid"), col("i"),
+          floor(col("c") * 1e6 + lit(0.5)).cast("long").as("c_micro"))
+        .orderBy("cid", "i")
+    },
+    Some(s"""
+      WITH ${kmeansSql(8, 2)}
+      SELECT cid, ii.i AS i,
+             CAST(floor(cv[ii.i + 1] * 1000000 + 0.5) AS BIGINT) AS c_micro
+      FROM c2 CROSS JOIN (SELECT unnest(range(64)) AS i) ii
+      ORDER BY cid, i"""))
+
+  /** IVF with TRAINED centroids (kmeansFit k=8 × 2 rounds), nprobe=2,
+    * top-10 cosine within probed cells. */
   val annIvf = Q("ann_ivf",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val centroids = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val centroids = Ann.kmeansFit(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0)
@@ -35,9 +91,7 @@ object AnnQueries {
           floor(col("score") * 1e6 + lit(0.5)).cast("long").as("score_micro"))
     },
     Some(s"""
-      WITH c AS (
-        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-        FROM embeddings WHERE vec_id < 8),
+      WITH ${kmeansSql(8, 2)},
       q AS (
         SELECT CAST(embedding AS DOUBLE[]) AS qv
         FROM embeddings WHERE vec_id = 0),
@@ -45,17 +99,16 @@ object AnnQueries {
         SELECT e.vec_id, c.cid,
                ROW_NUMBER() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv),
-                          c.cid) AS rn
-        FROM embeddings e CROSS JOIN c),
+                 ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        FROM e CROSS JOIN c2 c),
       amin AS (SELECT vec_id, cid AS cluster FROM assign WHERE rn = 1),
       probes AS (
-        SELECT cid FROM c CROSS JOIN q
+        SELECT cid FROM c2 CROSS JOIN q
         ORDER BY list_distance(cv, qv), cid LIMIT 2),
       cand AS (
         SELECT e.vec_id, a.cluster,
-               ${cosSql("e.embedding", "(SELECT qv FROM q)")} AS score
-        FROM embeddings e
+               ${cosSql("e.v", "(SELECT qv FROM q)")} AS score
+        FROM e
         JOIN amin a ON a.vec_id = e.vec_id
         WHERE a.cluster IN (SELECT cid FROM probes))
       SELECT vec_id, cluster,
@@ -119,5 +172,5 @@ object AnnQueries {
       SELECT ${bucketSql("embedding")} AS bucket, COUNT(*) AS n
       FROM embeddings GROUP BY 1 ORDER BY bucket"""))
 
-  def queries: Seq[Q] = Seq(annIvf, annLsh, annLshStats)
+  def queries: Seq[Q] = Seq(annKmeans, annIvf, annLsh, annLshStats)
 }

@@ -15,9 +15,11 @@ import graft.functions.VectorOps
   *    vectors; a query probes only the `nprobe` nearest cells. At 100 TB
   *    the collection is written bucketed/partitioned BY cluster id, so a
   *    probe is partition pruning — the scan touches nprobe/k of the data.
-  *    Centroid "training" here is deterministic (first k vectors) so the
-  *    DuckDB oracle can recompute the exact same assignment; swapping in
-  *    k-means|| changes only the centroid table.
+  *    Centroids come from [[kmeansFit]] — a deterministic fixed-seed,
+  *    fixed-round Lloyd iteration the DuckDB oracle replays exactly
+  *    (decimal-summed, micro-quantized means), so even TRAINING is
+  *    oracle-gated; "first k vectors" seeding remains the iteration-0
+  *    special case.
   *
   *  - **Hyperplane LSH**: sign-random-projection buckets. Each of P
   *    hyperplanes contributes one bit (dot(v, plane) > 0); the P-bit
@@ -79,6 +81,63 @@ object Ann {
       .groupBy(idCol)
       .agg(min_by(col("__cid"), struct(col("__dist"), col("__cid")))
         .as("cluster"))
+
+  /** Deterministic Lloyd k-means for IVF centroid training — replaces the
+    * "first k vectors" seeding with real clustering while staying exactly
+    * replayable by the SQL oracle (the reference's collections delegate
+    * index training to Qdrant, `bob_vector_db/qdrant_embedder.py:92-103`;
+    * this is the engine-native analog). Every source of nondeterminism is
+    * pinned:
+    *
+    *  - init: the k lowest-id vectors (cid = rank of the seed id);
+    *  - fixed iteration count (no convergence test — data-dependent
+    *    stopping would need float comparisons across engines);
+    *  - per-dim means sum through DECIMAL(25,12) (exact, order-independent
+    *    — double summation order would drift between engines) and the
+    *    mean is micro-quantized (floor(x·1e6+0.5)/1e6) so each round's
+    *    centroids are identical doubles everywhere;
+    *  - empty clusters keep their previous centroid;
+    *  - assignment ties break by centroid id (same contract as
+    *    [[argminAssign]]).
+    *
+    * Scale shape: each iteration is one broadcast of k·dim doubles + one
+    * map-side-combinable (cluster, dim) aggregation over the collection —
+    * no shuffle of the vectors themselves. Only the k·dim centroid table
+    * (k rows) ever reaches the driver. */
+  def kmeansFit(coll: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int): DataFrame = {
+    val spark = coll.sparkSession
+    import spark.implicits._
+    def toDf(cs: Array[(Long, Seq[Double])]): DataFrame =
+      cs.toSeq.toDF("cid", "cv")
+    var cents: Array[(Long, Seq[Double])] = coll
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
+    for (_ <- 0 until iters) {
+      val assigned =
+        argminAssign(coll, idCol, vecCol, toDf(cents), "cid", "cv")
+      val comp = coll.join(assigned, idCol)
+        .select(col("cluster"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+        .groupBy("cluster", "i")
+        .agg((floor(
+          (sum(col("x").cast("decimal(25,12)")).cast("double") /
+            count(lit(1))) * 1e6 + lit(0.5)) / 1e6).as("c"))
+        .collect()
+      val byCluster = comp
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (cid, prev) =>
+        (cid, byCluster.getOrElse(cid, prev))
+      }
+    }
+    toDf(cents)
+  }
 
   /** Build a materialized IVF index: the collection written as parquet
     * PARTITIONED BY cluster id. At scale this is the whole point of IVF —

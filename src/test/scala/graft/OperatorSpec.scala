@@ -109,6 +109,27 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(res.select("vec_id").collect().map(_.getLong(0)).contains(0L))
   }
 
+  test("k-means: deterministic across runs; trained IVF keeps recall vs " +
+       "exact top-10") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val c1 = Ann.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val c2 = Ann.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val snap = (c: org.apache.spark.sql.DataFrame) => c.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(snap(c1) == snap(c2), "kmeansFit is not deterministic")
+    assert(c1.count() == 8)
+
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val ivf = Ann.ivfSearch(emb, "vec_id", "embedding", c1, "cid", "cv",
+        q, nprobe = 2, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = graft.operators.Knn.knn(emb, "embedding", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val overlap = (ivf & exact).size
+    assert(overlap >= 5, s"IVF recall too low: $overlap/10 of exact top-10")
+  }
+
   test("materialized IVF index: probe == partition pruning, same top-k") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val emb = Tables.load(spark, sf, "embeddings")
