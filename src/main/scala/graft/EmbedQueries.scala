@@ -62,11 +62,15 @@ object EmbedQueries {
     "\n      WITH " + vecCtes("", dim, "", "text")
 
   /** O9/O10 — embed every document; vector emitted as a comma-joined
-    * string of micro-unit (1e-6) integers. */
+    * string of micro-unit (1e-6) integers. Runs through the BATCH
+    * inference boundary (Embedder + mapPartitions, model init once per
+    * partition — the path a real ONNX model plugs into); embed_checksum
+    * below gates the SQL-expression twin of the same pipeline, so both
+    * physical forms stay oracle-checked. */
   val embedText = Q("embed_text",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      Embed.embedText(docs, "doc_id", "text", model = "graft/hash-64")
+      Embed.embedTextBatch(docs, "doc_id", "text", model = "graft/hash-64")
         .select(col("doc_id"),
           array_join(transform(col("embedding"),
             x => floor(x * 1e6 + lit(0.5)).cast("string")), ",").as("vec_str"))
@@ -103,7 +107,7 @@ object EmbedQueries {
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
         .withColumn("caption", concat(lit("caption of "), col("text")))
-      Embed.embedMultimodal(docs, "doc_id", "text", "caption")
+      Embed.embedMultimodalBatch(docs, "doc_id", "text", "caption")
         .select(col("doc_id"),
           size(col("text_vec")).as("text_dim"),
           size(col("image_vec")).as("image_dim"),

@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
   * registry mirroring `_get_model_description(model)["dim"]`
   * (`bob_vector_db/qdrant_embedder.py:78,89`), `ARRAY<DOUBLE>` output,
   * L2-normalized like fastembed's cosine-ready vectors. A real model slots
-  * in by replacing [[embedText]]'s body; every downstream operator (kNN,
-  * dedup, fusion) is embedding-agnostic.
+  * in by implementing the [[Embedder]] trait (batch inference over
+  * `mapPartitions`, model loaded once per partition — see
+  * [[EmbedderOps.embedTextBatch]]); [[FeatureHashEmbedder]] is the
+  * deterministic default, bit-identical to the SQL-expression pipeline
+  * here, and every downstream operator (kNN, dedup, fusion) is
+  * embedding-agnostic.
   *
   * Algorithm (cross-engine reproducible, md5-based so DuckDB can recompute
   * it): tokenize on whitespace; each token hashes to a bucket
@@ -98,6 +102,28 @@ object Embed {
     val withText = embedText(df, idCol, textCol,
       outCol = "text_vec", model = textModel, seed = "text|")
     embedText(withText, idCol, captionCol,
+      outCol = "image_vec", model = visionModel, seed = "image|")
+  }
+
+  /** [[embedText]] through the batch-inference boundary ([[Embedder]] +
+    * mapPartitions): the production path a real ONNX model plugs into.
+    * With the default [[FeatureHashEmbedder]] the output is bit-identical
+    * to the expression pipeline (asserted in OperatorSpec). */
+  def embedTextBatch(df: DataFrame, idCol: String, textCol: String,
+                     outCol: String = "embedding",
+                     model: String = defaultTextModel,
+                     seed: String = ""): DataFrame =
+    EmbedderOps.embedTextBatch(df, idCol, textCol, outCol,
+      new FeatureHashEmbedder(model, seed))
+
+  /** [[embedMultimodal]] through the batch-inference boundary. */
+  def embedMultimodalBatch(df: DataFrame, idCol: String, textCol: String,
+                           captionCol: String,
+                           modelPair: String = multimodalPair): DataFrame = {
+    val Array(textModel, visionModel) = modelPair.split(" ")
+    val withText = embedTextBatch(df, idCol, textCol,
+      outCol = "text_vec", model = textModel, seed = "text|")
+    embedTextBatch(withText, idCol, captionCol,
       outCol = "image_vec", model = visionModel, seed = "image|")
   }
 }

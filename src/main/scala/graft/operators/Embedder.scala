@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
+
+/** The batch text-inference boundary — the engine's form of the
+  * reference's lazily-cached embedding models
+  * (`bob_vector_db/qdrant_embedder.py:76,87`: `TextEmbedding(model)`
+  * constructed once per process, then `embed(documents)` in batches).
+  *
+  * A real ONNX/fastembed model drops in by implementing this trait:
+  * `init()` is called exactly once per partition (the model-load point —
+  * weights are opened on the executor, never serialized through the
+  * closure), `embedBatch` receives documents in bounded batches exactly
+  * like fastembed's `embed(documents)`. Every caller goes through
+  * [[Embed.embedTextBatch]], so swapping the model touches no query code.
+  */
+trait Embedder extends Serializable {
+  /** Model name (the reference's model-id string). */
+  def name: String
+
+  /** Embedding dimension (`_get_model_description(model)["dim"]`,
+    * `qdrant_embedder.py:78,89`). */
+  def dim: Int
+
+  /** Called once per partition before any batch — load the model here.
+    * Idempotence is the implementor's concern (a lazy val / null check),
+    * mirroring the reference's `if self.tm is None` cache. */
+  def init(): Unit = ()
+
+  /** Embed one bounded batch of documents; must return exactly one vector
+    * per input in order. */
+  def embedBatch(texts: Seq[String]): Seq[Array[Double]]
+}
+
+/** The deterministic feature-hash model — JVM twin of the
+  * [[Embed.embedText]] SQL-expression pipeline, bit-identical by
+  * construction (same md5 bucket/sign derivation, same fold order for the
+  * L2 norm, same floor-micro quantization), so declared queries routed
+  * through the batch boundary still hash-match the DuckDB oracle. */
+final class FeatureHashEmbedder(model: String = Embed.defaultTextModel,
+                                seed: String = "") extends Embedder {
+  override def name: String = model
+  override val dim: Int = Embed.dimOf(model)
+
+  // the per-partition "model": here just a digest instance
+  @transient private var md: java.security.MessageDigest = _
+  override def init(): Unit = {
+    md = java.security.MessageDigest.getInstance("MD5")
+  }
+  private def digestHex(s: String): String = {
+    if (md == null) init()
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  override def embedBatch(texts: Seq[String]): Seq[Array[Double]] =
+    texts.map(embedOne)
+
+  private def embedOne(text: String): Array[Double] = {
+    val sums = new Array[Long](dim)
+    text.toLowerCase.split("\\s+").foreach { tok =>
+      if (tok.nonEmpty) {
+        val hex = digestHex(seed + tok)
+        val bucket =
+          (java.lang.Long.parseLong(hex.substring(0, 8), 16) % dim).toInt
+        val sgn =
+          if (java.lang.Long.parseLong(hex.substring(8, 9), 16) % 2 == 0) 1L
+          else -1L
+        sums(bucket) += sgn
+      }
+    }
+    val raw = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { raw(i) = sums(i).toDouble; i += 1 }
+    // same fold order as aggregate(raw, 0.0, (acc, x) => acc + x*x)
+    var acc = 0.0
+    i = 0
+    while (i < dim) { acc = acc + raw(i) * raw(i); i += 1 }
+    val n = math.sqrt(acc)
+    if (n == 0.0) raw
+    else raw.map(x => math.floor(x / n * 1e6 + 0.5) / 1e6)
+  }
+}
+
+/** The mapPartitions plumbing shared by every [[Embedder]]: bounded
+  * batches, one `init()` per partition, id column preserved with its own
+  * type (no long cast — string-id collections work). Mirrors
+  * [[Multimodal.decodeFeaturesBatch]] for images. */
+object EmbedderOps {
+  def embedTextBatch(df: DataFrame, idCol: String, textCol: String,
+                     outCol: String, embedder: Embedder,
+                     batchSize: Int = 64): DataFrame = {
+    val input = df.select(col(idCol), col(textCol).cast("string"))
+    val outSchema = StructType(Seq(
+      input.schema.fields(0),
+      StructField(outCol, ArrayType(DoubleType), nullable = true)))
+    val vecs = input.mapPartitions { rows =>
+      embedder.init() // once per partition — the model-load point
+      rows.grouped(batchSize).flatMap { chunk =>
+        val texts = chunk.map(r => if (r.isNullAt(1)) "" else r.getString(1))
+        val out = embedder.embedBatch(texts)
+        require(out.length == chunk.length,
+          s"embedder ${embedder.name} returned ${out.length} vectors " +
+            s"for ${chunk.length} inputs")
+        chunk.lazyZip(out).map((r, v) => Row(r.get(0), v))
+      }
+    }(Encoders.row(outSchema))
+    df.join(vecs, Seq(idCol), "left")
+  }
+}

@@ -85,22 +85,25 @@ object Multimodal {
     * above. */
   def decodeFeaturesBatch(df: DataFrame, idCol: String, binCol: String)
       : DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        // per-partition init happens HERE once (codec/model handle)
-        rows.map { case (id, bytes) =>
-          val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
-          val features = Array(
-            bytes.length.toDouble,
-            if (bytes.nonEmpty) (bytes(0) & 0xff).toDouble else 0.0,
-            sum.toDouble,
-            if (bytes.nonEmpty) sum.toDouble / bytes.length else 0.0)
-          (id, features)
-        }
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
+    val input = df.select(col(idCol), col(binCol))
+    // id keeps its own type (string-id collections work — no long cast)
+    val outSchema = StructType(Seq(
+      input.schema.fields(0),
+      StructField("features", ArrayType(DoubleType), nullable = true)))
+    input.mapPartitions { rows =>
+      // per-partition init happens HERE once (codec/model handle)
+      rows.map { r =>
+        val bytes =
+          if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+        val features = Array(
+          bytes.length.toDouble,
+          if (bytes.nonEmpty) (bytes(0) & 0xff).toDouble else 0.0,
+          sum.toDouble,
+          if (bytes.nonEmpty) sum.toDouble / bytes.length else 0.0)
+        org.apache.spark.sql.Row(r.get(0), features)
       }
-      .toDF(idCol, "features")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

@@ -4,6 +4,18 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
 
+/** Instrumented Embedder for the init-once-per-partition contract test
+  * (static counter — local mode shares one JVM). */
+object CountingEmbedder {
+  val inits = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+class CountingEmbedder(val dim: Int) extends graft.operators.Embedder {
+  override def name: String = "counting"
+  override def init(): Unit = { CountingEmbedder.inits.incrementAndGet(); () }
+  override def embedBatch(texts: Seq[String]): Seq[Array[Double]] =
+    texts.map(_ => Array.fill(dim)(0.0))
+}
+
 /** Property-style unit tests for the dedup / text / ANN / multimodal
   * operators on small slices of the sf0.001 fixtures. */
 class OperatorSpec extends AnyFunSuite with SparkSpec {
@@ -188,6 +200,42 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       assert(f(0) == bytes.length.toDouble)
       assert(f(2) == bytes.map(_ & 0xff).map(_.toLong).sum.toDouble)
     }
+  }
+
+  test("multimodal: batch decode preserves a STRING id column") {
+    val feats = Multimodal.decodeFeaturesBatch(
+        Multimodal.attachBinary(docs20)
+          .withColumn("doc_id", concat(lit("doc-"), col("doc_id"))),
+        "doc_id", "content")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(feats.keySet.forall(_.startsWith("doc-")) && feats.size == 20)
+  }
+
+  test("embedder batch boundary: bit-identical to the expression " +
+       "pipeline; init runs once per partition, not per row") {
+    import graft.operators.Embed
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").repartition(3)
+    val expr = Embed.embedText(docs, "doc_id", "text",
+        model = "graft/hash-64")
+      .select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val batch = Embed.embedTextBatch(docs, "doc_id", "text",
+        model = "graft/hash-64")
+      .select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(expr == batch, "batch path diverges from expression path")
+
+    CountingEmbedder.inits.set(0)
+    val n = Embed.dimOf("graft/hash-64")
+    val out = graft.operators.EmbedderOps.embedTextBatch(
+      docs, "doc_id", "text", "embedding", new CountingEmbedder(n),
+      batchSize = 7)
+    assert(out.count() == docs.count())
+    val parts = docs.rdd.getNumPartitions
+    val inits = CountingEmbedder.inits.get()
+    assert(inits == parts,
+      s"expected $parts inits (one per partition), saw $inits")
   }
 
   test("multimodal named-vector pair: two distinct unit vectors per row") {
