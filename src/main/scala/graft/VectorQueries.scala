@@ -132,6 +132,30 @@ object VectorQueries {
       LIMIT 10
     """))
 
+  /** V3 — the extended DSL conditions (match.except + values_count), the
+    * Qdrant predicates a payload-filtered search hits next after
+    * must/match/range. */
+  val vKnnDslExcept = Q("v_knn_dsl_except",
+    (s, dir) => {
+      val filter = graft.operators.PayloadFilter.fromJson("""
+        {"must": [
+          {"key": "label", "match": {"except": [0, 1, 7]}},
+          {"key": "embedding", "values_count": {"gte": 64, "lte": 64}}
+        ]}""")
+      val emb = Tables.load(s, dir, "embeddings").filter(filter)
+      Knn.knn(emb, "embedding", queryVec(s, dir, 0), 10)
+        .select("vec_id", "label", "score")
+    },
+    Some(s"""
+      SELECT vec_id, label,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQ0), 6) AS score
+      FROM embeddings
+      WHERE label NOT IN (0, 1, 7)
+        AND len(embedding) >= 64 AND len(embedding) <= 64
+      ORDER BY score DESC, vec_id
+      LIMIT 10
+    """))
+
   /** V4 — L2 (Chroma's default space): nearest 10 by euclidean distance. */
   val vL2 = Q("v_l2",
     (s, dir) => {
@@ -294,5 +318,6 @@ object VectorQueries {
     """))
 
   def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnMulti, vKnnMultiAgg,
-    vKnnFiltered, vKnnDsl, vL2, vDot, vFusion, vHybridRrf, collStats)
+    vKnnFiltered, vKnnDsl, vKnnDslExcept, vL2, vDot, vFusion, vHybridRrf,
+    collStats)
 }

@@ -9,9 +9,23 @@ import org.json4s.jackson.JsonMethods
   * V3). The reference's collections are queried through Qdrant's JSON
   * filter language; this translates the core of that public DSL
   * (`must` / `should` / `must_not` clauses; `match.value`, `match.any`,
-  * `range.{gt,gte,lt,lte}` conditions) into a single `Column` predicate,
-  * so it composes with any scan and — being an ordinary Catalyst
-  * expression tree — pushes down to parquet like a hand-written filter.
+  * `match.text`, `match.except`, `range.{gt,gte,lt,lte}`,
+  * `values_count.{gt,gte,lt,lte}`, `is_empty`, `is_null` conditions) into
+  * a single `Column` predicate, so it composes with any scan and — being
+  * an ordinary Catalyst expression tree — pushes down to parquet like a
+  * hand-written filter (simple comparisons reach PushedFilters; the
+  * tokenized/size forms evaluate post-scan like any expression on a
+  * complex type).
+  *
+  * Semantics pinned to the public Qdrant condition docs:
+  *  - `match.text` — every lowercased whitespace token of the query
+  *    appears among the field's tokens (the default text-index
+  *    tokenization: word, lowercase);
+  *  - `match.except` — NOT IN over the given values; a missing/null value
+  *    matches (it is "not any of the given");
+  *  - `is_empty` — the field is null/missing or an empty array;
+  *  - `is_null` — the field has a null value;
+  *  - `values_count` — comparisons on the number of values under the key.
   *
   * Keys resolve against top-level columns; nested payload keys
   * ("props.k") resolve via `get_json_object` on a JSON payload column
@@ -53,6 +67,15 @@ object PayloadFilter {
     case other => throw new IllegalArgumentException(s"bad literal: $other")
   }
 
+  /** Extract the `key` of an `is_empty`/`is_null` condition object. */
+  private def keyOf(cond: String, o: JValue): String = o match {
+    case JObject(fields) => fields.toMap.get("key") match {
+      case Some(JString(k)) => k
+      case other => throw new IllegalArgumentException(s"$cond key: $other")
+    }
+    case other => throw new IllegalArgumentException(s"$cond: $other")
+  }
+
   private def build(j: JValue, jsonCol: Option[String]): Column = j match {
     case JObject(fields) =>
       val fm = fields.toMap
@@ -73,6 +96,16 @@ object PayloadFilter {
         clauses += fs.map(f => !coalesce(build(f, jsonCol), lit(false)))
           .reduceOption(_ && _).getOrElse(lit(true))
       case other => throw new IllegalArgumentException(s"must_not: $other") }
+      fm.get("is_empty").foreach { o =>
+        val c = keyCol(keyOf("is_empty", o), jsonCol)
+        // null/missing OR an empty array — the generic emptiness test is
+        // the string form ("" / "[]" / "{}"), which also covers the
+        // get_json_object mode where arrays arrive as JSON text
+        clauses += (c.isNull || c.cast("string").isin("", "[]", "{}"))
+      }
+      fm.get("is_null").foreach { o =>
+        clauses += keyCol(keyOf("is_null", o), jsonCol).isNull
+      }
       fm.get("key").foreach { case JString(key) =>
         val c = keyCol(key, jsonCol)
         fm.get("match").foreach {
@@ -82,6 +115,17 @@ object PayloadFilter {
             mm.get("any").foreach { case JArray(vs) =>
               clauses += c.isin(vs.map(rawOf): _*)
             case other => throw new IllegalArgumentException(s"any: $other") }
+            mm.get("text").foreach { case JString(q) =>
+              val toks = q.toLowerCase.split("\\s+").filter(_.nonEmpty)
+              val fieldToks = split(lower(c), "\\s+")
+              clauses += toks.map(t => array_contains(fieldToks, t))
+                .reduceOption(_ && _).getOrElse(lit(true))
+            case other => throw new IllegalArgumentException(s"text: $other") }
+            mm.get("except").foreach { case JArray(vs) =>
+              // missing/null values match (they are "not any of the given")
+              clauses += coalesce(!c.isin(vs.map(rawOf): _*), lit(true))
+            case other =>
+              throw new IllegalArgumentException(s"except: $other") }
           case other => throw new IllegalArgumentException(s"match: $other")
         }
         fm.get("range").foreach {
@@ -94,6 +138,22 @@ object PayloadFilter {
               case (k, _) => throw new IllegalArgumentException(s"range op: $k")
             }
           case other => throw new IllegalArgumentException(s"range: $other")
+        }
+        fm.get("values_count").foreach {
+          case JObject(r) =>
+            // array columns count with size(); in JSON-payload mode the
+            // extracted value is JSON text, so count via json_array_length
+            val cnt = jsonCol.map(_ => json_array_length(c)).getOrElse(size(c))
+            r.toMap.foreach {
+              case ("gt", v)  => clauses += (cnt > litOf(v))
+              case ("gte", v) => clauses += (cnt >= litOf(v))
+              case ("lt", v)  => clauses += (cnt < litOf(v))
+              case ("lte", v) => clauses += (cnt <= litOf(v))
+              case (k, _) =>
+                throw new IllegalArgumentException(s"values_count op: $k")
+            }
+          case other =>
+            throw new IllegalArgumentException(s"values_count: $other")
         }
       case other => throw new IllegalArgumentException(s"key: $other") }
       val cs = clauses.result()

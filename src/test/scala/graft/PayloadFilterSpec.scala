@@ -69,6 +69,65 @@ class PayloadFilterSpec extends AnyFunSuite with SparkSpec {
       """{"must": [], "must_not": []}""")).count() == n)
   }
 
+  test("match.text: all query tokens must appear among field tokens") {
+    val docs = Tables.load(spark, sf, "documents")
+    val dsl = PayloadFilter.fromJson(
+      """{"key": "text", "match": {"text": "the data"}}""")
+    val hand = array_contains(split(lower(col("text")), "\\s+"), "the") &&
+      array_contains(split(lower(col("text")), "\\s+"), "data")
+    val a = docs.filter(dsl).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = docs.filter(hand).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+    // and a token that is merely a substring of a word must NOT match
+    val sub = docs.filter(PayloadFilter.fromJson(
+      """{"key": "text", "match": {"text": "dat"}}"""))
+    val whole = docs.filter(
+      array_contains(split(lower(col("text")), "\\s+"), "dat"))
+    assert(sub.count() == whole.count())
+  }
+
+  test("match.except == NOT IN; missing keys match") {
+    sameAs("""{"key": "label", "match": {"except": [0, 1, 2]}}""",
+      !col("label").isin(0, 1, 2))
+    val ev = Tables.load(spark, sf, "events")
+    val dsl = PayloadFilter.fromJson(
+      """{"key": "zzz", "match": {"except": ["x"]}}""",
+      jsonCol = Some("props"))
+    assert(ev.filter(dsl).count() == ev.count(),
+      "rows without the key must pass match.except")
+  }
+
+  test("is_empty / is_null / values_count") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b"), Some("x")),
+      (2L, Seq.empty[String], None),
+      (3L, null.asInstanceOf[Seq[String]], Some(""))
+    ).toDF("id", "tags", "opt")
+    def ids(dsl: String): Set[Long] =
+      df.filter(PayloadFilter.fromJson(dsl))
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids("""{"is_empty": {"key": "tags"}}""") == Set(2L, 3L))
+    assert(ids("""{"is_null": {"key": "tags"}}""") == Set(3L))
+    assert(ids("""{"is_null": {"key": "opt"}}""") == Set(2L))
+    assert(ids("""{"key": "tags", "values_count": {"gte": 1}}""") == Set(1L))
+    assert(ids("""{"key": "tags", "values_count": {"lt": 1}}""") == Set(2L))
+  }
+
+  test("values_count in JSON-payload mode counts array elements") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"tags": ["a", "b", "c"]}"""),
+      (2L, """{"tags": []}"""),
+      (3L, """{"other": 1}""")
+    ).toDF("id", "props")
+    val dsl = PayloadFilter.fromJson(
+      """{"key": "tags", "values_count": {"gte": 2}}""",
+      jsonCol = Some("props"))
+    assert(df.filter(dsl).select("id").collect().map(_.getLong(0)).toSet
+      == Set(1L))
+  }
+
   test("filter pushes down to the parquet scan") {
     val plan = emb.filter(PayloadFilter.fromJson(
         """{"must": [{"key": "label", "match": {"value": 3}}]}"""))
