@@ -96,14 +96,38 @@ object Stream {
   final case class SessState(startUs: Long, endUs: Long,
                              nEvents: Long, sumValue: Double)
 
+  /** The punctuation user id: a [[writeSessionFlush]] sentinel advances
+    * the watermark past every open session's timeout without contributing
+    * a session itself (filtered out below the watermark node). */
+  val FlushUserId: Long = Long.MinValue
+
+  /** End-of-stream flush for [[sessionizeStream]]: sessions are emitted
+    * when the WATERMARK passes their gap, so on a bounded stream each
+    * user's final open session would stay in state forever. Writing one
+    * punctuation event at `horizonNs` (≥ max event time + gap + watermark
+    * delay) into the drop directory pushes the watermark past every
+    * possible timeout; the engine's no-data micro-batch then fires the
+    * timeouts and the final sessions drain. This is the standard
+    * punctuation/heartbeat close pattern for event-time session streams —
+    * at scale the same sentinel doubles as a liveness heartbeat for
+    * low-traffic partitions. */
+  def writeSessionFlush(spark: SparkSession, inputDir: String,
+                        horizonNs: Long): Unit = {
+    import spark.implicits._
+    Seq((Long.MaxValue, horizonNs, FlushUserId, "__flush", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(inputDir)
+  }
+
   /** Custom-state streaming sessionization via flatMapGroupsWithState
     * (SURVEY.md §2.3 UDF/state row): per-user state holds the open
     * session; an event past the gap closes and emits it. With an
     * EventTimeTimeout the state also closes when the watermark passes the
     * gap — state size is bounded by (active users), independent of stream
     * length. On a BOUNDED stream the batch twin `q_sessionize` computes
-    * the same sessions (StreamSpec asserts it, modulo the final
-    * still-open session per user which only a stream-end flush emits). */
+    * the same sessions: close the tail with [[writeSessionFlush]] and the
+    * streamed set equals the batch set exactly (StreamSpec asserts
+    * equality, no still-open carve-out). */
   def sessionizeStream(events: DataFrame, gapUs: Long): org.apache.spark.sql.Dataset[Session] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
@@ -119,8 +143,17 @@ object Stream {
       .as[(Long, Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
 
+    // local primitive copy: naming the object field inside fn would make
+    // the lambda capture the (non-serializable) enclosing module
+    val flushId = FlushUserId
+
     def fn(userId: Long, rows: Iterator[(Long, Long, Double, java.sql.Timestamp)],
            state: GroupState[SessState]): Iterator[Session] = {
+      // the punctuation user advances the watermark but must not form a
+      // session. Dropped HERE, not with a plan-level filter: Catalyst
+      // pushes a userId predicate BELOW the EventTimeWatermark node, which
+      // would drop the sentinel before it ever moves the watermark.
+      if (userId == flushId) return Iterator.empty
       if (state.hasTimedOut) {
         // watermark passed the gap with no new events: close + emit
         val s = state.get

@@ -70,6 +70,44 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("sessionization with end-of-stream flush equals the batch twin " +
+       "EXACTLY (no still-open carve-out)") {
+    val dir = Files.createTempDirectory("graft-sess-flush")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gapUs = 1800000000L
+    // punctuation: one sentinel past max_ts + gap + watermark delay —
+    // after it, every open session's timeout is behind the watermark
+    val maxTsNs = spark.read.parquet(dir.toString)
+      .agg(max("ts")).head().getLong(0)
+    Stream.writeSessionFlush(spark, dir.toString,
+      maxTsNs + gapUs * 1000L + 3600L * 2 * 1000000000L)
+
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = Stream.sessionizeStream(
+      spark.readStream.schema(schema).parquet(dir.toString), gapUs)
+    val q = stream.writeStream.format("memory").queryName("sessflush")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sessflush")
+      .select("userId", "startUs", "endUs", "nEvents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    val allBatch = StreamingQueries.qSessionize.fn(spark, sf)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val missing = allBatch.diff(streamed)
+    val extra = streamed.diff(allBatch)
+    assert(missing.isEmpty && extra.isEmpty,
+      s"${missing.size} missing (${missing.take(3)}), " +
+        s"${extra.size} extra (${extra.take(3)}), " +
+        s"streamed=${streamed.size} batch=${allBatch.size}")
+    assert(streamed.exists(_._1 != Stream.FlushUserId) && streamed.nonEmpty)
+  }
+
   test("sessionize: cross-batch early late event forms its own session") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-late")
