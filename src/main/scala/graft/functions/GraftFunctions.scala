@@ -17,15 +17,27 @@ object GraftFunctions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
 
+  /** Arity gate: a wrong argument count must surface as a clean
+    * wrong-number-of-arguments error from the registry, not an
+    * IndexOutOfBoundsException from inside a builder. */
+  private def arity(name: String, n: Int,
+                    build: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression =
+    es => {
+      if (es.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${es.length}")
+      build(es)
+    }
+
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float/double arrays",
-      (es: Seq[Expression]) => CosineSimExpr(es(0), es(1))),
+      arity("graft_cosine", 2, es => CosineSimExpr(es(0), es(1)))),
     ("graft_dot", "graft_dot(a, b) - inner product of two float/double arrays",
-      (es: Seq[Expression]) => DotProductExpr(es(0), es(1))),
+      arity("graft_dot", 2, es => DotProductExpr(es(0), es(1)))),
     ("graft_l2", "graft_l2(a, b) - euclidean distance of two float/double arrays",
-      (es: Seq[Expression]) => L2DistExpr(es(0), es(1))),
+      arity("graft_l2", 2, es => L2DistExpr(es(0), es(1)))),
     ("graft_tokens_minhash", "graft_tokens_minhash(tokens) - 16-hash MinHash signature of a token array (3-gram shingles)",
-      (es: Seq[Expression]) => TokensMinHashExpr(es(0), 3, 16)))
+      arity("graft_tokens_minhash", 1, es => TokensMinHashExpr(es(0), 3, 16))))
 
   /** Register on an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

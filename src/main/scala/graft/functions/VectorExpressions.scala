@@ -246,17 +246,31 @@ object MinHashUtil {
     val n = tokens.numElements()
     val out = Array.fill(numHashes)(Long.MaxValue)
     val space = ' '.toByte
+    // SKIPS null elements while keeping window positions — the exact
+    // semantics of ShingleUtil.joinWindow (array_join's null handling),
+    // so SQL-registered calls on arrays with null elements get defined
+    // behavior instead of an executor NPE, and the two fused kernels
+    // agree.
     def shingleBytes(from: Int, count: Int): Array[Byte] = {
-      var len = if (count > 0) count - 1 else 0
+      var len = 0; var nonNull = 0
       var k = 0
-      while (k < count) { len += tokens.getUTF8String(from + k).numBytes(); k += 1 }
-      val buf = new Array[Byte](len)
-      var pos = 0; k = 0
       while (k < count) {
-        if (k > 0) { buf(pos) = space; pos += 1 }
-        val t = tokens.getUTF8String(from + k)
-        t.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
-        pos += t.numBytes(); k += 1
+        if (!tokens.isNullAt(from + k)) {
+          len += tokens.getUTF8String(from + k).numBytes(); nonNull += 1
+        }
+        k += 1
+      }
+      if (nonNull > 1) len += nonNull - 1
+      val buf = new Array[Byte](len)
+      var pos = 0; k = 0; var first = true
+      while (k < count) {
+        if (!tokens.isNullAt(from + k)) {
+          if (!first) { buf(pos) = space; pos += 1 }
+          val t = tokens.getUTF8String(from + k)
+          t.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+          pos += t.numBytes(); first = false
+        }
+        k += 1
       }
       buf
     }

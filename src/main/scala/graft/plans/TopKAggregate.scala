@@ -35,6 +35,17 @@ case class TopKByScore(
     extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
 
   override def children: Seq[Expression] = Seq(score, id)
+  // analysis-time contract: update() casts with asInstanceOf, so a
+  // non-DOUBLE score or non-BIGINT id must fail analysis, not the task
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (score.dataType != DoubleType) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName score must be DOUBLE, got ${score.dataType.catalogString}")
+    else if (id.dataType != LongType) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName id must be BIGINT, got ${id.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType, nullable = false),

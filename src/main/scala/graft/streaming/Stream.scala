@@ -8,10 +8,14 @@ import graft.operators.Ingest
 
 /** Structured Streaming ingestion — the engine's form of the reference's
   * ROS topic subscriptions (O1-O4, `bob_vector_db/embedder.py:161-174`):
-  * an unbounded stream of embed messages, normalized and upserted with
-  * at-least-once + idempotent-write semantics (an upgrade over the
-  * reference's at-most-once drop-on-error, `embedder.py:217-225` — the
-  * checkpoint replaces the fire-and-forget queue).
+  * an unbounded stream of embed messages, normalized and upserted.
+  * Delivery is AT-MOST-ONCE PER BATCH by deliberate choice, mirroring the
+  * reference's error containment (`embedder.py:217-225`) — a batch whose
+  * sink write fails is logged and dropped while the checkpoint advances —
+  * but unlike the reference's silent drop, the loss is observable and
+  * bounded to whole batches. Callers that need at-least-once rethrow from
+  * their `onBatch` (the stream then fails and replays the batch from the
+  * checkpoint; with the idempotent keep-last upsert, replay is safe).
   *
   * Scale notes: the file source scales by `maxFilesPerTrigger` (the
   * analog of the reference's queue depth 1000); normalization is narrow;
@@ -33,8 +37,9 @@ object Stream {
 
   /** Upsert sink: same-id overwrite within each micro-batch (the
     * streaming form of O14, `qdrant_embedder.py:130-143`) via
-    * foreachBatch — each batch is dropDuplicates("id") then appended;
-    * exactly-once per checkpoint for the file sink. */
+    * foreachBatch. Error containment per the object scaladoc: a failing
+    * `onBatch` is logged and the batch DROPPED (at-most-once per batch) —
+    * rethrow from `onBatch` to get replay-from-checkpoint instead. */
   def upsertSink(points: DataFrame, checkpointDir: String)
                 (onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     points.writeStream

@@ -60,4 +60,30 @@ class E2ESpec extends AnyFunSuite with SparkSpec {
     assert(sqlTop.length == 3)
     assert(sqlTop.head.getDouble(1) > 0.999999)
   }
+
+  test("SQL registry misuse fails cleanly (arity, null tokens, topk types)") {
+    graft.functions.GraftFunctions.register(spark)
+    // wrong arity: a clean error from the registry, not an index crash
+    val e = intercept[Exception] { spark.sql("SELECT graft_cosine(array(1.0))") }
+    assert(e.getMessage.contains("graft_cosine expects 2 argument(s)"),
+      s"unexpected: ${e.getMessage}")
+    // a token array WITH a null element gets defined semantics (null
+    // skipped, like array_join) instead of an executor NPE
+    val sig = spark.sql(
+      "SELECT graft_tokens_minhash(array('a', CAST(NULL AS STRING), 'b'))")
+      .head().getSeq[Long](0)
+    val sigNoNull = spark.sql("SELECT graft_tokens_minhash(array('a', 'b'))")
+      .head().getSeq[Long](0)
+    assert(sig == sigNoNull && sig.length == 16)
+    // TopKByScore type misuse fails at ANALYSIS, not execution
+    import org.apache.spark.sql.functions._
+    val df = Tables.load(spark, sf, "embeddings").limit(5)
+      .select(lit(1.0).as("s"), col("vec_id").cast("int").as("i"))
+    val bad = intercept[Exception] {
+      df.agg(graft.plans.TopKByScore.topK(col("s"), col("i"), 3)).collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("bigint") ||
+           bad.getMessage.contains("DATATYPE_MISMATCH"),
+      s"not an analysis-time type error: ${bad.getMessage}")
+  }
 }
