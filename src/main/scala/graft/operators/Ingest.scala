@@ -99,6 +99,28 @@ object Ingest {
         makeId(col("collection"), col("document"), col("idx"), col("ids")))
       .drop("documents", "ids", "images")
 
+  /** Media side-channel override (`qdrant_embedder.py:82-86`): when an
+    * in-memory media payload travels with the message, it REPLACES the
+    * `images` path field for that row — the reference logs a warning and
+    * embeds the media. The engine makes the override OBSERVABLE instead of
+    * a log line: `media_source` says which input won ("media" | "path" |
+    * null) and `image` is nulled when overridden (so no downstream op can
+    * accidentally read the ignored path — exactly the reference rule).
+    * `media_overridden` marks rows where both were present (the warn
+    * case). */
+  def resolveMedia(points: DataFrame,
+                   mediaCol: String = "media"): DataFrame =
+    points
+      .withColumn("media_overridden",
+        col(mediaCol).isNotNull && col("image").isNotNull)
+      .withColumn("media_source",
+        when(col(mediaCol).isNotNull, lit("media"))
+          .when(col("image").isNotNull, lit("path"))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("image",
+        when(col(mediaCol).isNotNull, lit(null).cast("string"))
+          .otherwise(col("image")))
+
   /** O16: add `image_base64` (and `image_origin` when the image came from a
     * path rather than the in-memory media side-channel) unless the payload
     * already carries the key — the reference never overwrites

@@ -229,6 +229,45 @@ object Collections {
       ascending)
   }
 
+  /** Collection-management surface (the Qdrant client verbs the reference's
+    * backends expose beyond create/upsert/search): list / delete / scroll. */
+
+  /** Collections under `rootDir` = subdirectories carrying a
+    * `_collection.json` metadata record. */
+  def list(rootDir: String): Seq[String] = {
+    val root = Paths.get(rootDir)
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val s = Files.list(root)
+      try s.iterator().asScala
+        .filter(d => Files.isDirectory(d) && exists(d.toString))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Drop a collection: metadata, data buckets, backups — everything. */
+  def delete(dir: String): Unit =
+    if (Files.exists(Paths.get(dir))) deleteRecursively(Paths.get(dir))
+
+  /** One scroll page (Qdrant `scroll`): points ordered by id, strictly
+    * after `afterId`, optionally filtered (the filter DSL composes here
+    * like in search). Returns (page, nextOffset) — nextOffset is None on
+    * the last page. Plans to TakeOrderedAndProject (bounded heap), so a
+    * page never global-sorts the collection; the id predicate pushes to
+    * the scan. */
+  def scroll(spark: SparkSession, dir: String, idCol: String,
+             afterId: Option[Any], limit: Int,
+             filter: Option[org.apache.spark.sql.Column] = None)
+      : (DataFrame, Option[Any]) = {
+    val base0 = filter.foldLeft(read(spark, dir))((df, f) => df.filter(f))
+    val base = afterId.foldLeft(base0)((df, a) => df.filter(col(idCol) > lit(a)))
+    val page = base.orderBy(col(idCol)).limit(limit)
+    val rows = page.select(col(idCol)).collect()
+    val next = if (rows.length < limit) None else Some(rows.last.get(0))
+    (page, next)
+  }
+
   /** O20: the sink interface (`json_embedder.py:3-9`) — one write method,
     * backends differ only in construction (O18's backend dispatch). */
   trait CollectionSink {

@@ -130,6 +130,38 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
       .getAs[Int]("label") >= 100)
   }
 
+  test("management surface: list / scroll / delete") {
+    val root = Files.createTempDirectory("graft-mgmt").toString
+    val emb = Tables.load(spark, sf, "embeddings").withColumn("seq", lit(0))
+    Seq("alpha", "beta").foreach { name =>
+      new Collections.ParquetCollectionSink(spark, s"$root/$name",
+        VectorConfig(64), "embedding", "vec_id", "seq").write(emb.limit(30))
+    }
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/not_a_coll"))
+    assert(Collections.list(root) == Seq("alpha", "beta"))
+
+    // scroll: pages are disjoint, ordered, and cover the collection
+    val (p1, o1) = Collections.scroll(spark, s"$root/alpha", "vec_id",
+      None, 12)
+    val (p2, o2) = Collections.scroll(spark, s"$root/alpha", "vec_id",
+      o1, 12)
+    val (p3, o3) = Collections.scroll(spark, s"$root/alpha", "vec_id",
+      o2, 12)
+    val ids = Seq(p1, p2, p3).flatMap(_.select("vec_id").collect()
+      .map(_.getLong(0)))
+    assert(ids == ids.sorted && ids.distinct.size == 30)
+    assert(o3.isEmpty, "last page must end the scroll")
+    // filtered scroll composes with the DSL
+    val (pf, _) = Collections.scroll(spark, s"$root/alpha", "vec_id",
+      None, 100, Some(graft.operators.PayloadFilter.fromJson(
+        """{"key": "label", "match": {"value": 3}}""")))
+    assert(pf.collect().forall(_.getAs[Int]("label") == 3))
+
+    Collections.delete(s"$root/beta")
+    assert(Collections.list(root) == Seq("alpha"))
+    assert(!Collections.exists(s"$root/beta"))
+  }
+
   test("upsert: same id overwrites (keep-last by sequence), dims enforced") {
     val dir = Files.createTempDirectory("graft-coll").toString + "/c2"
     val sink = new Collections.ParquetCollectionSink(spark, dir,

@@ -202,6 +202,26 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("media side-channel overrides the images path (reference " +
+       "qdrant_embedder.py:82-86 rule, observable)") {
+    import graft.operators.Ingest
+    import spark.implicits._
+    val pts = Seq(
+      (1L, "/a.jpg", null.asInstanceOf[Array[Byte]]),
+      (2L, "/b.jpg", Array[Byte](1, 2)),
+      (3L, null.asInstanceOf[String], Array[Byte](3)),
+      (4L, null.asInstanceOf[String], null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "image", "media")
+    val r = Ingest.resolveMedia(pts).collect()
+      .map(x => x.getLong(0) ->
+        (x.getAs[String]("image"), x.getAs[String]("media_source"),
+          x.getAs[Boolean]("media_overridden"))).toMap
+    assert(r(1L) == (("/a.jpg", "path", false))) // path only: kept
+    assert(r(2L) == ((null, "media", true)))     // both: media WINS, flagged
+    assert(r(3L) == ((null, "media", false)))    // media only
+    assert(r(4L) == ((null, null, false)))       // neither
+  }
+
   test("multimodal: batch decode preserves a STRING id column") {
     val feats = Multimodal.decodeFeaturesBatch(
         Multimodal.attachBinary(docs20)
