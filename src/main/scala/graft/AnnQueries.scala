@@ -55,14 +55,34 @@ object AnnQueries {
     init + steps
   }
 
+  /** Trained-centroid memo keyed by (sfDir, k, iters): ann_kmeans and
+    * ann_ivf share one training run per fixture instead of each
+    * re-training. Values are plain driver-side arrays (session-safe; a
+    * DataFrame is rebuilt per call) and deterministic by construction
+    * (kmeansFit's determinism is spec-asserted), so memoization cannot
+    * change any result. */
+  private val kmCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Int, Int), Array[(Long, Seq[Double])]]
+
+  private def trainedCentroids(s: org.apache.spark.sql.SparkSession,
+                               dir: String, k: Int, iters: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    kmCache.getOrElseUpdate((dir, k, iters),
+      Ann.kmeansFit(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          k, iters)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))))
+      .toSeq.toDF("cid", "cv")
+  }
+
   /** Deterministic k-means centroid table (k=8, 2 Lloyd rounds) as a
     * declared query — the oracle replays TRAINING itself, so the gate
     * covers the index build, not just the search. Long format (cid, dim,
     * micro) because the driver compare cannot hash array columns. */
   val annKmeans = Q("ann_kmeans",
     (s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      Ann.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2)
+      trainedCentroids(s, dir, k = 8, iters = 2)
         .select(col("cid"), posexplode(col("cv")).as(Seq("i", "c")))
         .select(col("cid"), col("i"),
           floor(col("c") * 1e6 + lit(0.5)).cast("long").as("c_micro"))
@@ -80,8 +100,7 @@ object AnnQueries {
   val annIvf = Q("ann_ivf",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val centroids = Ann.kmeansFit(emb, "vec_id", "embedding",
-        k = 8, iters = 2)
+      val centroids = trainedCentroids(s, dir, k = 8, iters = 2)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0)

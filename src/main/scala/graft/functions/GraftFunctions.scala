@@ -37,7 +37,9 @@ object GraftFunctions {
     ("graft_l2", "graft_l2(a, b) - euclidean distance of two float/double arrays",
       arity("graft_l2", 2, es => L2DistExpr(es(0), es(1)))),
     ("graft_tokens_minhash", "graft_tokens_minhash(tokens) - 16-hash MinHash signature of a token array (3-gram shingles)",
-      arity("graft_tokens_minhash", 1, es => TokensMinHashExpr(es(0), 3, 16))))
+      arity("graft_tokens_minhash", 1, es => TokensMinHashExpr(es(0), 3, 16))),
+    ("graft_tokens_simhash", "graft_tokens_simhash(tokens) - 60-bit SimHash signature of a token array",
+      arity("graft_tokens_simhash", 1, es => TokensSimHashExpr(es(0), 60))))
 
   /** Register on an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

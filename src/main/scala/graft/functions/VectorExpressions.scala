@@ -319,6 +319,81 @@ case class TokensMinHashExpr(child: Expression, shingleN: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Runtime helper for [[TokensSimHashExpr]] — same plain-JVM contract as
+  * [[MinHashUtil]]. */
+object SimHashUtil {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit simhash straight from the token array in one pass: per token,
+    * the first 15 md5 hex digits (= the top 60 bits of the first 8 digest
+    * bytes) vote ±1 on each bit; bit j of the signature is set iff its
+    * vote sum is positive. Token weight = occurrence count (no distinct);
+    * null elements are skipped (array_join semantics, matching the other
+    * fused kernels). Bit-identical to the explode + two-aggregation SQL
+    * form and to the DuckDB oracle's
+    * `('0x'||substr(md5(tok),1,15))::BIGINT` pipeline. */
+  def sig(tokens: org.apache.spark.sql.catalyst.util.ArrayData,
+          bits: Int): Long = {
+    val counts = new Array[Int](bits)
+    val n = tokens.numElements()
+    val d = md5.get()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        d.reset()
+        val dig = d.digest(tokens.getUTF8String(i).getBytes)
+        // first 15 hex digits == (first 8 bytes as unsigned 64) >>> 4
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+        h = h >>> 4
+        var j = 0
+        while (j < bits) {
+          if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) { if (counts(j) > 0) out |= 1L << j; j += 1 }
+    out
+  }
+}
+
+/** Fused tokens → 60-bit SimHash signature (see [[SimHashUtil.sig]]):
+  * replaces the explode(tokens)×explode(60 bits) + two shuffled
+  * aggregations form — the signature never leaves the row, so the only
+  * shuffle left in the near-dup pipeline is the band equi-join. */
+case class TokensSimHashExpr(child: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"tokens_simhash needs array<string>, got ${dt.catalogString}")
+  }
+
+  override def prettyName: String = "graft_tokens_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashUtil.sig(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHashUtil.sig($a, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fused word n-gram shingle construction: token array → array of
   * shingle strings (joined with ' '; whole token list when shorter than
   * n) in one compiled pass — replaces the interpreted

@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   *    density), never O(n²); the only shuffles are the signature
   *    aggregation (keyed by doc) and the band self-join (keyed by
   *    band+signature, uniformly hashed);
-  *  - SimHash gives a per-doc 60-bit signature in two aggregations;
+  *  - SimHash gives a per-doc 60-bit signature in one fused compiled
+  *    pass (TokensSimHashExpr — no explode, no shuffle);
   *    pairing buckets on signature bands (simhashBands/simhashCandidates —
   *    the Manku prefix-bucketing form), an equi-join that never goes
   *    all-pairs; hamming is verified exactly on the candidates only;
@@ -93,19 +94,35 @@ object Dedup {
 
   /** SimHash: 60-bit signature (60 bits keeps every intermediate positive
     * in a signed 64-bit int in both engines). Token weight = occurrence
-    * count (tokens are NOT distinct'd). */
+    * count (tokens are NOT distinct'd). One fused compiled pass per doc
+    * (TokensSimHashExpr) — the signature never leaves the row, zero
+    * shuffle. The empty-token filter matches the explode twin (and the
+    * oracle): a doc with no tokens has no signature, it does not
+    * contribute a zero-vote sig. NOTE the r2 "nested-HOF 27× slower"
+    * finding applied to INTERPRETED HOF lambdas; this is a codegen
+    * expression, benchmarked faster than the explode form it replaces
+    * (see SURVEY §8.4 r3). */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 60): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .select(col(idCol),
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.TokensSimHashExpr(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("__tk")),
+            bits)).as("simhash"))
+
+  /** The explode + two-aggregation twin of [[simhash]] — kept as the
+    * cross-check surface (OperatorSpec asserts bit-equality with the
+    * fused form, the same twin pattern as cosine HOF vs codegen). */
+  def simhashExplode(docs: DataFrame, idCol: String, textCol: String,
+                     bits: Int = 60): DataFrame =
     docs
       .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
       .select(col(idCol),
         conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long").as("h"))
       .withColumn("j", explode(sequence(lit(0), lit(bits - 1))))
-      // +1 when bit j of h is set, -1 otherwise. Benchmarked NOTE: the
-      // "shuffle-free" nested-HOF form (fold 60 bits × aggregate tokens
-      // in-row) is ~27× SLOWER than this explode + two map-side-combined
-      // aggregations — interpreted lambda overhead dwarfs the shuffle of
-      // small (id, j, ±1) rows. Explode wins here; keep it.
       .withColumn("c", expr("CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END"))
       .groupBy(idCol, "j")
       .agg(sum("c").as("s"))

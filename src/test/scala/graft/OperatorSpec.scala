@@ -48,6 +48,20 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("fused simhash expression is bit-equal to the explode twin " +
+       "(incl. empty-token docs dropped identically)") {
+    val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .unionAll(spark.createDataFrame(Seq(
+        (900001L, "   "), (900002L, ""))).toDF("doc_id", "text"))
+    val fused = Dedup.simhash(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val explode = Dedup.simhashExplode(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == explode)
+    assert(!fused.contains(900001L) && !fused.contains(900002L),
+      "empty-token docs must have no signature in either form")
+  }
+
   test("simhash banding: exact dups collide in every band; candidates " +
        "cover all hamming<=3 pairs (pigeonhole)") {
     val d = docs20.select("doc_id", "text")
