@@ -134,6 +134,45 @@ object AnnQueries {
              CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
       FROM cand ORDER BY score DESC, vec_id LIMIT 10"""))
 
+  /** Session-lifetime materialized-index memo: the IVF index (collection
+    * parquet PARTITIONED BY cluster) is built once per JVM per fixture,
+    * under java.io.tmpdir. Rebuilt on every fresh JVM (overwrite), so no
+    * cross-run staleness; contents are deterministic (trained centroids +
+    * deterministic assignment). */
+  private val ivfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ivfIndexDir(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String =
+    ivfIndexCache.getOrElseUpdate(dir, {
+      val target = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_ivf_" + Integer.toHexString(dir.hashCode)).toString
+      Ann.buildIvfIndex(Tables.load(s, dir, "embeddings"), "vec_id",
+        "embedding", trainedCentroids(s, dir, 8, 2), "cid", "cv", target)
+      target
+    })
+
+  /** The materialized-index form of ann_ivf: probes are PARTITION PRUNING
+    * on the cluster-partitioned parquet (PartitionFilters — the scan
+    * touches ~nprobe/k of the bytes; OperatorSpec asserts the plan).
+    * Same oracle as ann_ivf: materialization must not change one row. */
+  val annIvfIndexed = Q("ann_ivf_indexed",
+    (s, dir) => {
+      val idx = ivfIndexDir(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Ann.ivfSearchIndexed(s, idx, "vec_id", "embedding",
+          trainedCentroids(s, dir, 8, 2), "cid", "cv", q,
+          nprobe = 2, k = 10)
+        // partition-column discovery narrows cluster to INT; restore the
+        // centroid id's BIGINT so the schema matches the oracle
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          floor(col("score") * 1e6 + lit(0.5)).cast("long").as("score_micro"))
+    },
+    annIvf.oracle) // identical oracle: materialization changes no row
+
   private val NumPlanes = 8
   private lazy val planes = Ann.hyperplanes(NumPlanes, 64)
 
@@ -191,5 +230,6 @@ object AnnQueries {
       SELECT ${bucketSql("embedding")} AS bucket, COUNT(*) AS n
       FROM embeddings GROUP BY 1 ORDER BY bucket"""))
 
-  def queries: Seq[Q] = Seq(annKmeans, annIvf, annLsh, annLshStats)
+  def queries: Seq[Q] = Seq(annKmeans, annIvf, annIvfIndexed, annLsh,
+    annLshStats)
 }
