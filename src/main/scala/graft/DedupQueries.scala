@@ -172,7 +172,9 @@ object DedupQueries {
         numHashes = 16, shingleN = 3)
       val cands = Dedup.lshCandidates(
         Dedup.lshBands(sig, "doc_id", rowsPerBand = 4), "doc_id")
-      Dedup.jaccardVerify(cands, docs, "doc_id", "text", shingleN = 3)
+      // in-row fused verify (per-pair set intersection, no shingle table);
+      // the inverted-index twin jaccardVerify is bit-equal (spec)
+      Dedup.jaccardVerifyInRow(cands, docs, "doc_id", "text", shingleN = 3)
         .filter(col("jacc_micro") >= 300000)
         .orderBy("doc_a", "doc_b")
         .select("doc_a", "doc_b", "inter", "jacc_micro")

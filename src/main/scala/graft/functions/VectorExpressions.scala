@@ -463,4 +463,79 @@ object ShingleUtil {
         Array[Any](joinWindow(tokens, 0, cnt)))
     }
   }
+
+  /** Distinct-shingle set statistics for a candidate PAIR in one pass:
+    * [|distinct(A)|, |distinct(B)|, |distinct(A) ∩ distinct(B)|] — the
+    * exact counts the inverted-index join + aggregations compute, without
+    * materializing a shingle table. */
+  def interStats(a: ArrayData, b: ArrayData, n: Int): Array[Long] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val sa = shingles(a, n)
+    val setA = new java.util.HashSet[UTF8String](sa.numElements() * 2)
+    var i = 0
+    while (i < sa.numElements()) { setA.add(sa.getUTF8String(i)); i += 1 }
+    val sb = shingles(b, n)
+    val seenB = new java.util.HashSet[UTF8String](sb.numElements() * 2)
+    var inter = 0L
+    i = 0
+    while (i < sb.numElements()) {
+      val s = sb.getUTF8String(i)
+      if (seenB.add(s) && setA.contains(s)) inter += 1
+      i += 1
+    }
+    Array(setA.size.toLong, seenB.size.toLong, inter)
+  }
+}
+
+/** Fused per-PAIR Jaccard statistics over two token arrays: struct(n_a,
+  * n_b, inter) of distinct `shingleN`-gram shingle sets (see
+  * [[ShingleUtil.interStats]]). The verify stage of the two-stage
+  * near-dup pipeline runs this per candidate pair — cost O(|a|+|b|) per
+  * pair with NO shingle table, no shingle-keyed joins, no aggregation;
+  * the right regime for LLM corpora where candidates are sparse relative
+  * to the corpus. The inverted-index form (Dedup.jaccardVerify) remains
+  * for the opposite regime and as the bit-equality twin. */
+case class JaccardStatsExpr(left: Expression, right: Expression,
+                            shingleN: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    StructType(Seq(
+      StructField("n_a", LongType, nullable = false),
+      StructField("n_b", LongType, nullable = false),
+      StructField("inter", LongType, nullable = false)))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.StringType, _),
+            ArrayType(org.apache.spark.sql.types.StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_stats needs (array<string>, array<string>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def prettyName: String = "graft_jaccard_stats"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val s = ShingleUtil.interStats(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], shingleN)
+    org.apache.spark.sql.catalyst.InternalRow(s(0), s(1), s(2))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("st")
+      s"""
+        long[] $s = graft.functions.ShingleUtil.interStats($a, $b, $shingleN);
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[] { $s[0], $s[1], $s[2] });
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

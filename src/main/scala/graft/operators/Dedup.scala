@@ -221,6 +221,35 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "jacc_micro")
   }
 
+  /** In-row Jaccard verify for a GIVEN candidate-pair table: joins each
+    * pair with its two token arrays (two broadcast/hash joins on doc id)
+    * and computes |A|, |B|, |A∩B| in one compiled pass per pair
+    * (JaccardStatsExpr) — no shingle table, no shingle-keyed join, no
+    * aggregation. O(|a|+|b|) per candidate: the right regime when LSH
+    * candidates are sparse relative to the corpus (the usual LLM-dedup
+    * case). Bit-identical to [[jaccardVerify]] (spec-asserted), which
+    * remains for the opposite regime (candidate pairs ≫ docs, where the
+    * inverted index amortizes shingle construction). */
+  def jaccardVerifyInRow(candidates: DataFrame, docs: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3): DataFrame = {
+    val tk = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+    candidates
+      .join(tk.select(col(idCol).as("doc_a"), col("__tk").as("__ta")),
+        "doc_a")
+      .join(tk.select(col(idCol).as("doc_b"), col("__tk").as("__tb")),
+        "doc_b")
+      .withColumn("__st", org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.JaccardStatsExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("__ta")),
+          org.apache.spark.sql.GraftSqlBridge.expression(col("__tb")),
+          shingleN)))
+      .select(col("doc_a"), col("doc_b"),
+        col("__st.inter").as("inter"),
+        expr("__st.inter * 1000000 DIV (__st.n_a + __st.n_b - __st.inter)")
+          .as("jacc_micro"))
+  }
+
   /** Exact Jaccard similarity over distinct n-gram shingle sets, computed
     * with an inverted-index join: only pairs sharing ≥1 shingle are ever
     * materialized. jacc_micro = |∩| * 1e6 div |∪| (integer). */

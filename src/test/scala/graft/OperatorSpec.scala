@@ -103,6 +103,22 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(j.nonEmpty && j.forall(_ == 1000000L))
   }
 
+  test("in-row Jaccard verify is bit-equal to the inverted-index twin") {
+    val d = docs20.select("doc_id", "text")
+    val dup = d.unionAll(d.select((col("doc_id") + 1000).as("doc_id"),
+      concat(col("text"), lit(" tail tokens here")).as("text")))
+    val sig = Dedup.minhash(dup, "doc_id", "text", numHashes = 16)
+    val cands = Dedup.lshCandidates(
+      Dedup.lshBands(sig, "doc_id", rowsPerBand = 4), "doc_id")
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "inter", "jacc_micro")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val inRow = snap(Dedup.jaccardVerifyInRow(cands, dup, "doc_id", "text"))
+    val inverted = snap(Dedup.jaccardVerify(cands, dup, "doc_id", "text"))
+    assert(inRow == inverted && inRow.nonEmpty)
+  }
+
   test("langId predicts a declared language; tokens/quality are consistent") {
     val d = Tables.load(spark, sf, "documents").limit(50)
       .withColumn("tk", TextAnalysis.tokens(col("text")))
