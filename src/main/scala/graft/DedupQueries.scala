@@ -86,12 +86,14 @@ object DedupQueries {
              MIN(doc_id) AS keeper
       FROM docs2 GROUP BY 1 ORDER BY 1"""))
 
-  /** V6 — MinHash (16 hashes) + LSH (4 bands × 4 rows) candidate pairs. */
+  /** V6 — MinHash (16 hashes) + LSH (4 bands × 4 rows) candidate pairs.
+    * Banding is the fused in-row form (no signature explode, no (id,band)
+    * shuffle — lshBandsFused). */
   val dedupMinhash = Q("dedup_minhash",
     (s, dir) => {
-      val sig = Dedup.minhash(planted(s, dir), "doc_id", "text",
-        numHashes = 16, shingleN = 3)
-      Dedup.lshCandidates(Dedup.lshBands(sig, "doc_id", rowsPerBand = 4),
+      Dedup.lshCandidates(
+          Dedup.lshBandsFused(planted(s, dir), "doc_id", "text",
+            numHashes = 16, shingleN = 3, rowsPerBand = 4),
           "doc_id")
         .orderBy("doc_a", "doc_b")
     },
@@ -168,10 +170,9 @@ object DedupQueries {
   val dedupNgram = Q("dedup_ngram",
     (s, dir) => {
       val docs = planted(s, dir)
-      val sig = Dedup.minhash(docs, "doc_id", "text",
-        numHashes = 16, shingleN = 3)
       val cands = Dedup.lshCandidates(
-        Dedup.lshBands(sig, "doc_id", rowsPerBand = 4), "doc_id")
+        Dedup.lshBandsFused(docs, "doc_id", "text",
+          numHashes = 16, shingleN = 3, rowsPerBand = 4), "doc_id")
       // in-row fused verify (per-pair set intersection, no shingle table);
       // the inverted-index twin jaccardVerify is bit-equal (spec)
       Dedup.jaccardVerifyInRow(cands, docs, "doc_id", "text", shingleN = 3)

@@ -71,6 +71,36 @@ object Dedup {
             shingleN, numHashes)))
           .as(Seq("seed", "minhash")))
 
+  /** (id, band, band_sig) rows straight from the fused in-row MinHash
+    * signature: the signature array never explodes to (seed, minhash)
+    * rows, so there is NO (id, band) aggregation shuffle — banding is a
+    * narrow projection + posexplode of `numHashes/rowsPerBand` small
+    * strings per doc. Output is row-identical to
+    * `lshBands(minhash(docs, ...), ...)` (spec-asserted); that exploded
+    * twin remains for signature-level analysis (e.g. the monotonicity
+    * property test). */
+  def lshBandsFused(docs: DataFrame, idCol: String, textCol: String,
+                    numHashes: Int, shingleN: Int = 3,
+                    rowsPerBand: Int = 4): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"$rowsPerBand rows/band must divide $numHashes hashes")
+    docs
+      .select(col(idCol),
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.TokensMinHashExpr(
+            org.apache.spark.sql.GraftSqlBridge.expression(
+              tokens(col(textCol))),
+            shingleN, numHashes)).as("__sig"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), lit(numHashes / rowsPerBand - 1)),
+          b => array_join(
+            transform(
+              slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              m => m.cast("string")), "-")))
+          .as(Seq("band", "band_sig")))
+  }
+
   /** LSH banding: group each doc's signature into bands of `rowsPerBand`
     * hashes; the band signature is the ordered minhash concatenation. */
   def lshBands(sig: DataFrame, idCol: String, rowsPerBand: Int): DataFrame =

@@ -103,6 +103,19 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(j.nonEmpty && j.forall(_ == 1000000L))
   }
 
+  test("fused banding is row-identical to lshBands(minhash(...))") {
+    val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "band", "band_sig")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val fused = snap(Dedup.lshBandsFused(d, "doc_id", "text",
+      numHashes = 16, shingleN = 3, rowsPerBand = 4))
+    val exploded = snap(Dedup.lshBands(
+      Dedup.minhash(d, "doc_id", "text", numHashes = 16, shingleN = 3),
+      "doc_id", rowsPerBand = 4))
+    assert(fused == exploded && fused.nonEmpty)
+  }
+
   test("in-row Jaccard verify is bit-equal to the inverted-index twin") {
     val d = docs20.select("doc_id", "text")
     val dup = d.unionAll(d.select((col("doc_id") + 1000).as("doc_id"),
