@@ -245,6 +245,25 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("source formats: CSV and ORC round-trip the documents table " +
+       "(schema-preserving, same rows as parquet)") {
+    val d = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fmt")
+    d.write.option("header", "true").option("quoteAll", "true")
+      .csv(s"$tmp/csv")
+    d.write.orc(s"$tmp/orc")
+    val fromCsv = spark.read.option("header", "true")
+      .schema(d.schema).csv(s"$tmp/csv")
+    val fromOrc = spark.read.orc(s"$tmp/orc")
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(snap(fromOrc) == snap(d))
+    assert(snap(fromCsv) == snap(d))
+    assert(fromOrc.schema == d.schema)
+  }
+
   test("media side-channel overrides the images path (reference " +
        "qdrant_embedder.py:82-86 rule, observable)") {
     import graft.operators.Ingest
