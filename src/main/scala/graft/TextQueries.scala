@@ -160,6 +160,52 @@ object TextQueries {
       GROUP BY ROLLUP (lang, source)
       ORDER BY lang NULLS FIRST, source NULLS FIRST"""))
 
-  def queries: Seq[Q] = Seq(txtTokens, txtLangid, txtQuality,
+  /** V7/V8 — deterministic fixed-point BM25 (k1=1.2, b=0.75 milli;
+    * ln-free monotone idf surrogate — see TextAnalysis.bm25 scaladoc for
+    * why an exact-hash gate can't use transcendentals): top-10 docs for a
+    * 3-term query. The principled keyword side of hybrid retrieval. */
+  val txtBm25 = Q("txt_bm25",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      TextAnalysis.bm25(d, "doc_id", "text",
+          terms = Seq("data", "query", "table"))
+        .orderBy(desc("bm25_micro"), col("doc_id"))
+        .limit(10)
+        .select("doc_id", "bm25_micro", "n_terms_hit")
+    },
+    Some(tkSql + """,
+      lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM tk),
+      stats AS (SELECT COUNT(*) AS n, SUM(len) AS sumlen FROM lens),
+      tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(tk) AS tok FROM tk) u
+        WHERE tok IN ('data', 'query', 'table')
+        GROUP BY doc_id, tok),
+      dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      sc AS (
+        SELECT t.doc_id, t.tf, l.len,
+               s.sumlen * 1000 // s.n AS avglen_milli,
+               1000000 * s.n // (d.df + 1) AS idf_micro
+        FROM tf t
+        JOIN dft d ON d.tok = t.tok
+        JOIN lens l ON l.doc_id = t.doc_id
+        CROSS JOIN stats s),
+      sc2 AS (SELECT *, len * 1000000 // avglen_milli AS ratio_milli FROM sc),
+      sc3 AS (SELECT *,
+               (1000 - 750) + (750 * ratio_milli) // 1000 AS norm_milli
+              FROM sc2),
+      sc4 AS (SELECT *,
+               tf * 1000 + (1200 * norm_milli) // 1000 AS denom_milli
+              FROM sc3),
+      sc5 AS (SELECT doc_id,
+               idf_micro * tf * (1000 + 1200) // denom_milli
+                 AS term_score_micro
+              FROM sc4)
+      SELECT doc_id, CAST(SUM(term_score_micro) AS BIGINT) AS bm25_micro,
+             COUNT(*) AS n_terms_hit
+      FROM sc5 GROUP BY doc_id
+      ORDER BY bm25_micro DESC, doc_id LIMIT 10"""))
+
+  def queries: Seq[Q] = Seq(txtBm25, txtTokens, txtLangid, txtQuality,
     txtFingerprint, txtStats)
 }

@@ -67,4 +67,49 @@ object TextAnalysis {
           .otherwise(array(col(textCol))),
         g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
         .as("fingerprint"))
+
+  /** Deterministic BM25 relevance over a fixed query-term set — the
+    * principled keyword side of hybrid retrieval (the RRF query's
+    * keyword-count scorer is the degenerate form). FIXED-POINT VARIANT:
+    * every quantity is integer milli/micro units and the idf is the
+    * ln-free monotone surrogate `(1e6·N) DIV (df+1)` — BM25's ln idf
+    * would hinge on transcendental rounding that differs between engines
+    * at the last ulp, which an exact-hash oracle cannot tolerate; the
+    * surrogate preserves the rank ordering ln provides (strictly
+    * decreasing in df), which is all ranking needs.
+    *
+    * Scale shape: one explode filtered TO THE QUERY TERMS before any
+    * shuffle (so the exploded volume is hits-only), two
+    * map-side-combinable aggs (tf per doc·term, df per term), a 1-row
+    * corpus-stats broadcast, a |terms|-row df broadcast — the document
+    * table is never shuffled. k1 = 1.2, b = 0.75 (milli). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1Milli: Long = 1200,
+           bMilli: Long = 750): DataFrame = {
+    val tk = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+    val lens = tk.select(col(idCol), size(col("__tk")).cast("long").as("len"))
+    val stats = lens.agg(count(lit(1)).as("n"), sum("len").as("sumlen"))
+    val tf = tk
+      .select(col(idCol), explode(col("__tk")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(idCol, "tok")
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(dfT), "tok")
+      .join(lens, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("avglen_milli", expr("sumlen * 1000 DIV n"))
+      .withColumn("idf_micro", expr("1000000 * n DIV (df + 1)"))
+      .withColumn("ratio_milli", expr("len * 1000000 DIV avglen_milli"))
+      .withColumn("norm_milli",
+        expr(s"(1000 - $bMilli) + ($bMilli * ratio_milli) DIV 1000"))
+      .withColumn("denom_milli",
+        expr(s"tf * 1000 + ($k1Milli * norm_milli) DIV 1000"))
+      .withColumn("term_score_micro",
+        expr(s"idf_micro * tf * (1000 + $k1Milli) DIV denom_milli"))
+      .groupBy(idCol)
+      .agg(sum("term_score_micro").as("bm25_micro"),
+        count(lit(1)).as("n_terms_hit"))
+  }
 }
