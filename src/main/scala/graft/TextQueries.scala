@@ -164,16 +164,9 @@ object TextQueries {
     * ln-free monotone idf surrogate — see TextAnalysis.bm25 scaladoc for
     * why an exact-hash gate can't use transcendentals): top-10 docs for a
     * 3-term query. The principled keyword side of hybrid retrieval. */
-  val txtBm25 = Q("txt_bm25",
-    (s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-      TextAnalysis.bm25(d, "doc_id", "text",
-          terms = Seq("data", "query", "table"))
-        .orderBy(desc("bm25_micro"), col("doc_id"))
-        .limit(10)
-        .select("doc_id", "bm25_micro", "n_terms_hit")
-    },
-    Some(tkSql + """,
+  /** Shared BM25 CTE chain ending in `bm(doc_id, bm25_micro,
+    * n_terms_hit)` — replays TextAnalysis.bm25 step by step. */
+  private val bm25Ctes = tkSql + """,
       lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM tk),
       stats AS (SELECT COUNT(*) AS n, SUM(len) AS sumlen FROM lens),
       tf AS (
@@ -200,12 +193,89 @@ object TextQueries {
       sc5 AS (SELECT doc_id,
                idf_micro * tf * (1000 + 1200) // denom_milli
                  AS term_score_micro
-              FROM sc4)
-      SELECT doc_id, CAST(SUM(term_score_micro) AS BIGINT) AS bm25_micro,
-             COUNT(*) AS n_terms_hit
-      FROM sc5 GROUP BY doc_id
-      ORDER BY bm25_micro DESC, doc_id LIMIT 10"""))
+              FROM sc4),
+      bm AS (
+        SELECT doc_id, CAST(SUM(term_score_micro) AS BIGINT) AS bm25_micro,
+               COUNT(*) AS n_terms_hit
+        FROM sc5 GROUP BY doc_id)"""
 
-  def queries: Seq[Q] = Seq(txtBm25, txtTokens, txtLangid, txtQuality,
+  val txtBm25 = Q("txt_bm25",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      TextAnalysis.bm25(d, "doc_id", "text",
+          terms = Seq("data", "query", "table"))
+        .orderBy(desc("bm25_micro"), col("doc_id"))
+        .limit(10)
+        .select("doc_id", "bm25_micro", "n_terms_hit")
+    },
+    Some(bm25Ctes + """
+      SELECT doc_id, bm25_micro, n_terms_hit
+      FROM bm ORDER BY bm25_micro DESC, doc_id LIMIT 10"""))
+
+  /** V8 — hybrid retrieval with the PRINCIPLED keyword side: BM25 top-100
+    * list fused with the vector top-100 by RRF (same bounded-list form as
+    * v_hybrid_rrf — TakeOrderedAndProject per side, rank over survivors,
+    * full-outer fusion, rank-0 sentinel for absence). */
+  val vHybridBm25 = Q("v_hybrid_bm25",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val fusionN = 100
+      val d = Tables.load(s, dir, "documents")
+      val bmTop = TextAnalysis.bm25(d, "doc_id", "text",
+          terms = Seq("data", "query", "table"))
+        .orderBy(desc("bm25_micro"), col("doc_id"))
+        .limit(fusionN)
+        .withColumn("r_t", row_number().over(
+          Window.orderBy(desc("bm25_micro"), col("doc_id"))))
+        .select(col("doc_id"), col("r_t"))
+      val qv = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val vecTop = Tables.load(s, dir, "embeddings")
+        .withColumn("score_vm",
+          floor(graft.functions.VectorOps.cosine(col("embedding"),
+            typedLit(qv)) * 1e6 + lit(0.5)).cast("long"))
+        .orderBy(desc("score_vm"), col("vec_id"))
+        .limit(fusionN)
+        .withColumn("r_v", row_number().over(
+          Window.orderBy(desc("score_vm"), col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("r_v"))
+      bmTop.join(vecTop, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_milli",
+          coalesce(expr("1000000 DIV (60 + r_t)"), lit(0)) +
+          coalesce(expr("1000000 DIV (60 + r_v)"), lit(0)))
+        .withColumn("r_t", coalesce(col("r_t"), lit(0)))
+        .withColumn("r_v", coalesce(col("r_v"), lit(0)))
+        .orderBy(desc("rrf_milli"), col("doc_id"))
+        .limit(10)
+        .select("doc_id", "r_t", "r_v", "rrf_milli")
+    },
+    Some(bm25Ctes + """,
+      tr AS (
+        SELECT doc_id, r_t FROM (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS r_t
+          FROM bm) WHERE r_t <= 100),
+      vr AS (
+        SELECT doc_id, r_v FROM (
+          SELECT vec_id AS doc_id,
+                 ROW_NUMBER() OVER (
+                   ORDER BY CAST(floor(list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                      WHERE vec_id = 0)) * 1000000 + 0.5)
+                     AS BIGINT) DESC, vec_id) AS r_v
+          FROM embeddings) WHERE r_v <= 100)
+      SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+             COALESCE(r_t, 0) AS r_t, COALESCE(r_v, 0) AS r_v,
+             COALESCE(1000000 // (60 + r_t), 0)
+               + COALESCE(1000000 // (60 + r_v), 0) AS rrf_milli
+      FROM tr FULL OUTER JOIN vr ON vr.doc_id = tr.doc_id
+      ORDER BY rrf_milli DESC, doc_id
+      LIMIT 10"""))
+
+  def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
+    txtQuality,
     txtFingerprint, txtStats)
 }
