@@ -145,8 +145,14 @@ object AnnQueries {
   private def ivfIndexDir(s: org.apache.spark.sql.SparkSession,
                           dir: String): String =
     ivfIndexCache.getOrElseUpdate(dir, {
+      // md5 of the fixture path (hashCode could collide across paths) +
+      // the JVM's pid (two concurrent processes on one fixture must not
+      // overwrite each other's live index)
+      val pathHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString
       val target = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_ivf_" + Integer.toHexString(dir.hashCode)).toString
+        s"graft_ivf_${pathHash}_${ProcessHandle.current().pid()}").toString
       Ann.buildIvfIndex(Tables.load(s, dir, "embeddings"), "vec_id",
         "embedding", trainedCentroids(s, dir, 8, 2), "cid", "cv", target)
       target

@@ -218,62 +218,22 @@ object TextQueries {
     * full-outer fusion, rank-0 sentinel for absence). */
   val vHybridBm25 = Q("v_hybrid_bm25",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val fusionN = 100
-      val d = Tables.load(s, dir, "documents")
-      val bmTop = TextAnalysis.bm25(d, "doc_id", "text",
-          terms = Seq("data", "query", "table"))
-        .orderBy(desc("bm25_micro"), col("doc_id"))
-        .limit(fusionN)
-        .withColumn("r_t", row_number().over(
-          Window.orderBy(desc("bm25_micro"), col("doc_id"))))
+      val bmTop = graft.operators.Fusion.topNRanked(
+          TextAnalysis.bm25(Tables.load(s, dir, "documents"),
+            "doc_id", "text", terms = Seq("data", "query", "table")),
+          100, "r_t", desc("bm25_micro"), col("doc_id"))
         .select(col("doc_id"), col("r_t"))
-      val qv = Tables.load(s, dir, "embeddings")
-        .filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0)
-      val vecTop = Tables.load(s, dir, "embeddings")
-        .withColumn("score_vm",
-          floor(graft.functions.VectorOps.cosine(col("embedding"),
-            typedLit(qv)) * 1e6 + lit(0.5)).cast("long"))
-        .orderBy(desc("score_vm"), col("vec_id"))
-        .limit(fusionN)
-        .withColumn("r_v", row_number().over(
-          Window.orderBy(desc("score_vm"), col("vec_id"))))
-        .select(col("vec_id").as("doc_id"), col("r_v"))
-      bmTop.join(vecTop, Seq("doc_id"), "full_outer")
-        .withColumn("rrf_milli",
-          coalesce(expr("1000000 DIV (60 + r_t)"), lit(0)) +
-          coalesce(expr("1000000 DIV (60 + r_v)"), lit(0)))
-        .withColumn("r_t", coalesce(col("r_t"), lit(0)))
-        .withColumn("r_v", coalesce(col("r_v"), lit(0)))
-        .orderBy(desc("rrf_milli"), col("doc_id"))
-        .limit(10)
-        .select("doc_id", "r_t", "r_v", "rrf_milli")
+      graft.operators.Fusion.rrfFuse(bmTop,
+        VectorQueries.vectorTop100(s, dir))
     },
-    Some(bm25Ctes + """,
+    Some(bm25Ctes + s""",
       tr AS (
         SELECT doc_id, r_t FROM (
           SELECT doc_id,
                  ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS r_t
           FROM bm) WHERE r_t <= 100),
-      vr AS (
-        SELECT doc_id, r_v FROM (
-          SELECT vec_id AS doc_id,
-                 ROW_NUMBER() OVER (
-                   ORDER BY CAST(floor(list_cosine_similarity(
-                     CAST(embedding AS DOUBLE[]),
-                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
-                      WHERE vec_id = 0)) * 1000000 + 0.5)
-                     AS BIGINT) DESC, vec_id) AS r_v
-          FROM embeddings) WHERE r_v <= 100)
-      SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
-             COALESCE(r_t, 0) AS r_t, COALESCE(r_v, 0) AS r_v,
-             COALESCE(1000000 // (60 + r_t), 0)
-               + COALESCE(1000000 // (60 + r_v), 0) AS rrf_milli
-      FROM tr FULL OUTER JOIN vr ON vr.doc_id = tr.doc_id
-      ORDER BY rrf_milli DESC, doc_id
-      LIMIT 10"""))
+      ${VectorQueries.vectorTop100Sql}
+      ${VectorQueries.rrfFuseTailSql}"""))
 
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
     txtQuality,

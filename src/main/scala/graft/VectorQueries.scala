@@ -150,7 +150,9 @@ object VectorQueries {
       SELECT vec_id, label,
              ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQ0), 6) AS score
       FROM embeddings
-      WHERE label NOT IN (0, 1, 7)
+      -- IS NULL arm mirrors match.except's missing-value-passes semantics
+      -- (bare NOT IN would drop NULL labels that the engine keeps)
+      WHERE (label NOT IN (0, 1, 7) OR label IS NULL)
         AND len(embedding) >= 64 AND len(embedding) <= 64
       ORDER BY score DESC, vec_id
       LIMIT 10
@@ -232,38 +234,51 @@ object VectorQueries {
     * Fusion is a full outer join of the two lists — the canonical "fuse
     * two retrieval lists" semantics: a doc contributes 1/(60+r) per list
     * it appears in; rank 0 marks absence. */
+  /** The shared vector side of every hybrid query: cosine-vs-q0 top-100
+    * list with ranks over the survivors. */
+  private[graft] def vectorTop100(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Fusion.topNRanked(
+        Tables.load(s, dir, "embeddings")
+          .withColumn("score_vm",
+            floor(VectorOps.cosine(col("embedding"),
+              typedLit(queryVec(s, dir, 0))) * 1e6 + lit(0.5)).cast("long")),
+        100, "r_v", desc("score_vm"), col("vec_id"))
+      .select(col("vec_id").as("doc_id"), col("r_v"))
+
+  /** DuckDB twin of [[vectorTop100]] (CTE named `vr`). */
+  private[graft] val vectorTop100Sql = s"""
+      vr AS (
+        SELECT doc_id, r_v FROM (
+          SELECT vec_id AS doc_id,
+                 ROW_NUMBER() OVER (
+                   ORDER BY CAST(floor(list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]), $oracleQ0) * 1000000 + 0.5)
+                     AS BIGINT) DESC, vec_id) AS r_v
+          FROM embeddings) WHERE r_v <= 100)"""
+
+  /** DuckDB twin of Fusion.rrfFuse over CTEs `tr` and `vr`. */
+  private[graft] val rrfFuseTailSql = """
+      SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+             COALESCE(r_t, 0) AS r_t, COALESCE(r_v, 0) AS r_v,
+             COALESCE(1000000 // (60 + r_t), 0)
+               + COALESCE(1000000 // (60 + r_v), 0) AS rrf_milli
+      FROM tr FULL OUTER JOIN vr ON vr.doc_id = tr.doc_id
+      ORDER BY rrf_milli DESC, doc_id
+      LIMIT 10"""
+
   val vHybridRrf = Q("v_hybrid_rrf",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val fusionN = 100
       val kws = typedLit(Seq("data", "query", "table"))
-      val docsTop = Tables.load(s, dir, "documents")
-        .withColumn("__tk", graft.operators.TextAnalysis.tokens(col("text")))
-        .withColumn("score_t",
-          size(filter(col("__tk"), t => array_contains(kws, t))))
-        .orderBy(desc("score_t"), col("doc_id"))
-        .limit(fusionN)
-        .withColumn("r_t", row_number().over(
-          Window.orderBy(desc("score_t"), col("doc_id"))))
+      val docsTop = graft.operators.Fusion.topNRanked(
+          Tables.load(s, dir, "documents")
+            .withColumn("__tk",
+              graft.operators.TextAnalysis.tokens(col("text")))
+            .withColumn("score_t",
+              size(filter(col("__tk"), t => array_contains(kws, t)))),
+          100, "r_t", desc("score_t"), col("doc_id"))
         .select(col("doc_id"), col("r_t"))
-      val embTop = Tables.load(s, dir, "embeddings")
-        .withColumn("score_vm",
-          floor(VectorOps.cosine(col("embedding"),
-            typedLit(queryVec(s, dir, 0))) * 1e6 + lit(0.5)).cast("long"))
-        .orderBy(desc("score_vm"), col("vec_id"))
-        .limit(fusionN)
-        .withColumn("r_v", row_number().over(
-          Window.orderBy(desc("score_vm"), col("vec_id"))))
-        .select(col("vec_id").as("doc_id"), col("r_v"))
-      docsTop.join(embTop, Seq("doc_id"), "full_outer")
-        .withColumn("rrf_milli",
-          coalesce(expr("1000000 DIV (60 + r_t)"), lit(0)) +
-          coalesce(expr("1000000 DIV (60 + r_v)"), lit(0)))
-        .withColumn("r_t", coalesce(col("r_t"), lit(0)))
-        .withColumn("r_v", coalesce(col("r_v"), lit(0)))
-        .orderBy(desc("rrf_milli"), col("doc_id"))
-        .limit(10)
-        .select("doc_id", "r_t", "r_v", "rrf_milli")
+      graft.operators.Fusion.rrfFuse(docsTop, vectorTop100(s, dir))
     },
     Some(s"""
       WITH t AS (
@@ -278,21 +293,8 @@ object VectorQueries {
           SELECT doc_id,
                  ROW_NUMBER() OVER (ORDER BY score_t DESC, doc_id) AS r_t
           FROM t) WHERE r_t <= 100),
-      vr AS (
-        SELECT doc_id, r_v FROM (
-          SELECT vec_id AS doc_id,
-                 ROW_NUMBER() OVER (
-                   ORDER BY CAST(floor(list_cosine_similarity(
-                     CAST(embedding AS DOUBLE[]), $oracleQ0) * 1000000 + 0.5)
-                     AS BIGINT) DESC, vec_id) AS r_v
-          FROM embeddings) WHERE r_v <= 100)
-      SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
-             COALESCE(r_t, 0) AS r_t, COALESCE(r_v, 0) AS r_v,
-             COALESCE(1000000 // (60 + r_t), 0)
-               + COALESCE(1000000 // (60 + r_v), 0) AS rrf_milli
-      FROM tr FULL OUTER JOIN vr ON vr.doc_id = tr.doc_id
-      ORDER BY rrf_milli DESC, doc_id
-      LIMIT 10"""))
+      $vectorTop100Sql
+      $rrfFuseTailSql"""))
 
   /** V9 — collection stats: per-label cardinality, dim check, mean norm
     * (decimal-summed for order-independence). */

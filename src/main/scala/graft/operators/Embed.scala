@@ -113,7 +113,7 @@ object Embed {
                      outCol: String = "embedding",
                      model: String = defaultTextModel,
                      seed: String = ""): DataFrame =
-    EmbedderOps.embedTextBatch(df, idCol, textCol, outCol,
+    EmbedderOps.embedTextBatch(df, textCol, outCol,
       new FeatureHashEmbedder(model, seed))
 
   /** [[embedMultimodal]] through the batch-inference boundary. */

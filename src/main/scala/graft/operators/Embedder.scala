@@ -90,28 +90,35 @@ final class FeatureHashEmbedder(model: String = Embed.defaultTextModel,
 }
 
 /** The mapPartitions plumbing shared by every [[Embedder]]: bounded
-  * batches, one `init()` per partition, id column preserved with its own
-  * type (no long cast — string-id collections work). Mirrors
-  * [[Multimodal.decodeFeaturesBatch]] for images. */
+  * batches, one `init()` per partition, every input column carried
+  * through IN-ROW — no join-back on an id column, so the source plan
+  * executes once, duplicate ids cannot multiply rows, and null/absent
+  * ids need no special case (each ROW is embedded independently, the
+  * correct inference semantics; the expression twin's group-by-id form
+  * coincides exactly when ids are unique, which the bit-equality spec
+  * asserts). Mirrors [[Multimodal.decodeFeaturesBatch]] for images. */
 object EmbedderOps {
-  def embedTextBatch(df: DataFrame, idCol: String, textCol: String,
+  def embedTextBatch(df: DataFrame, textCol: String,
                      outCol: String, embedder: Embedder,
                      batchSize: Int = 64): DataFrame = {
-    val input = df.select(col(idCol), col(textCol).cast("string"))
-    val outSchema = StructType(Seq(
-      input.schema.fields(0),
-      StructField(outCol, ArrayType(DoubleType), nullable = true)))
-    val vecs = input.mapPartitions { rows =>
+    val src = "__embed_src"
+    val input = df.withColumn(src, col(textCol).cast("string"))
+    val srcIdx = input.schema.fieldIndex(src)
+    val outSchema = StructType(
+      df.schema.fields :+ StructField(outCol, ArrayType(DoubleType),
+        nullable = true))
+    input.mapPartitions { rows =>
       embedder.init() // once per partition — the model-load point
       rows.grouped(batchSize).flatMap { chunk =>
-        val texts = chunk.map(r => if (r.isNullAt(1)) "" else r.getString(1))
+        val texts = chunk.map(r =>
+          if (r.isNullAt(srcIdx)) "" else r.getString(srcIdx))
         val out = embedder.embedBatch(texts)
         require(out.length == chunk.length,
           s"embedder ${embedder.name} returned ${out.length} vectors " +
             s"for ${chunk.length} inputs")
-        chunk.lazyZip(out).map((r, v) => Row(r.get(0), v))
+        chunk.lazyZip(out).map((r, v) =>
+          Row.fromSeq(r.toSeq.dropRight(1) :+ v))
       }
     }(Encoders.row(outSchema))
-    df.join(vecs, Seq(idCol), "left")
   }
 }

@@ -98,10 +98,14 @@ object PayloadFilter {
       case other => throw new IllegalArgumentException(s"must_not: $other") }
       fm.get("is_empty").foreach { o =>
         val c = keyCol(keyOf("is_empty", o), jsonCol)
-        // null/missing OR an empty array — the generic emptiness test is
-        // the string form ("" / "[]" / "{}"), which also covers the
-        // get_json_object mode where arrays arrive as JSON text
-        clauses += (c.isNull || c.cast("string").isin("", "[]", "{}"))
+        // Qdrant IsEmpty: missing, null, or EMPTY ARRAY — nothing else
+        // (an empty string value is present and non-empty to Qdrant).
+        // The schema-less translation tests the string form "[]", which
+        // is what an empty array casts to (and what get_json_object
+        // returns for one); the residual ambiguity — a SCALAR string
+        // whose literal value is "[]" — is undecidable without a schema
+        // and documented here.
+        clauses += (c.isNull || c.cast("string") === "[]")
       }
       fm.get("is_null").foreach { o =>
         clauses += keyCol(keyOf("is_null", o), jsonCol).isNull

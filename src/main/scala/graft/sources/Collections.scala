@@ -104,6 +104,23 @@ object Collections {
       finally s.close()
     }
 
+  /** Data files sitting DIRECTLY under `data/` — the pre-bucket flat
+    * layout. Folded into the next upsert (migration) and unioned by
+    * read(), so legacy collections neither lose rows nor need an offline
+    * rewrite. */
+  private def looseFiles(p: java.nio.file.Path): Seq[String] =
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(f => Files.isRegularFile(f) && {
+          val n = f.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+        .map(_.toString).toSeq.sorted
+      finally s.close()
+    }
+
   /** O14: append a batch, then compact to keep-last per id (Qdrant upsert
     * semantics — same id overwrites). `seqCol` orders versions.
     *
@@ -130,7 +147,18 @@ object Collections {
     val buckets = numBuckets(dir)
     val dataDir = Paths.get(s"$dir/data")
     val bucketed = batch.withColumn(BucketCol, bucketOf(idCol, buckets))
-    val touched = bucketed.select(BucketCol).distinct()
+    // pre-bucket flat-layout files migrate on this write: their rows join
+    // the merge (spanning whatever buckets they hash to) and the files
+    // are dropped after the swap. A crash in between leaves them in
+    // place — the NEXT upsert just migrates again (keep-last compaction
+    // collapses the transient duplicates).
+    val loose = looseFiles(dataDir)
+    val withLegacy =
+      if (loose.isEmpty) bucketed
+      else spark.read.parquet(loose: _*)
+        .withColumn(BucketCol, bucketOf(idCol, buckets))
+        .unionByName(bucketed)
+    val touched = withLegacy.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return
     // files do not store the bucket column (it is the directory name);
@@ -140,10 +168,10 @@ object Collections {
       .filter(Files.exists(_))
       .map(_.toString)
     val merged =
-      if (existingDirs.isEmpty) bucketed
+      if (existingDirs.isEmpty) withLegacy
       else spark.read.parquet(existingDirs: _*)
         .withColumn(BucketCol, bucketOf(idCol, buckets))
-        .unionByName(bucketed)
+        .unionByName(withLegacy)
     val compacted = graft.operators.Ingest.upsert(merged, idCol, seqCol)
     val staging = Paths.get(s"$dir/.staging")
     compacted.write.mode("overwrite")
@@ -156,6 +184,14 @@ object Collections {
       val s = staging.resolve(s"$BucketCol=$k")
       if (Files.exists(t)) Files.move(t, old.resolve(s"$BucketCol=$k"))
       if (Files.exists(s)) Files.move(s, t)
+    }
+    // legacy files only after every swapped bucket holds their rows
+    // (including Hadoop's hidden .<name>.crc checksum siblings)
+    loose.foreach { f =>
+      val p = Paths.get(f)
+      Files.deleteIfExists(p)
+      Files.deleteIfExists(
+        p.getParent.resolve("." + p.getFileName.toString + ".crc"))
     }
     // `.staging` now holds only _SUCCESS markers; `.old` is intentionally
     // KEPT until the next upsert's recoverForWrite so a concurrent reader
@@ -191,9 +227,14 @@ object Collections {
     * upserts of the SAME bucket can lose it (single-writer, read-mostly
     * contract). */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val dataB = listBuckets(Paths.get(s"$dir/data"))
+    val dataDir = Paths.get(s"$dir/data")
+    val dataB = listBuckets(dataDir)
     val oldB = listBuckets(Paths.get(s"$dir/.old"))
-    val use = (oldB ++ dataB).values.map(_.toString).toSeq.sorted
+    // pre-bucket flat-layout files are still live data until an upsert
+    // migrates them (only a crashed migration leaves both layouts — that
+    // transient duplication is repaired by the next upsert's compaction)
+    val use = (oldB ++ dataB).values.map(_.toString).toSeq.sorted ++
+      looseFiles(dataDir)
     if (use.isEmpty) spark.read.parquet(s"$dir/data") // empty/missing: same
     else spark.read.parquet(use: _*)                  //   error as before
   }
@@ -262,10 +303,16 @@ object Collections {
       : (DataFrame, Option[Any]) = {
     val base0 = filter.foldLeft(read(spark, dir))((df, f) => df.filter(f))
     val base = afterId.foldLeft(base0)((df, a) => df.filter(col(idCol) > lit(a)))
-    val page = base.orderBy(col(idCol)).limit(limit)
-    val rows = page.select(col(idCol)).collect()
-    val next = if (rows.length < limit) None else Some(rows.last.get(0))
-    (page, next)
+    val plan = base.orderBy(col(idCol)).limit(limit)
+    // materialize ONCE: the returned page and the offset must come from
+    // the same execution, or a concurrent upsert between the two runs
+    // could skip/duplicate ids across pages (and each page would pay a
+    // double scan). Pages are `limit`-bounded, so localizing is safe.
+    val rows = plan.collect()
+    val idIdx = plan.schema.fieldIndex(idCol)
+    val next = if (rows.length < limit) None else Some(rows.last.get(idIdx))
+    (spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), plan.schema), next)
   }
 
   /** O20: the sink interface (`json_embedder.py:3-9`) — one write method,

@@ -13,9 +13,10 @@ import graft.operators.Ingest
   * reference's error containment (`embedder.py:217-225`) — a batch whose
   * sink write fails is logged and dropped while the checkpoint advances —
   * but unlike the reference's silent drop, the loss is observable and
-  * bounded to whole batches. Callers that need at-least-once rethrow from
-  * their `onBatch` (the stream then fails and replays the batch from the
-  * checkpoint; with the idempotent keep-last upsert, replay is safe).
+  * bounded to whole batches. Callers that need at-least-once pass
+  * `dropOnError = false` to [[upsertSink]] — the failure then propagates
+  * uncaught, the query stops before the checkpoint commits, and a restart
+  * replays the batch (safe under the idempotent keep-last upsert).
   *
   * Scale notes: the file source scales by `maxFilesPerTrigger` (the
   * analog of the reference's queue depth 1000); normalization is narrow;
@@ -37,10 +38,16 @@ object Stream {
 
   /** Upsert sink: same-id overwrite within each micro-batch (the
     * streaming form of O14, `qdrant_embedder.py:130-143`) via
-    * foreachBatch. Error containment per the object scaladoc: a failing
-    * `onBatch` is logged and the batch DROPPED (at-most-once per batch) —
-    * rethrow from `onBatch` to get replay-from-checkpoint instead. */
-  def upsertSink(points: DataFrame, checkpointDir: String)
+    * foreachBatch. Error containment per the object scaladoc: with
+    * `dropOnError = true` (default, the reference's O19 behavior) a
+    * failing `onBatch` is logged and the batch DROPPED while the
+    * checkpoint advances (at-most-once per batch); with
+    * `dropOnError = false` there is NO catch — the failure propagates,
+    * the query stops before the checkpoint commits, and a restart
+    * replays the batch (at-least-once; safe under the idempotent
+    * keep-last upsert). */
+  def upsertSink(points: DataFrame, checkpointDir: String,
+                 dropOnError: Boolean = true)
                 (onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     points.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -60,10 +67,12 @@ object Stream {
         // the reference's silent at-most-once drop, the checkpoint makes
         // the loss observable and bounded to one batch. NonFatal only:
         // OOM/interrupts must still kill the stream.
-        try onBatch(deduped, id)
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[stream-upsert] batch $id dropped: ${e.getMessage}")
-        }
+        if (dropOnError)
+          try onBatch(deduped, id)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[stream-upsert] batch $id dropped: ${e.getMessage}")
+          }
+        else onBatch(deduped, id)
       }
 
   /** Streaming tumbling-hour event rollup with a 1-hour watermark — the

@@ -130,6 +130,32 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
       .getAs[Int]("label") >= 100)
   }
 
+  test("legacy flat-layout collection migrates losslessly on first " +
+       "bucketed upsert") {
+    val dir = Files.createTempDirectory("graft-coll").toString + "/c7"
+    Collections.create(dir, VectorConfig(64))
+    val emb = Tables.load(spark, sf, "embeddings").limit(40)
+      .withColumn("seq", lit(0))
+    // simulate the pre-bucket layout: plain parquet directly under data/
+    emb.write.parquet(s"$dir/data")
+    assert(Collections.read(spark, dir).count() == 40)
+
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    sink.write(emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", col("vec_id") + 50000)
+      .withColumn("seq", lit(1)))
+
+    val now = Collections.read(spark, dir)
+    assert(now.count() == 41, "legacy rows lost in migration")
+    assert(now.filter(col("vec_id") === 50000).count() == 1)
+    // loose files gone, bucket dirs own the data now
+    val leftover = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isFile).map(_.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    assert(leftover.isEmpty, s"legacy files not migrated: ${leftover.toSeq}")
+  }
+
   test("management surface: list / scroll / delete") {
     val root = Files.createTempDirectory("graft-mgmt").toString
     val emb = Tables.load(spark, sf, "embeddings").withColumn("seq", lit(0))

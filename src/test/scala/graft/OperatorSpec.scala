@@ -311,7 +311,7 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     CountingEmbedder.inits.set(0)
     val n = Embed.dimOf("graft/hash-64")
     val out = graft.operators.EmbedderOps.embedTextBatch(
-      docs, "doc_id", "text", "embedding", new CountingEmbedder(n),
+      docs, "text", "embedding", new CountingEmbedder(n),
       batchSize = 7)
     assert(out.count() == docs.count())
     val parts = docs.rdd.getNumPartitions

@@ -108,6 +108,8 @@ class PayloadFilterSpec extends AnyFunSuite with SparkSpec {
       df.filter(PayloadFilter.fromJson(dsl))
         .select("id").collect().map(_.getLong(0)).toSet
     assert(ids("""{"is_empty": {"key": "tags"}}""") == Set(2L, 3L))
+    // an EMPTY STRING value is present and non-empty to Qdrant's IsEmpty
+    assert(ids("""{"is_empty": {"key": "opt"}}""") == Set(2L))
     assert(ids("""{"is_null": {"key": "tags"}}""") == Set(3L))
     assert(ids("""{"is_null": {"key": "opt"}}""") == Set(2L))
     assert(ids("""{"key": "tags", "values_count": {"gte": 1}}""") == Set(1L))

@@ -32,6 +32,32 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(streamedRows > 0)
   }
 
+  test("upsertSink dropOnError=false propagates sink failures " +
+       "(at-least-once); default drops and continues") {
+    val tmp = Files.createTempDirectory("graft-stream-err")
+    val in = tmp.resolve("in"); Files.createDirectories(in)
+    Files.write(in.resolve("b.txt"), IngestQueries.fixtures.map(_._2).asJava)
+
+    // strict mode: the failure must reach the caller (checkpoint unset)
+    val strict = Stream.upsertSink(Stream.pointsStream(spark, in.toString),
+      tmp.resolve("ckpt1").toString, dropOnError = false) { (_, _) =>
+      throw new RuntimeException("sink down")
+    }
+    val e = intercept[Exception] { Stream.runAvailableNow(strict) }
+    assert(e.getMessage.contains("sink down") ||
+      Option(e.getCause).exists(_.getMessage.contains("sink down")))
+
+    // contained mode (the reference's O19): same failure, stream finishes
+    var calls = 0
+    val contained = Stream.upsertSink(
+      Stream.pointsStream(spark, in.toString),
+      tmp.resolve("ckpt2").toString) { (_, _) =>
+      calls += 1; throw new RuntimeException("sink down")
+    }
+    Stream.runAvailableNow(contained) // must NOT throw
+    assert(calls > 0)
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch twin") {
     val dir = Files.createTempDirectory("graft-sess")
     Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
