@@ -52,6 +52,39 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("jaccard stats kernel matches a naive Scala set model on " +
+       "generated token arrays") {
+    val tokGen = Gen.listOfN(Gen.chooseNum(0, 25).sample.get,
+      Gen.oneOf("a", "b", "cc", "dd", "e f".trim, "gg", "h"))
+    val pairs = Gen.listOfN(60, Gen.zip(tokGen, tokGen)).sample.get
+    val df = pairs.zipWithIndex.map { case ((x, y), i) =>
+      (i.toLong, x.mkString(" "), y.mkString(" ")) }
+      .toDF("id", "ta", "tb")
+    val cands = df.select(col("id").as("doc_a"),
+      (col("id") + 1000000).as("doc_b"))
+    val docs = df.select(col("id").as("doc_id"), col("ta").as("text"))
+      .unionByName(df.select((col("id") + 1000000).as("doc_id"),
+        col("tb").as("text")))
+    val got = Dedup.jaccardVerifyInRow(cands, docs, "doc_id", "text",
+        shingleN = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // the model re-tokenizes the JOINED text exactly like the engine
+    // (multi-word "tokens" in the generator split into real tokens)
+    def model(joined: String): Set[String] = {
+      val t = joined.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (t.length >= 2) t.sliding(2).map(_.mkString(" ")).toSet
+      else Set(t.mkString(" "))
+    }
+    pairs.zipWithIndex.foreach { case ((x, y), i) =>
+      val (sa, sb) = (model(x.mkString(" ")), model(y.mkString(" ")))
+      val inter = (sa & sb).size.toLong
+      val expect = (inter, inter * 1000000L / (sa.size + sb.size - inter))
+      assert(got(i.toLong) == expect,
+        s"pair $i: got ${got(i.toLong)}, model $expect ($x vs $y)")
+    }
+  }
+
   test("minhash monotonicity: appending text can only LOWER each signature slot") {
     val base = Gen.listOfN(20, Gen.identifier.suchThat(_.nonEmpty))
       .sample.get.mkString(" ")
