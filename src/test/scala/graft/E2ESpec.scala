@@ -61,6 +61,43 @@ class E2ESpec extends AnyFunSuite with SparkSpec {
     assert(sqlTop.head.getDouble(1) > 0.999999)
   }
 
+  test("STREAMING end to end: drop-dir topic → normalize → batch-embed " +
+       "→ bucketed collection → search") {
+    val tmp = Files.createTempDirectory("graft-e2e-stream")
+    val in = tmp.resolve("in"); Files.createDirectories(in)
+    val coll = tmp.resolve("xfiles").toString
+    import scala.jdk.CollectionConverters._
+    Files.write(in.resolve("batch1.txt"),
+      IngestQueries.fixtures.map(_._2).asJava)
+
+    val sink = new Collections.ParquetCollectionSink(spark, coll,
+      VectorConfig(64), "embedding", "id", "seq")
+    val stream = graft.streaming.Stream.upsertSink(
+      graft.streaming.Stream.pointsStream(spark, in.toString),
+      tmp.resolve("ckpt").toString) { (batch, _) =>
+      // the reference's per-message flow, per micro-batch: embed through
+      // the batch-inference boundary, then upsert into the collection
+      val embedded = Embed.embedTextBatch(
+          batch.filter(col("document").isNotNull), "id", "document",
+          model = "graft/hash-64")
+        .select(col("id"), col("collection"), col("document"),
+          col("embedding"), lit(0).as("seq"))
+      sink.write(embedded)
+    }
+    graft.streaming.Stream.runAvailableNow(stream)
+
+    val stored = Collections.read(spark, coll)
+    assert(stored.count() > 0)
+    assert(stored.select("id").distinct().count() == stored.count())
+    // and the collection answers a search with itself as best match
+    val q = stored.orderBy("id").select(col("embedding")).head()
+      .getSeq[Double](0)
+    val hits = Collections.search(spark, coll, "embedding", "id", q, 3)
+      .collect()
+    assert(hits.length == 3)
+    assert(hits.head.getDouble(hits.head.fieldIndex("score")) > 0.999999)
+  }
+
   test("SQL registry misuse fails cleanly (arity, null tokens, topk types)") {
     graft.functions.GraftFunctions.register(spark)
     // wrong arity: a clean error from the registry, not an index crash
