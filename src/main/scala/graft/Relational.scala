@@ -297,7 +297,48 @@ object Relational {
       FROM events
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** AS-OF join over the event stream (the time-series operator Spark
+    * lacks natively, via operators/AsOf — union + one keyed shuffle +
+    * running window, never a range join): for each click, the latest view
+    * by the same user at or before it. µs integers end-to-end (events ts
+    * is ns; DuckDB truncates TIMESTAMP_NS to µs, so both engines work in
+    * `ts DIV 1000` — see the q_events_hourly precedent). Sentinels: no
+    * preceding view → last_view_us = 0, gap_us = -1. */
+  val qAsofJoin = Q("q_asof_join",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("tsu", expr("ts DIV 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("tsu"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tsu"))
+      graft.operators.AsOf.asofJoin(clicks, views, "user_id", "tsu",
+          asofCol = "last_view_us")
+        .select(col("event_id"), col("user_id"), col("tsu").as("click_us"),
+          coalesce(col("last_view_us"), lit(0L)).as("lv_us"),
+          expr("CASE WHEN last_view_us IS NULL THEN -1 " +
+            "ELSE tsu - last_view_us END").as("gap_us"))
+        .withColumnRenamed("lv_us", "last_view_us")
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id, epoch_us(ts) AS tsu, 1 AS side, event_id
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, epoch_us(ts) AS tsu, 0 AS side, NULL
+        FROM events WHERE event_type = 'view'),
+      w AS (
+        SELECT *, MAX(CASE WHEN side = 0 THEN tsu END) OVER (
+          PARTITION BY user_id ORDER BY tsu, side
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+        FROM u)
+      SELECT event_id, user_id, tsu AS click_us,
+             COALESCE(lv, 0) AS last_view_us,
+             CASE WHEN lv IS NULL THEN -1 ELSE tsu - lv END AS gap_us
+      FROM w WHERE side = 1 ORDER BY event_id"""))
+
   def queries: Seq[Q] = Seq(q1Pricing, q3TopOrders, q5RegionRevenue,
     qBrandAgg, qWindowTopn, qRollup, qCube, qSetOps, qCustNoOrders,
-    qEventsHourly, qEventsJson, qSaltedAgg)
+    qEventsHourly, qEventsJson, qSaltedAgg, qAsofJoin)
 }

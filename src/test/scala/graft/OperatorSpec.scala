@@ -245,6 +245,35 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("as-of join matches the brute-force model (ties: quote at equal " +
+       "ts counts)") {
+    import spark.implicits._
+    import graft.operators.AsOf
+    val probe = Seq((1L, 10L, 100L), (2L, 10L, 5L), (3L, 20L, 50L),
+      (4L, 20L, 40L), (5L, 30L, 7L))
+      .toDF("event_id", "key", "ts")
+    val quote = Seq((10L, 50L), (10L, 100L), (10L, 101L), (20L, 40L),
+      (20L, 45L), (40L, 1L))
+      .toDF("key", "ts")
+    val got = AsOf.asofJoin(probe, quote, "key", "ts")
+      .select("event_id", "asof_ts")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // brute force: max quote.ts <= probe.ts per key
+    val qs = Seq((10L, 50L), (10L, 100L), (10L, 101L), (20L, 40L),
+      (20L, 45L), (40L, 1L))
+    val expect = Seq((1L, 10L, 100L), (2L, 10L, 5L), (3L, 20L, 50L),
+      (4L, 20L, 40L), (5L, 30L, 7L)).map { case (id, k, ts) =>
+      val c = qs.filter(q => q._1 == k && q._2 <= ts).map(_._2)
+      id -> (if (c.isEmpty) -1L else c.max)
+    }.toMap
+    assert(got == expect, s"got $got, expect $expect")
+    // equal-ts quote counts (probe 1: quote at ts=100 == probe ts)
+    assert(got(1L) == 100L)
+    // no preceding quote -> null (probe 2 and key-30 probe 5)
+    assert(got(2L) == -1L && got(5L) == -1L)
+  }
+
   test("source formats: CSV and ORC round-trip the documents table " +
        "(schema-preserving, same rows as parquet)") {
     val d = Tables.load(spark, sf, "documents")
