@@ -245,6 +245,38 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bucketed tables co-locate the join: no Exchange on either side") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucket")
+    val cust = Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+    val ord = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    // write BOTH sides bucketed+sorted on the join key (external tables)
+    cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$tmp/cust").mode("overwrite")
+      .saveAsTable("bk_cust")
+    ord.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$tmp/ord").mode("overwrite")
+      .saveAsTable("bk_ord")
+    try {
+      // disable broadcast so the join would otherwise need a shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bk_cust").join(spark.table("bk_ord"),
+        col("c_custkey") === col("o_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      // and it computes the same answer as the shuffled form
+      val expected = cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bk_cust")
+      spark.sql("DROP TABLE IF EXISTS bk_ord")
+    }
+  }
+
   test("as-of join matches the brute-force model (ties: quote at equal " +
        "ts counts)") {
     import spark.implicits._
