@@ -220,6 +220,33 @@ object Relational {
       ORDER BY event_type, hour_bucket
     """))
 
+  /** SLIDING event-time windows (2h windows every 1h): the overlapping
+    * variant of q_events_hourly, written as the explicit windows-per-event
+    * expansion (explode of ceil(duration/slide)=2 window starts) — the
+    * same form Spark's built-in window() lowers to (OperatorSpec asserts
+    * the twin), but in exact epoch-ns integers immune to µs truncation. */
+  val qEventsSliding = Q("q_events_sliding",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("hb", floor(col("ts") / lit(3600000000000L)).cast("long"))
+        .withColumn("win_start_hour",
+          explode(array(col("hb") - 1, col("hb"))))
+      ev.groupBy("event_type", "win_start_hour")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type", "win_start_hour")
+    },
+    Some("""
+      SELECT event_type, win_start_hour, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value
+      FROM (
+        SELECT event_type, value,
+               unnest([epoch_ns(ts) // 3600000000000 - 1,
+                       epoch_ns(ts) // 3600000000000]) AS win_start_hour
+        FROM events)
+      GROUP BY 1, 2 ORDER BY event_type, win_start_hour"""))
+
   /** JSON payload predicate + agg — the Qdrant payload-filter surface
     * (SURVEY.md §2.2 V3) over the `props` JSON column. */
   val qEventsJson = Q("q_events_json",
@@ -340,5 +367,5 @@ object Relational {
 
   def queries: Seq[Q] = Seq(q1Pricing, q3TopOrders, q5RegionRevenue,
     qBrandAgg, qWindowTopn, qRollup, qCube, qSetOps, qCustNoOrders,
-    qEventsHourly, qEventsJson, qSaltedAgg, qAsofJoin)
+    qEventsHourly, qEventsSliding, qEventsJson, qSaltedAgg, qAsofJoin)
 }

@@ -102,6 +102,11 @@ object EmbedderOps {
                      outCol: String, embedder: Embedder,
                      batchSize: Int = 64): DataFrame = {
     val src = "__embed_src"
+    // withColumn would REPLACE an existing column in place (not append),
+    // and the row-carry below drops the LAST field — so a colliding name
+    // must be an error, not silent column corruption
+    require(!df.columns.contains(src),
+      s"input already has a column named $src")
     val input = df.withColumn(src, col(textCol).cast("string"))
     val srcIdx = input.schema.fieldIndex(src)
     val outSchema = StructType(

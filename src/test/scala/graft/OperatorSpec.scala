@@ -245,6 +245,24 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("explicit sliding-window expansion equals Spark's built-in " +
+       "window(2h, 1h)") {
+    val explicit = Queries.queries("q_events_sliding")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val builtin = Tables.load(spark, sf, "events")
+      .withColumn("tsc", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(window(col("tsc"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        (unix_timestamp(col("window.start")) / 3600).cast("long")
+          .as("win_start_hour"),
+        col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(explicit == builtin)
+  }
+
   test("bucketed tables co-locate the join: no Exchange on either side") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bucket")
     val cust = Tables.load(spark, sf, "customer")
