@@ -155,6 +155,13 @@ object AnnQueries {
         s"graft_ivf_${pathHash}_${ProcessHandle.current().pid()}").toString
       Ann.buildIvfIndex(Tables.load(s, dir, "embeddings"), "vec_id",
         "embedding", trainedCentroids(s, dir, 8, 2), "cid", "cv", target)
+      // per-pid dirs would otherwise accumulate across runs
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(target))
+      }))
       target
     })
 

@@ -70,7 +70,7 @@ object EmbedQueries {
   val embedText = Q("embed_text",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      Embed.embedTextBatch(docs, "doc_id", "text", model = "graft/hash-64")
+      Embed.embedTextBatch(docs, "text", model = "graft/hash-64")
         .select(col("doc_id"),
           array_join(transform(col("embedding"),
             x => floor(x * 1e6 + lit(0.5)).cast("string")), ",").as("vec_str"))
@@ -107,7 +107,7 @@ object EmbedQueries {
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
         .withColumn("caption", concat(lit("caption of "), col("text")))
-      Embed.embedMultimodalBatch(docs, "doc_id", "text", "caption")
+      Embed.embedMultimodalBatch(docs, "text", "caption")
         .select(col("doc_id"),
           size(col("text_vec")).as("text_dim"),
           size(col("image_vec")).as("image_dim"),

@@ -202,8 +202,10 @@ object Relational {
   val qEventsHourly = Q("q_events_hourly",
     (s, dir) => {
       val ev = Tables.load(s, dir, "events")
-      ev.withColumn("hour_bucket",
-          floor(col("ts") / lit(3600000000000L)).cast("long"))
+      // integer DIV, not floor(/): Long / Long promotes to DOUBLE, whose
+      // 256 ns ulp at epoch-ns magnitude can round a just-before-boundary
+      // timestamp into the next hour while the oracle's exact `//` doesn't
+      ev.withColumn("hour_bucket", expr("ts DIV 3600000000000"))
         .groupBy("event_type", "hour_bucket")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(20,2)")).cast("double").as("sum_value"),
@@ -228,7 +230,7 @@ object Relational {
   val qEventsSliding = Q("q_events_sliding",
     (s, dir) => {
       val ev = Tables.load(s, dir, "events")
-        .withColumn("hb", floor(col("ts") / lit(3600000000000L)).cast("long"))
+        .withColumn("hb", expr("ts DIV 3600000000000")) // exact (see above)
         .withColumn("win_start_hour",
           explode(array(col("hb") - 1, col("hb"))))
       ev.groupBy("event_type", "win_start_hour")

@@ -164,15 +164,20 @@ object TextQueries {
     * ln-free monotone idf surrogate — see TextAnalysis.bm25 scaladoc for
     * why an exact-hash gate can't use transcendentals): top-10 docs for a
     * 3-term query. The principled keyword side of hybrid retrieval. */
+  /** The BM25 query-term set — single source for the Scala calls AND the
+    * SQL CTE, so the engine and its oracle cannot drift. */
+  private val bm25Terms = Seq("data", "query", "table")
+  private val bm25TermsSql = bm25Terms.map(t => s"'$t'").mkString(", ")
+
   /** Shared BM25 CTE chain ending in `bm(doc_id, bm25_micro,
     * n_terms_hit)` — replays TextAnalysis.bm25 step by step. */
-  private val bm25Ctes = tkSql + """,
+  private val bm25Ctes = tkSql + s""",
       lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM tk),
       stats AS (SELECT COUNT(*) AS n, SUM(len) AS sumlen FROM lens),
       tf AS (
         SELECT doc_id, tok, COUNT(*) AS tf
         FROM (SELECT doc_id, unnest(tk) AS tok FROM tk) u
-        WHERE tok IN ('data', 'query', 'table')
+        WHERE tok IN ($bm25TermsSql)
         GROUP BY doc_id, tok),
       dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
       sc AS (
@@ -202,8 +207,7 @@ object TextQueries {
   val txtBm25 = Q("txt_bm25",
     (s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      TextAnalysis.bm25(d, "doc_id", "text",
-          terms = Seq("data", "query", "table"))
+      TextAnalysis.bm25(d, "doc_id", "text", terms = bm25Terms)
         .orderBy(desc("bm25_micro"), col("doc_id"))
         .limit(10)
         .select("doc_id", "bm25_micro", "n_terms_hit")
@@ -220,7 +224,7 @@ object TextQueries {
     (s, dir) => {
       val bmTop = graft.operators.Fusion.topNRanked(
           TextAnalysis.bm25(Tables.load(s, dir, "documents"),
-            "doc_id", "text", terms = Seq("data", "query", "table")),
+            "doc_id", "text", terms = bm25Terms),
           100, "r_t", desc("bm25_micro"), col("doc_id"))
         .select(col("doc_id"), col("r_t"))
       graft.operators.Fusion.rrfFuse(bmTop,

@@ -29,7 +29,11 @@ object AsOf {
     val pu = probe
       .withColumn("__side", lit(1))
       .withColumn("__qts", lit(null).cast("long"))
+    // join semantics: NULL keys never match (Window.partitionBy would
+    // group NULL with NULL) — null-key quotes are dropped, so null-key
+    // probe rows pass through with a null asof column
     val qu = quote
+      .filter(col(keyCol).isNotNull)
       .select(pCols.map { c =>
         if (c == keyCol || c == tsCol) col(c)
         else lit(null).cast(probe.schema(c).dataType).as(c)

@@ -108,8 +108,11 @@ object Embed {
   /** [[embedText]] through the batch-inference boundary ([[Embedder]] +
     * mapPartitions): the production path a real ONNX model plugs into.
     * With the default [[FeatureHashEmbedder]] the output is bit-identical
-    * to the expression pipeline (asserted in OperatorSpec). */
-  def embedTextBatch(df: DataFrame, idCol: String, textCol: String,
+    * to the expression pipeline (asserted in OperatorSpec). No id column
+    * is involved — rows carry through in place (each ROW is embedded;
+    * the expression twin's per-id token merge coincides when ids are
+    * unique). */
+  def embedTextBatch(df: DataFrame, textCol: String,
                      outCol: String = "embedding",
                      model: String = defaultTextModel,
                      seed: String = ""): DataFrame =
@@ -117,13 +120,13 @@ object Embed {
       new FeatureHashEmbedder(model, seed))
 
   /** [[embedMultimodal]] through the batch-inference boundary. */
-  def embedMultimodalBatch(df: DataFrame, idCol: String, textCol: String,
+  def embedMultimodalBatch(df: DataFrame, textCol: String,
                            captionCol: String,
                            modelPair: String = multimodalPair): DataFrame = {
     val Array(textModel, visionModel) = modelPair.split(" ")
-    val withText = embedTextBatch(df, idCol, textCol,
+    val withText = embedTextBatch(df, textCol,
       outCol = "text_vec", model = textModel, seed = "text|")
-    embedTextBatch(withText, idCol, captionCol,
+    embedTextBatch(withText, captionCol,
       outCol = "image_vec", model = visionModel, seed = "image|")
   }
 }

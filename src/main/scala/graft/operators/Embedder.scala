@@ -107,6 +107,8 @@ object EmbedderOps {
     // must be an error, not silent column corruption
     require(!df.columns.contains(src),
       s"input already has a column named $src")
+    require(!df.columns.contains(outCol),
+      s"input already has a column named $outCol (the output column)")
     val input = df.withColumn(src, col(textCol).cast("string"))
     val srcIdx = input.schema.fieldIndex(src)
     val outSchema = StructType(

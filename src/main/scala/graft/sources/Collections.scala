@@ -148,10 +148,13 @@ object Collections {
     val dataDir = Paths.get(s"$dir/data")
     val bucketed = batch.withColumn(BucketCol, bucketOf(idCol, buckets))
     // pre-bucket flat-layout files migrate on this write: their rows join
-    // the merge (spanning whatever buckets they hash to) and the files
-    // are dropped after the swap. A crash in between leaves them in
-    // place — the NEXT upsert just migrates again (keep-last compaction
-    // collapses the transient duplicates).
+    // the merge (spanning whatever buckets they hash to). The files are
+    // NOT deleted here — a `_migrated` marker retires them logically and
+    // the NEXT upsert's recovery removes them physically, giving a
+    // concurrent reader whose lazy plan bound to the loose paths the same
+    // grace period bucket swaps get via `.old`. A crash before the marker
+    // leaves loose + partial buckets — the next upsert migrates again
+    // (keep-last compaction collapses the transient duplicates).
     val loose = looseFiles(dataDir)
     val withLegacy =
       if (loose.isEmpty) bucketed
@@ -185,14 +188,9 @@ object Collections {
       if (Files.exists(t)) Files.move(t, old.resolve(s"$BucketCol=$k"))
       if (Files.exists(s)) Files.move(s, t)
     }
-    // legacy files only after every swapped bucket holds their rows
-    // (including Hadoop's hidden .<name>.crc checksum siblings)
-    loose.foreach { f =>
-      val p = Paths.get(f)
-      Files.deleteIfExists(p)
-      Files.deleteIfExists(
-        p.getParent.resolve("." + p.getFileName.toString + ".crc"))
-    }
+    // retire legacy files LOGICALLY once every swapped bucket holds their
+    // rows; physical deletion waits for the next upsert's recovery
+    if (loose.nonEmpty) Files.write(migratedMarker(dir), Array.empty[Byte])
     // `.staging` now holds only _SUCCESS markers; `.old` is intentionally
     // KEPT until the next upsert's recoverForWrite so a concurrent reader
     // that bound its (lazy) DataFrame to a backup bucket mid-swap can
@@ -206,8 +204,21 @@ object Collections {
     * `Files.move` into `.old`), and clear any half-written `.staging`.
     * Only the single writer may call this — destructive repair from the
     * read path would race an in-flight upsert. */
+  private def migratedMarker(dir: String) = Paths.get(s"$dir/data/_migrated")
+
   private def recoverForWrite(dir: String): Unit = {
     val dataDir = Paths.get(s"$dir/data")
+    // a completed legacy migration (marker present) retires its loose
+    // files now — their grace period ends with this write, like `.old`
+    if (Files.exists(migratedMarker(dir))) {
+      looseFiles(dataDir).foreach { f =>
+        val p = Paths.get(f)
+        Files.deleteIfExists(p)
+        Files.deleteIfExists(
+          p.getParent.resolve("." + p.getFileName.toString + ".crc"))
+      }
+      Files.deleteIfExists(migratedMarker(dir))
+    }
     val old = Paths.get(s"$dir/.old")
     listBuckets(old).foreach { case (name, backup) =>
       val target = dataDir.resolve(name)
@@ -230,11 +241,15 @@ object Collections {
     val dataDir = Paths.get(s"$dir/data")
     val dataB = listBuckets(dataDir)
     val oldB = listBuckets(Paths.get(s"$dir/.old"))
-    // pre-bucket flat-layout files are still live data until an upsert
-    // migrates them (only a crashed migration leaves both layouts — that
-    // transient duplication is repaired by the next upsert's compaction)
-    val use = (oldB ++ dataB).values.map(_.toString).toSeq.sorted ++
-      looseFiles(dataDir)
+    // pre-bucket flat-layout files are live data until a migration's
+    // `_migrated` marker retires them (marker present = their rows are in
+    // the buckets; reading both would double-count). Only a CRASHED
+    // migration — loose files, partial buckets, no marker — unions both;
+    // that transient duplication is repaired by the next upsert.
+    val loose =
+      if (Files.exists(migratedMarker(dir))) Seq.empty
+      else looseFiles(dataDir)
+    val use = (oldB ++ dataB).values.map(_.toString).toSeq.sorted ++ loose
     if (use.isEmpty) spark.read.parquet(s"$dir/data") // empty/missing: same
     else spark.read.parquet(use: _*)                  //   error as before
   }

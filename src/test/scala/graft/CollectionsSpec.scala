@@ -149,11 +149,19 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     val now = Collections.read(spark, dir)
     assert(now.count() == 41, "legacy rows lost in migration")
     assert(now.filter(col("vec_id") === 50000).count() == 1)
-    // loose files gone, bucket dirs own the data now
-    val leftover = new java.io.File(s"$dir/data").listFiles()
+    def looseNow = new java.io.File(s"$dir/data").listFiles()
       .filter(_.isFile).map(_.getName)
       .filterNot(n => n.startsWith("_") || n.startsWith("."))
-    assert(leftover.isEmpty, s"legacy files not migrated: ${leftover.toSeq}")
+    // grace period: loose files still on disk for readers bound to them,
+    // but logically retired by the marker (read() must not double-count)
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/data/_migrated")))
+    assert(looseNow.nonEmpty)
+    // the NEXT write retires them physically
+    sink.write(emb.filter(col("vec_id") === 1)
+      .withColumn("vec_id", col("vec_id") + 60000)
+      .withColumn("seq", lit(2)))
+    assert(looseNow.isEmpty, s"legacy files survived: ${looseNow.toSeq}")
+    assert(Collections.read(spark, dir).count() == 42)
   }
 
   test("management surface: list / scroll / delete") {

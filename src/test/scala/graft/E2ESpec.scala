@@ -78,7 +78,7 @@ class E2ESpec extends AnyFunSuite with SparkSpec {
       // the reference's per-message flow, per micro-batch: embed through
       // the batch-inference boundary, then upsert into the collection
       val embedded = Embed.embedTextBatch(
-          batch.filter(col("document").isNotNull), "id", "document",
+          batch.filter(col("document").isNotNull), "document",
           model = "graft/hash-64")
         .select(col("id"), col("collection"), col("document"),
           col("embedding"), lit(0).as("seq"))

@@ -381,7 +381,7 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
         model = "graft/hash-64")
       .select("doc_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    val batch = Embed.embedTextBatch(docs, "doc_id", "text",
+    val batch = Embed.embedTextBatch(docs, "text",
         model = "graft/hash-64")
       .select("doc_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap

@@ -189,7 +189,7 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     val streamedBuckets = spark.table("evh").count()
     val batchBuckets = Tables.load(spark, sf, "events")
       .groupBy(col("event_type"),
-        floor(col("ts") / lit(3600000000000L)).as("hb"))
+        expr("ts DIV 3600000000000").as("hb"))
       .count().count()
     assert(streamedBuckets == batchBuckets)
   }
