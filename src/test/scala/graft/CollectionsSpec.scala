@@ -194,6 +194,13 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     Collections.delete(s"$root/beta")
     assert(Collections.list(root) == Seq("alpha"))
     assert(!Collections.exists(s"$root/beta"))
+
+    // the scroll offset predicate pushes to the parquet scan
+    val plan = Collections.read(spark, s"$root/alpha")
+      .filter(col("vec_id") > lit(11L)).orderBy(col("vec_id")).limit(12)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      s"scroll offset not pushed down:\n$plan")
   }
 
   test("upsert: same id overwrites (keep-last by sequence), dims enforced") {
