@@ -296,6 +296,37 @@ object VectorQueries {
       $vectorTop100Sql
       $rrfFuseTailSql"""))
 
+  /** Scalar quantization (the public Qdrant int8 compression scheme) as a
+    * declared query: per-vector min-max range in micro units + the code
+    * checksum — the oracle replays the affine int8 map bit-for-bit
+    * (identical IEEE doubles → identical codes). The 4× memory reduction
+    * path for 100 TB collections; recall held by the dequantize spec. */
+  val vSqQuantize = Q("v_sq_quantize",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      emb.select(col("vec_id"),
+          VectorOps.sqRange(col("embedding")).as("r"),
+          VectorOps.sqQuantize(col("embedding")).as("codes"))
+        .select(col("vec_id"),
+          floor(col("r.mn") * 1e6 + lit(0.5)).cast("long").as("mn_micro"),
+          floor(col("r.mx") * 1e6 + lit(0.5)).cast("long").as("mx_micro"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      r AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM d)
+      SELECT vec_id,
+             CAST(floor(mn * 1000000 + 0.5) AS BIGINT) AS mn_micro,
+             CAST(floor(mx * 1000000 + 0.5) AS BIGINT) AS mx_micro,
+             CAST(list_sum(
+               CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v, x ->
+                      CAST(floor((x - mn) / (mx - mn) * 255 + 0.5) AS INT))
+               END) AS BIGINT) AS code_sum
+      FROM r ORDER BY vec_id"""))
+
   /** V9 — collection stats: per-label cardinality, dim check, mean norm
     * (decimal-summed for order-independence). */
   val collStats = Q("coll_stats",
@@ -321,5 +352,5 @@ object VectorQueries {
 
   def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnMulti, vKnnMultiAgg,
     vKnnFiltered, vKnnDsl, vKnnDslExcept, vL2, vDot, vFusion, vHybridRrf,
-    collStats)
+    vSqQuantize, collStats)
 }

@@ -10,7 +10,8 @@ import org.json4s.jackson.JsonMethods
   * filter language; this translates the core of that public DSL
   * (`must` / `should` / `must_not` clauses; `match.value`, `match.any`,
   * `match.text`, `match.except`, `range.{gt,gte,lt,lte}`,
-  * `values_count.{gt,gte,lt,lte}`, `is_empty`, `is_null` conditions) into
+  * `values_count.{gt,gte,lt,lte}`, `is_empty`, `is_null`,
+  * `geo_bounding_box`, `geo_radius` conditions) into
   * a single `Column` predicate, so it composes with any scan and — being
   * an ordinary Catalyst expression tree — pushes down to parquet like a
   * hand-written filter (simple comparisons reach PushedFilters; the
@@ -142,6 +143,50 @@ object PayloadFilter {
               case (k, _) => throw new IllegalArgumentException(s"range op: $k")
             }
           case other => throw new IllegalArgumentException(s"range: $other")
+        }
+        fm.get("geo_bounding_box").foreach {
+          case JObject(b) =>
+            val bm = b.toMap
+            def pt(name: String): (Column, Column) = bm(name) match {
+              case JObject(p) =>
+                val pm = p.toMap
+                (litOf(pm("lat")).cast("double"),
+                  litOf(pm("lon")).cast("double"))
+              case other =>
+                throw new IllegalArgumentException(s"$name: $other")
+            }
+            val (tlLat, tlLon) = pt("top_left")
+            val (brLat, brLon) = pt("bottom_right")
+            val lat = keyCol(s"$key.lat", jsonCol).cast("double")
+            val lon = keyCol(s"$key.lon", jsonCol).cast("double")
+            clauses += (lat <= tlLat && lat >= brLat &&
+              lon >= tlLon && lon <= brLon)
+          case other =>
+            throw new IllegalArgumentException(s"geo_bounding_box: $other")
+        }
+        fm.get("geo_radius").foreach {
+          case JObject(r) =>
+            val rm = r.toMap
+            val (cLat, cLon) = rm("center") match {
+              case JObject(p) =>
+                val pm = p.toMap
+                (litOf(pm("lat")).cast("double"),
+                  litOf(pm("lon")).cast("double"))
+              case other =>
+                throw new IllegalArgumentException(s"center: $other")
+            }
+            val radiusM = litOf(rm("radius")).cast("double")
+            val lat = keyCol(s"$key.lat", jsonCol).cast("double")
+            val lon = keyCol(s"$key.lon", jsonCol).cast("double")
+            // haversine great-circle distance (meters, R=6371km — the
+            // figure Qdrant's geo docs use)
+            val dLat = radians(lat - cLat) / 2
+            val dLon = radians(lon - cLon) / 2
+            val h = sin(dLat) * sin(dLat) +
+              cos(radians(cLat)) * cos(radians(lat)) * sin(dLon) * sin(dLon)
+            clauses += (asin(sqrt(h)) * lit(2 * 6371000.0) <= radiusM)
+          case other =>
+            throw new IllegalArgumentException(s"geo_radius: $other")
         }
         fm.get("values_count").foreach {
           case JObject(r) =>

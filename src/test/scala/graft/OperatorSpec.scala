@@ -208,6 +208,32 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       s"no partition pruning:\n$plan")
   }
 
+  test("scalar quantization: codes in [0,255], dequantized cosine vs " +
+       "original > 0.999, constant vectors safe") {
+    import graft.functions.VectorOps
+    val emb = Tables.load(spark, sf, "embeddings").limit(100)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.sqRange(col("embedding")).as("r"),
+        VectorOps.sqQuantize(col("embedding")).as("codes"))
+    val checked = emb.select(col("vec_id"),
+        VectorOps.cosine(col("embedding"),
+          VectorOps.sqDequantize(col("codes"), col("r"))).as("fidelity"),
+        array_min(col("codes")).as("cmin"),
+        array_max(col("codes")).as("cmax"))
+      .collect()
+    checked.foreach { r =>
+      assert(r.getDouble(1) > 0.999,
+        s"vec ${r.getLong(0)}: dequantized cosine ${r.getDouble(1)}")
+      assert(r.getInt(2) >= 0 && r.getInt(3) <= 255)
+    }
+    // constant vector → all-zero codes, no divide-by-zero
+    import spark.implicits._
+    val const = Seq((1L, Seq(2.5f, 2.5f, 2.5f))).toDF("vec_id", "embedding")
+    val codes = const.select(VectorOps.sqQuantize(col("embedding")))
+      .head().getSeq[Int](0)
+    assert(codes == Seq(0, 0, 0))
+  }
+
   test("LSH buckets are within [0, 2^P) and self-consistent") {
     val planes = Ann.hyperplanes(8, 64)
     val emb = Tables.load(spark, sf, "embeddings").limit(100)

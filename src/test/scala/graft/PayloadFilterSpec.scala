@@ -130,6 +130,41 @@ class PayloadFilterSpec extends AnyFunSuite with SparkSpec {
       == Set(1L))
   }
 
+  test("geo_bounding_box and geo_radius (struct + JSON payload modes)") {
+    import spark.implicits._
+    // Berlin 52.52/13.405, Munich 48.137/11.575, Paris 48.857/2.352
+    val df = Seq(
+      (1L, 52.52, 13.405), (2L, 48.137, 11.575), (3L, 48.857, 2.352)
+    ).toDF("id", "lat", "lon")
+      .withColumn("location", struct(col("lat"), col("lon")))
+    def ids(dsl: String): Set[Long] =
+      df.filter(PayloadFilter.fromJson(dsl))
+        .select("id").collect().map(_.getLong(0)).toSet
+    // box covering Germany only (Paris lon 2.352 < 5.9 -> excluded)
+    assert(ids("""{"key": "location", "geo_bounding_box": {
+        "top_left": {"lat": 55.0, "lon": 5.9},
+        "bottom_right": {"lat": 47.2, "lon": 15.0}}}""") == Set(1L, 2L))
+    // 600km radius around Munich: Berlin ~504km in, Paris ~685km out
+    assert(ids("""{"key": "location", "geo_radius": {
+        "center": {"lat": 48.137, "lon": 11.575},
+        "radius": 600000}}""") == Set(1L, 2L))
+    // 100km radius: only Munich itself
+    assert(ids("""{"key": "location", "geo_radius": {
+        "center": {"lat": 48.137, "lon": 11.575},
+        "radius": 100000}}""") == Set(2L))
+
+    // JSON-payload mode resolves location.lat/lon inside the JSON column
+    val jdf = Seq(
+      (1L, """{"location": {"lat": 52.52, "lon": 13.405}}"""),
+      (3L, """{"location": {"lat": 48.857, "lon": 2.352}}""")
+    ).toDF("id", "props")
+    val near = jdf.filter(PayloadFilter.fromJson(
+      """{"key": "location", "geo_radius": {
+          "center": {"lat": 52.5, "lon": 13.4}, "radius": 50000}}""",
+      jsonCol = Some("props")))
+    assert(near.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("filter pushes down to the parquet scan") {
     val plan = emb.filter(PayloadFilter.fromJson(
         """{"must": [{"key": "label", "match": {"value": 3}}]}"""))
