@@ -327,6 +327,67 @@ object VectorQueries {
                END) AS BIGINT) AS code_sum
       FROM r ORDER BY vec_id"""))
 
+  /** Quantized SEARCH — the standard two-stage pattern quantized indexes
+    * serve with: score everything against the int8-dequantized vectors
+    * (the only data a compressed index keeps hot), take a candidate
+    * superset (top-30), rescore the candidates at full precision, return
+    * the exact top-10. The oracle replays quantize → dequantize → both
+    * scoring passes bit-for-bit. */
+  val vSqSearch = Q("v_sq_search",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = typedLit(queryVec(s, dir, 0))
+      val cands = emb
+        .withColumn("r", VectorOps.sqRange(col("embedding")))
+        .withColumn("codes", VectorOps.sqQuantize(col("embedding")))
+        .withColumn("score_q",
+          VectorOps.cosine(VectorOps.sqDequantize(col("codes"), col("r")),
+            qv))
+        .orderBy(desc("score_q"), col("vec_id"))
+        .limit(30)
+      cands
+        .withColumn("score", VectorOps.cosine(col("embedding"), qv))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"),
+          floor(col("score") * 1e6 + lit(0.5)).cast("long").as("score_micro"),
+          floor(col("score_q") * 1e6 + lit(0.5)).cast("long")
+            .as("scoreq_micro"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      r AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM d),
+      dq AS (
+        SELECT vec_id, v,
+               CASE WHEN mx = mn THEN list_transform(v, x -> mn)
+                    ELSE list_transform(v, x ->
+                      mn + CAST(CAST(floor((x - mn) / (mx - mn) * 255 + 0.5)
+                        AS INT) AS DOUBLE) / 255 * (mx - mn))
+               END AS vq
+        FROM r),
+      scored AS (
+        SELECT vec_id, v,
+               list_inner_product(vq, $oracleQ0)
+               / (sqrt(list_inner_product(vq, vq))
+                  * sqrt(list_inner_product($oracleQ0, $oracleQ0)))
+                 AS score_q
+        FROM dq),
+      cands AS (
+        SELECT * FROM scored ORDER BY score_q DESC, vec_id LIMIT 30),
+      rescored AS (
+        SELECT vec_id, score_q,
+               list_inner_product(v, $oracleQ0)
+               / (sqrt(list_inner_product(v, v))
+                  * sqrt(list_inner_product($oracleQ0, $oracleQ0)))
+                 AS score
+        FROM cands)
+      SELECT vec_id,
+             CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro,
+             CAST(floor(score_q * 1000000 + 0.5) AS BIGINT) AS scoreq_micro
+      FROM rescored
+      ORDER BY score DESC, vec_id LIMIT 10"""))
+
   /** V9 — collection stats: per-label cardinality, dim check, mean norm
     * (decimal-summed for order-independence). */
   val collStats = Q("coll_stats",
@@ -352,5 +413,5 @@ object VectorQueries {
 
   def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnMulti, vKnnMultiAgg,
     vKnnFiltered, vKnnDsl, vKnnDslExcept, vL2, vDot, vFusion, vHybridRrf,
-    vSqQuantize, collStats)
+    vSqQuantize, vSqSearch, collStats)
 }
