@@ -267,6 +267,71 @@ object DedupQueries {
       LIMIT 20"""
     }))
 
+  /** The step AFTER pair generation in a real dedup pipeline: connected
+    * components over the candidate-pair graph → one cluster id per doc
+    * (keep-one-per-cluster follows trivially as `doc_id == cluster`).
+    * Components via min-label propagation, `ccRounds` synchronous BSP
+    * rounds — each round is one equi-join (edges ⋈ labels) plus a
+    * map-side-combined min aggregation, the canonical distributed CC
+    * step. Rounds are FIXED (not run-to-convergence) so the oracle
+    * replays the identical computation; labels after round r are exact
+    * for every component of diameter ≤ r, and near-dup clusters are
+    * star/clique-shaped (diameter ≤ 2 in the planted fixture). At scale
+    * the edge set is the near-dup graph — orders of magnitude smaller
+    * than the corpus — and rounds grow O(log diameter) with large-star
+    * tricks if ever needed. */
+  private val ccRounds = 3
+
+  val dedupCluster = Q("dedup_cluster",
+    (s, dir) => {
+      val cands = Dedup.lshCandidates(
+        Dedup.lshBandsFused(planted(s, dir), "doc_id", "text",
+          numHashes = 16, shingleN = 3, rowsPerBand = 4), "doc_id")
+      val edges = cands.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(cands.select(col("doc_b").as("src"),
+          col("doc_a").as("dst")))
+        .persist()
+      val verts = edges.select(col("src").as("v")).distinct()
+      var labels = verts.withColumn("lbl", col("v"))
+      for (_ <- 1 to ccRounds) {
+        val fromNbrs = edges
+          .join(labels.select(col("v").as("dst"), col("lbl")), "dst")
+          .select(col("src").as("v"), col("lbl"))
+        labels = fromNbrs.unionAll(labels)
+          .groupBy("v").agg(min("lbl").as("lbl"))
+      }
+      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))
+      labels.join(sizes, "lbl")
+        .select(col("v").as("doc_id"), col("lbl").as("cluster"),
+          col("csize"))
+        .orderBy("doc_id")
+    },
+    Some {
+      // unrolled min-label propagation: l0 = identity, l{r+1}(v) =
+      // min(l{r}(v), min over in-neighbors) — same rounds as the engine
+      val rounds = (1 to ccRounds).map { r =>
+        s"""
+      l$r AS (
+        SELECT x.v, MIN(x.lbl) AS lbl FROM (
+          SELECT e.src AS v, p.lbl FROM e JOIN l${r - 1} p ON p.v = e.dst
+          UNION ALL SELECT v, lbl FROM l${r - 1}) x
+        GROUP BY x.v)"""
+      }.mkString(",")
+      shingleSql + minhashSql + s""",
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id),
+      e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+            UNION ALL SELECT doc_b, doc_a FROM cand),
+      l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e),$rounds,
+      sz AS (SELECT lbl, COUNT(*) AS csize FROM l$ccRounds GROUP BY lbl)
+      SELECT l.v AS doc_id, l.lbl AS cluster, sz.csize
+      FROM l$ccRounds l JOIN sz ON sz.lbl = l.lbl
+      ORDER BY doc_id"""
+    })
+
   def queries: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash,
-    dedupNgram, dedupEmbed)
+    dedupNgram, dedupEmbed, dedupCluster)
 }

@@ -23,7 +23,8 @@ object Queries {
     TextQueries.queries ++
     AnnQueries.queries ++
     MultimodalQueries.queries ++
-    StreamingQueries.queries
+    StreamingQueries.queries ++
+    RecommendQueries.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

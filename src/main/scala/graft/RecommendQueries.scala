@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{PayloadFilter, Recommend}
+
+/** Declared queries for the remaining public Qdrant query APIs over the
+  * reference's collections (operators/Recommend.scala): recommend by
+  * example points, grouped search, filtered count, ordered scroll. */
+object RecommendQueries {
+
+  /** Recommend API, `average_vector` strategy: positives {0, 1},
+    * negative {2} — combined vector `avg(pos) + (avg(pos) − avg(neg))`,
+    * examples excluded from results, top-10 cosine. The oracle rebuilds
+    * the combined vector with the identical element-wise expression
+    * (same IEEE op order), so scores match bit-for-bit. */
+  val vRecommend = Q("v_recommend",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Recommend.recommend(emb, "embedding", "vec_id",
+          positiveIds = Seq(0L, 1L), negativeIds = Seq(2L), k = 10)
+        .select("vec_id", "label", "score")
+    },
+    Some("""
+      WITH p1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+      p2 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 1),
+      n1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 2),
+      q AS (SELECT list_transform(range(64), i ->
+              (p1.v[i+1] + p2.v[i+1]) / 2
+              + ((p1.v[i+1] + p2.v[i+1]) / 2 - n1.v[i+1])) AS qv
+            FROM p1, p2, n1)
+      SELECT e.vec_id, e.label,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+      FROM embeddings e, q
+      WHERE e.vec_id NOT IN (0, 1, 2)
+      ORDER BY score DESC, e.vec_id
+      LIMIT 10"""))
+
+  /** Grouped search (`search_groups`): top-2 hits per label for the 3
+    * best labels (groups ranked by their best hit). The per-group top-k
+    * runs on the bounded-heap aggregate — partial heaps map-side, never
+    * a global window. */
+  val vKnnGroups = Q("v_knn_groups",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Recommend.searchGroups(emb, "embedding", "vec_id", "label", qv,
+          groups = 3, groupSize = 2)
+        .orderBy("label", "rnk")
+    },
+    Some("""
+      WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT vec_id, label,
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS score
+        FROM embeddings, q),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY score DESC, vec_id) AS rnk
+        FROM scored),
+      hits AS (SELECT * FROM r WHERE rnk <= 2),
+      g AS (SELECT label, MAX(score) AS best FROM hits GROUP BY label
+            ORDER BY best DESC, label LIMIT 3)
+      SELECT h.label, h.vec_id, h.score, CAST(h.rnk AS INT) AS rnk
+      FROM hits h JOIN g ON g.label = h.label
+      ORDER BY h.label, h.rnk"""))
+
+  /** Count API: a Qdrant filter-DSL predicate + COUNT — the DSL filter
+    * pushes to the scan, the count partial-aggregates. */
+  val collCount = Q("coll_count",
+    (s, dir) => {
+      val f = PayloadFilter.fromJson("""
+        {"must": [
+          {"key": "label", "match": {"any": [1, 4]}},
+          {"key": "vec_id", "range": {"gte": 100}}
+        ]}""")
+      Recommend.countFiltered(Tables.load(s, dir, "embeddings"), f)
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM embeddings
+      WHERE label IN (1, 4) AND vec_id >= 100"""))
+
+  /** Ordered scroll with a cursor: keyset pagination on (label, vec_id)
+    * strictly after (3, 150) — the cursor predicate pushes down; no
+    * OFFSET scan-and-discard. */
+  val collScroll = Q("coll_scroll",
+    (s, dir) =>
+      Recommend.scrollOrdered(
+          Tables.load(s, dir, "embeddings").select("vec_id", "label"),
+          "label", "vec_id", lit(3), lit(150L), pageSize = 20)
+        .select("vec_id", "label"),
+    Some("""
+      SELECT vec_id, label
+      FROM embeddings
+      WHERE label > 3 OR (label = 3 AND vec_id > 150)
+      ORDER BY label, vec_id
+      LIMIT 20"""))
+
+  def queries: Seq[Q] = Seq(vRecommend, vKnnGroups, collCount, collScroll)
+}

@@ -239,7 +239,57 @@ object TextQueries {
       ${VectorQueries.vectorTop100Sql}
       ${VectorQueries.rrfFuseTailSql}"""))
 
+  /** Deterministic hash sampling — the reproducible subsampling op every
+    * training-data pipeline needs (a seeded md5 bucket per doc id, no
+    * rand()): the SAME rows are sampled on any engine, any run, any
+    * partitioning. 10% sample, per-language counts. Narrow filter +
+    * partial-agg — scale-free. */
+  val pipeSample = Q("pipe_sample",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("__bucket",
+          conv(substring(md5(concat(lit("sample|"), col("doc_id"))), 1, 8),
+            16, 10).cast("long") % 100)
+        .filter(col("__bucket") < 10)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang"),
+    Some("""
+      SELECT lang, COUNT(*) AS n_sampled
+      FROM documents
+      WHERE ('0x' || substr(md5('sample|' || doc_id), 1, 8))::BIGINT % 100 < 10
+      GROUP BY lang ORDER BY lang"""))
+
+  /** Deterministic train/val/test split assignment (80/10/10 by seeded
+    * hash bucket) — membership is a pure function of the doc id, so the
+    * split survives reshuffles, backfills, and engine changes. */
+  val pipeSplit = Q("pipe_split",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("__bucket",
+          conv(substring(md5(concat(lit("split|"), col("doc_id"))), 1, 8),
+            16, 10).cast("long") % 100)
+        .withColumn("split",
+          when(col("__bucket") < 80, "train")
+            .when(col("__bucket") < 90, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy("split"),
+    Some("""
+      WITH b AS (
+        SELECT *,
+               ('0x' || substr(md5('split|' || doc_id), 1, 8))::BIGINT % 100
+                 AS bucket
+        FROM documents)
+      SELECT CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+             COUNT(*) AS n,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM b GROUP BY 1 ORDER BY 1"""))
+
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
     txtQuality,
-    txtFingerprint, txtStats)
+    txtFingerprint, txtStats, pipeSample, pipeSplit)
 }

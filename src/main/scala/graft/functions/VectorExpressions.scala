@@ -326,6 +326,16 @@ object SimHashUtil {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+  // token → top-60-bits memo: the hash is a pure function of the token
+  // and vocabularies are Zipf-small relative to token streams, so md5
+  // runs once per distinct token per thread. Bounded (cleared at the
+  // limit) so adversarial vocabularies cannot grow the executor heap.
+  private val memoLimit = 1 << 17
+  private val memo =
+    new ThreadLocal[java.util.HashMap[String, java.lang.Long]] {
+      override def initialValue() =
+        new java.util.HashMap[String, java.lang.Long](1 << 12)
+    }
 
   /** 60-bit simhash straight from the token array in one pass: per token,
     * the first 15 md5 hex digits (= the top 60 bits of the first 8 digest
@@ -340,16 +350,28 @@ object SimHashUtil {
     val counts = new Array[Int](bits)
     val n = tokens.numElements()
     val d = md5.get()
+    val m = memo.get()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        d.reset()
-        val dig = d.digest(tokens.getUTF8String(i).getBytes)
-        // first 15 hex digits == (first 8 bytes as unsigned 64) >>> 4
+        val u = tokens.getUTF8String(i)
+        // toString copies out of the (possibly reused) row buffer, so the
+        // memo key is stable; the digest reads the ORIGINAL bytes (a
+        // String round-trip could alter invalid UTF-8 sequences)
+        val tok = u.toString
         var h = 0L
-        var b = 0
-        while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
-        h = h >>> 4
+        val cached = m.get(tok)
+        if (cached != null) h = cached.longValue()
+        else {
+          d.reset()
+          val dig = d.digest(u.getBytes)
+          // first 15 hex digits == (first 8 bytes as unsigned 64) >>> 4
+          var b = 0
+          while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+          h = h >>> 4
+          if (m.size >= memoLimit) m.clear()
+          m.put(tok, java.lang.Long.valueOf(h))
+        }
         var j = 0
         while (j < bits) {
           if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1

@@ -59,10 +59,11 @@ object Dedup {
     // The whole signature comes from one fused compiled pass over the
     // token array (TokensMinHashExpr): shingle strings are never
     // materialized, there is no distinct (a duplicate cannot change a
-    // min), no explode of hash rows, no shuffle. Benchmarked ~10× over
-    // the equivalent 4-layer HOF chain, which evaluated interpreted
-    // lambdas per shingle per seed.
-    docs
+    // min), no explode of hash rows, no data-dependent shuffle.
+    // Benchmarked ~10× over the equivalent 4-layer HOF chain, which
+    // evaluated interpreted lambdas per shingle per seed. Par.spread
+    // repairs single-split local parallelism only (no-op at scale).
+    Par.spread(docs)
       .select(col(idCol),
         posexplode(org.apache.spark.sql.GraftSqlBridge.column(
           graft.functions.TokensMinHashExpr(
@@ -84,7 +85,7 @@ object Dedup {
                     rowsPerBand: Int = 4): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       s"$rowsPerBand rows/band must divide $numHashes hashes")
-    docs
+    Par.spread(docs)
       .select(col(idCol),
         org.apache.spark.sql.GraftSqlBridge.column(
           graft.functions.TokensMinHashExpr(
@@ -134,7 +135,7 @@ object Dedup {
     * (see SURVEY §8.4 r3). */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 60): DataFrame =
-    docs
+    Par.spread(docs)
       .select(col(idCol), tokens(col(textCol)).as("__tk"))
       .filter(size(col("__tk")) > 0)
       .select(col(idCol),
@@ -227,7 +228,7 @@ object Dedup {
                     textCol: String, shingleN: Int = 3): DataFrame = {
     // The shingle table feeds three consumers (sizes, both join sides);
     // persist it so the explode chain runs once.
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = Par.spread(docs).select(col(idCol).as("id"),
       explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
         .as("sh"))
       .persist()
@@ -285,7 +286,7 @@ object Dedup {
     * materialized. jacc_micro = |∩| * 1e6 div |∪| (integer). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = Par.spread(docs).select(col(idCol).as("id"),
       explode(array_distinct(shingles(tokens(col(textCol)), shingleN)))
         .as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))

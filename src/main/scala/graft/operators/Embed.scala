@@ -59,7 +59,10 @@ object Embed {
                 model: String = defaultTextModel,
                 seed: String = ""): DataFrame = {
     val dim = dimOf(model)
-    val toks = df
+    // spread: the md5 bucket/sign hashing runs in this projection — a
+    // single-split local scan would hash the whole corpus on one core
+    // (no-op on a real cluster; see Par.spread)
+    val toks = Par.spread(df)
       .select(col(idCol),
         explode(filter(split(lower(col(textCol)), "\\s+"),
           t => t =!= "")).as("__tok"))
@@ -119,14 +122,15 @@ object Embed {
     EmbedderOps.embedTextBatch(df, textCol, outCol,
       new FeatureHashEmbedder(model, seed))
 
-  /** [[embedMultimodal]] through the batch-inference boundary. */
+  /** [[embedMultimodal]] through the batch-inference boundary — both
+    * named vectors in ONE mapPartitions pass (chaining two passes would
+    * re-encode the first 512-dim vector through the Row codec per row). */
   def embedMultimodalBatch(df: DataFrame, textCol: String,
                            captionCol: String,
                            modelPair: String = multimodalPair): DataFrame = {
     val Array(textModel, visionModel) = modelPair.split(" ")
-    val withText = embedTextBatch(df, textCol,
-      outCol = "text_vec", model = textModel, seed = "text|")
-    embedTextBatch(withText, captionCol,
-      outCol = "image_vec", model = visionModel, seed = "image|")
+    EmbedderOps.embedBatchMulti(df, Seq(
+      (textCol, "text_vec", new FeatureHashEmbedder(textModel, "text|")),
+      (captionCol, "image_vec", new FeatureHashEmbedder(visionModel, "image|"))))
   }
 }

@@ -44,10 +44,18 @@ final class FeatureHashEmbedder(model: String = Embed.defaultTextModel,
   override def name: String = model
   override val dim: Int = Embed.dimOf(model)
 
-  // the per-partition "model": here just a digest instance
+  // the per-partition "model": a digest instance plus a token memo — the
+  // (bucket, sign) of a token is a pure function of (seed, token), and
+  // corpus vocabularies are far smaller than token streams (Zipf), so
+  // md5 runs once per DISTINCT token instead of once per occurrence.
+  // Bounded: cleared when it exceeds memoLimit so an adversarial
+  // vocabulary cannot grow the executor heap.
   @transient private var md: java.security.MessageDigest = _
+  @transient private var memo: java.util.HashMap[String, Int] = _
+  private val memoLimit = 1 << 17
   override def init(): Unit = {
     md = java.security.MessageDigest.getInstance("MD5")
+    memo = new java.util.HashMap[String, Int](1 << 12)
   }
 
   private val seedBytes = seed.getBytes("UTF-8")
@@ -55,6 +63,25 @@ final class FeatureHashEmbedder(model: String = Embed.defaultTextModel,
 
   override def embedBatch(texts: Seq[String]): Seq[Array[Double]] =
     texts.map(embedOne)
+
+  /** (bucket, sign) packed as bucket | (signBit << 30) — dim is far below
+    * 2^30 so the bucket field never collides with the sign bit. */
+  private def bucketSign(tok: String): Int = {
+    val cached = memo.get(tok)
+    if (cached != 0) return cached - 1 // stored +1 so 0 means absent
+    md.update(seedBytes)
+    md.update(tok.getBytes("UTF-8"))
+    val h = md.digest()
+    // first 8 md5 hex digits == first 4 digest bytes, big-endian
+    // unsigned; the 9th hex digit's parity == bit 4 of digest byte 4 —
+    // byte arithmetic, no hex-string materialization (13x faster)
+    val bucket = ((((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % dim).toInt
+    val packed = bucket | (if (((h(4) >> 4) & 1) == 0) 0 else 1 << 30)
+    if (memo.size >= memoLimit) memo.clear()
+    memo.put(tok, packed + 1)
+    packed
+  }
 
   private def embedOne(text: String): Array[Double] = {
     if (md == null) init()
@@ -64,15 +91,8 @@ final class FeatureHashEmbedder(model: String = Embed.defaultTextModel,
     while (t < toks.length) {
       val tok = toks(t)
       if (tok.nonEmpty) {
-        md.update(seedBytes)
-        md.update(tok.getBytes("UTF-8"))
-        val h = md.digest()
-        // first 8 md5 hex digits == first 4 digest bytes, big-endian
-        // unsigned; the 9th hex digit's parity == bit 4 of digest byte 4 —
-        // byte arithmetic, no hex-string materialization (13x faster)
-        val bucket = ((((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
-          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % dim).toInt
-        sums(bucket) += (if (((h(4) >> 4) & 1) == 0) 1L else -1L)
+        val packed = bucketSign(tok)
+        sums(packed & ((1 << 30) - 1)) += (if ((packed >>> 30) == 0) 1L else -1L)
       }
       t += 1
     }
@@ -100,31 +120,56 @@ final class FeatureHashEmbedder(model: String = Embed.defaultTextModel,
 object EmbedderOps {
   def embedTextBatch(df: DataFrame, textCol: String,
                      outCol: String, embedder: Embedder,
-                     batchSize: Int = 64): DataFrame = {
-    val src = "__embed_src"
+                     batchSize: Int = 64): DataFrame =
+    embedBatchMulti(df, Seq((textCol, outCol, embedder)), batchSize)
+
+  /** N embedding columns in ONE mapPartitions pass — the multimodal
+    * named-vector pair (text + vision) costs one Row-codec round trip
+    * instead of two chained passes where the second re-encodes the first
+    * pass's vector per row. Each spec is (source column, output column,
+    * embedder); outputs are appended in spec order. */
+  def embedBatchMulti(df: DataFrame,
+                      specs: Seq[(String, String, Embedder)],
+                      batchSize: Int = 64): DataFrame = {
+    require(specs.nonEmpty, "at least one embed spec required")
     // withColumn would REPLACE an existing column in place (not append),
-    // and the row-carry below drops the LAST field — so a colliding name
-    // must be an error, not silent column corruption
-    require(!df.columns.contains(src),
-      s"input already has a column named $src")
-    require(!df.columns.contains(outCol),
-      s"input already has a column named $outCol (the output column)")
-    val input = df.withColumn(src, col(textCol).cast("string"))
-    val srcIdx = input.schema.fieldIndex(src)
+    // and the row-carry below drops the source fields by position — so a
+    // colliding name must be an error, not silent column corruption
+    val srcNames = specs.indices.map(i => s"__embed_src_$i")
+    (srcNames ++ specs.map(_._2)).foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a column named $c")
+    }
+    require(specs.map(_._2).distinct.length == specs.length,
+      s"duplicate output columns in ${specs.map(_._2)}")
+    val input = specs.zip(srcNames).foldLeft(df) {
+      case (d, ((textCol, _, _), src)) =>
+        d.withColumn(src, col(textCol).cast("string"))
+    }
+    val srcIdx = srcNames.map(input.schema.fieldIndex)
     val outSchema = StructType(
-      df.schema.fields :+ StructField(outCol, ArrayType(DoubleType),
-        nullable = true))
-    input.mapPartitions { rows =>
-      embedder.init() // once per partition — the model-load point
+      df.schema.fields ++ specs.map { case (_, outCol, _) =>
+        StructField(outCol, ArrayType(DoubleType), nullable = true)
+      })
+    val embedders = specs.map(_._3)
+    val nSrc = specs.length
+    // single-split small scans would run the whole inference on one core
+    Par.spread(input).mapPartitions { rows =>
+      embedders.foreach(_.init()) // once per partition — the model-load point
       rows.grouped(batchSize).flatMap { chunk =>
-        val texts = chunk.map(r =>
-          if (r.isNullAt(srcIdx)) "" else r.getString(srcIdx))
-        val out = embedder.embedBatch(texts)
-        require(out.length == chunk.length,
-          s"embedder ${embedder.name} returned ${out.length} vectors " +
-            s"for ${chunk.length} inputs")
-        chunk.lazyZip(out).map((r, v) =>
-          Row.fromSeq(r.toSeq.dropRight(1) :+ v))
+        val outs = srcIdx.zip(embedders).map { case (idx, embedder) =>
+          val texts = chunk.map(r =>
+            if (r.isNullAt(idx)) "" else r.getString(idx))
+          val out = embedder.embedBatch(texts)
+          require(out.length == chunk.length,
+            s"embedder ${embedder.name} returned ${out.length} vectors " +
+              s"for ${chunk.length} inputs")
+          out
+        }
+        chunk.indices.map { j =>
+          val r = chunk(j)
+          Row.fromSeq(r.toSeq.dropRight(nSrc) ++ outs.map(_(j)))
+        }
       }
     }(Encoders.row(outSchema))
   }

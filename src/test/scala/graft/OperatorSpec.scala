@@ -419,7 +419,10 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       docs, "text", "embedding", new CountingEmbedder(n),
       batchSize = 7)
     assert(out.count() == docs.count())
-    val parts = docs.rdd.getNumPartitions
+    // the boundary spreads a below-parallelism input first (Par.spread),
+    // so the partition count the inits must match is the SPREAD one
+    val parts = math.max(docs.rdd.getNumPartitions,
+      spark.sparkContext.defaultParallelism)
     val inits = CountingEmbedder.inits.get()
     assert(inits == parts,
       s"expected $parts inits (one per partition), saw $inits")

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Recommend}
+
+/** Specs for the Qdrant query-API surface (recommend / search_groups /
+  * count / ordered scroll) and dedup connected-components clustering. */
+class RecommendSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings").cache()
+
+  test("averageVector: no negatives = plain element-wise mean; with " +
+       "negatives = avg_pos + (avg_pos - avg_neg)") {
+    val p1 = Seq(1.0, 2.0, 3.0)
+    val p2 = Seq(3.0, 2.0, 1.0)
+    val n1 = Seq(1.0, 1.0, 1.0)
+    assert(Recommend.averageVector(Seq(p1, p2), Nil) == Seq(2.0, 2.0, 2.0))
+    assert(Recommend.averageVector(Seq(p1, p2), Seq(n1)) ==
+      Seq(3.0, 3.0, 3.0))
+  }
+
+  test("recommend excludes the example points and returns k rows " +
+       "ranked by score") {
+    val out = Recommend.recommend(emb, "embedding", "vec_id",
+      positiveIds = Seq(0L, 1L), negativeIds = Seq(2L), k = 10).collect()
+    assert(out.length == 10)
+    val ids = out.map(_.getAs[Long]("vec_id")).toSet
+    assert(!ids.exists(Set(0L, 1L, 2L)), "example ids must be excluded")
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.sliding(2).forall(p => p(0) >= p(1)), "ranked desc")
+  }
+
+  test("searchGroups: per-group size bounded, group count bounded, " +
+       "groups are those with the best top hit") {
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val out = Recommend.searchGroups(emb, "embedding", "vec_id", "label",
+      qv, groups = 3, groupSize = 2).collect()
+    val byGroup = out.groupBy(_.getAs[Int]("label"))
+    assert(byGroup.size <= 3)
+    byGroup.values.foreach(hits => assert(hits.length <= 2))
+    // chosen groups = top-3 labels by best single-hit score (window model)
+    val best = emb
+      .withColumn("score", round(
+        graft.functions.VectorOps.cosine(col("embedding"), typedLit(qv)), 6))
+      .groupBy("label").agg(max("score").as("best"))
+      .orderBy(desc("best"), col("label")).limit(3)
+      .collect().map(_.getAs[Int]("label")).toSet
+    assert(byGroup.keySet == best)
+  }
+
+  test("scroll pages tile the ordered collection with no gaps or overlap") {
+    val ordered = emb.select("vec_id", "label")
+      .orderBy("label", "vec_id").collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("vec_id")))
+    val page1 = Recommend.scrollOrdered(emb.select("vec_id", "label"),
+        "label", "vec_id", lit(-1), lit(-1L), pageSize = 30)
+      .collect().map(r => (r.getAs[Int]("label"), r.getAs[Long]("vec_id")))
+    val (lastLbl, lastId) = page1.last
+    val page2 = Recommend.scrollOrdered(emb.select("vec_id", "label"),
+        "label", "vec_id", lit(lastLbl), lit(lastId), pageSize = 30)
+      .collect().map(r => (r.getAs[Int]("label"), r.getAs[Long]("vec_id")))
+    assert((page1 ++ page2).toSeq == ordered.take(60).toSeq)
+  }
+
+  test("countFiltered matches a hand-written predicate count") {
+    val f = graft.operators.PayloadFilter.fromJson(
+      """{"must": [{"key": "label", "match": {"any": [1, 4]}}]}""")
+    val cnt = Recommend.countFiltered(emb, f).head().getLong(0)
+    val expect = emb.filter(col("label").isin(1, 4)).count()
+    assert(cnt == expect)
+  }
+
+  test("dedup clustering: planted exact dups land in the keeper's " +
+       "cluster; cluster sizes are consistent") {
+    val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .limit(50)
+    val planted = d.unionAll(
+      d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val cands = Dedup.lshCandidates(
+      Dedup.lshBandsFused(planted, "doc_id", "text",
+        numHashes = 16, shingleN = 3, rowsPerBand = 4), "doc_id")
+    val edges = cands.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(cands.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val verts = edges.select(col("src").as("v")).distinct()
+    var labels = verts.withColumn("lbl", col("v"))
+    for (_ <- 1 to 3) {
+      labels = edges
+        .join(labels.select(col("v").as("dst"), col("lbl")), "dst")
+        .select(col("src").as("v"), col("lbl"))
+        .unionAll(labels)
+        .groupBy("v").agg(min("lbl").as("lbl"))
+    }
+    val cl = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every planted dup shares its original's cluster, labeled by min id
+    d.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(cl.contains(id) && cl(id + 100000) == cl(id),
+        s"dup pair ($id, ${id + 100000}) split across clusters")
+      assert(cl(id) <= id, "cluster label must be a component minimum")
+    }
+  }
+}
