@@ -287,19 +287,7 @@ object DedupQueries {
       val cands = Dedup.lshCandidates(
         Dedup.lshBandsFused(planted(s, dir), "doc_id", "text",
           numHashes = 16, shingleN = 3, rowsPerBand = 4), "doc_id")
-      val edges = cands.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(cands.select(col("doc_b").as("src"),
-          col("doc_a").as("dst")))
-        .persist()
-      val verts = edges.select(col("src").as("v")).distinct()
-      var labels = verts.withColumn("lbl", col("v"))
-      for (_ <- 1 to ccRounds) {
-        val fromNbrs = edges
-          .join(labels.select(col("v").as("dst"), col("lbl")), "dst")
-          .select(col("src").as("v"), col("lbl"))
-        labels = fromNbrs.unionAll(labels)
-          .groupBy("v").agg(min("lbl").as("lbl"))
-      }
+      val labels = Dedup.connectedComponents(cands, rounds = ccRounds)
       val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))
       labels.join(sizes, "lbl")
         .select(col("v").as("doc_id"), col("lbl").as("cluster"),

@@ -388,6 +388,68 @@ object VectorQueries {
       FROM rescored
       ORDER BY score DESC, vec_id LIMIT 10"""))
 
+  /** Binary-quantized SEARCH (the public Qdrant 1-bit compression): pack
+    * sign bits (32/word), prefilter by hamming distance to the packed
+    * query (the only pass that touches the collection — 32× fewer bytes
+    * than the vectors), take a candidate superset (top-30 by hamming),
+    * rescore candidates at full precision, exact top-10. Integer hamming
+    * + micro-int scores: drift-free across engines. */
+  val vBqSearch = Q("v_bq_search",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = queryVec(s, dir, 0)
+      val qWords = (0 until (qv.length + 31) / 32).map { w =>
+        (0 until 32).map { j =>
+          val i = w * 32 + j
+          if (i < qv.length && qv(i) > 0) 1L << j else 0L
+        }.sum
+      }
+      val cands = emb
+        .withColumn("bq", VectorOps.bqPack(col("embedding"), qv.length))
+        .withColumn("hamming",
+          VectorOps.bqHamming(col("bq"), typedLit(qWords)))
+        .orderBy(asc("hamming"), col("vec_id"))
+        .limit(30)
+      cands
+        .withColumn("score", VectorOps.cosine(col("embedding"), typedLit(qv)))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("hamming"),
+          floor(col("score") * 1e6 + lit(0.5)).cast("long").as("score_micro"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 0),
+      bits AS (
+        SELECT vec_id, v,
+               list_transform(range(2), w ->
+                 CAST(list_sum(list_transform(range(32), j ->
+                   CASE WHEN v[w*32 + j + 1] > 0
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END))
+                 AS BIGINT)) AS words
+        FROM d),
+      qbits AS (
+        SELECT list_transform(range(2), w ->
+                 CAST(list_sum(list_transform(range(32), j ->
+                   CASE WHEN qv[w*32 + j + 1] > 0
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END))
+                 AS BIGINT)) AS qw
+        FROM q),
+      ham AS (
+        SELECT vec_id, v,
+               CAST(bit_count(xor(words[1], qw[1]))
+                    + bit_count(xor(words[2], qw[2])) AS BIGINT) AS hamming
+        FROM bits, qbits),
+      cands AS (SELECT * FROM ham ORDER BY hamming ASC, vec_id LIMIT 30)
+      SELECT c.vec_id, c.hamming,
+             CAST(floor(list_cosine_similarity(c.v, q.qv) * 1000000 + 0.5)
+               AS BIGINT) AS score_micro
+      FROM cands c, q
+      ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id
+      LIMIT 10"""))
+
   /** V9 — collection stats: per-label cardinality, dim check, mean norm
     * (decimal-summed for order-independence). */
   val collStats = Q("coll_stats",
@@ -413,5 +475,5 @@ object VectorQueries {
 
   def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnMulti, vKnnMultiAgg,
     vKnnFiltered, vKnnDsl, vKnnDslExcept, vL2, vDot, vFusion, vHybridRrf,
-    vSqQuantize, vSqSearch, collStats)
+    vSqQuantize, vSqSearch, vBqSearch, collStats)
 }

@@ -109,4 +109,30 @@ object VectorOps {
       range.getField("mn") +
         c.cast("double") / 255 *
           (range.getField("mx") - range.getField("mn")))
+
+  /** Binary quantization (the public Qdrant 1-bit scheme): the sign bit
+    * of each element (`x > 0`), packed 32 per BIGINT word — 32× memory
+    * reduction; at 100 TB the packed collection is the only thing a BQ
+    * prefilter ever scans. Packing is a weighted sum of indicator bits
+    * with power-of-two weights (distinct powers ≤ 2³² sum exactly in a
+    * double in ANY order), so the integer words are engine-independent
+    * and the DuckDB oracle replays them bit-for-bit. */
+  def bqPack(v: Column, dim: Int, wordBits: Int = 32): Column = {
+    val words = (dim + wordBits - 1) / wordBits
+    val d = asDouble(v)
+    val powers = typedLit((0 until wordBits).map(j => math.pow(2.0, j)))
+    transform(sequence(lit(0), lit(words - 1)), w =>
+      aggregate(
+        // a short final word zip-pads x with null → condition false → 0
+        zip_with(slice(d, w * wordBits + 1, lit(wordBits)), powers,
+          (x, p) => when(x > 0, p).otherwise(lit(0.0))),
+        lit(0.0), (acc, x) => acc + x).cast("long"))
+  }
+
+  /** Hamming distance between two packed bit arrays ([[bqPack]]):
+    * Σ popcount(aᵢ xor bᵢ). BQ similarity = dim − hamming. */
+  def bqHamming(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
 }

@@ -72,6 +72,30 @@ class RecommendSpec extends AnyFunSuite with SparkSpec {
     assert(cnt == expect)
   }
 
+  test("binary quantization: packed words match a driver-side model; " +
+       "hamming is zero on self and symmetric") {
+    import graft.functions.VectorOps
+    val rows = emb.limit(20)
+      .withColumn("bq", VectorOps.bqPack(col("embedding"), 64))
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("bq"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val expect = (0 until 2).map { w =>
+        (0 until 32).map { j =>
+          if (v(w * 32 + j) > 0) 1L << j else 0L
+        }.sum
+      }
+      assert(r.getSeq[Long](2) == expect, s"pack mismatch for ${r.get(0)}")
+    }
+    val ham = emb.limit(20)
+      .withColumn("bq", VectorOps.bqPack(col("embedding"), 64))
+      .select(VectorOps.bqHamming(col("bq"), col("bq")))
+      .collect()
+    ham.foreach(r => assert(r.getLong(0) == 0L))
+  }
+
   test("dedup clustering: planted exact dups land in the keeper's " +
        "cluster; cluster sizes are consistent") {
     val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
@@ -81,18 +105,8 @@ class RecommendSpec extends AnyFunSuite with SparkSpec {
     val cands = Dedup.lshCandidates(
       Dedup.lshBandsFused(planted, "doc_id", "text",
         numHashes = 16, shingleN = 3, rowsPerBand = 4), "doc_id")
-    val edges = cands.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(cands.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val verts = edges.select(col("src").as("v")).distinct()
-    var labels = verts.withColumn("lbl", col("v"))
-    for (_ <- 1 to 3) {
-      labels = edges
-        .join(labels.select(col("v").as("dst"), col("lbl")), "dst")
-        .select(col("src").as("v"), col("lbl"))
-        .unionAll(labels)
-        .groupBy("v").agg(min("lbl").as("lbl"))
-    }
-    val cl = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cl = Dedup.connectedComponents(cands, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // every planted dup shares its original's cluster, labeled by min id
     d.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
       assert(cl.contains(id) && cl(id + 100000) == cl(id),
