@@ -13,6 +13,7 @@ object Dev {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -28,6 +29,40 @@ object Dev {
         Queries.queries(name)(spark, dir).explain("formatted")
       case "run" :: name :: dir :: Nil =>
         Queries.queries(name)(spark, dir).show(50, truncate = 60)
+      case "time" :: name :: dir :: n =>
+        val iters = n.headOption.map(_.toInt).getOrElse(3)
+        val fn = Queries.queries(name)
+        fn(spark, "/root/testdata/sf0.001").count() // warmup
+        (1 to iters).foreach { i =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          println(f"[$name] iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      case "ccprof" :: dir :: Nil =>
+        import org.apache.spark.sql.functions._
+        def t[A](what: String)(f: => A): A = {
+          val t0 = System.nanoTime()
+          val r = f
+          println(f"[$what] ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          r
+        }
+        // warmup
+        Queries.queries("dedup_cluster")(spark, "/root/testdata/sf0.001").count()
+        (1 to 2).foreach { _ =>
+          val d = Tables.load(spark, dir, "documents").select("doc_id", "text")
+          val planted = d.unionAll(d.filter(col("doc_id") % 100 === 0)
+              .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+            .repartition(spark.sparkContext.defaultParallelism)
+          val cands = graft.operators.Dedup.lshCandidates(
+            graft.operators.Dedup.lshBandsFused(planted, "doc_id", "text",
+              16, 3, 4), "doc_id")
+          t("candidates")(cands.count())
+          val cc = t("cc-build")(
+            graft.operators.Dedup.connectedComponents(cands, rounds = 3))
+          t("cc-count")(cc.count())
+          val sizes = cc.groupBy("lbl").agg(count(lit(1)).as("csize"))
+          t("sizes-join")(cc.join(sizes, "lbl").count())
+        }
       case other => sys.error(s"unknown args: $other")
     }
     spark.stop()

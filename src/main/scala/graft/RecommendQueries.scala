@@ -98,5 +98,70 @@ object RecommendQueries {
       ORDER BY label, vec_id
       LIMIT 20"""))
 
-  def queries: Seq[Q] = Seq(vRecommend, vKnnGroups, collCount, collScroll)
+  /** Facet API: value counts of a payload field under a DSL filter —
+    * top values by count. One pushed-down filter + one map-side-combined
+    * hash agg + a bounded TakeOrderedAndProject. */
+  val collFacet = Q("coll_facet",
+    (s, dir) => {
+      val f = PayloadFilter.fromJson(
+        """{"must": [{"key": "vec_id", "range": {"lt": 1000}}]}""")
+      Tables.load(s, dir, "embeddings").filter(f)
+        .groupBy("label").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("label"))
+        .limit(5)
+    },
+    Some("""
+      SELECT label, COUNT(*) AS cnt
+      FROM embeddings
+      WHERE vec_id < 1000
+      GROUP BY label
+      ORDER BY cnt DESC, label
+      LIMIT 5"""))
+
+  /** Discover API: rank by context fit first, target similarity second
+    * (the public Qdrant discover semantics — each context pair
+    * contributes `min(0, sim(v,pos) − sim(v,neg))`; a point loses rank
+    * only where it sits on the wrong side of a pair). Scores quantized
+    * to micro-ints BEFORE ordering so both engines break ties
+    * identically. Example points excluded; single scoring pass +
+    * TakeOrderedAndProject. */
+  val vDiscover = Q("v_discover",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      def qv(id: Long) = typedLit(
+        Recommend.exampleVectors(emb, "vec_id", "embedding", Seq(id)).head)
+      import graft.functions.VectorOps.cosine
+      emb.filter(!col("vec_id").isin(0L, 1L, 2L))
+        .withColumn("ctx_micro",
+          floor(least(lit(0.0),
+            cosine(col("embedding"), qv(1)) -
+              cosine(col("embedding"), qv(2))) * 1e6 + lit(0.5)).cast("long"))
+        .withColumn("target_micro",
+          floor(cosine(col("embedding"), qv(0)) * 1e6 + lit(0.5)).cast("long"))
+        .orderBy(desc("ctx_micro"), desc("target_micro"), col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "ctx_micro", "target_micro")
+    },
+    Some("""
+      WITH t AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+      p AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 1),
+      n AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 2),
+      scored AS (
+        SELECT e.vec_id, e.label,
+               CAST(floor(least(0.0,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.v)
+                 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), n.v))
+                 * 1000000 + 0.5) AS BIGINT) AS ctx_micro,
+               CAST(floor(
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), t.v)
+                 * 1000000 + 0.5) AS BIGINT) AS target_micro
+        FROM embeddings e, t, p, n
+        WHERE e.vec_id NOT IN (0, 1, 2))
+      SELECT vec_id, label, ctx_micro, target_micro
+      FROM scored
+      ORDER BY ctx_micro DESC, target_micro DESC, vec_id
+      LIMIT 10"""))
+
+  def queries: Seq[Q] = Seq(vRecommend, vKnnGroups, collCount, collScroll,
+    collFacet, vDiscover)
 }

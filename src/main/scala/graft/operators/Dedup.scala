@@ -195,9 +195,24 @@ object Dedup {
       .distinct()
   }
 
-  // One-slot cache for the simhash signature table (same bounded-cache
-  // contract as lastShingleCache below: persist the latest, unpersist the
-  // previous — an unpersist under a live concurrent consumer only forces a
+  /** Swap a one-slot cache list: unpersist previous entries UNLESS a new
+    * entry is plan-identical to them. Spark's CacheManager keys cached
+    * data by the analyzed plan — when a caller re-runs the SAME pipeline
+    * (bench iterations, the verify pass), the fresh `persist()` is a
+    * no-op against the existing entry, and unpersisting the "old" handle
+    * would delete the very cache the new call relies on (measured: every
+    * bench iteration after the first ran fully uncached). */
+  private def swapCache(old: List[DataFrame], fresh: List[DataFrame])
+      : Unit =
+    old.foreach { o =>
+      if (!fresh.exists(
+          _.queryExecution.analyzed.sameResult(o.queryExecution.analyzed)))
+        o.unpersist(blocking = false)
+    }
+
+  // One-slot cache for the simhash signature table (bounded-cache
+  // contract: persist the latest, unpersist the previous via swapCache —
+  // an unpersist under a live concurrent consumer only forces a
   // recompute, never a wrong result). The signature feeds three consumers
   // in the banded pipeline (banding + both verify join sides).
   private var lastSimhashCache: Option[DataFrame] = None
@@ -206,7 +221,7 @@ object Dedup {
                     bits: Int = 60): DataFrame = {
     val sig = simhash(docs, idCol, textCol, bits).persist()
     synchronized {
-      lastSimhashCache.foreach(_.unpersist(blocking = false))
+      swapCache(lastSimhashCache.toList, List(sig))
       lastSimhashCache = Some(sig)
     }
     sig
@@ -225,35 +240,46 @@ object Dedup {
     * round r are exact for components of diameter ≤ r. Rounds are FIXED
     * so an oracle can replay the identical computation.
     *
-    * Every round PERSISTS its label table: the loop body references
-    * `labels` twice (join side + union side), so an unpersisted lineage
-    * doubles per round — 2^rounds recomputations of the candidate
-    * pipeline (measured 8.2 s vs 1.2 s at sf0.1). At scale this is the
-    * standard iterate-with-materialization pattern (edges ≪ corpus). */
+    * Self-loops are added to the edge set so a round keeps a vertex's own
+    * label through the SAME join that gathers its neighbors' — each round
+    * then references the previous label table exactly ONCE, the lineage
+    * stays linear, and no intermediate round needs its own
+    * materialization (a `new = join(old) ∪ old` formulation doubles the
+    * lineage per round: 2^rounds recomputes of the candidate pipeline,
+    * measured 8 s vs ~1 s at sf0.1). Only `edges` — the expensive input —
+    * is cached. */
   def connectedComponents(cands: DataFrame, idA: String = "doc_a",
                           idB: String = "doc_b",
                           rounds: Int = 3): DataFrame = {
-    val edges = cands
+    // cache the PAIRS before deriving anything: the edge construction
+    // references them twice (directed copies) and the self-loop distinct
+    // once more — uncached, the whole candidate pipeline (a band
+    // self-join) would re-run per reference
+    val c = cands.persist()
+    val und = c
       .select(col(idA).as("src"), col(idB).as("dst"))
-      .unionAll(cands.select(col(idB).as("src"), col(idA).as("dst")))
+      .unionAll(c.select(col(idB).as("src"), col(idA).as("dst")))
+    val edges = und
+      .unionAll(und.select(col("src").as("src"), col("src").as("dst"))
+        .distinct())
       .persist()
-    var fresh: List[DataFrame] = List(edges)
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v"))
+    var labels = edges.filter(col("src") === col("dst"))
+      .select(col("src").as("v"), col("src").as("lbl"))
     for (_ <- 1 to rounds) {
+      // the label table is bounded by the candidate-graph vertex count —
+      // broadcast it so a round never exchanges or sorts the edge side
       labels = edges
-        .join(labels.select(col("v").as("dst"), col("lbl")), "dst")
+        .join(broadcast(labels.select(col("v").as("dst"), col("lbl"))),
+          "dst")
+        .groupBy("src").agg(min("lbl").as("lbl"))
         .select(col("src").as("v"), col("lbl"))
-        .unionAll(labels)
-        .groupBy("v").agg(min("lbl").as("lbl"))
-        .persist()
-      fresh ::= labels
     }
+    val out = labels.persist()
     synchronized {
-      lastCcCache.foreach(_.unpersist(blocking = false))
-      lastCcCache = fresh
+      swapCache(lastCcCache, List(c, edges, out))
+      lastCcCache = List(c, edges, out)
     }
-    labels
+    out
   }
 
   /** Exact Jaccard over distinct shingle sets for a GIVEN candidate-pair
@@ -277,7 +303,7 @@ object Dedup {
         .as("sh"))
       .persist()
     synchronized {
-      lastShingleCache.foreach(_.unpersist(blocking = false))
+      swapCache(lastShingleCache.toList, List(sh))
       lastShingleCache = Some(sh)
     }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
