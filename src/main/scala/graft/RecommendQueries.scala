@@ -162,6 +162,33 @@ object RecommendQueries {
       ORDER BY ctx_micro DESC, target_micro DESC, vec_id
       LIMIT 10"""))
 
+  /** Chroma `where` + `where_document` query (the reference's other
+    * backend, `chroma_embedder.py:28-36`): metadata operators compose
+    * with a full-text contains over the document column; simple
+    * comparisons push to the scan. */
+  val chromaWhere = Q("chroma_where",
+    (s, dir) => {
+      val where = graft.operators.ChromaWhere.fromJson("""
+        {"$and": [
+          {"lang": {"$in": ["en", "fr"]}},
+          {"n_chars": {"$gte": 200}}
+        ]}""")
+      val whereDoc = graft.operators.ChromaWhere.documentFilter(
+        """{"$contains": "data"}""", col("text"))
+      Tables.load(s, dir, "documents")
+        .filter(where && whereDoc)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+        .limit(50)
+    },
+    Some("""
+      SELECT doc_id, lang, n_chars
+      FROM documents
+      WHERE lang IN ('en', 'fr') AND n_chars >= 200
+        AND contains(text, 'data')
+      ORDER BY doc_id
+      LIMIT 50"""))
+
   def queries: Seq[Q] = Seq(vRecommend, vKnnGroups, collCount, collScroll,
-    collFacet, vDiscover)
+    collFacet, vDiscover, chromaWhere)
 }

@@ -96,6 +96,33 @@ class RecommendSpec extends AnyFunSuite with SparkSpec {
     ham.foreach(r => assert(r.getLong(0) == 0L))
   }
 
+  test("Chroma where DSL: operators match hand-written predicates, " +
+       "simple comparisons push down, $ne/$nin pass nulls") {
+    import graft.operators.ChromaWhere
+    val docs = Tables.load(spark, sf, "documents")
+    val w = ChromaWhere.fromJson("""
+      {"$and": [{"lang": {"$in": ["en", "fr"]}},
+                {"n_chars": {"$gte": 200}}]}""")
+    val got = docs.filter(w)
+    val expect = docs.filter(
+      col("lang").isin("en", "fr") && col("n_chars") >= 200)
+    assert(got.count() == expect.count())
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_chars"),
+      "comparisons should reach the parquet scan")
+    // $ne / $nin pass missing values (documented divergence from bare SQL)
+    val df = spark.createDataFrame(
+      Seq(("a", "x"), ("b", null))).toDF("id", "m")
+    def ids(c: org.apache.spark.sql.Column) =
+      df.filter(c).select("id").collect().map(_.getString(0)).toSet
+    assert(ids(ChromaWhere.fromJson("""{"m": {"$ne": "x"}}""")) == Set("b"))
+    assert(ids(ChromaWhere.fromJson(
+      """{"m": {"$nin": ["x", "y"]}}""")) == Set("b"))
+    assert(ids(ChromaWhere.documentFilter(
+      """{"$not_contains": "x"}""", col("m"))) == Set("b"))
+    assert(ids(ChromaWhere.fromJson("""{"m": "x"}""")) == Set("a"))
+  }
+
   test("dedup clustering: planted exact dups land in the keeper's " +
        "cluster; cluster sizes are consistent") {
     val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
