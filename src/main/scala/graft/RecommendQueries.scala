@@ -18,7 +18,7 @@ object RecommendQueries {
       val emb = Tables.load(s, dir, "embeddings")
       Recommend.recommend(emb, "embedding", "vec_id",
           positiveIds = Seq(0L, 1L), negativeIds = Seq(2L), k = 10)
-        .select("vec_id", "label", "score")
+        .select("vec_id", "label", "score_micro")
     },
     Some("""
       WITH p1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
@@ -29,10 +29,11 @@ object RecommendQueries {
               + ((p1.v[i+1] + p2.v[i+1]) / 2 - n1.v[i+1])) AS qv
             FROM p1, p2, n1)
       SELECT e.vec_id, e.label,
-             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+             CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+               * 1000000 + 0.5) AS BIGINT) AS score_micro
       FROM embeddings e, q
       WHERE e.vec_id NOT IN (0, 1, 2)
-      ORDER BY score DESC, e.vec_id
+      ORDER BY score_micro DESC, e.vec_id
       LIMIT 10"""))
 
   /** Grouped search (`search_groups`): top-2 hits per label for the 3
@@ -53,16 +54,17 @@ object RecommendQueries {
       WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
       scored AS (
         SELECT vec_id, label,
-               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS score
+               CAST(floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv)
+                 * 1000000 + 0.5) AS BIGINT) AS score_micro
         FROM embeddings, q),
       r AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY label
-                                     ORDER BY score DESC, vec_id) AS rnk
+                                     ORDER BY score_micro DESC, vec_id) AS rnk
         FROM scored),
       hits AS (SELECT * FROM r WHERE rnk <= 2),
-      g AS (SELECT label, MAX(score) AS best FROM hits GROUP BY label
+      g AS (SELECT label, MAX(score_micro) AS best FROM hits GROUP BY label
             ORDER BY best DESC, label LIMIT 3)
-      SELECT h.label, h.vec_id, h.score, CAST(h.rnk AS INT) AS rnk
+      SELECT h.label, h.vec_id, h.score_micro, CAST(h.rnk AS INT) AS rnk
       FROM hits h JOIN g ON g.label = h.label
       ORDER BY h.label, h.rnk"""))
 
@@ -128,16 +130,18 @@ object RecommendQueries {
   val vDiscover = Q("v_discover",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      def qv(id: Long) = typedLit(
-        Recommend.exampleVectors(emb, "vec_id", "embedding", Seq(id)).head)
+      // one driver-side lookup for all three example vectors
+      val Seq(tgt, pos, neg) = Recommend
+        .exampleVectors(emb, "vec_id", "embedding", Seq(0L, 1L, 2L))
+        .map(typedLit(_))
       import graft.functions.VectorOps.cosine
       emb.filter(!col("vec_id").isin(0L, 1L, 2L))
         .withColumn("ctx_micro",
           floor(least(lit(0.0),
-            cosine(col("embedding"), qv(1)) -
-              cosine(col("embedding"), qv(2))) * 1e6 + lit(0.5)).cast("long"))
+            cosine(col("embedding"), pos) -
+              cosine(col("embedding"), neg)) * 1e6 + lit(0.5)).cast("long"))
         .withColumn("target_micro",
-          floor(cosine(col("embedding"), qv(0)) * 1e6 + lit(0.5)).cast("long"))
+          floor(cosine(col("embedding"), tgt) * 1e6 + lit(0.5)).cast("long"))
         .orderBy(desc("ctx_micro"), desc("target_micro"), col("vec_id"))
         .limit(10)
         .select("vec_id", "label", "ctx_micro", "target_micro")

@@ -354,17 +354,20 @@ object SimHashUtil {
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val u = tokens.getUTF8String(i)
         // toString copies out of the (possibly reused) row buffer, so the
-        // memo key is stable; the digest reads the ORIGINAL bytes (a
-        // String round-trip could alter invalid UTF-8 sequences)
-        val tok = u.toString
+        // memo key is stable. The digest reads the SAME String's UTF-8
+        // bytes the key is built from — key and hash must be derived from
+        // identical data, or two invalid-UTF-8 byte sequences collapsing
+        // to one replacement-char String would silently share a hash.
+        // (For valid UTF-8 — all parquet-sourced text — the round-trip is
+        // byte-identical to the raw buffer.)
+        val tok = tokens.getUTF8String(i).toString
         var h = 0L
         val cached = m.get(tok)
         if (cached != null) h = cached.longValue()
         else {
           d.reset()
-          val dig = d.digest(u.getBytes)
+          val dig = d.digest(tok.getBytes("UTF-8"))
           // first 15 hex digits == (first 8 bytes as unsigned 64) >>> 4
           var b = 0
           while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }

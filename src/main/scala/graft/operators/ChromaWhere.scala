@@ -35,15 +35,7 @@ object ChromaWhere {
   def documentFilter(json: String, textCol: Column): Column =
     buildDoc(JsonMethods.parse(json), textCol)
 
-  private def litOf(v: JValue): Column = v match {
-    case JInt(i) => lit(i.toLong)
-    case JLong(l) => lit(l)
-    case JDouble(d) => lit(d)
-    case JDecimal(d) => lit(d.toDouble)
-    case JString(s) => lit(s)
-    case JBool(b) => lit(b)
-    case other => throw new IllegalArgumentException(s"bad literal: $other")
-  }
+  private def litOf(v: JValue): Column = lit(rawOf(v))
 
   private def rawOf(v: JValue): Any = v match {
     case JInt(i) => i.toLong

@@ -24,7 +24,21 @@ import org.apache.spark.sql.DataFrame
 object Par {
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // getNumPartitions plans the RDD lineage but runs no job
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Decide from PLAN-TIME metadata only. (`df.rdd.getNumPartitions`
+    // looks tempting, but under AQE building the final RDD submits and
+    // awaits every upstream shuffle job — construction would silently
+    // execute the pipeline once and throw the result away.)
+    //  - an upstream shuffle means parallelism was already established
+    //    (repartition/agg/join) — adding another exchange only costs;
+    //  - otherwise the stage count equals the scan split count, which
+    //    file-listing metadata bounds: fewer files than cores → narrow
+    //    compute underuses the machine (splits ≥ files; a row-group-less
+    //    small file is exactly one split).
+    val hasShuffle = df.queryExecution.sparkPlan.find {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+      case _ => false
+    }.isDefined
+    if (hasShuffle || df.inputFiles.length >= target) df
+    else df.repartition(target)
   }
 }

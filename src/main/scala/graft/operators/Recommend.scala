@@ -45,16 +45,27 @@ object Recommend {
   /** Recommend API: score the collection against the combined example
     * vector, EXCLUDING the example points themselves (Qdrant semantics),
     * top-k by cosine. Same plan shape as plain kNN — a broadcast literal
-    * vector, a pushed-down id exclusion, TakeOrderedAndProject. */
+    * vector, a pushed-down id exclusion, TakeOrderedAndProject. Scores
+    * are micro-int quantized (`floor(x·1e6 + 0.5)`) BEFORE ranking —
+    * round(x, 6) diverges between engines at .5 boundaries (the pinned
+    * oracle-gate rule), and the combined vector is a new score
+    * distribution with no history of dodging them. All example vectors
+    * are fetched in ONE driver-side lookup. */
   def recommend(coll: DataFrame, vecCol: String, idCol: String,
                 positiveIds: Seq[Long], negativeIds: Seq[Long],
                 k: Int): DataFrame = {
+    val all = exampleVectors(coll, idCol, vecCol, positiveIds ++ negativeIds)
     val qv = averageVector(
-      exampleVectors(coll, idCol, vecCol, positiveIds),
-      if (negativeIds.isEmpty) Nil
-      else exampleVectors(coll, idCol, vecCol, negativeIds))
-    Knn.knn(coll.filter(!col(idCol).isin((positiveIds ++ negativeIds): _*)),
-      vecCol, qv, k, idCol = idCol)
+      all.take(positiveIds.length), all.drop(positiveIds.length))
+    Knn.scoreAll(
+        coll.filter(!col(idCol).isin((positiveIds ++ negativeIds): _*)),
+        vecCol, qv)
+      .withColumn("score_micro",
+        floor(col("score") * 1e6 + lit(0.5)).cast("long"))
+      .filter(col("score_micro").isNotNull)
+      .orderBy(desc("score_micro"), col(idCol))
+      .limit(k)
+      .drop("score")
   }
 
   /** Grouped search (Qdrant `search_groups`): top `groupSize` hits per
@@ -67,8 +78,11 @@ object Recommend {
   def searchGroups(coll: DataFrame, vecCol: String, idCol: String,
                    groupCol: String, query: Seq[Double],
                    groups: Int, groupSize: Int): DataFrame = {
+    // micro-int quantize BEFORE ranking (integer-valued doubles through
+    // the heap — exact), same oracle-gate rationale as recommend()
     val scored = Knn.scoreAll(coll, vecCol, query)
-      .withColumn("score", round(col("score"), 6))
+      .withColumn("score",
+        floor(col("score") * 1e6 + lit(0.5)).cast("double"))
       .filter(col("score").isNotNull)
     val perGroup = scored.groupBy(groupCol)
       .agg(graft.plans.TopKByScore.topK(col("score"), col(idCol), groupSize)
@@ -81,7 +95,7 @@ object Recommend {
       .select(col(groupCol), posexplode(col("__hits")).as(Seq("__pos", "__e")))
       .select(col(groupCol),
         col("__e.id").as(idCol),
-        col("__e.score").as("score"),
+        col("__e.score").cast("long").as("score_micro"),
         (col("__pos") + 1).cast("int").as("rnk"))
   }
 

@@ -419,10 +419,10 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       docs, "text", "embedding", new CountingEmbedder(n),
       batchSize = 7)
     assert(out.count() == docs.count())
-    // the boundary spreads a below-parallelism input first (Par.spread),
-    // so the partition count the inits must match is the SPREAD one
-    val parts = math.max(docs.rdd.getNumPartitions,
-      spark.sparkContext.defaultParallelism)
+    // docs carries an explicit repartition (an upstream shuffle), so
+    // Par.spread inside the boundary is a no-op and the partition count
+    // is exactly the repartitioned one
+    val parts = docs.rdd.getNumPartitions
     val inits = CountingEmbedder.inits.get()
     assert(inits == parts,
       s"expected $parts inits (one per partition), saw $inits")

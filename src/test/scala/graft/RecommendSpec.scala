@@ -27,7 +27,7 @@ class RecommendSpec extends AnyFunSuite with SparkSpec {
     assert(out.length == 10)
     val ids = out.map(_.getAs[Long]("vec_id")).toSet
     assert(!ids.exists(Set(0L, 1L, 2L)), "example ids must be excluded")
-    val scores = out.map(_.getAs[Double]("score"))
+    val scores = out.map(_.getAs[Long]("score_micro"))
     assert(scores.sliding(2).forall(p => p(0) >= p(1)), "ranked desc")
   }
 
@@ -42,8 +42,9 @@ class RecommendSpec extends AnyFunSuite with SparkSpec {
     byGroup.values.foreach(hits => assert(hits.length <= 2))
     // chosen groups = top-3 labels by best single-hit score (window model)
     val best = emb
-      .withColumn("score", round(
-        graft.functions.VectorOps.cosine(col("embedding"), typedLit(qv)), 6))
+      .withColumn("score", floor(
+        graft.functions.VectorOps.cosine(col("embedding"), typedLit(qv))
+          * 1e6 + lit(0.5)))
       .groupBy("label").agg(max("score").as("best"))
       .orderBy(desc("best"), col("label")).limit(3)
       .collect().map(_.getAs[Int]("label")).toSet
