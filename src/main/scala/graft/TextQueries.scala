@@ -289,7 +289,54 @@ object TextQueries {
              CAST(SUM(n_chars) AS BIGINT) AS chars
       FROM b GROUP BY 1 ORDER BY 1"""))
 
+  /** Full winnowing fingerprints (Schleimer–Wilkerson–Aiken): character
+    * 5-gram hashes → min per sliding window of 4 → distinct selections.
+    * Guarantees any shared substring of length ≥ g + w − 1 = 8 chars
+    * contributes a shared fingerprint — the near-dup detection contract a
+    * single global-min fingerprint (txt_fingerprint) cannot give. Still
+    * entirely in-row (nested HOFs over one text column): no explode, no
+    * shuffle, a narrow map at any scale. Emitted as order-independent
+    * integer digests (count, min, mod-sum) — fingerprint SETS can't be
+    * hash-compared as array cells. */
+  val txtWinnow = Q("txt_winnow",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("__fps",
+          TextAnalysis.winnow(col("text"), g = 5, w = 4))
+        .select(col("doc_id"),
+          size(col("__fps")).as("n_fps"),
+          array_min(col("__fps")).as("min_fp"),
+          aggregate(transform(col("__fps"), x => x % 1000000007L),
+            lit(0L), (a, x) => a + x).as("fp_modsum"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               CASE WHEN length(text) >= 5
+                 THEN list_transform(range(length(text) - 4), i ->
+                   ('0x' || substr(md5(substr(text, CAST(i AS INT) + 1, 5)),
+                    1, 15))::BIGINT)
+                 ELSE [('0x' || substr(md5(text), 1, 15))::BIGINT]
+               END AS grams
+        FROM documents),
+      w AS (
+        SELECT doc_id,
+               CASE WHEN len(grams) >= 4
+                 THEN list_transform(range(len(grams) - 3), j ->
+                   list_min(grams[(CAST(j AS INT) + 1):(CAST(j AS INT) + 4)]))
+                 ELSE [list_min(grams)]
+               END AS wins
+        FROM g),
+      f AS (SELECT doc_id, list_distinct(wins) AS fps FROM w)
+      SELECT doc_id,
+             CAST(len(fps) AS INT) AS n_fps,
+             list_min(fps) AS min_fp,
+             CAST(list_sum(list_transform(fps, x -> x % 1000000007))
+               AS BIGINT) AS fp_modsum
+      FROM f ORDER BY doc_id"""))
+
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
     txtQuality,
-    txtFingerprint, txtStats, pipeSample, pipeSplit)
+    txtFingerprint, txtStats, pipeSample, pipeSplit, txtWinnow)
 }

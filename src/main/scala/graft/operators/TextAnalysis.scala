@@ -68,6 +68,27 @@ object TextAnalysis {
         g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
         .as("fingerprint"))
 
+  /** Winnowing fingerprint SET (Schleimer–Wilkerson–Aiken): character
+    * `g`-gram hashes, min per sliding window of `w`, distinct
+    * selections. Any substring of length ≥ g + w − 1 shared by two
+    * documents contributes at least one shared fingerprint (the
+    * winnowing guarantee). In-row nested HOFs — no explode, no shuffle.
+    * Short inputs degrade exactly like [[fingerprint]]: < g chars → the
+    * whole text is the single gram; < w grams → one global-min window. */
+  def winnow(text: Column, g: Int = 5, w: Int = 4): Column = {
+    def gramHash(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val grams = when(length(text) >= g,
+        transform(sequence(lit(1), length(text) - (g - 1)),
+          i => gramHash(text.substr(i, lit(g)))))
+      .otherwise(array(gramHash(text)))
+    val wins = when(size(grams) >= w,
+        transform(sequence(lit(1), size(grams) - (w - 1)),
+          j => array_min(slice(grams, j, lit(w)))))
+      .otherwise(array(array_min(grams)))
+    array_distinct(wins)
+  }
+
   /** Deterministic BM25 relevance over a fixed query-term set — the
     * principled keyword side of hybrid retrieval (the RRF query's
     * keyword-count scorer is the degenerate form). FIXED-POINT VARIANT:

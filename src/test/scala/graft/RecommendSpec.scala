@@ -97,6 +97,25 @@ class RecommendSpec extends AnyFunSuite with SparkSpec {
     ham.foreach(r => assert(r.getLong(0) == 0L))
   }
 
+  test("winnowing guarantee: docs sharing a >= g+w-1 substring share a " +
+       "fingerprint; identical text -> identical sets") {
+    import graft.operators.TextAnalysis
+    val shared = "the quick brown fox jumps over it"  // 33 chars >= 8
+    val df = spark.createDataFrame(Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"completely different prefix $shared and suffix here"),
+      (3L, "no overlap with anything else at all whatsoever"),
+      (1001L, s"alpha beta $shared gamma delta"))).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        TextAnalysis.winnow(col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) == fps(1001L), "identical text must fingerprint equally")
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "shared 33-char substring must contribute a shared fingerprint")
+    assert((fps(3L) & fps(1L)).size < fps(1L).size,
+      "disjoint text should not share the whole set")
+  }
+
   test("Chroma where DSL: operators match hand-written predicates, " +
        "simple comparisons push down, $ne/$nin pass nulls") {
     import graft.operators.ChromaWhere
