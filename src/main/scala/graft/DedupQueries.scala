@@ -320,6 +320,34 @@ object DedupQueries {
       ORDER BY doc_id"""
     })
 
+  /** Batch twin of the STREAMING near-dup detector
+    * (streaming/Stream.nearDupStream): for every doc that shares an LSH
+    * band bucket with an EARLIER doc (smaller id — the arrival order of
+    * an id-ordered stream), emit the earliest such partner. This is
+    * "which documents would an incremental dedupper drop, and which
+    * keeper wins" — the keep-first semantics of streaming ingestion,
+    * versus dedup_minhash's symmetric pair list. StreamSpec asserts the
+    * live stateful stream computes the identical set. */
+  val dedupStreamNeardup = Q("dedup_stream_neardup",
+    (s, dir) => {
+      val bands = Dedup.lshBandsFused(planted(s, dir), "doc_id", "text",
+        numHashes = 16, shingleN = 3, rowsPerBand = 4)
+      bands.select(col("band"), col("band_sig"), col("doc_id"))
+        .join(bands.select(col("band"), col("band_sig"),
+          col("doc_id").as("earlier")), Seq("band", "band_sig"))
+        .filter(col("earlier") < col("doc_id"))
+        .groupBy("doc_id")
+        .agg(min("earlier").as("dup_of"))
+        .orderBy("doc_id")
+    },
+    Some(shingleSql + minhashSql + """
+      SELECT a.doc_id, MIN(b.doc_id) AS dup_of
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND b.doc_id < a.doc_id
+      GROUP BY a.doc_id
+      ORDER BY a.doc_id"""))
+
   def queries: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash,
-    dedupNgram, dedupEmbed, dedupCluster)
+    dedupNgram, dedupEmbed, dedupCluster, dedupStreamNeardup)
 }

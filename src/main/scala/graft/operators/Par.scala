@@ -23,6 +23,9 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
   def spread(df: DataFrame): DataFrame = {
+    // a streaming Dataset cannot be batch-planned for inspection (and
+    // micro-batch parallelism is the source's concern) — pass through
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     // Decide from PLAN-TIME metadata only. (`df.rdd.getNumPartitions`
     // looks tempting, but under AQE building the final RDD submits and

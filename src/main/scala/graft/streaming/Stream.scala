@@ -212,6 +212,58 @@ object Stream {
       GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** One streaming near-dup hit: `docId` collided with an already-seen
+    * `dupOf` (< docId) in some LSH band. A doc in b bands can emit up to
+    * b hits — reduce to `min(dupOf) per docId` at the sink (the standard
+    * post-aggregation when a stateful op's natural key — the band bucket
+    * — differs from the output key). */
+  final case class BandHit(docId: Long, dupOf: Long)
+
+  /** STREAMING content near-dup detection — the arrival-incremental form
+    * of the banded MinHash pipeline (Dedup.lshBandsFused →
+    * lshCandidates): fused in-row signatures band each document, state
+    * per (band, band_sig) bucket holds the MINIMUM doc id seen, and a
+    * document landing in a bucket with an earlier occupant emits a hit.
+    * Within a micro-batch documents are processed in doc-id order
+    * (micro-batches carry no row order — the sort makes replay
+    * deterministic), so on a bounded id-ordered stream the emitted set
+    * equals the batch twin `dedup_stream_neardup` exactly (StreamSpec).
+    *
+    * Scale: state is one long per OCCUPIED band bucket — proportional to
+    * distinct content regions, not stream length; at 100 TB, band
+    * signatures would carry a TTL (event-time timeout) to bound state to
+    * the dedup horizon, exactly like the reference's within-watermark id
+    * dedup (`dropDuplicatesWithinWatermark`). */
+  def nearDupStream(docs: DataFrame, numHashes: Int = 16,
+                    shingleN: Int = 3, rowsPerBand: Int = 4)
+      : org.apache.spark.sql.Dataset[BandHit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val buckets = graft.operators.Dedup
+      .lshBandsFused(docs, "doc_id", "text", numHashes, shingleN, rowsPerBand)
+      .select(concat_ws("|", col("band"), col("band_sig")).as("bucket"),
+        col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+
+    def fn(bucket: String, rows: Iterator[(String, Long)],
+           state: GroupState[Long]): Iterator[BandHit] = {
+      val ids = rows.map(_._2).toArray.sorted
+      val out = Seq.newBuilder[BandHit]
+      var minSeen = if (state.exists) state.get else Long.MaxValue
+      ids.foreach { id =>
+        if (minSeen < id) out += BandHit(id, minSeen)
+        if (id < minSeen) minSeen = id
+      }
+      state.update(minSeen)
+      out.result().iterator
+    }
+
+    buckets.flatMapGroupsWithState(OutputMode.Append(),
+      GroupStateTimeout.NoTimeout())(fn)
+  }
+
   /** Run a bounded stream to completion (AvailableNow) and wait. */
   def runAvailableNow(w: DataStreamWriter[Row]): StreamingQuery = {
     val q = w.trigger(Trigger.AvailableNow()).start()

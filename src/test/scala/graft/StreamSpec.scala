@@ -193,4 +193,42 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
       .count().count()
     assert(streamedBuckets == batchBuckets)
   }
+
+  test("streaming near-dup (stateful band buckets) matches the batch " +
+       "keep-first twin") {
+    val dir = Files.createTempDirectory("graft-neardup")
+    // id-ordered bounded corpus with planted exact dups (id+1000)
+    val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .limit(40)
+    d.unionAll(d.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+
+    val hits = Stream.nearDupStream(
+      spark.readStream.schema(schema).parquet(dir.toString))
+    val q = hits.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // reduce per-band hits to min(dupOf) per doc — the sink-side agg
+    val streamed = spark.table("neardup")
+      .groupBy("docId").agg(min("dupOf").as("dupOf"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val bands = graft.operators.Dedup.lshBandsFused(
+      spark.read.parquet(dir.toString), "doc_id", "text", 16, 3, 4)
+    val batch = bands.select(col("band"), col("band_sig"), col("doc_id"))
+      .join(bands.select(col("band"), col("band_sig"),
+        col("doc_id").as("earlier")), Seq("band", "band_sig"))
+      .filter(col("earlier") < col("doc_id"))
+      .groupBy("doc_id").agg(min("earlier").as("dup_of"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(streamed == batch,
+      s"streamed ${streamed.size} hits != batch ${batch.size}")
+    // every planted dup was caught, keeper no later than its original
+    // (an incidental band-mate with a smaller id may win the min)
+    d.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(streamed.contains(id + 1000) && streamed(id + 1000) <= id)
+    }
+  }
 }
