@@ -193,6 +193,67 @@ object RecommendQueries {
       ORDER BY doc_id
       LIMIT 50"""))
 
+  /** SPARSE vector search (the public Qdrant sparse-vector capability):
+    * documents carry an implicit sparse vector in hashed-bucket space —
+    * dimension = md5(token) mod 4096, weight = occurrence count — and the
+    * query is a tiny (bucket, weight) list. Score = sparse dot product.
+    *
+    * Scale shape: the INVERTED-INDEX form — tokens hash to buckets as a
+    * narrow projection, a broadcast join against the query's few buckets
+    * keeps only matching postings (the exploded volume that reaches the
+    * shuffle is hits-only), one map-side-combined sum per doc, bounded
+    * top-10. The document table is never shuffled; cost tracks posting
+    * hits, not corpus size — the same shape as BM25, which is itself a
+    * sparse dot product with a learned-ish weighting. */
+  val vSparseSearch = Q("v_sparse_search",
+    (s, dir) => {
+      val terms = Seq("data" -> 3L, "query" -> 2L, "table" -> 1L)
+      // driver-side query-vector construction: same md5 bucket hash the
+      // engine applies per token, weights summed on collision
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val qBuckets: Seq[(Long, Long)] = terms
+        .map { case (t, w) =>
+          val h = md.digest(t.getBytes("UTF-8"))
+          val b = (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+            ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % 4096
+          b -> w
+        }
+        .groupBy(_._1).map { case (b, ws) => b -> ws.map(_._2).sum }.toSeq
+      val qw = broadcast(
+        s.createDataFrame(qBuckets).toDF("bucket", "w"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.operators.TextAnalysis.tokens(col("text")))
+            .as("tok"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+            % 4096).as("bucket"))
+        .join(qw, "bucket")
+        .groupBy("doc_id")
+        .agg(sum("w").as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS tok
+        FROM documents),
+      b AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS bucket
+        FROM tok),
+      qw AS (
+        SELECT ('0x' || substr(md5(t.term), 1, 8))::BIGINT % 4096 AS bucket,
+               CAST(SUM(t.w) AS BIGINT) AS w
+        FROM (VALUES ('data', 3), ('query', 2), ('table', 1)) t(term, w)
+        GROUP BY 1)
+      SELECT b.doc_id, CAST(SUM(qw.w) AS BIGINT) AS score
+      FROM b JOIN qw ON qw.bucket = b.bucket
+      GROUP BY b.doc_id
+      ORDER BY score DESC, b.doc_id
+      LIMIT 10"""))
+
   def queries: Seq[Q] = Seq(vRecommend, vKnnGroups, collCount, collScroll,
-    collFacet, vDiscover, chromaWhere)
+    collFacet, vDiscover, chromaWhere, vSparseSearch)
 }
