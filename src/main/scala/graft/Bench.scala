@@ -26,9 +26,20 @@ object Bench {
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
 
+    // Evaluate the query AS DECLARED: df.count() plans a NEW aggregate
+    // over the logical plan, letting Catalyst prune every computed column
+    // a narrow query doesn't need for counting — projection-only queries
+    // then "benchmark" an empty scan (discovered when a query that
+    // count()-timed at 0.4 s took minutes under the correctness gate's
+    // full materialization). toRdd executes the declared physical plan,
+    // all columns, no driver-side collect.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+            dir: String): Unit =
+      fn(spark, dir).queryExecution.toRdd.foreach(_ => ())
+
     // Untimed warmup at the smallest SF (JIT, codegen cache, IO paths).
     ordered.foreach { case (name, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
+      try run(fn, "/root/testdata/sf0.001")
       catch { case e: Throwable =>
         System.err.println(s"[bench-warmup] $name: ${e.getMessage}")
       }
@@ -43,7 +54,7 @@ object Bench {
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          run(fn, sfDir)
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

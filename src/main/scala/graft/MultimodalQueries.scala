@@ -26,11 +26,10 @@ object MultimodalQueries {
   val mmDecode = Q("mm_decode",
     (s, dir) => {
       val m = Multimodal.attachBinary(Tables.load(s, dir, "documents"))
-        .withColumn("__hex", upper(hex(col("content"))))
       m.select(col("doc_id"),
           Multimodal.byteLen(col("content")).as("byte_len"),
-          substring(col("__hex"), 1, 8).as("header_hex"),
-          Multimodal.byteSum(col("__hex")).as("byte_sum"))
+          Multimodal.headerHex(col("content"), 4).as("header_hex"),
+          Multimodal.byteSum(col("content")).as("byte_sum"))
         .orderBy("doc_id")
     },
     Some(mediaSql + """

@@ -336,7 +336,68 @@ object TextQueries {
                AS BIGINT) AS fp_modsum
       FROM f ORDER BY doc_id"""))
 
+  /** The WHOLE curation pipeline as one composed declared query — the
+    * end-to-end a training-data team actually runs: exact dedup (keep
+    * the smallest id per content hash) → quality gate (token count +
+    * alphabetic ratio, same thresholds as txt_quality) → deterministic
+    * train/val/test assignment → per-(split, lang) corpus accounting.
+    * One content-hash shuffle, narrow filters, one final partial-agg —
+    * every stage is an operator gated above, composed here to prove the
+    * shapes fit together (and that Catalyst fuses the narrow stages into
+    * the scan pass). */
+  val pipeCurate = Q("pipe_curate",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val keepers = docs
+        .groupBy(md5(col("text")).as("__h"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      docs.join(keepers, "doc_id")
+        .withColumn("__ntok", size(TextAnalysis.tokens(col("text"))))
+        .withColumn("__alpha",
+          length(regexp_replace(lower(col("text")), "[^a-z]", "")))
+        .filter(col("__ntok").between(10, 1000) &&
+          expr("CAST(__alpha AS BIGINT) * 1000000 DIV length(text)") >= 500000)
+        .withColumn("__bucket",
+          conv(substring(md5(concat(lit("split|"), col("doc_id"))), 1, 8),
+            16, 10).cast("long") % 100)
+        .withColumn("split",
+          when(col("__bucket") < 80, "train")
+            .when(col("__bucket") < 90, "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          sum(col("__ntok").cast("long")).as("tokens"))
+        .orderBy("split", "lang")
+    },
+    Some("""
+      WITH keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      kept AS (
+        SELECT d.*,
+               len(list_filter(regexp_split_to_array(lower(d.text), '\s+'),
+                   t -> t <> '')) AS ntok,
+               length(regexp_replace(lower(d.text), '[^a-z]', '', 'g'))
+                 AS alpha
+        FROM documents d JOIN keepers k ON k.doc_id = d.doc_id),
+      gated AS (
+        SELECT * FROM kept
+        WHERE ntok BETWEEN 10 AND 1000
+          AND CAST(alpha AS BIGINT) * 1000000 // length(text) >= 500000),
+      assigned AS (
+        SELECT *,
+               CASE WHEN ('0x' || substr(md5('split|' || doc_id), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                    WHEN ('0x' || substr(md5('split|' || doc_id), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM gated)
+      SELECT split, lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars,
+             CAST(SUM(ntok) AS BIGINT) AS tokens
+      FROM assigned
+      GROUP BY split, lang
+      ORDER BY split, lang"""))
+
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
     txtQuality,
-    txtFingerprint, txtStats, pipeSample, pipeSplit, txtWinnow)
+    txtFingerprint, txtStats, pipeSample, pipeSplit, txtWinnow, pipeCurate)
 }

@@ -419,6 +419,211 @@ case class TokensSimHashExpr(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Runtime helper for [[WinnowExpr]] — same plain-JVM contract as the
+  * other fused kernels. */
+object WinnowUtil {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Winnowing fingerprint set: character `g`-gram hashes (first 15 md5
+    * hex digits = top 60 bits of the first 8 digest bytes), min per
+    * sliding window of `w`, distinct selections in first-occurrence
+    * order — value-identical to the HOF chain
+    * `array_distinct(transform(windows, array_min ∘ slice))` over
+    * `transform(sequence, md5-gram)` (spec-asserted), but ONE compiled
+    * pass per document. The HOF form is O(len²)·references at plan
+    * level: CollapseProject inlines the gram-array expression into every
+    * window slice AND into every downstream reference, so each window
+    * re-hashes every gram (measured: 27 min for 1.5M total chars at
+    * sf0.1; this kernel does it in under a second). ASCII fast path
+    * digests byte ranges in place; non-ASCII falls back to code-point
+    * substrings, matching Spark/DuckDB `substr` character semantics. */
+  def fps(text: org.apache.spark.unsafe.types.UTF8String,
+          g: Int, w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val d = md5.get()
+    val n = text.numChars()
+    def h(dig: Array[Byte]): Long = {
+      var x = 0L; var b = 0
+      while (b < 8) { x = (x << 8) | (dig(b) & 0xffL); b += 1 }
+      x >>> 4
+    }
+    val grams: Array[Long] =
+      if (n < g) {
+        d.reset(); Array(h(d.digest(text.getBytes)))
+      } else if (text.numBytes() == n) {
+        // ASCII: char i == byte i — digest ranges of one shared buffer
+        val bytes = text.getBytes
+        val out = new Array[Long](n - g + 1)
+        var i = 0
+        while (i <= n - g) {
+          d.reset(); d.update(bytes, i, g); out(i) = h(d.digest()); i += 1
+        }
+        out
+      } else {
+        // code-point substrings (UTF8String.substring is code-point based,
+        // the exact semantics of Spark substr / DuckDB substr)
+        val out = new Array[Long](n - g + 1)
+        var i = 0
+        while (i <= n - g) {
+          d.reset()
+          out(i) = h(d.digest(text.substring(i, i + g).getBytes)); i += 1
+        }
+        out
+      }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (grams.length >= w) {
+      var j = 0
+      while (j <= grams.length - w) {
+        var m = grams(j); var k = 1
+        while (k < w) { if (grams(j + k) < m) m = grams(j + k); k += 1 }
+        seen.add(m); j += 1
+      }
+    } else {
+      var m = grams(0); var k = 1
+      while (k < grams.length) { if (grams(k) < m) m = grams(k); k += 1 }
+      seen.add(m)
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator(); var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Global minimum of the same gram-hash stream [[fps]] consumes —
+    * `array_min` over the whole gram array without materializing it. */
+  def minGram(text: org.apache.spark.unsafe.types.UTF8String,
+              g: Int): Long = {
+    val d = md5.get()
+    val n = text.numChars()
+    def h(dig: Array[Byte]): Long = {
+      var x = 0L; var b = 0
+      while (b < 8) { x = (x << 8) | (dig(b) & 0xffL); b += 1 }
+      x >>> 4
+    }
+    if (n < g) { d.reset(); return h(d.digest(text.getBytes)) }
+    var m = Long.MaxValue
+    if (text.numBytes() == n) {
+      val bytes = text.getBytes
+      var i = 0
+      while (i <= n - g) {
+        d.reset(); d.update(bytes, i, g)
+        val v = h(d.digest()); if (v < m) m = v
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i <= n - g) {
+        d.reset()
+        val v = h(d.digest(text.substring(i, i + g).getBytes))
+        if (v < m) m = v
+        i += 1
+      }
+    }
+    m
+  }
+}
+
+/** Fused global-min gram fingerprint: the minimum of [[WinnowUtil]]'s
+  * character-gram hash stream (= `array_min` over the gram array) in one
+  * compiled pass — the interpreted HOF form pays a per-gram lambda +
+  * substring + hex-conv (measured ~6 s at sf0.1 on one split; this is
+  * <0.5 s). Value-identical to
+  * `array_min(transform(sequence, md5-gram-hash))` (spec-asserted). */
+case class MinGramExpr(child: Expression, g: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: org.apache.spark.sql.types.StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"min_gram needs string, got ${dt.catalogString}")
+  }
+
+  override def prettyName: String = "graft_min_gram"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowUtil.minGram(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], g)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WinnowUtil.minGram($a, $g);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused sum of unsigned byte values of a binary column — replaces the
+  * hex-render + per-byte substring/conv HOF chain (measured ~7 s at
+  * sf0.1; this is milliseconds). Identical to summing
+  * `('0x' || hex-pair)::BIGINT` per byte: a hex pair IS the byte. */
+case class ByteSumExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"byte_sum needs binary, got ${dt.catalogString}")
+  }
+
+  override def prettyName: String = "graft_byte_sum"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    var acc = 0L; var i = 0
+    while (i < bytes.length) { acc += bytes(i) & 0xffL; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      s"""
+        long $acc = 0L;
+        for (int $i = 0; $i < $a.length; $i++) { $acc += $a[$i] & 0xffL; }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused winnowing fingerprints (see [[WinnowUtil.fps]]). */
+case class WinnowExpr(child: Expression, g: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: org.apache.spark.sql.types.StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"winnow needs string, got ${dt.catalogString}")
+  }
+
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowUtil.fps(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], g, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WinnowUtil.fps($a, $g, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fused word n-gram shingle construction: token array → array of
   * shingle strings (joined with ' '; whole token list when shorter than
   * n) in one compiled pass — replaces the interpreted

@@ -47,10 +47,19 @@ object Multimodal {
   def headerHex(bin: Column, nBytes: Int): Column =
     upper(substring(hex(bin), 1, nBytes * 2))
 
-  /** Sum of byte values, computed over a PRE-MATERIALIZED hex-string
-    * column (pass `hex(bin)` through a withColumn first — recomputing the
-    * hex inside the per-element lambda would be O(n²)). */
-  def byteSum(hexStr: Column): Column =
+  /** Sum of unsigned byte values of the binary content — one fused
+    * compiled loop (ByteSumExpr); identical to summing the hex-pair
+    * rendering per byte (a hex pair IS the byte). */
+  def byteSum(bin: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.ByteSumExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(bin)))
+
+  /** Interpreted hex-parse twin of [[byteSum]] (value-identical,
+    * spec-asserted; pass a PRE-MATERIALIZED `hex(bin)` column —
+    * recomputing the hex inside the per-element lambda would be O(n²)).
+    * ~40× slower than the fused loop. */
+  def byteSumHof(hexStr: Column): Column =
     aggregate(
       transform(sequence(lit(1L), (length(hexStr) / 2).cast("long")),
         i => conv(hexStr.substr((i * 2 - 1).cast("int"), lit(2)), 16, 10)

@@ -55,10 +55,20 @@ object TextAnalysis {
 
   /** Rolling-hash fingerprint: min 60-bit md5 hash over character
     * 5-grams (docs shorter than 5 chars hash whole text). A per-doc
-    * constant-size signature — the winnowing building block. Computed
-    * entirely in-row (`array_min` over a transformed gram array): no
-    * explode, no shuffle — a narrow map at any scale. */
+    * constant-size signature — the winnowing building block. One fused
+    * compiled pass (MinGramExpr): no explode, no shuffle, no gram array
+    * — a narrow map at any scale. */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.MinGramExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)), 5))
+        .as("fingerprint"))
+
+  /** Interpreted-HOF twin of [[fingerprint]] — value-identical
+    * (spec-asserted), kept as the independent reference implementation;
+    * ~15× slower (per-gram lambda + substring + hex conv). */
+  def fingerprintHof(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       array_min(transform(
         when(length(col(textCol)) >= 5,
@@ -72,10 +82,21 @@ object TextAnalysis {
     * `g`-gram hashes, min per sliding window of `w`, distinct
     * selections. Any substring of length ≥ g + w − 1 shared by two
     * documents contributes at least one shared fingerprint (the
-    * winnowing guarantee). In-row nested HOFs — no explode, no shuffle.
-    * Short inputs degrade exactly like [[fingerprint]]: < g chars → the
-    * whole text is the single gram; < w grams → one global-min window. */
-  def winnow(text: Column, g: Int = 5, w: Int = 4): Column = {
+    * winnowing guarantee). One fused compiled pass per document
+    * (WinnowExpr) — no explode, no shuffle. Short inputs degrade exactly
+    * like [[fingerprint]]: < g chars → the whole text is the single
+    * gram; < w grams → one global-min window. */
+  def winnow(text: Column, g: Int = 5, w: Int = 4): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.WinnowExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), g, w))
+
+  /** The nested-HOF twin of [[winnow]] — value-identical (spec-asserted),
+    * kept as the independent reference implementation. NEVER use it in a
+    * declared query: CollapseProject inlines the gram array into every
+    * window slice and every downstream reference, making the plan
+    * O(len²) per reference (measured 27 min vs <1 s at sf0.1). */
+  def winnowHof(text: Column, g: Int = 5, w: Int = 4): Column = {
     def gramHash(c: Column): Column =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     val grams = when(length(text) >= g,

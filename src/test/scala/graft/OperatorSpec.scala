@@ -142,6 +142,19 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(bad == 0)
   }
 
+  test("fingerprint: fused kernel equals the HOF twin") {
+    import graft.operators.TextAnalysis
+    val d = docs20.select("doc_id", "text")
+      .unionAll(spark.createDataFrame(Seq(
+        (9001L, "héllo wörld ünïcode"), (9002L, "ab")))
+        .toDF("doc_id", "text"))
+    val fused = TextAnalysis.fingerprint(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = TextAnalysis.fingerprintHof(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == hof)
+  }
+
   test("fingerprint: equal text → equal fingerprint, stable across runs") {
     val d = docs20
     val f1 = TextAnalysis.fingerprint(d, "doc_id", "text")
@@ -246,15 +259,18 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(buckets.sameElements(again))
   }
 
-  test("multimodal: byteSum/byteLen agree with driver-side computation") {
+  test("multimodal: byteSum/byteLen agree with driver-side computation " +
+       "and with the hex-parse HOF twin") {
     val d = Multimodal.attachBinary(docs20)
       .withColumn("hx", upper(hex(col("content"))))
     val rows = d.select(col("text"), Multimodal.byteLen(col("content")),
-      Multimodal.byteSum(col("hx"))).collect()
+      Multimodal.byteSum(col("content")),
+      Multimodal.byteSumHof(col("hx"))).collect()
     rows.foreach { r =>
       val bytes = r.getString(0).getBytes("UTF-8")
       assert(r.getLong(1) == bytes.length)
       assert(r.getLong(2) == bytes.map(_ & 0xff).map(_.toLong).sum)
+      assert(r.getLong(3) == r.getLong(2), "fused != hex-parse twin")
     }
   }
 

@@ -109,6 +109,20 @@ class RecommendSpec extends AnyFunSuite with SparkSpec {
     val fps = df.select(col("doc_id"),
         TextAnalysis.winnow(col("text")).as("fps"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // fused kernel == nested-HOF twin, element order included (also on
+    // non-ASCII and sub-gram-length inputs)
+    val twin = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .limit(30)
+      .unionAll(spark.createDataFrame(Seq(
+        (9001L, "héllo wörld ünïcode téxt hère"),
+        (9002L, "ab"))).toDF("doc_id", "text"))
+    val fused = twin.select(col("doc_id"),
+        TextAnalysis.winnow(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = twin.select(col("doc_id"),
+        TextAnalysis.winnowHof(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused == hof, "fused winnow kernel diverges from the HOF twin")
     assert(fps(1L) == fps(1001L), "identical text must fingerprint equally")
     assert((fps(1L) & fps(2L)).nonEmpty,
       "shared 33-char substring must contribute a shared fingerprint")
