@@ -305,12 +305,11 @@ object VectorQueries {
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       emb.select(col("vec_id"),
-          VectorOps.sqRange(col("embedding")).as("r"),
-          VectorOps.sqQuantize(col("embedding")).as("codes"))
+          VectorOps.sqCodes(col("embedding")).as("q"))
         .select(col("vec_id"),
-          floor(col("r.mn") * 1e6 + lit(0.5)).cast("long").as("mn_micro"),
-          floor(col("r.mx") * 1e6 + lit(0.5)).cast("long").as("mx_micro"),
-          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"))
+          floor(col("q.mn") * 1e6 + lit(0.5)).cast("long").as("mn_micro"),
+          floor(col("q.mx") * 1e6 + lit(0.5)).cast("long").as("mx_micro"),
+          col("q.code_sum").as("code_sum"))
         .orderBy("vec_id")
     },
     Some("""
@@ -336,13 +335,13 @@ object VectorQueries {
   val vSqSearch = Q("v_sq_search",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val qv = typedLit(queryVec(s, dir, 0))
+      val q = queryVec(s, dir, 0)
+      val qv = typedLit(q)
+      // fused quantize→dequantize→cosine prefilter (one compiled pass —
+      // the HOF composition re-scans the array per element via the
+      // min/max references inside the transform lambdas)
       val cands = emb
-        .withColumn("r", VectorOps.sqRange(col("embedding")))
-        .withColumn("codes", VectorOps.sqQuantize(col("embedding")))
-        .withColumn("score_q",
-          VectorOps.cosine(VectorOps.sqDequantize(col("codes"), col("r")),
-            qv))
+        .withColumn("score_q", VectorOps.sqScore(col("embedding"), q))
         .orderBy(desc("score_q"), col("vec_id"))
         .limit(30)
       cands

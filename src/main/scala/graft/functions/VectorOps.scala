@@ -110,6 +110,19 @@ object VectorOps {
         c.cast("double") / 255 *
           (range.getField("mx") - range.getField("mn")))
 
+  /** Fused one-pass form of `struct(sqRange, sqQuantize, Σcodes)` —
+    * struct(mn, mx, codes, code_sum). The HOF composition re-scans the
+    * array per element (`array_min`/`array_max` inside the transform
+    * lambda → O(d²) per row); this is the declared-query path, the HOF
+    * forms remain the bit-equality twins. */
+  def sqCodes(v: Column): Column =
+    GraftSqlBridge.column(SqCodesExpr(GraftSqlBridge.expression(v)))
+
+  /** Fused quantized-cosine prefilter:
+    * `cosine(sqDequantize(sqQuantize(v), sqRange(v)), q)` in one pass. */
+  def sqScore(v: Column, q: Seq[Double]): Column =
+    GraftSqlBridge.column(SqScoreExpr(GraftSqlBridge.expression(v), q))
+
   /** Binary quantization (the public Qdrant 1-bit scheme): the sign bit
     * of each element (`x > 0`), packed 32 per BIGINT word — 32× memory
     * reduction; at 100 TB the packed collection is the only thing a BQ

@@ -239,6 +239,31 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
         s"vec ${r.getLong(0)}: dequantized cosine ${r.getDouble(1)}")
       assert(r.getInt(2) >= 0 && r.getInt(3) <= 255)
     }
+    // fused one-pass kernels equal the HOF compositions bit-for-bit
+    val qv = Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val twin = Tables.load(spark, sf, "embeddings").limit(100)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.sqCodes(col("embedding")).as("q"),
+        VectorOps.sqRange(col("embedding")).as("r"),
+        VectorOps.sqQuantize(col("embedding")).as("codes"),
+        VectorOps.sqScore(col("embedding"), qv).as("fscore"))
+      .select(col("vec_id"),
+        (col("q.mn") === col("r.mn") && col("q.mx") === col("r.mx") &&
+          col("q.codes") === col("codes") &&
+          col("q.code_sum") ===
+            aggregate(col("codes"), lit(0L), (a, c) => a + c)).as("codesEq"),
+        (col("fscore") ===
+          VectorOps.cosine(VectorOps.sqDequantize(col("codes"), col("r")),
+            typedLit(qv))).as("scoreEq"))
+      .collect()
+    twin.foreach { r =>
+      assert(r.getBoolean(1), s"sqCodes twin mismatch for ${r.get(0)}")
+      assert(r.getBoolean(2), s"sqScore twin mismatch for ${r.get(0)}")
+    }
+
     // constant vector → all-zero codes, no divide-by-zero
     import spark.implicits._
     val const = Seq((1L, Seq(2.5f, 2.5f, 2.5f))).toDF("vec_id", "embedding")
