@@ -63,12 +63,24 @@ object Bench {
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Per-query seconds at 3 decimals: the r4 line (71 queries ×
+    // 9-decimal doubles) outgrew the driver's stdout tail window and the
+    // line's head — including "value":<total> — fell outside the captured
+    // tail, so the driver recorded parsed:null. 3 decimals halve the
+    // line; ms resolution is far below the ±15% busy-box spread anyway.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // failures stay visible as -1 in the per-query map but must not
     // deflate the total (summing the sentinel would understate wall time)
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
+    // Full-detail line FIRST, short total-only line LAST: whichever line
+    // the driver's tail-window parse lands on carries the total, so the
+    // 2x budget gate is machine-verifiable even if the detail line is
+    // clipped. Both lines together are ~1.8 KB.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir","detail":"previous line"}""")
     spark.stop()
   }
 }

@@ -158,6 +158,42 @@ object VectorQueries {
       LIMIT 10
     """))
 
+  /** V3 — nested array paths (`key[].sub`) + `has_id`: the remaining
+    * public Qdrant filter conditions. The payload is synthesized
+    * deterministically from fixture columns (`{"tags":[{"t":label},
+    * {"t":label+1}]}`), so the DSL's any-element match over a REAL nested
+    * JSON document stays oracle-replayable: `tags[].t == 3` admits labels
+    * {2, 3}; `must_not has_id` excludes points 0–4 by id, never via the
+    * payload. The JSON parse can't push to the scan (documented DSL
+    * behavior for nested paths); the id exclusion still does. */
+  val vKnnDslNested = Q("v_knn_dsl_nested",
+    (s, dir) => {
+      val filter = graft.operators.PayloadFilter.fromJson("""
+        {"must": [
+          {"key": "tags[].t", "match": {"value": 3}}
+        ],
+         "must_not": [
+          {"has_id": [0, 1, 2, 3, 4]}
+        ]}""", jsonCol = Some("payload"), idCol = "vec_id")
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("payload", to_json(struct(
+          array(struct(col("label").as("t")),
+            struct((col("label") + 1).as("t"))).as("tags"))))
+        .filter(filter)
+      Knn.knn(emb, "embedding", queryVec(s, dir, 0), 10)
+        .select("vec_id", "label", "score")
+    },
+    Some(s"""
+      SELECT vec_id, label,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQ0), 6) AS score
+      FROM embeddings
+      -- tags[].t any-element match over [label, label+1], id exclusion
+      WHERE list_contains([label, label + 1], 3)
+        AND NOT list_contains([0, 1, 2, 3, 4], vec_id)
+      ORDER BY score DESC, vec_id
+      LIMIT 10
+    """))
+
   /** V4 — L2 (Chroma's default space): nearest 10 by euclidean distance. */
   val vL2 = Q("v_l2",
     (s, dir) => {
@@ -473,6 +509,7 @@ object VectorQueries {
     """))
 
   def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnMulti, vKnnMultiAgg,
-    vKnnFiltered, vKnnDsl, vKnnDslExcept, vL2, vDot, vFusion, vHybridRrf,
+    vKnnFiltered, vKnnDsl, vKnnDslExcept, vKnnDslNested, vL2, vDot,
+    vFusion, vHybridRrf,
     vSqQuantize, vSqSearch, vBqSearch, collStats)
 }

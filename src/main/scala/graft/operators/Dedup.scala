@@ -82,24 +82,29 @@ object Dedup {
     * property test). */
   def lshBandsFused(docs: DataFrame, idCol: String, textCol: String,
                     numHashes: Int, shingleN: Int = 3,
-                    rowsPerBand: Int = 4): DataFrame = {
+                    rowsPerBand: Int = 4,
+                    carryCols: Seq[String] = Nil): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       s"$rowsPerBand rows/band must divide $numHashes hashes")
+    // carryCols ride along unchanged (e.g. the event-time column a
+    // streaming consumer's watermark is pinned to — dropping it here
+    // would strip the watermark tag before the stateful operator)
+    val carried = carryCols.map(col)
     Par.spread(docs)
-      .select(col(idCol),
+      .select(col(idCol) +: carried :+
         org.apache.spark.sql.GraftSqlBridge.column(
           graft.functions.TokensMinHashExpr(
             org.apache.spark.sql.GraftSqlBridge.expression(
               tokens(col(textCol))),
-            shingleN, numHashes)).as("__sig"))
-      .select(col(idCol),
+            shingleN, numHashes)).as("__sig"): _*)
+      .select(col(idCol) +: carried :+
         posexplode(transform(
           sequence(lit(0), lit(numHashes / rowsPerBand - 1)),
           b => array_join(
             transform(
               slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
               m => m.cast("string")), "-")))
-          .as(Seq("band", "band_sig")))
+          .as(Seq("band", "band_sig")): _*)
   }
 
   /** LSH banding: group each doc's signature into bands of `rowsPerBand`
@@ -266,11 +271,15 @@ object Dedup {
     var labels = edges.filter(col("src") === col("dst"))
       .select(col("src").as("v"), col("src").as("lbl"))
     for (_ <- 1 to rounds) {
-      // the label table is bounded by the candidate-graph vertex count —
-      // broadcast it so a round never exchanges or sorts the edge side
+      // No broadcast hint: the label table is the candidate-graph VERTEX
+      // set, which for a duplicate-heavy 100 TB corpus is billions of
+      // rows — a forced broadcast would OOM the driver at exactly the
+      // scale CC matters. Left to AQE, a small label side still becomes
+      // a runtime broadcast join (fixture-scale plans are unchanged in
+      // effect) while an outsized one degrades safely to a shuffled
+      // equi-join with the identical result.
       labels = edges
-        .join(broadcast(labels.select(col("v").as("dst"), col("lbl"))),
-          "dst")
+        .join(labels.select(col("v").as("dst"), col("lbl")), "dst")
         .groupBy("src").agg(min("lbl").as("lbl"))
         .select(col("src").as("v"), col("lbl"))
     }

@@ -31,12 +31,26 @@ import org.json4s.jackson.JsonMethods
   * Keys resolve against top-level columns; nested payload keys
   * ("props.k") resolve via `get_json_object` on a JSON payload column
   * when `jsonCol` is given.
+  *
+  * Nested ARRAY paths — `key[].sub`, the public Qdrant nested-object
+  * filter — match when ANY element under the array key satisfies the
+  * condition (match.value / match.any / range). Typed mode resolves
+  * `key[].sub` as `col("key.sub")` (Spark's array-of-struct field
+  * extraction yields the per-element values); JSON mode collects the
+  * matches with JsonPath `$.key[*].sub`, and elements compare by their
+  * JSON text rendering (range casts them to double).
+  *
+  * `has_id` — Qdrant's point-id condition — resolves against `idCol`
+  * (the point-id column, never the payload), so
+  * `{"must_not": [{"has_id": [..]}]}` excludes specific points the way
+  * the public API does.
   */
 object PayloadFilter {
 
   /** Parse a filter JSON document into a boolean Column. */
-  def fromJson(json: String, jsonCol: Option[String] = None): Column =
-    build(JsonMethods.parse(json), jsonCol)
+  def fromJson(json: String, jsonCol: Option[String] = None,
+               idCol: String = "id"): Column =
+    build(JsonMethods.parse(json), jsonCol, idCol)
 
   /** With `jsonCol` set, every key resolves inside that JSON payload
     * column (Qdrant keys address the payload); otherwise keys are
@@ -77,7 +91,38 @@ object PayloadFilter {
     case other => throw new IllegalArgumentException(s"$cond: $other")
   }
 
-  private def build(j: JValue, jsonCol: Option[String]): Column = j match {
+  /** The candidate-value array of a `key[].sub` path (see object doc). */
+  private def nestedElems(key: String, jsonCol: Option[String]): Column =
+    jsonCol match {
+      case Some(jc) =>
+        val raw = get_json_object(col(jc), "$." + key.replace("[]", "[*]"))
+        // a single JsonPath match comes back as the bare scalar, not a
+        // one-element array — normalize so exists() sees both shapes
+        when(raw.startsWith("["),
+          from_json(raw, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))
+          .otherwise(array(raw))
+      case None => col(key.replace("[]", ""))
+    }
+
+  /** A literal comparable against [[nestedElems]] elements: JSON mode
+    * compares by JSON text (numbers render without quotes, so the string
+    * cast of the typed literal matches), typed mode by value. */
+  private def nestedLit(v: JValue, jsonCol: Option[String]): Column =
+    if (jsonCol.isDefined) litOf(v).cast("string") else litOf(v)
+
+  /** gt/gte/lt/lte bounds of a range object ANDed over one target. */
+  private def rangePred(target: Column, r: Map[String, JValue]): Column =
+    r.map {
+      case ("gt", v)  => target > litOf(v)
+      case ("gte", v) => target >= litOf(v)
+      case ("lt", v)  => target < litOf(v)
+      case ("lte", v) => target <= litOf(v)
+      case (k, _) => throw new IllegalArgumentException(s"range op: $k")
+    }.reduce(_ && _)
+
+  private def build(j: JValue, jsonCol: Option[String],
+                    idCol: String): Column = j match {
     case JObject(fields) =>
       val fm = fields.toMap
       val clauses = Seq.newBuilder[Column]
@@ -86,17 +131,21 @@ object PayloadFilter {
       // did not match"), so a NULL/missing key PASSES — hence
       // !coalesce(cond, false), not SQL three-valued !cond.
       fm.get("must").foreach { case JArray(fs) =>
-        clauses += fs.map(build(_, jsonCol)).reduceOption(_ && _)
+        clauses += fs.map(build(_, jsonCol, idCol)).reduceOption(_ && _)
           .getOrElse(lit(true))
       case other => throw new IllegalArgumentException(s"must: $other") }
       fm.get("should").foreach { case JArray(fs) =>
-        clauses += fs.map(build(_, jsonCol)).reduceOption(_ || _)
+        clauses += fs.map(build(_, jsonCol, idCol)).reduceOption(_ || _)
           .getOrElse(lit(true))
       case other => throw new IllegalArgumentException(s"should: $other") }
       fm.get("must_not").foreach { case JArray(fs) =>
-        clauses += fs.map(f => !coalesce(build(f, jsonCol), lit(false)))
+        clauses += fs.map(f => !coalesce(build(f, jsonCol, idCol), lit(false)))
           .reduceOption(_ && _).getOrElse(lit(true))
       case other => throw new IllegalArgumentException(s"must_not: $other") }
+      fm.get("has_id").foreach { case JArray(vs) =>
+        // the point-id condition addresses the id column, not the payload
+        clauses += col(idCol).isin(vs.map(rawOf): _*)
+      case other => throw new IllegalArgumentException(s"has_id: $other") }
       fm.get("is_empty").foreach { o =>
         val c = keyCol(keyOf("is_empty", o), jsonCol)
         // Qdrant IsEmpty: missing, null, or EMPTY ARRAY — nothing else
@@ -112,13 +161,20 @@ object PayloadFilter {
         clauses += keyCol(keyOf("is_null", o), jsonCol).isNull
       }
       fm.get("key").foreach { case JString(key) =>
-        val c = keyCol(key, jsonCol)
+        val nested = key.contains("[]")
+        val c = if (nested) nestedElems(key, jsonCol) else keyCol(key, jsonCol)
         fm.get("match").foreach {
           case JObject(m) =>
             val mm = m.toMap
-            mm.get("value").foreach(v => clauses += (c === litOf(v)))
+            mm.get("value").foreach { v =>
+              clauses += (if (nested) exists(c, _ === nestedLit(v, jsonCol))
+                          else c === litOf(v))
+            }
             mm.get("any").foreach { case JArray(vs) =>
-              clauses += c.isin(vs.map(rawOf): _*)
+              clauses += (if (nested)
+                exists(c, e => e.isin(vs.map(v =>
+                  if (jsonCol.isDefined) rawOf(v).toString else rawOf(v)): _*))
+              else c.isin(vs.map(rawOf): _*))
             case other => throw new IllegalArgumentException(s"any: $other") }
             mm.get("text").foreach { case JString(q) =>
               val toks = q.toLowerCase.split("\\s+").filter(_.nonEmpty)
@@ -135,13 +191,12 @@ object PayloadFilter {
         }
         fm.get("range").foreach {
           case JObject(r) =>
-            r.toMap.foreach {
-              case ("gt", v)  => clauses += (c > litOf(v))
-              case ("gte", v) => clauses += (c >= litOf(v))
-              case ("lt", v)  => clauses += (c < litOf(v))
-              case ("lte", v) => clauses += (c <= litOf(v))
-              case (k, _) => throw new IllegalArgumentException(s"range op: $k")
-            }
+            // nested: at least one element satisfies ALL the bounds (the
+            // any-element semantics applied to the whole range condition)
+            clauses += (if (nested)
+              exists(c, e => rangePred(
+                if (jsonCol.isDefined) e.cast("double") else e, r.toMap))
+            else rangePred(c, r.toMap))
           case other => throw new IllegalArgumentException(s"range: $other")
         }
         fm.get("geo_bounding_box").foreach {

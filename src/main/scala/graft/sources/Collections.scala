@@ -1,9 +1,9 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 
@@ -21,11 +21,52 @@ import graft.functions.VectorOps
   *    [[CollectionSink]] with a single write(df) method.
   *  - Dim validation enforces the declared vector size on every write
   *    (the engine-level form of the collection's fixed vector config).
+  *  - The Qdrant point-mutation verbs beyond upsert: [[deleteWhere]]
+  *    (`delete(filter)`) and [[setPayloadWhere]] (`set_payload` /
+  *    `delete_payload` by filter) — both rewrite ONLY buckets holding
+  *    matches.
   *
-  * Scale notes: a collection directory is a standard partitionable
-  * parquet dataset (split-friendly, predicate-pushdown-friendly);
-  * keep-last compaction is one hash shuffle on id; metadata is a tiny
-  * sidecar file written once.
+  * == Manifest-committed generation layout ==
+  *
+  * {{{
+  * dir/
+  *   _collection.json          {dim, metric, buckets}
+  *   _manifest.json            {"gen": N, "buckets": {"3": "g00002/bucket=3", ...}}
+  *   data/
+  *     g00001/bucket=5/part-….parquet   immutable generation directories
+  *     g00002/bucket=3/part-….parquet
+  * }}}
+  *
+  * Ids hash into a bucket count pinned at creation; a write compacts only
+  * the buckets its rows touch into a NEW generation directory (existing
+  * files are never renamed, moved, or rewritten), then publishes a new
+  * `_manifest.json` mapping every live bucket to its current directory.
+  * Readers resolve through the manifest, so:
+  *
+  *  - a multi-bucket write is ATOMIC: until the manifest swap, readers see
+  *    the wholly-old collection; after it, wholly-new — never a mix (the
+  *    pre-manifest per-bucket rename protocol could crash half-swapped);
+  *  - the scheme is OBJECT-STORE-SAFE: data paths are write-once (no
+  *    renames of live data), and the commit is one small-file swap —
+  *    `Files.move(ATOMIC_MOVE)` on POSIX, a single conditional PUT on an
+  *    S3-class store;
+  *  - crash recovery is garbage collection, not repair: a generation
+  *    directory not referenced by the manifest is either a crashed write
+  *    or a superseded generation — the next write deletes it. Superseded
+  *    generations therefore survive exactly one write, a grace period for
+  *    readers whose lazy plans bound to the previous manifest.
+  *
+  * Pre-manifest layouts (flat loose files under `data/`, and the
+  * rename-protocol `data/bucket=k` directories with `.old` backups)
+  * remain readable and are migrated by the first manifested write: loose
+  * rows fold into the new generation, untouched legacy bucket directories
+  * are referenced by the manifest in place, and `.old` backups are
+  * restored before the write if a legacy swap had crashed.
+  *
+  * Scale notes: a collection is a standard partitionable parquet dataset
+  * (split-friendly, predicate-pushdown-friendly); keep-last compaction is
+  * one hash shuffle over touched buckets only; the manifest is O(buckets)
+  * bytes, written once per commit. Single writer, many readers.
   */
 object Collections {
 
@@ -33,6 +74,9 @@ object Collections {
   final case class VectorConfig(dim: Int, metric: String = "cosine")
 
   private def metaPath(dir: String) = Paths.get(dir, "_collection.json")
+  private def manifestPath(dir: String) = Paths.get(dir, "_manifest.json")
+  private def manifestTmp(dir: String) = Paths.get(dir, "_manifest.json.tmp")
+  private def migratedMarker(dir: String) = Paths.get(s"$dir/data/_migrated")
 
   def exists(dir: String): Boolean = Files.exists(metaPath(dir))
 
@@ -104,10 +148,10 @@ object Collections {
       finally s.close()
     }
 
-  /** Data files sitting DIRECTLY under `data/` — the pre-bucket flat
-    * layout. Folded into the next upsert (migration) and unioned by
-    * read(), so legacy collections neither lose rows nor need an offline
-    * rewrite. */
+  /** Data files sitting DIRECTLY under `data/` — the pre-manifest flat
+    * layout. Folded into the first manifested write (migration) and
+    * unioned by the legacy read path, so old collections neither lose
+    * rows nor need an offline rewrite. */
   private def looseFiles(p: java.nio.file.Path): Seq[String] =
     if (!Files.isDirectory(p)) Seq.empty
     else {
@@ -121,138 +165,262 @@ object Collections {
       finally s.close()
     }
 
+  // ---------------------------------------------------------------------
+  // Manifest
+  // ---------------------------------------------------------------------
+
+  /** (generation, bucket → path relative to `data/`), if committed. */
+  private def readManifest(dir: String): Option[(Int, Map[Int, String])] =
+    if (!Files.exists(manifestPath(dir))) None
+    else {
+      val txt = new String(Files.readAllBytes(manifestPath(dir)),
+        StandardCharsets.UTF_8)
+      val gen = """"gen":\s*(\d+)""".r.findFirstMatchIn(txt).get.group(1).toInt
+      val entries = """"(\d+)":\s*"([^"]+)"""".r.findAllMatchIn(txt)
+        .map(m => m.group(1).toInt -> m.group(2)).toMap
+      Some((gen, entries))
+    }
+
+  /** The commit point: stage the manifest beside its target, then one
+    * atomic swap. On an object store this becomes a single conditional
+    * PUT of `_manifest.json` — no other step of a write mutates a path a
+    * reader can hold. */
+  private def writeManifest(dir: String, gen: Int,
+                            buckets: Map[Int, String]): Unit = {
+    val body = buckets.toSeq.sortBy(_._1)
+      .map { case (k, p) => s""""$k": "$p"""" }.mkString("{", ", ", "}")
+    val tmp = manifestTmp(dir)
+    Files.write(tmp,
+      s"""{"gen": $gen, "buckets": $body}""".getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, manifestPath(dir),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, manifestPath(dir), StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Current (gen, view): from the manifest, else the legacy bucket
+    * directories as a gen-0 view (their manifest entries keep the legacy
+    * relative path — migration references them in place, no data moves). */
+  private def currentState(dir: String): (Int, Map[Int, String]) =
+    readManifest(dir).getOrElse {
+      (0, listBuckets(Paths.get(s"$dir/data")).map { case (name, _) =>
+        name.stripPrefix(s"$BucketCol=").toInt -> name
+      })
+    }
+
+  /** Write `rows` (carrying [[BucketCol]]) as generation `gen`+1 and
+    * publish the manifest remapping `touched` buckets to it. A touched
+    * bucket with no surviving rows is dropped from the manifest (its
+    * directory is simply never written). Everything before the final
+    * [[writeManifest]] is invisible to readers. */
+  private def publishGeneration(dir: String, gen: Int,
+                                view: Map[Int, String], touched: Set[Int],
+                                rows: DataFrame): Unit = {
+    val genName = f"g${gen + 1}%05d"
+    val genDir = Paths.get(dir, "data", genName)
+    rows.write.mode("overwrite").partitionBy(BucketCol)
+      .parquet(genDir.toString)
+    val written = listBuckets(genDir).keySet
+      .map(_.stripPrefix(s"$BucketCol=").toInt)
+    writeManifest(dir, gen + 1,
+      (view -- touched) ++ written.map(k => k -> s"$genName/$BucketCol=$k"))
+  }
+
+  /** WRITER-side recovery = garbage collection (manifest layout) or
+    * legacy repair (pre-manifest layout). Only the single writer may call
+    * this — destructive cleanup from the read path would race an
+    * in-flight write. */
+  private def recoverForWrite(dir: String): Unit = readManifest(dir) match {
+    case Some((_, m)) =>
+      Files.deleteIfExists(manifestTmp(dir))
+      // pre-manifest protocol leftovers are dead once a manifest exists
+      Seq(s"$dir/.old", s"$dir/.staging").map(Paths.get(_))
+        .filter(Files.exists(_)).foreach(deleteRecursively)
+      Files.deleteIfExists(migratedMarker(dir))
+      val dataDir = Paths.get(s"$dir/data")
+      if (Files.isDirectory(dataDir)) {
+        // live top-level entries: generation dirs / legacy bucket dirs the
+        // manifest references. Anything else under data/ is a crashed or
+        // superseded write — its grace period (one write) ends now.
+        val liveTop = m.values.map(_.split('/').head).toSet
+        val liveRel = m.values.toSet
+        val s = Files.list(dataDir)
+        try s.iterator().asScala.toList.foreach { child =>
+          val n = child.getFileName.toString
+          if (!liveTop.contains(n)) {
+            if (Files.isDirectory(child)) deleteRecursively(child)
+            else Files.delete(child)
+          } else if (n.startsWith("g")) {
+            // inside a live generation, drop bucket dirs later writes
+            // have superseded (entry-level GC)
+            listBuckets(child).foreach { case (bn, bp) =>
+              if (!liveRel.contains(s"$n/$bn")) deleteRecursively(bp)
+            }
+          }
+        } finally s.close()
+      }
+    case None =>
+      // legacy rename-protocol repair: restore any bucket whose swap died
+      // between its two moves, drop completed backups, clear staging, and
+      // retire loose files a completed migration marked
+      val dataDir = Paths.get(s"$dir/data")
+      if (Files.exists(migratedMarker(dir))) {
+        looseFiles(dataDir).foreach { f =>
+          val p = Paths.get(f)
+          Files.deleteIfExists(p)
+          Files.deleteIfExists(
+            p.getParent.resolve("." + p.getFileName.toString + ".crc"))
+        }
+        Files.deleteIfExists(migratedMarker(dir))
+      }
+      val old = Paths.get(s"$dir/.old")
+      listBuckets(old).foreach { case (name, backup) =>
+        val target = dataDir.resolve(name)
+        if (!Files.exists(target)) Files.move(backup, target)
+        else deleteRecursively(backup) // post-swap leftover
+      }
+      if (Files.exists(old)) deleteRecursively(old)
+      val staging = Paths.get(s"$dir/.staging")
+      if (Files.exists(staging)) deleteRecursively(staging)
+  }
+
   /** O14: append a batch, then compact to keep-last per id (Qdrant upsert
     * semantics — same id overwrites). `seqCol` orders versions.
     *
-    * INCREMENTAL layout: `data/bucket=k/` subdirectories, id hashed into a
-    * bucket count pinned at creation. A batch reads, compacts, and
-    * rewrites ONLY the buckets its ids touch — per-batch cost is
-    * O(batch + touched-bucket bytes), not O(collection); untouched
-    * buckets' files are never opened or rewritten.
-    *
-    * Single-writer swap protocol, per bucket: compact touched buckets into
-    * `.staging/bucket=k`, then for each one move `data/bucket=k` →
-    * `.old/bucket=k` and `.staging/bucket=k` → `data/bucket=k`. A crash
-    * mid-swap leaves every bucket either fully old (with `.old` holding
-    * nothing for it), or backed up in `.old` — the next upsert's
-    * recoverForWrite restores any bucket whose swap died between the two
-    * moves, so no bucket is ever lost. Atomicity is per BUCKET: a crash
-    * can land some buckets on the new batch and some on the old —
-    * batch-level atomicity across buckets needs a manifest/log-structured
-    * commit (and object stores without atomic rename need it too); that is
-    * the documented next step of this layer, not this POSIX-rename form. */
+    * INCREMENTAL: a batch reads, compacts, and rewrites ONLY the buckets
+    * its ids touch — per-write cost is O(batch + touched-bucket bytes),
+    * not O(collection); untouched buckets' files are never opened. The
+    * commit is the manifest swap (object doc) — atomic across buckets. */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame,
              idCol: String, seqCol: String): Unit = {
     recoverForWrite(dir)
     val buckets = numBuckets(dir)
     val dataDir = Paths.get(s"$dir/data")
+    val (gen, view) = currentState(dir)
     val bucketed = batch.withColumn(BucketCol, bucketOf(idCol, buckets))
-    // pre-bucket flat-layout files migrate on this write: their rows join
-    // the merge (spanning whatever buckets they hash to). The files are
-    // NOT deleted here — a `_migrated` marker retires them logically and
-    // the NEXT upsert's recovery removes them physically, giving a
-    // concurrent reader whose lazy plan bound to the loose paths the same
-    // grace period bucket swaps get via `.old`. A crash before the marker
-    // leaves loose + partial buckets — the next upsert migrates again
-    // (keep-last compaction collapses the transient duplicates).
-    val loose = looseFiles(dataDir)
+    // pre-manifest loose files migrate on this write: their rows join the
+    // merge, spanning whatever buckets they hash to; the manifest then
+    // supersedes them and the NEXT write's GC removes the files (the same
+    // one-write grace superseded generations get)
+    val loose = if (readManifest(dir).isDefined) Seq.empty
+                else looseFiles(dataDir)
     val withLegacy =
       if (loose.isEmpty) bucketed
       else spark.read.parquet(loose: _*)
         .withColumn(BucketCol, bucketOf(idCol, buckets))
         .unionByName(bucketed)
     val touched = withLegacy.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).sorted
+      .collect().map(_.getInt(0)).toSet
     if (touched.isEmpty) return
     // files do not store the bucket column (it is the directory name);
     // recompute it on read — same hash, same pinned bucket count
-    val existingDirs = touched
-      .map(k => dataDir.resolve(s"$BucketCol=$k"))
-      .filter(Files.exists(_))
-      .map(_.toString)
+    val existingDirs = touched.toSeq.sorted.flatMap(view.get)
+      .map(rel => dataDir.resolve(rel))
+      .filter(Files.exists(_)).map(_.toString)
     val merged =
       if (existingDirs.isEmpty) withLegacy
       else spark.read.parquet(existingDirs: _*)
         .withColumn(BucketCol, bucketOf(idCol, buckets))
         .unionByName(withLegacy)
     val compacted = graft.operators.Ingest.upsert(merged, idCol, seqCol)
-    val staging = Paths.get(s"$dir/.staging")
-    compacted.write.mode("overwrite")
-      .partitionBy(BucketCol).parquet(staging.toString)
-    val old = Paths.get(s"$dir/.old")
-    Files.createDirectories(old)
-    Files.createDirectories(dataDir)
-    touched.foreach { k =>
-      val t = dataDir.resolve(s"$BucketCol=$k")
-      val s = staging.resolve(s"$BucketCol=$k")
-      if (Files.exists(t)) Files.move(t, old.resolve(s"$BucketCol=$k"))
-      if (Files.exists(s)) Files.move(s, t)
-    }
-    // retire legacy files LOGICALLY once every swapped bucket holds their
-    // rows; physical deletion waits for the next upsert's recovery
-    if (loose.nonEmpty) Files.write(migratedMarker(dir), Array.empty[Byte])
-    // `.staging` now holds only _SUCCESS markers; `.old` is intentionally
-    // KEPT until the next upsert's recoverForWrite so a concurrent reader
-    // that bound its (lazy) DataFrame to a backup bucket mid-swap can
-    // still complete its action.
-    deleteRecursively(staging)
+    publishGeneration(dir, gen, view, touched, compacted)
   }
 
-  /** WRITER-side crash recovery, per bucket: restore any `data/bucket=k`
-    * from its `.old` backup if a swap died between the two moves, drop
-    * backups whose swap completed (they would wedge the next swap's
-    * `Files.move` into `.old`), and clear any half-written `.staging`.
-    * Only the single writer may call this — destructive repair from the
-    * read path would race an in-flight upsert. */
-  private def migratedMarker(dir: String) = Paths.get(s"$dir/data/_migrated")
-
-  private def recoverForWrite(dir: String): Unit = {
+  /** Shared machinery of the filter-scoped mutation verbs: locate the
+    * buckets holding matches (one pushdown-friendly scan), rewrite ONLY
+    * those buckets through `xform`, commit via the manifest. Returns the
+    * matched-row count. Qdrant's `filter` matches where the predicate is
+    * TRUE — a NULL predicate row is not a match and survives untouched. */
+  private def rewriteWhere(spark: SparkSession, dir: String, filter: Column,
+                           idCol: String)
+                          (xform: (DataFrame, Column) => DataFrame): Long = {
+    recoverForWrite(dir)
+    val buckets = numBuckets(dir)
     val dataDir = Paths.get(s"$dir/data")
-    // a completed legacy migration (marker present) retires its loose
-    // files now — their grace period ends with this write, like `.old`
-    if (Files.exists(migratedMarker(dir))) {
-      looseFiles(dataDir).foreach { f =>
-        val p = Paths.get(f)
-        Files.deleteIfExists(p)
-        Files.deleteIfExists(
-          p.getParent.resolve("." + p.getFileName.toString + ".crc"))
+    val (gen, view) = currentState(dir)
+    val matchCond = coalesce(filter, lit(false))
+    def withBucket(df: DataFrame) =
+      df.withColumn(BucketCol, bucketOf(idCol, buckets))
+    val loose = if (readManifest(dir).isDefined) Seq.empty
+                else looseFiles(dataDir)
+    val looseDf = if (loose.isEmpty) None
+                  else Some(withBucket(spark.read.parquet(loose: _*)))
+    val viewPaths = view.values.map(rel => dataDir.resolve(rel))
+      .filter(Files.exists(_)).map(_.toString).toSeq.sorted
+    val stored = (looseDf, viewPaths) match {
+      case (None, Seq()) => return 0L
+      case (Some(l), Seq()) => l
+      case (l, ps) =>
+        val v = withBucket(spark.read.parquet(ps: _*))
+        l.map(v.unionByName(_)).getOrElse(v)
+    }
+    // one job: per-bucket match counts → touched set + matched total
+    val perBucket = stored.filter(matchCond)
+      .groupBy(BucketCol).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // loose rows must fold into buckets even where nothing matched (their
+    // file can't be partially kept) — migration piggybacks on the rewrite
+    val looseBuckets = looseDf.map(_.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSet).getOrElse(Set.empty)
+    val touched = perBucket.keySet ++ looseBuckets
+    if (touched.isEmpty) return 0L
+    val touchedDirs = touched.toSeq.sorted.flatMap(view.get)
+      .map(rel => dataDir.resolve(rel))
+      .filter(Files.exists(_)).map(_.toString)
+    val touchedData = (looseDf, touchedDirs) match {
+      case (Some(l), Seq()) => l
+      case (l, ps) =>
+        val v = withBucket(spark.read.parquet(ps: _*))
+        l.map(v.unionByName(_)).getOrElse(v)
+    }
+    publishGeneration(dir, gen, view, touched,
+      xform(touchedData, matchCond))
+    perBucket.values.sum
+  }
+
+  /** Qdrant `delete(filter)`: remove matching points; only buckets
+    * holding matches are rewritten (a bucket emptied by the delete is
+    * dropped from the manifest). Returns the number of points deleted. */
+  def deleteWhere(spark: SparkSession, dir: String, filter: Column,
+                  idCol: String): Long =
+    rewriteWhere(spark, dir, filter, idCol)((df, cond) => df.filter(!cond))
+
+  /** Qdrant `set_payload` / `delete_payload` by filter: on matching
+    * points, each named column is replaced by its expression (use
+    * `lit(null)` to clear — the delete_payload verb); non-matching rows
+    * and untouched buckets are byte-identical. Returns matched count. */
+  def setPayloadWhere(spark: SparkSession, dir: String, filter: Column,
+                      idCol: String, sets: Map[String, Column]): Long =
+    rewriteWhere(spark, dir, filter, idCol) { (df, cond) =>
+      sets.foldLeft(df) { case (d, (name, e)) =>
+        d.withColumn(name, when(cond, e).otherwise(col(name)))
       }
-      Files.deleteIfExists(migratedMarker(dir))
     }
-    val old = Paths.get(s"$dir/.old")
-    listBuckets(old).foreach { case (name, backup) =>
-      val target = dataDir.resolve(name)
-      if (!Files.exists(target)) Files.move(backup, target)
-      else deleteRecursively(backup) // post-swap leftover
-    }
-    if (Files.exists(old)) deleteRecursively(old)
-    val staging = Paths.get(s"$dir/.staging")
-    if (Files.exists(staging)) deleteRecursively(staging)
-  }
 
-  /** Read-side recovery is NON-destructive (it must not race the writer):
-    * the scan unions `data`'s bucket directories with any `.old` backup
-    * bucket not currently present in `data` (i.e. mid-swap). Backups
-    * survive until the NEXT upsert starts, so a reader that binds to one
-    * mid-swap can finish its action; only a reader racing TWO consecutive
-    * upserts of the SAME bucket can lose it (single-writer, read-mostly
-    * contract). */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val dataDir = Paths.get(s"$dir/data")
-    val dataB = listBuckets(dataDir)
-    val oldB = listBuckets(Paths.get(s"$dir/.old"))
-    // pre-bucket flat-layout files are live data until a migration's
-    // `_migrated` marker retires them (marker present = their rows are in
-    // the buckets; reading both would double-count). Only a CRASHED
-    // migration — loose files, partial buckets, no marker — unions both;
-    // that transient duplication is repaired by the next upsert.
-    val loose =
-      if (Files.exists(migratedMarker(dir))) Seq.empty
-      else looseFiles(dataDir)
-    val use = (oldB ++ dataB).values.map(_.toString).toSeq.sorted ++ loose
-    if (use.isEmpty) spark.read.parquet(s"$dir/data") // empty/missing: same
-    else spark.read.parquet(use: _*)                  //   error as before
-  }
+  /** Readers resolve through the manifest: the path set is immutable for
+    * the life of that manifest generation (superseded generations outlive
+    * their de-referencing write by one more write — the grace window for
+    * plans bound to the previous manifest). Pre-manifest collections fall
+    * back to the legacy union (bucket dirs ∪ crash-backup `.old` buckets
+    * ∪ unmigrated loose files). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readManifest(dir) match {
+      case Some((_, m)) =>
+        val paths = m.values.map(rel => s"$dir/data/$rel").toSeq.sorted
+        if (paths.isEmpty) spark.read.parquet(s"$dir/data") // empty: same
+        else spark.read.parquet(paths: _*)                  //  error shape
+      case None =>
+        val dataDir = Paths.get(s"$dir/data")
+        val dataB = listBuckets(dataDir)
+        val oldB = listBuckets(Paths.get(s"$dir/.old"))
+        val loose =
+          if (Files.exists(migratedMarker(dir))) Seq.empty
+          else looseFiles(dataDir)
+        val use = (oldB ++ dataB).values.map(_.toString).toSeq.sorted ++ loose
+        if (use.isEmpty) spark.read.parquet(s"$dir/data")
+        else spark.read.parquet(use: _*)
+    }
 
   /** Collection info (the Qdrant collection-info shape): declared config
     * plus live point count. */
@@ -268,7 +436,7 @@ object Collections {
     * (the Qdrant filter DSL via operators/PayloadFilter or any Column). */
   def search(spark: SparkSession, dir: String, vecCol: String,
              idCol: String, query: Seq[Double], k: Int,
-             filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+             filter: Option[Column] = None): DataFrame = {
     val cfg = config(dir)
     require(query.length == cfg.dim,
       s"query dim ${query.length} != collection dim ${cfg.dim}")
@@ -302,7 +470,7 @@ object Collections {
     }
   }
 
-  /** Drop a collection: metadata, data buckets, backups — everything. */
+  /** Drop a collection: metadata, manifest, data — everything. */
   def delete(dir: String): Unit =
     if (Files.exists(Paths.get(dir))) deleteRecursively(Paths.get(dir))
 
@@ -314,7 +482,7 @@ object Collections {
     * the scan. */
   def scroll(spark: SparkSession, dir: String, idCol: String,
              afterId: Option[Any], limit: Int,
-             filter: Option[org.apache.spark.sql.Column] = None)
+             filter: Option[Column] = None)
       : (DataFrame, Option[Any]) = {
     val base0 = filter.foldLeft(read(spark, dir))((df, f) => df.filter(f))
     val base = afterId.foldLeft(base0)((df, a) => df.filter(col(idCol) > lit(a)))

@@ -230,10 +230,12 @@ object Stream {
     * equals the batch twin `dedup_stream_neardup` exactly (StreamSpec).
     *
     * Scale: state is one long per OCCUPIED band bucket — proportional to
-    * distinct content regions, not stream length; at 100 TB, band
-    * signatures would carry a TTL (event-time timeout) to bound state to
-    * the dedup horizon, exactly like the reference's within-watermark id
-    * dedup (`dropDuplicatesWithinWatermark`). */
+    * distinct content regions, not stream length. This variant keeps
+    * buckets FOREVER (exact keep-first semantics on a bounded stream —
+    * what the batch-twin equality gate needs); for unbounded streams use
+    * [[nearDupStreamTtl]], which bounds state to the dedup horizon with
+    * an event-time timeout, exactly like the reference's within-watermark
+    * id dedup (`dropDuplicatesWithinWatermark`). */
   def nearDupStream(docs: DataFrame, numHashes: Int = 16,
                     shingleN: Int = 3, rowsPerBand: Int = 4)
       : org.apache.spark.sql.Dataset[BandHit] = {
@@ -262,6 +264,80 @@ object Stream {
 
     buckets.flatMapGroupsWithState(OutputMode.Append(),
       GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  /** Band-bucket state for [[nearDupStreamTtl]]: the minimum doc id seen
+    * plus the bucket's last event time (ms) — the expiry clock. */
+  final case class BucketState(minId: Long, lastMs: Long)
+
+  /** [[nearDupStream]] with BOUNDED state: band buckets expire `ttlMs`
+    * of EVENT TIME after their last occupant, so state tracks the distinct
+    * content seen within the dedup horizon instead of the whole stream's.
+    * A document landing in an expired bucket is re-admitted as a fresh
+    * occupant (no hit) — the semantics of "duplicate within the horizon",
+    * the same contract as `dropDuplicatesWithinWatermark` for ids.
+    *
+    * Two expiry paths cover both arrival patterns:
+    *  - no data arrives: the EventTimeTimeout callback fires once the
+    *    watermark passes `lastMs + ttlMs` and removes the state;
+    *  - data arrives AT an expired bucket before its timeout callback ran
+    *    (timeouts only fire for groups with no data in the batch): the
+    *    handler itself discards state whose horizon has passed.
+    *
+    * `tsCol` must be a TimestampType column on `docs`; the watermark is
+    * pinned to it BEFORE banding and the column is carried through the
+    * band projection (dropping it would strip the event-time tag the
+    * stateful operator requires). */
+  def nearDupStreamTtl(docs: DataFrame, tsCol: String, ttlMs: Long,
+                       watermarkDelay: String = "1 hour",
+                       numHashes: Int = 16, shingleN: Int = 3,
+                       rowsPerBand: Int = 4)
+      : org.apache.spark.sql.Dataset[BandHit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val buckets = graft.operators.Dedup
+      .lshBandsFused(docs.withWatermark(tsCol, watermarkDelay),
+        "doc_id", "text", numHashes, shingleN, rowsPerBand,
+        carryCols = Seq(tsCol))
+      .select(concat_ws("|", col("band"), col("band_sig")).as("bucket"),
+        col("doc_id"), col(tsCol).as("__ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+
+    // local primitive copy — see sessionizeStream: naming the parameter
+    // inside fn is fine, but keep the closure free of the module
+    val ttl = ttlMs
+
+    def fn(bucket: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+           state: GroupState[BucketState]): Iterator[BandHit] = {
+      if (state.hasTimedOut) {
+        // watermark passed lastMs + ttl with no new occupant: forget
+        state.remove()
+        return Iterator.empty
+      }
+      val evs = rows.toArray
+      val maxMs = evs.iterator.map(_._3.getTime).max
+      val wmMs = state.getCurrentWatermarkMs()
+      // arrival at an expired bucket: the timed-out callback never fires
+      // for a group WITH data this batch, so expiry is re-checked here
+      var minSeen = state.getOption
+        .filter(s => s.lastMs + ttl > wmMs)
+        .map(_.minId).getOrElse(Long.MaxValue)
+      val out = Seq.newBuilder[BandHit]
+      evs.iterator.map(_._2).toArray.sorted.foreach { id =>
+        if (minSeen < id) out += BandHit(id, minSeen)
+        if (id < minSeen) minSeen = id
+      }
+      state.update(BucketState(minSeen, maxMs))
+      // must be strictly above the current watermark or Spark rejects it
+      // (late data can put maxMs + ttl below the watermark)
+      state.setTimeoutTimestamp(math.max(maxMs + ttl, wmMs + 1))
+      out.result().iterator
+    }
+
+    buckets.flatMapGroupsWithState(OutputMode.Append(),
+      GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
   /** Run a bounded stream to completion (AvailableNow) and wait. */

@@ -57,24 +57,69 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("crash recovery: interrupted swap restores from the .old backup") {
+  test("legacy crash recovery: interrupted pre-manifest swap restores " +
+       "from the .old backup, then migrates to the manifest") {
     val dir = Files.createTempDirectory("graft-coll").toString + "/c3"
-    val sink = new Collections.ParquetCollectionSink(spark, dir,
-      VectorConfig(64), "embedding", "vec_id", "seq")
-    sink.write(Tables.load(spark, sf, "embeddings").limit(20)
-      .withColumn("seq", lit(0)))
-    // simulate a crash between the two moves of every bucket's swap:
-    // data/bucket=k gone, .old/bucket=k holds the backup
+    Collections.create(dir, VectorConfig(64))
+    // build the pre-manifest bucketed layout by hand (data/bucket=k, no
+    // manifest), then simulate a crash between the two moves of every
+    // bucket's swap: data/bucket=k gone, .old/bucket=k holds the backup
+    val emb20 = Tables.load(spark, sf, "embeddings").limit(20)
+      .withColumn("seq", lit(0))
+    emb20.withColumn("bucket",
+        pmod(hash(col("vec_id")), lit(Collections.numBuckets(dir))))
+      .write.partitionBy("bucket").parquet(s"$dir/data")
     val old = java.nio.file.Paths.get(s"$dir/.old")
     java.nio.file.Files.createDirectories(old)
     new java.io.File(s"$dir/data").listFiles().filter(_.isDirectory)
       .foreach(b => java.nio.file.Files.move(b.toPath,
         old.resolve(b.getName)))
     assert(Collections.read(spark, dir).count() == 20) // read recovers
-    // and the next write's recovery restores + applies the batch on top
+    // the next write's recovery restores the backups, then the write
+    // itself commits through the manifest (migration)
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
     sink.write(Tables.load(spark, sf, "embeddings").limit(25)
       .withColumn("seq", lit(1)))
     assert(Collections.read(spark, dir).count() == 25)
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/_manifest.json")))
+  }
+
+  test("manifest commit: a crash between generation write and manifest " +
+       "publish leaves readers wholly-old; the publish flips wholly-new") {
+    val dir = Files.createTempDirectory("graft-coll").toString + "/c8"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(60)
+    sink.write(emb.withColumn("seq", lit(0)))
+    def snapshot(): Set[(Long, Int)] = Collections.read(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val afterW1 = snapshot()
+    val manifest = java.nio.file.Paths.get(s"$dir/_manifest.json")
+    val w1Manifest = Files.readAllBytes(manifest)
+
+    // write 2 touches MANY buckets (every id), then the manifest is
+    // rolled back to simulate a crash an instant before the publish:
+    // the new generation sits on disk, unreferenced
+    sink.write(emb.withColumn("label", col("label") + 500)
+      .withColumn("seq", lit(1)))
+    val afterW2 = snapshot()
+    assert(afterW2 != afterW1)
+    Files.write(manifest, w1Manifest)
+    val gens = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(gens.exists(_ > "g00001"), s"orphan generation missing: $gens")
+
+    // a reader now sees EXACTLY write 1's rows — not one row of the
+    // crashed write's generation (the per-bucket rename protocol could
+    // land here with half the buckets swapped)
+    assert(snapshot() == afterW1, "reader saw a mixed/partial commit")
+
+    // redoing the write recovers: orphan GC'd, result = write 2's state
+    sink.write(emb.withColumn("label", col("label") + 500)
+      .withColumn("seq", lit(1)))
+    assert(snapshot() == afterW2)
   }
 
   /** Recursive (path → lastModified) snapshot of every FILE under p. */
@@ -100,8 +145,8 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     val emb = Tables.load(spark, sf, "embeddings").limit(200)
     sink.write(emb.withColumn("seq", lit(0)))
 
-    val bucketDirs = new java.io.File(s"$dir/data").listFiles()
-      .filter(_.isDirectory).map(_.getName).toSet
+    val bucketDirs = fileSnapshot(s"$dir/data").keySet
+      .flatMap("""bucket=\d+""".r.findFirstIn(_))
     assert(bucketDirs.size > 1, s"expected several buckets, got $bucketDirs")
 
     // second batch: ONE id → exactly one touched bucket
@@ -114,15 +159,21 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     sink.write(one)
     val after = fileSnapshot(s"$dir/data")
 
-    val untouchedPrefixes = (bucketDirs - s"bucket=$touchedBucket")
-      .map(b => s"$dir/data/$b/")
-    def partOf(m: Map[String, Long]) =
-      m.filter { case (f, _) => untouchedPrefixes.exists(f.startsWith) }
-    assert(partOf(before) == partOf(after),
-      "files in untouched buckets were rewritten")
-    // the touched bucket DID change (rewritten part files get new names)
-    assert(before.keySet.filter(_.contains(s"bucket=$touchedBucket/")) !=
-           after.keySet.filter(_.contains(s"bucket=$touchedBucket/")))
+    // untouched buckets: every pre-write file is still there, unmodified
+    // (generations are immutable — nothing is ever rewritten in place)
+    def partOf(m: Map[String, Long]) = m.filter { case (f, _) =>
+      !f.contains(s"bucket=$touchedBucket/") && f.contains("bucket=")
+    }
+    assert(partOf(before).toSet.subsetOf(partOf(after).toSet),
+      "files in untouched buckets were rewritten or removed")
+    // the touched bucket moved to a NEW generation directory
+    def liveDirOf(b: Int): String = {
+      val m = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/_manifest.json")), "UTF-8")
+      s""""$b":\\s*"([^"]+)"""".r.findFirstMatchIn(m).get.group(1)
+    }
+    assert(liveDirOf(touchedBucket).startsWith("g00002/"),
+      s"touched bucket not remapped: ${liveDirOf(touchedBucket)}")
     // … and the merge semantics held: same count, updated label
     val now = Collections.read(spark, dir)
     assert(now.count() == 200)
@@ -153,8 +204,8 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
       .filter(_.isFile).map(_.getName)
       .filterNot(n => n.startsWith("_") || n.startsWith("."))
     // grace period: loose files still on disk for readers bound to them,
-    // but logically retired by the marker (read() must not double-count)
-    assert(Files.exists(java.nio.file.Paths.get(s"$dir/data/_migrated")))
+    // but superseded by the manifest (read() must not double-count)
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/_manifest.json")))
     assert(looseNow.nonEmpty)
     // the NEXT write retires them physically
     sink.write(emb.filter(col("vec_id") === 1)
@@ -162,6 +213,86 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
       .withColumn("seq", lit(2)))
     assert(looseNow.isEmpty, s"legacy files survived: ${looseNow.toSeq}")
     assert(Collections.read(spark, dir).count() == 42)
+  }
+
+  test("deleteWhere: only match-holding buckets rewritten; an emptied " +
+       "bucket drops out of the manifest") {
+    val dir = Files.createTempDirectory("graft-coll").toString + "/c9"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(200)
+    sink.write(emb.withColumn("seq", lit(0)))
+    val nb = Collections.numBuckets(dir)
+    val touchedBucket = emb.filter(col("vec_id") === 7)
+      .select(pmod(hash(col("vec_id")), lit(nb))).head().getInt(0)
+
+    val before = fileSnapshot(s"$dir/data")
+    val n = Collections.deleteWhere(spark, dir, col("vec_id") === 7, "vec_id")
+    val after = fileSnapshot(s"$dir/data")
+    assert(n == 1)
+    val now = Collections.read(spark, dir)
+    assert(now.count() == 199 && now.filter(col("vec_id") === 7).count() == 0)
+    // untouched buckets: byte-stable (generations are immutable)
+    def partOf(m: Map[String, Long]) = m.filter { case (f, _) =>
+      !f.contains(s"bucket=$touchedBucket/") && f.contains("bucket=")
+    }
+    assert(partOf(before).toSet.subsetOf(partOf(after).toSet),
+      "deleteWhere rewrote buckets without matches")
+
+    // empty a WHOLE bucket by predicate: its manifest entry must vanish
+    // and reads must keep working
+    val whole = Collections.deleteWhere(spark, dir,
+      pmod(hash(col("vec_id")), lit(nb)) === touchedBucket, "vec_id")
+    assert(whole > 0)
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifest.json")), "UTF-8")
+    assert(!manifest.contains(s""""$touchedBucket":"""),
+      s"emptied bucket still referenced: $manifest")
+    assert(Collections.read(spark, dir).count() == 199 - whole)
+    // no match anywhere: a no-op returns 0 and publishes nothing new
+    val manifestBytes = Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifest.json"))
+    assert(Collections.deleteWhere(spark, dir,
+      col("vec_id") === 999999, "vec_id") == 0)
+    assert(java.util.Arrays.equals(manifestBytes, Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifest.json"))))
+  }
+
+  test("setPayloadWhere: matching points updated, null clears (the " +
+       "delete_payload verb), non-matching rows byte-equal") {
+    val dir = Files.createTempDirectory("graft-coll").toString + "/c10"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(100)
+    sink.write(emb.withColumn("seq", lit(0)))
+    val nMatch = Collections.read(spark, dir)
+      .filter(col("label") === 3).count()
+    assert(nMatch > 0, "degenerate fixture: no label-3 rows")
+
+    val n = Collections.setPayloadWhere(spark, dir, col("label") === 3,
+      "vec_id", Map("label" -> lit(999)))
+    assert(n == nMatch)
+    val now = Collections.read(spark, dir)
+    assert(now.filter(col("label") === 999).count() == nMatch)
+    assert(now.filter(col("label") === 3).count() == 0)
+    assert(now.count() == 100)
+    // non-matching rows are untouched, row-for-row
+    val others = emb.filter(col("label") =!= 3)
+      .select("vec_id", "label").collect().map(r =>
+        (r.getLong(0), r.getInt(1))).toSet
+    val othersNow = now.filter(col("label") =!= 999)
+      .select("vec_id", "label").collect().map(r =>
+        (r.getLong(0), r.getInt(1))).toSet
+    assert(othersNow == others)
+
+    // delete_payload: clear by setting null (needs a nullable column —
+    // label read back from parquet is nullable)
+    val cleared = Collections.setPayloadWhere(spark, dir,
+      col("label") === 999, "vec_id",
+      Map("label" -> lit(null).cast("int")))
+    assert(cleared == nMatch)
+    assert(Collections.read(spark, dir)
+      .filter(col("label").isNull).count() == nMatch)
   }
 
   test("management surface: list / scroll / delete") {

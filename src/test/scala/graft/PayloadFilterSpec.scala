@@ -165,6 +165,55 @@ class PayloadFilterSpec extends AnyFunSuite with SparkSpec {
     assert(near.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("nested array path key[].sub: any-element match (typed + JSON)") {
+    import spark.implicits._
+    // typed mode: array<struct> column — key[].sub resolves per element
+    val df = Seq(
+      (1L, Seq((3L, "a"), (9L, "b"))),
+      (2L, Seq((7L, "c"))),
+      (3L, Seq.empty[(Long, String)])
+    ).toDF("id", "raw")
+      .withColumn("tags", transform(col("raw"),
+        e => struct(e.getField("_1").as("t"), e.getField("_2").as("s"))))
+    def ids(dsl: String): Set[Long] =
+      df.filter(PayloadFilter.fromJson(dsl))
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids("""{"key": "tags[].t", "match": {"value": 3}}""") == Set(1L))
+    assert(ids("""{"key": "tags[].t", "match": {"any": [7, 9]}}""")
+      == Set(1L, 2L))
+    // range: at least one element inside ALL bounds (9 fails lt 9; 7 passes)
+    assert(ids("""{"key": "tags[].t", "range": {"gte": 5, "lt": 9}}""")
+      == Set(2L))
+    assert(ids("""{"key": "tags[].s", "match": {"value": "c"}}""") == Set(2L))
+
+    // JSON-payload mode: $.tags[*].t via get_json_object
+    val jdf = Seq(
+      (1L, """{"tags": [{"t": 3}, {"t": 9}]}"""),
+      (2L, """{"tags": [{"t": 7}]}"""),
+      (3L, """{"other": 1}""")
+    ).toDF("id", "props")
+    def jids(dsl: String): Set[Long] =
+      jdf.filter(PayloadFilter.fromJson(dsl, jsonCol = Some("props")))
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(jids("""{"key": "tags[].t", "match": {"value": 3}}""") == Set(1L))
+    assert(jids("""{"key": "tags[].t", "match": {"any": [7, 9]}}""")
+      == Set(1L, 2L))
+    assert(jids("""{"key": "tags[].t", "range": {"gte": 5, "lt": 9}}""")
+      == Set(2L))
+  }
+
+  test("has_id resolves against the id column, composes with must_not") {
+    val inc = emb.filter(PayloadFilter.fromJson(
+      """{"has_id": [5, 6, 7]}""", idCol = "vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(inc == Set(5L, 6L, 7L))
+    val exc = emb.filter(PayloadFilter.fromJson(
+      """{"must": [{"key": "vec_id", "range": {"lt": 10}}],
+          "must_not": [{"has_id": [0, 1, 2]}]}""", idCol = "vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exc == (3L until 10L).toSet)
+  }
+
   test("filter pushes down to the parquet scan") {
     val plan = emb.filter(PayloadFilter.fromJson(
         """{"must": [{"key": "label", "match": {"value": 3}}]}"""))

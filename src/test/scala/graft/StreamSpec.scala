@@ -231,4 +231,54 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
       assert(streamed.contains(id + 1000) && streamed(id + 1000) <= id)
     }
   }
+
+  test("nearDupStreamTtl: expired band bucket re-admits content; " +
+       "within-TTL duplicate still hits") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-neardup-ttl")
+    val textX = "the quick brown fox jumps over the lazy dog again and again"
+    val textY = "completely different content about structured streaming state"
+    val t0 = 1000000L // epoch seconds
+    def write(name: String, rows: Seq[(Long, String, Long)],
+              modMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-ttl-w").resolve("out")
+      rows.toDF("doc_id", "text", "ts_sec")
+        .withColumn("ts", timestamp_seconds(col("ts_sec"))).drop("ts_sec")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = dir.resolve(name)
+      Files.move(part, dst)
+      // the file source orders by modification time — pin it so the three
+      // micro-batches replay in the scripted order
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(modMs))
+    }
+    // batch 1: first occupant of textX's buckets
+    write("a.parquet", Seq((1L, textX, t0)), 1000)
+    // batch 2: a within-TTL dup (must hit) + a far-future doc that drags
+    // the watermark 3 h forward — past textX's 1 h TTL horizon
+    write("b.parquet",
+      Seq((2L, textX, t0 + 600), (50L, textY, t0 + 3 * 3600)), 2000)
+    // batch 3: same content arrives at the EXPIRED bucket — re-admitted
+    write("c.parquet", Seq((100L, textX, t0 + 3 * 3600 + 60)), 3000)
+
+    val schema = spark.read.parquet(dir.toString).schema
+    val hits = Stream.nearDupStreamTtl(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString),
+      "ts", ttlMs = 3600 * 1000L, watermarkDelay = "0 seconds")
+    val q = hits.writeStream.format("memory").queryName("neardupttl")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("neardupttl")
+      .groupBy("docId").agg(min("dupOf").as("dupOf"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.get(2L).contains(1L),
+      s"within-TTL duplicate must emit a hit: $streamed")
+    assert(!streamed.contains(100L),
+      s"doc 100 landed after the bucket's TTL horizon and must be " +
+        s"re-admitted, not flagged: $streamed")
+    assert(!streamed.contains(50L), s"distinct content must not hit: $streamed")
+  }
 }
