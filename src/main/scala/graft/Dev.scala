@@ -32,10 +32,15 @@ object Dev {
       case "time" :: name :: dir :: n =>
         val iters = n.headOption.map(_.toInt).getOrElse(3)
         val fn = Queries.queries(name)
-        fn(spark, "/root/testdata/sf0.001").count() // warmup
+        // full-plan evaluation, same as Bench: count() plans a fresh
+        // aggregate and Catalyst prunes computed columns — narrow queries
+        // would "time" an empty scan (the exact bug the r4 bench fixed)
+        def eval(dir: String): Unit =
+          fn(spark, dir).queryExecution.toRdd.foreach(_ => ())
+        eval("/root/testdata/sf0.001") // warmup
         (1 to iters).foreach { i =>
           val t0 = System.nanoTime()
-          fn(spark, dir).count()
+          eval(dir)
           println(f"[$name] iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
       case "ccprof" :: dir :: Nil =>

@@ -36,6 +36,64 @@ object RecommendQueries {
       ORDER BY score_micro DESC, e.vec_id
       LIMIT 10"""))
 
+  /** Recommend API, `best_score` strategy (the other public strategy):
+    * no combined vector — each point's score is its best positive
+    * similarity when that beats its best negative similarity, else the
+    * negated best negative. Every per-example cosine is an in-row
+    * expression over broadcast literals; the oracle replays the same
+    * greatest/CASE tree on identical doubles. */
+  val vRecommendBest = Q("v_recommend_best",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Recommend.recommendBestScore(emb, "embedding", "vec_id",
+        positiveIds = Seq(0L, 1L), negativeIds = Seq(2L), k = 10)
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      p1 AS (SELECT v FROM e WHERE vec_id = 0),
+      p2 AS (SELECT v FROM e WHERE vec_id = 1),
+      n1 AS (SELECT v FROM e WHERE vec_id = 2),
+      scored AS (
+        SELECT e.vec_id,
+               greatest(list_cosine_similarity(e.v, p1.v),
+                        list_cosine_similarity(e.v, p2.v)) AS maxpos,
+               list_cosine_similarity(e.v, n1.v) AS maxneg
+        FROM e, p1, p2, n1
+        WHERE e.vec_id NOT IN (0, 1, 2))
+      SELECT vec_id,
+             CAST(floor((CASE WHEN maxpos > maxneg THEN maxpos
+                              ELSE -maxneg END) * 1000000 + 0.5) AS BIGINT)
+               AS score_micro
+      FROM scored
+      ORDER BY score_micro DESC, vec_id
+      LIMIT 10"""))
+
+  /** Distance-matrix API (`search_matrix_pairs`): each of the 20 sampled
+    * points paired with its 3 nearest sampled neighbors. The sample is
+    * the 20 lowest ids (pinned — the public API's random sampling is the
+    * only divergence, documented on the operator); the collection is
+    * never joined or shuffled, only the n-row sample self-joins under a
+    * broadcast. */
+  val vMatrix = Q("v_matrix",
+    (s, dir) =>
+      Recommend.searchMatrix(Tables.load(s, dir, "embeddings"),
+          "embedding", "vec_id", n = 20, k = 3)
+        .orderBy("id_a", "rnk"),
+    Some("""
+      WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings ORDER BY vec_id LIMIT 20),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5)
+                 AS BIGINT) AS score_micro
+        FROM s a JOIN s b ON a.vec_id <> b.vec_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                                         ORDER BY score_micro DESC, id_b) AS rnk
+            FROM pairs)
+      SELECT id_a, id_b, score_micro, CAST(rnk AS INT) AS rnk
+      FROM r WHERE rnk <= 3
+      ORDER BY id_a, rnk"""))
+
   /** Grouped search (`search_groups`): top-2 hits per label for the 3
     * best labels (groups ranked by their best hit). The per-group top-k
     * runs on the bounded-heap aggregate — partial heaps map-side, never
@@ -254,6 +312,6 @@ object RecommendQueries {
       ORDER BY score DESC, b.doc_id
       LIMIT 10"""))
 
-  def queries: Seq[Q] = Seq(vRecommend, vKnnGroups, collCount, collScroll,
-    collFacet, vDiscover, chromaWhere, vSparseSearch)
+  def queries: Seq[Q] = Seq(vRecommend, vRecommendBest, vMatrix, vKnnGroups,
+    collCount, collScroll, collFacet, vDiscover, chromaWhere, vSparseSearch)
 }

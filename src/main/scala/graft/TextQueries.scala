@@ -122,6 +122,44 @@ object TextQueries {
       FROM q ORDER BY doc_id"""
     })
 
+  /** V7 — within-document n-gram repetition (quality signal:
+    * template/boilerplate text repeats its trigrams; dedup catches
+    * cross-doc copies, this catches within-doc copies). One fused
+    * compiled pass per doc (GramStatsExpr); integer outputs only —
+    * counts and a milli-ratio via integer division, exact across
+    * engines. */
+  val txtRepetition = Q("txt_repetition",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionStats(
+            TextAnalysis.tokens(col("text")), 3).as("__g"))
+        .select(col("doc_id"),
+          col("__g.total").as("total_grams"),
+          col("__g.uniq").as("distinct_grams"),
+          expr("((__g.total - __g.uniq) * 1000) DIV __g.total")
+            .as("rep_milli"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS ts
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               CASE WHEN len(ts) >= 3
+                    THEN list_transform(range(len(ts) - 2),
+                           i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
+                    ELSE [array_to_string(ts, ' ')] END AS grams
+        FROM tok)
+      SELECT doc_id,
+             CAST(len(grams) AS BIGINT) AS total_grams,
+             CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_grams,
+             (CAST(len(grams) AS BIGINT)
+               - CAST(len(list_distinct(grams)) AS BIGINT)) * 1000
+               // CAST(len(grams) AS BIGINT) AS rep_milli
+      FROM g ORDER BY doc_id"""))
+
   /** V7 — rolling-hash fingerprint: min 60-bit hash over char 5-grams. */
   val txtFingerprint = Q("txt_fingerprint",
     (s, dir) =>
@@ -398,6 +436,6 @@ object TextQueries {
       ORDER BY split, lang"""))
 
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
-    txtQuality,
-    txtFingerprint, txtStats, pipeSample, pipeSplit, txtWinnow, pipeCurate)
+    txtQuality, txtFingerprint, txtRepetition, txtStats, pipeSample,
+    pipeSplit, txtWinnow, pipeCurate)
 }

@@ -865,6 +865,64 @@ object ShingleUtil {
     }
     Array(setA.size.toLong, seenB.size.toLong, inter)
   }
+
+  /** Own-document shingle multiset statistics in one pass:
+    * [total shingles, distinct shingles] — the inputs of the within-doc
+    * repetition ratio (total − distinct)/total, a standard LLM-corpus
+    * quality signal (template/boilerplate text repeats its n-grams). */
+  def gramStats(a: ArrayData, n: Int): Array[Long] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = shingles(a, n)
+    val set = new java.util.HashSet[UTF8String](s.numElements() * 2)
+    var i = 0
+    while (i < s.numElements()) { set.add(s.getUTF8String(i)); i += 1 }
+    Array(s.numElements().toLong, set.size.toLong)
+  }
+}
+
+/** Fused per-document shingle-repetition statistics: struct(total, uniq)
+  * of the `shingleN`-gram multiset (see [[ShingleUtil.gramStats]]) — one
+  * compiled pass, no shingle array materialized in the plan, no
+  * aggregation. The HOF twin (`size(shingles)` +
+  * `size(array_distinct(shingles))`) references the shingle array twice,
+  * which the plan re-evaluates per reference (the r4 winnow lesson);
+  * bit-equality with it is spec-asserted. */
+case class GramStatsExpr(child: Expression, shingleN: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    StructType(Seq(
+      StructField("total", LongType, nullable = false),
+      StructField("uniq", LongType, nullable = false)))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"gram_stats needs array<string>, got ${dt.catalogString}")
+  }
+
+  override def prettyName: String = "graft_gram_stats"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val s = ShingleUtil.gramStats(a.asInstanceOf[ArrayData], shingleN)
+    org.apache.spark.sql.catalyst.InternalRow(s(0), s(1))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("gs")
+      s"""
+        long[] $s = graft.functions.ShingleUtil.gramStats($a, $shingleN);
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[] { $s[0], $s[1] });
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Fused per-PAIR Jaccard statistics over two token arrays: struct(n_a,

@@ -99,6 +99,79 @@ object Recommend {
         (col("__pos") + 1).cast("int").as("rnk"))
   }
 
+  /** Qdrant's `best_score` recommendation strategy (the other public
+    * strategy besides `average_vector`): each point scores against EVERY
+    * example individually — no combined vector — and the final score is
+    * the best positive similarity when it beats the best negative
+    * similarity, otherwise the negated best negative (points closer to a
+    * negative than to any positive sink below every purely-positive
+    * match). Example points themselves are excluded, as in [[recommend]].
+    *
+    * Scale shape: examples are tiny driver-side literals, so every
+    * per-example cosine is an in-row expression — `greatest(...)` over
+    * them, no join, no shuffle; then the same micro-quantize + bounded
+    * top-k tail as plain kNN. */
+  def recommendBestScore(coll: DataFrame, vecCol: String, idCol: String,
+                         positiveIds: Seq[Long], negativeIds: Seq[Long],
+                         k: Int): DataFrame = {
+    val all = exampleVectors(coll, idCol, vecCol, positiveIds ++ negativeIds)
+    val (pos, neg) = (all.take(positiveIds.length),
+      all.drop(positiveIds.length))
+    def bestSim(vs: Seq[Seq[Double]]): Column =
+      vs.map(v => graft.functions.VectorOps.cosine(col(vecCol), typedLit(v)))
+        match {
+          case Seq(one) => one
+          case many => greatest(many: _*)
+        }
+    val maxPos = bestSim(pos)
+    val score =
+      if (neg.isEmpty) maxPos
+      else {
+        val maxNeg = bestSim(neg)
+        when(maxPos > maxNeg, maxPos).otherwise(-maxNeg)
+      }
+    coll.filter(!col(idCol).isin((positiveIds ++ negativeIds): _*))
+      .withColumn("score_micro",
+        floor(score * 1e6 + lit(0.5)).cast("long"))
+      .filter(col("score_micro").isNotNull)
+      .orderBy(desc("score_micro"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score_micro"))
+  }
+
+  /** Qdrant's distance-matrix API (`search_matrix_pairs`): pairwise
+    * similarity among a deterministic sample of points — for each sampled
+    * point, its `k` nearest OTHER sampled points. The public API samples
+    * randomly; this engine pins the sample to the `n` lowest ids so the
+    * result is replayable (the sampling-by-hash pipeline op covers
+    * randomized sampling separately).
+    *
+    * Scale shape: the sample is n rows (n ≪ collection) — one pushed-down
+    * id-range scan, a broadcast self-join of n×n scored pairs, and a
+    * per-point window over ≤ n rows. The collection itself is never
+    * joined or shuffled. */
+  def searchMatrix(coll: DataFrame, vecCol: String, idCol: String,
+                   n: Int, k: Int): DataFrame = {
+    val sampleIds = coll.select(col(idCol)).orderBy(col(idCol)).limit(n)
+      .collect().map(_.getLong(0))
+    val sample = coll.filter(col(idCol).isin(sampleIds: _*))
+      .select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val other = coll.filter(col(idCol).isin(sampleIds: _*))
+      .select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a")
+      .orderBy(desc("score_micro"), col("id_b"))
+    sample.join(broadcast(other), col("id_a") =!= col("id_b"))
+      .withColumn("score_micro",
+        floor(graft.functions.VectorOps.cosine(col("__va"), col("__vb"))
+          * 1e6 + lit(0.5)).cast("long"))
+      .filter(col("score_micro").isNotNull)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("id_a"), col("id_b"), col("score_micro"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   /** Count API (`count` with a filter): the filter is a Qdrant filter-DSL
     * predicate (PayloadFilter) — it pushes to the scan, and the count is
     * a partial-aggregated scalar: the cheapest possible distributed plan. */

@@ -65,6 +65,18 @@ object TextAnalysis {
           org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)), 5))
         .as("fingerprint"))
 
+  /** Within-document n-gram repetition statistics: struct(total, uniq)
+    * over word `shingleN`-gram shingles, one fused compiled pass per doc
+    * (GramStatsExpr). The repetition ratio (total − uniq)/total is a
+    * standard LLM-corpus quality signal — template/boilerplate text
+    * repeats its n-grams; dedup removes cross-doc copies, this flags
+    * WITHIN-doc copies. Narrow per-row transform: no shuffle, scales with
+    * bytes scanned. */
+  def repetitionStats(toks: Column, shingleN: Int = 3): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.GramStatsExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(toks), shingleN))
+
   /** Interpreted-HOF twin of [[fingerprint]] — value-identical
     * (spec-asserted), kept as the independent reference implementation;
     * ~15× slower (per-gram lambda + substring + hex conv). */

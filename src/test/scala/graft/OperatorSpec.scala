@@ -164,6 +164,30 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(f1 == f2)
   }
 
+  test("gram stats: fused kernel equals the HOF twin; repetition ratio " +
+       "flags planted boilerplate") {
+    val d = docs20.select("doc_id", "text")
+    val fused = d.select(col("doc_id"),
+        TextAnalysis.repetitionStats(
+          TextAnalysis.tokens(col("text")), 3).as("g"))
+      .select(col("doc_id"), col("g.total"), col("g.uniq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sh = Dedup.shingles(Dedup.tokens(col("text")), 3)
+    val twin = d.select(col("doc_id"),
+        size(sh).cast("long").as("t"),
+        size(array_distinct(sh)).cast("long").as("u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fused == twin, "fused gram stats diverge from the HOF twin")
+    // a doc that is one phrase repeated: 8 tokens → 6 trigrams, 4 distinct
+    import spark.implicits._
+    val rep = Seq((1L, "alpha beta gamma delta alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.repetitionStats(
+        TextAnalysis.tokens(col("text")), 3).as("g"))
+      .select(col("g.total"), col("g.uniq")).head()
+    assert(rep.getLong(0) == 6 && rep.getLong(1) == 4)
+  }
+
   test("IVF search returns a subset of brute-force scoring, k rows") {
     val emb = Tables.load(spark, sf, "embeddings")
     val cents = emb.filter(col("vec_id") < 8)
@@ -196,6 +220,51 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val overlap = (ivf & exact).size
     assert(overlap >= 5, s"IVF recall too low: $overlap/10 of exact top-10")
+  }
+
+  test("IVF recall curve at sf0.1 (trained centroids): recall is " +
+       "monotone in nprobe; nprobe=2 holds the 0.5 floor") {
+    val dir = "/root/testdata/sf0.1"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cents = Ann.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    // assignment computed ONCE and reused across every (query, nprobe) —
+    // at scale this is the materialized index; here a persisted table
+    val assigned = emb.join(
+      Ann.argminAssign(emb, "vec_id", "embedding", cents, "cid", "cv"),
+      "vec_id").persist()
+    try {
+      val qids = Seq(0L, 101L, 202L, 303L, 404L)
+      val perQuery = qids.map { qid =>
+        val q = emb.filter(col("vec_id") === qid)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        val exact = graft.operators.Knn.knn(emb, "embedding", q, 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        Seq(1, 2, 4).map { np =>
+          val probes = Ann.probeClusters(cents, "cid", "cv", q, np)
+            .collect().map(_.getLong(0))
+          val approx = assigned
+            .filter(col("cluster").isin(probes: _*))
+            .withColumn("score", graft.functions.VectorOps.cosine(
+              col("embedding"), typedLit(q)))
+            .filter(col("score").isNotNull)
+            .orderBy(desc("score"), col("vec_id")).limit(10)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          np -> (approx & exact).size / 10.0
+        }.toMap
+      }
+      val avg = Seq(1, 2, 4)
+        .map(np => np -> perQuery.map(_(np)).sum / perQuery.size).toMap
+      info(f"IVF recall vs exact top-10, avg of ${qids.size} queries at " +
+        f"sf0.1: nprobe=1 ${avg(1)}%.2f, nprobe=2 ${avg(2)}%.2f, " +
+        f"nprobe=4 ${avg(4)}%.2f")
+      // probes at nprobe n are a prefix of probes at n' > n, so the
+      // candidate set only grows and overlap with the exact top-10 is
+      // provably nondecreasing — assert the implementation preserves it
+      assert(avg(1) <= avg(2) + 1e-9 && avg(2) <= avg(4) + 1e-9,
+        s"recall not monotone: $avg")
+      assert(avg(2) >= 0.5, s"nprobe=2 recall below the 0.5 floor: $avg")
+    } finally { assigned.unpersist(); () }
   }
 
   test("materialized IVF index: probe == partition pruning, same top-k") {

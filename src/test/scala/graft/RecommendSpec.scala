@@ -157,6 +157,39 @@ class RecommendSpec extends AnyFunSuite with SparkSpec {
     assert(ids(ChromaWhere.fromJson("""{"m": "x"}""")) == Set("a"))
   }
 
+  test("recommendBestScore: examples excluded, k ordered rows; an exact " +
+       "clone of a positive is the top hit") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    // plant a clone of positive example 0 under a fresh id — with
+    // best_score its max-positive similarity is exactly 1.0, the ceiling
+    val clone = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(90000L))
+    val r = Recommend.recommendBestScore(emb.unionByName(clone),
+      "embedding", "vec_id", Seq(0L, 1L), Seq(2L), 10).collect()
+    assert(r.length == 10)
+    val ids = r.map(_.getLong(0))
+    assert(!ids.exists(Set(0L, 1L, 2L).contains))
+    val scores = r.map(_.getLong(1))
+    assert(scores.sameElements(scores.sortBy(-_)), "scores not ordered")
+    assert(ids.head == 90000L && scores.head == 1000000L,
+      s"positive clone must top best_score: ${r.take(3).mkString(", ")}")
+  }
+
+  test("searchMatrix: k neighbors per sampled point, no self-pairs, " +
+       "symmetric scores") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val m = Recommend.searchMatrix(emb, "embedding", "vec_id", 10, 3)
+      .collect()
+    assert(m.length == 10 * 3)
+    assert(m.forall(r => r.getLong(0) != r.getLong(1)), "self-pair emitted")
+    val sc = m.map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    sc.foreach { case ((a, b), s) =>
+      sc.get((b, a)).foreach(s2 => assert(s2 == s,
+        s"cosine must be symmetric: ($a,$b)=$s vs ($b,$a)=$s2"))
+    }
+    assert(m.map(_.getLong(0)).distinct.length == 10)
+  }
+
   test("dedup clustering: planted exact dups land in the keeper's " +
        "cluster; cluster sizes are consistent") {
     val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
