@@ -94,6 +94,64 @@ object RecommendQueries {
       FROM r WHERE rnk <= 3
       ORDER BY id_a, rnk"""))
 
+  /** The unrolled greedy-selection SQL for [[vMmr]]: step i picks the
+    * argmax of `λ·rel − (1−λ)·max-sim-to-selected` among unselected pool
+    * members — one CTE per step, exactly the loop the engine runs
+    * (integer arithmetic, id tie-break), so the oracle replays the
+    * SELECTION, not just the scores. */
+  private def mmrSql(poolSize: Int, k: Int, lambdaMilli: Int): String = {
+    val steps = (1 to k).map { i =>
+      if (i == 1)
+        s"""s1 AS (SELECT vec_id, rel, CAST($lambdaMilli * rel AS BIGINT) AS mmr
+                   FROM pool ORDER BY mmr DESC, vec_id LIMIT 1)"""
+      else {
+        val sel = (1 until i).map(j => s"SELECT vec_id FROM s$j")
+          .mkString(" UNION ALL ")
+        s"""s$i AS (
+          SELECT p.vec_id, p.rel,
+                 CAST($lambdaMilli * p.rel - ${1000 - lambdaMilli} * (
+                   SELECT MAX(s.s) FROM sim s
+                   WHERE s.ia = p.vec_id AND s.ib IN ($sel)) AS BIGINT) AS mmr
+          FROM pool p WHERE p.vec_id NOT IN ($sel)
+          ORDER BY mmr DESC, p.vec_id LIMIT 1)"""
+      }
+    }.mkString(",\n")
+    val out = (1 to k)
+      .map(i => s"SELECT vec_id, rel, mmr, $i AS rnk FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      pool AS (
+        SELECT vec_id,
+               CAST(floor(list_cosine_similarity(v, q.qv) * 1000000 + 0.5)
+                 AS BIGINT) AS rel, v
+        FROM e, q ORDER BY rel DESC, vec_id LIMIT $poolSize),
+      sim AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5)
+                 AS BIGINT) AS s
+        FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+      $steps"""
+      .stripMargin + s"""
+      SELECT vec_id, rel AS rel_micro, mmr AS mmr_score, CAST(rnk AS INT) AS rnk
+      FROM ($out) ORDER BY rnk"""
+  }
+
+  /** MMR diversity search: top-20 relevance pool, greedy λ=0.7 selection
+    * of 5 — the oracle unrolls the greedy loop CTE-per-step, so the gate
+    * covers the SELECTION ORDER, not just scoring. */
+  val vMmr = Q("v_mmr",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Recommend.mmr(emb, "embedding", "vec_id", qv,
+        poolSize = 20, k = 5, lambdaMilli = 700)
+    },
+    Some(s"WITH ${mmrSql(20, 5, 700)}"))
+
   /** Grouped search (`search_groups`): top-2 hits per label for the 3
     * best labels (groups ranked by their best hit). The per-group top-k
     * runs on the bounded-heap aggregate — partial heaps map-side, never
@@ -312,6 +370,7 @@ object RecommendQueries {
       ORDER BY score DESC, b.doc_id
       LIMIT 10"""))
 
-  def queries: Seq[Q] = Seq(vRecommend, vRecommendBest, vMatrix, vKnnGroups,
-    collCount, collScroll, collFacet, vDiscover, chromaWhere, vSparseSearch)
+  def queries: Seq[Q] = Seq(vRecommend, vRecommendBest, vMatrix, vMmr,
+    vKnnGroups, collCount, collScroll, collFacet, vDiscover, chromaWhere,
+    vSparseSearch)
 }

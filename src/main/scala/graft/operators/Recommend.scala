@@ -172,6 +172,72 @@ object Recommend {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** Maximal-marginal-relevance (MMR) diversity re-ranking — the greedy
+    * `λ·relevance − (1−λ)·redundancy` selection over a bounded relevance
+    * pool (the diversity option of modern vector-search query APIs; the
+    * classic Carbonell–Goldstein formulation).
+    *
+    * Stage 1 is distributed and is the ONLY pass over the collection:
+    * cosine top-`poolSize` via TakeOrderedAndProject. Stage 2 is the
+    * exact greedy over the pool on the driver — ≤ poolSize² similarity
+    * pairs over poolSize rows, the standard re-rank boundary (the pool is
+    * k-bounded by construction; at 100 TB nothing changes, the pool is
+    * still `poolSize` rows).
+    *
+    * INTEGER arithmetic end-to-end: relevance and pairwise cosines are
+    * micro-ints (floor(x·1e6 + 0.5), the same accumulator order as
+    * CosineSimExpr), λ is in milli — so `mmr_score` (λ-milli × sim-micro
+    * units, 1e-9 of the real value) is an exact long and an oracle
+    * replays the selection step-for-step. The first pick carries no
+    * redundancy penalty; ties break by id. */
+  def mmr(coll: DataFrame, vecCol: String, idCol: String,
+          query: Seq[Double], poolSize: Int, k: Int,
+          lambdaMilli: Int): DataFrame = {
+    val spark = coll.sparkSession
+    import spark.implicits._
+    val pool = Knn.scoreAll(coll, vecCol, query)
+      .withColumn("rel_micro",
+        floor(col("score") * 1e6 + lit(0.5)).cast("long"))
+      .filter(col("rel_micro").isNotNull)
+      .orderBy(desc("rel_micro"), col(idCol))
+      .limit(poolSize)
+      .select(col(idCol).cast("long"), col("rel_micro"),
+        col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+
+    // micro-int cosine, identical accumulator order to CosineSimExpr —
+    // the driver-side greedy must see the same longs the oracle computes
+    def cosMicro(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); xx += a(i) * a(i); yy += b(i) * b(i); i += 1
+      }
+      math.floor(dot / (math.sqrt(xx) * math.sqrt(yy)) * 1e6 + 0.5).toLong
+    }
+
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      pool.map(p => p._1 -> p).toSeq: _*)
+    while (selected.length < k && remaining.nonEmpty) {
+      var best: (Long, Long, Long) = null
+      remaining.valuesIterator.foreach { case (id, rel, v) =>
+        val pen = if (selVecs.isEmpty) 0L
+                  else selVecs.iterator.map(sv => cosMicro(v, sv)).max
+        val score = lambdaMilli * rel - (1000L - lambdaMilli) * pen
+        if (best == null || score > best._3 ||
+            (score == best._3 && id < best._1)) best = (id, rel, score)
+      }
+      selVecs += remaining(best._1)._3
+      remaining.remove(best._1)
+      selected += best
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((id, rel, m), i) => (id, rel, m, i + 1) }
+      .toDF(idCol, "rel_micro", "mmr_score", "rnk")
+  }
+
   /** Count API (`count` with a filter): the filter is a Qdrant filter-DSL
     * predicate (PayloadFilter) — it pushes to the scan, and the count is
     * a partial-aggregated scalar: the cheapest possible distributed plan. */

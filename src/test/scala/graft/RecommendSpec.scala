@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Recommend}
+import graft.operators.{Dedup, Knn, Recommend}
 
 /** Specs for the Qdrant query-API surface (recommend / search_groups /
   * count / ordered scroll) and dedup connected-components clustering. */
@@ -188,6 +188,35 @@ class RecommendSpec extends AnyFunSuite with SparkSpec {
         s"cosine must be symmetric: ($a,$b)=$s vs ($b,$a)=$s2"))
     }
     assert(m.map(_.getLong(0)).distinct.length == 10)
+  }
+
+  test("mmr: a duplicate of the first pick is suppressed by the " +
+       "redundancy penalty; plain top-k would keep it") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    // plant an exact clone of the query's own vector under a fresh id:
+    // in relevance order it ranks #2 (rel = 1.0, id tie-break), but its
+    // similarity to pick #1 is 1.0 → mmr drives it to the bottom
+    val clone = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(90001L))
+    val withClone = emb.unionByName(clone)
+    val sel = Recommend.mmr(withClone, "embedding", "vec_id", qv,
+      poolSize = 20, k = 5, lambdaMilli = 500).collect()
+    assert(sel.length == 5)
+    assert(sel.head.getLong(0) == 0L, "first pick must be pure relevance")
+    assert(!sel.map(_.getLong(0)).contains(90001L),
+      s"redundant clone must not be selected: ${sel.mkString(", ")}")
+    // the plain top-5 WOULD include the clone — the diversity penalty is
+    // what excluded it
+    val topk = Knn.knn(withClone, "embedding", qv, 5)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(topk.contains(90001L))
+    // ranks are 1..k and mmr scores can only decrease down the ranking
+    assert(sel.map(_.getInt(3)).toSeq == (1 to 5))
+    val scores = sel.map(_.getLong(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
   test("dedup clustering: planted exact dups land in the keeper's " +

@@ -232,6 +232,61 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("end-to-end E1 flow: stream → normalize → embed → manifest " +
+       "collection upsert → search") {
+    // the reference's primary path (embed topic → qdrant collection,
+    // SURVEY §3 E1) on the engine: a file stream of embed messages feeds
+    // the manifest-committed collection via foreachBatch, and the
+    // resulting collection answers a cosine search
+    val tmp = Files.createTempDirectory("graft-e1")
+    val in = tmp.resolve("in"); Files.createDirectories(in)
+    Files.write(in.resolve("batch1.txt"),
+      IngestQueries.fixtures.map(_._2).asJava)
+    val collDir = tmp.resolve("coll").toString
+
+    import graft.operators.Embed
+    val dim = Embed.dimOf(Embed.defaultTextModel)
+    val pts = Stream.pointsStream(spark, in.toString)
+    val sink = new graft.sources.Collections.ParquetCollectionSink(
+      spark, collDir, graft.sources.Collections.VectorConfig(dim),
+      "embedding", "id", "__seq")
+    // embedding runs INSIDE foreachBatch — the reference's shape exactly
+    // (batch-embed the delivered documents, then upload,
+    // `qdrant_embedder.py:56-62`); as a plan-level streaming transform
+    // the per-id aggregation would need a watermark
+    Stream.runAvailableNow(
+      Stream.upsertSink(pts, tmp.resolve("ckpt").toString) { (batch, _) =>
+        sink.write(Embed.embedText(batch, "id", "document")
+          .withColumn("__seq", lit(0L)))
+      })
+
+    val stored = graft.sources.Collections.read(spark, collDir)
+    val batchTwin = Embed.embedText(
+      Ingest.toPoints(Ingest.normalize(
+        spark.read.text(in.toString).withColumnRenamed("value", "raw"),
+        "raw")), "id", "document")
+      .dropDuplicates("id")
+    // the sink's dim gate quarantines points whose embedding is null or
+    // off-dim (a fixture message with no document) — the twin must apply
+    // the same validate() semantics
+    val validTwin = batchTwin.filter(
+      graft.functions.VectorOps.hasDim(col("embedding"), dim))
+    assert(stored.count() == validTwin.count() && stored.count() > 0)
+    assert(stored.count() < batchTwin.count(),
+      "fixture should exercise the quarantine path")
+    assert(Files.exists(tmp.resolve("coll/_manifest.json")))
+
+    // the collection answers a search: a stored point's own vector must
+    // be its best match (cosine self-similarity = 1)
+    val probe = stored.orderBy("id").limit(1)
+      .select(col("id"), col("embedding").cast("array<double>"))
+      .head()
+    val hits = graft.sources.Collections.search(spark, collDir,
+      "embedding", "id", probe.getSeq[Double](1), 3).collect()
+    assert(hits.nonEmpty &&
+      hits.head.getString(hits.head.fieldIndex("id")) == probe.getString(0))
+  }
+
   test("nearDupStreamTtl: expired band bucket re-admits content; " +
        "within-TTL duplicate still hits") {
     import spark.implicits._
