@@ -160,6 +160,41 @@ object TextQueries {
                // CAST(len(grams) AS BIGINT) AS rep_milli
       FROM g ORDER BY doc_id"""))
 
+  /** V7 — document chunking (64-token windows, stride 48 → 16-token
+    * overlap): the op that turns a curated corpus into model-ready
+    * pieces. Chunks are emitted as md5 + char length (full text would
+    * bloat the compare; the hash pins the exact string). */
+  val txtChunks = Q("txt_chunks",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunk(
+            TextAnalysis.tokens(col("text")), 64, 48))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          md5(col("chunk")).as("chunk_md5"),
+          length(col("chunk")).cast("long").as("chunk_chars"))
+        .orderBy("doc_id", "chunk_idx"),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS ts
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               CASE WHEN len(ts) = 0 THEN ['']
+                    ELSE list_transform(range((len(ts) + 47) // 48),
+                           i -> array_to_string(
+                             ts[i*48 + 1 : least(i*48 + 64, len(ts))], ' '))
+               END AS chunks
+        FROM tok)
+      SELECT doc_id,
+             CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_idx,
+             md5(unnest(chunks)) AS chunk_md5,
+             CAST(length(unnest(chunks)) AS BIGINT) AS chunk_chars
+      FROM c
+      ORDER BY doc_id, chunk_idx"""))
+
   /** V7 — rolling-hash fingerprint: min 60-bit hash over char 5-grams. */
   val txtFingerprint = Q("txt_fingerprint",
     (s, dir) =>
@@ -436,6 +471,6 @@ object TextQueries {
       ORDER BY split, lang"""))
 
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
-    txtQuality, txtFingerprint, txtRepetition, txtStats, pipeSample,
-    pipeSplit, txtWinnow, pipeCurate)
+    txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats,
+    pipeSample, pipeSplit, txtWinnow, pipeCurate)
 }

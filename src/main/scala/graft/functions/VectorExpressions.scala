@@ -813,7 +813,7 @@ object ShingleUtil {
   /** Join the [from, from+len) token window with ' ', SKIPPING null
     * elements — the exact semantics of `array_join(slice(...), " ")`, so
     * the output never violates the declared containsNull=false schema. */
-  private def joinWindow(tokens: ArrayData, from: Int, len: Int)
+  private[functions] def joinWindow(tokens: ArrayData, from: Int, len: Int)
       : org.apache.spark.unsafe.types.UTF8String = {
     import org.apache.spark.unsafe.types.UTF8String
     val parts = Seq.newBuilder[UTF8String]
@@ -866,6 +866,29 @@ object ShingleUtil {
     Array(setA.size.toLong, seenB.size.toLong, inter)
   }
 
+  /** Overlapping token-window chunks: window i covers tokens
+    * [i·step, min(i·step + size, n)), for i·step < n — the standard
+    * LLM-training chunking (overlap = size − step). An empty token list
+    * yields one empty chunk (the same short-input degradation as
+    * [[shingles]]). One compiled pass; each token is copied into at most
+    * ⌈size/step⌉ chunks. */
+  def chunks(tokens: ArrayData, size: Int, step: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = tokens.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8))
+    val count = (n + step - 1) / step
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val start = i * step
+      out(i) = joinWindow(tokens, start, math.min(size, n - start))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Own-document shingle multiset statistics in one pass:
     * [total shingles, distinct shingles] — the inputs of the within-doc
     * repetition ratio (total − distinct)/total, a standard LLM-corpus
@@ -878,6 +901,39 @@ object ShingleUtil {
     while (i < s.numElements()) { set.add(s.getUTF8String(i)); i += 1 }
     Array(s.numElements().toLong, set.size.toLong)
   }
+}
+
+/** Fused overlapping-window chunking (see [[ShingleUtil.chunks]]): the
+  * array of token-window chunk strings in one compiled pass. The HOF
+  * form (`transform(sequence(...), i -> array_join(slice(toks, ...)))`)
+  * re-evaluates the token array per window — the r4 nested-HOF lesson;
+  * this touches each token O(size/step) times total. */
+case class ChunksExpr(child: Expression, size: Int, step: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(size > 0 && step > 0 && step <= size,
+    s"chunking needs 0 < step <= size, got size=$size step=$step")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"chunks needs array<string>, got ${dt.catalogString}")
+  }
+
+  override def prettyName: String = "graft_chunks"
+
+  override protected def nullSafeEval(a: Any): Any =
+    ShingleUtil.chunks(a.asInstanceOf[ArrayData], size, step)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleUtil.chunks($a, $size, $step);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Fused per-document shingle-repetition statistics: struct(total, uniq)

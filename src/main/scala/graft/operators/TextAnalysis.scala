@@ -77,6 +77,16 @@ object TextAnalysis {
       graft.functions.GramStatsExpr(
         org.apache.spark.sql.GraftSqlBridge.expression(toks), shingleN))
 
+  /** Overlapping token-window chunking — the training-data op that turns
+    * documents into model-context-sized pieces (window `size` tokens,
+    * stride `step`, overlap = size − step). One fused compiled pass
+    * (ChunksExpr); explode the result to get one row per chunk. Narrow
+    * per-row transform — no shuffle, output volume ≈ input × size/step. */
+  def chunk(toks: Column, size: Int, step: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.ChunksExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(toks), size, step))
+
   /** Interpreted-HOF twin of [[fingerprint]] — value-identical
     * (spec-asserted), kept as the independent reference implementation;
     * ~15× slower (per-gram lambda + substring + hex conv). */

@@ -188,6 +188,30 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(rep.getLong(0) == 6 && rep.getLong(1) == 4)
   }
 
+  test("chunking: declared windows/overlap; fused kernel equals HOF twin") {
+    import spark.implicits._
+    val one = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(posexplode(TextAnalysis.chunk(
+        TextAnalysis.tokens(col("text")), 4, 3)).as(Seq("i", "c")))
+      .collect().map(_.getString(1)).toSeq
+    assert(one == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+
+    val toks = TextAnalysis.tokens(col("text"))
+    val n = size(toks)
+    val hof = when(n > 0,
+      transform(sequence(lit(0), ((n + 47) / 48).cast("int") - 1),
+        i => array_join(slice(toks, i * 48 + 1, lit(64)), " ")))
+      .otherwise(array(lit("")))
+    val d = docs20.select("doc_id", "text")
+    val fused = d.select(col("doc_id"),
+        TextAnalysis.chunk(toks, 64, 48).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val twin = d.select(col("doc_id"), hof.as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fused == twin, "fused chunks diverge from the HOF twin")
+  }
+
   test("IVF search returns a subset of brute-force scoring, k rows") {
     val emb = Tables.load(spark, sf, "embeddings")
     val cents = emb.filter(col("vec_id") < 8)
