@@ -194,6 +194,46 @@ object VectorQueries {
       LIMIT 10
     """))
 
+  /** The pairwise-cosine max/sum tree of [[vMaxsim]]'s oracle, generated
+    * to mirror Fusion.maxSim term-for-term (same slices, same micro-int
+    * floors, same greatest/sum shape). */
+  private def maxSimSql(dim: Int, subDim: Int): String = {
+    val parts = dim / subDim
+    def sl(c: String, i: Int) = s"$c[${i * subDim + 1}:${(i + 1) * subDim}]"
+    (0 until parts).map { i =>
+      val cands = (0 until parts).map { j =>
+        s"CAST(floor(list_cosine_similarity(${sl("e.v", j)}, " +
+          s"${sl("q.qv", i)}) * 1000000 + 0.5) AS BIGINT)"
+      }.mkString(", ")
+      s"greatest($cands)"
+    }.mkString(" + ")
+  }
+
+  /** V8 — late-interaction MULTIVECTOR scoring (the public Qdrant
+    * multivector max-sim comparator / ColBERT scoring): the 64-dim
+    * vector reinterpreted as 4 stacked 16-dim sub-vectors on both sides;
+    * score = Σ over query sub-vectors of the max cosine against the
+    * doc's sub-vectors. All in-row (16 fused cosines over slices), exact
+    * integer result, TakeOrderedAndProject tail. */
+  val vMaxsim = Q("v_maxsim",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      emb.withColumn("maxsim",
+          graft.operators.Fusion.maxSim(col("embedding"),
+            queryVec(s, dir, 0), 16))
+        .orderBy(desc("maxsim"), col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "maxsim")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      SELECT e.vec_id, e.label, ${maxSimSql(64, 16)} AS maxsim
+      FROM e, q
+      ORDER BY maxsim DESC, e.vec_id
+      LIMIT 10"""))
+
   /** V4 — L2 (Chroma's default space): nearest 10 by euclidean distance. */
   val vL2 = Q("v_l2",
     (s, dir) => {
@@ -510,6 +550,6 @@ object VectorQueries {
 
   def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnMulti, vKnnMultiAgg,
     vKnnFiltered, vKnnDsl, vKnnDslExcept, vKnnDslNested, vL2, vDot,
-    vFusion, vHybridRrf,
+    vFusion, vMaxsim, vHybridRrf,
     vSqQuantize, vSqSearch, vBqSearch, collStats)
 }

@@ -18,6 +18,34 @@ object Fusion {
     df.orderBy(order: _*).limit(n)
       .withColumn(rankCol, row_number().over(Window.orderBy(order: _*)))
 
+  /** Late-interaction / MULTIVECTOR max-sim scoring (the public Qdrant
+    * multivector comparator, the ColBERT scoring function): both sides
+    * hold a LIST of sub-vectors and the score is
+    * `Σ over query sub-vectors of max over doc sub-vectors of cosine`.
+    * Here the collection's dense vector is reinterpreted as `dim/subDim`
+    * stacked sub-vectors (the storage layout a multivector collection
+    * uses — contiguous rows of one matrix).
+    *
+    * Everything is IN-ROW: query sub-vectors are literals, each pairwise
+    * cosine is a fused expression over an array slice, each is
+    * micro-int-floored BEFORE max/sum so the result is an exact long an
+    * oracle reproduces. (q·d)/(dim/subDim)² cosines per row — constants —
+    * no join, no shuffle; composes with any top-k tail. */
+  def maxSim(vec: Column, query: Seq[Double], subDim: Int): Column = {
+    require(query.length % subDim == 0,
+      s"query dim ${query.length} not a multiple of subDim $subDim")
+    val parts = query.length / subDim
+    val docSubs = (0 until parts).map(j =>
+      slice(vec.cast("array<double>"), j * subDim + 1, subDim))
+    val qSubs = (0 until parts).map(i =>
+      typedLit(query.slice(i * subDim, (i + 1) * subDim)))
+    qSubs.map { qi =>
+      greatest(docSubs.map(dj =>
+        floor(graft.functions.VectorOps.cosine(dj, qi) * 1e6 + lit(0.5))
+          .cast("long")): _*)
+    }.reduce(_ + _)
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (doc_id, r_t) and
     * (doc_id, r_v): full outer join — a doc contributes 1/(rrfK + r) per
     * list it appears in, rank 0 marks absence — top `topN` by fused

@@ -498,6 +498,101 @@ object Collections {
       java.util.Arrays.asList(rows: _*), plan.schema), next)
   }
 
+  /** Qdrant `create_snapshot`: a consistent point-in-time copy of the
+    * collection — metadata, the CURRENT manifest, and exactly the data
+    * files that manifest references (superseded generations are not
+    * copied). Because generations are immutable and the manifest is the
+    * read authority, the copy is consistent WITHOUT pausing the writer:
+    * whatever manifest is read, its files cannot change underneath the
+    * copy (they can only be GC'd one write later — so snapshot while no
+    * more than one write races, the single-writer contract). At scale
+    * this is a metadata operation plus parallel byte copies — no
+    * recompute, no shuffle. Pre-manifest collections are migrated views:
+    * snapshot reads through [[read]] and rewrites (slower, documented). */
+  def snapshot(dir: String, snapDir: String): Unit = {
+    val (gen, view) = currentState(dir)
+    require(readManifest(dir).isDefined ||
+        looseFiles(Paths.get(s"$dir/data")).isEmpty,
+      s"snapshot needs a migrated collection (unbucketed loose files " +
+        s"present) — run one upsert first: $dir")
+    Files.createDirectories(Paths.get(snapDir))
+    Files.copy(metaPath(dir), Paths.get(snapDir, "_collection.json"),
+      StandardCopyOption.REPLACE_EXISTING)
+    view.foreach { case (_, rel) =>
+      val src = Paths.get(dir, "data", rel)
+      val dst = Paths.get(snapDir, "data", rel)
+      Files.createDirectories(dst)
+      val s = Files.list(src)
+      try s.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .foreach(f => Files.copy(f, dst.resolve(f.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING))
+      finally s.close()
+    }
+    // the manifest is written LAST — a torn snapshot directory (crash
+    // mid-copy) has no manifest and is detectably incomplete
+    writeManifest(snapDir, gen, view)
+  }
+
+  /** Qdrant `recover_snapshot`: a snapshot directory IS a collection
+    * (same layout), so restore = [[delete]] target + copy the snapshot.
+    * The restored collection resumes at the snapshot's generation. */
+  def restore(snapDir: String, dir: String): Unit = {
+    require(Files.exists(manifestPath(snapDir)),
+      s"not a complete snapshot (no manifest): $snapDir")
+    delete(dir)
+    val root = Paths.get(snapDir)
+    val walk = Files.walk(root)
+    try walk.iterator().asScala.foreach { p =>
+      val dst = Paths.get(dir).resolve(root.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+  }
+
+  /** Collection ALIASES (the Qdrant aliases API): a level of indirection
+    * between query code and physical collections — the standard
+    * blue/green reindex flow (build `items_v2` offline, then atomically
+    * repoint the `items` alias; readers never see a half-built index).
+    * Aliases live in `rootDir/_aliases.json`; the swap is the same
+    * stage-then-atomic-move commit as the manifest. */
+  private def aliasPath(rootDir: String) = Paths.get(rootDir, "_aliases.json")
+
+  def aliases(rootDir: String): Map[String, String] =
+    if (!Files.exists(aliasPath(rootDir))) Map.empty
+    else """"([^"]+)":\s*"([^"]+)"""".r
+      .findAllMatchIn(new String(Files.readAllBytes(aliasPath(rootDir)),
+        StandardCharsets.UTF_8))
+      .map(m => m.group(1) -> m.group(2)).toMap
+
+  /** Create or repoint an alias — atomic: readers resolve either the old
+    * or the new target, never a torn file. */
+  def setAlias(rootDir: String, alias: String, collection: String): Unit = {
+    require(!alias.contains("\"") && !collection.contains("\""),
+      "alias names must not contain quotes")
+    writeAliases(rootDir, aliases(rootDir) + (alias -> collection))
+  }
+
+  def dropAlias(rootDir: String, alias: String): Unit =
+    writeAliases(rootDir, aliases(rootDir) - alias)
+
+  private def writeAliases(rootDir: String, m: Map[String, String]): Unit = {
+    val body = m.toSeq.sortBy(_._1)
+      .map { case (a, c) => s""""$a": "$c"""" }.mkString("{", ", ", "}")
+    val tmp = Paths.get(rootDir, "_aliases.json.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, aliasPath(rootDir),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, aliasPath(rootDir), StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Resolve a name through the alias table (aliases win over physical
+    * names, matching Qdrant's resolution) to a collection directory. */
+  def resolve(rootDir: String, name: String): String =
+    s"$rootDir/${aliases(rootDir).getOrElse(name, name)}"
+
   /** O20: the sink interface (`json_embedder.py:3-9`) — one write method,
     * backends differ only in construction (O18's backend dispatch). */
   trait CollectionSink {

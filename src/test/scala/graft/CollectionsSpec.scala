@@ -258,6 +258,74 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
       java.nio.file.Paths.get(s"$dir/_manifest.json"))))
   }
 
+  test("snapshot/restore: point-in-time copy survives later writes and " +
+       "deletes; torn snapshots are rejected") {
+    val root = Files.createTempDirectory("graft-snap").toString
+    val dir = s"$root/c11"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(80)
+    sink.write(emb.withColumn("seq", lit(0)))
+    def snap(d: String): Set[(Long, Int)] = Collections.read(spark, d)
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val atSnapshot = snap(dir)
+
+    val sd = s"$root/snap1"
+    Collections.snapshot(dir, sd)
+    // the snapshot is itself a readable collection with identical rows
+    assert(snap(sd) == atSnapshot)
+    assert(Collections.config(sd) == Collections.config(dir))
+
+    // mutate the live collection heavily: snapshot must not move
+    sink.write(emb.withColumn("label", col("label") + 700)
+      .withColumn("seq", lit(1)))
+    Collections.deleteWhere(spark, dir, col("vec_id") < 10, "vec_id")
+    assert(snap(sd) == atSnapshot, "snapshot changed under later writes")
+    assert(snap(dir) != atSnapshot)
+
+    // restore: the live collection returns to the point in time
+    Collections.restore(sd, dir)
+    assert(snap(dir) == atSnapshot)
+    // and keeps working as a collection afterwards
+    sink.write(emb.limit(5).withColumn("vec_id", col("vec_id") + 50000)
+      .withColumn("seq", lit(2)))
+    assert(Collections.read(spark, dir).count() == atSnapshot.size + 5)
+
+    // a torn snapshot (no manifest — crash mid-copy) must be rejected
+    val torn = s"$root/torn"
+    Files.createDirectories(java.nio.file.Paths.get(s"$torn/data"))
+    intercept[IllegalArgumentException] { Collections.restore(torn, dir) }
+  }
+
+  test("aliases: atomic repointing — the blue/green reindex flow") {
+    val root = Files.createTempDirectory("graft-alias").toString
+    val emb = Tables.load(spark, sf, "embeddings").limit(30)
+      .withColumn("seq", lit(0))
+    new Collections.ParquetCollectionSink(spark, s"$root/items_v1",
+      VectorConfig(64), "embedding", "vec_id", "seq").write(emb)
+    Collections.setAlias(root, "items", "items_v1")
+    assert(Collections.resolve(root, "items") == s"$root/items_v1")
+    assert(Collections.read(spark,
+      Collections.resolve(root, "items")).count() == 30)
+    // physical names resolve to themselves when no alias shadows them
+    assert(Collections.resolve(root, "items_v1") == s"$root/items_v1")
+
+    // blue/green: build v2 offline, repoint, drop the old generation
+    new Collections.ParquetCollectionSink(spark, s"$root/items_v2",
+      VectorConfig(64), "embedding", "vec_id", "seq")
+      .write(emb.withColumn("label", col("label") + 100))
+    Collections.setAlias(root, "items", "items_v2")
+    val resolved = Collections.read(spark,
+      Collections.resolve(root, "items"))
+    assert(resolved.filter(col("label") >= 100).count() == 30)
+    Collections.delete(s"$root/items_v1")
+    assert(Collections.read(spark,
+      Collections.resolve(root, "items")).count() == 30)
+    Collections.dropAlias(root, "items")
+    assert(Collections.aliases(root).isEmpty)
+  }
+
   test("setPayloadWhere: matching points updated, null clears (the " +
        "delete_payload verb), non-matching rows byte-equal") {
     val dir = Files.createTempDirectory("graft-coll").toString + "/c10"

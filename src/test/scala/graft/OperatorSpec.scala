@@ -188,6 +188,22 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(rep.getLong(0) == 6 && rep.getLong(1) == 4)
   }
 
+  test("maxSim multivector scoring: self-match saturates at parts·1e6; " +
+       "bounded above by it") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val scored = emb.withColumn("ms",
+      graft.operators.Fusion.maxSim(col("embedding"), q, 16))
+    // each of the 4 query sub-vectors matches its own slice exactly
+    assert(scored.filter(col("vec_id") === 0).head().getAs[Long]("ms")
+      == 4000000L)
+    assert(scored.filter(col("ms") > 4000000L).count() == 0)
+    // the self vector is the top hit under the late-interaction order
+    val top = scored.orderBy(desc("ms"), col("vec_id")).limit(1).head()
+    assert(top.getLong(top.fieldIndex("vec_id")) == 0L)
+  }
+
   test("chunking: declared windows/overlap; fused kernel equals HOF twin") {
     import spark.implicits._
     val one = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
