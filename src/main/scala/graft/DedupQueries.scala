@@ -348,6 +348,81 @@ object DedupQueries {
       GROUP BY a.doc_id
       ORDER BY a.doc_id"""))
 
+  /** Corpus-frequency segment dedup (the CCNet/Gopher "line dedup" pass,
+    * Wenzek et al. 2020 §3.1, adapted to the fixture: documents carry no
+    * newlines, so the removable unit is a non-overlapping 8-token segment
+    * — same frequency-filter semantics, different delimiter). A segment
+    * that occurs more than once ANYWHERE in the corpus is boilerplate
+    * (headers, footers, navigation chrome at web scale) and is stripped
+    * from every document; the output is the per-doc audit a curation
+    * pipeline keeps: segment counts and the md5 of the retained text.
+    *
+    * Scale shape (this is the canonical 100 TB form): one map-side-
+    * combinable groupBy on the segment md5 (the frequency table — rows ∝
+    * DISTINCT segments, not corpus size), one equi-join of segments
+    * against it (shuffle keyed on the same md5 — co-partitioned with the
+    * count), one doc_id reassembly. No all-pairs anything; every shuffle
+    * key is a hash. The in-doc segment order is carried as an index and
+    * restored with array_sort, so reassembly is deterministic. */
+  val dedupSegments = Q("dedup_segments",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val segs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunk(
+            TextAnalysis.tokens(col("text")), 8, 8)).as(Seq("i", "seg")))
+        .select(col("doc_id"), col("i"), col("seg"),
+          md5(col("seg")).as("seg_key"))
+      val freq = segs.groupBy("seg_key").agg(count(lit(1)).as("cnt"))
+      segs.join(freq, "seg_key")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_seg"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_removed"),
+          collect_list(when(col("cnt") <= 1,
+            struct(col("i"), col("seg")))).as("__kept"))
+        .withColumn("__retained",
+          array_join(transform(array_sort(col("__kept")),
+            x => x.getField("seg")), " "))
+        .select(col("doc_id"), col("n_seg"), col("n_removed"),
+          md5(col("__retained")).as("retained_md5"),
+          length(col("__retained")).cast("long").as("retained_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS ts
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               CASE WHEN len(ts) = 0 THEN ['']
+                    ELSE list_transform(range((len(ts) + 7) // 8),
+                           i -> array_to_string(
+                             ts[i*8 + 1 : least(i*8 + 8, len(ts))], ' '))
+               END AS segs
+        FROM tok),
+      seg AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(segs, 1) - 1 AS BIGINT) AS i,
+               unnest(segs) AS seg
+        FROM c),
+      freq AS (
+        SELECT md5(seg) AS seg_key, COUNT(*) AS cnt
+        FROM seg GROUP BY 1)
+      SELECT s.doc_id,
+             COUNT(*) AS n_seg,
+             CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             md5(COALESCE(string_agg(s.seg, ' ' ORDER BY s.i)
+                   FILTER (WHERE f.cnt <= 1), '')) AS retained_md5,
+             CAST(length(COALESCE(string_agg(s.seg, ' ' ORDER BY s.i)
+                   FILTER (WHERE f.cnt <= 1), '')) AS BIGINT)
+               AS retained_chars
+      FROM seg s JOIN freq f ON f.seg_key = md5(s.seg)
+      GROUP BY s.doc_id
+      ORDER BY s.doc_id"""))
+
   def queries: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash,
-    dedupNgram, dedupEmbed, dedupCluster, dedupStreamNeardup)
+    dedupNgram, dedupEmbed, dedupCluster, dedupStreamNeardup,
+    dedupSegments)
 }

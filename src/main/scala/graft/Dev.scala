@@ -29,6 +29,26 @@ object Dev {
         Queries.queries(name)(spark, dir).explain("formatted")
       case "run" :: name :: dir :: Nil =>
         Queries.queries(name)(spark, dir).show(50, truncate = 60)
+      case "dump" :: name :: dir :: out :: Nil =>
+        // single-query slice of Verify: result parquet + its oracle SQL,
+        // for scripts/compare_oracle.py without a full-registry run
+        Queries.queries(name)(spark, dir).coalesce(1)
+          .write.mode("overwrite").parquet(s"$out/$name")
+        val sql = Queries.all.find(_.name == name).flatMap(_.oracle)
+        sql.foreach { s0 =>
+          def q(s: String): String = "\"" + s.flatMap {
+            case '"'  => "\\\""
+            case '\\' => "\\\\"
+            case '\n' => "\\n"
+            case '\r' => "\\r"
+            case '\t' => "\\t"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          } + "\""
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$out/oracle_sql.json"),
+            s"{${q(name)}: ${q(s0)}}")
+        }
       case "time" :: name :: dir :: n =>
         val iters = n.headOption.map(_.toInt).getOrElse(3)
         val fn = Queries.queries(name)
