@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.operators.Pq
+
+/** Declared product-quantization queries: codebook TRAINING is itself
+  * oracle-gated (the DuckDB oracle replays the per-subspace Lloyd rounds
+  * exactly, like ann_kmeans), and the search gate covers encode + ADC +
+  * exact rescore end-to-end. Parameters: m=4 subspaces × 16 dims, k=8
+  * codes, 1 Lloyd round — small enough that the oracle's 4 unrolled
+  * k-means CTE chains stay readable, big enough that every code path
+  * (slicing, per-subspace argmin, LUT lookup, integer ADC) is exercised. */
+object PqQueries {
+
+  private val M = 4
+  private val SubDim = 16
+  private val K = 8
+  private val Iters = 1
+
+  /** Codebook memo keyed by fixture dir (training is deterministic, so
+    * memoization is gate-safe; v_pq_codebooks and v_pq_search share one
+    * training run). */
+  private val cbCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, Array[Array[(Long, Array[Long])]]]
+
+  private def codebooks(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Array[Array[(Long, Array[Long])]] =
+    cbCache.getOrElseUpdate(dir,
+      Pq.trainCodebooks(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", M, SubDim, K, Iters))
+
+  /** DuckDB replay of one subspace's Lloyd training (mirror of
+    * AnnQueries.kmeansSql over the micro slice [off+1, off+subDim]):
+    * CTE chain suffixed _s<sub> ending in cb_s<sub> (cid, cm BIGINT[]). */
+  private def pqKmeansSql(sub: Int): String = {
+    val off = sub * SubDim
+    val x = s"_s$sub"
+    val init = s"""
+      e$x AS (SELECT vec_id,
+                CAST(embedding AS DOUBLE[])[${off + 1}:${off + SubDim}] AS v
+              FROM embeddings),
+      c0$x AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM (SELECT * FROM e$x ORDER BY vec_id LIMIT $K))"""
+    val steps = (0 until Iters).map { n =>
+      s""",
+      a${n + 1}$x AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+          FROM e$x e CROSS JOIN c$n$x c) WHERE rn = 1),
+      m${n + 1}$x AS (
+        SELECT a.cid, ii.i,
+               floor((CAST(SUM(CAST(e.v[ii.i + 1] AS DECIMAL(25,12)))
+                             AS DOUBLE) / COUNT(*)) * 1000000 + 0.5)
+                 / 1000000 AS c
+        FROM a${n + 1}$x a JOIN e$x e ON e.vec_id = a.vec_id
+        CROSS JOIN (SELECT unnest(range($SubDim)) AS i) ii
+        GROUP BY a.cid, ii.i),
+      c${n + 1}$x AS (
+        SELECT c.cid, COALESCE(m.cv, c.cv) AS cv
+        FROM c$n$x c LEFT JOIN (
+          SELECT cid, array_agg(c ORDER BY i) AS cv
+          FROM m${n + 1}$x GROUP BY cid) m ON m.cid = c.cid)"""
+    }.mkString
+    init + steps + s""",
+      cb$x AS (
+        SELECT CAST($sub AS BIGINT) AS sub, cid,
+               list_transform(cv,
+                 x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS cm
+        FROM c$Iters$x)"""
+  }
+
+  private val allCbSql =
+    (0 until M).map(pqKmeansSql).mkString(",") + s""",
+      cb AS (${(0 until M).map(s => s"SELECT * FROM cb_s$s")
+        .mkString(" UNION ALL ")})"""
+
+  /** PQ codebooks in long format (sub, cid, i, c_micro) — the training
+    * gate. Micro integers because training already micro-quantizes means;
+    * long format because the driver compare cannot hash arrays. */
+  val vPqCodebooks = Q("v_pq_codebooks",
+    (s, dir) => {
+      import s.implicits._
+      codebooks(s, dir).zipWithIndex.flatMap { case (cb, sub) =>
+        cb.flatMap { case (cid, cm) =>
+          cm.zipWithIndex.map { case (c, i) =>
+            (sub.toLong, cid, i.toLong, c)
+          }
+        }
+      }.toSeq.toDF("sub", "cid", "i", "c_micro")
+        .orderBy("sub", "cid", "i")
+    },
+    Some(s"""
+      WITH $allCbSql
+      SELECT sub, cid, CAST(ii.i AS BIGINT) AS i, cm[ii.i + 1] AS c_micro
+      FROM cb CROSS JOIN (SELECT unnest(range($SubDim)) AS i) ii
+      ORDER BY sub, cid, i"""))
+
+  /** PQ search: encode every vector to m codes (integer argmin per
+    * subspace), ADC-score it against the query's m×k lookup table
+    * (integer sum of 4 lookups — the collection pass reads codes, never
+    * floats), take the 20 best candidates, exact-cosine rescore to a
+    * top-10. The two-stage shape is what survives 100 TB: stage 1 is a
+    * narrow codegen pass over ~1/64th the bytes ending in a bounded
+    * top-k heap; stage 2 touches 20 full vectors. */
+  val vPqSearch = Q("v_pq_search",
+    (s, dir) => {
+      val cbs = codebooks(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val qm = q.map(Pq.microQ).toArray
+      val lut: Array[Array[Long]] = cbs.zipWithIndex.map { case (cb, sub) =>
+        cb.map { case (_, cm) =>
+          Pq.distInt(qm.slice(sub * SubDim, (sub + 1) * SubDim), cm)
+        }
+      }
+      val vm = Pq.vmicro(col("embedding"))
+      val codeCols = (0 until M).map(sub =>
+        Pq.codeCol(vm, cbs(sub), sub, SubDim))
+      emb
+        .withColumn("adc", Pq.adcCol(codeCols, lut))
+        .orderBy(col("adc"), col("vec_id")).limit(20)
+        .withColumn("score_micro",
+          floor(VectorOps.cosine(col("embedding"), typedLit(q)) * 1e6
+            + lit(0.5)).cast("long"))
+        .orderBy(desc("score_micro"), col("vec_id")).limit(10)
+        .select("vec_id", "adc", "score_micro")
+    },
+    Some(s"""
+      WITH $allCbSql,
+      em AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
+        FROM embeddings),
+      q AS (
+        SELECT list_transform(
+            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+             WHERE vec_id = 0),
+            x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qm),
+      qd AS (
+        SELECT cb.sub, cb.cid,
+               CAST(list_sum(list_transform(range($SubDim),
+                 i -> (q.qm[cb.sub*$SubDim + i + 1] - cb.cm[i + 1])
+                    * (q.qm[cb.sub*$SubDim + i + 1] - cb.cm[i + 1])))
+                 AS BIGINT) AS qdist
+        FROM cb CROSS JOIN q),
+      codes AS (
+        SELECT vec_id, sub, cid FROM (
+          SELECT em.vec_id, cb.sub, cb.cid,
+                 ROW_NUMBER() OVER (PARTITION BY em.vec_id, cb.sub
+                   ORDER BY CAST(list_sum(list_transform(range($SubDim),
+                     i -> (em.vm[cb.sub*$SubDim + i + 1] - cb.cm[i + 1])
+                        * (em.vm[cb.sub*$SubDim + i + 1] - cb.cm[i + 1])))
+                     AS BIGINT), cb.cid) AS rn
+          FROM em CROSS JOIN cb) WHERE rn = 1),
+      adc AS (
+        SELECT c.vec_id, CAST(SUM(qd.qdist) AS BIGINT) AS adc
+        FROM codes c JOIN qd ON qd.sub = c.sub AND qd.cid = c.cid
+        GROUP BY c.vec_id),
+      cand AS (SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT 20)
+      SELECT e.vec_id, cand.adc,
+             CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                WHERE vec_id = 0)) * 1000000 + 0.5) AS BIGINT) AS score_micro
+      FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+      ORDER BY score_micro DESC, e.vec_id LIMIT 10"""))
+
+  def queries: Seq[Q] = Seq(vPqCodebooks, vPqSearch)
+}

@@ -24,7 +24,8 @@ object Queries {
     AnnQueries.queries ++
     MultimodalQueries.queries ++
     StreamingQueries.queries ++
-    RecommendQueries.queries
+    RecommendQueries.queries ++
+    PqQueries.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -623,6 +623,54 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(row.getLong(0) > 0 && row.getString(1) == "caption one")
   }
 
+  test("pq: encode+ADC pass is join-free (codebooks and LUT are literals)") {
+    import graft.operators.Pq
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding",
+      m = 4, subDim = 16, k = 8, iters = 1)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val qm = q.map(Pq.microQ).toArray
+    val lut = cbs.zipWithIndex.map { case (cb, s) =>
+      cb.map { case (_, cm) => Pq.distInt(qm.slice(s * 16, (s + 1) * 16), cm) }
+    }
+    val vm = Pq.vmicro(col("embedding"))
+    val codes = (0 until 4).map(s => Pq.codeCol(vm, cbs(s), s, 16))
+    val scored = emb.withColumn("adc", Pq.adcCol(codes, lut))
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      "PQ scoring must be a single narrow pass — codebooks are literals")
+    // every code is a valid codebook index
+    val minMax = scored
+      .select((0 until 4).map(s => codes(s).as(s"c$s")): _*)
+      .agg(least((0 until 4).map(s => min(col(s"c$s"))): _*),
+        greatest((0 until 4).map(s => max(col(s"c$s"))): _*))
+      .head()
+    assert(minMax.getLong(0) >= 0 && minMax.getLong(1) < 8)
+    // ADC is a faithful integer: recompute one row's distance by hand
+    val row = scored
+      .select(col("vec_id"), vm.as("vm"), col("adc"))
+      .filter(col("vec_id") === 7).head()
+    val vmArr = row.getSeq[Long](1).toArray
+    val byHand = (0 until 4).map { s =>
+      cbs(s).map { case (_, cm) =>
+        Pq.distInt(qm.slice(s * 16, (s + 1) * 16), cm) ->
+          Pq.distInt(vmArr.slice(s * 16, (s + 1) * 16), cm)
+      }.minBy(_._2)._1
+    }.sum
+    assert(row.getLong(2) == byHand, "ADC must equal per-sub argmin lookup")
+  }
+
+  test("pq: ADC candidate set recalls most of the exact top-10") {
+    val pq = Queries.queries("v_pq_search")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = Queries.queries("v_knn")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (pq & exact).size
+    info(s"PQ(top-20 ADC, rescored top-10) ∩ exact top-10 = $recall/10")
+    assert(recall >= 4, s"PQ recall collapsed: $recall/10")
+  }
+
   test("frame sampling: expected row count per doc (ceil(n/stride))") {
     val d = Multimodal.attachBinary(docs20)
     val sampled = Multimodal.frameSample(d, "doc_id",
