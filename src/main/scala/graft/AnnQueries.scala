@@ -24,7 +24,7 @@ object AnnQueries {
     * determinism pin of the Scala side — lowest-id seeding, argmin with
     * (distance, cid) tie-break, DECIMAL(25,12) sums, micro-quantized
     * means, empty-cluster carry-over. */
-  private def kmeansSql(k: Int, iters: Int): String = {
+  private[graft] def kmeansSql(k: Int, iters: Int): String = {
     val init = s"""
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       c0 AS (
@@ -65,7 +65,7 @@ object AnnQueries {
     scala.collection.concurrent.TrieMap
       .empty[(String, Int, Int), Array[(Long, Seq[Double])]]
 
-  private def trainedCentroids(s: org.apache.spark.sql.SparkSession,
+  private[graft] def trainedCentroids(s: org.apache.spark.sql.SparkSession,
                                dir: String, k: Int, iters: Int)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._

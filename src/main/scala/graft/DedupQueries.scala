@@ -422,7 +422,85 @@ object DedupQueries {
       GROUP BY s.doc_id
       ORDER BY s.doc_id"""))
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embedding space, then look for near-duplicate pairs ONLY within each
+    * cluster — the cluster assignment is the candidate filter, so the
+    * pair space shrinks from O(n²) to Σ|cluster|², and at 100 TB the
+    * k grows with the corpus to hold per-cluster work constant. Distinct
+    * from dedup_embed (hyperplane-LSH buckets): LSH recall is
+    * probabilistic per band; cluster-scoped search is the published
+    * semantic-dedup recipe for LLM training corpora.
+    *
+    * Centroids are the SAME memoized k=8×2-round Lloyd training as
+    * ann_kmeans (oracle replays training), so this query gates the full
+    * chain: train → assign (argmin, cid tie-break) → within-cluster pair
+    * scoring → keep-lowest-id verdict. The fixture corpus has no natural
+    * near-dups (max pair cosine ≈ 0.51), so the query plants exact copies
+    * (vec_id+100000 of every id%50==0) and perturbed copies
+    * (vec_id+200000 of id%50==1, first component +0.25 → cosine ≈ 0.97);
+    * τ = 0.9 separates both plants from the naturals with wide margin. */
+  val dedupSemantic = Q("dedup_semantic",
+    (s, dir) => {
+      import graft.functions.VectorOps
+      import graft.operators.Ann
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val planted = emb
+        .unionAll(emb.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("v")))
+        .unionAll(emb.filter(col("vec_id") % 50 === 1)
+          .select((col("vec_id") + 200000).as("vec_id"),
+            concat(array(element_at(col("v"), 1) + lit(0.25)),
+              slice(col("v"), 2, 63)).as("v")))
+      val cents = AnnQueries.trainedCentroids(s, dir, 8, 2)
+      val assigned = planted.join(
+        Ann.argminAssign(planted, "vec_id", "v", cents, "cid", "cv"),
+        "vec_id")
+      val pairs = assigned.select(col("cluster"),
+          col("vec_id").as("a"), col("v").as("va"))
+        .join(assigned.select(col("cluster"), col("vec_id").as("b"),
+          col("v").as("vb")), Seq("cluster"))
+        .filter(col("a") < col("b"))
+        .withColumn("score_micro",
+          floor(VectorOps.cosine(col("va"), col("vb")) * 1e6 + lit(0.5))
+            .cast("long"))
+        .filter(col("score_micro") >= 900000)
+      pairs.groupBy(col("b").as("vec_id"))
+        .agg(min("a").as("dup_of"),
+          min_by(col("score_micro"), col("a")).as("score_micro"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH ${AnnQueries.kmeansSql(8, 2)},
+      pemb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+        FROM embeddings WHERE vec_id % 50 = 0
+        UNION ALL
+        SELECT vec_id + 200000,
+               [CAST(embedding AS DOUBLE[])[1] + 0.25]
+                 || CAST(embedding AS DOUBLE[])[2:64]
+        FROM embeddings WHERE vec_id % 50 = 1),
+      asg AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+          SELECT p.vec_id, p.v, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                   ORDER BY list_distance(p.v, c.cv), c.cid) AS rn
+          FROM pemb p CROSS JOIN c2 c) WHERE rn = 1),
+      pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5)
+                 AS BIGINT) AS score_micro
+        FROM asg a JOIN asg b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+      SELECT b AS vec_id, MIN(a) AS dup_of,
+             MIN_BY(score_micro, a) AS score_micro
+      FROM pairs WHERE score_micro >= 900000
+      GROUP BY b ORDER BY vec_id"""))
+
   def queries: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash,
     dedupNgram, dedupEmbed, dedupCluster, dedupStreamNeardup,
-    dedupSegments)
+    dedupSegments, dedupSemantic)
 }
