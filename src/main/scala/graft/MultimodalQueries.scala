@@ -79,5 +79,88 @@ object MultimodalQueries {
             FROM media)
       ORDER BY doc_id, frame_idx"""))
 
-  def queries: Seq[Q] = Seq(mmDecode, mmResize, mmFrames)
+  /** Perceptual-hash near-dup detection over the binary media column —
+    * the image-dedup pass of a multimodal training pipeline (aHash +
+    * banded hamming join; with a real codec only the hash input changes
+    * from bytes to pixels). Same scale shape as dedup_simhash: one
+    * narrow hashing pass, candidates via equi-join on a 16-bit band
+    * match (never all-pairs), exact hamming verify on candidates only.
+    * Plants exact binary copies (doc_id+100000) and same-length edits
+    * ('zz' over the first two bytes, doc_id+200000): copies land at
+    * hamming 0, edits ≤ 6 (only block 0 and mean-shift borderline blocks
+    * flip), and the fixture's natural band collisions all verify > 6 —
+    * measured 0 natural pairs at every SF. */
+  val mmPhashDedup = Q("mm_phash_dedup",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val planted = d
+        .unionAll(d.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .unionAll(d.filter(col("doc_id") % 100 === 1)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(lit("zz"), expr("substring(text, 3)")).as("text")))
+        .repartition(s.sparkContext.defaultParallelism)
+      val ph = planted
+        .withColumn("bands",
+          Multimodal.aHashBands(col("text").cast("binary")))
+        .select(col("doc_id"), col("bands"),
+          posexplode(col("bands")).as(Seq("band", "bits")))
+      val hamming = (0 until 4).map(k =>
+        bit_count(element_at(col("ba"), k + 1)
+          .bitwiseXOR(element_at(col("bb"), k + 1)))).reduce(_ + _)
+      ph.select(col("band"), col("bits"), col("doc_id").as("doc_a"),
+          col("bands").as("ba"))
+        .join(ph.select(col("band"), col("bits"), col("doc_id").as("doc_b"),
+          col("bands").as("bb")), Seq("band", "bits"))
+        .filter(col("doc_a") < col("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH docs2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 100 = 0
+        UNION ALL
+        SELECT doc_id + 200000, 'zz' || substr(text, 3)
+        FROM documents WHERE doc_id % 100 = 1),
+      m AS (
+        SELECT doc_id, upper(hex(encode(text))) AS hx,
+               octet_length(encode(text)) AS len
+        FROM docs2),
+      blocks AS (
+        SELECT doc_id, b, (len*b)//64 AS s, (len*(b+1))//64 AS e, len, hx
+        FROM m CROSS JOIN (SELECT unnest(range(64)) AS b) bb),
+      bsum AS (
+        SELECT doc_id, b, len, e - s AS blen,
+               COALESCE(list_sum(list_transform(range(s, e),
+                 i -> ('0x' || substr(hx, CAST(2*i+1 AS INT), 2))::BIGINT)),
+                 0)::BIGINT AS bs
+        FROM blocks),
+      tot AS (SELECT doc_id, SUM(bs)::BIGINT AS total FROM bsum GROUP BY 1),
+      phb AS (
+        SELECT s.doc_id, s.b // 16 AS band,
+               SUM(CASE WHEN s.bs * s.len > t.total * s.blen
+                 THEN (1::BIGINT << (s.b % 16)) ELSE 0 END)::BIGINT AS bits
+        FROM bsum s JOIN tot t ON t.doc_id = s.doc_id
+        GROUP BY s.doc_id, s.b // 16),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM phb a JOIN phb b
+          ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id),
+      ham AS (
+        SELECT c.doc_a, c.doc_b,
+               SUM(bit_count(xor(pa.bits, pb.bits)))::BIGINT AS hamming
+        FROM cand c
+        JOIN phb pa ON pa.doc_id = c.doc_a
+        JOIN phb pb ON pb.doc_id = c.doc_b AND pb.band = pa.band
+        GROUP BY c.doc_a, c.doc_b)
+      SELECT doc_a, doc_b, hamming FROM ham
+      WHERE hamming <= 6
+      ORDER BY doc_a, doc_b"""))
+
+  def queries: Seq[Q] = Seq(mmDecode, mmResize, mmFrames, mmPhashDedup)
 }

@@ -367,7 +367,71 @@ object Relational {
              CASE WHEN lv IS NULL THEN -1 ELSE tsu - lv END AS gap_us
       FROM w WHERE side = 1 ORDER BY event_id"""))
 
+  /** Exact per-group percentiles (p50/p95 of l_extendedprice by
+    * returnflag) computed as explicit order statistics in integer
+    * arithmetic: prices quantize to cents, the target position is
+    * p·(n−1) in micro units, and the linear interpolation
+    * v_lo·(1e6−f) + v_hi·f stays a BIGINT — engine `percentile` /
+    * `quantile_cont` aggregates can associate the interpolation
+    * differently at the last ulp, this cannot. Plan: one window sort per
+    * group (exact percentiles are inherently sort-based — the
+    * approximate path at 100 TB is `approx_percentile`/t-digest, which
+    * no independent engine can replay) + two rank-targeted joins that
+    * touch exactly 2 rows per (group, p). */
+  val qPercentile = Q("q_percentile",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+            .as("cents"))
+      val ranked = li.withColumn("rn",
+        row_number().over(Window.partitionBy("flag").orderBy("cents")))
+      val tgt = li.groupBy("flag").agg(count(lit(1)).as("n"))
+        .crossJoin(Seq(500000L, 950000L).toDF("p_micro"))
+        .withColumn("pos", col("p_micro") * (col("n") - 1))
+        .withColumn("lo", expr("pos DIV 1000000"))
+        .withColumn("f", col("pos") % 1000000L)
+      val r1 = ranked.select(col("flag").as("f1"), col("rn").as("rn1"),
+        col("cents").as("v_lo"))
+      val r2 = ranked.select(col("flag").as("f2"), col("rn").as("rn2"),
+        col("cents").as("v_hi"))
+      tgt
+        .join(r1, col("f1") === col("flag") && col("rn1") === col("lo") + 1)
+        .join(r2, col("f2") === col("flag") && col("rn2") === col("lo") + 2,
+          "left")
+        .select(col("flag"), col("p_micro"),
+          (col("v_lo") * (lit(1000000L) - col("f")) +
+            coalesce(col("v_hi"), col("v_lo")) * col("f"))
+            .as("pct_ucents"))
+        .orderBy("flag", "p_micro")
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem),
+      ranked AS (
+        SELECT flag, cents,
+               ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cents) AS rn
+        FROM li),
+      tgt AS (
+        SELECT flag, n, p_micro, p_micro * (n - 1) AS pos,
+               (p_micro * (n - 1)) // 1000000 AS lo,
+               (p_micro * (n - 1)) % 1000000 AS f
+        FROM (SELECT flag, COUNT(*) AS n FROM li GROUP BY flag)
+        CROSS JOIN (SELECT unnest([500000, 950000]) AS p_micro))
+      SELECT t.flag, CAST(t.p_micro AS BIGINT) AS p_micro,
+             CAST(r1.cents * (1000000 - t.f)
+               + COALESCE(r2.cents, r1.cents) * t.f AS BIGINT) AS pct_ucents
+      FROM tgt t
+      JOIN ranked r1 ON r1.flag = t.flag AND r1.rn = t.lo + 1
+      LEFT JOIN ranked r2 ON r2.flag = t.flag AND r2.rn = t.lo + 2
+      ORDER BY t.flag, p_micro"""))
+
   def queries: Seq[Q] = Seq(q1Pricing, q3TopOrders, q5RegionRevenue,
     qBrandAgg, qWindowTopn, qRollup, qCube, qSetOps, qCustNoOrders,
-    qEventsHourly, qEventsSliding, qEventsJson, qSaltedAgg, qAsofJoin)
+    qEventsHourly, qEventsSliding, qEventsJson, qSaltedAgg, qAsofJoin,
+    qPercentile)
 }

@@ -470,7 +470,56 @@ object TextQueries {
       GROUP BY split, lang
       ORDER BY split, lang"""))
 
+  /** KMV distinct-count sketch per language (plans/KmvSketch.scala): the
+    * corpus-statistics pass a 100 TB pipeline runs instead of
+    * COUNT(DISTINCT) — the sketch dedups map-side in a ≤k-long buffer, so
+    * only k·partitions longs shuffle where exact distinct shuffles every
+    * distinct value. The exact count is emitted alongside at fixture
+    * scale so the gate pins BOTH the sketch's order statistics and the
+    * estimate arithmetic (Spark's own approx_count_distinct can't be
+    * oracle-gated: HLL++ registers are implementation-defined). */
+  val sketchDistinct = Q("sketch_distinct",
+    (s, dir) => {
+      import graft.plans.KmvSketch
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("lang"), col("text"),
+          conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+            .as("h"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("exact_distinct"),
+          KmvSketch.kmv(col("h"), 64).as("__sk"))
+        .select(col("lang"), col("n_docs"), col("exact_distinct"),
+          floor(KmvSketch.estimate(col("__sk"), 64) * 1000 + lit(0.5))
+            .cast("long").as("kmv_est_milli"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH h AS (
+        SELECT lang, text,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        FROM documents),
+      d AS (SELECT DISTINCT lang, h FROM h),
+      rk AS (
+        SELECT lang, h,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+        FROM d),
+      sk AS (
+        SELECT lang, COUNT(*) AS sz,
+               MAX(CASE WHEN rn = 64 THEN h END) AS kth
+        FROM rk WHERE rn <= 64 GROUP BY lang),
+      agg AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               COUNT(DISTINCT text) AS exact_distinct
+        FROM h GROUP BY lang)
+      SELECT a.lang, a.n_docs, a.exact_distinct,
+             CAST(floor((CASE WHEN s.sz < 64 THEN CAST(s.sz AS DOUBLE)
+               ELSE 63.0 * 1152921504606846976.0 / CAST(s.kth AS DOUBLE)
+               END) * 1000 + 0.5) AS BIGINT) AS kmv_est_milli
+      FROM agg a JOIN sk s ON s.lang = a.lang
+      ORDER BY a.lang"""))
+
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats,
-    pipeSample, pipeSplit, txtWinnow, pipeCurate)
+    pipeSample, pipeSplit, txtWinnow, pipeCurate, sketchDistinct)
 }

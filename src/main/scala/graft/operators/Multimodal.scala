@@ -87,6 +87,42 @@ object Multimodal {
       .withColumn("new_w", expr("media_meta.width * scale_micro DIV 1000000"))
       .withColumn("new_h", expr("media_meta.height * scale_micro DIV 1000000"))
 
+  /** Perceptual hash (aHash — average hash, the classic pHash-family
+    * image fingerprint) over the binary payload, emitted as `bands`
+    * 16-bit band values rather than one 64-bit word (the top block's bit
+    * would need the sign bit; bands are also exactly what the dedup join
+    * keys on, Manku-style). Block `b` of `blocks` covers bytes
+    * [len·b/blocks, len·(b+1)/blocks); its bit is set iff the block's
+    * byte mean exceeds the whole payload's mean — compared
+    * cross-multiplied in exact integer arithmetic (blocksum·len >
+    * total·blocklen), so the oracle replays bit-for-bit. With a real
+    * codec the input would be decoded grayscale pixels; the byte-level
+    * stand-in exercises the identical plan shape (one narrow fused-kernel
+    * pass, no shuffle). */
+  def aHashBands(bin: Column, blocks: Int = 64, bands: Int = 4): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column => C, expression => E}
+    import org.apache.spark.sql.catalyst.expressions.Substring
+    val len = length(bin).cast("long")
+    // block boundary: len·b/blocks — double divide of exact ints < 2^53,
+    // truncating cast == the oracle's integer //
+    def bound(b: Int): Column = (len * lit(b.toLong) / lit(blocks.toLong))
+      .cast("long")
+    val bsums = (0 until blocks).map { b =>
+      val s = bound(b)
+      val n = bound(b + 1) - bound(b)
+      byteSum(C(Substring(E(bin), E((s + 1).cast("int")), E(n.cast("int")))))
+    }
+    val total = byteSum(bin) // == Σ block sums: the blocks partition bin
+    val perBand = blocks / bands
+    array((0 until bands).map { k =>
+      (0 until perBand).map { j =>
+        val b = k * perBand + j
+        val blen = bound(b + 1) - bound(b)
+        when(bsums(b) * len > total * blen, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
   /** Typed per-partition batch decode — the Scala analog of a pandas-batch
     * UDF: each partition's rows are processed as one iterator (a real
     * codec would init once per partition, then decode per row). Returns

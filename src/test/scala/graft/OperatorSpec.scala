@@ -671,6 +671,32 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 4, s"PQ recall collapsed: $recall/10")
   }
 
+  test("kmv sketch: shard sketches merge to the global sketch; estimate sane") {
+    import graft.plans.KmvSketch
+    val k = 32
+    val hashed = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+    // global sketch vs re-sketch of per-shard sketches (shard = doc_id%7):
+    // each global k-min hash is a k-min hash of its shard, so the union of
+    // shard sketches contains the global sketch — merge must be lossless
+    val global = hashed.agg(KmvSketch.kmv(col("h"), k)).head().getSeq[Long](0)
+    val merged = hashed
+      .groupBy((col("doc_id") % 7).as("shard"))
+      .agg(KmvSketch.kmv(col("h"), k).as("sk"))
+      .select(explode(col("sk")).as("h"))
+      .agg(KmvSketch.kmv(col("h"), k)).head().getSeq[Long](0)
+    assert(global == merged, "merged shard sketches != global sketch")
+    assert(global == global.sorted && global.distinct == global,
+      "sketch must be ascending and distinct")
+    // estimate within a loose 3/sqrt(k) of the exact distinct count
+    val exact = hashed.select("h").distinct().count().toDouble
+    val est = hashed
+      .agg(KmvSketch.estimate(KmvSketch.kmv(col("h"), k), k)).head().getDouble(0)
+    assert(math.abs(est - exact) / exact < 3.0 / math.sqrt(k.toDouble),
+      s"KMV estimate $est too far from exact $exact")
+  }
+
   test("frame sampling: expected row count per doc (ceil(n/stride))") {
     val d = Multimodal.attachBinary(docs20)
     val sampled = Multimodal.frameSample(d, "doc_id",
