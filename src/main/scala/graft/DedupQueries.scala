@@ -500,7 +500,87 @@ object DedupQueries {
       FROM pairs WHERE score_micro >= 900000
       GROUP BY b ORDER BY vec_id"""))
 
+  /** INCREMENTAL exact dedup — new batch vs an already-ingested corpus —
+    * with a Bloom prefilter (operators/Bloom.scala): the corpus (docs with
+    * id % 3 == 0) builds a k=4/m=65536 filter over its content hashes in
+    * one bounded distinct-positions pass; the batch (remaining docs plus
+    * planted re-ingests: id+300000 of every corpus doc with id % 30 == 0)
+    * probes the filter IN-ROW (no join), and only probe survivors reach
+    * the exact content-hash verification join. Blooms have no false
+    * negatives, so the final n_dup is exactly the exact join's answer
+    * while the verify shuffle carries only `fpr · batch + true_dups`
+    * rows — the incremental-ingest shape at 100 TB, where re-shuffling
+    * the full corpus per arriving batch is the thing you cannot do. The
+    * per-language (n_batch, n_cand, n_dup) accounting gates both the
+    * filter arithmetic (n_cand pins every bit position) and the verify. */
+  val dedupBloom = Q("dedup_bloom",
+    (s, dir) => {
+      import graft.operators.Bloom
+      val (k, m) = (4, 65536)
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "lang", "text")
+      val corpus = docs.filter(col("doc_id") % 3 === 0)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+        .unionAll(corpus.filter(col("doc_id") % 30 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"), col("lang"),
+            col("text")))
+      val h = Dedup.h32(col("text"))
+      val bitmap = Bloom.build(corpus, h, k, m)
+      val flagged = batch.withColumn("__cand",
+        Bloom.mightContain(bitmap, h, k, m))
+      val cand = flagged.filter(col("__cand"))
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("__ch"))
+      val nb = flagged.groupBy("lang").agg(count(lit(1)).as("n_batch"))
+      val nc = cand.groupBy("lang").agg(count(lit(1)).as("n_cand"))
+      // exact verify on survivors only; the candidate side is fpr-bounded
+      // so AQE broadcasts it against the corpus hash column
+      val nd = cand
+        .join(corpus.select(md5(col("text")).as("__ch")).distinct(), "__ch")
+        .groupBy("lang").agg(count(lit(1)).as("n_dup"))
+      nb.join(nc, Seq("lang"), "left").join(nd, Seq("lang"), "left")
+        .na.fill(0L, Seq("n_cand", "n_dup"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0),
+      batch AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 <> 0
+        UNION ALL
+        SELECT doc_id + 300000, lang, text FROM corpus WHERE doc_id % 30 = 0),
+      js AS (SELECT unnest(range(4)) AS j),
+      cp AS (
+        SELECT DISTINCT ((2*j+3) * h + 104729*j + 12345) % 2147483647 % 65536
+                 AS pos
+        FROM (SELECT ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+              FROM corpus)
+        CROSS JOIN js),
+      bh AS (
+        SELECT doc_id, lang, md5(text) AS ch,
+               ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+        FROM batch),
+      bp AS (
+        SELECT doc_id,
+               ((2*j+3) * h + 104729*j + 12345) % 2147483647 % 65536 AS pos
+        FROM bh CROSS JOIN js),
+      cand AS (
+        SELECT doc_id FROM bp JOIN cp USING (pos)
+        GROUP BY doc_id HAVING COUNT(*) = 4),
+      nb AS (SELECT lang, COUNT(*) AS n_batch FROM bh GROUP BY lang),
+      nc AS (SELECT b.lang, COUNT(*) AS n_cand
+             FROM bh b JOIN cand c ON c.doc_id = b.doc_id GROUP BY b.lang),
+      nd AS (SELECT b.lang, COUNT(*) AS n_dup
+             FROM bh b JOIN cand c ON c.doc_id = b.doc_id
+             WHERE b.ch IN (SELECT md5(text) FROM corpus)
+             GROUP BY b.lang)
+      SELECT nb.lang, nb.n_batch,
+             COALESCE(nc.n_cand, 0) AS n_cand,
+             COALESCE(nd.n_dup, 0) AS n_dup
+      FROM nb LEFT JOIN nc ON nc.lang = nb.lang
+              LEFT JOIN nd ON nd.lang = nb.lang
+      ORDER BY nb.lang"""))
+
   def queries: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash,
     dedupNgram, dedupEmbed, dedupCluster, dedupStreamNeardup,
-    dedupSegments, dedupSemantic)
+    dedupSegments, dedupSemantic, dedupBloom)
 }

@@ -430,8 +430,48 @@ object Relational {
       LEFT JOIN ranked r2 ON r2.flag = t.flag AND r2.rn = t.lo + 2
       ORDER BY t.flag, p_micro"""))
 
+  /** Z-ORDER layout accounting (operators/Layout.scala): Morton-interleave
+    * the low 16 bits of (l_partkey, l_suppkey), bucket rows by z-range
+    * (zval >> 23 — the per-file split a `repartitionByRange(zval)` +
+    * sorted write would produce), and emit each bucket's row count and
+    * per-dimension min/max — i.e. the data-skipping index the writer
+    * persists. The Morton guarantee this gates: fixing z-bits ≥ 23 fixes
+    * partkey bits ≥ 12 and suppkey bits ≥ 11, so every bucket spans
+    * < 2¹² partkeys AND < 2¹¹ suppkeys simultaneously — predicates on
+    * EITHER column prune buckets, which a single-column sort cannot give.
+    * The z-value is a narrow literal-shift expression (codegen, no UDF);
+    * stats are one map-side-combined aggregation. At scale the only wide
+    * op in the real rewrite is the range exchange itself. */
+  val qZorder = Q("q_zorder",
+    (s, dir) => {
+      import graft.operators.Layout
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").cast("long").as("pk"),
+          col("l_suppkey").cast("long").as("sk"))
+        .withColumn("zbucket",
+          shiftright(Layout.zValue(col("pk"), col("sk"), 16), 23))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("pk").as("min_pk"), max("pk").as("max_pk"),
+          min("sk").as("min_sk"), max("sk").as("max_sk"))
+        .orderBy("zbucket")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT CAST(l_partkey AS BIGINT) AS pk,
+               CAST(l_suppkey AS BIGINT) AS sk
+        FROM lineitem),
+      z AS (
+        SELECT pk, sk, ${graft.operators.Layout.zValueSql("pk", "sk", 16)}
+                 AS zv
+        FROM b)
+      SELECT zv >> 23 AS zbucket, COUNT(*) AS n_rows,
+             MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+             MIN(sk) AS min_sk, MAX(sk) AS max_sk
+      FROM z GROUP BY 1 ORDER BY 1"""))
+
   def queries: Seq[Q] = Seq(q1Pricing, q3TopOrders, q5RegionRevenue,
     qBrandAgg, qWindowTopn, qRollup, qCube, qSetOps, qCustNoOrders,
     qEventsHourly, qEventsSliding, qEventsJson, qSaltedAgg, qAsofJoin,
-    qPercentile)
+    qPercentile, qZorder)
 }

@@ -519,7 +519,118 @@ object TextQueries {
       FROM agg a JOIN sk s ON s.lang = a.lang
       ORDER BY a.lang"""))
 
+  /** Benchmark DECONTAMINATION — the published train-set hygiene pass
+    * (exact n-gram overlap against a held-out evaluation set, the
+    * GPT-3/PaLM appendix recipe): any training document sharing a word
+    * 8-gram with a benchmark document is flagged, with gram-level counts
+    * for the removal audit. Benchmark = docs with id % 97 == 0; the
+    * training corpus = the rest plus planted contaminated docs
+    * (id+400000: benchmark text with a harmless suffix — every benchmark
+    * 8-gram survives in them). Grams come from the fused ShinglesExpr
+    * (short docs contribute their whole text — a sub-8-token benchmark is
+    * matched whole). Scale shape: the benchmark gram set is small by
+    * definition → broadcast; the corpus explodes grams but the broadcast
+    * hash-semi happens MAP-SIDE, so only hits reach the per-doc
+    * aggregation — hits-only shuffle, same as BM25's term filter. */
+  val txtDecontam = Q("txt_decontam",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .unionAll(bench.select((col("doc_id") + 400000).as("doc_id"),
+          concat(col("text"), lit(" plus harmless suffix appended here"))
+            .as("text")))
+      val grams = graft.operators.Dedup.shingles(
+        TextAnalysis.tokens(col("text")), 8)
+      val bg = bench.select(explode(grams).as("bg")).distinct()
+      val cg = corpus.select(col("doc_id"),
+        size(grams).cast("long").as("n_grams"), explode(grams).as("g"))
+      cg.join(broadcast(bg), col("g") === col("bg"))
+        .groupBy("doc_id", "n_grams")
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("g")).as("n_hit_grams"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 400000, text || ' plus harmless suffix appended here'
+        FROM bench),
+      bt AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t <> '') AS ts FROM bench),
+      bg AS (SELECT DISTINCT unnest(
+               CASE WHEN len(ts) >= 8
+                 THEN list_transform(range(len(ts) - 7),
+                        i -> array_to_string(ts[i+1:i+8], ' '))
+                 ELSE [array_to_string(ts, ' ')] END) AS bg
+             FROM bt),
+      ct AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t <> '') AS ts FROM corpus),
+      cg AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+                    unnest(gs) AS g
+             FROM (SELECT doc_id,
+                     CASE WHEN len(ts) >= 8
+                       THEN list_transform(range(len(ts) - 7),
+                              i -> array_to_string(ts[i+1:i+8], ' '))
+                       ELSE [array_to_string(ts, ' ')] END AS gs
+                   FROM ct))
+      SELECT cg.doc_id, cg.n_grams, COUNT(*) AS n_hits,
+             CAST(COUNT(DISTINCT cg.g) AS BIGINT) AS n_hit_grams
+      FROM cg JOIN bg ON bg.bg = cg.g
+      GROUP BY cg.doc_id, cg.n_grams
+      ORDER BY cg.doc_id"""))
+
+  /** SEQUENCE PACKING accounting — the pretraining step that concatenates
+    * documents and cuts the stream into fixed-token-budget training
+    * sequences (bins). Documents are sharded by seeded hash (shard count
+    * is the parallelism/output-file knob — at 100 TB it tracks the
+    * cluster, and each shard packs independently, so the only wide op is
+    * a per-shard window sort, never a global one). Within a shard,
+    * arrival order is doc_id; a doc's bin is the budget-quotient of the
+    * tokens BEFORE it (greedy concat-and-cut — docs can span a boundary
+    * and are assigned to their starting bin). Output: per (shard, bin)
+    * doc and token counts — the packing manifest a data loader consumes.
+    * Deterministic: a pure function of (doc_id, ntok), engine-replayable. */
+  val pipePack = Q("pipe_pack",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 512
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+        .withColumn("shard",
+          conv(substring(md5(concat(lit("pack|"), col("doc_id"))), 1, 8),
+            16, 10).cast("long") % 8)
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum", sum("ntok").over(w))
+        .withColumn("bin", expr(s"(cum - ntok) DIV $budget"))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tokens"))
+        .orderBy("shard", "bin")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                 t -> t <> '')) AS BIGINT) AS ntok,
+               ('0x' || substr(md5('pack|' || doc_id), 1, 8))::BIGINT % 8
+                 AS shard
+        FROM documents),
+      c AS (
+        SELECT shard, ntok,
+               CAST(SUM(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+        FROM d)
+      SELECT shard, (cum - ntok) // 512 AS bin,
+             COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS tokens
+      FROM c GROUP BY shard, bin ORDER BY shard, bin"""))
+
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats,
-    pipeSample, pipeSplit, txtWinnow, pipeCurate, sketchDistinct)
+    pipeSample, pipeSplit, txtWinnow, pipeCurate, sketchDistinct,
+    txtDecontam, pipePack)
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Bloom filter over a 64-bit hash column — the standard
+  * prefilter for INCREMENTAL dedup (new batch vs an already-ingested
+  * corpus, the shape the reference's ingestion loop implies at scale:
+  * `bob_vector_db/qdrant_embedder.py:129-141` upserts batches into an
+  * existing collection).
+  *
+  * Shape at 100 TB: the filter is built with ONE distributed pass over the
+  * corpus (map-side-combined distinct of k bit positions — at most m
+  * distinct rows cross the shuffle, bounded by the filter size, never by
+  * the corpus), collected to a driver bitmap of m bits (m/8 bytes — 8 KiB
+  * here; a production m of 2³⁵ for 10¹⁰ keys is 4 GiB, sharded across
+  * several filters), and shipped to executors as a PLAN LITERAL. The
+  * membership probe is then a narrow in-row expression — no join, no
+  * shuffle, whole-stage codegen — and only probe SURVIVORS reach the
+  * exact verification join. Blooms have no false negatives, so
+  * prefilter + exact-verify returns exactly the exact join's answer while
+  * shuffling only `fpr · batch + true_dups` rows.
+  *
+  * Determinism: bit positions come from the same public affine family as
+  * the MinHash kernel ((2j+3)·h + 104729·j + 12345 mod 2³¹−1, then mod m),
+  * so an independent engine replays the filter bit-for-bit — the oracle
+  * computes the identical candidate set from the position sets alone.
+  */
+object Bloom {
+  val Mod = 2147483647L // 2^31 - 1, the MinHash family modulus
+
+  /** The j-th bit position of hash `h` (j in [0, k)). `h` must be
+    * non-negative (e.g. the first 8 md5 hex digits as a BIGINT). */
+  def position(h: Column, j: Int, m: Int): Column =
+    ((lit(2L * j + 3) * h + lit(104729L * j + 12345L)) % Mod) % m
+
+  /** All k bit positions of `h`. */
+  def positions(h: Column, k: Int, m: Int): Seq[Column] =
+    (0 until k).map(j => position(h, j, m))
+
+  /** Build the m-bit filter from a corpus: one distributed
+    * distinct-positions pass (≤ m rows reach the driver), then set bits
+    * into an Array[Long] bitmap. */
+  def build(corpus: DataFrame, h: Column, k: Int, m: Int): Array[Long] = {
+    val words = new Array[Long]((m + 63) / 64)
+    corpus.select(explode(array(positions(h, k, m): _*)).as("p"))
+      .distinct()
+      .collect()
+      .foreach { r =>
+        val p = r.getLong(0).toInt
+        words(p / 64) |= 1L << (p % 64)
+      }
+    words
+  }
+
+  /** In-row membership probe against a driver-built bitmap: true iff all
+    * k bit positions of `h` are set. The bitmap rides into the generated
+    * code as an array literal; each probe is element_at + shiftright —
+    * no join, no shuffle. May return false positives (rate ≈ fill^k),
+    * never false negatives. */
+  def mightContain(bitmap: Array[Long], h: Column, k: Int, m: Int): Column = {
+    val words = typedLit(bitmap.toSeq)
+    positions(h, k, m).map { p =>
+      val word = call_function("element_at", words,
+        (p / 64L).cast("int") + lit(1))
+      call_function("shiftright", word, (p % 64L).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+}

@@ -709,4 +709,80 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
         assert(perDoc(r.getLong(0)) == expected)
       }
   }
+
+  test("bloom: zero false negatives; bitmap bits equal the driver model") {
+    import graft.operators.Bloom
+    val (k, m) = (4, 4096)
+    val d = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").limit(200).cache()
+    val h = Dedup.h32(col("text"))
+    val bitmap = Bloom.build(d, h, k, m)
+    // no false negatives: every corpus member must probe positive
+    val misses = d.filter(!Bloom.mightContain(bitmap, h, k, m)).count()
+    assert(misses == 0, s"$misses bloom false negatives")
+    // the bitmap is exactly the model's position set
+    def modelPos(hv: Long): Seq[Long] = (0 until k).map(j =>
+      ((2L * j + 3) * hv + 104729L * j + 12345L) % Bloom.Mod % m)
+    val want = d.select(h.as("h")).collect()
+      .flatMap(r => modelPos(r.getLong(0))).toSet
+    val got = (0 until m)
+      .filter(p => ((bitmap(p / 64) >> (p % 64)) & 1L) == 1L)
+      .map(_.toLong).toSet
+    assert(got == want, "bitmap bits != model position set")
+  }
+
+  test("z-order buckets bound BOTH dimensions simultaneously") {
+    // zbucket fixes z-bits >= 23 → partkey bits >= 12 and suppkey bits
+    // >= 11 are constant within a bucket: spans < 2^12 / 2^11.
+    val rows = Queries.queries("q_zorder")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (minPk, maxPk, minSk, maxSk) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(maxPk - minPk < 4096, s"partkey span too wide: $r")
+      assert(maxSk - minSk < 2048, s"suppkey span too wide: $r")
+    }
+  }
+
+  test("sequence packing replays a driver-side greedy pack exactly") {
+    val out = Queries.queries("pipe_pack")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val model = docs
+      .map { case (id, n) =>
+        (java.lang.Long.parseLong(md5hex(s"pack|$id").take(8), 16) % 8,
+          id, n)
+      }
+      .groupBy(_._1).toSeq
+      .flatMap { case (shard, ds) =>
+        var cum = 0L
+        ds.sortBy(_._2).map { case (_, _, n) =>
+          val bin = cum / 512; cum += n; (shard, bin, n)
+        }
+      }
+      .groupBy(t => (t._1, t._2))
+      .map { case (key, ts) =>
+        key -> (ts.size.toLong, ts.map(_._3).sum)
+      }
+    assert(out == model, "engine packing != driver-side greedy model")
+  }
+
+  test("decontamination flags every planted contaminated doc (>=8 tokens)") {
+    val flagged = Queries.queries("txt_decontam")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val bench = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 97 === 0)
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 8)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(bench.nonEmpty)
+    bench.foreach(id => assert(flagged.contains(id + 400000),
+      s"planted contaminated doc ${id + 400000} not flagged"))
+  }
 }
