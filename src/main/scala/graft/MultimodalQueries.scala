@@ -100,20 +100,29 @@ object MultimodalQueries {
           .select((col("doc_id") + 200000).as("doc_id"),
             concat(lit("zz"), expr("substring(text, 3)")).as("text")))
         .repartition(s.sparkContext.defaultParallelism)
-      val ph = planted
-        .withColumn("bands",
-          Multimodal.aHashBands(col("text").cast("binary")))
-        .select(col("doc_id"), col("bands"),
-          posexplode(col("bands")).as(Seq("band", "bits")))
+      val ph = planted.select(col("doc_id"),
+        Multimodal.aHashBands(col("text").cast("binary")).as("bands"))
+      // slim (doc_id, band, bits) rows through the explode — carrying the
+      // `bands` array beside its own posexplode makes the collapsed
+      // project re-run the whole 64-block hash per EXPLODED row (measured
+      // 7.8 s → 0.7 s at sf0.1); the verify joins the signature back from
+      // a narrow once-per-doc projection instead, candidates only
+      val banded = ph.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "bits")))
+      val cands = banded
+        .select(col("band"), col("bits"), col("doc_id").as("doc_a"))
+        .join(banded.select(col("band"), col("bits"),
+          col("doc_id").as("doc_b")), Seq("band", "bits"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
       val hamming = (0 until 4).map(k =>
         bit_count(element_at(col("ba"), k + 1)
           .bitwiseXOR(element_at(col("bb"), k + 1)))).reduce(_ + _)
-      ph.select(col("band"), col("bits"), col("doc_id").as("doc_a"),
-          col("bands").as("ba"))
-        .join(ph.select(col("band"), col("bits"), col("doc_id").as("doc_b"),
-          col("bands").as("bb")), Seq("band", "bits"))
-        .filter(col("doc_a") < col("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
+      cands
+        .join(ph.select(col("doc_id").as("doc_a"), col("bands").as("ba")),
+          "doc_a")
+        .join(ph.select(col("doc_id").as("doc_b"), col("bands").as("bb")),
+          "doc_b")
         .withColumn("hamming", hamming.cast("long"))
         .filter(col("hamming") <= 6)
         .select("doc_a", "doc_b", "hamming")

@@ -90,5 +90,37 @@ object StreamingQueries {
       FROM r WHERE rn = 1
       GROUP BY event_type ORDER BY event_type"""))
 
-  def queries: Seq[Q] = Seq(qSessionize, qStreamDedup)
+  /** STREAM-STREAM interval join in its batch-twin form: view→click
+    * attribution pairs from the SAME `Stream.attributionJoin` code path
+    * the live streaming variant runs (watermarks are no-ops on batch
+    * inputs — one function, two engines; StreamSpec asserts the live
+    * watermarked join emits the identical pair set). Pairs aggregate to
+    * per-user counts and exact-µs lag stats so the output stays bounded
+    * while still pinning every matched pair. */
+  val qStreamJoin = Q("q_stream_join",
+    (s, dir) => {
+      val pairs = graft.streaming.Stream.attributionJoin(
+        Tables.load(s, dir, "events"))
+      pairs.groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          min("lag_us").as("min_lag_us"),
+          sum("lag_us").as("sum_lag_us"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id, event_id AS view_id, epoch_us(ts) AS vus
+        FROM events WHERE event_type = 'view'),
+      c AS (
+        SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT v.user_id, c.cus - v.vus AS lag_us
+        FROM v JOIN c ON c.user_id = v.user_id
+          AND c.cus > v.vus AND c.cus <= v.vus + 600000000)
+      SELECT user_id, COUNT(*) AS n_pairs, MIN(lag_us) AS min_lag_us,
+             CAST(SUM(lag_us) AS BIGINT) AS sum_lag_us
+      FROM p GROUP BY user_id ORDER BY user_id"""))
+
+  def queries: Seq[Q] = Seq(qSessionize, qStreamDedup, qStreamJoin)
 }

@@ -543,12 +543,22 @@ object TextQueries {
       val grams = graft.operators.Dedup.shingles(
         TextAnalysis.tokens(col("text")), 8)
       val bg = bench.select(explode(grams).as("bg")).distinct()
-      val cg = corpus.select(col("doc_id"),
-        size(grams).cast("long").as("n_grams"), explode(grams).as("g"))
-      cg.join(broadcast(bg), col("g") === col("bg"))
-        .groupBy("doc_id", "n_grams")
+      // n_grams joins back from a separate NARROW projection (one shingle
+      // pass per doc): projecting size(grams) beside explode(grams) makes
+      // the collapsed project re-tokenize and re-shingle per EXPLODED row
+      // (measured 9.5 s → 0.9 s at sf0.1) — the same
+      // expression-recompute class as the r4 winnow fix
+      val spread = graft.operators.Par.spread(corpus)
+      val hits = spread.select(col("doc_id"), explode(grams).as("g"))
+        .join(broadcast(bg), col("g") === col("bg"))
+        .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hits"),
           countDistinct(col("g")).as("n_hit_grams"))
+      val ng = spread.select(col("doc_id"),
+        size(grams).cast("long").as("n_grams"))
+      // hits is contamination-bounded (small) — AQE broadcasts it
+      hits.join(ng, "doc_id")
+        .select("doc_id", "n_grams", "n_hits", "n_hit_grams")
         .orderBy("doc_id")
     },
     Some("""

@@ -39,7 +39,33 @@ object GraftFunctions {
     ("graft_tokens_minhash", "graft_tokens_minhash(tokens) - 16-hash MinHash signature of a token array (3-gram shingles)",
       arity("graft_tokens_minhash", 1, es => TokensMinHashExpr(es(0), 3, 16))),
     ("graft_tokens_simhash", "graft_tokens_simhash(tokens) - 60-bit SimHash signature of a token array",
-      arity("graft_tokens_simhash", 1, es => TokensSimHashExpr(es(0), 60))))
+      arity("graft_tokens_simhash", 1, es => TokensSimHashExpr(es(0), 60))),
+    ("graft_shingles", "graft_shingles(tokens, n) - word n-gram shingle strings (whole list when shorter)",
+      arity("graft_shingles", 2, es => ShinglesExpr(es(0), litInt("graft_shingles", "n", es(1))))),
+    ("graft_winnow", "graft_winnow(text, g, w) - winnowing fingerprints (char g-grams, window w)",
+      arity("graft_winnow", 3, es => WinnowExpr(es(0),
+        litInt("graft_winnow", "g", es(1)), litInt("graft_winnow", "w", es(2))))),
+    ("graft_chunks", "graft_chunks(tokens, size, step) - overlapping token-window chunk strings",
+      arity("graft_chunks", 3, es => ChunksExpr(es(0),
+        litInt("graft_chunks", "size", es(1)), litInt("graft_chunks", "step", es(2))))),
+    ("graft_gram_stats", "graft_gram_stats(tokens, n) - struct(total, uniq) n-gram repetition stats",
+      arity("graft_gram_stats", 2, es => GramStatsExpr(es(0), litInt("graft_gram_stats", "n", es(1))))),
+    ("graft_byte_sum", "graft_byte_sum(bin) - unsigned byte sum of a binary column",
+      arity("graft_byte_sum", 1, es => ByteSumExpr(es(0)))),
+    ("graft_ahash_bands", "graft_ahash_bands(bin) - 64-block/4-band average-hash signature of a binary column",
+      arity("graft_ahash_bands", 1, es => AHashBandsExpr(es(0), 64, 4))),
+    ("graft_min_gram", "graft_min_gram(text, g) - min 60-bit hash over char g-grams",
+      arity("graft_min_gram", 2, es => MinGramExpr(es(0), litInt("graft_min_gram", "g", es(1))))))
+
+  /** Literal-int argument gate: structural parameters (shingle size,
+    * window, chunk step) must be foldable ints — a clean error beats a
+    * ClassCastException from inside the expression. */
+  private def litInt(fn: String, arg: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+        org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be an integer literal, got $other")
+  }
 
   /** Register on an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

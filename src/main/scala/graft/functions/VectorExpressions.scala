@@ -596,6 +596,73 @@ case class ByteSumExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Fused average-hash band signature over a binary column: `blocks`
+  * contiguous byte-block sums in ONE pass, then per-band bit codes
+  * (bit j of band k set iff block (k·perBand+j)'s mean byte exceeds the
+  * whole-input mean: `blockSum·len > total·blockLen` in exact integers).
+  * Replaces the 64-substring/64-byteSum composed Column tree, whose
+  * ~2000-node projection was the measured hotspot of `mm_phash_dedup`
+  * (the composed twin is kept as `Multimodal.aHashBandsComposed` with a
+  * bit-equality spec). Block boundaries are `len·b/blocks` in exact
+  * integer arithmetic — identical to the oracle's `//`. */
+case class AHashBandsExpr(child: Expression, blocks: Int, bands: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"ahash_bands needs binary, got ${dt.catalogString}")
+  }
+
+  override def prettyName: String = "graft_ahash_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AHashUtil.bands(input.asInstanceOf[Array[Byte]], blocks, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.AHashUtil.bands($a, $blocks, $bands);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AHashUtil {
+  /** One pass: block sums → total → band bit codes. */
+  def bands(bytes: Array[Byte], blocks: Int, bands: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val len = bytes.length.toLong
+    val bs = new Array[Long](blocks)
+    var total = 0L
+    var b = 0
+    while (b < blocks) {
+      val s = (len * b / blocks).toInt
+      val e = (len * (b + 1) / blocks).toInt
+      var i = s; var sum = 0L
+      while (i < e) { sum += bytes(i) & 0xffL; i += 1 }
+      bs(b) = sum; total += sum; b += 1
+    }
+    val perBand = blocks / bands
+    val out = new Array[Any](bands)
+    var k = 0
+    while (k < bands) {
+      var bits = 0L; var j = 0
+      while (j < perBand) {
+        val bb = k * perBand + j
+        val blen = len * (bb + 1) / blocks - len * bb / blocks
+        if (bs(bb) * len > total * blen) bits |= 1L << j
+        j += 1
+      }
+      out(k) = bits; k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Fused int8 scalar quantization: struct(mn, mx, codes, code_sum) in
   * one pass. The HOF composition (`sqRange` + `sqQuantize`) references
   * `array_min(d)`/`array_max(d)` INSIDE the per-element transform lambda,

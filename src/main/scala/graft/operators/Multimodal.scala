@@ -99,7 +99,17 @@ object Multimodal {
     * codec the input would be decoded grayscale pixels; the byte-level
     * stand-in exercises the identical plan shape (one narrow fused-kernel
     * pass, no shuffle). */
-  def aHashBands(bin: Column, blocks: Int = 64, bands: Int = 4): Column = {
+  def aHashBands(bin: Column, blocks: Int = 64, bands: Int = 4): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.AHashBandsExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(bin), blocks, bands))
+
+  /** Composed-Column twin of [[aHashBands]] (64 substring/byteSum nodes —
+    * the independent reference implementation; OperatorSpec asserts
+    * bit-equality with the fused kernel, which replaced it after the
+    * ~2000-node projection measured as the mm_phash_dedup hotspot). */
+  def aHashBandsComposed(bin: Column, blocks: Int = 64,
+                         bands: Int = 4): Column = {
     import org.apache.spark.sql.GraftSqlBridge.{column => C, expression => E}
     import org.apache.spark.sql.catalyst.expressions.Substring
     val len = length(bin).cast("long")

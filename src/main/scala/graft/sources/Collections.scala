@@ -422,6 +422,42 @@ object Collections {
         else spark.read.parquet(use: _*)
     }
 
+  /** An immutable published view of a collection: the manifest generation
+    * plus its bucket→directory map. Incremental consumers hold one of
+    * these as their cursor. */
+  final case class ManifestView(gen: Int, buckets: Map[Int, String])
+
+  /** The currently-published view (legacy layouts surface as gen 0). */
+  def manifestView(dir: String): ManifestView = {
+    val (gen, m) = currentState(dir)
+    ManifestView(gen, m)
+  }
+
+  /** CHANGE FEED — the incremental-consumer API the manifest layout
+    * exists for: given the view a consumer last processed, return the
+    * current view, a DataFrame of every bucket whose mapped directory
+    * CHANGED since (newly created or rewritten — generation directories
+    * are immutable, so an unchanged path ⇒ byte-identical data, no
+    * timestamps or checksums needed), and the ids of buckets dropped
+    * entirely. Cost is O(changed buckets) — a downstream index/reindex
+    * job re-reads only what a write touched, never the collection. The
+    * consumer's next cursor is the returned view; polling between writes
+    * returns an empty frame (same path map ⇒ nothing to read). */
+  def changedSince(spark: SparkSession, dir: String, prev: ManifestView)
+      : (ManifestView, DataFrame, Set[Int]) = {
+    val cur = manifestView(dir)
+    val changed = cur.buckets.collect {
+      case (b, rel) if !prev.buckets.get(b).contains(rel) =>
+        s"$dir/data/$rel"
+    }.toSeq.sorted
+    val dropped = prev.buckets.keySet -- cur.buckets.keySet
+    val df =
+      if (changed.isEmpty)
+        read(spark, dir).limit(0) // empty frame with the live schema
+      else spark.read.parquet(changed: _*)
+    (cur, df, dropped)
+  }
+
   /** Collection info (the Qdrant collection-info shape): declared config
     * plus live point count. */
   final case class CollectionInfo(config: VectorConfig, numPoints: Long)

@@ -101,6 +101,39 @@ object Stream {
       .withWatermark(tsCol, "1 hour")
       .dropDuplicatesWithinWatermark("id")
 
+  /** STREAM-STREAM interval join (view→click attribution): each 'view'
+    * event pairs with the same user's 'click' events that land strictly
+    * after it and within `lagMax`. Written against the unified
+    * DataFrame API so the SAME function serves both engines: on batch
+    * inputs the watermarks are no-ops and this is an ordinary
+    * equi+range join (the declared `q_stream_join` twin, oracle-gated);
+    * on streaming inputs Spark runs its watermarked interval join —
+    * state on each side is bounded by watermark delay + lag bound, and
+    * rows age out as the watermark passes (the published stream-join
+    * state-cleanup contract). The time bound is the join's state TTL:
+    * an unbounded-lag stream join would buffer forever.
+    *
+    * Scale: the join shuffles both sides by user_id once; state per key
+    * is the in-horizon event window only. Lag is emitted in exact µs. */
+  def attributionJoin(events: DataFrame,
+                      lagMax: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("__cu"), col("event_id").as("click_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    views.join(clicks,
+        col("user_id") === col("__cu") &&
+          col("click_ts") > col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $lagMax"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("lag_us"))
+  }
+
   /** One closed session: [start, end] event-time span + aggregates. */
   final case class Session(userId: Long, startUs: Long, endUs: Long,
                            nEvents: Long, sumValue: Double)

@@ -430,4 +430,46 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     // every stored vector satisfies the declared dim
     assert(now.filter(size(col("embedding")) =!= 64).count() == 0)
   }
+
+  test("change feed: consumers re-read only buckets a write touched; " +
+       "idle polls are empty; full-bucket deletes are reported") {
+    val dir = Files.createTempDirectory("graft-coll").toString + "/c9"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(200)
+    sink.write(emb.withColumn("seq", lit(0)))
+
+    // first sync: everything is new relative to the empty cursor
+    val v0 = Collections.ManifestView(0, Map.empty)
+    val (v1, all, d1) = Collections.changedSince(spark, dir, v0)
+    assert(all.count() == 200 && d1.isEmpty)
+
+    // idle poll: same view → nothing to read
+    val (v1b, none, d2) = Collections.changedSince(spark, dir, v1)
+    assert(v1b == v1 && none.count() == 0 && d2.isEmpty)
+
+    // a one-id write: the feed carries exactly that bucket's rows
+    val one = emb.filter(col("vec_id") === 7)
+      .withColumn("label", col("label") + 100).withColumn("seq", lit(1))
+    sink.write(one)
+    val touched = one
+      .select(pmod(hash(col("vec_id")), lit(Collections.numBuckets(dir))))
+      .head().getInt(0)
+    val (v2, delta, d3) = Collections.changedSince(spark, dir, v1)
+    assert(d3.isEmpty)
+    val expected = Collections.read(spark, dir)
+      .filter(pmod(hash(col("vec_id")),
+        lit(Collections.numBuckets(dir))) === touched)
+    assert(delta.count() == expected.count())
+    assert(delta.filter(col("vec_id") === 7).head()
+      .getAs[Int]("label") >= 100)
+
+    // deleting every row of the touched bucket drops it from the manifest
+    Collections.deleteWhere(spark, dir,
+      pmod(hash(col("vec_id")), lit(Collections.numBuckets(dir)))
+        === touched, "vec_id")
+    val (_, after, d4) = Collections.changedSince(spark, dir, v2)
+    assert(d4 == Set(touched), s"expected dropped bucket $touched, got $d4")
+    assert(after.count() == 0)
+  }
 }

@@ -123,4 +123,31 @@ class E2ESpec extends AnyFunSuite with SparkSpec {
            bad.getMessage.contains("DATATYPE_MISMATCH"),
       s"not an analysis-time type error: ${bad.getMessage}")
   }
+
+  test("SQL registry: text/media kernels callable from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    val sh = spark.sql(
+      "SELECT graft_shingles(array('a','b','c','d'), 3)").head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val ch = spark.sql(
+      "SELECT graft_chunks(array('a','b','c'), 2, 2)").head().getSeq[String](0)
+    assert(ch == Seq("a b", "c"))
+    val gs = spark.sql(
+      "SELECT graft_gram_stats(array('x','x','x','x'), 3)").head().getStruct(0)
+    assert(gs.getLong(0) == 2 && gs.getLong(1) == 1) // 2 trigrams, 1 distinct
+    assert(spark.sql("SELECT graft_byte_sum(CAST('ab' AS BINARY))")
+      .head().getLong(0) == 97L + 98L)
+    assert(spark.sql("SELECT graft_ahash_bands(CAST('abcd' AS BINARY))")
+      .head().getSeq[Long](0).length == 4)
+    assert(spark.sql("SELECT size(graft_winnow('abcdefghij', 5, 4))")
+      .head().getInt(0) > 0)
+    assert(spark.sql("SELECT graft_min_gram('abcdefghij', 5)")
+      .head().getLong(0) >= 0L)
+    // structural params must be literals — clean error otherwise
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(array('a'), CAST(NULL AS INT))")
+    }
+    assert(e.getMessage.contains("integer literal"),
+      s"unexpected: ${e.getMessage}")
+  }
 }

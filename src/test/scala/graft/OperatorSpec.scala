@@ -710,6 +710,22 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       }
   }
 
+  test("aHashBands: fused kernel is bit-equal to the composed twin") {
+    val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .limit(100)
+    val both = d.select(
+      Multimodal.aHashBands(col("text").cast("binary")).as("fused"),
+      Multimodal.aHashBandsComposed(col("text").cast("binary")).as("twin"))
+    assert(both.filter(col("fused") =!= col("twin")).count() == 0)
+    // and on the empty input both give all-zero bands
+    val empty = both.sparkSession.range(1)
+      .select(Multimodal.aHashBands(lit("").cast("binary")).as("fused"),
+        Multimodal.aHashBandsComposed(lit("").cast("binary")).as("twin"))
+      .head()
+    assert(empty.getSeq[Long](0) == Seq(0L, 0L, 0L, 0L))
+    assert(empty.getSeq[Long](0) == empty.getSeq[Long](1))
+  }
+
   test("bloom: zero false negatives; bitmap bits equal the driver model") {
     import graft.operators.Bloom
     val (k, m) = (4, 4096)

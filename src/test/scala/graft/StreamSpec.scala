@@ -336,4 +336,29 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
         s"re-admitted, not flagged: $streamed")
     assert(!streamed.contains(50L), s"distinct content must not hit: $streamed")
   }
+
+  test("stream-stream interval join (attribution) emits exactly the " +
+       "batch twin's pairs") {
+    val dir = Files.createTempDirectory("graft-ssjoin")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    Tables.load(spark, sf, "events") // sets the nanosAsLong read conf
+    val schema = spark.read.parquet(dir.toString).schema
+
+    val live = Stream.attributionJoin(
+      spark.readStream.schema(schema).parquet(dir.toString))
+    assert(live.isStreaming)
+    val q = live.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ssjoin")
+      .select("user_id", "view_id", "click_id", "lag_us")
+      .collect().map(_.toSeq).toSet
+
+    val batch = Stream.attributionJoin(spark.read.parquet(dir.toString))
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "fixture produced no view→click pairs")
+    assert(streamed == batch,
+      s"streamed ${streamed.size} pairs != batch ${batch.size}")
+  }
 }
