@@ -639,8 +639,62 @@ object TextQueries {
              COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS tokens
       FROM c GROUP BY shard, bin ORDER BY shard, bin"""))
 
+  /** PII SCRUBBING accounting — the redaction pass a training corpus gets
+    * before release: detect emails and phone-shaped strings, count them,
+    * and pin the redacted text by md5. The fixture corpus is synthetic
+    * prose, so PII is PLANTED (docs with id % 50 == 0 get an email +
+    * phone tail, id+500000) — the oracle replants identically and replays
+    * both the counts and the redaction. Patterns use only
+    * dialect-portable regex (char classes + bounded quantifiers — no
+    * backslash classes, which differ between Java regex and RE2).
+    * A narrow per-row map: no shuffle before the final hits-only sort. */
+  val txtPii = Q("txt_pii",
+    (s, dir) => {
+      val emailPat = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+      val phonePat = "[0-9]{3}-[0-9]{4}"
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.unionAll(
+        docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat(col("text"),
+              concat(lit(" contact agent"), col("doc_id") % 1000,
+                lit("@example.com or call 555-0199 now"))).as("text")))
+      planted
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(emailPat), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(phonePat), lit(0)))
+            .cast("long").as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("text"), emailPat, "[EMAIL]"),
+            phonePat, "[PHONE]")).as("redacted_md5"))
+        .filter(col("n_emails") + col("n_phones") > 0)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH planted AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 500000,
+               text || ' contact agent' || (doc_id + 500000) % 1000
+                    || '@example.com or call 555-0199 now'
+        FROM documents WHERE doc_id % 50 = 0),
+      scrubbed AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[a-z0-9]+@[a-z0-9]+[.][a-z]+')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                 '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(
+                 regexp_replace(text, '[a-z0-9]+@[a-z0-9]+[.][a-z]+',
+                   '[EMAIL]', 'g'),
+                 '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
+        FROM planted)
+      SELECT * FROM scrubbed WHERE n_emails + n_phones > 0
+      ORDER BY doc_id"""))
+
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats,
     pipeSample, pipeSplit, txtWinnow, pipeCurate, sketchDistinct,
-    txtDecontam, pipePack)
+    txtDecontam, pipePack, txtPii)
 }

@@ -327,6 +327,25 @@ object Collections {
     publishGeneration(dir, gen, view, touched, compacted)
   }
 
+  /** COMPACTION — the lakehouse OPTIMIZE maintenance verb: rewrite every
+    * live bucket into ONE fresh generation and publish it atomically.
+    * Incremental upserts accrete generation directories (the small-file
+    * problem at scale: a reader's file listing grows with write count,
+    * not data size); compact folds the live view back to one file set
+    * per bucket. A pure rewrite — row-identical by construction
+    * (CollectionsSpec asserts read-back equality) — and superseded
+    * generations get the usual one-write GC grace, so a concurrent
+    * reader finishes against the old view. */
+  def compact(spark: SparkSession, dir: String, idCol: String): Unit = {
+    recoverForWrite(dir)
+    val buckets = numBuckets(dir)
+    val (gen, view) = currentState(dir)
+    if (view.isEmpty) return
+    val rows = read(spark, dir)
+      .withColumn(BucketCol, bucketOf(idCol, buckets))
+    publishGeneration(dir, gen, view, view.keySet, rows)
+  }
+
   /** Shared machinery of the filter-scoped mutation verbs: locate the
     * buckets holding matches (one pushdown-friendly scan), rewrite ONLY
     * those buckets through `xform`, commit via the manifest. Returns the

@@ -431,6 +431,38 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     assert(now.filter(size(col("embedding")) =!= 64).count() == 0)
   }
 
+  test("compact folds many generations into one; data byte-identical; " +
+       "feed reports every bucket moved") {
+    val dir = Files.createTempDirectory("graft-coll").toString + "/c10"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(120)
+    sink.write(emb.withColumn("seq", lit(0)))
+    // two incremental writes → at least three generation directories
+    sink.write(emb.filter(col("vec_id") === 3).withColumn("seq", lit(1)))
+    sink.write(emb.filter(col("vec_id") === 5).withColumn("seq", lit(2)))
+    def gens(): Set[String] = {
+      val m = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/_manifest.json")), "UTF-8")
+      """g\d+""".r.findAllIn(m).toSet
+    }
+    assert(gens().size >= 2, s"expected a multi-generation view: ${gens()}")
+    val before = Collections.read(spark, dir)
+      .orderBy("vec_id").collect().toSeq
+    val vPre = Collections.manifestView(dir)
+
+    Collections.compact(spark, dir, "vec_id")
+
+    assert(gens().size == 1, s"compact must fold to one generation: ${gens()}")
+    val after = Collections.read(spark, dir)
+      .orderBy("vec_id").collect().toSeq
+    assert(after == before, "compact changed the data")
+    // every live bucket moved → the change feed reports all of them
+    val (_, delta, dropped) = Collections.changedSince(spark, dir, vPre)
+    assert(dropped.isEmpty)
+    assert(delta.count() == before.size)
+  }
+
   test("change feed: consumers re-read only buckets a write touched; " +
        "idle polls are empty; full-bucket deletes are reported") {
     val dir = Files.createTempDirectory("graft-coll").toString + "/c9"
