@@ -343,6 +343,11 @@ object Collections {
     if (view.isEmpty) return
     val rows = read(spark, dir)
       .withColumn(BucketCol, bucketOf(idCol, buckets))
+      // co-locate each bucket before the partitioned write: without this
+      // every input split writes its own file per bucket it happens to
+      // hold — (splits × buckets) small files, the opposite of
+      // compaction. One exchange on the bucket key → one file per bucket.
+      .repartition(col(BucketCol))
     publishGeneration(dir, gen, view, view.keySet, rows)
   }
 

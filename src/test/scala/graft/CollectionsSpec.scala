@@ -457,6 +457,12 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     val after = Collections.read(spark, dir)
       .orderBy("vec_id").collect().toSeq
     assert(after == before, "compact changed the data")
+    // the point of compaction: ONE data file per live bucket
+    Collections.manifestView(dir).buckets.values.foreach { rel =>
+      val n = Files.list(java.nio.file.Paths.get(s"$dir/data/$rel"))
+        .filter(_.toString.endsWith(".parquet")).count()
+      assert(n == 1, s"bucket $rel has $n files after compact")
+    }
     // every live bucket moved → the change feed reports all of them
     val (_, delta, dropped) = Collections.changedSince(spark, dir, vPre)
     assert(dropped.isEmpty)
