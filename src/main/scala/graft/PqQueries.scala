@@ -172,5 +172,105 @@ object PqQueries {
       FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
       ORDER BY score_micro DESC, e.vec_id LIMIT 10"""))
 
-  def queries: Seq[Q] = Seq(vPqCodebooks, vPqSearch)
+  /** IVF-PQ — the composed production ANN shape (the published FAISS
+    * IVFADC construction, re-expressed Spark-first): the trained-k-means
+    * IVF probe PRUNES the collection to nprobe cells, the integer ADC
+    * pass scores ONLY the pruned cells against the query's m×k lookup
+    * table, and an exact-cosine rescore fixes the top-10. All three
+    * stages are individually oracle-gated elsewhere (`ann_kmeans`,
+    * `ann_ivf`, `v_pq_search`); this query gates their COMPOSITION — the
+    * oracle replays coarse training, cell assignment, probe selection,
+    * per-subspace codebook training, encoding, ADC, and the rescore in
+    * one CTE chain. Scale: stage cost is (nprobe/k)·collection narrow
+    * integer work + 20 full-vector reads; with the materialized index
+    * (`ann_ivf_indexed`) the probe is partition pruning and the ADC pass
+    * reads codes at ~1/64th the bytes. */
+  val annIvfPq = Q("ann_ivfpq",
+    (s, dir) => {
+      import graft.operators.Ann
+      val emb = Tables.load(s, dir, "embeddings")
+      val cbs = codebooks(s, dir)
+      val centroids = AnnQueries.trainedCentroids(s, dir, 8, 2)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val qm = q.map(Pq.microQ).toArray
+      val lut: Array[Array[Long]] = cbs.zipWithIndex.map { case (cb, sub) =>
+        cb.map { case (_, cm) =>
+          Pq.distInt(qm.slice(sub * SubDim, (sub + 1) * SubDim), cm)
+        }
+      }
+      val assigned = emb.join(
+        Ann.argminAssign(emb, "vec_id", "embedding", centroids, "cid", "cv"),
+        "vec_id")
+      val probed = Ann.probeClusters(centroids, "cid", "cv", q, 2)
+      val cand = assigned.join(broadcast(probed), "cluster")
+      val vm = Pq.vmicro(col("embedding"))
+      val codeCols = (0 until M).map(sub =>
+        Pq.codeCol(vm, cbs(sub), sub, SubDim))
+      cand
+        .withColumn("adc", Pq.adcCol(codeCols, lut))
+        .orderBy(col("adc"), col("vec_id")).limit(20)
+        .withColumn("score_micro",
+          floor(VectorOps.cosine(col("embedding"), typedLit(q)) * 1e6
+            + lit(0.5)).cast("long"))
+        .orderBy(desc("score_micro"), col("vec_id")).limit(10)
+        .select("vec_id", "cluster", "adc", "score_micro")
+    },
+    Some(s"""
+      WITH ${AnnQueries.kmeansSql(8, 2)},
+      $allCbSql,
+      q0 AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id = 0),
+      assign AS (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        FROM e CROSS JOIN c2 c),
+      amin AS (SELECT vec_id, cid AS cluster FROM assign WHERE rn = 1),
+      probes AS (
+        SELECT cid FROM c2 CROSS JOIN q0
+        ORDER BY list_distance(cv, qv), cid LIMIT 2),
+      em AS (
+        SELECT e.vec_id, a.cluster,
+               list_transform(e.v,
+                 x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
+        FROM e JOIN amin a ON a.vec_id = e.vec_id
+        WHERE a.cluster IN (SELECT cid FROM probes)),
+      qmic AS (
+        SELECT list_transform((SELECT qv FROM q0),
+          x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qm),
+      qd AS (
+        SELECT cb.sub, cb.cid,
+               CAST(list_sum(list_transform(range($SubDim),
+                 i -> (q.qm[cb.sub*$SubDim + i + 1] - cb.cm[i + 1])
+                    * (q.qm[cb.sub*$SubDim + i + 1] - cb.cm[i + 1])))
+                 AS BIGINT) AS qdist
+        FROM cb CROSS JOIN qmic q),
+      codes AS (
+        SELECT vec_id, sub, cid FROM (
+          SELECT em.vec_id, cb.sub, cb.cid,
+                 ROW_NUMBER() OVER (PARTITION BY em.vec_id, cb.sub
+                   ORDER BY CAST(list_sum(list_transform(range($SubDim),
+                     i -> (em.vm[cb.sub*$SubDim + i + 1] - cb.cm[i + 1])
+                        * (em.vm[cb.sub*$SubDim + i + 1] - cb.cm[i + 1])))
+                     AS BIGINT), cb.cid) AS rn
+          FROM em CROSS JOIN cb) WHERE rn = 1),
+      adc AS (
+        SELECT c.vec_id, CAST(SUM(qd.qdist) AS BIGINT) AS adc
+        FROM codes c JOIN qd ON qd.sub = c.sub AND qd.cid = c.cid
+        GROUP BY c.vec_id),
+      cand AS (
+        SELECT a.vec_id, em.cluster, a.adc
+        FROM adc a JOIN em ON em.vec_id = a.vec_id
+        ORDER BY a.adc, a.vec_id LIMIT 20)
+      SELECT cand.vec_id, cand.cluster, cand.adc,
+             CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               (SELECT qv FROM q0)) * 1000000 + 0.5) AS BIGINT)
+               AS score_micro
+      FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+      ORDER BY score_micro DESC, cand.vec_id LIMIT 10"""))
+
+  def queries: Seq[Q] = Seq(vPqCodebooks, vPqSearch, annIvfPq)
 }

@@ -710,6 +710,25 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       }
   }
 
+  test("IVF-PQ: results drawn only from the nprobe probed cells; " +
+       "candidate set recalls part of the exact top-10") {
+    val out = Queries.queries("ann_ivfpq")(spark, sf).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(1)).toSet.size <= 2, "more cells than nprobe=2")
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val exact = emb
+      .select(col("vec_id"),
+        graft.functions.VectorOps.cosine(col("embedding"),
+          typedLit(q)).as("s"))
+      .orderBy(desc("s"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val got = out.map(_.getLong(0)).toSet
+    assert((got & exact).size >= 3,
+      s"IVF-PQ recall collapsed: ${(got & exact).size}/10")
+  }
+
   test("aHashBands: fused kernel is bit-equal to the composed twin") {
     val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
       .limit(100)
