@@ -243,6 +243,65 @@ object AnnQueries {
       SELECT ${bucketSql("embedding")} AS bucket, COUNT(*) AS n
       FROM embeddings GROUP BY 1 ORDER BY bucket"""))
 
+  /** HARD-NEGATIVE MINING — the contrastive-training data op (pick, per
+    * anchor, the most-similar examples that are NOT semantically the
+    * anchor's neighborhood): anchors = every 100th vector; negatives
+    * ranked by exact cosine but restricted to vectors assigned to a
+    * DIFFERENT trained-k-means cluster (the cluster gate is what makes
+    * them semi-hard — similar, yet provably outside the anchor's cell).
+    * Composition gate: training → assignment → cross-cluster scoring →
+    * per-anchor top-5, all in one oracle chain. Scale: anchors broadcast
+    * (the knnMulti shape), scoring is one narrow pass, and the per-anchor
+    * top-5 uses the bounded-heap aggregate — |partitions|·|anchors|·5
+    * rows cross the shuffle, never the scored pairs. */
+  val pipeHardNegatives = Q("pipe_hard_negatives",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val assigned = emb.join(
+        Ann.argminAssign(emb, "vec_id", "embedding",
+          trainedCentroids(s, dir, 8, 2), "cid", "cv"), "vec_id")
+      val anchors = assigned.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("anchor"), col("embedding").as("__av"),
+          col("cluster").as("__acl"))
+      assigned.crossJoin(broadcast(anchors))
+        .filter(col("cluster") =!= col("__acl"))
+        .withColumn("__sm",
+          floor(VectorOps.cosine(col("embedding"), col("__av")) * 1e6
+            + lit(0.5)).cast("double"))
+        .groupBy("anchor")
+        .agg(graft.plans.TopKByScore.topK(col("__sm"), col("vec_id"), 5)
+          .as("__tk"))
+        .select(col("anchor"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+        .select(col("anchor"), col("__e.id").as("vec_id"),
+          col("__e.score").cast("long").as("score_micro"),
+          (col("__pos") + 1).cast("long").as("rnk"))
+        .orderBy("anchor", "rnk")
+    },
+    Some(s"""
+      WITH ${kmeansSql(8, 2)},
+      assign AS (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        FROM e CROSS JOIN c2 c),
+      amin AS (SELECT vec_id, cid AS cluster FROM assign WHERE rn = 1),
+      d AS (SELECT e.vec_id, e.v, a.cluster
+            FROM e JOIN amin a ON a.vec_id = e.vec_id),
+      anch AS (SELECT vec_id AS anchor, v AS av, cluster AS acl
+               FROM d WHERE vec_id % 100 = 0),
+      scored AS (
+        SELECT an.anchor, d.vec_id,
+               CAST(floor(list_cosine_similarity(d.v, an.av) * 1000000 + 0.5)
+                 AS BIGINT) AS score_micro
+        FROM d CROSS JOIN anch an
+        WHERE d.cluster <> an.acl),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+                    ORDER BY score_micro DESC, vec_id) AS rnk
+        FROM scored)
+      SELECT anchor, vec_id, score_micro, CAST(rnk AS BIGINT) AS rnk
+      FROM r WHERE rnk <= 5 ORDER BY anchor, rnk"""))
+
   def queries: Seq[Q] = Seq(annKmeans, annIvf, annIvfIndexed, annLsh,
-    annLshStats)
+    annLshStats, pipeHardNegatives)
 }

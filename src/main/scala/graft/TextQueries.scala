@@ -693,8 +693,43 @@ object TextQueries {
       SELECT * FROM scrubbed WHERE n_emails + n_phones > 0
       ORDER BY doc_id"""))
 
+  /** BPE pair counting — the inner statistic of tokenizer training (the
+    * published byte-pair-encoding merge step: count adjacent symbol
+    * pairs weighted by word frequency, merge the argmax; this query is
+    * one exact counting pass = one merge decision). Scale shape is the
+    * REAL way to run BPE on a corpus: fold the corpus to its
+    * distinct-word frequency table first (Zipf: ≪ corpus, one map-side-
+    * combined shuffle), then explode character pairs over DISTINCT words
+    * only, weighting by freq — pair counting never touches corpus-sized
+    * data again. Top-20 by (count desc, pair) = the next merge. */
+  val txtBpePairs = Q("txt_bpe_pairs",
+    (s, dir) => {
+      val words = Tables.load(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      words.filter(length(col("w")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(0), length(col("w")) - 2),
+          i => col("w").substr(i + 1, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(desc("n"), col("pair")).limit(20)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          t -> t <> '')) AS w
+        FROM documents),
+      wf AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w),
+      p AS (
+        SELECT freq,
+               unnest(list_transform(range(length(w) - 1),
+                 i -> substr(w, CAST(i + 1 AS INT), 2))) AS pair
+        FROM wf WHERE length(w) >= 2)
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+      FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""))
+
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats,
     pipeSample, pipeSplit, txtWinnow, pipeCurate, sketchDistinct,
-    txtDecontam, pipePack, txtPii)
+    txtDecontam, pipePack, txtPii, txtBpePairs)
 }
