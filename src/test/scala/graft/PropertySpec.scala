@@ -109,4 +109,45 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(once.agg(sum("seq")).head().getLong(0) ==
       (41L to 50L).sum)
   }
+
+  test("z-value: de-interleaving even/odd bits reconstructs both inputs " +
+       "(generated 16-bit pairs); ordering groups shared prefixes") {
+    val pairs = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)))
+      .sample.get
+    val df = pairs.toDF("a", "b")
+      .withColumn("z", graft.operators.Layout.zValue(col("a"), col("b"), 16))
+    df.collect().foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val backA = (0 until 16).map(j => ((z >> (2 * j)) & 1L) << j).sum
+      val backB = (0 until 16).map(j => ((z >> (2 * j + 1)) & 1L) << j).sum
+      assert(backA == a && backB == b, s"z-value not invertible: ($a,$b,$z)")
+    }
+    // same-bucket pairs (z >> 23 equal) agree on the high bits of BOTH dims
+    df.collect().groupBy(r => r.getLong(2) >> 23).values.foreach { g =>
+      assert(g.map(_.getLong(0) >> 12).distinct.length == 1)
+      assert(g.map(_.getLong(1) >> 11).distinct.length == 1)
+    }
+  }
+
+  test("bloom positions: in-range, deterministic, and the probe accepts " +
+       "exactly the built set plus a bounded false-positive tail") {
+    import graft.operators.Bloom
+    val (k, m) = (4, 2048)
+    val keys = Gen.listOfN(150, Gen.chooseNum(0L, (1L << 32) - 1))
+      .sample.get.distinct
+    val df = keys.toDF("h")
+    val bitmap = Bloom.build(df, col("h"), k, m)
+    // members all probe true
+    assert(df.filter(!Bloom.mightContain(bitmap, col("h"), k, m))
+      .count() == 0)
+    // non-members: false positives exist but stay well under 100%
+    val others = (0 until 2000).map(i => 4294967296L + i).toDF("h")
+    val fp = others.filter(Bloom.mightContain(bitmap, col("h"), k, m))
+      .count()
+    val fill = bitmap.map(java.lang.Long.bitCount).sum.toDouble / m
+    val bound = math.pow(fill, k) * 3 + 0.01 // generous slack over fill^k
+    assert(fp.toDouble / 2000 <= bound,
+      s"fp rate ${fp / 2000.0} above bound $bound (fill $fill)")
+  }
 }
