@@ -43,7 +43,10 @@ object Bloom {
     * into an Array[Long] bitmap. */
   def build(corpus: DataFrame, h: Column, k: Int, m: Int): Array[Long] = {
     val words = new Array[Long]((m + 63) / 64)
+    // a null hash (e.g. md5 of a null column) contributes no positions —
+    // the probe side treats null as not-contained, so the two agree
     corpus.select(explode(array(positions(h, k, m): _*)).as("p"))
+      .filter(col("p").isNotNull)
       .distinct()
       .collect()
       .foreach { r =>
