@@ -101,6 +101,30 @@ object Stream {
       .withWatermark(tsCol, "1 hour")
       .dropDuplicatesWithinWatermark("id")
 
+  /** STREAM-STATIC search — the online-serving form of V2 kNN (the
+    * reference's "query the DB" flow with queries arriving as a stream):
+    * each micro-batch of query vectors is answered against the STATIC
+    * collection with the same multi-query top-k operator the batch
+    * engine declares (`Knn.knnMulti` — collection scanned once per
+    * batch, queries broadcast, bounded top-k). Per-batch exact top-k via
+    * `foreachBatch` is the standard serving pattern (rank windows are
+    * unsupported on streams); results for a query are complete the
+    * moment its batch commits, and StreamSpec asserts the streamed
+    * answers equal the batch operator's exactly. At scale the static
+    * side would be the materialized IVF index — swap `coll` for the
+    * index read and probes prune partitions identically. */
+  def searchSink(queries: DataFrame, coll: DataFrame, vecCol: String,
+                 qIdCol: String, qVecCol: String, k: Int,
+                 checkpoint: String)(onResult: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          onResult(graft.operators.Knn.knnMulti(
+            coll, batch, vecCol, qIdCol, qVecCol, k))
+      }
+
   /** STREAM-STREAM interval join (view→click attribution): each 'view'
     * event pairs with the same user's 'click' events that land strictly
     * after it and within `lagMax`. Written against the unified

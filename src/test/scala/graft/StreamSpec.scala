@@ -337,6 +337,43 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(!streamed.contains(50L), s"distinct content must not hit: $streamed")
   }
 
+  test("stream-static search: streamed query batches get the batch " +
+       "operator's exact answers") {
+    val tmp = Files.createTempDirectory("graft-sss")
+    val in = tmp.resolve("queries"); Files.createDirectories(in)
+    val emb = Tables.load(spark, sf, "embeddings")
+    // two query files → two micro-batches
+    emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .coalesce(1).write.parquet(in.resolve("a").toString)
+    emb.filter(col("vec_id") >= 3 && col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .coalesce(1).write.parquet(in.resolve("b").toString)
+    val schema = spark.read.parquet(in.resolve("a").toString).schema
+
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int)]
+    val sink = Stream.searchSink(
+      spark.readStream.schema(schema)
+        .parquet(in.toString + "/*"),
+      emb, "embedding", "qid", "qv", k = 3,
+      tmp.resolve("ckpt").toString) { res =>
+      results ++= res.select("query_id", "vec_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    }
+    Stream.runAvailableNow(sink)
+
+    val batch = graft.operators.Knn.knnMulti(emb,
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "embedding", "qid", "qv", 3)
+      .select("query_id", "vec_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(results.toSet == batch,
+      s"streamed ${results.size} answers != batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("stream-stream interval join (attribution) emits exactly the " +
        "batch twin's pairs") {
     val dir = Files.createTempDirectory("graft-ssjoin")
