@@ -445,9 +445,15 @@ object Relational {
   val qZorder = Q("q_zorder",
     (s, dir) => {
       import graft.operators.Layout
+      // stats are over the MASKED 16-bit keys the z-value interleaves —
+      // wider keys alias into the same low-16 cell (the real fix at
+      // larger key domains is raising `bits`), and masking keeps the
+      // per-bucket bound guarantee true at every scale rather than only
+      // while keys happen to fit 16 bits
       Tables.load(s, dir, "lineitem")
-        .select(col("l_partkey").cast("long").as("pk"),
-          col("l_suppkey").cast("long").as("sk"))
+        .select(col("l_partkey").cast("long").bitwiseAND(lit(65535L))
+            .as("pk"),
+          col("l_suppkey").cast("long").bitwiseAND(lit(65535L)).as("sk"))
         .withColumn("zbucket",
           shiftright(Layout.zValue(col("pk"), col("sk"), 16), 23))
         .groupBy("zbucket")
@@ -458,8 +464,8 @@ object Relational {
     },
     Some(s"""
       WITH b AS (
-        SELECT CAST(l_partkey AS BIGINT) AS pk,
-               CAST(l_suppkey AS BIGINT) AS sk
+        SELECT CAST(l_partkey AS BIGINT) & 65535 AS pk,
+               CAST(l_suppkey AS BIGINT) & 65535 AS sk
         FROM lineitem),
       z AS (
         SELECT pk, sk, ${graft.operators.Layout.zValueSql("pk", "sk", 16)}

@@ -298,6 +298,10 @@ object MinHashUtil {
 case class TokensMinHashExpr(child: Expression, shingleN: Int, numHashes: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
+  require(shingleN > 0 && numHashes > 0,
+    s"tokens_minhash needs shingleN > 0 and numHashes > 0, got ($shingleN, $numHashes)")
+
+
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -396,6 +400,10 @@ object SimHashUtil {
   * shuffle left in the near-dup pipeline is the band equi-join. */
 case class TokensSimHashExpr(child: Expression, bits: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(bits > 0 && bits <= 63,
+    s"tokens_simhash needs bits in [1, 63], got $bits")
+
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
@@ -534,6 +542,9 @@ object WinnowUtil {
 case class MinGramExpr(child: Expression, g: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
+  require(g > 0, s"min_gram needs g > 0, got $g")
+
+
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -607,6 +618,10 @@ case class ByteSumExpr(child: Expression)
   * integer arithmetic — identical to the oracle's `//`. */
 case class AHashBandsExpr(child: Expression, blocks: Int, bands: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(blocks > 0 && bands > 0 && blocks % bands == 0,
+    s"ahash_bands needs bands to divide blocks, got ($blocks, $bands)")
+
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
@@ -817,6 +832,9 @@ case class SqScoreExpr(child: Expression, query: Seq[Double])
 case class WinnowExpr(child: Expression, g: Int, w: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
+  require(g > 0 && w > 0, s"winnow needs g > 0 and w > 0, got ($g, $w)")
+
+
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
 
@@ -849,6 +867,9 @@ case class WinnowExpr(child: Expression, g: Int, w: Int)
   * oracle SQL comparing on shingle text is unaffected. */
 case class ShinglesExpr(child: Expression, shingleN: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(shingleN > 0, s"shingles needs n > 0, got $shingleN")
+
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
@@ -1012,6 +1033,9 @@ case class ChunksExpr(child: Expression, size: Int, step: Int)
   * bit-equality with it is spec-asserted. */
 case class GramStatsExpr(child: Expression, shingleN: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(shingleN > 0, s"gram_stats needs n > 0, got $shingleN")
+
 
   override def dataType: DataType = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}

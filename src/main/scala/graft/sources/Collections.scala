@@ -340,7 +340,12 @@ object Collections {
     recoverForWrite(dir)
     val buckets = numBuckets(dir)
     val (gen, view) = currentState(dir)
-    if (view.isEmpty) return
+    // pre-manifest collections may hold ONLY loose flat files (no
+    // bucket= dirs → empty view) — the small-file case compact exists
+    // for; read() includes them, and publishing migrates to the manifest
+    val loose = if (readManifest(dir).isDefined) Seq.empty
+                else looseFiles(Paths.get(s"$dir/data"))
+    if (view.isEmpty && loose.isEmpty) return
     val rows = read(spark, dir)
       .withColumn(BucketCol, bucketOf(idCol, buckets))
       // co-locate each bucket before the partitioned write: without this
@@ -476,9 +481,13 @@ object Collections {
     }.toSeq.sorted
     val dropped = prev.buckets.keySet -- cur.buckets.keySet
     val df =
-      if (changed.isEmpty)
+      if (changed.nonEmpty) spark.read.parquet(changed: _*)
+      else if (cur.buckets.nonEmpty)
         read(spark, dir).limit(0) // empty frame with the live schema
-      else spark.read.parquet(changed: _*)
+      else
+        // a fully-emptied collection has no live files to take a schema
+        // from — the poll still succeeds, with a zero-column empty frame
+        spark.emptyDataFrame
     (cur, df, dropped)
   }
 

@@ -509,5 +509,38 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     val (_, after, d4) = Collections.changedSince(spark, dir, v2)
     assert(d4 == Set(touched), s"expected dropped bucket $touched, got $d4")
     assert(after.count() == 0)
+
+    // delete EVERYTHING: the poll must still succeed (empty frame, all
+    // remaining buckets reported dropped), not crash on a schema-less dir
+    val vCur = Collections.manifestView(dir)
+    Collections.deleteWhere(spark, dir, lit(true), "vec_id")
+    val (vEmpty, none2, dAll) = Collections.changedSince(spark, dir, vCur)
+    assert(vEmpty.buckets.isEmpty && none2.count() == 0)
+    assert(dAll == vCur.buckets.keySet)
+    // idle poll of the emptied collection is also fine
+    val (_, none3, dNone) = Collections.changedSince(spark, dir, vEmpty)
+    assert(none3.count() == 0 && dNone.isEmpty)
+  }
+
+  test("compact migrates a loose-flat-file legacy collection into the " +
+       "manifest layout (the small-file case it exists for)") {
+    val dir = Files.createTempDirectory("graft-coll").toString + "/c11"
+    Collections.create(dir, VectorConfig(64))
+    val emb = Tables.load(spark, sf, "embeddings").limit(40)
+      .withColumn("seq", lit(0))
+    emb.write.parquet(s"$dir/data") // pre-bucket layout: loose part files
+    val before = Collections.read(spark, dir)
+      .orderBy("vec_id").collect().toSeq
+
+    Collections.compact(spark, dir, "vec_id")
+
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/_manifest.json")),
+      "compact must publish a manifest for a legacy collection")
+    val after = Collections.read(spark, dir)
+      .orderBy("vec_id").collect().toSeq
+    assert(after == before, "legacy rows lost or changed by compact")
+    Collections.manifestView(dir).buckets.values.foreach { rel =>
+      assert(rel.startsWith("g"), s"bucket not in a generation dir: $rel")
+    }
   }
 }

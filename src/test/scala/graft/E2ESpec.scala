@@ -149,5 +149,11 @@ class E2ESpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("integer literal"),
       s"unexpected: ${e.getMessage}")
+    // ... and in-range: a zero window is a clean construction-time error,
+    // not an executor ArrayIndexOutOfBounds
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_winnow('abcdef', 5, 0)")
+    }
+    assert(e2.getMessage.contains("w > 0"), s"unexpected: ${e2.getMessage}")
   }
 }
