@@ -302,6 +302,55 @@ object AnnQueries {
       SELECT anchor, vec_id, score_micro, CAST(rnk AS BIGINT) AS rnk
       FROM r WHERE rnk <= 5 ORDER BY anchor, rnk"""))
 
+  /** CLUSTER-BALANCED sampling — dataset balancing over the embedding
+    * space (the published cluster-then-cap recipe for diversity-preserving
+    * subsampling, e.g. the SemDeDup/SSL-curation family): assign every
+    * vector to a trained cluster, keep AT MOST `quota` per cluster chosen
+    * by seeded md5 order (deterministic, reshuffle-proof — the same
+    * pure-function-of-id contract as `pipe_sample`). Over-represented
+    * regions are capped, sparse regions survive whole. Output pins the
+    * per-cluster accounting AND the exact kept set (id sum). Scale: the
+    * per-cluster rank is a window partitioned by cluster — parallel
+    * across clusters, and k grows with the corpus exactly like the
+    * SemDeDup pair-search bound. */
+  val pipeBalance = Q("pipe_balance",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val quota = 20
+      val emb = Tables.load(s, dir, "embeddings")
+      val assigned = emb.join(
+        Ann.argminAssign(emb, "vec_id", "embedding",
+          trainedCentroids(s, dir, 8, 2), "cid", "cv"), "vec_id")
+      val ranked = assigned.withColumn("__r", row_number().over(
+        Window.partitionBy("cluster")
+          .orderBy(md5(concat(lit("bal|"), col("vec_id"))), col("vec_id"))))
+      ranked.groupBy("cluster")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("__r") <= quota, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("__r") <= quota, col("vec_id"))
+            .otherwise(0L)).as("kept_id_sum"))
+        .orderBy("cluster")
+    },
+    Some(s"""
+      WITH ${kmeansSql(8, 2)},
+      assign AS (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        FROM e CROSS JOIN c2 c),
+      amin AS (SELECT vec_id, cid AS cluster FROM assign WHERE rn = 1),
+      ranked AS (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                 ORDER BY md5('bal|' || vec_id), vec_id) AS r
+        FROM amin)
+      SELECT cluster, COUNT(*) AS n_total,
+             CAST(SUM(CASE WHEN r <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(SUM(CASE WHEN r <= 20 THEN vec_id ELSE 0 END) AS BIGINT)
+               AS kept_id_sum
+      FROM ranked GROUP BY cluster ORDER BY cluster"""))
+
   def queries: Seq[Q] = Seq(annKmeans, annIvf, annIvfIndexed, annLsh,
-    annLshStats, pipeHardNegatives)
+    annLshStats, pipeHardNegatives, pipeBalance)
 }

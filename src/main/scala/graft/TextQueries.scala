@@ -728,8 +728,90 @@ object TextQueries {
       SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
       FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""))
 
+  /** Corpus-frequency quality score — the integer-exact stand-in for the
+    * CCNet LM-perplexity filter (engines can't replay transcendentals, so
+    * instead of log-probs this scores each document by how much of it is
+    * made of corpus-COMMON tokens): pass 1 folds the corpus to its
+    * distinct-token frequency table (Zipf-small, broadcastable); pass 2
+    * re-joins it and aggregates per doc. A doc heavy in rare/garbage
+    * tokens scores low — the same rank ordering the perplexity filter
+    * produces, in exactly replayable integer math. Output per doc:
+    * token count, common-token ratio (freq ≥ 25, micro), average token
+    * corpus-frequency (integer division). Scale: the per-doc re-agg is
+    * one corpus-token shuffle keyed by doc — the standard two-pass shape
+    * (CCNet is also two passes); the freq side broadcasts. */
+  val txtFreqScore = Q("txt_freq_score",
+    (s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text")))
+          .as("w"))
+      val freq = toks.groupBy("w").agg(count(lit(1)).as("freq"))
+      toks.join(broadcast(freq), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("ntok"),
+          sum(when(col("freq") >= 25, 1L).otherwise(0L)).as("__common"),
+          sum("freq").as("__fsum"))
+        .select(col("doc_id"), col("ntok"),
+          expr("__common * 1000000 DIV ntok").as("common_micro"),
+          expr("__fsum DIV ntok").as("avg_freq"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS w
+        FROM documents),
+      freq AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w)
+      SELECT t.doc_id, COUNT(*) AS ntok,
+             CAST(SUM(CASE WHEN f.freq >= 25 THEN 1 ELSE 0 END) AS BIGINT)
+               * 1000000 // COUNT(*) AS common_micro,
+             CAST(SUM(f.freq) AS BIGINT) // COUNT(*) AS avg_freq
+      FROM tok t JOIN freq f ON f.w = t.w
+      GROUP BY t.doc_id ORDER BY t.doc_id"""))
+
+  /** Domain MIXTURE weights — the data-mixing step that turns per-source
+    * corpus sizes into sampling weights (the published temperature-
+    * sampling recipe with α = 0.5, i.e. weight ∝ tokens^α): per source,
+    * total tokens → wᵢ = floor(√tokensᵢ·1e3+0.5) (sqrt is correctly
+    * rounded IEEE on every engine, then pinned to an integer), and the
+    * normalized weight is integer division wᵢ·1e6 DIV Σwᵢ — exact and
+    * order-independent, no float summation across groups. One partial-agg
+    * pass + a tiny cross join against the 1-row total. */
+  val pipeMix = Q("pipe_mix",
+    (s, dir) => {
+      val bySource = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+        .groupBy("source").agg(sum("ntok").as("tokens"))
+        .withColumn("w_milli",
+          floor(sqrt(col("tokens").cast("double")) * 1e3 + lit(0.5))
+            .cast("long"))
+      val total = bySource.agg(sum("w_milli").as("__wsum"))
+      bySource.crossJoin(broadcast(total))
+        .select(col("source"), col("tokens"), col("w_milli"),
+          expr("w_milli * 1000000 DIV __wsum").as("weight_micro"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH t AS (
+        SELECT source,
+               CAST(SUM(len(list_filter(
+                 regexp_split_to_array(lower(text), '\s+'), x -> x <> '')))
+                 AS BIGINT) AS tokens
+        FROM documents GROUP BY source),
+      w AS (
+        SELECT source, tokens,
+               CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000 + 0.5)
+                 AS BIGINT) AS w_milli
+        FROM t)
+      SELECT source, tokens, w_milli,
+             w_milli * 1000000
+               // CAST((SELECT SUM(w_milli) FROM w) AS BIGINT)
+               AS weight_micro
+      FROM w ORDER BY source"""))
+
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats,
     pipeSample, pipeSplit, txtWinnow, pipeCurate, sketchDistinct,
-    txtDecontam, pipePack, txtPii, txtBpePairs)
+    txtDecontam, pipePack, txtPii, txtBpePairs, txtFreqScore, pipeMix)
 }
