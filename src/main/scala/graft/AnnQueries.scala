@@ -306,29 +306,37 @@ object AnnQueries {
     * space (the published cluster-then-cap recipe for diversity-preserving
     * subsampling, e.g. the SemDeDup/SSL-curation family): assign every
     * vector to a trained cluster, keep AT MOST `quota` per cluster chosen
-    * by seeded md5 order (deterministic, reshuffle-proof — the same
-    * pure-function-of-id contract as `pipe_sample`). Over-represented
-    * regions are capped, sparse regions survive whole. Output pins the
-    * per-cluster accounting AND the exact kept set (id sum). Scale: the
-    * per-cluster rank is a window partitioned by cluster — parallel
-    * across clusters, and k grows with the corpus exactly like the
-    * SemDeDup pair-search bound. */
+    * by seeded 32-bit md5 hash order (deterministic, reshuffle-proof —
+    * the same pure-function-of-id contract as `pipe_sample`).
+    * Over-represented regions are capped, sparse regions survive whole.
+    * Output pins the per-cluster accounting AND the exact kept set (id
+    * sum). Scale (r6 re-shape): the per-cluster quota runs on the
+    * bounded-heap top-k aggregate (TopKByScore, score = −hashKey so its
+    * (score DESC, id ASC) rank order IS (hashKey ASC, vec_id ASC) — a
+    * 32-bit key is exactly representable in a Double) — partial heaps
+    * below the exchange mean only |partitions|·k·quota rows ever cross
+    * the shuffle. The window form (rank the WHOLE corpus inside k=8
+    * fixed partitions — one task per cluster sorting corpus/8 rows,
+    * regardless of cluster count) is kept as the oracle twin only. */
   val pipeBalance = Q("pipe_balance",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val quota = 20
       val emb = Tables.load(s, dir, "embeddings")
       val assigned = emb.join(
         Ann.argminAssign(emb, "vec_id", "embedding",
           trainedCentroids(s, dir, 8, 2), "cid", "cv"), "vec_id")
-      val ranked = assigned.withColumn("__r", row_number().over(
-        Window.partitionBy("cluster")
-          .orderBy(md5(concat(lit("bal|"), col("vec_id"))), col("vec_id"))))
-      ranked.groupBy("cluster")
+      val hashKey = conv(
+        substring(md5(concat(lit("bal|"), col("vec_id"))), 1, 8), 16, 10)
+        .cast("long")
+      assigned
+        .groupBy("cluster")
         .agg(count(lit(1)).as("n_total"),
-          sum(when(col("__r") <= quota, 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("__r") <= quota, col("vec_id"))
-            .otherwise(0L)).as("kept_id_sum"))
+          graft.plans.TopKByScore.topK(
+            -hashKey.cast("double"), col("vec_id"), quota).as("__kept"))
+        .select(col("cluster"), col("n_total"),
+          size(col("__kept")).cast("long").as("n_kept"),
+          aggregate(col("__kept"), lit(0L),
+            (acc, e) => acc + e.getField("id")).as("kept_id_sum"))
         .orderBy("cluster")
     },
     Some(s"""
@@ -342,7 +350,8 @@ object AnnQueries {
       ranked AS (
         SELECT vec_id, cluster,
                ROW_NUMBER() OVER (PARTITION BY cluster
-                 ORDER BY md5('bal|' || vec_id), vec_id) AS r
+                 ORDER BY ('0x' || substr(md5('bal|' || vec_id), 1, 8))::BIGINT,
+                          vec_id) AS r
         FROM amin)
       SELECT cluster, COUNT(*) AS n_total,
              CAST(SUM(CASE WHEN r <= 20 THEN 1 ELSE 0 END) AS BIGINT)

@@ -732,21 +732,26 @@ object TextQueries {
     * CCNet LM-perplexity filter (engines can't replay transcendentals, so
     * instead of log-probs this scores each document by how much of it is
     * made of corpus-COMMON tokens): pass 1 folds the corpus to its
-    * distinct-token frequency table (Zipf-small, broadcastable); pass 2
-    * re-joins it and aggregates per doc. A doc heavy in rare/garbage
-    * tokens scores low — the same rank ordering the perplexity filter
-    * produces, in exactly replayable integer math. Output per doc:
-    * token count, common-token ratio (freq ≥ 25, micro), average token
-    * corpus-frequency (integer division). Scale: the per-doc re-agg is
-    * one corpus-token shuffle keyed by doc — the standard two-pass shape
-    * (CCNet is also two passes); the freq side broadcasts. */
+    * distinct-token frequency table; pass 2 re-joins it and aggregates
+    * per doc. A doc heavy in rare/garbage tokens scores low — the same
+    * rank ordering the perplexity filter produces, in exactly replayable
+    * integer math. Output per doc: token count, common-token ratio
+    * (freq ≥ 25, micro), average token corpus-frequency (integer
+    * division). Scale: the per-doc re-agg is one corpus-token shuffle
+    * keyed by doc — the standard two-pass shape (CCNet is also two
+    * passes). The token⋈freq join carries NO broadcast hint: the
+    * distinct-token table is Zipf-HEAVY in distinct terms at corpus
+    * scale (typos/numbers/unicode junk — billions of rows at 100 TB), so
+    * forcing a broadcast is the r4 connected-components defect over
+    * again; AQE broadcasts when the actual size fits and shuffle-joins
+    * on `w` when it doesn't. */
   val txtFreqScore = Q("txt_freq_score",
     (s, dir) => {
       val toks = Tables.load(s, dir, "documents")
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text")))
           .as("w"))
       val freq = toks.groupBy("w").agg(count(lit(1)).as("freq"))
-      toks.join(broadcast(freq), "w")
+      toks.join(freq, "w")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("ntok"),
           sum(when(col("freq") >= 25, 1L).otherwise(0L)).as("__common"),

@@ -989,6 +989,32 @@ object ShingleUtil {
     while (i < s.numElements()) { set.add(s.getUTF8String(i)); i += 1 }
     Array(s.numElements().toLong, set.size.toLong)
   }
+
+  /** One-pass token statistics for a FIXED literal term list:
+    * [len, tf_0, …, tf_{k-1}] — total token count plus the occurrence
+    * count of each query term. The BM25 building block: computes in a
+    * single compiled pass what the explode→filter→groupBy formulation
+    * needs two corpus-wide tokenizations and a shuffle for. */
+  def termStats(tokens: ArrayData,
+                terms: Array[org.apache.spark.unsafe.types.UTF8String])
+      : Array[Long] = {
+    val out = new Array[Long](terms.length + 1)
+    val cnt = tokens.numElements()
+    out(0) = cnt.toLong
+    var i = 0
+    while (i < cnt) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        var j = 0
+        while (j < terms.length) {
+          if (terms(j).equals(t)) out(j + 1) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    out
+  }
 }
 
 /** Fused overlapping-window chunking (see [[ShingleUtil.chunks]]): the
@@ -1067,6 +1093,66 @@ case class GramStatsExpr(child: Expression, shingleN: Int)
           new Object[] { $s[0], $s[1] });
       """
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused per-document query-term statistics: struct(len, tfs) over a
+  * token array for a FIXED literal term list — len = |tokens|, tfs(i) =
+  * occurrences of terms(i). One compiled pass per document (see
+  * [[ShingleUtil.termStats]]): the BM25 scorer reads the corpus ONCE and
+  * never explodes it — the explode→isin→groupBy formulation tokenizes the
+  * corpus per plan branch (lens/stats/tf each re-derive the token array)
+  * and shuffles doc×term rows; this keeps everything in-row so the only
+  * shuffle left in BM25 is the 1-row corpus-stats aggregate. */
+case class TermStatsExpr(child: Expression, terms: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(terms.nonEmpty, "term_stats needs at least one term")
+
+  override def dataType: DataType = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    StructType(Seq(
+      StructField("len", LongType, nullable = false),
+      StructField("tfs", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"term_stats needs array<string>, got ${dt.catalogString}")
+  }
+
+  override def prettyName: String = "graft_term_stats"
+
+  @transient private lazy val termsUtf8
+      : Array[org.apache.spark.unsafe.types.UTF8String] =
+    terms.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val s = ShingleUtil.termStats(a.asInstanceOf[ArrayData], termsUtf8)
+    org.apache.spark.sql.catalyst.InternalRow(s(0),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        java.util.Arrays.copyOfRange(s, 1, s.length)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("terms", termsUtf8,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("ts")
+      s"""
+        long[] $s = graft.functions.ShingleUtil.termStats($a, $ref);
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[] { $s[0],
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              java.util.Arrays.copyOfRange($s, 1, $s.length)) });
+      """
+    })
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

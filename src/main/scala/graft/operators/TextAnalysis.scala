@@ -142,38 +142,51 @@ object TextAnalysis {
     * surrogate preserves the rank ordering ln provides (strictly
     * decreasing in df), which is all ranking needs.
     *
-    * Scale shape: one explode filtered TO THE QUERY TERMS before any
-    * shuffle (so the exploded volume is hits-only), two
-    * map-side-combinable aggs (tf per doc·term, df per term), a 1-row
-    * corpus-stats broadcast, a |terms|-row df broadcast — the document
-    * table is never shuffled. k1 = 1.2, b = 0.75 (milli). */
+    * Scale shape (single-pass, r6): one fused compiled pass per document
+    * (TermStatsExpr) yields len + per-term tfs in-row; pass 1 folds those
+    * to the 1-row corpus stats (N, Σlen, per-term df — all
+    * map-side-combinable), pass 2 re-reads the corpus and scores each doc
+    * entirely in-row against the broadcast stats row. The document table
+    * is tokenized exactly once per pass and NEVER shuffled or exploded —
+    * the previous explode→groupBy formulation re-tokenized the corpus in
+    * every plan branch (lens/stats/tf) and shuffled doc×term rows.
+    * k1 = 1.2, b = 0.75 (milli). */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1Milli: Long = 1200,
            bMilli: Long = 750): DataFrame = {
-    val tk = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
-    val lens = tk.select(col(idCol), size(col("__tk")).cast("long").as("len"))
-    val stats = lens.agg(count(lit(1)).as("n"), sum("len").as("sumlen"))
-    val tf = tk
-      .select(col(idCol), explode(col("__tk")).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .groupBy(idCol, "tok")
-      .agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    tf
-      .join(broadcast(dfT), "tok")
-      .join(lens, idCol)
-      .crossJoin(broadcast(stats))
-      .withColumn("avglen_milli", expr("sumlen * 1000 DIV n"))
-      .withColumn("idf_micro", expr("1000000 * n DIV (df + 1)"))
-      .withColumn("ratio_milli", expr("len * 1000000 DIV avglen_milli"))
-      .withColumn("norm_milli",
-        expr(s"(1000 - $bMilli) + ($bMilli * ratio_milli) DIV 1000"))
-      .withColumn("denom_milli",
-        expr(s"tf * 1000 + ($k1Milli * norm_milli) DIV 1000"))
-      .withColumn("term_score_micro",
-        expr(s"idf_micro * tf * (1000 + $k1Milli) DIV denom_milli"))
-      .groupBy(idCol)
-      .agg(sum("term_score_micro").as("bm25_micro"),
-        count(lit(1)).as("n_terms_hit"))
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val perDoc = docs.select(col(idCol),
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.TermStatsExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(
+            tokens(col(textCol))), terms)).as("__st"))
+    val tfs = col("__st").getField("tfs")
+    val len = col("__st").getField("len")
+    // corpus stats: N, Σlen, and every term's df folded in ONE partial agg
+    val stats = perDoc.agg(
+      count(lit(1)).as("n"),
+      sum(len).as("sumlen"),
+      array(terms.indices.map(i =>
+        sum(when(tfs.getItem(i) > 0, 1L).otherwise(0L))): _*).as("__dfs"))
+    val normMilli = {
+      val avglenMilli = idiv(col("sumlen") * lit(1000L), col("n"))
+      val ratioMilli = idiv(len * lit(1000000L), avglenMilli)
+      lit(1000L - bMilli) + idiv(lit(bMilli) * ratioMilli, lit(1000L))
+    }
+    val termScore = terms.indices.map { i =>
+      val tf = tfs.getItem(i)
+      val idfMicro = idiv(lit(1000000L) * col("n"), col("__dfs").getItem(i) + lit(1L))
+      val denomMilli = tf * lit(1000L) + idiv(lit(k1Milli) * col("norm_milli"), lit(1000L))
+      when(tf > 0, idiv(idfMicro * tf * lit(1000L + k1Milli), denomMilli))
+        .otherwise(lit(0L))
+    }
+    val hit = terms.indices.map(i =>
+      when(tfs.getItem(i) > 0, 1L).otherwise(0L))
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("norm_milli", normMilli)
+      .select(col(idCol),
+        termScore.reduce(_ + _).as("bm25_micro"),
+        hit.reduce(_ + _).as("n_terms_hit"))
+      .filter(col("n_terms_hit") > 0)
   }
 }

@@ -188,6 +188,46 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(rep.getLong(0) == 6 && rep.getLong(1) == 4)
   }
 
+  test("term stats: fused kernel equals the HOF twin (len + per-term tfs)") {
+    val terms = Seq("data", "query", "table")
+    val d = docs20.select("doc_id", "text")
+    val st = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.TermStatsExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(
+          TextAnalysis.tokens(col("text"))), terms))
+    val fused = d.select(col("doc_id"), st.as("s"))
+      .select(col("doc_id"), col("s.len"),
+        col("s.tfs").getItem(0), col("s.tfs").getItem(1),
+        col("s.tfs").getItem(2))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val tk = TextAnalysis.tokens(col("text"))
+    val twin = d.select(col("doc_id"),
+        size(tk).cast("long").as("len"),
+        size(filter(tk, t => t === terms(0))).cast("long"),
+        size(filter(tk, t => t === terms(1))).cast("long"),
+        size(filter(tk, t => t === terms(2))).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(fused == twin, "fused term stats diverge from the HOF twin")
+  }
+
+  test("bm25 is shuffle-free on the corpus (no explode, partial stats " +
+       "only) and pipe_balance quotas run on partial heaps below the " +
+       "exchange") {
+    val bm = Queries.queries("txt_bm25")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!bm.contains("Generate"), s"txt_bm25 explodes the corpus:\n$bm")
+    val bal = Queries.queries("pipe_balance")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(bal.contains("partial_graft_topk"),
+      s"pipe_balance quota is not a partial bounded-heap aggregate:\n$bal")
+    assert(!bal.contains("Window"),
+      s"pipe_balance still ranks via a window:\n$bal")
+  }
+
   test("maxSim multivector scoring: self-match saturates at parts·1e6; " +
        "bounded above by it") {
     val emb = Tables.load(spark, sf, "embeddings")
