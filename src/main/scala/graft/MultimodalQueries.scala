@@ -20,10 +20,54 @@ object MultimodalQueries {
                n_chars // 10 + 1 AS n_frames
         FROM documents)"""
 
-  /** O7-analog — stub decode: byte length, 4-byte header, byte-value sum
-    * computed from the hex rendering (what channel stats would be with a
-    * real codec). */
+  /** Shared oracle CTE: the synthetic-PNG pixel formula (ImageCodec) —
+    * per-doc dims + per-pixel RGB channels. The Spark side never sees
+    * this formula at query time: it encodes the pixels into REAL PNG
+    * bytes and must decode them back through javax.imageio to match. */
+  private val pngDimsSql = """
+      dims AS (
+        SELECT doc_id, n_chars % 13 + 4 AS w, (n_chars * 7) % 11 + 4 AS h
+        FROM documents)"""
+
+  /** O7 — REAL image decode: each doc's closed-form pixels are compressed
+    * through the JVM PNG writer, then the query decodes the compressed
+    * bytes with javax.imageio and emits decoded dims + per-channel pixel
+    * sums. The oracle replays the pixel formula directly — the two can
+    * only agree if the engine actually decoded real PNG data (byte
+    * statistics of the compressed stream cannot reproduce pixel sums).
+    * Scale: narrow mapPartitions batch, codec init once per partition,
+    * no shuffle. */
   val mmDecode = Q("mm_decode",
+    (s, dir) => {
+      val png = Multimodal.attachPng(Tables.load(s, dir, "documents"))
+      Multimodal.decodeFeaturesBatch(png, "doc_id", "content")
+        .select(col("doc_id"),
+          col("features").getItem(0).cast("long").as("width"),
+          col("features").getItem(1).cast("long").as("height"),
+          col("features").getItem(2).cast("long").as("r_sum"),
+          col("features").getItem(3).cast("long").as("g_sum"),
+          col("features").getItem(4).cast("long").as("b_sum"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $pngDimsSql,
+      px AS (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM dims),
+      ch AS (
+        SELECT doc_id, w, h,
+               (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS r,
+               (doc_id * 17 + (i % w) * 3 + (i // w) * 5) % 256 AS g,
+               (doc_id * 11 + (i % w) * 2 + (i // w) * 19) % 256 AS b
+        FROM px)
+      SELECT doc_id, w AS width, h AS height,
+             CAST(SUM(r) AS BIGINT) AS r_sum,
+             CAST(SUM(g) AS BIGINT) AS g_sum,
+             CAST(SUM(b) AS BIGINT) AS b_sum
+      FROM ch GROUP BY doc_id, w, h ORDER BY doc_id"""))
+
+  /** O7 fallback — the deterministic byte-statistics stub for NON-image
+    * payloads (byte length, 4-byte header, byte-value sum): the error-
+    * containment path when a payload isn't decodable media. */
+  val mmDecodeFallback = Q("mm_decode_fallback",
     (s, dir) => {
       val m = Multimodal.attachBinary(Tables.load(s, dir, "documents"))
       m.select(col("doc_id"),
@@ -41,26 +85,40 @@ object MultimodalQueries {
                        CAST(2*i + 1 AS INT), 2))::BIGINT))::BIGINT AS byte_sum
       FROM media ORDER BY doc_id"""))
 
-  /** Aspect-preserving resize planning (never upscale) in integer
-    * micro-unit math. */
+  /** O8-analog — REAL resize: decode the PNG, plan the integer aspect-
+    * preserving scale over the DECODED dims (never upscale), nearest-
+    * neighbor resample (src = x'·w DIV nw — integer index math, exactly
+    * replayable; interpolating resamplers couldn't be hash-gated), emit
+    * the resized image's channel sums. */
   val mmResize = Q("mm_resize",
     (s, dir) =>
-      Multimodal.resizePlan(
-          Multimodal.attachBinary(Tables.load(s, dir, "documents")), 128)
-        .select(col("doc_id"),
-          expr("media_meta.width").as("width"),
-          expr("media_meta.height").as("height"),
-          col("scale_micro"), col("new_w"), col("new_h"))
+      Multimodal.resizePixels(
+          Multimodal.attachPng(Tables.load(s, dir, "documents")),
+          "doc_id", "content", target = 8)
         .orderBy("doc_id"),
-    Some(mediaSql + """
-      SELECT doc_id, width, height,
-             least(128000000 // width, 128000000 // height, 1000000)
-               AS scale_micro,
-             width * least(128000000 // width, 128000000 // height, 1000000)
-               // 1000000 AS new_w,
-             height * least(128000000 // width, 128000000 // height, 1000000)
-               // 1000000 AS new_h
-      FROM media ORDER BY doc_id"""))
+    Some(s"""
+      WITH $pngDimsSql,
+      sc AS (SELECT *, least(8000000 // w, 8000000 // h, 1000000)
+               AS scale_micro FROM dims),
+      nd AS (SELECT *, w * scale_micro // 1000000 AS new_w,
+               h * scale_micro // 1000000 AS new_h FROM sc),
+      px AS (SELECT doc_id, w, h, scale_micro, new_w, new_h,
+               unnest(range(new_w * new_h)) AS i FROM nd),
+      m AS (SELECT doc_id, w, h, scale_micro, new_w, new_h,
+              ((i % new_w) * w) // new_w AS xs,
+              ((i // new_w) * h) // new_h AS ys
+            FROM px),
+      ch AS (SELECT doc_id, w, h, scale_micro, new_w, new_h,
+               (doc_id * 31 + xs * 7 + ys * 13) % 256 AS r,
+               (doc_id * 17 + xs * 3 + ys * 5) % 256 AS g,
+               (doc_id * 11 + xs * 2 + ys * 19) % 256 AS b
+             FROM m)
+      SELECT doc_id, w AS width, h AS height, scale_micro, new_w, new_h,
+             CAST(SUM(r) AS BIGINT) AS r_sum,
+             CAST(SUM(g) AS BIGINT) AS g_sum,
+             CAST(SUM(b) AS BIGINT) AS b_sum
+      FROM ch GROUP BY doc_id, w, h, scale_micro, new_w, new_h
+      ORDER BY doc_id"""))
 
   /** Video-frame sampling: every 7th frame index, per-frame content hash
     * (bounded explode — the keyframe-extraction shape). */
@@ -171,5 +229,6 @@ object MultimodalQueries {
       WHERE hamming <= 6
       ORDER BY doc_a, doc_b"""))
 
-  def queries: Seq[Q] = Seq(mmDecode, mmResize, mmFrames, mmPhashDedup)
+  def queries: Seq[Q] = Seq(mmDecode, mmDecodeFallback, mmResize, mmFrames,
+    mmPhashDedup)
 }

@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   * Model: media is an opaque `BINARY` column plus a typed metadata struct
   * (width/height/format/n_frames), exactly what `spark.read.format
   * ("binaryFile")` + a sidecar table produces at scale. Decode/feature
-  * extraction is a per-row/per-batch function over the bytes; since no
-  * image/audio codec ships in this container, the decode kernel is a
-  * DETERMINISTIC STUB (byte-level statistics standing in for pixel
-  * decode) — the Spark-side plumbing (schema, batching, explode shape,
-  * partition behavior) is the real thing and is what these operators
-  * exercise. A real codec replaces only [[decodeFeaturesBatch]]'s inner
-  * function.
+  * extraction is a per-row/per-batch function over the bytes. As of r6
+  * the decode kernel is REAL: [[decodeFeaturesBatch]] and [[resizePixels]]
+  * route image payloads (PNG/JPEG/GIF by magic bytes) through
+  * `javax.imageio` ([[ImageCodec]]) and derive features from actually
+  * decoded pixels; the deterministic byte-statistics STUB survives only
+  * as the fallback for non-image payloads. The fixture tables carry no
+  * media, so [[attachPng]] synthesizes a real PNG per document from a
+  * closed-form pixel formula the oracle can replay (PNG is lossless).
   *
   * Scale notes: all ops are narrow per-row transforms (no shuffle);
   * binary payloads stream through the scan without being collected;
@@ -37,6 +38,30 @@ object Multimodal {
         ((col("n_chars") * 7) % 389 + 16).cast("long").as("height"),
         lit("png").as("format"),
         expr("CAST(n_chars DIV 10 + 1 AS BIGINT)").as("n_frames")))
+
+  /** Attach a REAL synthetic PNG per document: a small w×h RGB image
+    * (dims a bounded function of n_chars — ≤ 16×14, so encode cost per
+    * row is constant) whose pixels follow [[ImageCodec]]'s closed-form
+    * formula, compressed through the JVM's real PNG writer. The resulting
+    * `content` column is genuine compressed image data — decoding it is
+    * the O7 gate, not a byte-statistics replay. Narrow mapPartitions:
+    * no shuffle, binary payloads stream through the scan. */
+  def attachPng(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    val input = docs.select(col("doc_id"), col("n_chars").cast("long"))
+    val outSchema = StructType(Seq(
+      input.schema.fields(0),
+      StructField("content", BinaryType, nullable = true)))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = r.getLong(1)
+        val w = (n % 13 + 4).toInt
+        val h = ((n * 7) % 11 + 4).toInt
+        org.apache.spark.sql.Row(id, ImageCodec.encodePng(id, w, h))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 
   /** STUB decode: byte-level statistics of the binary content via its hex
     * rendering (length, header, byte-value sum) — deterministic and
@@ -134,10 +159,12 @@ object Multimodal {
   }
 
   /** Typed per-partition batch decode — the Scala analog of a pandas-batch
-    * UDF: each partition's rows are processed as one iterator (a real
-    * codec would init once per partition, then decode per row). Returns
-    * (id, feature vector). The feature kernel is the STUB byte-statistics
-    * above. */
+    * UDF: each partition's rows are processed as one iterator (codec init
+    * happens once per partition, then decode per row). Returns (id,
+    * feature vector). Image payloads (magic-byte sniff) go through the
+    * REAL `javax.imageio` decoder → features are [width, height, ΣR, ΣG,
+    * ΣB] of the actually-decoded pixels; anything else falls back to the
+    * deterministic byte-statistics STUB [len, first, sum, mean]. */
   def decodeFeaturesBatch(df: DataFrame, idCol: String, binCol: String)
       : DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
@@ -148,16 +175,65 @@ object Multimodal {
       StructField("features", ArrayType(DoubleType), nullable = true)))
     input.mapPartitions { rows =>
       // per-partition init happens HERE once (codec/model handle)
-      rows.map { r =>
-        val bytes =
-          if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+      def byteStub(bytes: Array[Byte]): Array[Double] = {
         val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
-        val features = Array(
+        Array(
           bytes.length.toDouble,
           if (bytes.nonEmpty) (bytes(0) & 0xff).toDouble else 0.0,
           sum.toDouble,
           if (bytes.nonEmpty) sum.toDouble / bytes.length else 0.0)
+      }
+      rows.map { r =>
+        val bytes =
+          if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val features =
+          if (ImageCodec.isImage(bytes)) {
+            val img = ImageCodec.decode(bytes)
+            if (img == null) byteStub(bytes)
+            else {
+              val s = ImageCodec.channelSums(img)
+              Array(img.getWidth.toDouble, img.getHeight.toDouble,
+                s(0).toDouble, s(1).toDouble, s(2).toDouble)
+            }
+          } else byteStub(bytes)
         org.apache.spark.sql.Row(r.get(0), features)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Real pixel resize: decode the image column, plan the integer
+    * aspect-preserving scale (same micro-unit math as [[resizePlan]],
+    * but over the DECODED dimensions), then nearest-neighbor resample
+    * and emit the resized image's channel sums. Output: (id, width,
+    * height, scale_micro, new_w, new_h, r_sum, g_sum, b_sum). Narrow
+    * mapPartitions — no shuffle; non-image/undecodable payloads are
+    * dropped (quarantine-split upstream handles them, streaming O19). */
+  def resizePixels(df: DataFrame, idCol: String, binCol: String,
+                   target: Int): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val input = df.select(col(idCol), col(binCol))
+    val outSchema = StructType(
+      input.schema.fields(0) +: Seq("width", "height", "scale_micro",
+        "new_w", "new_h", "r_sum", "g_sum", "b_sum")
+        .map(StructField(_, LongType, nullable = false)))
+    input.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes =
+          if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val img = if (ImageCodec.isImage(bytes)) ImageCodec.decode(bytes)
+                  else null
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth.toLong, img.getHeight.toLong)
+          val scaleMicro =
+            math.min(math.min(target * 1000000L / w, target * 1000000L / h),
+              1000000L)
+          val nw = w * scaleMicro / 1000000L
+          val nh = h * scaleMicro / 1000000L
+          val s = ImageCodec.resizedChannelSums(img, nw.toInt, nh.toInt)
+          Some(org.apache.spark.sql.Row(r.get(0), w, h, scaleMicro, nw, nh,
+            s(0), s(1), s(2)))
+        }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

@@ -579,6 +579,54 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(r(4L) == ((null, null, false)))       // neither
   }
 
+  test("multimodal: attachPng emits REAL compressed PNGs; decode reads " +
+       "pixels back exactly; resize plan matches pixel resize") {
+    import graft.operators.ImageCodec
+    val png = Multimodal.attachPng(docs20)
+    png.collect().foreach { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      // real PNG container: magic + IHDR, and a compressed stream (a raw
+      // w·h·3 pixel dump would not satisfy the reader)
+      assert(bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+        bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G',
+        "attachPng content is not PNG")
+      val img = ImageCodec.decode(bytes)
+      assert(img != null, "JVM codec cannot decode attachPng output")
+      // decoded pixels equal the generator formula (lossless round-trip)
+      val id = r.getLong(0)
+      (0 until img.getHeight).foreach { y =>
+        (0 until img.getWidth).foreach { x =>
+          val rgb = img.getRGB(x, y)
+          assert(((rgb >> 16) & 0xff) == ImageCodec.pr(id, x, y) &&
+                 ((rgb >> 8) & 0xff) == ImageCodec.pg(id, x, y) &&
+                 (rgb & 0xff) == ImageCodec.pb(id, x, y),
+            s"pixel ($x,$y) of doc $id diverges after PNG round-trip")
+        }
+      }
+    }
+    // the metadata-only resize planner and the pixel path agree on dims
+    val planned = Multimodal.resizePlan(
+        png.join(docs20.select("doc_id", "n_chars"), "doc_id")
+          .withColumn("media_meta", struct(
+            (col("n_chars") % 13 + 4).cast("long").as("width"),
+            ((col("n_chars") * 7) % 11 + 4).cast("long").as("height"))),
+        target = 8)
+      .select("doc_id", "new_w", "new_h")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Multimodal.resizePixels(png, "doc_id", "content", target = 8)
+      .select("doc_id", "new_w", "new_h").collect()
+      .foreach(r => assert(planned(r.getLong(0)) ==
+        ((r.getLong(1), r.getLong(2))), "plan and pixel resize disagree"))
+    // JPEG decodes through the same path (lossy — dims only)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(
+      ImageCodec.decode(ImageCodec.encodePng(7L, 12, 9)), "jpg", jb)
+    val jpeg = jb.toByteArray
+    assert(ImageCodec.isImage(jpeg), "JPEG magic not recognized")
+    val jimg = ImageCodec.decode(jpeg)
+    assert(jimg != null && jimg.getWidth == 12 && jimg.getHeight == 9)
+  }
+
   test("multimodal: batch decode preserves a STRING id column") {
     val feats = Multimodal.decodeFeaturesBatch(
         Multimodal.attachBinary(docs20)
