@@ -502,28 +502,48 @@ object DedupQueries {
 
   /** INCREMENTAL exact dedup — new batch vs an already-ingested corpus —
     * with a Bloom prefilter (operators/Bloom.scala): the corpus (docs with
-    * id % 3 == 0) builds a k=4/m=65536 filter over its content hashes in
-    * one bounded distinct-positions pass; the batch (remaining docs plus
-    * planted re-ingests: id+300000 of every corpus doc with id % 30 == 0)
-    * probes the filter IN-ROW (no join), and only probe survivors reach
-    * the exact content-hash verification join. Blooms have no false
-    * negatives, so the final n_dup is exactly the exact join's answer
-    * while the verify shuffle carries only `fpr · batch + true_dups`
-    * rows — the incremental-ingest shape at 100 TB, where re-shuffling
-    * the full corpus per arriving batch is the thing you cannot do. The
-    * per-language (n_batch, n_cand, n_dup) accounting gates both the
-    * filter arithmetic (n_cand pins every bit position) and the verify. */
+    * id % 3 == 0) builds a k=4 filter over its content hashes in one
+    * bounded distinct-positions pass; the batch (remaining docs plus
+    * planted re-ingests of every corpus doc with id % 30 == 0, plant ids
+    * offset by max(doc_id)+1 so they can NEVER collide with a real id at
+    * any scale factor) probes the filter IN-ROW (no join), and only probe
+    * survivors reach the exact content-hash verification join. Blooms
+    * have no false negatives, so the final n_dup is exactly the exact
+    * join's answer while the verify shuffle carries only
+    * `fpr · batch + true_dups` rows — the incremental-ingest shape at
+    * 100 TB, where re-shuffling the full corpus per arriving batch is the
+    * thing you cannot do. The filter size m is DERIVED FROM DATA, not
+    * pinned: a KMV sketch (one extra bounded pass, ≤ 64 longs to the
+    * driver) estimates the corpus's distinct-content cardinality and m =
+    * smallest power of two ≥ 16·n̂ (Bloom.sizeFromEstimate — fpr ≈ 0.24%,
+    * bitmap ≤ 2^26 bits documented there; the oracle replays the
+    * estimate AND the sizing exactly). The per-language (n_batch, n_cand,
+    * n_dup) accounting gates the sizing, every bit position, and the
+    * verify. */
   val dedupBloom = Q("dedup_bloom",
     (s, dir) => {
       import graft.operators.Bloom
-      val (k, m) = (4, 65536)
+      import graft.plans.KmvSketch
+      val k = 4
       val docs = Tables.load(s, dir, "documents")
         .select("doc_id", "lang", "text")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
       val corpus = docs.filter(col("doc_id") % 3 === 0)
       val batch = docs.filter(col("doc_id") % 3 =!= 0)
         .unionAll(corpus.filter(col("doc_id") % 30 === 0)
-          .select((col("doc_id") + 300000).as("doc_id"), col("lang"),
+          .select((col("doc_id") + lit(maxId + 1)).as("doc_id"), col("lang"),
             col("text")))
+      // KMV estimate of distinct corpus contents (60-bit md5 hashes, the
+      // sketch_distinct kernel) → data-derived filter size
+      val sk = corpus
+        .agg(KmvSketch.kmv(
+          conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"), 64)
+          .as("sk"))
+        .head().getSeq[Long](0)
+      val est =
+        if (sk.size < 64) sk.size.toLong
+        else math.floor(63.0 * 1152921504606846976.0 / sk.last.toDouble).toLong
+      val m = Bloom.sizeFromEstimate(est)
       val h = Dedup.h32(col("text"))
       val bitmap = Bloom.build(corpus, h, k, m)
       val flagged = batch.withColumn("__cand",
@@ -547,11 +567,28 @@ object DedupQueries {
       batch AS (
         SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 <> 0
         UNION ALL
-        SELECT doc_id + 300000, lang, text FROM corpus WHERE doc_id % 30 = 0),
+        SELECT doc_id + (SELECT MAX(doc_id) FROM documents) + 1, lang, text
+        FROM corpus WHERE doc_id % 30 = 0),
+      kmvh AS (
+        SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        FROM corpus),
+      rk AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM kmvh),
+      skz AS (SELECT COUNT(*) AS sz, MAX(CASE WHEN rn = 64 THEN h END) AS kth
+              FROM rk WHERE rn <= 64),
+      estt AS (
+        SELECT CASE WHEN sz < 64 THEN sz
+               ELSE CAST(floor(63.0 * 1152921504606846976.0
+                               / CAST(kth AS DOUBLE)) AS BIGINT)
+               END AS est
+        FROM skz),
+      mm AS (
+        SELECT MIN(1::BIGINT << i) AS m
+        FROM estt, (SELECT unnest(range(10, 27)) AS i)
+        WHERE (1::BIGINT << i) >= 16 * est),
       js AS (SELECT unnest(range(4)) AS j),
       cp AS (
-        SELECT DISTINCT ((2*j+3) * h + 104729*j + 12345) % 2147483647 % 65536
-                 AS pos
+        SELECT DISTINCT ((2*j+3) * h + 104729*j + 12345) % 2147483647
+                 % (SELECT m FROM mm) AS pos
         FROM (SELECT ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
               FROM corpus)
         CROSS JOIN js),
@@ -561,7 +598,8 @@ object DedupQueries {
         FROM batch),
       bp AS (
         SELECT doc_id,
-               ((2*j+3) * h + 104729*j + 12345) % 2147483647 % 65536 AS pos
+               ((2*j+3) * h + 104729*j + 12345) % 2147483647
+                 % (SELECT m FROM mm) AS pos
         FROM bh CROSS JOIN js),
       cand AS (
         SELECT doc_id FROM bp JOIN cp USING (pos)

@@ -525,8 +525,9 @@ object TextQueries {
     * 8-gram with a benchmark document is flagged, with gram-level counts
     * for the removal audit. Benchmark = docs with id % 97 == 0; the
     * training corpus = the rest plus planted contaminated docs
-    * (id+400000: benchmark text with a harmless suffix — every benchmark
-    * 8-gram survives in them). Grams come from the fused ShinglesExpr
+    * (id + max(doc_id)+1 — collision-proof at any SF: benchmark text with
+    * a harmless suffix, so every benchmark 8-gram survives in them).
+    * Grams come from the fused ShinglesExpr
     * (short docs contribute their whole text — a sub-8-token benchmark is
     * matched whole). Scale shape: the benchmark gram set is small by
     * definition → broadcast; the corpus explodes grams but the broadcast
@@ -535,9 +536,10 @@ object TextQueries {
   val txtDecontam = Q("txt_decontam",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
       val bench = docs.filter(col("doc_id") % 97 === 0)
       val corpus = docs.filter(col("doc_id") % 97 =!= 0)
-        .unionAll(bench.select((col("doc_id") + 400000).as("doc_id"),
+        .unionAll(bench.select((col("doc_id") + lit(maxId + 1)).as("doc_id"),
           concat(col("text"), lit(" plus harmless suffix appended here"))
             .as("text")))
       val grams = graft.operators.Dedup.shingles(
@@ -566,7 +568,8 @@ object TextQueries {
       corpus AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
         UNION ALL
-        SELECT doc_id + 400000, text || ' plus harmless suffix appended here'
+        SELECT doc_id + (SELECT MAX(doc_id) FROM documents) + 1,
+               text || ' plus harmless suffix appended here'
         FROM bench),
       bt AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
                t -> t <> '') AS ts FROM bench),
@@ -643,8 +646,9 @@ object TextQueries {
     * before release: detect emails and phone-shaped strings, count them,
     * and pin the redacted text by md5. The fixture corpus is synthetic
     * prose, so PII is PLANTED (docs with id % 50 == 0 get an email +
-    * phone tail, id+500000) — the oracle replants identically and replays
-    * both the counts and the redaction. Patterns use only
+    * phone tail; plant ids offset by max(doc_id)+1, collision-proof at
+    * any SF) — the oracle replants identically and replays both the
+    * counts and the redaction. Patterns use only
     * dialect-portable regex (char classes + bounded quantifiers — no
     * backslash classes, which differ between Java regex and RE2).
     * A narrow per-row map: no shuffle before the final hits-only sort. */
@@ -653,9 +657,10 @@ object TextQueries {
       val emailPat = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
       val phonePat = "[0-9]{3}-[0-9]{4}"
       val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
       val planted = docs.unionAll(
         docs.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + 500000).as("doc_id"),
+          .select((col("doc_id") + lit(maxId + 1)).as("doc_id"),
             concat(col("text"),
               concat(lit(" contact agent"), col("doc_id") % 1000,
                 lit("@example.com or call 555-0199 now"))).as("text")))
@@ -675,8 +680,8 @@ object TextQueries {
       WITH planted AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 500000,
-               text || ' contact agent' || (doc_id + 500000) % 1000
+        SELECT doc_id + (SELECT MAX(doc_id) FROM documents) + 1,
+               text || ' contact agent' || doc_id % 1000
                     || '@example.com or call 555-0199 now'
         FROM documents WHERE doc_id % 50 = 0),
       scrubbed AS (

@@ -647,6 +647,19 @@ case class AHashBandsExpr(child: Expression, blocks: Int, bands: Int)
 }
 
 object AHashUtil {
+  /** 128-bit product compare for NON-NEGATIVE operands: a1·b1 > a2·b2.
+    * The mean comparison cross-multiplies blocksum·len vs total·blocklen —
+    * both scale ~255·len²/blocks, which overflows a signed Long for
+    * binary inputs around ≥ 1.2 GiB; this keeps the production kernel
+    * exact at any input size (the composed-Column twin and the SQL oracle
+    * stay in 64-bit — they only gate fixture-scale inputs). */
+  private def mulCmpGt(a1: Long, b1: Long, a2: Long, b2: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a1, b1)
+    val hi2 = Math.multiplyHigh(a2, b2)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a1 * b1, a2 * b2) > 0
+  }
+
   /** One pass: block sums → total → band bit codes. */
   def bands(bytes: Array[Byte], blocks: Int, bands: Int)
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
@@ -669,7 +682,7 @@ object AHashUtil {
       while (j < perBand) {
         val bb = k * perBand + j
         val blen = len * (bb + 1) / blocks - len * bb / blocks
-        if (bs(bb) * len > total * blen) bits |= 1L << j
+        if (mulCmpGt(bs(bb), len, total, blen)) bits |= 1L << j
         j += 1
       }
       out(k) = bits; k += 1

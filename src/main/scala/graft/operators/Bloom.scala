@@ -64,10 +64,30 @@ object Bloom {
   def mightContain(bitmap: Array[Long], h: Column, k: Int, m: Int): Column = {
     val words = typedLit(bitmap.toSeq)
     positions(h, k, m).map { p =>
+      // word index via integral shiftright(p, 6), not Column `/` (double
+      // division + truncating cast — correct for 0 ≤ p < 2^53 but fragile)
       val word = call_function("element_at", words,
-        (p / 64L).cast("int") + lit(1))
+        call_function("shiftright", p, lit(6)).cast("int") + lit(1))
       call_function("shiftright", word, (p % 64L).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
+  }
+
+  /** Size the filter from a KMV cardinality estimate: the smallest power
+    * of two ≥ 16·n̂ (k = 4 probes at 16 bits/key ⇒ fill ≈ 1−e^(−1/4) ≈
+    * 0.22, fpr ≈ 0.22⁴ ≈ 0.24%), floored at 2^10 and REQUIRED ≤ 2^26.
+    * The bound is the driver/plan-literal memory contract: m bits live on
+    * the driver and ride into the generated code (2^26 = 8 MiB) — beyond
+    * that, shard the corpus into several filters (hash-route on
+    * `h % shards`) rather than growing one bitmap; the SQL oracle replays
+    * this sizing exactly (min power of two ≥ 16·est over a generated
+    * power table — no logarithms, which engines round differently). */
+  def sizeFromEstimate(est: Long): Int = {
+    require(est >= 0, s"negative cardinality estimate: $est")
+    require(16 * est <= (1L << 26),
+      s"16·$est exceeds the 2^26-bit single-bitmap bound — shard the filter")
+    var m = 1L << 10
+    while (m < 16 * est) m <<= 1
+    m.toInt
   }
 }

@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 
@@ -76,6 +76,7 @@ object Collections {
   private def metaPath(dir: String) = Paths.get(dir, "_collection.json")
   private def manifestPath(dir: String) = Paths.get(dir, "_manifest.json")
   private def manifestTmp(dir: String) = Paths.get(dir, "_manifest.json.tmp")
+  private def schemaPath(dir: String) = Paths.get(dir, "_schema.json")
   private def migratedMarker(dir: String) = Paths.get(s"$dir/data/_migrated")
 
   def exists(dir: String): Boolean = Files.exists(metaPath(dir))
@@ -221,6 +222,11 @@ object Collections {
     val genDir = Paths.get(dir, "data", genName)
     rows.write.mode("overwrite").partitionBy(BucketCol)
       .parquet(genDir.toString)
+    // persist the consumer-visible schema BEFORE the manifest swap: a
+    // poll of a later fully-emptied collection still returns a
+    // schema-stable empty frame (unions/selects across polls never throw)
+    Files.write(schemaPath(dir),
+      rows.drop(BucketCol).schema.json.getBytes(StandardCharsets.UTF_8))
     val written = listBuckets(genDir).keySet
       .map(_.stripPrefix(s"$BucketCol=").toInt)
     writeManifest(dir, gen + 1,
@@ -484,9 +490,17 @@ object Collections {
       if (changed.nonEmpty) spark.read.parquet(changed: _*)
       else if (cur.buckets.nonEmpty)
         read(spark, dir).limit(0) // empty frame with the live schema
+      else if (Files.exists(schemaPath(dir)))
+        // fully emptied: no live files to take a schema from — use the
+        // schema persisted at the last publish, so the feed's schema is
+        // stable across ALL states (consumers union successive polls)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.types.DataType.fromJson(
+            new String(Files.readAllBytes(schemaPath(dir)),
+              StandardCharsets.UTF_8))
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
       else
-        // a fully-emptied collection has no live files to take a schema
-        // from — the poll still succeeds, with a zero-column empty frame
+        // never-published collection: nothing to derive a schema from
         spark.emptyDataFrame
     (cur, df, dropped)
   }

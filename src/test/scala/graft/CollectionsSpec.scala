@@ -517,9 +517,16 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     val (vEmpty, none2, dAll) = Collections.changedSince(spark, dir, vCur)
     assert(vEmpty.buckets.isEmpty && none2.count() == 0)
     assert(dAll == vCur.buckets.keySet)
+    // ...and SCHEMA-STABLE: a consumer unioning successive polls must not
+    // hit an AnalysisException on the emptied-collection poll (analysis
+    // only — `all`'s generation files were GC'd by the later writes)
+    assert(none2.schema.fieldNames.toSet == all.schema.fieldNames.toSet,
+      s"emptied-collection poll lost the feed schema: ${none2.schema}")
+    assert(all.unionByName(none2).queryExecution.analyzed != null)
     // idle poll of the emptied collection is also fine
     val (_, none3, dNone) = Collections.changedSince(spark, dir, vEmpty)
     assert(none3.count() == 0 && dNone.isEmpty)
+    assert(none3.schema.fieldNames.toSet == all.schema.fieldNames.toSet)
   }
 
   test("compact migrates a loose-flat-file legacy collection into the " +

@@ -150,4 +150,39 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(fp.toDouble / 2000 <= bound,
       s"fp rate ${fp / 2000.0} above bound $bound (fill $fill)")
   }
+
+  test("bloom sizing from a KMV estimate: m = next pow2 >= 16*est, zero " +
+       "false negatives, fp rate at the derived size near the design point") {
+    import graft.operators.Bloom
+    import graft.plans.KmvSketch
+    val n = 3000L
+    // deterministic member "hashes" (the same md5-prefix family the
+    // declared query uses: 60-bit for the sketch, 32-bit for the filter)
+    val members = spark.range(n).select(
+      conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h60"),
+      conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+    val sk = members.agg(KmvSketch.kmv(col("h60"), 64)).head().getSeq[Long](0)
+    val est =
+      if (sk.size < 64) sk.size.toLong
+      else math.floor(63.0 * 1152921504606846976.0 / sk.last.toDouble).toLong
+    assert(math.abs(est - n) < n / 2, s"KMV estimate $est too far from $n")
+    val m = Bloom.sizeFromEstimate(est)
+    assert(Integer.bitCount(m) == 1 && m >= 16 * est,
+      s"m=$m is not the next power of two above 16*$est")
+    val k = 4
+    val bitmap = Bloom.build(members, col("h"), k, m)
+    assert(members.filter(!Bloom.mightContain(bitmap, col("h"), k, m))
+      .count() == 0, "bloom produced a false negative")
+    // non-members: at m >= 16n and k = 4 the design fpr is ~0.24%; the
+    // estimate can undershoot, so allow up to 2%
+    val probes = 20000L
+    val others = spark.range(n, n + probes).select(
+      conv(substring(md5(concat(lit("x"), col("id"))), 1, 8), 16, 10)
+        .cast("long").as("h"))
+    val fp = others.filter(Bloom.mightContain(bitmap, col("h"), k, m)).count()
+    assert(fp.toDouble / probes <= 0.02,
+      s"fp rate ${fp.toDouble / probes} above 2% at derived m=$m (est $est)")
+  }
 }
