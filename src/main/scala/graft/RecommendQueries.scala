@@ -370,7 +370,84 @@ object RecommendQueries {
       ORDER BY score DESC, b.doc_id
       LIMIT 10"""))
 
+  /** Sparse search with the public Qdrant `modifier: idf` weighting:
+    * every matched sparse dimension's contribution is scaled by its
+    * inverse document frequency, so ubiquitous dimensions stop dominating
+    * the dot product (Qdrant applies the BM25-style idf to the QUERY
+    * values at search time; df is per sparse dimension = #points
+    * containing it). The idf here is the repo's ln-free integer surrogate
+    * `1e6·N DIV (df+1)` — same monotone-rank argument as
+    * TextAnalysis.bm25 (an exact-hash oracle can't replay ln), and the
+    * posting value is the dimension's tf in the doc. Scale shape: postings
+    * fold once per (doc, bucket) map-side; the query join is hits-only
+    * (≤ |query| buckets); the df table is broadcast with a
+    * DATA-INDEPENDENT bound — the sparse space is pinned to 4096 buckets
+    * at collection declaration, so unlike a distinct-token table it can
+    * never outgrow the hint. */
+  val vSparseIdf = Q("v_sparse_idf",
+    (s, dir) => {
+      val terms = Seq("data" -> 3L, "query" -> 2L, "table" -> 1L)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val qBuckets: Seq[(Long, Long)] = terms
+        .map { case (t, w) =>
+          val h = md.digest(t.getBytes("UTF-8"))
+          val b = (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+            ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % 4096
+          b -> w
+        }
+        .groupBy(_._1).map { case (b, ws) => b -> ws.map(_._2).sum }.toSeq
+      val qw = broadcast(
+        s.createDataFrame(qBuckets).toDF("bucket", "w"))
+      val docs = Tables.load(s, dir, "documents")
+      val post = docs
+        .select(col("doc_id"),
+          explode(graft.operators.TextAnalysis.tokens(col("text")))
+            .as("tok"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+            % 4096).as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+      val dfB = post.groupBy("bucket").agg(count(lit(1)).as("df"))
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      post.join(qw, "bucket")
+        .join(broadcast(dfB), "bucket")
+        .crossJoin(broadcast(nRow))
+        .withColumn("term_score",
+          expr("w * tf * (1000000 * n DIV (df + 1))"))
+        .groupBy("doc_id")
+        .agg(sum("term_score").as("score_micro"))
+        .orderBy(desc("score_micro"), col("doc_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS tok
+        FROM documents),
+      b AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS bucket
+        FROM tok),
+      post AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM b GROUP BY 1, 2),
+      dfb AS (SELECT bucket, COUNT(*) AS df FROM post GROUP BY 1),
+      nn AS (SELECT COUNT(*) AS n FROM documents),
+      qw AS (
+        SELECT ('0x' || substr(md5(t.term), 1, 8))::BIGINT % 4096 AS bucket,
+               CAST(SUM(t.w) AS BIGINT) AS w
+        FROM (VALUES ('data', 3), ('query', 2), ('table', 1)) t(term, w)
+        GROUP BY 1)
+      SELECT p.doc_id,
+             CAST(SUM(q.w * p.tf *
+               (1000000 * (SELECT n FROM nn) // (d.df + 1))) AS BIGINT)
+               AS score_micro
+      FROM post p
+      JOIN qw q USING (bucket)
+      JOIN dfb d USING (bucket)
+      GROUP BY p.doc_id
+      ORDER BY score_micro DESC, p.doc_id
+      LIMIT 10"""))
+
   def queries: Seq[Q] = Seq(vRecommend, vRecommendBest, vMatrix, vMmr,
     vKnnGroups, collCount, collScroll, collFacet, vDiscover, chromaWhere,
-    vSparseSearch)
+    vSparseSearch, vSparseIdf)
 }

@@ -123,7 +123,7 @@ object Collections {
     (points.filter(okCond), points.filter(!okCond || col(vecCol).isNull))
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private[sources] def deleteRecursively(p: java.nio.file.Path): Unit = {
     val walk = Files.walk(p)
     try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(f => Files.delete(f))
@@ -432,6 +432,29 @@ object Collections {
         d.withColumn(name, when(cond, e).otherwise(col(name)))
       }
     }
+
+  /** Qdrant `update_vectors` analog: replace the vector on matching
+    * points — the re-embed flow (model upgrade over a filtered subset)
+    * that previously required a full-collection upsert. Same
+    * manifest-committed O(touched buckets) cost as [[setPayloadWhere]].
+    * The collection's declared dim is ENFORCED on every replacement: a
+    * matched row whose new vector violates the gate (wrong length or
+    * null) fails the write job BEFORE the manifest swap, so the previous
+    * generation stays live — mutation is all-or-nothing. Returns the
+    * matched-point count. */
+  def setVectorWhere(spark: SparkSession, dir: String, filter: Column,
+                     idCol: String, vecCol: String, newVec: Column): Long = {
+    val dim = config(dir).dim
+    rewriteWhere(spark, dir, filter, idCol) { (df, cond) =>
+      df.withColumn(vecCol,
+        when(!cond, col(vecCol))
+          .when(VectorOps.hasDim(newVec, dim), newVec)
+          .otherwise(raise_error(concat(
+            lit(s"setVectorWhere: replacement vector violates dim=$dim "
+              + "for id "),
+            col(idCol).cast("string")))))
+    }
+  }
 
   /** Readers resolve through the manifest: the path set is immutable for
     * the life of that manifest generation (superseded generations outlive

@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+
+/** Incrementally-maintained IVF index over a collection — the composition
+  * of the collection change feed ([[Collections.changedSince]]) with the
+  * IVF assignment build (Ann.buildIvfIndex): after an upsert /
+  * deleteWhere / setVectorWhere sequence touches a handful of collection
+  * buckets, [[refresh]] re-assigns and re-partitions ONLY those buckets'
+  * points instead of rebuilding the index from the whole collection.
+  *
+  * Layout: parquet partitioned by (src_bucket, cluster) — `src_bucket` is
+  * the collection's id-hash bucket, so the index rows derived from one
+  * collection bucket live under one directory and refresh is a directory
+  * swap per touched bucket; `cluster` is the IVF cell, and partition
+  * pruning on it (the probe path, Ann.ivfSearchIndexed) works the same as
+  * the flat `cluster=` layout — Spark prunes on ANY partition column, not
+  * just the outermost.
+  *
+  * The index is DERIVED data: refresh deletes stale `src_bucket=` dirs
+  * and appends their replacements without a manifest commit (a reader
+  * racing a refresh can see a partial index). Run it from the single
+  * writer, as with every mutation verb; a crash mid-refresh is repaired
+  * by re-running refresh (delete-then-append is idempotent for the same
+  * source state) or by a full [[build]].
+  *
+  * Scale: cost is O(points in touched buckets) per refresh — the 100 TB
+  * contract. The centroid table is the caller's (trained once, k·dim
+  * doubles); reassignment is the same broadcast-argmin the full build
+  * uses.
+  */
+object IvfIndex {
+
+  /** Assign clusters + tag the source bucket; the written row set. */
+  private def assigned(points: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame, cidCol: String, cvCol: String,
+                       numBuckets: Int): DataFrame =
+    points
+      .join(Ann.argminAssign(points, idCol, vecCol, centroids, cidCol,
+        cvCol), idCol)
+      .withColumn("src_bucket", pmod(hash(col(idCol)), lit(numBuckets)))
+
+  /** Full build: the whole collection, one overwrite. Returns the
+    * manifest view the index now reflects — the cursor for [[refresh]]. */
+  def build(spark: SparkSession, collDir: String, indexDir: String,
+            idCol: String, vecCol: String, centroids: DataFrame,
+            cidCol: String, cvCol: String): Collections.ManifestView = {
+    val cur = Collections.manifestView(collDir)
+    assigned(Collections.read(spark, collDir), idCol, vecCol, centroids,
+      cidCol, cvCol, Collections.numBuckets(collDir))
+      .write.mode("overwrite")
+      .partitionBy("src_bucket", "cluster")
+      .parquet(indexDir)
+    cur
+  }
+
+  /** Incremental refresh from the change feed: buckets the collection
+    * rewrote (or dropped) since `prev` get their index directories
+    * deleted and — for live buckets — re-assigned and re-appended.
+    * Untouched buckets' index files are not read, not rewritten, not
+    * moved. Returns the new cursor. */
+  def refresh(spark: SparkSession, collDir: String, indexDir: String,
+              idCol: String, vecCol: String, centroids: DataFrame,
+              cidCol: String, cvCol: String,
+              prev: Collections.ManifestView): Collections.ManifestView = {
+    val (cur, changedDf, dropped) =
+      Collections.changedSince(spark, collDir, prev)
+    val changedBuckets = cur.buckets.collect {
+      case (b, rel) if !prev.buckets.get(b).contains(rel) => b
+    }.toSet
+    (changedBuckets ++ dropped).foreach { b =>
+      val dir = Paths.get(indexDir, s"src_bucket=$b")
+      if (Files.exists(dir)) Collections.deleteRecursively(dir)
+    }
+    if (changedBuckets.nonEmpty)
+      assigned(changedDf, idCol, vecCol, centroids, cidCol, cvCol,
+        Collections.numBuckets(collDir))
+        .write.mode("append")
+        .partitionBy("src_bucket", "cluster")
+        .parquet(indexDir)
+    cur
+  }
+}

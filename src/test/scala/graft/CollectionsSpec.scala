@@ -363,6 +363,133 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
       .filter(col("label").isNull).count() == nMatch)
   }
 
+  test("setVectorWhere: re-embed of a filtered subset touches only " +
+       "matching buckets; dim gate fails BEFORE the manifest swap") {
+    val dir = Files.createTempDirectory("graft-coll").toString + "/c12"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(100)
+    sink.write(emb.withColumn("seq", lit(0)))
+    val nMatch = Collections.read(spark, dir)
+      .filter(col("label") === 3).count()
+    assert(nMatch > 0, "degenerate fixture: no label-3 rows")
+    val buckets = Collections.numBuckets(dir)
+    val matchBuckets = Collections.read(spark, dir)
+      .filter(col("label") === 3)
+      .select(pmod(hash(col("vec_id")), lit(buckets)))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val before = Collections.manifestView(dir)
+
+    // the "model upgrade": negate matched vectors (dim-preserving)
+    val n = Collections.setVectorWhere(spark, dir, col("label") === 3,
+      "vec_id", "embedding",
+      transform(col("embedding"), x => -x))
+    assert(n == nMatch)
+    val after = Collections.manifestView(dir)
+    // only buckets holding matches were remapped; the rest are untouched
+    (before.buckets.keySet -- matchBuckets).foreach { b =>
+      assert(after.buckets(b) == before.buckets(b),
+        s"bucket $b rewritten without holding a match")
+    }
+    matchBuckets.foreach { b =>
+      assert(after.buckets(b) != before.buckets(b),
+        s"matched bucket $b not rewritten")
+    }
+    // vectors re-embedded on matches, byte-identical elsewhere
+    val pre = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Double](2))).toMap
+    Collections.read(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().foreach { r =>
+        val (label, orig) = pre(r.getLong(0))
+        val now = r.getSeq[Double](1)
+        if (label == 3) assert(now == orig.map(x => -x))
+        else assert(now == orig)
+      }
+
+    // dim violation: the write job fails and the manifest stays put
+    val thrown = intercept[Exception] {
+      Collections.setVectorWhere(spark, dir, col("label") === 5,
+        "vec_id", "embedding", slice(col("embedding"), 1, 3))
+    }
+    assert(thrown.getMessage != null)
+    val unchanged = Collections.manifestView(dir)
+    assert(unchanged.gen == after.gen && unchanged.buckets == after.buckets,
+      "failed setVectorWhere mutated the manifest")
+    assert(Collections.read(spark, dir).count() == 100)
+  }
+
+  test("incremental IVF index maintenance over the change feed equals a " +
+       "full rebuild after a mixed upsert/deleteWhere/setVectorWhere " +
+       "sequence; untouched bucket dirs are physically untouched") {
+    import graft.sources.IvfIndex
+    import graft.operators.Ann
+    val root = Files.createTempDirectory("graft-ivf").toString
+    val dir = s"$root/c13"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(200)
+    sink.write(emb.withColumn("seq", lit(0)))
+    // centroids trained once, materialized driver-side (both builds must
+    // see the identical table, independent of later collection state)
+    val cents = Ann.kmeansFit(Collections.read(spark, dir),
+      "vec_id", "embedding", k = 4, iters = 1)
+    val idx = s"$root/idx"
+    val v0 = IvfIndex.build(spark, dir, idx, "vec_id", "embedding",
+      cents, "cid", "cv")
+
+    // mixed mutation sequence
+    sink.write(emb.filter(col("vec_id") % 10 === 0) // re-embed via upsert
+      .withColumn("embedding",
+        transform(col("embedding"), x => -x).cast("array<float>"))
+      .withColumn("seq", lit(1)))
+    Collections.deleteWhere(spark, dir, col("vec_id") % 7 === 0, "vec_id")
+    Collections.setVectorWhere(spark, dir, col("vec_id") % 11 === 3,
+      "vec_id", "embedding",
+      transform(col("embedding"), x => x * 2).cast("array<float>"))
+
+    // capture an untouched bucket's index files before the refresh
+    val nb = Collections.numBuckets(dir)
+    val touchedBuckets = Collections.read(spark, dir)
+      .filter(col("vec_id") % 10 === 0 || col("vec_id") % 11 === 3)
+      .select(pmod(hash(col("vec_id")), lit(nb)))
+      .union(emb.filter(col("vec_id") % 7 === 0)
+        .select(pmod(hash(col("vec_id")), lit(nb))))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val untouched = (0 until nb).find(b => !touchedBuckets.contains(b)
+      && Files.exists(java.nio.file.Paths.get(idx, s"src_bucket=$b")))
+    def listing(b: Int): Set[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(java.nio.file.Paths.get(idx, s"src_bucket=$b"))
+      try walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toSet
+      finally walk.close()
+    }
+    val preListing = untouched.map(listing)
+
+    IvfIndex.refresh(spark, dir, idx, "vec_id", "embedding",
+      cents, "cid", "cv", v0)
+    untouched.foreach(b => assert(listing(b) == preListing.get,
+      s"untouched bucket $b index files were rewritten"))
+
+    // row-for-row equality with a full rebuild over the mutated state
+    val idx2 = s"$root/idx_full"
+    IvfIndex.build(spark, dir, idx2, "vec_id", "embedding",
+      cents, "cid", "cv")
+    def rows(p: String): Set[(Long, Long, Seq[Double])] =
+      spark.read.parquet(p)
+        .select(col("vec_id"), col("cluster").cast("long"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2))).toSet
+    assert(rows(idx) == rows(idx2),
+      "incrementally-maintained index diverges from a full rebuild")
+    assert(rows(idx).nonEmpty)
+  }
+
   test("management surface: list / scroll / delete") {
     val root = Files.createTempDirectory("graft-mgmt").toString
     val emb = Tables.load(spark, sf, "embeddings").withColumn("seq", lit(0))
