@@ -54,6 +54,58 @@ object VectorQueries {
       LIMIT 10
     """))
 
+  private val tenantDirCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Memoized tenant-partitioned serving layout of the embeddings table
+    * (shard key = `label`) — same per-fixture/per-pid materialization
+    * discipline as AnnQueries.ivfIndexDir. */
+  private def tenantDir(s: org.apache.spark.sql.SparkSession,
+                        dir: String): String =
+    tenantDirCache.getOrElseUpdate(dir, {
+      val pathHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString
+      val target = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_tenant_${pathHash}_${ProcessHandle.current().pid()}").toString
+      graft.sources.Tenancy.build(
+        Tables.load(s, dir, "embeddings"), "label", "vec_id", target)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(target))
+      }))
+      target
+    })
+
+  /** V2 + tenant routing — the Qdrant shard-key/multitenancy analog: the
+    * same kNN top-10, scoped to ONE tenant (shard key = `label`) over the
+    * tenant-partitioned serving layout (sources/Tenancy). The tenant
+    * predicate is a partition-column literal → static pruning: the scan
+    * lists only `label=3/` directories (PartitionFilters-asserted in
+    * OperatorSpec) — per-tenant serving cost is O(tenant), not O(corpus).
+    * Oracle: the same search brute-forced WHERE label = 3 —
+    * materialization and routing must not change one row. */
+  val vKnnTenant = Q("v_knn_tenant",
+    (s, dir) => {
+      val served = graft.sources.Tenancy.forTenant(
+        s, tenantDir(s, dir), "label", 3)
+      Knn.knn(served, "embedding", queryVec(s, dir, 0), 10)
+        // partition discovery narrows the tenant key to INT; restore the
+        // source column's type for the schema gate
+        .select(col("vec_id"), col("label").cast("int").as("label"),
+          col("score"))
+    },
+    Some(s"""
+      SELECT vec_id, label,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQ0), 6) AS score
+      FROM embeddings
+      WHERE label = 3
+      ORDER BY score DESC, vec_id
+      LIMIT 10
+    """))
+
   /** V2 multi-query — broadcast the 5-vector query set, per-query top-3 via
     * window rank (collection side unshuffled; see Knn.knnMulti). */
   val vKnnMulti = Q("v_knn_multi",
@@ -548,8 +600,8 @@ object VectorQueries {
       ORDER BY label
     """))
 
-  def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnMulti, vKnnMultiAgg,
-    vKnnFiltered, vKnnDsl, vKnnDslExcept, vKnnDslNested, vL2, vDot,
-    vFusion, vMaxsim, vHybridRrf,
+  def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnTenant, vKnnMulti,
+    vKnnMultiAgg, vKnnFiltered, vKnnDsl, vKnnDslExcept, vKnnDslNested,
+    vL2, vDot, vFusion, vMaxsim, vHybridRrf,
     vSqQuantize, vSqSearch, vBqSearch, collStats)
 }

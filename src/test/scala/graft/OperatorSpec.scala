@@ -433,6 +433,19 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(buckets.sameElements(again))
   }
 
+  test("tenant shard-key routing: the serving scan prunes to the tenant's " +
+       "partitions (PartitionFilters carries the literal tenant key)") {
+    val plan = Queries.queries("v_knn_tenant")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*label[^\\]]*=[^\\]]*3[^\\]]*\\]".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"tenant key not pushed to partition pruning:\n$plan")
+    // and no per-row tenant filter survives below the scan — pruning,
+    // not filtering, is the multitenancy contract
+    assert(!plan.contains("PushedFilters: [IsNotNull(label"),
+      "tenant key degraded to a data filter")
+  }
+
   test("multimodal: byteSum/byteLen agree with driver-side computation " +
        "and with the hex-parse HOF twin") {
     val d = Multimodal.attachBinary(docs20)
