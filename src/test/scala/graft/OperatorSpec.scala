@@ -913,12 +913,15 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
   test("decontamination flags every planted contaminated doc (>=8 tokens)") {
     val flagged = Queries.queries("txt_decontam")(spark, sf).collect()
       .map(_.getLong(0)).toSet
+    // plants sit at doc_id + max(doc_id)+1 (collision-proof offset)
+    val offset = Tables.load(spark, sf, "documents")
+      .agg(max("doc_id")).head().getLong(0) + 1
     val bench = Tables.load(spark, sf, "documents")
       .filter(col("doc_id") % 97 === 0)
       .filter(size(TextAnalysis.tokens(col("text"))) >= 8)
       .select("doc_id").collect().map(_.getLong(0))
     assert(bench.nonEmpty)
-    bench.foreach(id => assert(flagged.contains(id + 400000),
-      s"planted contaminated doc ${id + 400000} not flagged"))
+    bench.foreach(id => assert(flagged.contains(id + offset),
+      s"planted contaminated doc ${id + offset} not flagged"))
   }
 }
