@@ -378,12 +378,14 @@ object RecommendQueries {
     * containing it). The idf here is the repo's ln-free integer surrogate
     * `1e6·N DIV (df+1)` — same monotone-rank argument as
     * TextAnalysis.bm25 (an exact-hash oracle can't replay ln), and the
-    * posting value is the dimension's tf in the doc. Scale shape: postings
-    * fold once per (doc, bucket) map-side; the query join is hits-only
-    * (≤ |query| buckets); the df table is broadcast with a
-    * DATA-INDEPENDENT bound — the sparse space is pinned to 4096 buckets
-    * at collection declaration, so unlike a distinct-token table it can
-    * never outgrow the hint. */
+    * posting value is the dimension's tf in the doc. Scale shape: the
+    * query's bucket set is a LITERAL isin filter applied before any
+    * aggregation, so only hit tokens ever shuffle (BM25's hits-only
+    * contract) — per-dimension df for the probed buckets and the posting
+    * tf fold come from that same filtered pass (df of an unprobed bucket
+    * is never needed); N is one count over the id column. The df
+    * broadcast is bounded by |query| ≤ the pinned 4096-bucket space —
+    * data-independent, unlike a distinct-token table. */
   val vSparseIdf = Q("v_sparse_idf",
     (s, dir) => {
       val terms = Seq("data" -> 3L, "query" -> 2L, "table" -> 1L)
@@ -399,6 +401,8 @@ object RecommendQueries {
       val qw = broadcast(
         s.createDataFrame(qBuckets).toDF("bucket", "w"))
       val docs = Tables.load(s, dir, "documents")
+      // literal probe-bucket filter BEFORE any shuffle: only hit tokens
+      // leave the scan pass
       val post = docs
         .select(col("doc_id"),
           explode(graft.operators.TextAnalysis.tokens(col("text")))
@@ -406,6 +410,7 @@ object RecommendQueries {
         .select(col("doc_id"),
           (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
             % 4096).as("bucket"))
+        .filter(col("bucket").isin(qBuckets.map(_._1): _*))
         .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
       val dfB = post.groupBy("bucket").agg(count(lit(1)).as("df"))
       val nRow = docs.agg(count(lit(1)).as("n"))
