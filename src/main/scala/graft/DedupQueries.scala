@@ -527,22 +527,25 @@ object DedupQueries {
       val k = 4
       val docs = Tables.load(s, dir, "documents")
         .select("doc_id", "lang", "text")
-      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      // ONE scan folds both driver-side inputs: the plant offset (max id)
+      // and the KMV estimate of distinct CORPUS contents (the when()
+      // restricts the sketch to corpus rows — KMV skips nulls); the
+      // estimator itself is KmvSketch.estimate, not a re-derivation
+      val prologue = docs
+        .agg(max("doc_id").as("mx"),
+          KmvSketch.kmv(
+            when(col("doc_id") % 3 === 0,
+              conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")),
+            64).as("sk"))
+        .select(col("mx"),
+          floor(KmvSketch.estimate(col("sk"), 64)).cast("long").as("est"))
+        .head()
+      val (maxId, est) = (prologue.getLong(0), prologue.getLong(1))
       val corpus = docs.filter(col("doc_id") % 3 === 0)
       val batch = docs.filter(col("doc_id") % 3 =!= 0)
         .unionAll(corpus.filter(col("doc_id") % 30 === 0)
           .select((col("doc_id") + lit(maxId + 1)).as("doc_id"), col("lang"),
             col("text")))
-      // KMV estimate of distinct corpus contents (60-bit md5 hashes, the
-      // sketch_distinct kernel) → data-derived filter size
-      val sk = corpus
-        .agg(KmvSketch.kmv(
-          conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"), 64)
-          .as("sk"))
-        .head().getSeq[Long](0)
-      val est =
-        if (sk.size < 64) sk.size.toLong
-        else math.floor(63.0 * 1152921504606846976.0 / sk.last.toDouble).toLong
       val m = Bloom.sizeFromEstimate(est)
       val h = Dedup.h32(col("text"))
       val bitmap = Bloom.build(corpus, h, k, m)

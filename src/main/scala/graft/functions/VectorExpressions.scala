@@ -1123,6 +1123,8 @@ case class TermStatsExpr(child: Expression, terms: Seq[String])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(terms.nonEmpty, "term_stats needs at least one term")
+  require(terms.distinct.size == terms.size,
+    "term_stats needs DISTINCT terms — a duplicated term would double-count")
 
   override def dataType: DataType = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}

@@ -84,7 +84,9 @@ object Bloom {
     * power table — no logarithms, which engines round differently). */
   def sizeFromEstimate(est: Long): Int = {
     require(est >= 0, s"negative cardinality estimate: $est")
-    require(16 * est <= (1L << 26),
+    // bound BEFORE multiplying: 16·est would wrap negative for huge
+    // estimates and silently pass a product-form check
+    require(est <= (1L << 26) / 16,
       s"16·$est exceeds the 2^26-bit single-bitmap bound — shard the filter")
     var m = 1L << 10
     while (m < 16 * est) m <<= 1

@@ -62,9 +62,19 @@ object ImageCodec {
       (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'))
 
   /** Real decode: compressed image bytes → BufferedImage (null when no
-    * installed reader recognizes the stream). */
+    * installed reader recognizes the stream). Throws on a corrupt stream
+    * behind a valid magic — operators use [[decodeOrNull]]. */
   def decode(bytes: Array[Byte]): BufferedImage =
     ImageIO.read(new ByteArrayInputStream(bytes))
+
+  /** Containment form of [[decode]]: a payload that LOOKS like an image
+    * (magic matched) but fails mid-decode (truncated PNG, unsupported
+    * JPEG colorspace — ImageIO throws rather than returning null) must
+    * degrade to the caller's fallback/drop path, never kill the task —
+    * the reference's drop-on-error contract (O19). */
+  def decodeOrNull(bytes: Array[Byte]): BufferedImage =
+    try decode(bytes)
+    catch { case scala.util.control.NonFatal(_) => null }
 
   /** Per-channel pixel sums [ΣR, ΣG, ΣB] over the decoded image. */
   def channelSums(img: BufferedImage): Array[Long] = {

@@ -188,7 +188,7 @@ object Multimodal {
           if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
         val features =
           if (ImageCodec.isImage(bytes)) {
-            val img = ImageCodec.decode(bytes)
+            val img = ImageCodec.decodeOrNull(bytes)
             if (img == null) byteStub(bytes)
             else {
               val s = ImageCodec.channelSums(img)
@@ -220,7 +220,7 @@ object Multimodal {
       rows.flatMap { r =>
         val bytes =
           if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        val img = if (ImageCodec.isImage(bytes)) ImageCodec.decode(bytes)
+        val img = if (ImageCodec.isImage(bytes)) ImageCodec.decodeOrNull(bytes)
                   else null
         if (img == null) None
         else {
@@ -230,9 +230,16 @@ object Multimodal {
               1000000L)
           val nw = w * scaleMicro / 1000000L
           val nh = h * scaleMicro / 1000000L
-          val s = ImageCodec.resizedChannelSums(img, nw.toInt, nh.toInt)
-          Some(org.apache.spark.sql.Row(r.get(0), w, h, scaleMicro, nw, nh,
-            s(0), s(1), s(2)))
+          // extreme aspect ratios can plan a zero-area output (never-
+          // upscale scale capped by the LARGER dimension); drop them —
+          // the same contract as the SQL replay, whose per-pixel unnest
+          // emits no row for an empty pixel grid
+          if (nw == 0 || nh == 0) None
+          else {
+            val s = ImageCodec.resizedChannelSums(img, nw.toInt, nh.toInt)
+            Some(org.apache.spark.sql.Row(r.get(0), w, h, scaleMicro, nw, nh,
+              s(0), s(1), s(2)))
+          }
         }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))

@@ -154,33 +154,36 @@ object TextAnalysis {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1Milli: Long = 1200,
            bMilli: Long = 750): DataFrame = {
+    // the explode→isin form this replaced collapsed duplicate query terms
+    // (isin is a set test); keep that contract
+    val qTerms = terms.distinct
     def idiv(a: Column, b: Column): Column = call_function("div", a, b)
     val perDoc = docs.select(col(idCol),
       org.apache.spark.sql.GraftSqlBridge.column(
         graft.functions.TermStatsExpr(
           org.apache.spark.sql.GraftSqlBridge.expression(
-            tokens(col(textCol))), terms)).as("__st"))
+            tokens(col(textCol))), qTerms)).as("__st"))
     val tfs = col("__st").getField("tfs")
     val len = col("__st").getField("len")
     // corpus stats: N, Σlen, and every term's df folded in ONE partial agg
     val stats = perDoc.agg(
       count(lit(1)).as("n"),
       sum(len).as("sumlen"),
-      array(terms.indices.map(i =>
+      array(qTerms.indices.map(i =>
         sum(when(tfs.getItem(i) > 0, 1L).otherwise(0L))): _*).as("__dfs"))
     val normMilli = {
       val avglenMilli = idiv(col("sumlen") * lit(1000L), col("n"))
       val ratioMilli = idiv(len * lit(1000000L), avglenMilli)
       lit(1000L - bMilli) + idiv(lit(bMilli) * ratioMilli, lit(1000L))
     }
-    val termScore = terms.indices.map { i =>
+    val termScore = qTerms.indices.map { i =>
       val tf = tfs.getItem(i)
       val idfMicro = idiv(lit(1000000L) * col("n"), col("__dfs").getItem(i) + lit(1L))
       val denomMilli = tf * lit(1000L) + idiv(lit(k1Milli) * col("norm_milli"), lit(1000L))
       when(tf > 0, idiv(idfMicro * tf * lit(1000L + k1Milli), denomMilli))
         .otherwise(lit(0L))
     }
-    val hit = terms.indices.map(i =>
+    val hit = qTerms.indices.map(i =>
       when(tfs.getItem(i) > 0, 1L).otherwise(0L))
     perDoc.crossJoin(broadcast(stats))
       .withColumn("norm_milli", normMilli)

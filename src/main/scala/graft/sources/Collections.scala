@@ -224,9 +224,18 @@ object Collections {
       .parquet(genDir.toString)
     // persist the consumer-visible schema BEFORE the manifest swap: a
     // poll of a later fully-emptied collection still returns a
-    // schema-stable empty frame (unions/selects across polls never throw)
-    Files.write(schemaPath(dir),
+    // schema-stable empty frame (unions/selects across polls never
+    // throw). Same tmp + atomic-move discipline as the manifest — the
+    // reader side (changedSince) reads this file directly and must never
+    // observe a torn write
+    val schemaTmp = Paths.get(dir, "_schema.json.tmp")
+    Files.write(schemaTmp,
       rows.drop(BucketCol).schema.json.getBytes(StandardCharsets.UTF_8))
+    try Files.move(schemaTmp, schemaPath(dir),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(schemaTmp, schemaPath(dir), StandardCopyOption.REPLACE_EXISTING)
+    }
     val written = listBuckets(genDir).keySet
       .map(_.stripPrefix(s"$BucketCol=").toInt)
     writeManifest(dir, gen + 1,

@@ -28,12 +28,18 @@ object Tenancy {
     * be low-cardinality relative to data volume (it becomes a directory
     * level — the same constraint Qdrant places on shard-key values). */
   def build(points: DataFrame, tenantCol: String, idCol: String,
-            dir: String, buckets: Int = 16): Unit =
+            dir: String, buckets: Int = 16): Unit = {
+    // `bucket` is the layout's reserved routing column (same contract as
+    // the collection layout) — a payload column of that name would be
+    // silently overwritten here and dropped by forTenant
+    require(!points.columns.contains("bucket"),
+      "points carry a column named 'bucket' — reserved for the layout")
     points
       .withColumn("bucket", pmod(hash(col(idCol)), lit(buckets)))
       .write.mode("overwrite")
       .partitionBy(tenantCol, "bucket")
       .parquet(dir)
+  }
 
   /** Tenant-scoped view: a LITERAL equality on the tenant partition
     * column — static pruning, no other tenant's files are listed. */

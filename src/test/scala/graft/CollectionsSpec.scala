@@ -479,12 +479,15 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     val idx2 = s"$root/idx_full"
     IvfIndex.build(spark, dir, idx2, "vec_id", "embedding",
       cents, "cid", "cv")
-    def rows(p: String): Set[(Long, Long, Seq[Double])] =
+    // MULTISET compare (sorted seq, not Set): a refresh defect that
+    // appends duplicate rows for an already-live bucket must fail here
+    def rows(p: String): Seq[String] =
       spark.read.parquet(p)
         .select(col("vec_id"), col("cluster").cast("long"),
           col("embedding").cast("array<double>"))
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2))).toSet
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)).toString)
+        .toSeq.sorted
     assert(rows(idx) == rows(idx2),
       "incrementally-maintained index diverges from a full rebuild")
     assert(rows(idx).nonEmpty)

@@ -640,6 +640,24 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(jimg != null && jimg.getWidth == 12 && jimg.getHeight == 9)
   }
 
+  test("multimodal: a corrupt payload behind a valid image magic degrades " +
+       "to the stub/drop path, never kills the task") {
+    import graft.operators.ImageCodec
+    import spark.implicits._
+    val truncated = ImageCodec.encodePng(5L, 10, 8).take(24) // magic + IHDR
+    val d = Seq((1L, truncated), (2L, ImageCodec.encodePng(2L, 6, 5)))
+      .toDF("doc_id", "content")
+    val feats = Multimodal.decodeFeaturesBatch(d, "doc_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // corrupt row fell back to byte statistics (len first), intact row
+    // decoded to pixel features (width first)
+    assert(feats(1L)(0) == truncated.length.toDouble)
+    assert(feats(2L)(0) == 6.0 && feats(2L)(1) == 5.0)
+    val resized = Multimodal.resizePixels(d, "doc_id", "content", 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(resized == Set(2L), "corrupt payload not dropped by resize")
+  }
+
   test("multimodal: batch decode preserves a STRING id column") {
     val feats = Multimodal.decodeFeaturesBatch(
         Multimodal.attachBinary(docs20)

@@ -163,10 +163,10 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
         .cast("long").as("h60"),
       conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
         .cast("long").as("h"))
-    val sk = members.agg(KmvSketch.kmv(col("h60"), 64)).head().getSeq[Long](0)
-    val est =
-      if (sk.size < 64) sk.size.toLong
-      else math.floor(63.0 * 1152921504606846976.0 / sk.last.toDouble).toLong
+    val est = members
+      .agg(floor(KmvSketch.estimate(KmvSketch.kmv(col("h60"), 64), 64))
+        .cast("long"))
+      .head().getLong(0)
     assert(math.abs(est - n) < n / 2, s"KMV estimate $est too far from $n")
     val m = Bloom.sizeFromEstimate(est)
     assert(Integer.bitCount(m) == 1 && m >= 16 * est,
