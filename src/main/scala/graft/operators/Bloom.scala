@@ -73,6 +73,58 @@ object Bloom {
     }.reduce(_ && _)
   }
 
+  /** SHARDED filter — the scale path past [[sizeFromEstimate]]'s 2^26-bit
+    * single-bitmap bound: keys hash-route to `shards` independent filters
+    * (shard = h % shards), each an ordinary m-bit bitmap. Build stays ONE
+    * distributed distinct pass (≤ shards·m rows to the driver); the probe
+    * stays a narrow in-row expression — the shard index just selects the
+    * word table from a two-level plan literal. A 10¹⁰-key corpus at
+    * 16 bits/key is 512 shards of 2^25 bits (yes, the plan literal is
+    * then 2 GiB — at that point ship the shard tables as a broadcast
+    * variable instead; the SHAPE of build and probe is unchanged, which
+    * is what this form pins down). */
+  /** Shard route: an affine map over the prime modulus INDEPENDENT of the
+    * position family — `h % shards` would correlate with the power-of-two
+    * position modulus (same-shard keys then collide into m/shards
+    * position cosets, measured 4× the design fpr), so the shard index
+    * comes from its own universal-hash draw. */
+  def shardOf(h: Column, shards: Int): Column =
+    ((lit(7919L) * h + lit(104729L)) % Mod) % shards
+
+  def buildSharded(corpus: DataFrame, h: Column, k: Int, m: Int,
+                   shards: Int): Array[Array[Long]] = {
+    require(shards > 0, s"need at least one shard, got $shards")
+    val bitmaps = Array.fill(shards)(new Array[Long]((m + 63) / 64))
+    corpus
+      .select(shardOf(h, shards).as("s"),
+        explode(array(positions(h, k, m): _*)).as("p"))
+      .filter(col("s").isNotNull && col("p").isNotNull)
+      .distinct()
+      .collect()
+      .foreach { r =>
+        val s = r.getLong(0).toInt
+        val p = r.getLong(1).toInt
+        bitmaps(s)(p / 64) |= 1L << (p % 64)
+      }
+    bitmaps
+  }
+
+  /** In-row probe of a sharded filter: true iff all k positions of `h`
+    * are set in h's OWN shard. Zero joins/shuffles, like
+    * [[mightContain]]. */
+  def mightContainSharded(bitmaps: Array[Array[Long]], h: Column, k: Int,
+                          m: Int): Column = {
+    val tables = typedLit(bitmaps.map(_.toSeq).toSeq)
+    val words = call_function("element_at", tables,
+      shardOf(h, bitmaps.length).cast("int") + lit(1))
+    positions(h, k, m).map { p =>
+      val word = call_function("element_at", words,
+        call_function("shiftright", p, lit(6)).cast("int") + lit(1))
+      call_function("shiftright", word, (p % 64L).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
   /** Size the filter from a KMV cardinality estimate: the smallest power
     * of two ≥ 16·n̂ (k = 4 probes at 16 bits/key ⇒ fill ≈ 1−e^(−1/4) ≈
     * 0.22, fpr ≈ 0.22⁴ ≈ 0.24%), floored at 2^10 and REQUIRED ≤ 2^26.

@@ -185,4 +185,36 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(fp.toDouble / probes <= 0.02,
       s"fp rate ${fp.toDouble / probes} above 2% at derived m=$m (est $est)")
   }
+
+  test("sharded bloom: zero false negatives, per-shard routing is " +
+       "disjoint, fp rate comparable to one filter of the same total bits") {
+    import graft.operators.Bloom
+    val (k, m, shards) = (4, 4096, 8)
+    val n = 3000L
+    val members = spark.range(n).select(
+      conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+    val bitmaps = Bloom.buildSharded(members, col("h"), k, m, shards)
+    assert(bitmaps.length == shards)
+    // no false negatives across every shard
+    assert(members.filter(
+      !Bloom.mightContainSharded(bitmaps, col("h"), k, m)).count() == 0)
+    // routing is disjoint: a key's bits live ONLY in its own shard —
+    // re-probing with the shard index forced elsewhere must not be
+    // required for membership (the probe derives the shard from h alone)
+    val perShard = members.groupBy(Bloom.shardOf(col("h"), shards).as("s"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perShard.size == shards, s"degenerate routing: $perShard")
+    // fp rate ~ a single filter with shards·m bits at the same n
+    val probes = 20000L
+    val others = spark.range(n, n + probes).select(
+      conv(substring(md5(concat(lit("y"), col("id"))), 1, 8), 16, 10)
+        .cast("long").as("h"))
+    val fp = others.filter(
+      Bloom.mightContainSharded(bitmaps, col("h"), k, m)).count()
+    // n/(shards·m) = 3000/32768 bits⁻¹ → fill ≈ 1−e^(−0.37) ≈ 0.31,
+    // fpr ≈ 0.31⁴ ≈ 0.9%; assert a loose 3%
+    assert(fp.toDouble / probes <= 0.03,
+      s"sharded fp rate ${fp.toDouble / probes} above 3%")
+  }
 }
