@@ -386,21 +386,41 @@ object Relational {
         .select(col("l_returnflag").as("flag"),
           floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
             .as("cents"))
-      val ranked = li.withColumn("rn",
-        row_number().over(Window.partitionBy("flag").orderBy("cents")))
+      // Exact order statistics WITHOUT ranking rows: fold to per-value
+      // counts first (map-side-combinable; the shuffle is ∝ DISTINCT
+      // values, never rows), then a cumulative count over the distinct-
+      // value table. The row at rank r is min{v : cum(v) ≥ r} — identical
+      // values to a row_number over all rows, but the only per-group sort
+      // touches the value domain, not the corpus (the previous window
+      // form pushed every row through |flags|=3 fixed partitions — the
+      // same scale defect class as the r6 pipe_balance fix).
+      val vc = li.groupBy("flag", "cents").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("flag").orderBy("cents")))
       val tgt = li.groupBy("flag").agg(count(lit(1)).as("n"))
         .crossJoin(Seq(500000L, 950000L).toDF("p_micro"))
         .withColumn("pos", col("p_micro") * (col("n") - 1))
         .withColumn("lo", expr("pos DIV 1000000"))
         .withColumn("f", col("pos") % 1000000L)
-      val r1 = ranked.select(col("flag").as("f1"), col("rn").as("rn1"),
-        col("cents").as("v_lo"))
-      val r2 = ranked.select(col("flag").as("f2"), col("rn").as("rn2"),
-        col("cents").as("v_hi"))
-      tgt
-        .join(r1, col("f1") === col("flag") && col("rn1") === col("lo") + 1)
-        .join(r2, col("f2") === col("flag") && col("rn2") === col("lo") + 2,
-          "left")
+      // both row-ranks (lo+1 always exists; lo+2 may not — the p=1 edge)
+      // in ONE tiny broadcast side, so the distinct-value table is
+      // computed and joined exactly once; the range residual rides on
+      // the flag equi-join, and a conditional min un-pivots the pair
+      val ranks = tgt
+        .select(col("flag"), col("p_micro"), col("f"),
+          explode(array(
+            struct((col("lo") + 1).as("r"), lit(0).as("which")),
+            struct((col("lo") + 2).as("r"), lit(1).as("which"))))
+            .as("rw"))
+        .select(col("flag"), col("p_micro"), col("f"),
+          col("rw.r").as("r"), col("rw.which").as("which"))
+      val cv = vc.select(col("flag").as("cf"), col("cents").as("v"),
+        col("cum"))
+      broadcast(ranks)
+        .join(cv, col("cf") === col("flag") && col("cum") >= col("r"))
+        .groupBy("flag", "p_micro", "f")
+        .agg(min(when(col("which") === 0, col("v"))).as("v_lo"),
+          min(when(col("which") === 1, col("v"))).as("v_hi"))
         .select(col("flag"), col("p_micro"),
           (col("v_lo") * (lit(1000000L) - col("f")) +
             coalesce(col("v_hi"), col("v_lo")) * col("f"))
