@@ -216,6 +216,38 @@ object RecommendQueries {
       ORDER BY label, vec_id
       LIMIT 20"""))
 
+  /** Qdrant `count(exact=false)` analog: the approximate point count
+    * under a DSL filter, via the KMV distinct-id sketch (ids are unique,
+    * so distinct-count == count) — ≤64 longs shuffle instead of a full
+    * count when the serving layer answers "roughly how many match".
+    * The exact count is emitted beside it so the gate pins the sketch's
+    * order statistics AND the estimate arithmetic under the filter. */
+  val collCountApprox = Q("coll_count_approx",
+    (s, dir) => {
+      import graft.plans.KmvSketch
+      val f = PayloadFilter.fromJson(
+        """{"must": [{"key": "vec_id", "range": {"lt": 1000}}]}""")
+      Tables.load(s, dir, "embeddings").filter(f)
+        .select(conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+          16, 10).cast("long").as("h"))
+        .agg(count(lit(1)).as("exact"),
+          floor(KmvSketch.estimate(KmvSketch.kmv(col("h"), 64), 64) * 1000
+            + lit(0.5)).cast("long").as("approx_milli"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM embeddings WHERE vec_id < 1000),
+      d AS (SELECT DISTINCT h FROM f),
+      rk AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM d),
+      sk AS (SELECT COUNT(*) AS sz, MAX(CASE WHEN rn = 64 THEN h END) AS kth
+             FROM rk WHERE rn <= 64)
+      SELECT (SELECT COUNT(*) FROM f) AS exact,
+             CAST(floor((CASE WHEN sz < 64 THEN CAST(sz AS DOUBLE)
+               ELSE 63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)
+               END) * 1000 + 0.5) AS BIGINT) AS approx_milli
+      FROM sk"""))
+
   /** Facet API: value counts of a payload field under a DSL filter —
     * top values by count. One pushed-down filter + one map-side-combined
     * hash agg + a bounded TakeOrderedAndProject. */
@@ -453,6 +485,6 @@ object RecommendQueries {
       LIMIT 10"""))
 
   def queries: Seq[Q] = Seq(vRecommend, vRecommendBest, vMatrix, vMmr,
-    vKnnGroups, collCount, collScroll, collFacet, vDiscover, chromaWhere,
-    vSparseSearch, vSparseIdf)
+    vKnnGroups, collCount, collCountApprox, collScroll, collFacet,
+    vDiscover, chromaWhere, vSparseSearch, vSparseIdf)
 }

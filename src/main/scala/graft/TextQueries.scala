@@ -470,6 +470,92 @@ object TextQueries {
       GROUP BY split, lang
       ORDER BY split, lang"""))
 
+  /** COUNT-MIN sketch over corpus token frequencies — the mergeable
+    * heavy-hitter/frequency-estimation pass (Cormode–Muthukrishnan) a
+    * 100 TB pipeline runs instead of a full token-frequency table when it
+    * only needs point estimates: d=4 hash rows × w=1024 cells, cell =
+    * Σ count of tokens hashing there (a SUM per cell — order-independent,
+    * so unlike Misra–Gries-family sketches an exact-hash oracle CAN
+    * replay it), estimate(t) = min over rows of t's cell. The row hashes
+    * reuse the public affine family of the MinHash/Bloom kernels. Scale:
+    * the exploded (row, cell, count) stream folds map-side into at most
+    * d·w cells — the shuffle is bounded by the SKETCH size, never the
+    * corpus; sketches merge by cell-wise addition (same contract as the
+    * KMV sketch). The query emits, per probe term, the CM estimate
+    * beside the exact count, pinning both the hash arithmetic and the
+    * ≥-exact overestimate guarantee. */
+  val sketchCm = Q("sketch_cm",
+    (s, dir) => {
+      val (d, w) = (4, 1024)
+      val probes = Seq("data", "query", "table", "zebra")
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("tok"),
+          (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+            .as("h"))
+      val cells = toks
+        .select(col("tok"), posexplode(array((0 until d).map(j =>
+          ((lit(2L * j + 3) * col("h") + lit(104729L * j + 12345L))
+            % graft.operators.Bloom.Mod) % w): _*)).as(Seq("row", "cell")))
+        .groupBy("row", "cell").agg(count(lit(1)).as("c"))
+      // probe cells are literals (driver-side md5 of the probe terms)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h32(t: String): Long = {
+        val x = md.digest(t.getBytes("UTF-8"))
+        ((x(0) & 0xffL) << 24) | ((x(1) & 0xffL) << 16) |
+          ((x(2) & 0xffL) << 8) | (x(3) & 0xffL)
+      }
+      val probeCells = probes.flatMap { t =>
+        (0 until d).map(j => (t, j.toLong,
+          ((2L * j + 3) * h32(t) + (104729L * j + 12345L))
+            % graft.operators.Bloom.Mod % w))
+      }
+      val pc = broadcast(s.createDataFrame(probeCells)
+        .toDF("term", "row", "cell"))
+      val est = pc.join(cells, Seq("row", "cell"), "left")
+        .na.fill(0L, Seq("c"))
+        .groupBy("term").agg(min("c").as("cm_est"))
+      val exact = toks.filter(col("tok").isin(probes: _*))
+        .groupBy(col("tok").as("term")).agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("term"), "left")
+        .na.fill(0L, Seq("exact"))
+        .select(col("term"), col("cm_est"), col("exact"),
+          (col("cm_est") - col("exact")).as("overcount"))
+        .orderBy("term")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT t AS tok, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+        FROM (SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS t
+              FROM documents)),
+      js AS (SELECT unnest(range(4)) AS j),
+      cells AS (
+        SELECT j AS row,
+               ((2*j+3) * h + 104729*j + 12345) % 2147483647 % 1024 AS cell,
+               COUNT(*) AS c
+        FROM tok CROSS JOIN js
+        GROUP BY 1, 2),
+      probes AS (
+        SELECT term, j AS row,
+               ((2*j+3) * ('0x' || substr(md5(term), 1, 8))::BIGINT
+                 + 104729*j + 12345) % 2147483647 % 1024 AS cell
+        FROM (SELECT unnest(['data', 'query', 'table', 'zebra']) AS term)
+        CROSS JOIN js),
+      est AS (
+        SELECT p.term, MIN(COALESCE(c.c, 0)) AS cm_est
+        FROM probes p LEFT JOIN cells c USING (row, cell)
+        GROUP BY p.term),
+      ex AS (
+        SELECT tok AS term, COUNT(*) AS exact FROM tok
+        WHERE tok IN ('data', 'query', 'table', 'zebra')
+        GROUP BY tok)
+      SELECT e.term, CAST(e.cm_est AS BIGINT) AS cm_est,
+             CAST(COALESCE(x.exact, 0) AS BIGINT) AS exact,
+             CAST(e.cm_est - COALESCE(x.exact, 0) AS BIGINT) AS overcount
+      FROM est e LEFT JOIN ex x USING (term)
+      ORDER BY e.term"""))
+
   /** KMV distinct-count sketch per language (plans/KmvSketch.scala): the
     * corpus-statistics pass a 100 TB pipeline runs instead of
     * COUNT(DISTINCT) — the sketch dedups map-side in a ≤k-long buffer, so
@@ -822,6 +908,6 @@ object TextQueries {
 
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats,
-    pipeSample, pipeSplit, txtWinnow, pipeCurate, sketchDistinct,
+    pipeSample, pipeSplit, txtWinnow, pipeCurate, sketchDistinct, sketchCm,
     txtDecontam, pipePack, txtPii, txtBpePairs, txtFreqScore, pipeMix)
 }
