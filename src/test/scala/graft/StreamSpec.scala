@@ -287,6 +287,56 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
       hits.head.getString(hits.head.fieldIndex("id")) == probe.getString(0))
   }
 
+  test("streaming upserts keep the incremental IVF index fresh: change-" +
+       "feed refresh per micro-batch equals a full rebuild at the end") {
+    import graft.sources.{Collections, IvfIndex}
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-sivf")
+    val in = tmp.resolve("in"); Files.createDirectories(in)
+    // two files + maxFilesPerTrigger=1 → two micro-batches, so the index
+    // is refreshed INCREMENTALLY at least twice, never fully rebuilt
+    val (f1, f2) = IngestQueries.fixtures.map(_._2).splitAt(4)
+    Files.write(in.resolve("b1.txt"), f1.asJava)
+    Files.write(in.resolve("b2.txt"), f2.asJava)
+
+    import graft.operators.{Embed, Ingest}
+    val dim = Embed.dimOf(Embed.defaultTextModel)
+    val collDir = tmp.resolve("coll").toString
+    val idxDir = tmp.resolve("idx").toString
+    val sink = new Collections.ParquetCollectionSink(
+      spark, collDir, Collections.VectorConfig(dim), "embedding", "id",
+      "__seq")
+    val cents = Seq(
+      (0L, Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)),
+      (1L, Seq.tabulate(dim)(i => if (i == 1) 1.0 else 0.0)))
+      .toDF("cid", "cv")
+    var cursor = Collections.ManifestView(0, Map.empty)
+    var batches = 0
+    val raw = spark.readStream.option("maxFilesPerTrigger", 1)
+      .text(in.toString).withColumnRenamed("value", "raw")
+    val pts = Ingest.toPoints(Ingest.normalize(raw, "raw"))
+    Stream.runAvailableNow(
+      Stream.upsertSink(pts, tmp.resolve("ckpt").toString) { (batch, _) =>
+        sink.write(Embed.embedText(batch, "id", "document")
+          .withColumn("__seq", lit(0L)))
+        cursor = IvfIndex.refresh(spark, collDir, idxDir, "id",
+          "embedding", cents, "cid", "cv", cursor)
+        batches += 1
+      })
+    assert(batches >= 2, s"expected >=2 micro-batches, got $batches")
+
+    val full = tmp.resolve("idx_full").toString
+    IvfIndex.build(spark, collDir, full, "id", "embedding",
+      cents, "cid", "cv")
+    def rows(p: String): Seq[(String, Long)] =
+      spark.read.parquet(p)
+        .select(col("id"), col("cluster").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(rows(idxDir) == rows(full),
+      "per-batch incremental index diverges from a full rebuild")
+    assert(rows(idxDir).nonEmpty)
+  }
+
   test("nearDupStreamTtl: expired band bucket re-admits content; " +
        "within-TTL duplicate still hits") {
     import spark.implicits._
