@@ -48,7 +48,12 @@ object Multimodal {
     * no shuffle, binary payloads stream through the scan. */
   def attachPng(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
-    val input = docs.select(col("doc_id"), col("n_chars").cast("long"))
+    // the codec work below is CPU-heavy per row (PNG deflate) — a
+    // single-split scan would run it on one core (the txt_decontam /
+    // embed-boundary rationale; Par.spread is a plan-time no-op when
+    // parallelism already exists)
+    val input = Par.spread(docs.select(col("doc_id"),
+      col("n_chars").cast("long")))
     val outSchema = StructType(Seq(
       input.schema.fields(0),
       StructField("content", BinaryType, nullable = true)))
