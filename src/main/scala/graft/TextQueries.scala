@@ -470,6 +470,58 @@ object TextQueries {
       GROUP BY split, lang
       ORDER BY split, lang"""))
 
+  /** Deterministic EPOCH SHUFFLE — the global training-order permutation:
+    * epoch e's order key is md5(e ‖ id), so every epoch is a different
+    * but perfectly reproducible permutation (any engine, any run, any
+    * partitioning — the pipe_sample contract extended to ordering). The
+    * write path at scale is `repartitionByRange(key)` + in-file sort (a
+    * distributed sort, the op's irreducible cost); the GATE pins (a) the
+    * permutation PREFIX (first 10 docs of epoch 1 — TakeOrderedAndProject,
+    * never a global window) and (b) the per-range-shard accounting (count
+    * + id sum per key range = the shard assignment a range write would
+    * produce), both bounded outputs. */
+  val pipeShuffle = Q("pipe_shuffle",
+    (s, dir) => {
+      val key = conv(substring(
+        md5(concat(lit("epoch1|"), col("doc_id"))), 1, 15), 16, 10)
+        .cast("long")
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+        .withColumn("__k", key)
+      val head = docs.orderBy("__k", "doc_id").limit(10)
+        .select(lit("head").as("part"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy("__k", "doc_id")).cast("long").as("pos"),
+          col("doc_id").as("val"))
+      // 8 equal key ranges of the 60-bit hash space = the range-write
+      // shard assignment; count + id sum pin membership exactly
+      val shards = docs
+        // integral shiftright, not Column `/` — a 60-bit key exceeds the
+        // double mantissa, so float division could misplace boundary keys
+        .groupBy(call_function("shiftright", col("__k"), lit(57)).as("pos"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("idsum"))
+        .select(lit("shard").as("part"), col("pos"),
+          (col("n") * 1000000000L + col("idsum")).as("val"))
+      head.unionAll(shards).orderBy("part", "pos")
+    },
+    Some("""
+      WITH k AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('epoch1|' || doc_id), 1, 15))::BIGINT
+                 AS kk
+        FROM documents),
+      h AS (
+        SELECT 'head' AS part,
+               ROW_NUMBER() OVER (ORDER BY kk, doc_id) AS pos,
+               doc_id AS val
+        FROM k ORDER BY kk, doc_id LIMIT 10),
+      sh AS (
+        SELECT 'shard' AS part, kk // 144115188075855872 AS pos,
+               COUNT(*) * 1000000000 + SUM(doc_id) AS val
+        FROM k GROUP BY 2)
+      SELECT part, CAST(pos AS BIGINT) AS pos, CAST(val AS BIGINT) AS val
+      FROM (SELECT * FROM h UNION ALL SELECT * FROM sh)
+      ORDER BY part, pos"""))
+
   /** COUNT-MIN sketch over corpus token frequencies — the mergeable
     * heavy-hitter/frequency-estimation pass (Cormode–Muthukrishnan) a
     * 100 TB pipeline runs instead of a full token-frequency table when it
@@ -908,6 +960,7 @@ object TextQueries {
 
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats,
-    pipeSample, pipeSplit, txtWinnow, pipeCurate, sketchDistinct, sketchCm,
-    txtDecontam, pipePack, txtPii, txtBpePairs, txtFreqScore, pipeMix)
+    pipeSample, pipeSplit, pipeShuffle, txtWinnow, pipeCurate,
+    sketchDistinct, sketchCm, txtDecontam, pipePack, txtPii, txtBpePairs,
+    txtFreqScore, pipeMix)
 }

@@ -186,6 +186,31 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       s"fp rate ${fp.toDouble / probes} above 2% at derived m=$m (est $est)")
   }
 
+  test("term stats kernel matches a naive Scala model on generated " +
+       "token arrays") {
+    import spark.implicits._
+    val terms = Seq("aa", "b", "ccc")
+    val gen = Gen.listOfN(60,
+      Gen.listOf(Gen.oneOf("aa", "b", "ccc", "d", "", "aa b")))
+      .sample.get
+    val rows = gen.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+    val st = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.TermStatsExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("toks")), terms))
+    val got = rows.toDF("i", "toks")
+      .select(col("i"), st.as("s"))
+      .select(col("i"), col("s.len"), col("s.tfs"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    rows.foreach { case (i, ts) =>
+      val (len, tfs) = got(i)
+      assert(len == ts.length.toLong, s"row $i len")
+      terms.zipWithIndex.foreach { case (t, j) =>
+        assert(tfs(j) == ts.count(_ == t).toLong, s"row $i term $t")
+      }
+    }
+  }
+
   test("sharded bloom: zero false negatives, per-shard routing is " +
        "disjoint, fp rate comparable to one filter of the same total bits") {
     import graft.operators.Bloom
