@@ -55,7 +55,14 @@ object GraftFunctions {
     ("graft_ahash_bands", "graft_ahash_bands(bin) - 64-block/4-band average-hash signature of a binary column",
       arity("graft_ahash_bands", 1, es => AHashBandsExpr(es(0), 64, 4))),
     ("graft_min_gram", "graft_min_gram(text, g) - min 60-bit hash over char g-grams",
-      arity("graft_min_gram", 2, es => MinGramExpr(es(0), litInt("graft_min_gram", "g", es(1))))))
+      arity("graft_min_gram", 2, es => MinGramExpr(es(0), litInt("graft_min_gram", "g", es(1))))),
+    ("graft_term_stats", "graft_term_stats(tokens, term, ...) - struct(len, tfs): token count + per-literal-term tf in one pass",
+      es => {
+        if (es.length < 2) throw new IllegalArgumentException(
+          s"graft_term_stats expects (tokens, term, ...), got ${es.length}")
+        TermStatsExpr(es.head,
+          es.tail.map(litStr("graft_term_stats", "term", _)))
+      }))
 
   /** Literal-int argument gate: structural parameters (shingle size,
     * window, chunk step) must be foldable ints — a clean error beats a
@@ -65,6 +72,15 @@ object GraftFunctions {
         org.apache.spark.sql.types.IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$fn: argument '$arg' must be an integer literal, got $other")
+  }
+
+  /** Literal-string argument gate (term lists etc.). */
+  private def litStr(fn: String, arg: String, e: Expression): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be a string literal, got $other")
   }
 
   /** Register on an existing session (temp functions). */

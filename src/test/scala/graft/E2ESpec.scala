@@ -143,6 +143,15 @@ class E2ESpec extends AnyFunSuite with SparkSpec {
       .head().getInt(0) > 0)
     assert(spark.sql("SELECT graft_min_gram('abcdefghij', 5)")
       .head().getLong(0) >= 0L)
+    val ts = spark.sql(
+      "SELECT graft_term_stats(array('a','b','a'), 'a', 'c')")
+      .head().getStruct(0)
+    assert(ts.getLong(0) == 3 && ts.getSeq[Long](1) == Seq(2L, 0L))
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT graft_term_stats(array('a'), lower('B'))")
+    }
+    assert(e3.getMessage.contains("string literal"),
+      s"unexpected: ${e3.getMessage}")
     // structural params must be literals — clean error otherwise
     val e = intercept[Exception] {
       spark.sql("SELECT graft_shingles(array('a'), CAST(NULL AS INT))")
