@@ -139,31 +139,12 @@ object AnnQueries {
     * under java.io.tmpdir. Rebuilt on every fresh JVM (overwrite), so no
     * cross-run staleness; contents are deterministic (trained centroids +
     * deterministic assignment). */
-  private val ivfIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
   private def ivfIndexDir(s: org.apache.spark.sql.SparkSession,
                           dir: String): String =
-    ivfIndexCache.getOrElseUpdate(dir, {
-      // md5 of the fixture path (hashCode could collide across paths) +
-      // the JVM's pid (two concurrent processes on one fixture must not
-      // overwrite each other's live index)
-      val pathHash = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(8)
-        .map("%02x".format(_)).mkString
-      val target = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_ivf_${pathHash}_${ProcessHandle.current().pid()}").toString
+    Tables.memoTempDir("ivf", dir) { target =>
       Ann.buildIvfIndex(Tables.load(s, dir, "embeddings"), "vec_id",
         "embedding", trainedCentroids(s, dir, 8, 2), "cid", "cv", target)
-      // per-pid dirs would otherwise accumulate across runs
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(target))
-      }))
-      target
-    })
+    }
 
   /** The materialized-index form of ann_ivf: probes are PARTITION PRUNING
     * on the cluster-partitioned parquet (PartitionFilters — the scan
@@ -325,9 +306,8 @@ object AnnQueries {
       val assigned = emb.join(
         Ann.argminAssign(emb, "vec_id", "embedding",
           trainedCentroids(s, dir, 8, 2), "cid", "cv"), "vec_id")
-      val hashKey = conv(
-        substring(md5(concat(lit("bal|"), col("vec_id"))), 1, 8), 16, 10)
-        .cast("long")
+      val hashKey =
+        graft.operators.Dedup.h32(concat(lit("bal|"), col("vec_id")))
       assigned
         .groupBy("cluster")
         .agg(count(lit(1)).as("n_total"),

@@ -353,29 +353,25 @@ object RecommendQueries {
     * top-10. The document table is never shuffled; cost tracks posting
     * hits, not corpus size — the same shape as BM25, which is itself a
     * sparse dot product with a learned-ish weighting. */
+  /** The query's fixed sparse vector: (md5-bucket, weight) with weights
+    * summed on bucket collision — driver-side twin of the engine's
+    * per-token bucket hash (Dedup.h32 % 4096), shared by both sparse
+    * queries. */
+  private val sparseTerms = Seq("data" -> 3L, "query" -> 2L, "table" -> 1L)
+  private def sparseQueryBuckets: Seq[(Long, Long)] = sparseTerms
+    .map { case (t, w) => (graft.operators.Dedup.h32(t) % 4096) -> w }
+    .groupBy(_._1).map { case (b, ws) => b -> ws.map(_._2).sum }.toSeq
+
   val vSparseSearch = Q("v_sparse_search",
     (s, dir) => {
-      val terms = Seq("data" -> 3L, "query" -> 2L, "table" -> 1L)
-      // driver-side query-vector construction: same md5 bucket hash the
-      // engine applies per token, weights summed on collision
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val qBuckets: Seq[(Long, Long)] = terms
-        .map { case (t, w) =>
-          val h = md.digest(t.getBytes("UTF-8"))
-          val b = (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
-            ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % 4096
-          b -> w
-        }
-        .groupBy(_._1).map { case (b, ws) => b -> ws.map(_._2).sum }.toSeq
       val qw = broadcast(
-        s.createDataFrame(qBuckets).toDF("bucket", "w"))
+        s.createDataFrame(sparseQueryBuckets).toDF("bucket", "w"))
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           explode(graft.operators.TextAnalysis.tokens(col("text")))
             .as("tok"))
         .select(col("doc_id"),
-          (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
-            % 4096).as("bucket"))
+          (graft.operators.Dedup.h32(col("tok")) % 4096).as("bucket"))
         .join(qw, "bucket")
         .groupBy("doc_id")
         .agg(sum("w").as("score"))
@@ -420,16 +416,7 @@ object RecommendQueries {
     * data-independent, unlike a distinct-token table. */
   val vSparseIdf = Q("v_sparse_idf",
     (s, dir) => {
-      val terms = Seq("data" -> 3L, "query" -> 2L, "table" -> 1L)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val qBuckets: Seq[(Long, Long)] = terms
-        .map { case (t, w) =>
-          val h = md.digest(t.getBytes("UTF-8"))
-          val b = (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
-            ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)) % 4096
-          b -> w
-        }
-        .groupBy(_._1).map { case (b, ws) => b -> ws.map(_._2).sum }.toSeq
+      val qBuckets = sparseQueryBuckets
       val qw = broadcast(
         s.createDataFrame(qBuckets).toDF("bucket", "w"))
       val docs = Tables.load(s, dir, "documents")
@@ -440,8 +427,7 @@ object RecommendQueries {
           explode(graft.operators.TextAnalysis.tokens(col("text")))
             .as("tok"))
         .select(col("doc_id"),
-          (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
-            % 4096).as("bucket"))
+          (graft.operators.Dedup.h32(col("tok")) % 4096).as("bucket"))
         .filter(col("bucket").isin(qBuckets.map(_._1): _*))
         .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
       val dfB = post.groupBy("bucket").agg(count(lit(1)).as("df"))

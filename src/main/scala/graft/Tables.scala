@@ -18,4 +18,35 @@ object Tables {
     }
     spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  private val memoCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Memoized per-fixture/per-pid temp materialization (the derived-
+    * layout discipline shared by the IVF-index and tenant-layout
+    * queries): `build` runs ONCE per (prefix, fixture dir) per JVM into a
+    * temp dir keyed by the md5 of the fixture path (hashCode could
+    * collide across paths) + the JVM's pid (two concurrent processes on
+    * one fixture must not overwrite each other's live layout); the dir is
+    * removed on JVM exit so per-pid dirs don't accumulate across runs.
+    * Contents must be deterministic — the memo is gate-safe only because
+    * rebuilding would produce identical bytes. */
+  def memoTempDir(prefix: String, dir: String)(build: String => Unit)
+      : String =
+    memoCache.getOrElseUpdate((prefix, dir), {
+      val pathHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString
+      val target = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_${prefix}_${pathHash}_${ProcessHandle.current().pid()}")
+        .toString
+      build(target)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(target))
+      }))
+      target
+    })
 }

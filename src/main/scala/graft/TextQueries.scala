@@ -542,25 +542,17 @@ object TextQueries {
       val probes = Seq("data", "query", "table", "zebra")
       val toks = Tables.load(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
-        .select(col("tok"),
-          (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-            .as("h"))
+        .select(col("tok"), graft.operators.Dedup.h32(col("tok")).as("h"))
       val cells = toks
         .select(col("tok"), posexplode(array((0 until d).map(j =>
           ((lit(2L * j + 3) * col("h") + lit(104729L * j + 12345L))
             % graft.operators.Bloom.Mod) % w): _*)).as(Seq("row", "cell")))
         .groupBy("row", "cell").agg(count(lit(1)).as("c"))
       // probe cells are literals (driver-side md5 of the probe terms)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def h32(t: String): Long = {
-        val x = md.digest(t.getBytes("UTF-8"))
-        ((x(0) & 0xffL) << 24) | ((x(1) & 0xffL) << 16) |
-          ((x(2) & 0xffL) << 8) | (x(3) & 0xffL)
-      }
       val probeCells = probes.flatMap { t =>
         (0 until d).map(j => (t, j.toLong,
-          ((2L * j + 3) * h32(t) + (104729L * j + 12345L))
-            % graft.operators.Bloom.Mod % w))
+          ((2L * j + 3) * graft.operators.Dedup.h32(t)
+            + (104729L * j + 12345L)) % graft.operators.Bloom.Mod % w))
       }
       val pc = broadcast(s.createDataFrame(probeCells)
         .toDF("term", "row", "cell"))

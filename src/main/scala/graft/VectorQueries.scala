@@ -54,30 +54,15 @@ object VectorQueries {
       LIMIT 10
     """))
 
-  private val tenantDirCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
   /** Memoized tenant-partitioned serving layout of the embeddings table
-    * (shard key = `label`) — same per-fixture/per-pid materialization
-    * discipline as AnnQueries.ivfIndexDir. */
+    * (shard key = `label`) — the shared per-fixture/per-pid temp
+    * materialization discipline (Tables.memoTempDir). */
   private def tenantDir(s: org.apache.spark.sql.SparkSession,
                         dir: String): String =
-    tenantDirCache.getOrElseUpdate(dir, {
-      val pathHash = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(8)
-        .map("%02x".format(_)).mkString
-      val target = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_tenant_${pathHash}_${ProcessHandle.current().pid()}").toString
+    Tables.memoTempDir("tenant", dir) { target =>
       graft.sources.Tenancy.build(
         Tables.load(s, dir, "embeddings"), "label", "vec_id", target)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(target))
-      }))
-      target
-    })
+    }
 
   /** V2 + tenant routing — the Qdrant shard-key/multitenancy analog: the
     * same kNN top-10, scoped to ONE tenant (shard key = `label`) over the

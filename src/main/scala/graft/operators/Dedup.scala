@@ -47,6 +47,15 @@ object Dedup {
   def h32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
+  /** Driver-side twin of [[h32]] (bit-identical): for query-literal
+    * construction — sparse query buckets, sketch probe cells. */
+  def h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   /** MinHash signatures: one row per (id, seed) with the min hash over the
     * doc's distinct shingles. Each shingle is md5-hashed ONCE to a 32-bit
     * base value; the per-seed hash family is arithmetic

@@ -135,7 +135,7 @@ object Collections {
   /** id → bucket: Murmur3 hash mod the collection's pinned bucket count.
     * Stable per Spark's hash() contract; storage-layout-only (never part
     * of a declared query result). */
-  private def bucketOf(idCol: String, buckets: Int) =
+  private[sources] def bucketOf(idCol: String, buckets: Int) =
     pmod(hash(col(idCol)), lit(buckets))
 
   private def listBuckets(p: java.nio.file.Path): Map[String, java.nio.file.Path] =

@@ -41,7 +41,7 @@ object IvfIndex {
     points
       .join(Ann.argminAssign(points, idCol, vecCol, centroids, cidCol,
         cvCol), idCol)
-      .withColumn("src_bucket", pmod(hash(col(idCol)), lit(numBuckets)))
+      .withColumn("src_bucket", Collections.bucketOf(idCol, numBuckets))
 
   /** Full build: the whole collection, one overwrite. Returns the
     * manifest view the index now reflects — the cursor for [[refresh]]. */

@@ -35,7 +35,7 @@ object Tenancy {
     require(!points.columns.contains("bucket"),
       "points carry a column named 'bucket' — reserved for the layout")
     points
-      .withColumn("bucket", pmod(hash(col(idCol)), lit(buckets)))
+      .withColumn("bucket", Collections.bucketOf(idCol, buckets))
       .write.mode("overwrite")
       .partitionBy(tenantCol, "bucket")
       .parquet(dir)
