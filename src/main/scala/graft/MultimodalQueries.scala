@@ -120,6 +120,30 @@ object MultimodalQueries {
       FROM ch GROUP BY doc_id, w, h, scale_micro, new_w, new_h
       ORDER BY doc_id"""))
 
+  /** O7 audio — REAL WAV decode: each doc's closed-form PCM samples are
+    * wrapped in a real RIFF/WAVE container, then the query parses the
+    * bytes with javax.sound and emits decoded frame/format metadata +
+    * sample sums. The oracle replays the sample formula — agreement
+    * requires an actual container parse (the header is 44 bytes of
+    * structure the byte-stub path would misread as data). */
+  val mmAudio = Q("mm_audio",
+    (s, dir) =>
+      Multimodal.audioStatsBatch(
+          Multimodal.attachWav(Tables.load(s, dir, "documents")),
+          "doc_id", "content")
+        .orderBy("doc_id"),
+    Some("""
+      WITH n AS (SELECT doc_id, n_chars % 97 + 16 AS n FROM documents),
+      px AS (SELECT doc_id, n, unnest(range(n)) AS i FROM n),
+      sm AS (SELECT doc_id, n,
+               (doc_id * 7 + i * 13) % 65536 - 32768 AS s
+             FROM px)
+      SELECT doc_id, CAST(n AS BIGINT) AS frames,
+             CAST(1 AS BIGINT) AS channels,
+             CAST(8000000 AS BIGINT) AS rate_milli,
+             CAST(SUM(s) AS BIGINT) AS sample_sum
+      FROM sm GROUP BY doc_id, n ORDER BY doc_id"""))
+
   /** Video-frame sampling: every 7th frame index, per-frame content hash
     * (bounded explode — the keyframe-extraction shape). */
   val mmFrames = Q("mm_frames",
@@ -229,6 +253,6 @@ object MultimodalQueries {
       WHERE hamming <= 6
       ORDER BY doc_a, doc_b"""))
 
-  def queries: Seq[Q] = Seq(mmDecode, mmDecodeFallback, mmResize, mmFrames,
-    mmPhashDedup)
+  def queries: Seq[Q] = Seq(mmDecode, mmDecodeFallback, mmResize, mmAudio,
+    mmFrames, mmPhashDedup)
 }

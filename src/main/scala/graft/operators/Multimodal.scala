@@ -68,6 +68,50 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Audio sibling of [[attachPng]]: a REAL RIFF/WAVE payload per document
+    * (PCM 16-bit mono, ≤ 112 samples — closed-form samples the oracle
+    * replays; see [[AudioCodec]]). Narrow mapPartitions, codec spread. */
+  def attachWav(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    val input = Par.spread(docs.select(col("doc_id"),
+      col("n_chars").cast("long")))
+    val outSchema = StructType(Seq(
+      input.schema.fields(0),
+      StructField("content", BinaryType, nullable = true)))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (r.getLong(1) % 97 + 16).toInt
+        org.apache.spark.sql.Row(id, AudioCodec.encodeWav(id, n))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Real audio decode: parse the WAV column with javax.sound, emit
+    * (id, frames, channels, rate_milli, sample_sum) from the actually-
+    * decoded stream; corrupt / non-WAV payloads are dropped (the
+    * [[resizePixels]] containment contract). */
+  def audioStatsBatch(df: DataFrame, idCol: String, binCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val input = df.select(col(idCol), col(binCol))
+    val outSchema = StructType(
+      input.schema.fields(0) +:
+        Seq("frames", "channels", "rate_milli", "sample_sum")
+          .map(StructField(_, LongType, nullable = false)))
+    input.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes =
+          if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val s = if (AudioCodec.isWav(bytes))
+                  AudioCodec.decodeStatsOrNull(bytes)
+                else null
+        if (s == null) None
+        else Some(org.apache.spark.sql.Row(r.get(0), s(0), s(1), s(2), s(3)))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** STUB decode: byte-level statistics of the binary content via its hex
     * rendering (length, header, byte-value sum) — deterministic and
     * SQL-expressible, so the oracle can replay it. Stands in for "decode

@@ -658,6 +658,25 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(resized == Set(2L), "corrupt payload not dropped by resize")
   }
 
+  test("multimodal: attachWav emits REAL RIFF/WAVE containers; decode " +
+       "reads samples back exactly; corrupt WAV is dropped") {
+    import graft.operators.AudioCodec
+    import spark.implicits._
+    val wav = AudioCodec.encodeWav(9L, 32)
+    assert(AudioCodec.isWav(wav) && wav.length > 64,
+      "encodeWav did not produce a WAV container")
+    val stats = AudioCodec.decodeStatsOrNull(wav)
+    assert(stats != null && stats(0) == 32 && stats(1) == 1 &&
+      stats(2) == 8000000L)
+    assert(stats(3) == (0 until 32).map(AudioCodec.sample(9L, _).toLong).sum,
+      "decoded sample sum diverges from the generator formula")
+    // truncated container (intact magic) drops, intact one survives
+    val d = Seq((1L, wav.take(20)), (2L, wav)).toDF("doc_id", "content")
+    val out = Multimodal.audioStatsBatch(d, "doc_id", "content")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L), s"corrupt WAV not contained: $out")
+  }
+
   test("multimodal: batch decode preserves a STRING id column") {
     val feats = Multimodal.decodeFeaturesBatch(
         Multimodal.attachBinary(docs20)
