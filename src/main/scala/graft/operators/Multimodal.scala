@@ -103,9 +103,7 @@ object Multimodal {
       rows.flatMap { r =>
         val bytes =
           if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        val s = if (AudioCodec.isWav(bytes))
-                  AudioCodec.decodeStatsOrNull(bytes)
-                else null
+        val s = AudioCodec.parseWavStatsOrNull(bytes)
         if (s == null) None
         else Some(org.apache.spark.sql.Row(r.get(0), s(0), s(1), s(2), s(3)))
       }

@@ -665,9 +665,15 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     val wav = AudioCodec.encodeWav(9L, 32)
     assert(AudioCodec.isWav(wav) && wav.length > 64,
       "encodeWav did not produce a WAV container")
-    val stats = AudioCodec.decodeStatsOrNull(wav)
-    assert(stats != null && stats(0) == 32 && stats(1) == 1 &&
-      stats(2) == 8000000L)
+    // hot-path encoder/parser are bit-equal to the javax.sound twins
+    // (the JDK reference implementation — too lock-contended per-row)
+    assert(wav.toSeq == AudioCodec.encodeWavJdk(9L, 32).toSeq,
+      "manual WAV header diverges from AudioSystem.write")
+    val stats = AudioCodec.parseWavStatsOrNull(wav)
+    val jdk = AudioCodec.decodeStatsOrNull(wav)
+    assert(stats != null && jdk != null && stats.toSeq == jdk.toSeq,
+      "fast RIFF parser diverges from the javax.sound parse")
+    assert(stats(0) == 32 && stats(1) == 1 && stats(2) == 8000000L)
     assert(stats(3) == (0 until 32).map(AudioCodec.sample(9L, _).toLong).sum,
       "decoded sample sum diverges from the generator formula")
     // truncated container (intact magic) drops, intact one survives
