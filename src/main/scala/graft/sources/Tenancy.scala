@@ -47,4 +47,58 @@ object Tenancy {
                 tenant: Any): DataFrame =
     spark.read.parquet(dir).filter(col(tenantCol) === lit(tenant))
       .drop("bucket")
+
+  /** Materialize the tenant layout FROM a collection (shard key = a
+    * payload column) and return the manifest cursor for [[refresh]]. */
+  def buildFromCollection(spark: SparkSession, collDir: String,
+                          layoutDir: String, tenantCol: String,
+                          idCol: String): Collections.ManifestView = {
+    val cur = Collections.manifestView(collDir)
+    build(Collections.read(spark, collDir), tenantCol, idCol, layoutDir,
+      Collections.numBuckets(collDir))
+    cur
+  }
+
+  /** Incremental refresh from the collection change feed (the
+    * [[IvfIndex.refresh]] discipline): a collection bucket the feed
+    * reports changed/dropped has its `bucket=b` leaf deleted under EVERY
+    * tenant directory (a bucket's rows can span tenants), then the
+    * changed rows re-append. Untouched buckets' files are not read, not
+    * rewritten, not moved — refresh cost is O(points in touched
+    * buckets). Same derived-data caveats as IvfIndex: single writer,
+    * re-run or full [[buildFromCollection]] repairs a crash. */
+  def refresh(spark: SparkSession, collDir: String, layoutDir: String,
+              tenantCol: String, idCol: String,
+              prev: Collections.ManifestView): Collections.ManifestView = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val (cur, changedDf, dropped) =
+      Collections.changedSince(spark, collDir, prev)
+    val changedBuckets = cur.buckets.collect {
+      case (b, rel) if !prev.buckets.get(b).contains(rel) => b
+    }.toSet
+    val stale = changedBuckets ++ dropped
+    val root = Paths.get(layoutDir)
+    if (Files.isDirectory(root) && stale.nonEmpty) {
+      val tenants = Files.list(root)
+      try tenants.iterator().asScala
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith(s"$tenantCol="))
+        .foreach { td =>
+          stale.foreach { b =>
+            val leaf = td.resolve(s"bucket=$b")
+            if (Files.exists(leaf)) Collections.deleteRecursively(leaf)
+          }
+        }
+      finally tenants.close()
+    }
+    if (changedBuckets.nonEmpty)
+      changedDf
+        .withColumn("bucket",
+          Collections.bucketOf(idCol, Collections.numBuckets(collDir)))
+        .write.mode("append")
+        .partitionBy(tenantCol, "bucket")
+        .parquet(layoutDir)
+    cur
+  }
 }

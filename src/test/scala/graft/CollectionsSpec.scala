@@ -493,6 +493,75 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     assert(rows(idx).nonEmpty)
   }
 
+  test("tenant layout refresh over the change feed equals a full rebuild; " +
+       "untouched bucket leaves are physically untouched") {
+    import graft.sources.Tenancy
+    val root = Files.createTempDirectory("graft-ten").toString
+    val dir = s"$root/c14"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(200)
+    sink.write(emb.withColumn("seq", lit(0)))
+    val layout = s"$root/layout"
+    val v0 = Tenancy.buildFromCollection(spark, dir, layout, "label",
+      "vec_id")
+
+    // mutate: payload change (label move!) + delete
+    Collections.setPayloadWhere(spark, dir, col("vec_id") % 9 === 0,
+      "vec_id", Map("label" -> lit(7)))
+    Collections.deleteWhere(spark, dir, col("vec_id") % 13 === 0, "vec_id")
+
+    val nb = Collections.numBuckets(dir)
+    val touched = emb
+      .filter(col("vec_id") % 9 === 0 || col("vec_id") % 13 === 0)
+      .select(pmod(hash(col("vec_id")), lit(nb)))
+      .distinct().collect().map(_.getInt(0)).toSet
+    // pick an untouched (tenant dir, bucket leaf) that exists and snapshot it
+    def leaves(): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      val s1 = Files.list(java.nio.file.Paths.get(layout))
+      try s1.iterator().asScala
+        .filter(d => d.getFileName.toString.startsWith("label="))
+        .flatMap { td =>
+          val s2 = Files.list(td)
+          try s2.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("bucket=")).toList
+          finally s2.close()
+        }.toSeq
+      finally s1.close()
+    }
+    val untouchedLeaf = leaves().find(p =>
+      !touched.contains(p.getFileName.toString.stripPrefix("bucket=").toInt))
+    def listing(p: java.nio.file.Path): Set[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toSet
+      finally walk.close()
+    }
+    val pre = untouchedLeaf.map(listing)
+
+    Tenancy.refresh(spark, dir, layout, "label", "vec_id", v0)
+    untouchedLeaf.foreach(p => assert(listing(p) == pre.get,
+      s"untouched leaf $p rewritten"))
+
+    // row-for-row vs a full rebuild (multiset)
+    val full = s"$root/layout_full"
+    Tenancy.buildFromCollection(spark, dir, full, "label", "vec_id")
+    def rows(p: String): Seq[String] =
+      spark.read.parquet(p).select("vec_id", "label")
+        .collect().map(r => (r.getLong(0), r.getInt(1)).toString).toSeq.sorted
+    assert(rows(layout) == rows(full),
+      "refreshed tenant layout diverges from a full rebuild")
+    assert(rows(layout).nonEmpty)
+    // moved points serve from their NEW tenant
+    val t7 = Tenancy.forTenant(spark, layout, "label", 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expect7 = Collections.read(spark, dir).filter(col("label") === 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(t7 == expect7, "tenant view diverges after the label move")
+  }
+
   test("management surface: list / scroll / delete") {
     val root = Files.createTempDirectory("graft-mgmt").toString
     val emb = Tables.load(spark, sf, "embeddings").withColumn("seq", lit(0))
