@@ -373,11 +373,13 @@ object Relational {
     * p·(n−1) in micro units, and the linear interpolation
     * v_lo·(1e6−f) + v_hi·f stays a BIGINT — engine `percentile` /
     * `quantile_cont` aggregates can associate the interpolation
-    * differently at the last ulp, this cannot. Plan: one window sort per
-    * group (exact percentiles are inherently sort-based — the
-    * approximate path at 100 TB is `approx_percentile`/t-digest, which
-    * no independent engine can replay) + two rank-targeted joins that
-    * touch exactly 2 rows per (group, p). */
+    * differently at the last ulp, this cannot. Plan (r6): per-value
+    * counts fold map-side (the shuffle is ∝ DISTINCT values, never
+    * rows), a cumulative window runs over the distinct-value table only,
+    * and the value at row-rank r is min{v : cum(v) ≥ r} via one 12-row
+    * broadcast join — no corpus-row ranking anywhere (the approximate
+    * path at 100 TB is `approx_percentile`/t-digest, which no
+    * independent engine can replay). */
   val qPercentile = Q("q_percentile",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window

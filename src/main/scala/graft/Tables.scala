@@ -19,8 +19,12 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  // ConcurrentHashMap.computeIfAbsent runs the build thunk at most once
+  // per key — TrieMap.getOrElseUpdate may race two first callers, and
+  // the side effect (a Spark write into a path-DETERMINISTIC temp dir)
+  // must not run twice concurrently
   private val memoCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   /** Memoized per-fixture/per-pid temp materialization (the derived-
     * layout discipline shared by the IVF-index and tenant-layout
@@ -33,7 +37,7 @@ object Tables {
     * rebuilding would produce identical bytes. */
   def memoTempDir(prefix: String, dir: String)(build: String => Unit)
       : String =
-    memoCache.getOrElseUpdate((prefix, dir), {
+    memoCache.computeIfAbsent((prefix, dir), { _ =>
       val pathHash = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(8)
         .map("%02x".format(_)).mkString

@@ -554,9 +554,10 @@ object TextQueries {
           ((2L * j + 3) * graft.operators.Dedup.h32(t)
             + (104729L * j + 12345L)) % graft.operators.Bloom.Mod % w))
       }
-      val pc = broadcast(s.createDataFrame(probeCells)
-        .toDF("term", "row", "cell"))
-      val est = pc.join(cells, Seq("row", "cell"), "left")
+      val pc = s.createDataFrame(probeCells).toDF("term", "row", "cell")
+      // the hint belongs on the JOINED (right) side of the left-outer
+      // join — `cells` is the ≤ d·w-row sketch, the bounded side
+      val est = pc.join(broadcast(cells), Seq("row", "cell"), "left")
         .na.fill(0L, Seq("c"))
         .groupBy("term").agg(min("c").as("cm_est"))
       val exact = toks.filter(col("tok").isin(probes: _*))

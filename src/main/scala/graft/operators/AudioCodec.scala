@@ -93,7 +93,12 @@ object AudioCodec {
       while (off + 8 <= b.length && !seenData) {
         val id = new String(b, off, 4, "US-ASCII")
         val sz = u32(off + 4).toInt
+        // a hostile size (negative after truncation) would stall the
+        // chunk walk (off += 0) or sign-trick the bounds checks — corrupt,
+        // not merely unsupported: reject
+        if (sz < 0) return null
         if (id == "fmt ") {
+          if (sz < 16) return null
           if (u16(off + 8) != 1 || u16(off + 22) != 16) return null // PCM16
           channels = u16(off + 10)
           rate = u32(off + 12)

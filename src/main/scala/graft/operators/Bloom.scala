@@ -30,7 +30,11 @@ object Bloom {
   val Mod = 2147483647L // 2^31 - 1, the MinHash family modulus
 
   /** The j-th bit position of hash `h` (j in [0, k)). `h` must be
-    * non-negative (e.g. the first 8 md5 hex digits as a BIGINT). */
+    * non-negative AND below 2^59 (the affine multiplier reaches 2k+1, so
+    * a full 60-bit hash can overflow the Long product — and the SQL
+    * oracle's BIGINT would error rather than wrap; the intended family is
+    * the 32-bit md5 prefix, [[Dedup.h32]]). [[shardOf]] reduces mod the
+    * prime internally and accepts any non-negative hash. */
   def position(h: Column, j: Int, m: Int): Column =
     ((lit(2L * j + 3) * h + lit(104729L * j + 12345L)) % Mod) % m
 
@@ -87,9 +91,13 @@ object Bloom {
     * position family — `h % shards` would correlate with the power-of-two
     * position modulus (same-shard keys then collide into m/shards
     * position cosets, measured 4× the design fpr), so the shard index
-    * comes from its own universal-hash draw. */
+    * comes from its own universal-hash draw. `h` reduces mod the prime
+    * FIRST: 7919·h would wrap negative for h ≥ ~2^50 (this repo's 60-bit
+    * md5-prefix hashes), crashing the build and — worse — feeding
+    * element_at a negative index in the probe, which reads from the END
+    * of the shard table and breaks the no-false-negative guarantee. */
   def shardOf(h: Column, shards: Int): Column =
-    ((lit(7919L) * h + lit(104729L)) % Mod) % shards
+    ((lit(7919L) * (h % Mod) + lit(104729L)) % Mod) % shards
 
   def buildSharded(corpus: DataFrame, h: Column, k: Int, m: Int,
                    shards: Int): Array[Array[Long]] = {

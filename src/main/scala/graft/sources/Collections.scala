@@ -510,13 +510,20 @@ object Collections {
     * job re-reads only what a write touched, never the collection. The
     * consumer's next cursor is the returned view; polling between writes
     * returns an empty frame (same path map ⇒ nothing to read). */
+  /** Bucket ids whose mapped path differs between two manifest views —
+    * THE change-feed comparison rule, shared by [[changedSince]] and the
+    * derived-layout refreshers (IvfIndex, Tenancy), so their delete sets
+    * can never diverge from the rows the feed hands them. */
+  def changedBuckets(prev: ManifestView, cur: ManifestView): Set[Int] =
+    cur.buckets.collect {
+      case (b, rel) if !prev.buckets.get(b).contains(rel) => b
+    }.toSet
+
   def changedSince(spark: SparkSession, dir: String, prev: ManifestView)
       : (ManifestView, DataFrame, Set[Int]) = {
     val cur = manifestView(dir)
-    val changed = cur.buckets.collect {
-      case (b, rel) if !prev.buckets.get(b).contains(rel) =>
-        s"$dir/data/$rel"
-    }.toSeq.sorted
+    val changed = changedBuckets(prev, cur).toSeq.sorted
+      .flatMap(b => cur.buckets.get(b).map(rel => s"$dir/data/$rel"))
     val dropped = prev.buckets.keySet -- cur.buckets.keySet
     val df =
       if (changed.nonEmpty) spark.read.parquet(changed: _*)

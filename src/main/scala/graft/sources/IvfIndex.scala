@@ -68,9 +68,7 @@ object IvfIndex {
               prev: Collections.ManifestView): Collections.ManifestView = {
     val (cur, changedDf, dropped) =
       Collections.changedSince(spark, collDir, prev)
-    val changedBuckets = cur.buckets.collect {
-      case (b, rel) if !prev.buckets.get(b).contains(rel) => b
-    }.toSet
+    val changedBuckets = Collections.changedBuckets(prev, cur)
     (changedBuckets ++ dropped).foreach { b =>
       val dir = Paths.get(indexDir, s"src_bucket=$b")
       if (Files.exists(dir)) Collections.deleteRecursively(dir)

@@ -74,9 +74,7 @@ object Tenancy {
     import scala.jdk.CollectionConverters._
     val (cur, changedDf, dropped) =
       Collections.changedSince(spark, collDir, prev)
-    val changedBuckets = cur.buckets.collect {
-      case (b, rel) if !prev.buckets.get(b).contains(rel) => b
-    }.toSet
+    val changedBuckets = Collections.changedBuckets(prev, cur)
     val stale = changedBuckets ++ dropped
     val root = Paths.get(layoutDir)
     if (Files.isDirectory(root) && stale.nonEmpty) {

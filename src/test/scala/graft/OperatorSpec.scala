@@ -681,6 +681,13 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     val out = Multimodal.audioStatsBatch(d, "doc_id", "content")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(out == Set(2L), s"corrupt WAV not contained: $out")
+    // hostile chunk size (negative after truncation) must return null,
+    // not stall the chunk walk or sign-trick the bounds checks
+    val hostile = wav.clone()
+    hostile(16) = 0xF8.toByte; hostile(17) = 0xFF.toByte
+    hostile(18) = 0xFF.toByte; hostile(19) = 0xFF.toByte
+    assert(AudioCodec.parseWavStatsOrNull(hostile) == null,
+      "negative chunk size not rejected")
   }
 
   test("multimodal: batch decode preserves a STRING id column") {
