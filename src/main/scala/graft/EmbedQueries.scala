@@ -134,5 +134,56 @@ object EmbedQueries {
       FROM t_emb t JOIN i_emb i ON i.doc_id = t.doc_id
       ORDER BY t.doc_id"""))
 
-  def queries: Seq[Q] = Seq(embedText, embedChecksum, embedMm)
+  /** O11 with REAL decode (r6): image embedding whose features come from
+    * ACTUALLY-DECODED pixels — the full reference pipeline shape
+    * (`embedder.py:271-277` decode → embed) with only the model itself a
+    * stand-in (no ONNX runtime in the sandbox). Each doc's genuine PNG is
+    * decoded through javax.imageio; the embedding is the normalized
+    * color-distribution vector in exact integer micro-units: per-channel
+    * mean (Σc · 1e6 DIV (w·h·255)) plus an aspect component — a real
+    * (if tiny) image representation, and the oracle replays it from the
+    * pixel formula, so agreement gates decode AND embed. Narrow
+    * mapPartitions + in-row arithmetic; no shuffle. */
+  val embedImage = Q("embed_image",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      val png = Multimodal.attachPng(Tables.load(s, dir, "documents"))
+      Multimodal.decodeFeaturesBatch(png, "doc_id", "content")
+        .select(col("doc_id"),
+          col("features").getItem(0).cast("long").as("__w"),
+          col("features").getItem(1).cast("long").as("__h"),
+          col("features").getItem(2).cast("long").as("__rs"),
+          col("features").getItem(3).cast("long").as("__gs"),
+          col("features").getItem(4).cast("long").as("__bs"))
+        .select(col("doc_id"),
+          expr("__rs * 1000000 DIV (__w * __h * 255)").as("e_r"),
+          expr("__gs * 1000000 DIV (__w * __h * 255)").as("e_g"),
+          expr("__bs * 1000000 DIV (__w * __h * 255)").as("e_b"),
+          expr("__w * 1000000 DIV (__w + __h)").as("e_aspect"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH dims AS (
+        SELECT doc_id, n_chars % 13 + 4 AS w, (n_chars * 7) % 11 + 4 AS h
+        FROM documents),
+      px AS (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM dims),
+      ch AS (
+        SELECT doc_id, w, h,
+               (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS r,
+               (doc_id * 17 + (i % w) * 3 + (i // w) * 5) % 256 AS g,
+               (doc_id * 11 + (i % w) * 2 + (i // w) * 19) % 256 AS b
+        FROM px),
+      agg AS (
+        SELECT doc_id, w, h,
+               CAST(SUM(r) AS BIGINT) AS rs, CAST(SUM(g) AS BIGINT) AS gs,
+               CAST(SUM(b) AS BIGINT) AS bs
+        FROM ch GROUP BY doc_id, w, h)
+      SELECT doc_id,
+             rs * 1000000 // (w * h * 255) AS e_r,
+             gs * 1000000 // (w * h * 255) AS e_g,
+             bs * 1000000 // (w * h * 255) AS e_b,
+             w * 1000000 // (w + h) AS e_aspect
+      FROM agg ORDER BY doc_id"""))
+
+  def queries: Seq[Q] = Seq(embedText, embedChecksum, embedMm, embedImage)
 }
