@@ -50,8 +50,10 @@ object Relational {
     """))
 
   /** Q3-style shipping priority: 3-way join with the big fact table last,
-    * dimension filters pushed below the joins. customer/orders are small
-    * relative to lineitem; at scale customer broadcasts and orders⨝lineitem
+    * dimension filters pushed below the joins. customer scales linearly
+    * with the corpus (≈10^10 rows at the 100 TB design point), so it gets
+    * NO broadcast hint — AQE runtime-broadcasts it while it fits and
+    * falls back to a shuffled join past the threshold; orders⨝lineitem
     * co-partitions on orderkey. Top-10 → TakeOrderedAndProject. */
   val q3TopOrders = Q("q3_top_orders",
     (s, dir) => {
@@ -60,7 +62,7 @@ object Relational {
       val ord = Tables.load(s, dir, "orders")
       val li = Tables.load(s, dir, "lineitem")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(20,4)")).cast("double").as("revenue"))
@@ -83,9 +85,12 @@ object Relational {
       LIMIT 10
     """))
 
-  /** Q5-style region revenue: 5-way snowflake join. All dimension chains
-    * (region→nation→customer, supplier) broadcast; only orders⨝lineitem is
-    * a real shuffle at scale. */
+  /** Q5-style region revenue: 5-way snowflake join. nation (25 rows) and
+    * region (5 rows) are FIXED-size dimension tables — those broadcast
+    * hints are safe at any scale. customer and supplier scale with the
+    * corpus, so they carry no hint: AQE broadcasts them while small and
+    * shuffles past the threshold; orders⨝lineitem is the one inherent
+    * shuffle. */
   val q5RegionRevenue = Q("q5_region_revenue",
     (s, dir) => {
       val region = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
@@ -95,8 +100,8 @@ object Relational {
       val li = Tables.load(s, dir, "lineitem")
       val sup = Tables.load(s, dir, "supplier")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -373,13 +378,15 @@ object Relational {
     * p·(n−1) in micro units, and the linear interpolation
     * v_lo·(1e6−f) + v_hi·f stays a BIGINT — engine `percentile` /
     * `quantile_cont` aggregates can associate the interpolation
-    * differently at the last ulp, this cannot. Plan (r6): per-value
+    * differently at the last ulp, this cannot. Plan (r7): per-value
     * counts fold map-side (the shuffle is ∝ DISTINCT values, never
-    * rows), a cumulative window runs over the distinct-value table only,
-    * and the value at row-rank r is min{v : cum(v) ≥ r} via one 12-row
-    * broadcast join — no corpus-row ranking anywhere (the approximate
-    * path at 100 TB is `approx_percentile`/t-digest, which no
-    * independent engine can replay). */
+    * rows), the cumulative count AND the per-flag total n both ride one
+    * window sort over the distinct-value table, and the rank lookup is
+    * an in-row predicate (v covers rank r iff cum−c < r ≤ cum) — one
+    * scan, one bounded exchange, zero joins, no corpus-row ranking
+    * anywhere (the approximate path at 100 TB is
+    * `approx_percentile`/t-digest, which no independent engine can
+    * replay). */
   val qPercentile = Q("q_percentile",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -396,33 +403,28 @@ object Relational {
       // touches the value domain, not the corpus (the previous window
       // form pushed every row through |flags|=3 fixed partitions — the
       // same scale defect class as the r6 pipe_balance fix).
+      // ONE corpus scan, ONE distinct-value exchange, NO joins (r7): the
+      // per-flag total n rides on the SAME window partitioning as cum
+      // (max over the unbounded flag frame — no second exchange), and the
+      // rank lookup becomes an in-row predicate: value v covers row-rank
+      // r iff cum−c < r ≤ cum (the cum ranges partition the ranks, so
+      // exactly one value hits each r). The final aggregate folds
+      // map-side to |flags|·|ps| rows.
       val vc = li.groupBy("flag", "cents").agg(count(lit(1)).as("c"))
         .withColumn("cum", sum("c").over(
           Window.partitionBy("flag").orderBy("cents")))
-      val tgt = li.groupBy("flag").agg(count(lit(1)).as("n"))
-        .crossJoin(Seq(500000L, 950000L).toDF("p_micro"))
+        .withColumn("n", max("cum").over(Window.partitionBy("flag")))
+      vc.select(col("flag"), col("cents"), col("c"), col("cum"), col("n"),
+          explode(array(lit(500000L), lit(950000L))).as("p_micro"))
         .withColumn("pos", col("p_micro") * (col("n") - 1))
         .withColumn("lo", expr("pos DIV 1000000"))
         .withColumn("f", col("pos") % 1000000L)
-      // both row-ranks (lo+1 always exists; lo+2 may not — the p=1 edge)
-      // in ONE tiny broadcast side, so the distinct-value table is
-      // computed and joined exactly once; the range residual rides on
-      // the flag equi-join, and a conditional min un-pivots the pair
-      val ranks = tgt
-        .select(col("flag"), col("p_micro"), col("f"),
-          explode(array(
-            struct((col("lo") + 1).as("r"), lit(0).as("which")),
-            struct((col("lo") + 2).as("r"), lit(1).as("which"))))
-            .as("rw"))
-        .select(col("flag"), col("p_micro"), col("f"),
-          col("rw.r").as("r"), col("rw.which").as("which"))
-      val cv = vc.select(col("flag").as("cf"), col("cents").as("v"),
-        col("cum"))
-      broadcast(ranks)
-        .join(cv, col("cf") === col("flag") && col("cum") >= col("r"))
         .groupBy("flag", "p_micro", "f")
-        .agg(min(when(col("which") === 0, col("v"))).as("v_lo"),
-          min(when(col("which") === 1, col("v"))).as("v_hi"))
+        .agg(
+          min(when(col("cum") - col("c") < col("lo") + 1 &&
+            col("lo") + 1 <= col("cum"), col("cents"))).as("v_lo"),
+          min(when(col("cum") - col("c") < col("lo") + 2 &&
+            col("lo") + 2 <= col("cum"), col("cents"))).as("v_hi"))
         .select(col("flag"), col("p_micro"),
           (col("v_lo") * (lit(1000000L) - col("f")) +
             coalesce(col("v_hi"), col("v_lo")) * col("f"))

@@ -19,12 +19,16 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  // ConcurrentHashMap.computeIfAbsent runs the build thunk at most once
-  // per key — TrieMap.getOrElseUpdate may race two first callers, and
-  // the side effect (a Spark write into a path-DETERMINISTIC temp dir)
-  // must not run twice concurrently
-  private val memoCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  // The memo must run each build thunk at most once per key, but a build
+  // is a whole Spark write job — far too long (and potentially re-entrant
+  // into another memoized dir) to run inside computeIfAbsent, which holds
+  // the map bin lock for the duration (an unrelated key hashing to the
+  // same bin would block, and CHM forbids re-entrant compute functions).
+  // So the map holds a FutureTask per key: putIfAbsent decides the single
+  // winner atomically, the build runs OUTSIDE any map lock, and losers
+  // (or re-entrant builds of a DIFFERENT key) just await the task.
+  private val memoCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.FutureTask[String]]()
 
   /** Memoized per-fixture/per-pid temp materialization (the derived-
     * layout discipline shared by the IVF-index and tenant-layout
@@ -36,8 +40,8 @@ object Tables {
     * Contents must be deterministic — the memo is gate-safe only because
     * rebuilding would produce identical bytes. */
   def memoTempDir(prefix: String, dir: String)(build: String => Unit)
-      : String =
-    memoCache.computeIfAbsent((prefix, dir), { _ =>
+      : String = {
+    val task = new java.util.concurrent.FutureTask[String](() => {
       val pathHash = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(8)
         .map("%02x".format(_)).mkString
@@ -53,4 +57,15 @@ object Tables {
       }))
       target
     })
+    val winner =
+      Option(memoCache.putIfAbsent((prefix, dir), task)).getOrElse(task)
+    if (winner eq task) task.run() // single winner builds, outside the map
+    try winner.get()
+    catch { // unwrap so callers see the build's own failure, and a failed
+      // build doesn't poison the key forever
+      case e: java.util.concurrent.ExecutionException =>
+        memoCache.remove((prefix, dir), winner)
+        throw e.getCause
+    }
+  }
 }

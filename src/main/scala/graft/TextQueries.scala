@@ -667,12 +667,18 @@ object TextQueries {
   val txtDecontam = Q("txt_decontam",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
-      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      // plant offset = max(doc_id)+1, computed IN-PLAN (1-row aggregate
+      // broadcast under a cross join — the scalar-subquery shape) rather
+      // than an eager .head() action: the declared query is one job, and
+      // the offset scan is a pruned single-column subtree (r7; the r6
+      // form cost one whole extra driver action per invocation)
+      val mx = docs.agg(max("doc_id").as("__max_id"))
       val bench = docs.filter(col("doc_id") % 97 === 0)
       val corpus = docs.filter(col("doc_id") % 97 =!= 0)
-        .unionAll(bench.select((col("doc_id") + lit(maxId + 1)).as("doc_id"),
-          concat(col("text"), lit(" plus harmless suffix appended here"))
-            .as("text")))
+        .unionAll(bench.crossJoin(broadcast(mx))
+          .select((col("doc_id") + col("__max_id") + 1).as("doc_id"),
+            concat(col("text"), lit(" plus harmless suffix appended here"))
+              .as("text")))
       val grams = graft.operators.Dedup.shingles(
         TextAnalysis.tokens(col("text")), 8)
       val bg = bench.select(explode(grams).as("bg")).distinct()
@@ -788,10 +794,11 @@ object TextQueries {
       val emailPat = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
       val phonePat = "[0-9]{3}-[0-9]{4}"
       val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
-      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      // offset in-plan (1-row broadcast scalar) — see txt_decontam
+      val mx = docs.agg(max("doc_id").as("__max_id"))
       val planted = docs.unionAll(
-        docs.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + lit(maxId + 1)).as("doc_id"),
+        docs.filter(col("doc_id") % 50 === 0).crossJoin(broadcast(mx))
+          .select((col("doc_id") + col("__max_id") + 1).as("doc_id"),
             concat(col("text"),
               concat(lit(" contact agent"), col("doc_id") % 1000,
                 lit("@example.com or call 555-0199 now"))).as("text")))

@@ -99,6 +99,11 @@ object AudioCodec {
         if (sz < 0) return null
         if (id == "fmt ") {
           if (sz < 16) return null
+          // explicit bounds check BEFORE parsing fmt fields (read up to
+          // off+23): a truncated fmt chunk must take the same corrupt →
+          // null path as every other torn stream, not ride the NonFatal
+          // backstop — exception-driven control flow on the hot path
+          if (off + 8 + 16 > b.length) return null
           if (u16(off + 8) != 1 || u16(off + 22) != 16) return null // PCM16
           channels = u16(off + 10)
           rate = u32(off + 12)

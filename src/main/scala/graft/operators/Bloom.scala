@@ -102,6 +102,15 @@ object Bloom {
   def buildSharded(corpus: DataFrame, h: Column, k: Int, m: Int,
                    shards: Int): Array[Array[Long]] = {
     require(shards > 0, s"need at least one shard, got $shards")
+    // the sharded analog of sizeFromEstimate's 2^26-bit single-bitmap
+    // require: shards·m longs are collected to the driver and embedded as
+    // a plan literal, so an oversized call must fail fast here, not OOM
+    // the driver (2^30 bits total = 128 MiB of shard tables; past that,
+    // ship the tables as a broadcast variable instead of a literal — the
+    // build/probe SHAPE is unchanged, see the scaladoc)
+    require(shards.toLong * ((m + 63L) / 64) <= (1L << 30) / 64,
+      s"$shards shards × $m bits exceeds the 2^30-bit sharded-literal " +
+        "bound — ship the shard tables as a broadcast variable instead")
     val bitmaps = Array.fill(shards)(new Array[Long]((m + 63) / 64))
     corpus
       .select(shardOf(h, shards).as("s"),

@@ -211,7 +211,11 @@ object Multimodal {
     * feature vector). Image payloads (magic-byte sniff) go through the
     * REAL `javax.imageio` decoder → features are [width, height, ΣR, ΣG,
     * ΣB] of the actually-decoded pixels; anything else falls back to the
-    * deterministic byte-statistics STUB [len, first, sum, mean]. */
+    * deterministic byte-statistics STUB [len, first, sum, mean, 0]. Both
+    * paths emit the SAME arity (5) plus a `modality` tag ("image" vs
+    * "bytes") — a mixed or partially-corrupt corpus must not yield
+    * ragged arrays where getItem(4) silently nulls on fallback rows, and
+    * consumers split decoded from stub rows by tag, not array shape. */
   def decodeFeaturesBatch(df: DataFrame, idCol: String, binCol: String)
       : DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
@@ -219,7 +223,9 @@ object Multimodal {
     // id keeps its own type (string-id collections work — no long cast)
     val outSchema = StructType(Seq(
       input.schema.fields(0),
-      StructField("features", ArrayType(DoubleType), nullable = true)))
+      StructField("features", ArrayType(DoubleType), nullable = true),
+      StructField("modality",
+        org.apache.spark.sql.types.StringType, nullable = false)))
     input.mapPartitions { rows =>
       // per-partition init happens HERE once (codec/model handle)
       def byteStub(bytes: Array[Byte]): Array[Double] = {
@@ -228,22 +234,23 @@ object Multimodal {
           bytes.length.toDouble,
           if (bytes.nonEmpty) (bytes(0) & 0xff).toDouble else 0.0,
           sum.toDouble,
-          if (bytes.nonEmpty) sum.toDouble / bytes.length else 0.0)
+          if (bytes.nonEmpty) sum.toDouble / bytes.length else 0.0,
+          0.0) // pad to the image arity — fixed-shape column
       }
       rows.map { r =>
         val bytes =
           if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        val features =
+        val (features, modality) =
           if (ImageCodec.isImage(bytes)) {
             val img = ImageCodec.decodeOrNull(bytes)
-            if (img == null) byteStub(bytes)
+            if (img == null) (byteStub(bytes), "bytes")
             else {
               val s = ImageCodec.channelSums(img)
-              Array(img.getWidth.toDouble, img.getHeight.toDouble,
-                s(0).toDouble, s(1).toDouble, s(2).toDouble)
+              (Array(img.getWidth.toDouble, img.getHeight.toDouble,
+                s(0).toDouble, s(1).toDouble, s(2).toDouble), "image")
             }
-          } else byteStub(bytes)
-        org.apache.spark.sql.Row(r.get(0), features)
+          } else (byteStub(bytes), "bytes")
+        org.apache.spark.sql.Row(r.get(0), features, modality)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

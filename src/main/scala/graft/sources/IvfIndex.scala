@@ -20,12 +20,16 @@ import graft.operators.Ann
   * the flat `cluster=` layout — Spark prunes on ANY partition column, not
   * just the outermost.
   *
-  * The index is DERIVED data: refresh deletes stale `src_bucket=` dirs
-  * and appends their replacements without a manifest commit (a reader
-  * racing a refresh can see a partial index). Run it from the single
-  * writer, as with every mutation verb; a crash mid-refresh is repaired
-  * by re-running refresh (delete-then-append is idempotent for the same
-  * source state) or by a full [[build]].
+  * The index is DERIVED data without a manifest commit, but refresh is
+  * STAGED: replacement rows are written into an `_staging` dir first
+  * (underscore prefix — invisible to Spark's file listing), and only
+  * after that job succeeds are stale `src_bucket=` dirs deleted and the
+  * staged dirs moved into place. A crash or job failure during the
+  * expensive write leaves the live index fully intact; the vulnerable
+  * window is the few directory renames of the swap itself (a reader
+  * racing exactly that swap can see a partial index — run refresh from
+  * the single writer, as with every mutation verb; re-running refresh,
+  * which clears leftover staging, or a full [[build]] repairs a crash).
   *
   * Scale: cost is O(points in touched buckets) per refresh — the 100 TB
   * contract. The centroid table is the caller's (trained once, k·dim
@@ -66,19 +70,36 @@ object IvfIndex {
               idCol: String, vecCol: String, centroids: DataFrame,
               cidCol: String, cvCol: String,
               prev: Collections.ManifestView): Collections.ManifestView = {
+    import scala.jdk.CollectionConverters._
     val (cur, changedDf, dropped) =
       Collections.changedSince(spark, collDir, prev)
     val changedBuckets = Collections.changedBuckets(prev, cur)
+    // 1. STAGE: run the whole replacement job before touching live dirs —
+    //    a failure here leaves the index exactly as it was
+    val staging = Paths.get(indexDir, "_staging_refresh")
+    if (Files.exists(staging)) Collections.deleteRecursively(staging)
+    if (changedBuckets.nonEmpty)
+      assigned(changedDf, idCol, vecCol, centroids, cidCol, cvCol,
+        Collections.numBuckets(collDir))
+        .write.mode("overwrite")
+        .partitionBy("src_bucket", "cluster")
+        .parquet(staging.toString)
+    // 2. SWAP: delete stale dirs, move staged replacements in (renames
+    //    only — the index is inconsistent for this window alone)
     (changedBuckets ++ dropped).foreach { b =>
       val dir = Paths.get(indexDir, s"src_bucket=$b")
       if (Files.exists(dir)) Collections.deleteRecursively(dir)
     }
-    if (changedBuckets.nonEmpty)
-      assigned(changedDf, idCol, vecCol, centroids, cidCol, cvCol,
-        Collections.numBuckets(collDir))
-        .write.mode("append")
-        .partitionBy("src_bucket", "cluster")
-        .parquet(indexDir)
+    if (Files.isDirectory(staging)) {
+      val staged = Files.list(staging)
+      try staged.iterator().asScala
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("src_bucket="))
+        .foreach(d =>
+          Files.move(d, Paths.get(indexDir, d.getFileName.toString)))
+      finally staged.close()
+      Collections.deleteRecursively(staging)
+    }
     cur
   }
 }

@@ -63,40 +63,56 @@ object Tenancy {
     * [[IvfIndex.refresh]] discipline): a collection bucket the feed
     * reports changed/dropped has its `bucket=b` leaf deleted under EVERY
     * tenant directory (a bucket's rows can span tenants), then the
-    * changed rows re-append. Untouched buckets' files are not read, not
-    * rewritten, not moved — refresh cost is O(points in touched
-    * buckets). Same derived-data caveats as IvfIndex: single writer,
-    * re-run or full [[buildFromCollection]] repairs a crash. */
+    * staged replacements move in. Untouched buckets' files are not read,
+    * not rewritten, not moved — refresh cost is O(points in touched
+    * buckets). STAGED like [[IvfIndex.refresh]]: the replacement job
+    * writes into `_staging` first, so a crash during the expensive write
+    * leaves the live layout intact; only the rename window of the final
+    * swap is inconsistent (single writer; re-run or full
+    * [[buildFromCollection]] repairs a crash). */
   def refresh(spark: SparkSession, collDir: String, layoutDir: String,
               tenantCol: String, idCol: String,
               prev: Collections.ManifestView): Collections.ManifestView = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Path, Paths}
     import scala.jdk.CollectionConverters._
     val (cur, changedDf, dropped) =
       Collections.changedSince(spark, collDir, prev)
     val changedBuckets = Collections.changedBuckets(prev, cur)
     val stale = changedBuckets ++ dropped
-    val root = Paths.get(layoutDir)
-    if (Files.isDirectory(root) && stale.nonEmpty) {
-      val tenants = Files.list(root)
-      try tenants.iterator().asScala
-        .filter(d => Files.isDirectory(d) &&
-          d.getFileName.toString.startsWith(s"$tenantCol="))
-        .foreach { td =>
-          stale.foreach { b =>
-            val leaf = td.resolve(s"bucket=$b")
-            if (Files.exists(leaf)) Collections.deleteRecursively(leaf)
-          }
-        }
-      finally tenants.close()
-    }
+    def subdirs(p: Path, prefix: String): Seq[Path] =
+      if (!Files.isDirectory(p)) Seq.empty
+      else {
+        val s = Files.list(p)
+        try s.iterator().asScala.filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith(prefix)).toSeq
+        finally s.close()
+      }
+    // 1. STAGE the replacement rows (live layout untouched on failure)
+    val staging = Paths.get(layoutDir, "_staging_refresh")
+    if (Files.exists(staging)) Collections.deleteRecursively(staging)
     if (changedBuckets.nonEmpty)
       changedDf
         .withColumn("bucket",
           Collections.bucketOf(idCol, Collections.numBuckets(collDir)))
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy(tenantCol, "bucket")
-        .parquet(layoutDir)
+        .parquet(staging.toString)
+    // 2. SWAP: drop stale leaves under every live tenant dir, then move
+    //    each staged tenant's bucket leaves into place (renames only)
+    val root = Paths.get(layoutDir)
+    subdirs(root, s"$tenantCol=").foreach { td =>
+      stale.foreach { b =>
+        val leaf = td.resolve(s"bucket=$b")
+        if (Files.exists(leaf)) Collections.deleteRecursively(leaf)
+      }
+    }
+    subdirs(staging, s"$tenantCol=").foreach { std =>
+      val liveTenant = root.resolve(std.getFileName.toString)
+      Files.createDirectories(liveTenant)
+      subdirs(std, "bucket=").foreach(leaf =>
+        Files.move(leaf, liveTenant.resolve(leaf.getFileName.toString)))
+    }
+    if (Files.exists(staging)) Collections.deleteRecursively(staging)
     cur
   }
 }

@@ -647,12 +647,19 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     val truncated = ImageCodec.encodePng(5L, 10, 8).take(24) // magic + IHDR
     val d = Seq((1L, truncated), (2L, ImageCodec.encodePng(2L, 6, 5)))
       .toDF("doc_id", "content")
-    val feats = Multimodal.decodeFeaturesBatch(d, "doc_id", "content")
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val out = Multimodal.decodeFeaturesBatch(d, "doc_id", "content")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Double](1), r.getString(2))))
+      .toMap
+    val feats = out.view.mapValues(_._1).toMap
     // corrupt row fell back to byte statistics (len first), intact row
     // decoded to pixel features (width first)
     assert(feats(1L)(0) == truncated.length.toDouble)
     assert(feats(2L)(0) == 6.0 && feats(2L)(1) == 5.0)
+    // mixed corpus: SAME arity on both paths (no ragged getItem(4) nulls)
+    // and the modality tag splits decoded from stub rows
+    assert(feats(1L).length == 5 && feats(2L).length == 5)
+    assert(out(1L)._2 == "bytes" && out(2L)._2 == "image")
     val resized = Multimodal.resizePixels(d, "doc_id", "content", 8)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(resized == Set(2L), "corrupt payload not dropped by resize")
