@@ -184,6 +184,46 @@ object RecommendQueries {
       FROM hits h JOIN g ON g.label = h.label
       ORDER BY h.label, h.rnk"""))
 
+  /** Grouped search with LOOKUP (`search_groups` + `with_lookup`): the
+    * group key (label) resolves against a lookup collection — here the
+    * nation table stands in as the lookup collection keyed by
+    * n_nationkey — and the looked-up payload (n_name) rides on every
+    * hit. The bounded group output broadcasts; nation streams one
+    * narrow scan. */
+  val vKnnGroupsLookup = Q("v_knn_groups_lookup",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Recommend.searchGroupsLookup(emb, "embedding", "vec_id", "label", qv,
+          groups = 3, groupSize = 2,
+          lookup = Tables.load(s, dir, "nation")
+            .select(col("n_nationkey").cast("long").as("n_nationkey"),
+              col("n_name").as("lookup_name")),
+          lookupIdCol = "n_nationkey")
+        .orderBy("label", "rnk")
+    },
+    Some("""
+      WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT vec_id, label,
+               CAST(floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv)
+                 * 1000000 + 0.5) AS BIGINT) AS score_micro
+        FROM embeddings, q),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY score_micro DESC, vec_id) AS rnk
+        FROM scored),
+      hits AS (SELECT * FROM r WHERE rnk <= 2),
+      g AS (SELECT label, MAX(score_micro) AS best FROM hits GROUP BY label
+            ORDER BY best DESC, label LIMIT 3)
+      SELECT h.label, h.vec_id, h.score_micro, CAST(h.rnk AS INT) AS rnk,
+             n.n_name AS lookup_name
+      FROM hits h JOIN g ON g.label = h.label
+      JOIN nation n ON n.n_nationkey = h.label
+      ORDER BY h.label, h.rnk"""))
+
   /** Count API: a Qdrant filter-DSL predicate + COUNT — the DSL filter
     * pushes to the scan, the count partial-aggregates. */
   val collCount = Q("coll_count",
@@ -267,6 +307,27 @@ object RecommendQueries {
       GROUP BY label
       ORDER BY cnt DESC, label
       LIMIT 5"""))
+
+  /** Random-sampling query API (Qdrant `query: {"sample": "random"}`):
+    * 10 points drawn uniformly via the seeded hash rank
+    * (Recommend.sampleRandom — deterministic per seed, reshuffle-proof;
+    * "random" means uniform over the collection, which a hash of the
+    * unique id gives exactly). TakeOrderedAndProject over a narrow key
+    * projection — bounded heap, no global sort. */
+  val collSample = Q("coll_sample",
+    (s, dir) =>
+      Recommend.sampleRandom(
+          Tables.load(s, dir, "embeddings").select("vec_id", "label"),
+          "vec_id", seed = "draw42", n = 10)
+        .orderBy("vec_id"),
+    Some("""
+      WITH s AS (
+        SELECT vec_id, label
+        FROM embeddings
+        ORDER BY ('0x' || substr(md5('draw42|' || vec_id), 1, 15))::BIGINT,
+                 vec_id
+        LIMIT 10)
+      SELECT vec_id, label FROM s ORDER BY vec_id"""))
 
   /** Discover API: rank by context fit first, target similarity second
     * (the public Qdrant discover semantics — each context pair
@@ -471,6 +532,7 @@ object RecommendQueries {
       LIMIT 10"""))
 
   def queries: Seq[Q] = Seq(vRecommend, vRecommendBest, vMatrix, vMmr,
-    vKnnGroups, collCount, collCountApprox, collScroll, collFacet,
-    vDiscover, chromaWhere, vSparseSearch, vSparseIdf)
+    vKnnGroups, vKnnGroupsLookup, collCount, collCountApprox, collScroll,
+    collFacet, collSample, vDiscover, chromaWhere, vSparseSearch,
+    vSparseIdf)
 }

@@ -231,6 +231,65 @@ object VectorQueries {
       LIMIT 10
     """))
 
+  /** V8 — PARTIAL named vectors (Qdrant: a point may carry any subset of
+    * the declared named vectors): a mixed collection where vec_id % 3 == 0
+    * points lack `text_vec` and vec_id % 5 == 0 points lack `image_vec`
+    * (both ⇒ the point is in neither queried space and is NOT returned).
+    * Scoring = Fusion.blendPartial — a missing side is SKIPPED (weight
+    * renormalizes over present sides), never zeroed. Scores are shifted
+    * cosine micro-ints (+10^6 ⇒ non-negative ⇒ Spark DIV == DuckDB //).
+    * Same narrow one-pass shape as v_fusion; TakeOrderedAndProject. */
+  val vFusionPartial = Q("v_fusion_partial",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q0 = typedLit(queryVec(s, dir, 0))
+      val q1 = typedLit(queryVec(s, dir, 1))
+      def shifted(v: org.apache.spark.sql.Column,
+                  q: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(v.isNotNull,
+          floor(VectorOps.cosine(v, q) * 1000000 + lit(0.5)).cast("long")
+            + lit(1000000L))
+      val pts = emb.select(col("vec_id"), col("label"),
+        when(col("vec_id") % 3 =!= 0, col("embedding")).as("text_vec"),
+        when(col("vec_id") % 5 =!= 0, reverse(col("embedding")))
+          .as("image_vec"))
+      pts
+        .withColumn("score_micro", graft.operators.Fusion.blendPartial(Seq(
+          (shifted(col("text_vec"), q0), 700L),
+          (shifted(col("image_vec"), q1), 300L))))
+        .filter(col("score_micro").isNotNull)
+        .orderBy(desc("score_micro"), col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "score_micro")
+    },
+    Some({
+      val q1 = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)"
+      s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      p AS (SELECT vec_id, label,
+              CASE WHEN vec_id % 3 <> 0 THEN v END AS tv,
+              CASE WHEN vec_id % 5 <> 0 THEN list_reverse(v) END AS iv
+            FROM e),
+      sc AS (SELECT vec_id, label,
+               CASE WHEN tv IS NOT NULL THEN CAST(floor(
+                 list_cosine_similarity(tv, $oracleQ0) * 1000000 + 0.5)
+                 AS BIGINT) + 1000000 END AS ts,
+               CASE WHEN iv IS NOT NULL THEN CAST(floor(
+                 list_cosine_similarity(iv, $q1) * 1000000 + 0.5)
+                 AS BIGINT) + 1000000 END AS isc
+             FROM p)
+      SELECT vec_id, label,
+             (COALESCE(ts * 700, 0) + COALESCE(isc * 300, 0))
+               // (CASE WHEN ts IS NOT NULL THEN 700 ELSE 0 END
+                  + CASE WHEN isc IS NOT NULL THEN 300 ELSE 0 END)
+               AS score_micro
+      FROM sc
+      WHERE ts IS NOT NULL OR isc IS NOT NULL
+      ORDER BY score_micro DESC, vec_id
+      LIMIT 10"""
+    }))
+
   /** The pairwise-cosine max/sum tree of [[vMaxsim]]'s oracle, generated
     * to mirror Fusion.maxSim term-for-term (same slices, same micro-int
     * floors, same greatest/sum shape). */
@@ -289,6 +348,34 @@ object VectorQueries {
       ORDER BY dist ASC, vec_id
       LIMIT 10
     """))
+
+  /** V4 — MANHATTAN (L1) distance: Qdrant's fourth public collection
+    * metric (`Distance.MANHATTAN`), completing cosine/L2/dot. Fused
+    * L1DistExpr (one codegen loop, index-order accumulation — same IEEE
+    * ops in the same order as the oracle's per-index replay, so the
+    * micro-int quantization is exact on both sides). */
+  val vManhattan = Q("v_manhattan",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      emb.withColumn("dist_micro",
+          floor(VectorOps.l1(col("embedding"),
+            typedLit(queryVec(s, dir, 0))) * 1000000 + lit(0.5))
+            .cast("long"))
+        .orderBy(asc("dist_micro"), col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "dist_micro")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      SELECT e.vec_id, e.label,
+             CAST(floor(list_sum(list_transform(range(len(e.v)),
+               i -> abs(e.v[i+1] - q.qv[i+1]))) * 1000000 + 0.5) AS BIGINT)
+               AS dist_micro
+      FROM e, q
+      ORDER BY dist_micro ASC, e.vec_id
+      LIMIT 10"""))
 
   /** V4 — inner-product score variant. */
   val vDot = Q("v_dot",
@@ -587,6 +674,6 @@ object VectorQueries {
 
   def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnTenant, vKnnMulti,
     vKnnMultiAgg, vKnnFiltered, vKnnDsl, vKnnDslExcept, vKnnDslNested,
-    vL2, vDot, vFusion, vMaxsim, vHybridRrf,
+    vL2, vManhattan, vDot, vFusion, vFusionPartial, vMaxsim, vHybridRrf,
     vSqQuantize, vSqSearch, vBqSearch, collStats)
 }

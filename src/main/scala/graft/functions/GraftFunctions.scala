@@ -36,6 +36,8 @@ object GraftFunctions {
       arity("graft_dot", 2, es => DotProductExpr(es(0), es(1)))),
     ("graft_l2", "graft_l2(a, b) - euclidean distance of two float/double arrays",
       arity("graft_l2", 2, es => L2DistExpr(es(0), es(1)))),
+    ("graft_l1", "graft_l1(a, b) - manhattan (L1) distance of two float/double arrays",
+      arity("graft_l1", 2, es => L1DistExpr(es(0), es(1)))),
     ("graft_tokens_minhash", "graft_tokens_minhash(tokens) - 16-hash MinHash signature of a token array (3-gram shingles)",
       arity("graft_tokens_minhash", 1, es => TokensMinHashExpr(es(0), 3, 16))),
     ("graft_tokens_simhash", "graft_tokens_simhash(tokens) - 60-bit SimHash signature of a token array",

@@ -217,6 +217,54 @@ case class L2DistExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ|aᵢ−bᵢ| — fused Manhattan (L1) distance. Qdrant's fourth public
+  * collection metric (`Distance.MANHATTAN` alongside Cosine/Euclid/Dot;
+  * the reference pins cosine at `bob_vector_db/qdrant_embedder.py:98,101`,
+  * so this completes the metric surface rather than the reference's own
+  * default). Index-order accumulation; `Math.abs` is exact (no rounding),
+  * so the HOF twin and the DuckDB replay are bit-identical. */
+case class L1DistExpr(left: Expression, right: Expression)
+    extends VectorBinaryReduce {
+  override def prettyName: String = "graft_l1"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements()) return null
+    val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+    val n = x.numElements()
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      if (elemNullScala(x, y, i)) return null
+      acc += math.abs(getScala(x, i, lf) - getScala(y, i, rf)); i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            ${elemNullJava(ev, a, b, i)}
+            $acc += java.lang.Math.abs(${getJava(a, i, lf)} - ${getJava(b, i, rf)});
+          }
+          if (!${ev.isNull}) { ${ev.value} = $acc; }
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Runtime helper for [[TokensMinHashExpr]] — kept as plain JVM code (not
   * generated source) so both the interpreted and codegen paths call the
   * same JIT-compiled loop. */

@@ -52,6 +52,9 @@ object VectorOps {
   /** Euclidean distance (Chroma's default space). */
   def l2(a: Column, b: Column): Column = native2(L2DistExpr.apply)(a, b)
 
+  /** Manhattan (L1) distance — Qdrant's `Distance.MANHATTAN`. */
+  def l1(a: Column, b: Column): Column = native2(L1DistExpr.apply)(a, b)
+
   // ---- HOF reference implementations (bit-identical, interpreted) ----
 
   /** `aggregate(zip_with(...))` form of [[dot]] — reference engine. */
@@ -68,6 +71,11 @@ object VectorOps {
     sqrt(aggregate(
       zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))
+
+  /** HOF form of [[l1]]. */
+  def hofL1(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => abs(x - y)),
+      lit(0.0), (acc, x) => acc + x)
 
   /** v / s — scale a vector by a scalar column. Combine with [[norm]]
     * computed ONCE in a prior `withColumn` to L2-normalize: pre-normalizing

@@ -46,6 +46,28 @@ object Fusion {
     }.reduce(_ + _)
   }
 
+  /** PARTIAL-named-vector blend — Qdrant points may carry any SUBSET of
+    * the collection's declared named vectors, and scoring a multi-vector
+    * query must SKIP a missing side (contribute neither score nor
+    * weight), not score it as zero: zeroing would rank a text-only point
+    * below an identical text+image point on a text-dominant query even
+    * when the image side matched poorly. `sides` = (per-side score,
+    * integer weight); a NULL score drops the side's weight from the
+    * denominator; all sides null → NULL (the point belongs to none of
+    * the queried vector spaces — Qdrant would not return it at all).
+    * Integer-exact renormalization: callers pass NON-NEGATIVE integer
+    * scores (shift cosine micro-ints by +10^6) so
+    * `Σ wᵢ·sᵢ DIV Σ wᵢ` is engine-independent (Spark DIV truncates,
+    * DuckDB // floors — identical on non-negatives). */
+  def blendPartial(sides: Seq[(Column, Long)]): Column = {
+    val num = sides.map { case (sc, w) => coalesce(sc * lit(w), lit(0L)) }
+      .reduce(_ + _)
+    val den = sides
+      .map { case (sc, w) => when(sc.isNotNull, lit(w)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    when(den > 0, call_function("div", num, den))
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (doc_id, r_t) and
     * (doc_id, r_v): full outer join — a doc contributes 1/(rrfK + r) per
     * list it appears in, rank 0 marks absence — top `topN` by fused

@@ -99,6 +99,25 @@ object Recommend {
         (col("__pos") + 1).cast("int").as("rnk"))
   }
 
+  /** `search_groups` + `with_lookup` (the public Qdrant group-lookup
+    * flow): each returned group's key doubles as a point id in a LOOKUP
+    * collection, and that point's payload rides on every hit of the
+    * group (e.g. chunks grouped by document id, with the document
+    * record joined on). The group output is BOUNDED (≤ groups·groupSize
+    * rows) so it broadcasts; the lookup collection streams through one
+    * narrow scan of its id + payload columns — never shuffled, never
+    * collected. Lookup id column is dropped (it equals the group key);
+    * lookup payload columns keep their names. */
+  def searchGroupsLookup(coll: DataFrame, vecCol: String, idCol: String,
+                         groupCol: String, query: Seq[Double],
+                         groups: Int, groupSize: Int,
+                         lookup: DataFrame, lookupIdCol: String)
+      : DataFrame =
+    broadcast(
+      searchGroups(coll, vecCol, idCol, groupCol, query, groups, groupSize))
+      .join(lookup, col(groupCol) === col(lookupIdCol))
+      .drop(lookupIdCol)
+
   /** Qdrant's `best_score` recommendation strategy (the other public
     * strategy besides `average_vector`): each point scores against EVERY
     * example individually — no combined vector — and the final score is
@@ -255,4 +274,23 @@ object Recommend {
         (col(orderCol) === afterOrder && col(idCol) > afterId))
       .orderBy(col(orderCol), col(idCol))
       .limit(pageSize)
+
+  /** Random-sampling query (Qdrant `query: {"sample": "random"}`): `n`
+    * points drawn uniformly from the collection (optionally filtered
+    * upstream). SEEDED, not `rand()`: the rank key is md5(seed ‖ id), so
+    * a given seed reproduces the same sample on any engine, any run, any
+    * partitioning (the pipe_sample determinism contract — callers vary
+    * the seed per request for fresh draws; a hash of a unique id is
+    * uniform, which is all "random" promises). Plan shape:
+    * TakeOrderedAndProject over the narrow key projection — a bounded
+    * per-partition heap, never a global sort, at any corpus size. */
+  def sampleRandom(coll: DataFrame, idCol: String, seed: String,
+                   n: Int): DataFrame =
+    coll
+      .withColumn("__sample_key",
+        conv(substring(md5(concat(lit(s"$seed|"),
+          col(idCol).cast("string"))), 1, 15), 16, 10).cast("long"))
+      .orderBy(col("__sample_key"), col(idCol))
+      .limit(n)
+      .drop("__sample_key")
 }

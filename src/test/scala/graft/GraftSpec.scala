@@ -84,7 +84,9 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
       dot(col("embedding"), typedLit(q)).as("nd"),
       hofDot(col("embedding"), typedLit(q)).as("hd"),
       l2(col("embedding"), typedLit(q)).as("nl"),
-      hofL2(col("embedding"), typedLit(q)).as("hl")).collect()
+      hofL2(col("embedding"), typedLit(q)).as("hl"),
+      l1(col("embedding"), typedLit(q)).as("nm"),
+      hofL1(col("embedding"), typedLit(q)).as("hm")).collect()
     both.foreach { r =>
       assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
              java.lang.Double.doubleToLongBits(r.getDouble(1)), "cosine")
@@ -92,7 +94,32 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
              java.lang.Double.doubleToLongBits(r.getDouble(3)), "dot")
       assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
              java.lang.Double.doubleToLongBits(r.getDouble(5)), "l2")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(6)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(7)), "l1")
     }
+  }
+
+  test("partial named vectors: blendPartial skips a missing side " +
+       "(renormalized), never zeroes it; all-missing yields NULL") {
+    import spark.implicits._
+    // scores are shifted micro-ints (the query contract): 1.5e6 ≈ cos 0.5
+    val pts = Seq(
+      (1L, Some(1500000L), Some(900000L)), // both sides
+      (2L, Some(1500000L), None),          // text-only
+      (3L, None, Some(900000L)),           // image-only
+      (4L, None, None))                    // in neither queried space
+      .toDF("id", "ts", "is")
+    val out = pts.withColumn("s", graft.operators.Fusion.blendPartial(
+        Seq((col("ts"), 700L), (col("is"), 300L))))
+      .orderBy("id").collect()
+    // both: (1.5e6·700 + 0.9e6·300) / 1000
+    assert(out(0).getLong(3) == (1500000L * 700 + 900000L * 300) / 1000)
+    // text-only: EXACTLY the text score — weight renormalizes to 700/700;
+    // a zeroing implementation would emit 1.05e6 and misrank this point
+    assert(out(1).getLong(3) == 1500000L)
+    assert(out(2).getLong(3) == 900000L)
+    assert(out(3).isNullAt(3), "a point with no queried vector must be " +
+      "NULL (not returned), not scored 0")
   }
 
   test("heap-aggregate topk == window-rank topk (same rows, same order)") {
