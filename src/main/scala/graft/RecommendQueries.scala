@@ -36,6 +36,41 @@ object RecommendQueries {
       ORDER BY score_micro DESC, e.vec_id
       LIMIT 10"""))
 
+  /** Recommend with `lookup_from`: examples come from a DIFFERENT
+    * collection — here a derived catalog holding the REVERSED vectors
+    * (a distinct basis, so the gate proves the query vector really came
+    * from the lookup side), searched against the original embeddings.
+    * No example exclusion (foreign id space — Qdrant's documented
+    * lookup_from semantics). */
+  val vRecommendLookup = Q("v_recommend_lookup",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val catalog = emb.select(col("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      Recommend.recommendLookupFrom(emb, "embedding", "vec_id",
+          lookup = catalog, lookupIdCol = "vec_id",
+          lookupVecCol = "embedding",
+          positiveIds = Seq(3L, 5L), negativeIds = Seq(8L), k = 10)
+        .select("vec_id", "label", "score_micro")
+    },
+    Some("""
+      WITH p1 AS (SELECT list_reverse(CAST(embedding AS DOUBLE[])) AS v
+                  FROM embeddings WHERE vec_id = 3),
+      p2 AS (SELECT list_reverse(CAST(embedding AS DOUBLE[])) AS v
+             FROM embeddings WHERE vec_id = 5),
+      n1 AS (SELECT list_reverse(CAST(embedding AS DOUBLE[])) AS v
+             FROM embeddings WHERE vec_id = 8),
+      q AS (SELECT list_transform(range(64), i ->
+              (p1.v[i+1] + p2.v[i+1]) / 2
+              + ((p1.v[i+1] + p2.v[i+1]) / 2 - n1.v[i+1])) AS qv
+            FROM p1, p2, n1)
+      SELECT e.vec_id, e.label,
+             CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+               * 1000000 + 0.5) AS BIGINT) AS score_micro
+      FROM embeddings e, q
+      ORDER BY score_micro DESC, e.vec_id
+      LIMIT 10"""))
+
   /** Recommend API, `best_score` strategy (the other public strategy):
     * no combined vector — each point's score is its best positive
     * similarity when that beats its best negative similarity, else the
@@ -531,7 +566,8 @@ object RecommendQueries {
       ORDER BY score_micro DESC, p.doc_id
       LIMIT 10"""))
 
-  def queries: Seq[Q] = Seq(vRecommend, vRecommendBest, vMatrix, vMmr,
+  def queries: Seq[Q] = Seq(vRecommend, vRecommendLookup, vRecommendBest,
+    vMatrix, vMmr,
     vKnnGroups, vKnnGroupsLookup, collCount, collCountApprox, collScroll,
     collFacet, collSample, vDiscover, chromaWhere, vSparseSearch,
     vSparseIdf)

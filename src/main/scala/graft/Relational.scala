@@ -124,12 +124,18 @@ object Relational {
       ORDER BY revenue DESC, n_name
     """))
 
-  /** Broadcast dim join + agg by brand (part is tiny vs lineitem). */
+  /** Dim join + agg by brand. part is small RELATIVE to lineitem but
+    * scales linearly with the corpus (SF·200k rows — billions at the
+    * 100 TB design point), so like customer/supplier it carries NO
+    * broadcast hint: AQE runtime-broadcasts while it fits and shuffles
+    * past the threshold (the r7 sweep — forced hints survive only on
+    * data-independent bounds: nation/region, query batches, pinned
+    * samples, 1-row stats, sketch cells). */
   val qBrandAgg = Q("q_brand_agg",
     (s, dir) => {
       val part = Tables.load(s, dir, "part")
       val li = Tables.load(s, dir, "lineitem")
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("decimal(20,2)")).cast("double").as("sum_qty"))

@@ -169,6 +169,52 @@ object VectorQueries {
       LIMIT 10
     """))
 
+  /** V3 — GEO payload condition oracle-gated (r7): `geo_bounding_box` is
+    * pure comparisons (unlike geo_radius' haversine, whose trig is not
+    * exact-hash-replayable — that path stays spec-gated in
+    * PayloadFilterSpec), so the box condition gets a full oracle row.
+    * Points get deterministic synthetic coordinates (exact integer
+    * arithmetic → one correctly-rounded division, identical doubles in
+    * both engines); the DSL predicate then drives a filtered top-k. */
+  val vKnnGeo = Q("v_knn_geo",
+    (s, dir) => {
+      val filter = graft.operators.PayloadFilter.fromJson("""
+        {"must": [
+          {"key": "location", "geo_bounding_box": {
+            "top_left":     {"lat": 40.0, "lon": -20.0},
+            "bottom_right": {"lat": -40.0, "lon": 120.0}
+          }}
+        ]}""")
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("location", struct(
+          ((col("vec_id") * 37) % 18000 / lit(100.0) - lit(90.0))
+            .as("lat"),
+          ((col("vec_id") * 73) % 36000 / lit(100.0) - lit(180.0))
+            .as("lon")))
+        .filter(filter)
+      Knn.knn(emb, "embedding", queryVec(s, dir, 0), 10)
+        .select(col("vec_id"), col("label"),
+          floor(col("location.lat") * 100 + lit(0.5)).cast("long")
+            .as("lat_centi"),
+          floor(col("location.lon") * 100 + lit(0.5)).cast("long")
+            .as("lon_centi"),
+          col("score"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT vec_id, label, embedding,
+               (vec_id * 37) % 18000 / 100.0 - 90.0 AS lat,
+               (vec_id * 73) % 36000 / 100.0 - 180.0 AS lon
+        FROM embeddings)
+      SELECT vec_id, label,
+             CAST(floor(lat * 100 + 0.5) AS BIGINT) AS lat_centi,
+             CAST(floor(lon * 100 + 0.5) AS BIGINT) AS lon_centi,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQ0), 6) AS score
+      FROM g
+      WHERE lat <= 40.0 AND lat >= -40.0 AND lon >= -20.0 AND lon <= 120.0
+      ORDER BY score DESC, vec_id
+      LIMIT 10"""))
+
   /** V3 — the extended DSL conditions (match.except + values_count), the
     * Qdrant predicates a payload-filtered search hits next after
     * must/match/range. */
@@ -496,6 +542,91 @@ object VectorQueries {
       $vectorTop100Sql
       $rrfFuseTailSql"""))
 
+  /** Hybrid retrieval fused by DBSF — Qdrant's `fusion: dbsf`
+    * (distribution-based score fusion), the other public fusion method
+    * beside RRF: each side's bounded top-100 scores normalize by that
+    * list's own μ±3σ band before summing, so a side with a wide score
+    * spread doesn't drown one with a narrow spread (the failure mode of
+    * raw-score blending that DBSF exists to fix). Same bounded shape as
+    * v_hybrid_rrf: TakeOrderedAndProject per side, 1-row stats
+    * broadcasts, ≤100-row full-outer fuse — nothing corpus-sized past
+    * the scans. */
+  val vHybridDbsf = Q("v_hybrid_dbsf",
+    (s, dir) => {
+      val kws = typedLit(Seq("data", "query", "table"))
+      val tTop = graft.operators.Fusion.topNRanked(
+          Tables.load(s, dir, "documents")
+            .withColumn("__tk",
+              graft.operators.TextAnalysis.tokens(col("text")))
+            .withColumn("score_t",
+              size(filter(col("__tk"), t => array_contains(kws, t)))
+                .cast("long")),
+          100, "r_t", desc("score_t"), col("doc_id"))
+        .select(col("doc_id"), col("score_t"))
+      val vTop = graft.operators.Fusion.topNRanked(
+          Tables.load(s, dir, "embeddings")
+            .withColumn("score_v",
+              floor(VectorOps.cosine(col("embedding"),
+                typedLit(queryVec(s, dir, 0))) * 1e6 + lit(0.5))
+                .cast("long")),
+          100, "r_v", desc("score_v"), col("vec_id"))
+        .select(col("vec_id").as("doc_id"), col("score_v"))
+      graft.operators.Fusion.dbsfFuse(tTop, vTop)
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               len(list_filter(
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> ''),
+                 x -> list_contains(['data', 'query', 'table'], x))) AS score_t
+        FROM documents),
+      tt AS (
+        SELECT doc_id, score_t FROM (
+          SELECT doc_id, score_t,
+                 ROW_NUMBER() OVER (ORDER BY score_t DESC, doc_id) AS r
+          FROM t) WHERE r <= 100),
+      ts AS (SELECT COUNT(*) AS n, CAST(SUM(score_t) AS BIGINT) AS s1,
+                    CAST(SUM(score_t * score_t) AS BIGINT) AS s2 FROM tt),
+      tn AS (
+        SELECT doc_id,
+               CASE WHEN n * s2 - s1 * s1 = 0 THEN 500000
+                 ELSE CAST(floor(
+                   (CAST(n * score_t - s1 AS DOUBLE)
+                      + 3.0 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)))
+                     / (6.0 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)))
+                     * 1000000 + 0.5) AS BIGINT) END AS nt_micro
+        FROM tt, ts),
+      v AS (
+        SELECT vec_id AS doc_id,
+               CAST(floor(list_cosine_similarity(
+                 CAST(embedding AS DOUBLE[]), $oracleQ0) * 1000000 + 0.5)
+                 AS BIGINT) AS score_v
+        FROM embeddings),
+      vv AS (
+        SELECT doc_id, score_v FROM (
+          SELECT doc_id, score_v,
+                 ROW_NUMBER() OVER (ORDER BY score_v DESC, doc_id) AS r
+          FROM v) WHERE r <= 100),
+      vs AS (SELECT COUNT(*) AS n, CAST(SUM(score_v) AS BIGINT) AS s1,
+                    CAST(SUM(score_v * score_v) AS BIGINT) AS s2 FROM vv),
+      vn AS (
+        SELECT doc_id,
+               CASE WHEN n * s2 - s1 * s1 = 0 THEN 500000
+                 ELSE CAST(floor(
+                   (CAST(n * score_v - s1 AS DOUBLE)
+                      + 3.0 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)))
+                     / (6.0 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)))
+                     * 1000000 + 0.5) AS BIGINT) END AS nv_micro
+        FROM vv, vs)
+      SELECT COALESCE(tn.doc_id, vn.doc_id) AS doc_id,
+             COALESCE(nt_micro, 0) AS nt_micro,
+             COALESCE(nv_micro, 0) AS nv_micro,
+             COALESCE(nt_micro, 0) + COALESCE(nv_micro, 0) AS dbsf_micro
+      FROM tn FULL OUTER JOIN vn ON vn.doc_id = tn.doc_id
+      ORDER BY dbsf_micro DESC, doc_id
+      LIMIT 10"""))
+
   /** Scalar quantization (the public Qdrant int8 compression scheme) as a
     * declared query: per-vector min-max range in micro units + the code
     * checksum — the oracle replays the affine int8 map bit-for-bit
@@ -674,6 +805,7 @@ object VectorQueries {
 
   def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnTenant, vKnnMulti,
     vKnnMultiAgg, vKnnFiltered, vKnnDsl, vKnnDslExcept, vKnnDslNested,
+    vKnnGeo,
     vL2, vManhattan, vDot, vFusion, vFusionPartial, vMaxsim, vHybridRrf,
-    vSqQuantize, vSqSearch, vBqSearch, collStats)
+    vHybridDbsf, vSqQuantize, vSqSearch, vBqSearch, collStats)
 }

@@ -68,6 +68,53 @@ object Fusion {
     when(den > 0, call_function("div", num, den))
   }
 
+  /** DBSF normalization of one bounded result list — half of Qdrant's
+    * `fusion: dbsf` (distribution-based score fusion, the OTHER public
+    * fusion method besides RRF): a list's scores map to [0,1] by the
+    * list's own μ±3σ band, `(s − (μ−3σ)) / 6σ`. Exactness: inputs are
+    * integer scores over a BOUNDED list (top-N retrieval side), so n,
+    * Σs, Σs² are exact longs; the band expression is evaluated in the
+    * n-scaled form `(n·s − Σs + 3·√(n·Σs² − (Σs)²)) / (6·√(…))` — one
+    * correctly-rounded sqrt and one double division, identical IEEE in
+    * any engine — then micro-floored. σ = 0 (all-equal list) pins to
+    * 500000 (mid-band). The stats side is ONE row (data-independent
+    * bound — broadcast is legal). */
+  def dbsfNormalize(list: DataFrame, scoreCol: String,
+                    outCol: String): DataFrame = {
+    val s = col(scoreCol).cast("long")
+    val stats = list.agg(count(lit(1)).as("__n"), sum(s).as("__s1"),
+      sum(s * s).as("__s2"))
+    val varN2 = col("__n") * col("__s2") - col("__s1") * col("__s1")
+    val sd = sqrt(varN2.cast("double"))
+    list.crossJoin(broadcast(stats))
+      .withColumn(outCol,
+        when(varN2 === 0, lit(500000L))
+          .otherwise(floor(
+            ((col("__n") * s - col("__s1")).cast("double") + lit(3.0) * sd)
+              / (lit(6.0) * sd) * 1000000 + lit(0.5)).cast("long")))
+      .drop("__n", "__s1", "__s2")
+  }
+
+  /** Distribution-based score fusion of two bounded scored lists
+    * (doc_id, score_t) and (doc_id, score_v): each side normalizes by
+    * its own μ±3σ ([[dbsfNormalize]]), a doc absent from a side
+    * contributes 0 for that side (the rank-list-absence convention RRF
+    * uses), fused = sum, top `topN`. Same bounded-join shape as
+    * [[rrfFuse]] — both sides are ≤ top-N rows by construction. */
+  def dbsfFuse(tList: DataFrame, vList: DataFrame,
+               topN: Int = 10): DataFrame =
+    dbsfNormalize(tList, "score_t", "nt_micro").select("doc_id", "nt_micro")
+      .join(dbsfNormalize(vList, "score_v", "nv_micro")
+        .select("doc_id", "nv_micro"), Seq("doc_id"), "full_outer")
+      .withColumn("dbsf_micro",
+        coalesce(col("nt_micro"), lit(0L)) +
+          coalesce(col("nv_micro"), lit(0L)))
+      .withColumn("nt_micro", coalesce(col("nt_micro"), lit(0L)))
+      .withColumn("nv_micro", coalesce(col("nv_micro"), lit(0L)))
+      .orderBy(desc("dbsf_micro"), col("doc_id"))
+      .limit(topN)
+      .select("doc_id", "nt_micro", "nv_micro", "dbsf_micro")
+
   /** Reciprocal-rank fusion of two ranked lists (doc_id, r_t) and
     * (doc_id, r_v): full outer join — a doc contributes 1/(rrfK + r) per
     * list it appears in, rank 0 marks absence — top `topN` by fused

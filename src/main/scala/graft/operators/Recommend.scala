@@ -99,6 +99,35 @@ object Recommend {
         (col("__pos") + 1).cast("int").as("rnk"))
   }
 
+  /** Recommend with `lookup_from` (public Qdrant API): the example ids
+    * resolve against a DIFFERENT collection (and possibly a different
+    * named vector) than the one being searched — the "query by items
+    * from catalog A, search catalog B" flow. Same scale shape as
+    * [[recommend]]: one driver-side lookup of the tiny example set (from
+    * the LOOKUP collection), one broadcast-literal scoring pass over the
+    * target. Example-id EXCLUSION does not apply — the ids live in the
+    * lookup collection's id space, which is not searched (Qdrant
+    * documents the same: exclusion only covers ids of the collection
+    * being queried). */
+  def recommendLookupFrom(coll: DataFrame, vecCol: String, idCol: String,
+                          lookup: DataFrame, lookupIdCol: String,
+                          lookupVecCol: String,
+                          positiveIds: Seq[Long], negativeIds: Seq[Long],
+                          k: Int): DataFrame = {
+    val all =
+      exampleVectors(lookup, lookupIdCol, lookupVecCol,
+        positiveIds ++ negativeIds)
+    val qv = averageVector(
+      all.take(positiveIds.length), all.drop(positiveIds.length))
+    Knn.scoreAll(coll, vecCol, qv)
+      .withColumn("score_micro",
+        floor(col("score") * 1e6 + lit(0.5)).cast("long"))
+      .filter(col("score_micro").isNotNull)
+      .orderBy(desc("score_micro"), col(idCol))
+      .limit(k)
+      .drop("score")
+  }
+
   /** `search_groups` + `with_lookup` (the public Qdrant group-lookup
     * flow): each returned group's key doubles as a point id in a LOOKUP
     * collection, and that point's payload rides on every hit of the

@@ -981,4 +981,32 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     bench.foreach(id => assert(flagged.contains(id + offset),
       s"planted contaminated doc ${id + offset} not flagged"))
   }
+
+  test("broadcast-hint audit: no forced broadcast of a corpus-scaling " +
+       "table anywhere in the relational showcase queries") {
+    // the r4-r7 defect-class sweep, pinned: a broadcast() hint is only
+    // legal on a DATA-INDEPENDENT bound (nation=25/region=5 rows, query
+    // batches, pinned samples, 1-row stats). Every TPC-H table that
+    // grows with scale factor must reach the join unhinted so AQE can
+    // fall back to a shuffled join past the threshold.
+    val scaling = Set("customer", "supplier", "part", "orders", "lineitem",
+      "events", "documents", "embeddings")
+    for (q <- Seq("q3_top_orders", "q5_region_revenue", "q_brand_agg",
+        "q_cust_no_orders", "q1_pricing")) {
+      val df = Queries.queries(q)(spark, sf)
+      val offenders = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+          h.child.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              l.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.map(_.getName).toSeq
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+      }.flatten.filter(n => scaling.exists(t => n.startsWith(t)))
+      assert(offenders.isEmpty,
+        s"$q force-broadcasts corpus-scaling table(s): $offenders")
+    }
+  }
 }
