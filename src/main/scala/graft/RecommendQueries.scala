@@ -494,6 +494,29 @@ object RecommendQueries {
       ORDER BY score DESC, b.doc_id
       LIMIT 10"""))
 
+  /** The MATERIALIZED sparse inverted index (sources/SparseIndex), built
+    * once per fixture per JVM — the serving layout the in-query sparse
+    * operators compute on the fly. */
+  private def sparseIndexDir(s: org.apache.spark.sql.SparkSession,
+                             dir: String): String =
+    Tables.memoTempDir("sparseidx", dir) { target =>
+      graft.sources.SparseIndex.buildFrom(
+        Tables.load(s, dir, "documents"), "doc_id", "text", target)
+    }
+
+  /** Sparse search against the MATERIALIZED inverted index — the
+    * ann_ivf_indexed discipline on the sparse surface: same oracle as
+    * v_sparse_search (materialization must not change one row), but the
+    * plan now prunes posting-group partitions at file listing
+    * (PartitionFilters on sgrp — OperatorSpec asserts it) and pushes the
+    * sbucket predicate into the scan, so a few-term query opens a few
+    * 64ths of the index bytes at any corpus size. */
+  val vSparseIndexed = Q("v_sparse_indexed",
+    (s, dir) =>
+      graft.sources.SparseIndex.search(s, sparseIndexDir(s, dir),
+        "doc_id", sparseQueryBuckets, 10),
+    vSparseSearch.oracle)
+
   /** Sparse search with the public Qdrant `modifier: idf` weighting:
     * every matched sparse dimension's contribution is scaled by its
     * inverse document frequency, so ubiquitous dimensions stop dominating
@@ -570,5 +593,5 @@ object RecommendQueries {
     vMatrix, vMmr,
     vKnnGroups, vKnnGroupsLookup, collCount, collCountApprox, collScroll,
     collFacet, collSample, vDiscover, chromaWhere, vSparseSearch,
-    vSparseIdf)
+    vSparseIndexed, vSparseIdf)
 }

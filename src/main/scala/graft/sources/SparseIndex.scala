@@ -1,0 +1,139 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized SPARSE inverted index over a collection's text column —
+  * the serving layout behind the sparse-vector queries (Qdrant sparse
+  * vectors; `v_sparse_search`/`v_sparse_idf` compute the postings
+  * in-query, this persists them, the `ann_ivf_indexed` discipline
+  * applied to the sparse surface).
+  *
+  * Posting rows (id, sbucket, tf) in the PINNED [[Buckets]]-dimension
+  * sparse space, laid out parquet-partitioned by
+  * `(src_bucket, sgrp = sbucket % Groups)`:
+  *
+  *  - a query's literal bucket set prunes to ≤ |query| of the [[Groups]]
+  *    posting groups at FILE-LISTING time (`PartitionFilters` — asserted
+  *    in OperatorSpec), and the residual `sbucket IN (...)` predicate
+  *    pushes to the parquet scan — at 100 TB a 3-term query opens ≤ 3/64
+  *    of the index bytes and row-group-skips within them;
+  *  - `src_bucket` is the collection's id-hash bucket, so the
+  *    change-feed [[refresh]] re-derives ONLY touched buckets' postings
+  *    — O(points in touched buckets), like [[IvfIndex]].
+  *
+  * STAGED refresh, same crash contract as [[IvfIndex.refresh]]: the
+  * replacement job writes into `_staging` first (invisible to Spark's
+  * listing), the swap is directory renames only, a failed job leaves the
+  * live index intact, re-running refresh clears leftover staging.
+  */
+object SparseIndex {
+
+  /** Pinned sparse dimension space — matches the sparse queries' hashed
+    * bucket space (md5-32 % 4096); data-independent by construction. */
+  val Buckets = 4096
+
+  /** Partition granularity: posting groups per src_bucket. 64 keeps the
+    * directory fan-out bounded (16·64) while a few-term query still
+    * prunes to a few groups. */
+  val Groups = 64
+
+  /** The sparse dimension of one token — the same hash the in-query
+    * sparse operators use (oracle replay: `('0x'||substr(md5(tok),1,8))
+    * ::BIGINT % 4096`). */
+  def sbucketOf(tok: Column): Column =
+    graft.operators.Dedup.h32(tok) % Buckets
+
+  /** Posting rows for a point set: one (id, sbucket, tf) per distinct
+    * (point, dimension) — the groupBy folds token occurrences map-side,
+    * so the shuffle is ∝ distinct postings, never token occurrences. */
+  private def postings(points: DataFrame, idCol: String, textCol: String,
+                       numBuckets: Int): DataFrame =
+    points
+      .select(col(idCol),
+        explode(graft.operators.TextAnalysis.tokens(col(textCol)))
+          .as("__tok"))
+      .select(col(idCol), sbucketOf(col("__tok")).as("sbucket"))
+      .groupBy(idCol, "sbucket").agg(count(lit(1)).as("tf"))
+      .withColumn("src_bucket", Collections.bucketOf(idCol, numBuckets))
+      .withColumn("sgrp", col("sbucket") % Groups)
+
+  /** Build the layout directly from a point DataFrame (the fixture-table
+    * form the declared query uses; collections go through [[build]] so
+    * [[refresh]] has a manifest cursor). */
+  def buildFrom(points: DataFrame, idCol: String, textCol: String,
+                indexDir: String, numBuckets: Int = 16): Unit =
+    postings(points, idCol, textCol, numBuckets)
+      .write.mode("overwrite")
+      .partitionBy("src_bucket", "sgrp")
+      .parquet(indexDir)
+
+  /** Full build from a collection; returns the manifest cursor for
+    * [[refresh]]. */
+  def build(spark: SparkSession, collDir: String, indexDir: String,
+            idCol: String, textCol: String): Collections.ManifestView = {
+    val cur = Collections.manifestView(collDir)
+    buildFrom(Collections.read(spark, collDir), idCol, textCol, indexDir,
+      Collections.numBuckets(collDir))
+    cur
+  }
+
+  /** Incremental refresh from the change feed: collection buckets the
+    * feed reports changed/dropped get their `src_bucket=` index dirs
+    * replaced (staged) / deleted; untouched buckets' files are not read,
+    * not rewritten, not moved. Returns the new cursor. */
+  def refresh(spark: SparkSession, collDir: String, indexDir: String,
+              idCol: String, textCol: String,
+              prev: Collections.ManifestView): Collections.ManifestView = {
+    import scala.jdk.CollectionConverters._
+    val (cur, changedDf, dropped) =
+      Collections.changedSince(spark, collDir, prev)
+    val changedBuckets = Collections.changedBuckets(prev, cur)
+    // 1. STAGE the replacement postings (live index untouched on failure)
+    val staging = Paths.get(indexDir, "_staging_refresh")
+    if (Files.exists(staging)) Collections.deleteRecursively(staging)
+    if (changedBuckets.nonEmpty)
+      postings(changedDf, idCol, textCol, Collections.numBuckets(collDir))
+        .write.mode("overwrite")
+        .partitionBy("src_bucket", "sgrp")
+        .parquet(staging.toString)
+    // 2. SWAP: delete stale dirs, move staged replacements in
+    (changedBuckets ++ dropped).foreach { b =>
+      val dir = Paths.get(indexDir, s"src_bucket=$b")
+      if (Files.exists(dir)) Collections.deleteRecursively(dir)
+    }
+    if (Files.isDirectory(staging)) {
+      val staged = Files.list(staging)
+      try staged.iterator().asScala
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("src_bucket="))
+        .foreach(d =>
+          Files.move(d, Paths.get(indexDir, d.getFileName.toString)))
+      finally staged.close()
+      Collections.deleteRecursively(staging)
+    }
+    cur
+  }
+
+  /** Sparse dot-product search against the materialized index: the
+    * query's literal (sbucket, weight) list prunes partitions (sgrp) and
+    * row groups (sbucket) BEFORE any join; the surviving postings join
+    * the broadcast query weights and fold per point map-side. Score =
+    * Σ w·tf — identical to the in-query sparse operator (the declared
+    * query reuses v_sparse_search's oracle: materialization must not
+    * change one row). */
+  def search(spark: SparkSession, indexDir: String, idCol: String,
+             queryWeights: Seq[(Long, Long)], k: Int): DataFrame = {
+    val qw = broadcast(
+      spark.createDataFrame(queryWeights).toDF("sbucket", "w"))
+    spark.read.parquet(indexDir)
+      .filter(col("sgrp").isin(queryWeights.map(_._1 % Groups).distinct: _*)
+        && col("sbucket").isin(queryWeights.map(_._1): _*))
+      .join(qw, "sbucket")
+      .groupBy(idCol)
+      .agg(sum(col("w") * col("tf")).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+}

@@ -493,6 +493,62 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     assert(rows(idx).nonEmpty)
   }
 
+  test("sparse index refresh over the change feed equals a full rebuild; " +
+       "untouched bucket dirs are physically untouched") {
+    import graft.sources.SparseIndex
+    val root = Files.createTempDirectory("graft-sparse").toString
+    val dir = s"$root/c15"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(2), "vec", "doc_id", "seq")
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+      .select(col("doc_id"), col("text"))
+      .withColumn("vec", array(lit(0.0f), lit(1.0f)))
+    sink.write(docs.withColumn("seq", lit(0)))
+    val idx = s"$root/sidx"
+    val v0 = SparseIndex.build(spark, dir, idx, "doc_id", "text")
+
+    // mutations: re-text some docs via upsert, delete others
+    sink.write(docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(col("text"), lit(" extra planted token")))
+      .withColumn("seq", lit(1)))
+    Collections.deleteWhere(spark, dir, col("doc_id") % 7 === 0, "doc_id")
+
+    val nb = Collections.numBuckets(dir)
+    val touched = docs
+      .filter(col("doc_id") % 10 === 0 || col("doc_id") % 7 === 0)
+      .select(pmod(hash(col("doc_id")), lit(nb)))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val untouched = (0 until nb).find(b => !touched.contains(b) &&
+      Files.exists(java.nio.file.Paths.get(idx, s"src_bucket=$b")))
+    def listing(b: Int): Set[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(java.nio.file.Paths.get(idx, s"src_bucket=$b"))
+      try walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toSet
+      finally walk.close()
+    }
+    val preListing = untouched.map(listing)
+
+    SparseIndex.refresh(spark, dir, idx, "doc_id", "text", v0)
+    untouched.foreach(b => assert(listing(b) == preListing.get,
+      s"untouched bucket $b posting files were rewritten"))
+
+    // row-for-row (multiset) equality with a full rebuild
+    val idx2 = s"$root/sidx_full"
+    SparseIndex.build(spark, dir, idx2, "doc_id", "text")
+    def rows(p: String): Seq[String] =
+      spark.read.parquet(p)
+        .select(col("doc_id"), col("sbucket"), col("tf"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)).toString)
+        .toSeq.sorted
+    assert(rows(idx) == rows(idx2),
+      "incrementally-maintained sparse index diverges from a full rebuild")
+    assert(rows(idx).nonEmpty)
+  }
+
   test("tenant layout refresh over the change feed equals a full rebuild; " +
        "untouched bucket leaves are physically untouched") {
     import graft.sources.Tenancy

@@ -982,6 +982,18 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       s"planted contaminated doc ${id + offset} not flagged"))
   }
 
+  test("sparse inverted index: query buckets prune posting-group " +
+       "partitions at file listing; result equals the in-query operator") {
+    val indexed = Queries.queries("v_sparse_indexed")(spark, sf)
+    val direct = Queries.queries("v_sparse_search")(spark, sf)
+    assert(indexed.collect().map(_.toString).toSeq ==
+           direct.collect().map(_.toString).toSeq,
+      "materialized sparse index diverges from the in-query operator")
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("sgrp"),
+      s"query buckets not pruned at file listing:\n$plan")
+  }
+
   test("broadcast-hint audit: no forced broadcast of a corpus-scaling " +
        "table anywhere in the relational showcase queries") {
     // the r4-r7 defect-class sweep, pinned: a broadcast() hint is only
