@@ -52,6 +52,53 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("manhattan: non-negative, symmetric, zero iff identical, triangle " +
+       "inequality; matches a naive Scala model exactly") {
+    val vecGen = Gen.listOfN(12, Gen.chooseNum(-50.0, 50.0))
+    val vecs = Gen.listOfN(25, vecGen).sample.get
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val a = df.select(col("id").as("ia"), col("v").as("va"))
+    val b = df.select(col("id").as("ib"), col("v").as("vb"))
+    val pairs = a.crossJoin(b).select(col("ia"), col("ib"),
+        graft.functions.VectorOps.l1(col("va"), col("vb")).as("ab"),
+        graft.functions.VectorOps.l1(col("vb"), col("va")).as("ba"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    def naive(x: Seq[Double], y: Seq[Double]): Double =
+      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + math.abs(p - q) }
+    pairs.foreach { case ((i, j), (ab, ba)) =>
+      assert(ab >= 0.0 && ab == ba)
+      assert(ab == naive(vecs(i.toInt), vecs(j.toInt)),
+        "fused L1 diverges from the index-order Scala model")
+      if (i == j) assert(ab == 0.0)
+    }
+    // triangle inequality over a sampled triple set (tolerance for the
+    // re-associated double sums across the three pair evaluations)
+    for (i <- 0 until 8; j <- 0 until 8; k <- 0 until 8)
+      assert(pairs((i.toLong, k.toLong))._1 <=
+        pairs((i.toLong, j.toLong))._1 + pairs((j.toLong, k.toLong))._1
+          + 1e-9)
+  }
+
+  test("sampleRandom: the drawn set is a pure function of (seed, id) — " +
+       "identical across partitionings; different seeds draw differently") {
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "label")
+    def draw(df: org.apache.spark.sql.DataFrame, seed: String): Seq[Long] =
+      graft.operators.Recommend.sampleRandom(df, "vec_id", seed, 25)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    val base = draw(emb, "s1")
+    assert(base.size == 25)
+    assert(draw(emb.repartition(7), "s1") == base,
+      "sample changed under repartition — not reshuffle-proof")
+    assert(draw(emb.repartition(3, col("label")), "s1") == base,
+      "sample changed under keyed partitioning")
+    assert(draw(emb, "s2") != base,
+      "two seeds drew the identical 25-point sample (astronomically " +
+        "unlikely for a uniform hash — the seed is being ignored)")
+  }
+
   test("jaccard stats kernel matches a naive Scala set model on " +
        "generated token arrays") {
     val tokGen = Gen.listOfN(Gen.chooseNum(0, 25).sample.get,
