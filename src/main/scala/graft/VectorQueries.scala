@@ -128,6 +128,49 @@ object VectorQueries {
     },
     vKnnMulti.oracle)
 
+  /** V2 — BATCH search with PER-QUERY filters (Qdrant `search_batch`:
+    * each request in the batch carries its own filter; one carries
+    * none). The whole batch costs ONE collection pass: the per-query
+    * predicate is broadcast DATA in the join condition (non-matching
+    * pairs drop map-side, before scoring), and the bounded-heap
+    * aggregate keeps k per query across the shuffle — the
+    * v_knn_multi_agg shape with heterogeneous filters. */
+  val vKnnBatch = Q("v_knn_batch",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val ex = graft.operators.Recommend.exampleVectors(
+        emb, "vec_id", "embedding", Seq(0L, 1L, 2L))
+      val qs = Seq(
+        (0L, ex(0), Some(3L)),  // filtered: label = 3
+        (1L, ex(1), Some(7L)),  // filtered: label = 7
+        (2L, ex(2), Option.empty[Long])) // unfiltered request
+        .toDF("qid", "qv", "want_label")
+      Knn.knnBatchFiltered(emb, qs, "embedding", "qid", "qv",
+          "want_label", "label", 5)
+        .orderBy("query_id", "rnk")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      q AS (
+        SELECT 0 AS qid, (SELECT v FROM e WHERE vec_id = 0) AS qv, 3 AS want
+        UNION ALL
+        SELECT 1, (SELECT v FROM e WHERE vec_id = 1), 7
+        UNION ALL
+        SELECT 2, (SELECT v FROM e WHERE vec_id = 2), NULL),
+      sc AS (
+        SELECT q.qid, e.vec_id,
+               CAST(floor(list_cosine_similarity(e.v, q.qv) * 1000000 + 0.5)
+                 AS BIGINT) AS score_micro
+        FROM e JOIN q ON q.want IS NULL OR e.label = q.want),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY score_micro DESC, vec_id) AS rnk FROM sc)
+      SELECT CAST(qid AS BIGINT) AS query_id, vec_id, score_micro,
+             CAST(rnk AS INT) AS rnk
+      FROM r WHERE rnk <= 5
+      ORDER BY query_id, rnk"""))
+
   /** V3 — payload-filtered kNN (the Qdrant filter-DSL surface): predicate
     * applied BEFORE scoring, so the filter pushes to the parquet scan. */
   val vKnnFiltered = Q("v_knn_filtered",
@@ -804,8 +847,8 @@ object VectorQueries {
     """))
 
   def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnTenant, vKnnMulti,
-    vKnnMultiAgg, vKnnFiltered, vKnnDsl, vKnnDslExcept, vKnnDslNested,
-    vKnnGeo,
+    vKnnMultiAgg, vKnnBatch, vKnnFiltered, vKnnDsl, vKnnDslExcept,
+    vKnnDslNested, vKnnGeo,
     vL2, vManhattan, vDot, vFusion, vFusionPartial, vMaxsim, vHybridRrf,
     vHybridDbsf, vSqQuantize, vSqSearch, vBqSearch, collStats)
 }

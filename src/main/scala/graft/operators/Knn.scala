@@ -88,4 +88,36 @@ object Knn {
         col("__e.id").as(idCol),
         col("__e.score").as("score"),
         (col("__pos") + 1).cast("int").as("rnk"))
+
+  /** BATCH search with PER-QUERY filters (Qdrant `search_batch` /
+    * `query_batch_points`: each request in the batch carries its own
+    * filter) — the whole batch still costs ONE collection pass: the
+    * per-query predicate is data (a filter value column on the query
+    * side), so the broadcast join condition drops non-matching
+    * (point, query) pairs map-side before any scoring, and the
+    * bounded-heap aggregate keeps k per query across the shuffle.
+    * `filterValCol` = the query's required value for `targetCol`
+    * (NULL = that query is unfiltered — matches every point, the
+    * no-filter request in the batch). */
+  def knnBatchFiltered(coll: DataFrame, queries: DataFrame, vecCol: String,
+                       qIdCol: String, qVecCol: String,
+                       filterValCol: String, targetCol: String, k: Int,
+                       idCol: String = "vec_id"): DataFrame =
+    coll.join(
+        broadcast(queries.select(col(qIdCol).as("query_id"),
+          col(qVecCol).as("__qv"), col(filterValCol).as("__fv"))),
+        col("__fv").isNull || col(targetCol) === col("__fv"))
+      .withColumn("score",
+        floor(cosine(col(vecCol), col("__qv")) * 1e6 + lit(0.5))
+          .cast("double"))
+      .filter(col("score").isNotNull)
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByScore.topK(col("score"), col(idCol), k)
+        .as("__topk"))
+      .select(col("query_id"),
+        posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col("query_id"),
+        col("__e.id").as(idCol),
+        col("__e.score").cast("long").as("score_micro"),
+        (col("__pos") + 1).cast("int").as("rnk"))
 }
