@@ -465,6 +465,44 @@ object Collections {
     }
   }
 
+  /** Qdrant `clear_payload` by filter: on matching points, EVERY payload
+    * column nulls out — the id, vector, and sequence columns survive
+    * (Qdrant clears the payload object, never the point identity or its
+    * vectors). Same manifest-committed O(touched buckets) rewrite as
+    * [[setPayloadWhere]]; returns the matched count. */
+  def clearPayloadWhere(spark: SparkSession, dir: String, filter: Column,
+                        idCol: String, vecCols: Seq[String],
+                        seqCol: String): Long = {
+    // BucketCol is the layout's routing partition column — never payload
+    val keep = (Seq(idCol, seqCol, BucketCol) ++ vecCols).toSet
+    rewriteWhere(spark, dir, filter, idCol) { (df, cond) =>
+      df.columns.filterNot(keep).foldLeft(df) { (d, name) =>
+        d.withColumn(name,
+          when(cond, lit(null).cast(d.schema(name).dataType))
+            .otherwise(col(name)))
+      }
+    }
+  }
+
+  /** Qdrant `delete_vectors` by filter: on matching points, the NAMED
+    * vector columns null out — the partial-named-vector state
+    * (`Fusion.blendPartial` skips a null side; a point whose every
+    * queried vector is null is not returned). Points, ids, and payload
+    * survive — this deletes vectors FROM points, not the points
+    * (that is [[deleteWhere]]). NOT dim-gated: null is the legal
+    * "vector absent" state, unlike [[setVectorWhere]]'s replacements.
+    * Same manifest-committed O(touched buckets) cost; returns the
+    * matched count. */
+  def deleteVectorsWhere(spark: SparkSession, dir: String, filter: Column,
+                         idCol: String, vecCols: Seq[String]): Long =
+    rewriteWhere(spark, dir, filter, idCol) { (df, cond) =>
+      vecCols.foldLeft(df) { (d, name) =>
+        d.withColumn(name,
+          when(cond, lit(null).cast(d.schema(name).dataType))
+            .otherwise(col(name)))
+      }
+    }
+
   /** Readers resolve through the manifest: the path set is immutable for
     * the life of that manifest generation (superseded generations outlive
     * their de-referencing write by one more write — the grace window for

@@ -363,6 +363,57 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
       .filter(col("label").isNull).count() == nMatch)
   }
 
+  test("clearPayloadWhere nulls every payload column on matches only; " +
+       "deleteVectorsWhere nulls named vectors, points survive and the " +
+       "null side is skipped by partial scoring") {
+    val dir = Files.createTempDirectory("graft-coll").toString + "/c16"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(100)
+    sink.write(emb.withColumn("seq", lit(0)))
+    val total = Collections.read(spark, dir).count()
+
+    // clear_payload: label (the only payload column) nulls on matches
+    val nClear = Collections.clearPayloadWhere(spark, dir,
+      col("vec_id") % 4 === 0, "vec_id",
+      vecCols = Seq("embedding"), seqCol = "seq")
+    assert(nClear > 0)
+    val afterClear = Collections.read(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+    assert(afterClear.length == total, "clear_payload must not drop points")
+    afterClear.foreach { r =>
+      if (r.getLong(0) % 4 == 0)
+        assert(r.isNullAt(1), s"payload not cleared for ${r.getLong(0)}")
+      else assert(!r.isNullAt(1), s"payload cleared off-filter")
+      assert(!r.isNullAt(2), "clear_payload must never touch vectors")
+    }
+
+    // delete_vectors: the vector nulls on matches, ids/payload survive
+    val nDel = Collections.deleteVectorsWhere(spark, dir,
+      col("vec_id") % 5 === 0, "vec_id", vecCols = Seq("embedding"))
+    assert(nDel > 0)
+    val afterDel = Collections.read(spark, dir)
+    assert(afterDel.count() == total, "delete_vectors must not drop points")
+    afterDel.select(col("vec_id"), col("embedding")).collect().foreach { r =>
+      assert(r.isNullAt(1) == (r.getLong(0) % 5 == 0))
+    }
+    // and the partial-scoring contract: a vector-less point scores NULL
+    // (not returned), a vector-carrying point scores normally
+    val q = emb.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val scored = afterDel.withColumn("s", graft.operators.Fusion
+        .blendPartial(Seq((when(col("embedding").isNotNull,
+          floor(graft.functions.VectorOps.cosine(col("embedding"),
+            typedLit(q)) * 1e6 + lit(0.5)).cast("long") + lit(1000000L)),
+          1000L))))
+      .select(col("vec_id"), col("s")).collect()
+    scored.foreach { r =>
+      assert(r.isNullAt(1) == (r.getLong(0) % 5 == 0),
+        "vector-less point not excluded from partial scoring")
+    }
+  }
+
   test("setVectorWhere: re-embed of a filtered subset touches only " +
        "matching buckets; dim gate fails BEFORE the manifest swap") {
     val dir = Files.createTempDirectory("graft-coll").toString + "/c12"
