@@ -281,6 +281,46 @@ object Relational {
       ORDER BY event_type
     """))
 
+  /** Qdrant DATETIME range condition (the public DSL's `range` with
+    * RFC 3339 bounds) composed with `match.any`, translated by
+    * `PayloadFilter` into plain Catalyst comparisons. On a TimestampType
+    * payload column the range is a pushable comparison — parquet prunes
+    * row groups by ts min/max stats, the engine-native analog of
+    * Qdrant's datetime payload index (PayloadFilterSpec asserts
+    * PushedFilters). THIS fixture's ts is epoch-nanos-as-LONG (no ns
+    * timestamp type in Spark), so the query derives a µs column first
+    * and only the IN-list reaches PushedFilters here; the range then
+    * evaluates in the same codegen stage as the scan. */
+  val qEventsDslTime = Q("q_events_dsl_time",
+    (s, dir) => {
+      val dsl = """{"must": [
+        {"key": "ts_utc", "range": {"gte": "2024-01-03T00:00:00Z",
+                                    "lt":  "2024-01-10T00:00:00Z"}},
+        {"key": "event_type", "match": {"any": ["click", "purchase"]}}]}"""
+      Tables.load(s, dir, "events")
+        // the fixture's ts is epoch NANOS as LONG (TESTDATA quirk — Spark
+        // has no ns timestamp type); the µs truncation cannot flip a
+        // whole-second bound (floor-verified, see verify skill notes)
+        .withColumn("ts_utc",
+          timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+        .filter(graft.operators.PayloadFilter.fromJson(dsl,
+          idCol = "event_id"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-10 00:00:00'
+        AND event_type IN ('click', 'purchase')
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   /** Explicit set operations (beyond the anti-join): INTERSECT and EXCEPT
     * of two customer-key sets, tagged and unioned into one result. */
   val qSetOps = Q("q_set_ops",
@@ -508,6 +548,7 @@ object Relational {
 
   def queries: Seq[Q] = Seq(q1Pricing, q3TopOrders, q5RegionRevenue,
     qBrandAgg, qWindowTopn, qRollup, qCube, qSetOps, qCustNoOrders,
-    qEventsHourly, qEventsSliding, qEventsJson, qSaltedAgg, qAsofJoin,
+    qEventsHourly, qEventsSliding, qEventsJson, qEventsDslTime, qSaltedAgg,
+    qAsofJoin,
     qPercentile, qZorder)
 }

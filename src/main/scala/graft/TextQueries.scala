@@ -362,6 +362,36 @@ object TextQueries {
              CAST(SUM(n_chars) AS BIGINT) AS chars
       FROM b GROUP BY 1 ORDER BY 1"""))
 
+  /** STRATIFIED sampling — the language-rebalancing form of pipe_sample a
+    * multilingual training mix needs: each stratum gets its OWN keep rate
+    * (the dominant language downsampled hard, the rest kept high), and
+    * membership stays a pure function of (seed, doc_id) — reshuffle/
+    * backfill-proof like pipe_sample, so the mix is reproducible on any
+    * engine. One scan: the per-row keep decision and both counts ride a
+    * single partial-agg (no join against a rates table — the rate map is
+    * a literal CASE, bounded by the declared strata). */
+  val pipeStratified = Q("pipe_stratified",
+    (s, dir) => {
+      val rate = when(col("lang") === "en", 10L).otherwise(60L)
+      Tables.load(s, dir, "documents")
+        .withColumn("__keep",
+          (conv(substring(md5(concat(lit("strat|"), col("doc_id"))), 1, 8),
+            16, 10).cast("long") % 100) < rate)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("__keep"), 1)).as("n_sampled"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH b AS (
+        SELECT lang,
+               ('0x' || substr(md5('strat|' || doc_id), 1, 8))::BIGINT % 100
+                 < CASE WHEN lang = 'en' THEN 10 ELSE 60 END AS keep
+        FROM documents)
+      SELECT lang, COUNT(*) AS n_total,
+             CAST(COUNT(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_sampled
+      FROM b GROUP BY lang ORDER BY lang"""))
+
   /** Full winnowing fingerprints (Schleimer–Wilkerson–Aiken): character
     * 5-gram hashes → min per sliding window of 4 → distinct selections.
     * Guarantees any shared substring of length ≥ g + w − 1 = 8 chars
@@ -960,7 +990,7 @@ object TextQueries {
 
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats,
-    pipeSample, pipeSplit, pipeShuffle, txtWinnow, pipeCurate,
+    pipeSample, pipeSplit, pipeStratified, pipeShuffle, txtWinnow, pipeCurate,
     sketchDistinct, sketchCm, txtDecontam, pipePack, txtPii, txtBpePairs,
     txtFreqScore, pipeMix)
 }

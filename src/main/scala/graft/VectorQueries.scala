@@ -823,6 +823,138 @@ object VectorQueries {
       ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id
       LIMIT 10"""))
 
+  /** The Qdrant Query API's NESTED PREFETCH chain (`query_points` with
+    * `prefetch: {prefetch: ...}` — the documented re-ranking pipeline for
+    * quantized collections): the innermost stage scans only the 1-bit
+    * packed codes (hamming top-100, 32× fewer bytes than the vectors),
+    * the middle stage rescores those 100 with int8 scalar-quantized
+    * cosine (top-30, 4× fewer bytes), and only the outermost stage
+    * touches 30 full-precision vectors for the exact top-10. Each stage
+    * is individually gated elsewhere (`v_bq_search`, `v_sq_search`,
+    * `v_knn`); this query gates their COMPOSITION — candidate flow,
+    * stage ordering, and tie-breaks. Scale: the collection-wide pass
+    * reads 2 longs/row inside one codegen stage ending in a bounded
+    * top-k heap; stages 2–3 touch ≤100 rows. */
+  val vPrefetch = Q("v_prefetch",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = queryVec(s, dir, 0)
+      val qWords = (0 until (qv.length + 31) / 32).map { w =>
+        (0 until 32).map { j =>
+          val i = w * 32 + j
+          if (i < qv.length && qv(i) > 0) 1L << j else 0L
+        }.sum
+      }
+      val stage1 = emb
+        .withColumn("bq", VectorOps.bqPack(col("embedding"), qv.length))
+        .withColumn("hamming",
+          VectorOps.bqHamming(col("bq"), typedLit(qWords)))
+        .orderBy(asc("hamming"), col("vec_id"))
+        .limit(100)
+      val stage2 = stage1
+        .withColumn("score_q", VectorOps.sqScore(col("embedding"), qv))
+        .orderBy(desc("score_q"), col("vec_id"))
+        .limit(30)
+      stage2
+        .withColumn("score", VectorOps.cosine(col("embedding"), typedLit(qv)))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("hamming"),
+          floor(col("score_q") * 1e6 + lit(0.5)).cast("long")
+            .as("scoreq_micro"),
+          floor(col("score") * 1e6 + lit(0.5)).cast("long").as("score_micro"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 0),
+      bits AS (
+        SELECT vec_id, v,
+               list_transform(range(2), w ->
+                 CAST(list_sum(list_transform(range(32), j ->
+                   CASE WHEN v[w*32 + j + 1] > 0
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END))
+                 AS BIGINT)) AS words
+        FROM d),
+      qbits AS (
+        SELECT list_transform(range(2), w ->
+                 CAST(list_sum(list_transform(range(32), j ->
+                   CASE WHEN qv[w*32 + j + 1] > 0
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END))
+                 AS BIGINT)) AS qw
+        FROM q),
+      s1 AS (
+        SELECT vec_id, v,
+               CAST(bit_count(xor(words[1], qw[1]))
+                    + bit_count(xor(words[2], qw[2])) AS BIGINT) AS hamming
+        FROM bits, qbits
+        ORDER BY hamming ASC, vec_id LIMIT 100),
+      r AS (SELECT vec_id, v, hamming,
+                   list_min(v) AS mn, list_max(v) AS mx FROM s1),
+      dq AS (
+        SELECT vec_id, v, hamming,
+               CASE WHEN mx = mn THEN list_transform(v, x -> mn)
+                    ELSE list_transform(v, x ->
+                      mn + CAST(CAST(floor((x - mn) / (mx - mn) * 255 + 0.5)
+                        AS INT) AS DOUBLE) / 255 * (mx - mn))
+               END AS vq
+        FROM r),
+      s2 AS (
+        SELECT vec_id, v, hamming,
+               list_inner_product(vq, $oracleQ0)
+               / (sqrt(list_inner_product(vq, vq))
+                  * sqrt(list_inner_product($oracleQ0, $oracleQ0)))
+                 AS score_q
+        FROM dq
+        ORDER BY score_q DESC, vec_id LIMIT 30)
+      SELECT vec_id, hamming,
+             CAST(floor(score_q * 1000000 + 0.5) AS BIGINT) AS scoreq_micro,
+             CAST(floor(list_cosine_similarity(v, $oracleQ0) * 1000000 + 0.5)
+               AS BIGINT) AS score_micro
+      FROM s2
+      ORDER BY list_cosine_similarity(v, $oracleQ0) DESC, vec_id
+      LIMIT 10"""))
+
+  /** Qdrant FORMULA query (`query: {"formula": ...}` — the public
+    * score-boosting API): the final rank is an expression over the base
+    * similarity `$score` and payload fields, here the documented
+    * `lin_decay` boost — `sum($score, 0.2 · lin_decay(label, target=5,
+    * scale=10))` with lin_decay = max(0, scale − |x − target|)/scale.
+    * Everything stays in exact integers (20000·max(0, 10−|label−5|)
+    * micro-units — the 0.2/scale factor folded into one multiplier), so
+    * both engines rank identically. The boost is a per-row map over
+    * columns already in the scan: zero extra shuffle at any scale. */
+  val vScoreBoost = Q("v_score_boost",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = typedLit(queryVec(s, dir, 0))
+      emb
+        .withColumn("score_micro",
+          floor(VectorOps.cosine(col("embedding"), qv) * 1e6 + lit(0.5))
+            .cast("long"))
+        .withColumn("boost_micro",
+          lit(20000L) * greatest(lit(0L),
+            lit(10L) - abs(col("label").cast("long") - lit(5L))))
+        .withColumn("final_micro", col("score_micro") + col("boost_micro"))
+        .orderBy(desc("final_micro"), col("vec_id"))
+        .limit(10)
+        .select("vec_id", "score_micro", "boost_micro", "final_micro")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id,
+               CAST(floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 $oracleQ0) * 1000000 + 0.5) AS BIGINT) AS score_micro,
+               20000 * greatest(0, 10 - abs(CAST(label AS BIGINT) - 5))
+                 AS boost_micro
+        FROM embeddings)
+      SELECT vec_id, score_micro, boost_micro,
+             score_micro + boost_micro AS final_micro
+      FROM b
+      ORDER BY final_micro DESC, vec_id
+      LIMIT 10"""))
+
   /** V9 — collection stats: per-label cardinality, dim check, mean norm
     * (decimal-summed for order-independence). */
   val collStats = Q("coll_stats",
@@ -850,5 +982,6 @@ object VectorQueries {
     vKnnMultiAgg, vKnnBatch, vKnnFiltered, vKnnDsl, vKnnDslExcept,
     vKnnDslNested, vKnnGeo,
     vL2, vManhattan, vDot, vFusion, vFusionPartial, vMaxsim, vHybridRrf,
-    vHybridDbsf, vSqQuantize, vSqSearch, vBqSearch, collStats)
+    vHybridDbsf, vSqQuantize, vSqSearch, vBqSearch, vPrefetch, vScoreBoost,
+    collStats)
 }

@@ -9,7 +9,8 @@ import org.json4s.jackson.JsonMethods
   * V3). The reference's collections are queried through Qdrant's JSON
   * filter language; this translates the core of that public DSL
   * (`must` / `should` / `must_not` clauses; `match.value`, `match.any`,
-  * `match.text`, `match.except`, `range.{gt,gte,lt,lte}`,
+  * `match.text`, `match.except`, `range.{gt,gte,lt,lte}` (numeric, or
+  * Qdrant's datetime range via RFC 3339 string bounds),
   * `values_count.{gt,gte,lt,lte}`, `is_empty`, `is_null`,
   * `geo_bounding_box`, `geo_radius` conditions) into
   * a single `Column` predicate, so it composes with any scan and — being
@@ -111,15 +112,31 @@ object PayloadFilter {
   private def nestedLit(v: JValue, jsonCol: Option[String]): Column =
     if (jsonCol.isDefined) litOf(v).cast("string") else litOf(v)
 
-  /** gt/gte/lt/lte bounds of a range object ANDed over one target. */
-  private def rangePred(target: Column, r: Map[String, JValue]): Column =
+  /** gt/gte/lt/lte bounds of a range object ANDed over one target.
+    *
+    * String bounds are Qdrant's DATETIME range (the public API reuses
+    * `range` with RFC 3339 bounds for datetime payload values): both the
+    * bound and the target cast to timestamp so comparison is in time
+    * order, not lexicographic — `to_timestamp` accepts the RFC 3339
+    * forms (`2024-01-03T00:00:00Z`) under the UTC session the engine
+    * pins. Numeric bounds compare the raw target as before. */
+  private def rangePred(target: Column, r: Map[String, JValue]): Column = {
+    val datetime = r.values.exists(_.isInstanceOf[JString])
+    def bound(v: JValue): Column = v match {
+      case JString(s) => to_timestamp(lit(s))
+      case other if datetime =>
+        throw new IllegalArgumentException(s"mixed datetime range: $other")
+      case other => litOf(other)
+    }
+    val t = if (datetime) target.cast("timestamp") else target
     r.map {
-      case ("gt", v)  => target > litOf(v)
-      case ("gte", v) => target >= litOf(v)
-      case ("lt", v)  => target < litOf(v)
-      case ("lte", v) => target <= litOf(v)
+      case ("gt", v)  => t > bound(v)
+      case ("gte", v) => t >= bound(v)
+      case ("lt", v)  => t < bound(v)
+      case ("lte", v) => t <= bound(v)
       case (k, _) => throw new IllegalArgumentException(s"range op: $k")
     }.reduce(_ && _)
+  }
 
   private def build(j: JValue, jsonCol: Option[String],
                     idCol: String): Column = j match {
