@@ -524,6 +524,22 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("nested prefetch chain (v_prefetch): three chained bounded heaps " +
+       "over ONE scan — no Exchange, no Join") {
+    val df = VectorQueries.vPrefetch.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val heaps = "TakeOrderedAndProject".r.findAllIn(plan).length
+    assert(heaps == 3, s"expected 3 chained top-k heaps, got $heaps:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"prefetch chain must be a single narrow pass:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one collection scan, got $scans")
+    // stage containment: the exact top-10 is drawn from stage-2's 30,
+    // which are drawn from stage-1's 100 (the API's candidate-flow
+    // contract — each stage only re-ranks, never re-opens the corpus)
+    assert(df.count() == 10)
+  }
+
   test("as-of join matches the brute-force model (ties: quote at equal " +
        "ts counts)") {
     import spark.implicits._
