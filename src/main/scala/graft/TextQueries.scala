@@ -362,6 +362,33 @@ object TextQueries {
              CAST(SUM(n_chars) AS BIGINT) AS chars
       FROM b GROUP BY 1 ORDER BY 1"""))
 
+  /** Qdrant PHRASE matching (`match: {"phrase": ...}`, public since
+    * 1.15) through the filter DSL: the query tokens must appear
+    * CONSECUTIVELY in the field's token stream — `match.text` with word
+    * order. Translated to one in-row containment test over the
+    * normalized token join (no position explode, no shuffle); the
+    * filter composes with any scan like every DSL predicate. */
+  val txtPhrase = Q("txt_phrase",
+    (s, dir) => {
+      val dsl =
+        """{"must": [{"key": "text", "match": {"phrase": "scan query"}}]}"""
+      Tables.load(s, dir, "documents")
+        .filter(graft.operators.PayloadFilter.fromJson(dsl, idCol = "doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH n AS (
+        SELECT lang, n_chars,
+               ' ' || array_to_string(list_filter(
+                 string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')
+                 || ' ' AS norm
+        FROM documents)
+      SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM n WHERE norm LIKE '% scan query %'
+      GROUP BY lang ORDER BY lang"""))
+
   /** STRATIFIED sampling — the language-rebalancing form of pipe_sample a
     * multilingual training mix needs: each stratum gets its OWN keep rate
     * (the dominant language downsampled hard, the rest kept high), and
@@ -989,7 +1016,7 @@ object TextQueries {
       FROM w ORDER BY source"""))
 
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
-    txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats,
+    txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats, txtPhrase,
     pipeSample, pipeSplit, pipeStratified, pipeShuffle, txtWinnow, pipeCurate,
     sketchDistinct, sketchCm, txtDecontam, pipePack, txtPii, txtBpePairs,
     txtFreqScore, pipeMix)

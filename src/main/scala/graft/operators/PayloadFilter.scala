@@ -9,7 +9,8 @@ import org.json4s.jackson.JsonMethods
   * V3). The reference's collections are queried through Qdrant's JSON
   * filter language; this translates the core of that public DSL
   * (`must` / `should` / `must_not` clauses; `match.value`, `match.any`,
-  * `match.text`, `match.except`, `range.{gt,gte,lt,lte}` (numeric, or
+  * `match.text`, `match.phrase` (consecutive-token),
+  * `match.except`, `range.{gt,gte,lt,lte}` (numeric, or
   * Qdrant's datetime range via RFC 3339 string bounds),
   * `values_count.{gt,gte,lt,lte}`, `is_empty`, `is_null`,
   * `geo_bounding_box`, `geo_radius` conditions) into
@@ -199,6 +200,22 @@ object PayloadFilter {
               clauses += toks.map(t => array_contains(fieldToks, t))
                 .reduceOption(_ && _).getOrElse(lit(true))
             case other => throw new IllegalArgumentException(s"text: $other") }
+            mm.get("phrase").foreach { case JString(q) =>
+              // Qdrant PHRASE matching (public since 1.15): the query
+              // tokens appear CONSECUTIVELY in the field's token stream
+              // (default text-index tokenization: word, lowercase).
+              // Re-joining the normalized tokens with single spaces and
+              // testing " phrase "-in-" tokens " is exactly
+              // consecutive-token containment — one in-row pass, no
+              // position explode.
+              val ph = q.toLowerCase.split("\\s+").filter(_.nonEmpty)
+                .mkString(" ")
+              val norm = concat(lit(" "),
+                array_join(filter(split(lower(c), "\\s+"),
+                  t => t =!= ""), " "), lit(" "))
+              clauses += norm.contains(s" $ph ")
+            case other =>
+              throw new IllegalArgumentException(s"phrase: $other") }
             mm.get("except").foreach { case JArray(vs) =>
               // missing/null values match (they are "not any of the given")
               clauses += coalesce(!c.isin(vs.map(rawOf): _*), lit(true))

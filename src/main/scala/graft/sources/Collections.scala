@@ -484,6 +484,24 @@ object Collections {
     }
   }
 
+  /** Qdrant `overwrite_payload` by filter: on matching points the ENTIRE
+    * payload is REPLACED by `sets` — keys not in `sets` null out (unlike
+    * [[setPayloadWhere]], which merges). One rewrite composes the clear
+    * and the set, so it is the same manifest-committed O(touched
+    * buckets) cost as either half; returns the matched count. */
+  def overwritePayloadWhere(spark: SparkSession, dir: String, filter: Column,
+                            idCol: String, vecCols: Seq[String],
+                            seqCol: String, sets: Map[String, Column]): Long = {
+    val keep = (Seq(idCol, seqCol, BucketCol) ++ vecCols).toSet
+    rewriteWhere(spark, dir, filter, idCol) { (df, cond) =>
+      df.columns.filterNot(keep).foldLeft(df) { (d, name) =>
+        val replaced = sets.getOrElse(name,
+          lit(null).cast(d.schema(name).dataType))
+        d.withColumn(name, when(cond, replaced).otherwise(col(name)))
+      }
+    }
+  }
+
   /** Qdrant `delete_vectors` by filter: on matching points, the NAMED
     * vector columns null out — the partial-named-vector state
     * (`Fusion.blendPartial` skips a null side; a point whose every

@@ -414,6 +414,39 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("overwritePayloadWhere replaces the whole payload on matches: " +
+       "set keys take the new value, unset keys null, off-filter rows " +
+       "and identity/vectors untouched") {
+    val dir = Files.createTempDirectory("graft-coll").toString + "/c17"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(100)
+    sink.write(emb.withColumn("seq", lit(0))
+      .withColumn("note", concat(lit("n"), col("vec_id"))))
+    val total = Collections.read(spark, dir).count()
+
+    val n = Collections.overwritePayloadWhere(spark, dir,
+      col("vec_id") % 3 === 0, "vec_id",
+      vecCols = Seq("embedding"), seqCol = "seq",
+      sets = Map("label" -> lit(99)))
+    assert(n > 0)
+    val after = Collections.read(spark, dir)
+      .select(col("vec_id"), col("label"), col("note"), col("embedding"))
+      .collect()
+    assert(after.length == total, "overwrite_payload must not drop points")
+    after.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 3 == 0) {
+        assert(r.getInt(1) == 99, s"label not overwritten for $id")
+        assert(r.isNullAt(2), s"unset payload key survived for $id")
+      } else {
+        assert(r.getInt(1) != 99, s"label overwritten off-filter for $id")
+        assert(r.getString(2) == s"n$id", s"note clobbered off-filter")
+      }
+      assert(!r.isNullAt(3), "overwrite_payload must never touch vectors")
+    }
+  }
+
   test("setVectorWhere: re-embed of a filtered subset touches only " +
        "matching buckets; dim gate fails BEFORE the manifest swap") {
     val dir = Files.createTempDirectory("graft-coll").toString + "/c12"

@@ -222,6 +222,26 @@ class PayloadFilterSpec extends AnyFunSuite with SparkSpec {
       s"no pushdown in plan:\n$plan")
   }
 
+  test("phrase match: consecutive tokens in order, whole-token " +
+       "boundaries, whitespace-normalized") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "quick the brown fox"),      // right tokens, wrong order
+      (3L, "the quickest brown fox"),   // substring, not a whole token
+      (4L, "THE   Quick\tbrown fox"),   // case + runs of whitespace
+      (5L, "brown the quick")           // phrase at the end
+    ).toDF("id", "text")
+    def ids(phrase: String): Set[Long] =
+      df.filter(PayloadFilter.fromJson(
+          s"""{"key": "text", "match": {"phrase": "$phrase"}}"""))
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids("the quick") == Set(1L, 4L, 5L))
+    assert(ids("quick brown fox") == Set(1L, 4L))
+    assert(ids("fox") == Set(1L, 2L, 3L, 4L))
+    assert(ids("quickest") == Set(3L))
+  }
+
   test("datetime range (RFC 3339 bounds): time-order semantics on a " +
        "timestamp column, and the comparison pushes to the parquet scan") {
     import spark.implicits._
