@@ -410,6 +410,54 @@ object RecommendQueries {
       ORDER BY ctx_micro DESC, target_micro DESC, vec_id
       LIMIT 10"""))
 
+  /** Context-ONLY search (the public Qdrant `context` query mode — the
+    * Discovery API without a target): each pair contributes
+    * `min(0, sim(v,pos) − sim(v,neg))`, summed over pairs; a point scores
+    * 0 iff it sits on the positive side of EVERY pair, and ties (Qdrant
+    * leaves their order unspecified) are pinned by id so the gate is
+    * deterministic. Two pairs here; the pair sum is ordered
+    * (pair1 + pair2) so both engines run the identical IEEE adds before
+    * the one micro-quantization. Same single-scan +
+    * TakeOrderedAndProject shape as v_discover. */
+  val vContext = Q("v_context",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val Seq(p1, n1, p2, n2) = Recommend
+        .exampleVectors(emb, "vec_id", "embedding", Seq(1L, 2L, 3L, 4L))
+        .map(typedLit(_))
+      import graft.functions.VectorOps.cosine
+      emb.filter(!col("vec_id").isin(1L, 2L, 3L, 4L))
+        .withColumn("ctx_micro",
+          floor((least(lit(0.0), cosine(col("embedding"), p1) -
+              cosine(col("embedding"), n1)) +
+            least(lit(0.0), cosine(col("embedding"), p2) -
+              cosine(col("embedding"), n2))) * 1e6 + lit(0.5)).cast("long"))
+        .orderBy(desc("ctx_micro"), col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "ctx_micro")
+    },
+    Some("""
+      WITH p1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 1),
+      n1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 2),
+      p2 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 3),
+      n2 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 4),
+      scored AS (
+        SELECT e.vec_id, e.label,
+               CAST(floor((
+                 least(0.0,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p1.v)
+                   - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), n1.v))
+                 + least(0.0,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p2.v)
+                   - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), n2.v)))
+                 * 1000000 + 0.5) AS BIGINT) AS ctx_micro
+        FROM embeddings e, p1, n1, p2, n2
+        WHERE e.vec_id NOT IN (1, 2, 3, 4))
+      SELECT vec_id, label, ctx_micro
+      FROM scored
+      ORDER BY ctx_micro DESC, vec_id
+      LIMIT 10"""))
+
   /** Chroma `where` + `where_document` query (the reference's other
     * backend, `chroma_embedder.py:28-36`): metadata operators compose
     * with a full-text contains over the document column; simple
@@ -592,6 +640,6 @@ object RecommendQueries {
   def queries: Seq[Q] = Seq(vRecommend, vRecommendLookup, vRecommendBest,
     vMatrix, vMmr,
     vKnnGroups, vKnnGroupsLookup, collCount, collCountApprox, collScroll,
-    collFacet, collSample, vDiscover, chromaWhere, vSparseSearch,
+    collFacet, collSample, vDiscover, vContext, chromaWhere, vSparseSearch,
     vSparseIndexed, vSparseIdf)
 }

@@ -546,9 +546,185 @@ object Relational {
              MIN(sk) AS min_sk, MAX(sk) AS max_sk
       FROM z GROUP BY 1 ORDER BY 1"""))
 
+  /** ORDERED conversion funnel (view → click → purchase): step i counts
+    * users whose earliest step-i event STRICTLY FOLLOWS their step-(i−1)
+    * completion time — the sequencing semantics of ClickHouse's
+    * `windowFunnel` / every product-analytics engine, not three
+    * independent counts.
+    *
+    * Scale shape: each stage filters to ONE event type before its
+    * user-keyed aggregation, so the shuffled volume is that stage's
+    * candidate rows only, and the stage tables shrink monotonically
+    * (clicks-after-view ⊆ viewers, …). The per-stage join keys on
+    * user_id against the previous stage's 1-row-per-user table — AQE
+    * broadcasts it while it fits, co-partitioned shuffle join past that.
+    * Timestamps compare in exact µs (`ts DIV 1000` == DuckDB
+    * `epoch_us`, the fixture's ns-as-LONG discipline). */
+  val qFunnel = Q("q_funnel",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          call_function("div", col("ts"), lit(1000L)).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("us") > col("t1"))
+        .groupBy("user_id").agg(min("us").as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("us") > col("t2"))
+        .groupBy("user_id").agg(min("us").as("t3"))
+      v.agg(count(lit(1)).as("n_users"))
+        .select(lit(1).cast("int").as("step"), col("n_users"))
+        .unionAll(c.agg(count(lit(1)).as("n_users"))
+          .select(lit(2).cast("int").as("step"), col("n_users")))
+        .unionAll(p.agg(count(lit(1)).as("n_users"))
+          .select(lit(3).cast("int").as("step"), col("n_users")))
+        .orderBy("step")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      v AS (SELECT user_id, MIN(us) AS t1 FROM e
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, MIN(e.us) AS t2 FROM e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.us > v.t1 GROUP BY 1),
+      p AS (SELECT e.user_id, MIN(e.us) AS t3 FROM e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.us > c.t2 GROUP BY 1)
+      SELECT CAST(1 AS INT) AS step, (SELECT COUNT(*) FROM v) AS n_users
+      UNION ALL
+      SELECT CAST(2 AS INT), (SELECT COUNT(*) FROM c)
+      UNION ALL
+      SELECT CAST(3 AS INT), (SELECT COUNT(*) FROM p)
+      ORDER BY step"""))
+
+  /** COHORT RETENTION matrix: cohort = the user's first-ever event day,
+    * cell (cohort_day, day_offset ≤ 14) = distinct users from that cohort
+    * active offset days later (+ their event volume) — the
+    * product-analytics retention table.
+    *
+    * Scale shape: one user-keyed agg for the cohort assignment, one
+    * user-keyed join back (same partitioning — AQE reuses the exchange
+    * side or broadcasts the 1-row-per-user table), then a
+    * (cohort, offset)-keyed agg whose distinct-count partials combine
+    * map-side. Days bucket in exact epoch-ns integers (the
+    * q_events_hourly precedent — float division at 1e18 ns is lossy). */
+  val qRetention = Q("q_retention",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+      val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(first, "user_id")
+        .withColumn("day_offset", (col("day") - col("cohort_day")).cast("int"))
+        .filter(col("day_offset") <= 14)
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+                 FROM events),
+      f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
+      SELECT f.cohort_day, CAST(e.day - f.cohort_day AS INT) AS day_offset,
+             COUNT(DISTINCT e.user_id) AS n_users, COUNT(*) AS n_events
+      FROM e JOIN f USING (user_id)
+      WHERE e.day - f.cohort_day <= 14
+      GROUP BY 1, 2
+      ORDER BY cohort_day, day_offset"""))
+
+  /** PageRank over the user-navigation page graph — the web-graph quality
+    * signal large-scale corpus curation uses (CommonCrawl-style: rank a
+    * page/domain graph, keep documents from well-linked sources). Edges
+    * are consecutive events of one user (`lag` over the per-user µs
+    * timeline): src = previous page `props.k`, dst = current page,
+    * self-loops dropped, multi-edges kept (traversal-weighted). Three
+    * damped iterations in exact micro-integer arithmetic
+    * (`r' = 150000 DIV N + (850·Σ r(src) DIV outdeg(src)) DIV 1000`,
+    * all operands non-negative so Spark `DIV` == DuckDB `//`); the
+    * oracle unrolls the iterations as CTEs, so the gate replays the
+    * ALGORITHM, not just a final projection. Dangling-node mass is
+    * dropped (documented; identical both sides).
+    *
+    * Scale shape: the edge list (one per-user-window shuffle) and node
+    * set are MATERIALIZED once per fixture (`Tables.memoTempDir` — the
+    * derived-layout discipline the IVF/sparse indexes use): an iterative
+    * DataFrame loop otherwise re-derives its whole lineage per round, so
+    * the un-materialized form scans events 3× through the window — the
+    * distributed-PageRank standard is persist-the-edges, iterate-joins.
+    * Each iteration is then edges ⋈ ranks on src (rank-table rows =
+    * distinct pages — NO forced broadcast, node count scales with the
+    * corpus; AQE decides) + a dst-keyed partial-combined sum + a left
+    * join back to the node set: linear in |edges| per round. */
+  val pipePagerank = Q("pipe_pagerank",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.memoTempDir("pr_graph", dir) { target =>
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            call_function("div", col("ts"), lit(1000L)).as("us"),
+            get_json_object(col("props"), "$.k").cast("long").as("page"))
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val edges = ev
+          .withColumn("src", lag("page", 1).over(w))
+          .filter(col("src").isNotNull && col("src") =!= col("page"))
+          .select(col("src"), col("page").as("dst"))
+        val outd = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        edges.join(outd, "src").write.parquet(s"$target/edges")
+        ev.select("page").distinct().write.parquet(s"$target/nodes")
+      }
+      val e = s.read.parquet(s"$base/edges")
+      val nodes = s.read.parquet(s"$base/nodes")
+      val nRow = broadcast(nodes.agg(count(lit(1)).as("n"))) // 1 row
+      val r0 = nodes.crossJoin(nRow)
+        .select(col("page"), expr("1000000 DIV n").as("r_micro"))
+      val r3 = (1 to 3).foldLeft(r0) { (r, _) =>
+        val contrib = e.join(r, e("src") === r("page"))
+          .select(col("dst"), expr("r_micro DIV outdeg").as("c"))
+          .groupBy("dst").agg(sum("c").as("s"))
+        nodes.join(contrib, nodes("page") === contrib("dst"), "left")
+          .crossJoin(nRow)
+          .select(col("page"),
+            expr("150000 DIV n + (850 * coalesce(s, 0L)) DIV 1000")
+              .as("r_micro"))
+      }
+      r3.orderBy(desc("r_micro"), col("page"))
+        .limit(20)
+        .select(col("page"), col("r_micro").as("rank_micro"))
+    },
+    Some {
+      val iters = (1 to 3).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""s$i AS (SELECT e.dst AS page, SUM(r.r // o.outdeg) AS s
+             FROM edges e JOIN $prev r ON r.page = e.src
+             JOIN outd o ON o.src = e.src GROUP BY 1),
+         r$i AS (SELECT n.page,
+                   150000 // (SELECT n FROM nn)
+                   + (850 * COALESCE(s.s, 0)) // 1000 AS r
+                 FROM nodes n LEFT JOIN s$i s ON s.page = n.page)"""
+      }.mkString(",\n")
+      s"""
+      WITH e0 AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                         CAST(props->>'$$.k' AS BIGINT) AS page
+                  FROM events),
+      seq AS (SELECT user_id, page,
+                     LAG(page) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) AS prev
+              FROM e0),
+      edges AS (SELECT prev AS src, page AS dst FROM seq
+                WHERE prev IS NOT NULL AND prev <> page),
+      nodes AS (SELECT DISTINCT page FROM e0),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      outd AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+      r0 AS (SELECT page, 1000000 // (SELECT n FROM nn) AS r FROM nodes),
+      $iters
+      SELECT page, CAST(r AS BIGINT) AS rank_micro
+      FROM r3
+      ORDER BY rank_micro DESC, page
+      LIMIT 20"""
+    })
+
   def queries: Seq[Q] = Seq(q1Pricing, q3TopOrders, q5RegionRevenue,
     qBrandAgg, qWindowTopn, qRollup, qCube, qSetOps, qCustNoOrders,
     qEventsHourly, qEventsSliding, qEventsJson, qEventsDslTime, qSaltedAgg,
     qAsofJoin,
-    qPercentile, qZorder)
+    qPercentile, qZorder, qFunnel, qRetention, pipePagerank)
 }

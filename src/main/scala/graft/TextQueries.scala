@@ -1015,9 +1015,65 @@ object TextQueries {
                AS weight_micro
       FROM w ORDER BY source"""))
 
+  /** BIGRAM NOVELTY score — the n-gram-LM quality signal corpus curation
+    * uses without a model: a document whose word bigrams rarely appear in
+    * the corpus-frequent set is "novel" (or noisy); one whose bigrams are
+    * all stock phrases is boilerplate. novelty_pm = ‰ of the doc's bigram
+    * INSTANCES absent from the corpus top-200 bigram table (exact integer,
+    * `1000·unseen DIV total`).
+    *
+    * Scale shape: pass 1 folds exploded bigrams into (bigram, count)
+    * partials map-side and keeps only the global top-200 on a bounded
+    * heap — K is DATA-INDEPENDENT, so broadcasting the reference table is
+    * legitimate (contrast the txt_freq_score defect class: an unbounded
+    * distinct-token table must never be hinted). Pass 2 left-joins each
+    * doc's bigrams against that 200-row broadcast map-side and partial-
+    * aggregates per doc before the doc-keyed shuffle — the exploded
+    * volume never crosses the wire unaggregated. */
+  val txtNovelty = Q("txt_novelty",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("graft_toks", TextAnalysis.tokens(col("text")))
+      val bg = docs
+        .select(col("doc_id"),
+          explode(when(size(col("graft_toks")) >= 2,
+            expr("""transform(sequence(0, size(graft_toks) - 2),
+                    i -> concat(graft_toks[i], ' ', graft_toks[i + 1]))"""))
+            .otherwise(array())).as("bigram"))
+      val top = broadcast(
+        bg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("bigram")).limit(200)
+          .select(col("bigram"), lit(1).as("hit")))
+      bg.join(top, Seq("bigram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          count(col("hit")).as("seen"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("1000 * (n_bigrams - seen) DIV n_bigrams").as("novelty_pm"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      bg AS (
+        SELECT doc_id, unnest(list_transform(range(len(tk) - 1),
+          i -> tk[i + 1] || ' ' || tk[i + 2])) AS bigram
+        FROM toks),
+      top AS (SELECT bigram, COUNT(*) AS cnt FROM bg
+              GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 200),
+      per AS (SELECT b.doc_id, COUNT(*) AS n_bigrams, COUNT(t.bigram) AS seen
+              FROM bg b LEFT JOIN top t USING (bigram) GROUP BY 1)
+      SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+             CAST(1000 * (n_bigrams - seen) // n_bigrams AS BIGINT)
+               AS novelty_pm
+      FROM per ORDER BY doc_id"""))
+
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats, txtPhrase,
     pipeSample, pipeSplit, pipeStratified, pipeShuffle, txtWinnow, pipeCurate,
     sketchDistinct, sketchCm, txtDecontam, pipePack, txtPii, txtBpePairs,
-    txtFreqScore, pipeMix)
+    txtFreqScore, pipeMix, txtNovelty)
 }

@@ -1020,7 +1020,7 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     val scaling = Set("customer", "supplier", "part", "orders", "lineitem",
       "events", "documents", "embeddings")
     for (q <- Seq("q3_top_orders", "q5_region_revenue", "q_brand_agg",
-        "q_cust_no_orders", "q1_pricing")) {
+        "q_cust_no_orders", "q1_pricing", "q_funnel", "q_retention")) {
       val df = Queries.queries(q)(spark, sf)
       val offenders = df.queryExecution.analyzed.collect {
         case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
@@ -1036,5 +1036,80 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       assert(offenders.isEmpty,
         s"$q force-broadcasts corpus-scaling table(s): $offenders")
     }
+  }
+
+  test("pipe_pagerank equals a driver-side replay of the damped integer " +
+       "iterations (edges, outdeg, 3 rounds, top-20 tie-break)") {
+    val out = Queries.queries("pipe_pagerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        call_function("div", col("ts"), lit(1000L)).as("us"),
+        get_json_object(col("props"), "$.k").cast("long").as("page"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val edges = ev.groupBy(_._1).values.toSeq.flatMap { es =>
+      es.toSeq.sortBy(e => (e._3, e._2)).map(_._4).sliding(2)
+        .collect { case Seq(a, b) if a != b => (a, b) }
+    }
+    val nodes = ev.map(_._4).distinct.sorted.toSeq
+    val n = nodes.length
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(p => p -> 1000000L / n).toMap
+    for (_ <- 1 to 3) {
+      val sums = edges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => r(src) / outdeg(src) }.sum).toMap
+      r = nodes.map(p =>
+        p -> (150000L / n + 850L * sums.getOrElse(p, 0L) / 1000L)).toMap
+    }
+    val expect = r.toSeq.sortBy { case (p, rm) => (-rm, p) }.take(20)
+    assert(out == expect,
+      s"pagerank diverged from the naive replay:\n got $out\n exp $expect")
+  }
+
+  test("q_funnel counts ORDERED sequences (each stage strictly after the " +
+       "previous stage's completion), not independent event presence") {
+    val rows = Queries.queries("q_funnel")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        call_function("div", col("ts"), lit(1000L)).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    def minAfter(es: Array[(Long, String, Long)], t: String,
+                 after: Long): Option[Long] = {
+      val c = es.collect { case (_, ty, us) if ty == t && us > after => us }
+      if (c.isEmpty) None else Some(c.min)
+    }
+    val t1 = byUser.flatMap { case (u, es) =>
+      minAfter(es, "view", Long.MinValue).map(u -> _) }
+    val t2 = t1.flatMap { case (u, t) =>
+      minAfter(byUser(u), "click", t).map(u -> _) }
+    val t3 = t2.flatMap { case (u, t) =>
+      minAfter(byUser(u), "purchase", t).map(u -> _) }
+    assert(rows(1) == t1.size && rows(2) == t2.size && rows(3) == t3.size,
+      s"funnel steps ${rows} != naive (${t1.size}, ${t2.size}, ${t3.size})")
+    assert(rows(1) >= rows(2) && rows(2) >= rows(3),
+      "funnel stages must shrink monotonically")
+  }
+
+  test("txt_novelty matches a driver-side top-200-bigram model; scores " +
+       "bounded in [0, 1000] per mille") {
+    val out = Queries.queries("txt_novelty")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def bigrams(t: String): Seq[String] =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        .sliding(2).collect { case Seq(a, b) => s"$a $b" }.toSeq
+    val per = docs.map { case (id, t) => id -> bigrams(t) }
+    val top = per.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+      .toSeq.sortBy { case (bg, c) => (-c, bg) }.take(200).map(_._1).toSet
+    val expect = per.collect { case (id, bgs) if bgs.nonEmpty =>
+      val seen = bgs.count(top.contains)
+      (id, bgs.size.toLong, 1000L * (bgs.size - seen) / bgs.size)
+    }.toSeq.sortBy(_._1)
+    assert(out == expect, "novelty diverged from the naive model")
+    assert(out.forall(r => r._3 >= 0 && r._3 <= 1000))
   }
 }
