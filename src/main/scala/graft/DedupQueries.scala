@@ -621,7 +621,64 @@ object DedupQueries {
               LEFT JOIN nd ON nd.lang = nb.lang
       ORDER BY nb.lang"""))
 
+  /** EXACT-SUBSTRING duplicated-span mass (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" signal,
+    * re-expressed relationally): a window INSTANCE is duplicated when its
+    * 8-token span also appears in another document; `dup_pm` is the ‰ of
+    * a doc's window instances that are cross-doc duplicated. The
+    * suffix-array formulation is inherently single-node; the equivalent
+    * window-hash form distributes — every 8-token window at stride 1
+    * (hashed in-row to a 60-bit md5 integer), cross-doc frequency per
+    * hash, instance mass folded back per doc. Planted exact copies score
+    * 1000‰; the appended-suffix near-copies score high but < 1000.
+    *
+    * Scale shape: windows fold to DISTINCT (doc, hash) pairs with
+    * multiplicity map-side before any shuffle (the exploded stream never
+    * crosses the wire raw); the cross-doc frequency table derives from
+    * that same pre-aggregate, and the final join keys on the hash — both
+    * sides already partitioned by it (exchange reuse). Shuffle tracks
+    * distinct spans, the honest lower bound for this operator. */
+  val dedupSubstring = Q("dedup_substring",
+    (s, dir) => {
+      val win = planted(s, dir)
+        .withColumn("tk", Dedup.tokens(col("text")))
+        .select(col("doc_id"), explode(when(size(col("tk")) >= 8,
+          expr("""transform(sequence(0, size(tk) - 8),
+                  i -> CAST(conv(substr(md5(
+                         array_join(slice(tk, i + 1, 8), ' ')),
+                         1, 15), 16, 10) AS BIGINT))"""))
+          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))).as("wh"))
+      val per = win.groupBy("doc_id", "wh").agg(count(lit(1)).as("m"))
+      val dft = per.groupBy("wh").agg(count(lit(1)).as("ndocs"))
+      per.join(dft, "wh")
+        .groupBy("doc_id")
+        .agg(sum("m").as("n_windows"),
+          sum(when(col("ndocs") >= 2, col("m")).otherwise(0L))
+            .as("dup_windows"))
+        .select(col("doc_id"), col("n_windows"), col("dup_windows"),
+          expr("1000 * dup_windows DIV n_windows").as("dup_pm"))
+        .orderBy("doc_id")
+    },
+    Some(shingleSql + """,
+      win AS (
+        SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+          THEN list_transform(range(len(tk) - 7),
+                 i -> ('0x' || substr(md5(
+                        array_to_string(tk[(i+1):(i+8)], ' ')),
+                        1, 15))::BIGINT)
+          ELSE CAST([] AS BIGINT[]) END) AS wh
+        FROM tk),
+      per AS (SELECT doc_id, wh, COUNT(*) AS m FROM win GROUP BY 1, 2),
+      dft AS (SELECT wh, COUNT(*) AS ndocs FROM per GROUP BY 1)
+      SELECT p.doc_id, CAST(SUM(p.m) AS BIGINT) AS n_windows,
+             CAST(SUM(CASE WHEN d.ndocs >= 2 THEN p.m ELSE 0 END)
+               AS BIGINT) AS dup_windows,
+             CAST(1000 * SUM(CASE WHEN d.ndocs >= 2 THEN p.m ELSE 0 END)
+               // SUM(p.m) AS BIGINT) AS dup_pm
+      FROM per p JOIN dft d USING (wh)
+      GROUP BY 1 ORDER BY doc_id"""))
+
   def queries: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash,
     dedupNgram, dedupEmbed, dedupCluster, dedupStreamNeardup,
-    dedupSegments, dedupSemantic, dedupBloom)
+    dedupSegments, dedupSemantic, dedupBloom, dedupSubstring)
 }

@@ -410,6 +410,24 @@ object RecommendQueries {
       ORDER BY ctx_micro DESC, target_micro DESC, vec_id
       LIMIT 10"""))
 
+  /** Point retrieval by id (the Qdrant `retrieve` / points-get API —
+    * `client.retrieve(ids=[...], with_payload=True)`): a literal id list
+    * resolved against the collection. The IN-list pushes to the parquet
+    * scan (PushedFilters + row-group stats pruning) — a point lookup
+    * opens only the files whose id range can match, the serving-read
+    * analog of Qdrant's id index. */
+  val collGet = Q("coll_get",
+    (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id").isin(5L, 17L, 123L, 456L, 999999L))
+        .select("vec_id", "label")
+        .orderBy("vec_id"),
+    Some("""
+      SELECT vec_id, label
+      FROM embeddings
+      WHERE vec_id IN (5, 17, 123, 456, 999999)
+      ORDER BY vec_id"""))
+
   /** Context-ONLY search (the public Qdrant `context` query mode — the
     * Discovery API without a target): each pair contributes
     * `min(0, sim(v,pos) − sim(v,neg))`, summed over pairs; a point scores
@@ -640,6 +658,7 @@ object RecommendQueries {
   def queries: Seq[Q] = Seq(vRecommend, vRecommendLookup, vRecommendBest,
     vMatrix, vMmr,
     vKnnGroups, vKnnGroupsLookup, collCount, collCountApprox, collScroll,
-    collFacet, collSample, vDiscover, vContext, chromaWhere, vSparseSearch,
+    collFacet, collSample, collGet, vDiscover, vContext, chromaWhere,
+    vSparseSearch,
     vSparseIndexed, vSparseIdf)
 }

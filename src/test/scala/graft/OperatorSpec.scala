@@ -1093,6 +1093,29 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       "funnel stages must shrink monotonically")
   }
 
+  test("dedup_substring: an exact copy (and its source) carry 1000‰ " +
+       "duplicated-span mass; a suffix-extended near-copy scores in (0, 1000)") {
+    val out = Queries.queries("dedup_substring")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val exact = out.keys.filter(id => id >= 100000 && id < 200000)
+    assert(exact.nonEmpty, "no planted exact copies with >= 8 tokens")
+    exact.foreach { id =>
+      assert(out(id) == 1000L && out(id - 100000L) == 1000L,
+        s"exact-copy pair ($id) not fully duplicated: " +
+          s"${out(id)} / ${out(id - 100000L)}")
+    }
+    val near = out.keys.filter(_ >= 200000)
+    assert(near.nonEmpty, "no planted near-copies with >= 8 tokens")
+    near.foreach { id =>
+      // every window of the ORIGINAL reappears in the extended copy …
+      assert(out(id - 200000L) == 1000L)
+      // … but the copy's windows crossing into the appended suffix are
+      // unique to it
+      assert(out(id) > 0L && out(id) < 1000L,
+        s"near-copy $id expected partial span mass, got ${out(id)}")
+    }
+  }
+
   test("txt_novelty matches a driver-side top-200-bigram model; scores " +
        "bounded in [0, 1000] per mille") {
     val out = Queries.queries("txt_novelty")(spark, sf).collect()
