@@ -1093,6 +1093,42 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       "funnel stages must shrink monotonically")
   }
 
+  test("pipe_pagerank plan: iterations read the MATERIALIZED edge/node " +
+       "tables — no window re-derivation, no events scan in the loop") {
+    val df = Queries.queries("pipe_pagerank")(spark, sf)
+    // AQE wraps the physical tree, so audit the optimized logical plan
+    val opt = df.queryExecution.optimizedPlan
+    val scans = opt.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(scans.nonEmpty && scans.forall(_.contains("graft_pr_graph")),
+      s"iterative plan scans outside the materialized graph: $scans")
+    val windows = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty,
+      "the per-user window must run once in the materialization job, " +
+        "never inside the iterative plan")
+  }
+
+  test("txt_novelty plan: the bigram reference is a bounded heap below " +
+       "the broadcast; per-doc fold partial-aggregates before its exchange") {
+    val plan = Queries.queries("txt_novelty")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K reference not a bounded heap:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"bounded reference not broadcast:\n$plan")
+    val partialBeforeDoc = plan.contains("partial_count")
+    assert(partialBeforeDoc,
+      s"no map-side partial aggregation in the plan:\n$plan")
+  }
+
   test("dedup_substring: an exact copy (and its source) carry 1000‰ " +
        "duplicated-span mass; a suffix-extended near-copy scores in (0, 1000)") {
     val out = Queries.queries("dedup_substring")(spark, sf).collect()
