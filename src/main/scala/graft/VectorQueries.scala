@@ -978,7 +978,49 @@ object VectorQueries {
       ORDER BY label
     """))
 
-  def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnTenant, vKnnMulti,
+  /** Search PAGINATION + SCORE THRESHOLD (the two remaining public
+    * Qdrant search params, `offset` and `score_threshold`): hits below
+    * the threshold drop in the scoring pass; the page is ranks
+    * (offset, offset+limit]. The global order is materialized only up to
+    * offset+limit rows on a bounded heap (TakeOrderedAndProject — an
+    * OFFSET never scans-and-discards the corpus), and the row_number
+    * window runs over those ≤13 rows, not the collection. Scores in
+    * micro-ints so both engines page on identical ties. */
+  val vKnnPage = Q("v_knn_page",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorOps.cosine
+      val qv = typedLit(queryVec(s, dir, 0))
+      val limit = 10; val offset = 3
+      val top = Tables.load(s, dir, "embeddings")
+        .withColumn("score_micro",
+          floor(cosine(col("embedding"), qv) * 1e6 + lit(0.5)).cast("long"))
+        .filter(col("score_micro") >= 250000L)
+        .orderBy(desc("score_micro"), col("vec_id"))
+        .limit(offset + limit)
+      top.withColumn("rnk", row_number().over(
+          Window.orderBy(desc("score_micro"), col("vec_id"))))
+        .filter(col("rnk") > offset)
+        .select("vec_id", "label", "score_micro", "rnk")
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT vec_id, label,
+               CAST(floor(list_cosine_similarity(
+                 CAST(embedding AS DOUBLE[]), $oracleQ0) * 1000000 + 0.5)
+                 AS BIGINT) AS score_micro
+        FROM embeddings),
+      ranked AS (
+        SELECT vec_id, label, score_micro,
+               CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, vec_id)
+                 AS INT) AS rnk
+        FROM scored WHERE score_micro >= 250000)
+      SELECT vec_id, label, score_micro, rnk
+      FROM ranked
+      WHERE rnk > 3 AND rnk <= 13
+      ORDER BY rnk"""))
+
+  def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnTenant, vKnnMulti, vKnnPage,
     vKnnMultiAgg, vKnnBatch, vKnnFiltered, vKnnDsl, vKnnDslExcept,
     vKnnDslNested, vKnnGeo,
     vL2, vManhattan, vDot, vFusion, vFusionPartial, vMaxsim, vHybridRrf,
