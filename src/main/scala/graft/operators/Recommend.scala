@@ -187,6 +187,38 @@ object Recommend {
       .select(col(idCol), col("score_micro"))
   }
 
+  /** Qdrant's `sum_scores` recommendation strategy (the third public
+    * strategy, added for ColBERT-style multi-positive queries): each
+    * point's score is the SUM of its similarities to every positive
+    * example minus the sum of its similarities to every negative — no
+    * combined vector, no max. Example points excluded as in
+    * [[recommend]].
+    *
+    * Scale shape: identical to [[recommendBestScore]] — the examples are
+    * driver-side literals, every per-example cosine is an in-row fused
+    * expression, and the adds run in a FIXED left-to-right order
+    * (positives first, then the negative subtraction) so the oracle
+    * replays identical IEEE doubles before the one micro-quantization.
+    * One scan, bounded top-k heap, zero shuffle. */
+  def recommendSumScores(coll: DataFrame, vecCol: String, idCol: String,
+                         positiveIds: Seq[Long], negativeIds: Seq[Long],
+                         k: Int): DataFrame = {
+    val all = exampleVectors(coll, idCol, vecCol, positiveIds ++ negativeIds)
+    val (pos, neg) = (all.take(positiveIds.length),
+      all.drop(positiveIds.length))
+    def sim(v: Seq[Double]): Column =
+      graft.functions.VectorOps.cosine(col(vecCol), typedLit(v))
+    val posSum = pos.map(sim).reduceLeft(_ + _)
+    val score = neg.map(sim).foldLeft(posSum)(_ - _)
+    coll.filter(!col(idCol).isin((positiveIds ++ negativeIds): _*))
+      .withColumn("score_micro",
+        floor(score * 1e6 + lit(0.5)).cast("long"))
+      .filter(col("score_micro").isNotNull)
+      .orderBy(desc("score_micro"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score_micro"))
+  }
+
   /** Qdrant's distance-matrix API (`search_matrix_pairs`): pairwise
     * similarity among a deterministic sample of points — for each sampled
     * point, its `k` nearest OTHER sampled points. The public API samples
