@@ -10,14 +10,37 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) — Spark has no ns timestamp
-      // type (PARQUET_TYPE_ILLEGAL without this), so read it as a BIGINT of
-      // epoch nanoseconds and derive µs timestamps / buckets explicitly.
-      // DuckDB side: epoch_ns(ts) yields the identical BIGINT.
+      // The engine's canonical events.ts type is epoch-ns BIGINT; every
+      // downstream window/sessionize/as-of site does integer `ts DIV …`
+      // math on it, and the DuckDB oracles read the same value via
+      // epoch_ns(ts). Fixture generations have shipped two physical
+      // types, so adapt at load:
+      //  - parquet TIMESTAMP(NANOS): Spark has no ns timestamp type
+      //    (PARQUET_TYPE_ILLEGAL without the legacy flag), so read it as
+      //    the raw INT64 of epoch nanoseconds — already canonical.
+      //  - parquet timestamp[us] (current fixtures): loads as a Spark
+      //    timestamp; normalize to epoch-ns via unix_micros * 1000
+      //    (session tz is pinned UTC, so NTZ→TZ cast is identity).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
-    spark.read.parquet(s"$dir/$name.parquet")
+      canonicalTsNs(spark.read.parquet(s"$dir/$name.parquet"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Normalize an events-style `ts` column to the canonical epoch-ns
+    * BIGINT whatever its physical type: BIGINT (ns-as-LONG fixtures)
+    * passes through; timestamp / timestamp_ntz (current fixtures)
+    * converts via unix_micros × 1000 (session tz is pinned UTC, so the
+    * NTZ→TZ cast is identity). Narrow projection — safe on both batch
+    * and streaming DataFrames, which is why the streaming operators call
+    * it too instead of assuming a physical type. */
+  def canonicalTsNs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        import org.apache.spark.sql.functions.{col, unix_micros}
+        df.withColumn(tsCol,
+          unix_micros(col(tsCol).cast("timestamp")) * 1000L)
+    }
 
   // The memo must run each build thunk at most once per key, but a build
   // is a whole Spark write job — far too long (and potentially re-entrant

@@ -77,15 +77,17 @@ object Stream {
 
   /** Streaming tumbling-hour event rollup with a 1-hour watermark — the
     * streaming twin of the batch `q_events_hourly` query (same answer on
-    * a bounded input via Trigger.AvailableNow). `ts` arrives as epoch-ns
-    * BIGINT (TESTDATA ns parquet); windowing needs TimestampType so it is
-    * truncated to µs — bucket boundaries are hour-aligned, unaffected. */
+    * a bounded input via Trigger.AvailableNow). `ts` is first normalized
+    * to the canonical epoch-ns BIGINT ([[graft.Tables.canonicalTsNs]] —
+    * fixtures have shipped both ns-as-INT64 and timestamp[us]); windowing
+    * needs TimestampType so it is truncated to µs — bucket boundaries are
+    * hour-aligned, unaffected. */
   def eventsHourlyStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
-    spark.readStream
+    graft.Tables.canonicalTsNs(spark.readStream
       .schema(schema)
-      .parquet(eventsDir)
+      .parquet(eventsDir))
       .withColumn("tsc", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("tsc", "1 hour")
       .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
@@ -139,8 +141,9 @@ object Stream {
     *
     * Scale: the join shuffles both sides by user_id once; state per key
     * is the in-horizon event window only. Lag is emitted in exact µs. */
-  def attributionJoin(events: DataFrame,
+  def attributionJoin(rawEvents: DataFrame,
                       lagMax: String = "10 minutes"): DataFrame = {
+    val events = graft.Tables.canonicalTsNs(rawEvents)
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
         timestamp_micros(expr("ts DIV 1000")).as("view_ts"))
@@ -205,7 +208,7 @@ object Stream {
     import spark.implicits._
     // the watermark column (tsc) must survive the projection feeding the
     // stateful operator, or Spark rejects the event-time timeout
-    val typed = events
+    val typed = graft.Tables.canonicalTsNs(events)
       .withColumn("tsu", expr("ts DIV 1000"))
       .withColumn("tsc", timestamp_micros(col("tsu")))
       .withWatermark("tsc", "1 hour")

@@ -99,9 +99,11 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
   test("sessionization with end-of-stream flush equals the batch twin " +
        "EXACTLY (no still-open carve-out)") {
     val dir = Files.createTempDirectory("graft-sess-flush")
-    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
-      dir.resolve("events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // materialize CANONICAL (epoch-ns BIGINT ts) events: writeSessionFlush
+    // appends a BIGINT-ts punctuation file to the same drop directory, so
+    // the directory's physical ts type must be homogeneous
+    Tables.load(spark, sf, "events")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
     val gapUs = 1800000000L
     // punctuation: one sentinel past max_ts + gap + watermark delay —
     // after it, every open session's timeout is behind the watermark
