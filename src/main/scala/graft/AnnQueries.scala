@@ -167,6 +167,59 @@ object AnnQueries {
     },
     annIvf.oracle) // identical oracle: materialization changes no row
 
+  /** FILTERED search through the materialized ANN index — Qdrant's core
+    * serving path is filter+ANN *combined* (collections are queried with
+    * a vector AND a payload predicate, `qdrant_embedder.py:98-103`): a
+    * payload-DSL predicate (`label` match.any) rides the probe-pruned
+    * IVF scan, so the plan carries BOTH PartitionFilters (the probes) and
+    * PushedFilters (the payload predicate) on one scan — OperatorSpec
+    * asserts it. Top-k is taken over the filtered candidates (post-filter
+    * semantics: probes are chosen by the query vector alone; the filter
+    * never widens the probe set). Oracle: the ann_ivf CTE chain + the
+    * same predicate on the candidate set. */
+  val annIvfFiltered = Q("ann_ivf_filtered",
+    (s, dir) => {
+      val idx = ivfIndexDir(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val dsl = graft.operators.PayloadFilter.fromJson(
+        """{"must": [{"key": "label", "match": {"any": [2, 3, 5]}}]}""")
+      Ann.ivfSearchIndexed(s, idx, "vec_id", "embedding",
+          trainedCentroids(s, dir, 8, 2), "cid", "cv", q,
+          nprobe = 2, k = 10, filter = dsl)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("label").cast("long").as("label"),
+          floor(col("score") * 1e6 + lit(0.5)).cast("long").as("score_micro"))
+    },
+    Some(s"""
+      WITH ${kmeansSql(8, 2)},
+      q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id = 0),
+      assign AS (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        FROM e CROSS JOIN c2 c),
+      amin AS (SELECT vec_id, cid AS cluster FROM assign WHERE rn = 1),
+      probes AS (
+        SELECT cid FROM c2 CROSS JOIN q
+        ORDER BY list_distance(cv, qv), cid LIMIT 2),
+      cand AS (
+        SELECT e.vec_id, a.cluster, CAST(emb.label AS BIGINT) AS label,
+               ${cosSql("e.v", "(SELECT qv FROM q)")} AS score
+        FROM e
+        JOIN amin a ON a.vec_id = e.vec_id
+        JOIN embeddings emb ON emb.vec_id = e.vec_id
+        WHERE a.cluster IN (SELECT cid FROM probes)
+          AND emb.label IN (2, 3, 5))
+      SELECT vec_id, cluster, label,
+             CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+      FROM cand ORDER BY score DESC, vec_id LIMIT 10"""))
+
   private val NumPlanes = 8
   private lazy val planes = Ann.hyperplanes(NumPlanes, 64)
 
@@ -340,6 +393,6 @@ object AnnQueries {
                AS kept_id_sum
       FROM ranked GROUP BY cluster ORDER BY cluster"""))
 
-  def queries: Seq[Q] = Seq(annKmeans, annIvf, annIvfIndexed, annLsh,
-    annLshStats, pipeHardNegatives, pipeBalance)
+  def queries: Seq[Q] = Seq(annKmeans, annIvf, annIvfIndexed,
+    annIvfFiltered, annLsh, annLshStats, pipeHardNegatives, pipeBalance)
 }

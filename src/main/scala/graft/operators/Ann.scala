@@ -179,15 +179,25 @@ object Ann {
     * driver-side and inlined as an `isin` literal list — deliberately NOT
     * a join, because only literal predicates prune partitions statically
     * at planning time. The collected values keep the centroid id column's
-    * own type (no Long assumption); nprobe is small by construction. */
+    * own type (no Long assumption); nprobe is small by construction.
+    *
+    * `filter` is the filtered-search hook (Qdrant's filterable-index
+    * serving path: every search takes a vector AND a payload predicate):
+    * applied to the pruned scan BEFORE scoring, so a simple payload
+    * predicate lands in PushedFilters while the probe stays in
+    * PartitionFilters — row-group pruning inside only the probed
+    * partitions, the composition a 100 TB serving read wants. */
   def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String, idCol: String, vecCol: String,
                        centroids: DataFrame, cidCol: String, cvCol: String,
-                       query: Seq[Double], nprobe: Int, k: Int): DataFrame = {
+                       query: Seq[Double], nprobe: Int, k: Int,
+                       filter: Column = lit(true)): DataFrame = {
     val probed = probeClusters(centroids, cidCol, cvCol, query, nprobe)
       .collect().map(_.get(0))
     topKByCosine(
-      spark.read.parquet(indexDir).filter(col("cluster").isin(probed: _*)),
+      spark.read.parquet(indexDir)
+        .filter(col("cluster").isin(probed: _*))
+        .filter(filter),
       idCol, vecCol, query, k)
   }
 

@@ -370,6 +370,35 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       s"no partition pruning:\n$plan")
   }
 
+  test("filtered ANN (ann_ivf_filtered): payload predicate lands in " +
+       "PushedFilters while the probe stays in PartitionFilters, on ONE " +
+       "scan; result = probe-pruned candidates ∩ predicate, exact top-k") {
+    val df = Queries.queries("ann_ivf_filtered")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // probe pruning survives the added payload filter
+    val pf = "PartitionFilters: \\[[^\\]]*cluster[^\\]]*IN[^\\]]*\\]".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"probe not pruned at file listing:\n$plan")
+    // the DSL predicate reaches the parquet reader as a data filter
+    assert(plan.contains("PushedFilters: [In(label"),
+      s"payload predicate not pushed to the scan:\n$plan")
+    // semantics: every hit satisfies the predicate, and equals the
+    // unindexed twin (in-query IVF + same predicate) row for row
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(r =>
+      Set(2L, 3L, 5L)(r.getLong(r.fieldIndex("label")))))
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val twin = Ann.ivfSearch(
+        emb.filter(col("label").isin(2, 3, 5)), "vec_id", "embedding",
+        AnnQueries.trainedCentroids(spark, sf, 8, 2), "cid", "cv",
+        q, nprobe = 2, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(df.select("vec_id").collect().map(_.getLong(0)).toSeq == twin,
+      "indexed filtered search diverges from the in-query filtered twin")
+  }
+
   test("scalar quantization: codes in [0,255], dequantized cosine vs " +
        "original > 0.999, constant vectors safe") {
     import graft.functions.VectorOps
