@@ -322,15 +322,27 @@ object Relational {
       ORDER BY event_type"""))
 
   /** Explicit set operations (beyond the anti-join): INTERSECT and EXCEPT
-    * of two customer-key sets, tagged and unioned into one result. */
+    * of two customer-key sets, tagged and unioned into one result.
+    * Computed as ONE left join with a presence tag: the literal
+    * `.intersect` + `.except` pair plans two INDEPENDENT subtrees —
+    * orders scanned, deduped, and broadcast twice, with no exchange
+    * reuse across the semi/anti branches (r8 plan audit; idle first-run
+    * 4.6 s vs 0.9 s for this form) — where the join form derives both
+    * partitions of `b` from a single probe. Exact set semantics because
+    * c_custkey is the customer PK (unique left side); a multiset left
+    * side would need a `.distinct()` on `b` first. The oracle keeps the
+    * INTERSECT/EXCEPT spelling — the gate proves the join form IS the
+    * set-op pair. */
   val qSetOps = Q("q_set_ops",
     (s, dir) => {
       val b = Tables.load(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
       val o = Tables.load(s, dir, "orders")
         .select(col("o_custkey").as("c_custkey")).distinct()
-      b.intersect(o).withColumn("tag", lit("both"))
-        .unionAll(b.except(o).withColumn("tag", lit("building_only")))
+      b.join(o.withColumn("__hit", lit(1)), Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          when(col("__hit").isNotNull, lit("both"))
+            .otherwise(lit("building_only")).as("tag"))
         .orderBy("tag", "c_custkey")
     },
     Some("""
