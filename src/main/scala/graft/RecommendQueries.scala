@@ -103,6 +103,36 @@ object RecommendQueries {
       ORDER BY score_micro DESC, vec_id
       LIMIT 10"""))
 
+  /** Recommend API, `sum_scores` strategy (the third public strategy —
+    * ColBERT-style multi-positive queries): each point's score is the
+    * SUM of its similarities to every positive minus the sum to every
+    * negative — no combined vector, no max. The adds run in a fixed
+    * left-to-right order (positives, then the negative subtraction), so
+    * the oracle's parenthesized replay sees identical IEEE doubles. */
+  val vRecommendSum = Q("v_recommend_sum",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Recommend.recommendSumScores(emb, "embedding", "vec_id",
+        positiveIds = Seq(0L, 1L), negativeIds = Seq(2L), k = 10)
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      p1 AS (SELECT v FROM e WHERE vec_id = 0),
+      p2 AS (SELECT v FROM e WHERE vec_id = 1),
+      n1 AS (SELECT v FROM e WHERE vec_id = 2),
+      scored AS (
+        SELECT e.vec_id,
+               ((list_cosine_similarity(e.v, p1.v)
+                 + list_cosine_similarity(e.v, p2.v))
+                - list_cosine_similarity(e.v, n1.v)) AS score
+        FROM e, p1, p2, n1
+        WHERE e.vec_id NOT IN (0, 1, 2))
+      SELECT vec_id,
+             CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+      FROM scored
+      ORDER BY score_micro DESC, vec_id
+      LIMIT 10"""))
+
   /** Distance-matrix API (`search_matrix_pairs`): each of the 20 sampled
     * points paired with its 3 nearest sampled neighbors. The sample is
     * the 20 lowest ids (pinned — the public API's random sampling is the
@@ -656,7 +686,7 @@ object RecommendQueries {
       LIMIT 10"""))
 
   def queries: Seq[Q] = Seq(vRecommend, vRecommendLookup, vRecommendBest,
-    vMatrix, vMmr,
+    vRecommendSum, vMatrix, vMmr,
     vKnnGroups, vKnnGroupsLookup, collCount, collCountApprox, collScroll,
     collFacet, collSample, collGet, vDiscover, vContext, chromaWhere,
     vSparseSearch,

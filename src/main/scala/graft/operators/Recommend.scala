@@ -162,6 +162,8 @@ object Recommend {
   def recommendBestScore(coll: DataFrame, vecCol: String, idCol: String,
                          positiveIds: Seq[Long], negativeIds: Seq[Long],
                          k: Int): DataFrame = {
+    require(positiveIds.nonEmpty || negativeIds.nonEmpty,
+      "recommend needs at least one positive or negative example")
     val all = exampleVectors(coll, idCol, vecCol, positiveIds ++ negativeIds)
     val (pos, neg) = (all.take(positiveIds.length),
       all.drop(positiveIds.length))
@@ -171,12 +173,17 @@ object Recommend {
           case Seq(one) => one
           case many => greatest(many: _*)
         }
-    val maxPos = bestSim(pos)
     val score =
-      if (neg.isEmpty) maxPos
+      if (neg.isEmpty) bestSim(pos)
       else {
         val maxNeg = bestSim(neg)
-        when(maxPos > maxNeg, maxPos).otherwise(-maxNeg)
+        // negatives-only (Qdrant permits it for non-average strategies):
+        // every point scores the negated best negative similarity
+        if (pos.isEmpty) -maxNeg
+        else {
+          val maxPos = bestSim(pos)
+          when(maxPos > maxNeg, maxPos).otherwise(-maxNeg)
+        }
       }
     coll.filter(!col(idCol).isin((positiveIds ++ negativeIds): _*))
       .withColumn("score_micro",
@@ -199,16 +206,27 @@ object Recommend {
     * expression, and the adds run in a FIXED left-to-right order
     * (positives first, then the negative subtraction) so the oracle
     * replays identical IEEE doubles before the one micro-quantization.
-    * One scan, bounded top-k heap, zero shuffle. */
+    * One scan, bounded top-k heap, zero shuffle.
+    *
+    * Qdrant permits NEGATIVES-ONLY recommend for the non-average
+    * strategies (score = −Σ negative sims): the positive fold starts at
+    * 0.0 when `positiveIds` is empty instead of throwing from an empty
+    * reduce. At least one example of either sign is required. */
   def recommendSumScores(coll: DataFrame, vecCol: String, idCol: String,
                          positiveIds: Seq[Long], negativeIds: Seq[Long],
                          k: Int): DataFrame = {
+    require(positiveIds.nonEmpty || negativeIds.nonEmpty,
+      "recommend needs at least one positive or negative example")
     val all = exampleVectors(coll, idCol, vecCol, positiveIds ++ negativeIds)
     val (pos, neg) = (all.take(positiveIds.length),
       all.drop(positiveIds.length))
     def sim(v: Seq[Double]): Column =
       graft.functions.VectorOps.cosine(col(vecCol), typedLit(v))
-    val posSum = pos.map(sim).reduceLeft(_ + _)
+    // bit-parity: keep the s0+s1+… reduce when positives exist (a 0.0
+    // seed would be value-identical but adds a node); seed only the
+    // negatives-only fold
+    val posSum =
+      if (pos.isEmpty) lit(0.0) else pos.map(sim).reduceLeft(_ + _)
     val score = neg.map(sim).foldLeft(posSum)(_ - _)
     coll.filter(!col(idCol).isin((positiveIds ++ negativeIds): _*))
       .withColumn("score_micro",

