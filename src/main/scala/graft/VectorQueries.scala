@@ -916,6 +916,61 @@ object VectorQueries {
       ORDER BY list_cosine_similarity(v, $oracleQ0) DESC, vec_id
       LIMIT 10"""))
 
+  /** MATRYOSHKA (MRL) truncated-prefix retrieval — the adaptive-dim
+    * serving pattern for MRL-trained embeddings (Kusupati et al. 2022,
+    * and the documented shortening knob of the OpenAI v3 / Nomic
+    * embedding APIs): stage 1 ranks the WHOLE collection on only the
+    * first 16 of 64 dims (4× fewer multiplies and — with a prefix-laid
+    * column store — 4× fewer bytes) into a bounded top-50 heap; stage 2
+    * rescores those 50 candidates with full-precision cosine for the
+    * exact top-10. Same chained-heap shape as `v_prefetch`, but the
+    * cheap stage is a PREFIX of the same vector rather than a separate
+    * quantized code — no second column, no index build. The oracle
+    * replays both stages on sliced DOUBLE lists (prefix norms are sqrt —
+    * correctly rounded, replayable). Scale: one collection pass inside
+    * one codegen stage ending in a bounded heap; stage 2 touches 50
+    * rows. */
+  val vMrlSearch = Q("v_mrl_search",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = queryVec(s, dir, 0)
+      val stage1 = emb
+        .withColumn("score_p",
+          VectorOps.cosine(slice(col("embedding"), 1, 16),
+            typedLit(qv.take(16))))
+        .filter(col("score_p").isNotNull)
+        .orderBy(desc("score_p"), col("vec_id"))
+        .limit(50)
+      stage1
+        .withColumn("score", VectorOps.cosine(col("embedding"), typedLit(qv)))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"),
+          floor(col("score_p") * 1e6 + lit(0.5)).cast("long")
+            .as("scorep_micro"),
+          floor(col("score") * 1e6 + lit(0.5)).cast("long").as("score_micro"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 0),
+      s1 AS (
+        SELECT vec_id, v,
+               list_inner_product(v[1:16], qv[1:16])
+               / (sqrt(list_inner_product(v[1:16], v[1:16]))
+                  * sqrt(list_inner_product(qv[1:16], qv[1:16])))
+                 AS score_p
+        FROM d, q
+        ORDER BY score_p DESC, vec_id LIMIT 50)
+      SELECT vec_id,
+             CAST(floor(score_p * 1000000 + 0.5) AS BIGINT) AS scorep_micro,
+             CAST(floor(list_cosine_similarity(v, $oracleQ0) * 1000000 + 0.5)
+               AS BIGINT) AS score_micro
+      FROM s1
+      ORDER BY list_cosine_similarity(v, $oracleQ0) DESC, vec_id
+      LIMIT 10"""))
+
   /** Qdrant FORMULA query (`query: {"formula": ...}` — the public
     * score-boosting API): the final rank is an expression over the base
     * similarity `$score` and payload fields, here the documented
@@ -1024,6 +1079,6 @@ object VectorQueries {
     vKnnMultiAgg, vKnnBatch, vKnnFiltered, vKnnDsl, vKnnDslExcept,
     vKnnDslNested, vKnnGeo,
     vL2, vManhattan, vDot, vFusion, vFusionPartial, vMaxsim, vHybridRrf,
-    vHybridDbsf, vSqQuantize, vSqSearch, vBqSearch, vPrefetch, vScoreBoost,
-    collStats)
+    vHybridDbsf, vSqQuantize, vSqSearch, vBqSearch, vPrefetch, vMrlSearch,
+    vScoreBoost, collStats)
 }
