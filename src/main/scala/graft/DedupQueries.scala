@@ -320,6 +320,70 @@ object DedupQueries {
       ORDER BY doc_id"""
     })
 
+  /** PRIORITY-KEEP cluster curation — the decision step a real dedup
+    * pipeline runs AFTER clustering: within each near-dup cluster keep
+    * the highest-priority member (here: longest text, id tie-break — the
+    * "most complete version wins" policy of web-corpus curation; CCNet
+    * keeps by quality score, same shape). Differs observably from
+    * keep-min-id: the planted near-copies (+200000, 4 tokens appended)
+    * are LONGER than their originals, so the clone wins those clusters.
+    *
+    * Scale shape: labels ∝ the near-dup graph (≪ corpus); the per-cluster
+    * argmax is `max(struct(len, −id))` — an ordinary map-side-combinable
+    * aggregate, no window over corpus rows; the keeper joins back on the
+    * SAME cluster-keyed partitioning (exchange reuse). Output is the
+    * per-doc audit row (doc, cluster, keeper, keep flag). */
+  val dedupPriority = Q("dedup_priority",
+    (s, dir) => {
+      val docs = planted(s, dir)
+      val cands = Dedup.lshCandidates(
+        Dedup.lshBandsFused(docs, "doc_id", "text",
+          numHashes = 16, shingleN = 3, rowsPerBand = 4), "doc_id")
+      val labels = Dedup.connectedComponents(cands, rounds = ccRounds)
+      val withLen = labels.join(
+        docs.select(col("doc_id").as("v"), length(col("text")).as("len")),
+        "v")
+      val keepers = withLen.groupBy("lbl")
+        .agg(max(struct(col("len"), (-col("v")).as("negid"))).as("k"))
+        .select(col("lbl"), (-col("k.negid")).as("keeper"))
+      withLen.join(keepers, "lbl")
+        .select(col("v").as("doc_id"), col("lbl").as("cluster"),
+          col("keeper"),
+          (col("v") === col("keeper")).cast("long").as("keep"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val rounds = (1 to ccRounds).map { r =>
+        s"""
+      l$r AS (
+        SELECT x.v, MIN(x.lbl) AS lbl FROM (
+          SELECT e.src AS v, p.lbl FROM e JOIN l${r - 1} p ON p.v = e.dst
+          UNION ALL SELECT v, lbl FROM l${r - 1}) x
+        GROUP BY x.v)"""
+      }.mkString(",")
+      shingleSql + minhashSql + s""",
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id),
+      e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+            UNION ALL SELECT doc_b, doc_a FROM cand),
+      l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e),$rounds,
+      wl AS (
+        SELECT l.v, l.lbl, length(d2.text) AS len
+        FROM l$ccRounds l JOIN docs2 d2 ON d2.doc_id = l.v),
+      k AS (
+        SELECT lbl, v AS keeper FROM (
+          SELECT lbl, v, ROW_NUMBER() OVER (
+            PARTITION BY lbl ORDER BY len DESC, v ASC) AS rn
+          FROM wl) WHERE rn = 1)
+      SELECT wl.v AS doc_id, wl.lbl AS cluster, k.keeper,
+             CAST(wl.v = k.keeper AS BIGINT) AS keep
+      FROM wl JOIN k ON k.lbl = wl.lbl
+      ORDER BY doc_id"""
+    })
+
   /** Batch twin of the STREAMING near-dup detector
     * (streaming/Stream.nearDupStream): for every doc that shares an LSH
     * band bucket with an EARLIER doc (smaller id — the arrival order of
@@ -679,6 +743,7 @@ object DedupQueries {
       GROUP BY 1 ORDER BY doc_id"""))
 
   def queries: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash,
-    dedupNgram, dedupEmbed, dedupCluster, dedupStreamNeardup,
+    dedupNgram, dedupEmbed, dedupCluster, dedupPriority,
+    dedupStreamNeardup,
     dedupSegments, dedupSemantic, dedupBloom, dedupSubstring)
 }

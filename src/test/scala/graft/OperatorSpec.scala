@@ -1181,6 +1181,46 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dedup_priority: longest-member-wins policy — the suffix-extended " +
+       "near-copy beats its min-id original; exact-copy ties keep the " +
+       "earliest id; exactly one keeper per cluster") {
+    val out = Queries.queries("dedup_priority")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exactly one kept member per cluster, and it is the declared keeper
+    out.groupBy(_._2).foreach { case (cl, rows) =>
+      assert(rows.count(_._4 == 1L) == 1, s"cluster $cl keeper count != 1")
+      rows.foreach { case (doc, _, keeper, keep) =>
+        assert((doc == keeper) == (keep == 1L))
+      }
+    }
+    val byDoc = out.map(r => r._1 -> r).toMap
+    // near-copy clusters (+200000: 4 tokens appended → LONGER): the
+    // clone must win — the policy is priority, not min-id
+    val nears = out.map(_._1).filter(_ >= 200000)
+    assert(nears.nonEmpty)
+    nears.foreach { id =>
+      byDoc.get(id - 200000L).foreach { orig =>
+        if (orig._2 == byDoc(id)._2) // same cluster
+          assert(byDoc(id)._3 == id,
+            s"longer near-copy $id must be the keeper, got ${byDoc(id)._3}")
+      }
+    }
+    // exact-copy clusters (+100000, equal length): the length tie must
+    // keep the EARLIEST id — check every pure pair cluster {x, x+100000}
+    val pairClusters = out.groupBy(_._2).values.filter(rows =>
+      rows.length == 2 &&
+        (rows.map(_._1).sorted.toSeq match {
+          case Seq(a, b) => b == a + 100000L
+          case _ => false
+        }))
+    assert(pairClusters.nonEmpty, "no pure exact-copy pair clusters")
+    pairClusters.foreach { rows =>
+      val minId = rows.map(_._1).min
+      assert(rows.forall(_._3 == minId),
+        s"tie must keep min id $minId, got ${rows.head._3}")
+    }
+  }
+
   test("txt_novelty matches a driver-side top-200-bigram model; scores " +
        "bounded in [0, 1000] per mille") {
     val out = Queries.queries("txt_novelty")(spark, sf).collect()
