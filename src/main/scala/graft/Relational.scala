@@ -750,9 +750,74 @@ object Relational {
       LIMIT 20"""
     })
 
+  /** 3σ OUTLIER FLAGGING over the event stream — the numeric
+    * data-quality gate a training pipeline runs on metric columns
+    * (sensor glitches, log corruption, unit errors) before aggregation.
+    * Entirely EXACT integer arithmetic: values micro-quantize, per-type
+    * moments (n, Σv, Σv²) fold map-side in decimal, and the 3σ test is
+    * the cross-multiplied form (v·n − S)² > 9·(n·Q − S²) — no division,
+    * no sqrt, so DuckDB (HUGEINT) computes bit-identical booleans.
+    * Output pins the flagged SET per type (count + id sum), not just
+    * counts.
+    *
+    * Scale shape: one corpus scan folds the 3-number moment per type
+    * map-side; the stats table (one row per event type) joins back via
+    * AQE broadcast; the outlier aggregation folds map-side again. Two
+    * narrow passes, shuffle ∝ |event types|. The decimal cross-products
+    * stay exact below ~1e38 — micro-values ×  row counts to ~1e12 rows;
+    * beyond that the production form drops to DOUBLE Welford (the test
+    * is a 3σ heuristic; the decimal path is what makes it ORACLE-exact
+    * at fixture scale). */
+  val qEventsAnomaly = Q("q_events_anomaly",
+    (s, dir) => {
+      val em = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 1e6 + lit(0.5)).cast("decimal(38,0)")
+            .as("vm"))
+      val st = em.groupBy("event_type").agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("vm").as("s"),
+        sum(col("vm") * col("vm")).as("q"))
+      val dev = col("vm") * col("n") - col("s")
+      val outliers = em.join(st, "event_type")
+        .filter(dev * dev > lit(9) * (col("n") * col("q") -
+          col("s") * col("s")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_outliers"),
+          sum("event_id").as("outlier_id_sum"))
+      st.join(outliers, Seq("event_type"), "left")
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          coalesce(col("n_outliers"), lit(0L)).as("n_outliers"),
+          coalesce(col("outlier_id_sum"), lit(0L)).as("outlier_id_sum"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH em AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 1000000 + 0.5) AS HUGEINT) AS vm
+        FROM events),
+      st AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(vm) AS s, SUM(vm * vm) AS q
+        FROM em GROUP BY event_type),
+      o AS (
+        SELECT em.event_type, em.event_id
+        FROM em JOIN st ON st.event_type = em.event_type
+        WHERE (em.vm * st.n - st.s) * (em.vm * st.n - st.s)
+              > 9 * (st.n * st.q - st.s * st.s)),
+      oa AS (
+        SELECT event_type, COUNT(*) AS cnt, SUM(event_id) AS idsum
+        FROM o GROUP BY event_type)
+      SELECT st.event_type, CAST(st.n AS BIGINT) AS n,
+             CAST(COALESCE(oa.cnt, 0) AS BIGINT) AS n_outliers,
+             CAST(COALESCE(oa.idsum, 0) AS BIGINT) AS outlier_id_sum
+      FROM st LEFT JOIN oa ON oa.event_type = st.event_type
+      ORDER BY st.event_type"""))
+
   def queries: Seq[Q] = Seq(q1Pricing, q3TopOrders, q5RegionRevenue,
     qBrandAgg, qWindowTopn, qRollup, qCube, qSetOps, qCustNoOrders,
     qEventsHourly, qEventsSliding, qEventsJson, qEventsDslTime, qSaltedAgg,
     qAsofJoin,
-    qPercentile, qZorder, qFunnel, qRetention, pipePagerank)
+    qPercentile, qZorder, qFunnel, qRetention, pipePagerank,
+    qEventsAnomaly)
 }
