@@ -1071,9 +1071,77 @@ object TextQueries {
                AS novelty_pm
       FROM per ORDER BY doc_id"""))
 
+  /** Corpus-trained BIGRAM-LM fluency score — the perplexity-filter
+    * shape of CCNet/Gopher curation (Wenzek et al. 2020 §3.3: score
+    * every document under a language model, drop the worst tail), with
+    * the LM trained ON THE CORPUS ITSELF and an integer probability
+    * surrogate instead of log-perplexity (ln is not exact-hash-
+    * replayable — verify skill notes; the RANKING a filter needs is
+    * preserved: fluent text has common transitions, garbage has rare
+    * ones). Per bigram: p_micro = cnt(bigram)·1e6 DIV cnt(prefix w1);
+    * per doc: the k-weighted mean of its bigrams' p_micro, integer DIV.
+    *
+    * Scale shape: per-doc bigram counts fold map-side; the transition
+    * table and its prefix marginal are two aggregates over the DISTINCT
+    * bigram domain (the second aggregates the first — never re-reads
+    * the corpus); the per-doc probability lookup is an equi-join on
+    * bigram between two distinct-domain tables (both ≪ corpus tokens),
+    * and the final doc aggregate partial-folds again. No broadcast of
+    * the corpus-scaling LM table anywhere — AQE decides. cnt·1e6 stays
+    * in BIGINT below ~1e12 total bigrams; beyond, widen to decimal. */
+  val txtLmScore = Q("txt_lm_score",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("graft_toks", TextAnalysis.tokens(col("text")))
+      val bg = docs
+        .select(col("doc_id"),
+          explode(when(size(col("graft_toks")) >= 2,
+            expr("""transform(sequence(0, size(graft_toks) - 2),
+                    i -> concat(graft_toks[i], ' ', graft_toks[i + 1]))"""))
+            .otherwise(array())).as("bigram"))
+      val dbg = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
+      val bgc = dbg.groupBy("bigram").agg(sum("k").as("cb"))
+        .withColumn("w1", expr("split(bigram, ' ')[0]"))
+      val pfx = bgc.groupBy("w1").agg(sum("cb").as("cp"))
+      val pm = bgc.join(pfx, "w1")
+        .select(col("bigram"), expr("(cb * 1000000) DIV cp").as("p_micro"))
+      dbg.join(pm, "bigram")
+        .groupBy("doc_id")
+        .agg(sum("k").as("n_bigrams"),
+          sum(col("k") * col("p_micro")).as("sp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sp DIV n_bigrams").as("lm_score_micro"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      bg AS (
+        SELECT doc_id, unnest(list_transform(range(len(tk) - 1),
+          i -> tk[i + 1] || ' ' || tk[i + 2])) AS bigram
+        FROM toks),
+      dbg AS (SELECT doc_id, bigram, COUNT(*) AS k FROM bg GROUP BY 1, 2),
+      bgc AS (SELECT bigram, SUM(k) AS cb,
+                     split_part(bigram, ' ', 1) AS w1
+              FROM dbg GROUP BY bigram),
+      pfx AS (SELECT w1, SUM(cb) AS cp FROM bgc GROUP BY w1),
+      pm AS (SELECT b.bigram, (b.cb * 1000000) // p.cp AS p_micro
+             FROM bgc b JOIN pfx p ON p.w1 = b.w1),
+      per AS (
+        SELECT d.doc_id, SUM(d.k) AS n_bigrams,
+               SUM(d.k * pm.p_micro) AS sp
+        FROM dbg d JOIN pm ON pm.bigram = d.bigram
+        GROUP BY d.doc_id)
+      SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+             CAST(sp // n_bigrams AS BIGINT) AS lm_score_micro
+      FROM per ORDER BY doc_id"""))
+
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats, txtPhrase,
     pipeSample, pipeSplit, pipeStratified, pipeShuffle, txtWinnow, pipeCurate,
     sketchDistinct, sketchCm, txtDecontam, pipePack, txtPii, txtBpePairs,
-    txtFreqScore, pipeMix, txtNovelty)
+    txtFreqScore, pipeMix, txtNovelty, txtLmScore)
 }
