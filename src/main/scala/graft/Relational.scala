@@ -814,10 +814,63 @@ object Relational {
       FROM st LEFT JOIN oa ON oa.event_type = st.event_type
       ORDER BY st.event_type"""))
 
+  /** RANGE JOIN via interval bucketing — the operator class Spark has no
+    * native physical strategy for (a value-vs-interval theta join plans
+    * as BroadcastNestedLoopJoin: every row against every interval). The
+    * standard distributed rewrite: quantize the value domain into
+    * fixed-width buckets, expand each interval into the buckets it
+    * overlaps, equi-join point-bucket = interval-bucket, then re-check
+    * the exact predicate on the (hugely reduced) candidates. Work is
+    * ∝ points + Σ(interval span)/W instead of points × intervals, and it
+    * shuffles like any equi-join — the Databricks/Photon "range join
+    * optimization" re-expressed in plain DataFrame ops. The interval set
+    * here is 100 deterministic percolator-style stored queries
+    * (reverse search: which stored subscriptions match each incoming
+    * event); the oracle replays the plain theta join — the gate proves
+    * bucketing changes nothing. OperatorSpec asserts the plan is an
+    * equi-HASH join, not a nested loop. */
+  val qRangeJoin = Q("q_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val W = 50L // bucket width in value units
+      // 100 deterministic stored intervals [lo, hi) over the value
+      // domain, spans 10..100 units so several buckets each
+      val intervals = (0 until 100).map { i =>
+        val lo = (i * 37L) % 900
+        (i.toLong, lo.toDouble, (lo + 10 + (i * 13) % 90).toDouble)
+      }.toDF("qid", "lo", "hi")
+        .withColumn("bucket",
+          explode(sequence(floor(col("lo") / W).cast("long"),
+            // inclusive upper bucket: one possibly-spurious bucket per
+            // interval (hi is exclusive) is harmless — the exact
+            // predicate re-check drops it; an ε-subtraction instead
+            // could MISS values in (hi−ε, hi)
+            floor(col("hi") / W).cast("long"))))
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("value"),
+          floor(col("value") / W).cast("long").as("bucket"))
+      ev.join(intervals, "bucket")
+        .filter(col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_matches"),
+          sum("event_id").as("match_id_sum"))
+        .orderBy("qid")
+    },
+    Some("""
+      WITH iv AS (
+        SELECT CAST(i AS BIGINT) AS qid,
+               CAST((i * 37) % 900 AS DOUBLE) AS lo,
+               CAST((i * 37) % 900 + 10 + (i * 13) % 90 AS DOUBLE) AS hi
+        FROM (SELECT unnest(range(100)) AS i))
+      SELECT iv.qid, COUNT(*) AS n_matches,
+             CAST(SUM(e.event_id) AS BIGINT) AS match_id_sum
+      FROM iv JOIN events e ON e.value >= iv.lo AND e.value < iv.hi
+      GROUP BY iv.qid ORDER BY iv.qid"""))
+
   def queries: Seq[Q] = Seq(q1Pricing, q3TopOrders, q5RegionRevenue,
     qBrandAgg, qWindowTopn, qRollup, qCube, qSetOps, qCustNoOrders,
     qEventsHourly, qEventsSliding, qEventsJson, qEventsDslTime, qSaltedAgg,
     qAsofJoin,
     qPercentile, qZorder, qFunnel, qRetention, pipePagerank,
-    qEventsAnomaly)
+    qEventsAnomaly, qRangeJoin)
 }

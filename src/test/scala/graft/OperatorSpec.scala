@@ -1181,6 +1181,33 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q_range_join: the interval-bucket rewrite plans as an equi-HASH " +
+       "join — no BroadcastNestedLoopJoin anywhere; every match " +
+       "satisfies the exact range predicate") {
+    val df = Queries.queries("q_range_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"range join degraded to a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi-join in the plan:\n$plan")
+    // spot-check semantics against a driver-side replay on a sample
+    val out = df.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    val evs = Tables.load(spark, sf, "events")
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    (0 until 100 by 17).foreach { i =>
+      val lo = (i * 37) % 900
+      val hi = lo + 10 + (i * 13) % 90
+      val hits = evs.filter { case (_, v) => v >= lo && v < hi }
+      if (hits.nonEmpty)
+        assert(out(i.toLong) == (hits.length.toLong, hits.map(_._1).sum),
+          s"interval $i mismatch")
+      else assert(!out.contains(i.toLong))
+    }
+  }
+
   test("dedup_priority: longest-member-wins policy — the suffix-extended " +
        "near-copy beats its min-id original; exact-copy ties keep the " +
        "earliest id; exactly one keeper per cluster") {
