@@ -814,6 +814,37 @@ object Relational {
       FROM st LEFT JOIN oa ON oa.event_type = st.event_type
       ORDER BY st.event_type"""))
 
+  /** SALTED fact→dim JOIN (operators/Skew.saltedJoin): every event
+    * enriched with its user's customer record, the join salted so a hot
+    * user's events spread over 16 reducers instead of serializing on
+    * one — the manual skew-join rewrite for engines/paths without AQE
+    * runtime splitting (streaming micro-batches; known-ahead skew). The
+    * oracle IS the plain join + aggregate, so the gate proves salting is
+    * semantics-preserving; the salted shuffle is hint-free (no broadcast
+    * forced — at fixture scale AQE may still broadcast the replicated
+    * dim, which composes fine: salting only ever matters when the dim
+    * is too big to broadcast AND keys are hot). */
+  val qSaltedJoin = Q("q_salted_join",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "user_id", "value")
+      val cust = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+      graft.operators.Skew.saltedJoin(ev, cust,
+          factKey = "user_id", dimKey = "c_custkey",
+          rowId = "event_id", buckets = 16)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c.c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(e.value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value
+      FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""))
+
   /** RANGE JOIN via interval bucketing — the operator class Spark has no
     * native physical strategy for (a value-vs-interval theta join plans
     * as BroadcastNestedLoopJoin: every row against every interval). The
@@ -872,5 +903,5 @@ object Relational {
     qEventsHourly, qEventsSliding, qEventsJson, qEventsDslTime, qSaltedAgg,
     qAsofJoin,
     qPercentile, qZorder, qFunnel, qRetention, pipePagerank,
-    qEventsAnomaly, qRangeJoin)
+    qEventsAnomaly, qRangeJoin, qSaltedJoin)
 }

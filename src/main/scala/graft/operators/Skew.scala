@@ -23,6 +23,27 @@ object Skew {
   def salt(rowId: Column, buckets: Int): Column =
     pmod(hash(rowId), lit(buckets))
 
+  /** SALTED EQUI-JOIN for skewed fact keys — the manual form of the
+    * skew-join rewrite for when AQE's runtime splitting isn't available
+    * (streaming micro-batches, pre-AQE engines) or the skew is known
+    * ahead of time: the fact side gets a deterministic salt in
+    * [0, buckets) and the dim side is REPLICATED `buckets`× with every
+    * salt value, so one hot key's rows spread over `buckets` reducers
+    * instead of serializing on one. Correct for any 1-row-per-key dim
+    * (each fact row meets exactly one replica of its key's dim row).
+    * Cost: dim shuffles ×`buckets` — cheap by the skew premise
+    * (dim ≪ fact). The dim's key column comes back under the fact's key
+    * name. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, rowId: String,
+                 buckets: Int = 16): DataFrame = {
+    val salted = fact.withColumn("__salt", salt(col(rowId), buckets))
+    val repl = dim.withColumnRenamed(dimKey, factKey)
+      .withColumn("__salt",
+        explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(repl, Seq(factKey, "__salt")).drop("__salt")
+  }
+
   /** Two-phase salted aggregation: sum/count of `valueCol` per `keys`,
     * with the heavy first shuffle spread over `buckets` sub-keys.
     * Result is identical to the direct groupBy (addition is associative;

@@ -1181,6 +1181,27 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("saltedJoin: enriched row set equals the plain join exactly; the " +
+       "join keys carry the salt (one hot key spreads over buckets)") {
+    import graft.operators.Skew
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "value")
+    val cust = Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_mktsegment")
+    val salted = Skew.saltedJoin(ev, cust, "user_id", "c_custkey",
+      "event_id", buckets = 16)
+    val plain = ev.join(cust.withColumnRenamed("c_custkey", "user_id"),
+      "user_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "c_mktsegment")
+        .collect().map(_.toSeq).toSet
+    assert(rows(salted) == rows(plain), "salting changed the join result")
+    // the physical join condition must include the salt column
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"),
+      s"salt not part of the join keys:\n$plan")
+  }
+
   test("q_range_join: the interval-bucket rewrite plans as an equi-HASH " +
        "join — no BroadcastNestedLoopJoin anywhere; every match " +
        "satisfies the exact range predicate") {
