@@ -845,6 +845,39 @@ object Relational {
       FROM events e JOIN customer c ON c.c_custkey = e.user_id
       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""))
 
+  /** CHANGELOG COMPACTION — the "current state" view over an event log
+    * (the CDC/upsert-materialization read: latest record per key wins),
+    * computed as a map-side-combinable argmax `max(struct(ts, event_id,
+    * …))` per user rather than a rank window — no per-key sort, partial
+    * heaps fold before the single key-shuffle, the same reason
+    * `Ingest.upsert` uses keep-last-by-seq. Tie-break on equal ts by
+    * event_id (struct comparison is lexicographic), pinned so the
+    * oracle's ROW_NUMBER replay agrees. */
+  val qEventsLatest = Q("q_events_latest",
+    (s, dir) => {
+      Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), col("event_type"),
+            col("value")).as("__e"))
+        .groupBy("user_id")
+        .agg(max("__e").as("__m"))
+        .select(col("user_id"), col("__m.ts").as("ts"),
+          col("__m.event_id").as("event_id"),
+          col("__m.event_type").as("event_type"),
+          floor(col("__m.value") * 100 + lit(0.5)).cast("long")
+            .as("value_cents"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, tsn AS ts, event_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+      FROM r WHERE rn = 1 ORDER BY user_id"""))
+
   /** RANGE JOIN via interval bucketing — the operator class Spark has no
     * native physical strategy for (a value-vs-interval theta join plans
     * as BroadcastNestedLoopJoin: every row against every interval). The
@@ -903,5 +936,5 @@ object Relational {
     qEventsHourly, qEventsSliding, qEventsJson, qEventsDslTime, qSaltedAgg,
     qAsofJoin,
     qPercentile, qZorder, qFunnel, qRetention, pipePagerank,
-    qEventsAnomaly, qRangeJoin, qSaltedJoin)
+    qEventsAnomaly, qRangeJoin, qSaltedJoin, qEventsLatest)
 }
