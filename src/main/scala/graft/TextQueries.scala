@@ -1110,6 +1110,57 @@ object TextQueries {
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
   }
 
+  /** CURRICULUM PHASE ASSIGNMENT — order training data easy→hard and
+    * split into k phases (curriculum learning; length is the standard
+    * first-order difficulty proxy). The interesting part is HOW the
+    * exact global rank is computed at scale: never a global sort of the
+    * corpus. The length DOMAIN is bounded (distinct values ≪ rows), so
+    * (1) per-length counts fold map-side, (2) ONE window over the
+    * distinct-length table computes the running offset, (3) docs join
+    * back on length and rank within their length group only
+    * (`row_number` partitioned by length — thousands of small
+    * partitions, no single-reducer sort anywhere), (4) global rank =
+    * offset + within-group rank, and the NTILE bucketing is replayed as
+    * a closed-form integer expression. The oracle is the plain
+    * `NTILE(k) OVER (ORDER BY len, doc_id)` — the gate proves the
+    * distributed rank IS the global sort's. */
+  val pipeCurriculum = Q("pipe_curriculum",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 4
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      // off AND the global total n both ride ONE window over the
+      // distinct-length table (the q_percentile discipline) — a global
+      // count window over the joined corpus would funnel every row
+      // through a single partition
+      val wLen = Window.orderBy("len")
+      val vc = docs.groupBy("len").agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum("c").over(
+          wLen.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum("c").over(wLen.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      docs.join(vc.select("len", "off", "n"), "len")
+        .withColumn("rnk", col("off") + row_number().over(
+          Window.partitionBy("len").orderBy("doc_id")))
+        // exact NTILE: the first (n mod k) buckets hold (n div k)+1 rows
+        .withColumn("phase", expr(s"""
+          CASE WHEN rnk <= (n % $k) * (n DIV $k + 1)
+               THEN (rnk - 1) DIV (n DIV $k + 1) + 1
+               ELSE n % $k + (rnk - 1 - (n % $k) * (n DIV $k + 1))
+                    DIV (n DIV $k) + 1 END"""))
+        .select(col("doc_id"), col("len"), col("rnk"),
+          col("phase").cast("long").as("phase"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+             CAST(ROW_NUMBER() OVER (ORDER BY length(text), doc_id)
+               AS BIGINT) AS rnk,
+             CAST(NTILE(4) OVER (ORDER BY length(text), doc_id)
+               AS BIGINT) AS phase
+      FROM documents ORDER BY doc_id"""))
+
   val txtLmScore = Q("txt_lm_score",
     (s, dir) => {
       val lmDir = Tables.memoTempDir("lm", dir) { target =>
@@ -1159,5 +1210,5 @@ object TextQueries {
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats, txtPhrase,
     pipeSample, pipeSplit, pipeStratified, pipeShuffle, txtWinnow, pipeCurate,
     sketchDistinct, sketchCm, txtDecontam, pipePack, txtPii, txtBpePairs,
-    txtFreqScore, pipeMix, txtNovelty, txtLmScore)
+    txtFreqScore, pipeMix, txtNovelty, txtLmScore, pipeCurriculum)
 }
