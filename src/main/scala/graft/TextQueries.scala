@@ -1110,6 +1110,57 @@ object TextQueries {
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
   }
 
+  /** Per-document TF-IDF KEYWORD EXTRACTION — the feature-extraction op
+    * behind tag generation, sparse retrieval fields, and topic labeling:
+    * each document's top-3 terms by tf·idf, idf the same ln-free
+    * monotone integer surrogate BM25 uses ((1e6·N) DIV (df+1) — exact-
+    * hash-replayable, order-preserving). Scale shape: (doc, term, tf)
+    * folds map-side; the df table AGGREGATES THE AGGREGATE (never
+    * re-reads the corpus); N is a 1-row stat (broadcast legal); the
+    * per-doc top-3 ranks inside doc-keyed windows — millions of tiny
+    * partitions, no global sort; scoring joins dt⋈df on term, both
+    * sides ∝ the distinct (doc,term) / term domains. */
+  val txtIdfKeywords = Q("txt_idf_keywords",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val dt = docs
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfs = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      dt.join(dfs, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf") * expr("(1000000 * n) DIV (df + 1)"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("term"), col("score"))
+        .orderBy("doc_id", "rnk")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      dt AS (
+        SELECT doc_id, unnest(tk) AS term FROM toks),
+      dtc AS (SELECT doc_id, term, COUNT(*) AS tf FROM dt GROUP BY 1, 2),
+      dfs AS (SELECT term, COUNT(*) AS df FROM dtc GROUP BY term),
+      nn AS (SELECT COUNT(*) AS n FROM documents),
+      sc AS (
+        SELECT d.doc_id, d.term,
+               d.tf * ((1000000 * nn.n) // (f.df + 1)) AS score
+        FROM dtc d JOIN dfs f ON f.term = d.term, nn),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS rnk FROM sc)
+      SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+             CAST(score AS BIGINT) AS score
+      FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
+
   /** CURRICULUM PHASE ASSIGNMENT — order training data easy→hard and
     * split into k phases (curriculum learning; length is the standard
     * first-order difficulty proxy). The interesting part is HOW the
@@ -1210,5 +1261,6 @@ object TextQueries {
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats, txtPhrase,
     pipeSample, pipeSplit, pipeStratified, pipeShuffle, txtWinnow, pipeCurate,
     sketchDistinct, sketchCm, txtDecontam, pipePack, txtPii, txtBpePairs,
-    txtFreqScore, pipeMix, txtNovelty, txtLmScore, pipeCurriculum)
+    txtFreqScore, pipeMix, txtNovelty, txtLmScore, pipeCurriculum,
+    txtIdfKeywords)
 }
