@@ -28,6 +28,9 @@ def fingerprint(sf_dir: str) -> list[str]:
 
 
 def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
     sf_dir = sys.argv[1]
     lines = fingerprint(sf_dir)
     if len(sys.argv) < 3:
@@ -42,6 +45,13 @@ def main() -> int:
     print("[schema] parquet with different types. Adapt the engine, then")
     print("[schema] refresh scripts/fixture_schema.txt (see this script's")
     print("[schema] docstring). Diff vs recorded:")
+    if cur == rec:
+        # same name:type set, different ORDER — a set diff would print
+        # nothing and leave the failure unexplained
+        print("[schema]   (column ORDER changed; name:type set identical)")
+        for i, (a, b) in enumerate(zip(recorded, lines)):
+            if a != b:
+                print(f"[schema]   line {i}: recorded '{a}' vs current '{b}'")
     for l in sorted(rec - cur):
         print(f"[schema]   - {l}")
     for l in sorted(cur - rec):

@@ -1032,15 +1032,7 @@ object TextQueries {
     * volume never crosses the wire unaggregated. */
   val txtNovelty = Q("txt_novelty",
     (s, dir) => {
-      import graft.operators.TextAnalysis
-      val docs = Tables.load(s, dir, "documents")
-        .withColumn("graft_toks", TextAnalysis.tokens(col("text")))
-      val bg = docs
-        .select(col("doc_id"),
-          explode(when(size(col("graft_toks")) >= 2,
-            expr("""transform(sequence(0, size(graft_toks) - 2),
-                    i -> concat(graft_toks[i], ' ', graft_toks[i + 1]))"""))
-            .otherwise(array())).as("bigram"))
+      val bg = explodedBigrams(Tables.load(s, dir, "documents"))
       val top = broadcast(
         bg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
           .orderBy(desc("cnt"), col("bigram")).limit(200)
@@ -1098,7 +1090,10 @@ object TextQueries {
     * (LM counts, prefix marginal, scoring join — three full scans,
     * 1.75 s idle); with it, scoring is ONE corpus scan + one
     * distinct-domain join. Deterministic contents → memo is gate-safe. */
-  private def bigramsOf(docs: org.apache.spark.sql.DataFrame)
+  /** (doc_id, bigram) exploded rows — ONE definition feeding both
+    * txt_novelty (ungrouped) and txt_lm_score (grouped counts); a
+    * tokenization change edits exactly one place. */
+  private def explodedBigrams(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import graft.operators.TextAnalysis
     docs.withColumn("graft_toks", TextAnalysis.tokens(col("text")))
@@ -1107,8 +1102,12 @@ object TextQueries {
           expr("""transform(sequence(0, size(graft_toks) - 2),
                   i -> concat(graft_toks[i], ' ', graft_toks[i + 1]))"""))
           .otherwise(array())).as("bigram"))
-      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
   }
+
+  private def bigramsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    explodedBigrams(docs)
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
 
   /** Per-document TF-IDF KEYWORD EXTRACTION — the feature-extraction op
     * behind tag generation, sparse retrieval fields, and topic labeling:

@@ -962,6 +962,12 @@ object VectorQueries {
                   * sqrt(list_inner_product(qv[1:16], qv[1:16])))
                  AS score_p
         FROM d, q
+        -- zero-norm prefix guard: the engine's cosine is NULL there and
+        -- the row is dropped; without this, 0/0 = NaN sorts FIRST under
+        -- DESC in DuckDB and a zero-prefix vector would fake its way
+        -- into the oracle's top-50
+        WHERE list_inner_product(v[1:16], v[1:16]) > 0
+          AND list_inner_product(qv[1:16], qv[1:16]) > 0
         ORDER BY score_p DESC, vec_id LIMIT 50)
       SELECT vec_id,
              CAST(floor(score_p * 1000000 + 0.5) AS BIGINT) AS scorep_micro,

@@ -1241,17 +1241,22 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
         assert((doc == keeper) == (keep == 1L))
       }
     }
-    val byDoc = out.map(r => r._1 -> r).toMap
     // near-copy clusters (+200000: 4 tokens appended → LONGER): the
-    // clone must win — the policy is priority, not min-id
-    val nears = out.map(_._1).filter(_ >= 200000)
-    assert(nears.nonEmpty)
-    nears.foreach { id =>
-      byDoc.get(id - 200000L).foreach { orig =>
-        if (orig._2 == byDoc(id)._2) // same cluster
-          assert(byDoc(id)._3 == id,
-            s"longer near-copy $id must be the keeper, got ${byDoc(id)._3}")
-      }
+    // clone must win — the policy is priority, not min-id. Restricted to
+    // PURE pair clusters {x, x+200000}: if LSH ever merges two planted
+    // pairs into one cluster, that cluster has one keeper and demanding
+    // both clones win would be unsatisfiable on correct output
+    val nearPairs = out.groupBy(_._2).values.filter(rows =>
+      rows.length == 2 &&
+        (rows.map(_._1).sorted.toSeq match {
+          case Seq(a, b) => b == a + 200000L
+          case _ => false
+        }))
+    assert(nearPairs.nonEmpty, "no pure near-copy pair clusters")
+    nearPairs.foreach { rows =>
+      val clone = rows.map(_._1).max
+      assert(rows.forall(_._3 == clone),
+        s"longer near-copy $clone must be the keeper, got ${rows.head._3}")
     }
     // exact-copy clusters (+100000, equal length): the length tie must
     // keep the EARLIEST id — check every pure pair cluster {x, x+100000}
