@@ -574,6 +574,62 @@ object Relational {
              MIN(sk) AS min_sk, MAX(sk) AS max_sk
       FROM z GROUP BY 1 ORDER BY 1"""))
 
+  /** Z-ORDER PRUNED READ — the consumer side of the q_zorder layout: the
+    * lineitem projection is MATERIALIZED once per fixture partitioned by
+    * z-bucket (`Tables.memoTempDir`, the IVF-index discipline), the
+    * per-bucket min/max stats (the q_zorder output — tiny, bounded by
+    * the bucket count) are read driver-side, buckets whose [min,max]
+    * box intersects the 2-D predicate become a LITERAL isin list — the
+    * same probes-as-PartitionFilters discipline as `ann_ivf_indexed` —
+    * and the exact predicate re-checks inside only the surviving
+    * buckets. This is what a z-ordered table write buys at 100 TB:
+    * predicates on EITHER interleaved column skip most of the data (a
+    * single-column sort prunes only its own column). The oracle is the
+    * plain WHERE on lineitem — pruning must not change one row; the
+    * spec asserts PartitionFilters carries the bucket list and that
+    * pruning actually skipped buckets. */
+  val qZorderPrune = Q("q_zorder_prune",
+    (s, dir) => {
+      import graft.operators.Layout
+      val layoutDir = Tables.memoTempDir("zord", dir) { target =>
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey").cast("long").bitwiseAND(lit(65535L)).as("pk"),
+            col("l_suppkey").cast("long").bitwiseAND(lit(65535L)).as("sk"),
+            col("l_extendedprice"))
+          .withColumn("zbucket",
+            shiftright(Layout.zValue(col("pk"), col("sk"), 16), 23))
+          .write.mode("overwrite").partitionBy("zbucket").parquet(target)
+      }
+      val (pkLo, pkHi, skLo, skHi) = (20L, 160L, 2L, 8L)
+      // stats lookup: bounded by the bucket count (2^9 at 16-bit keys),
+      // the documented k-bounded driver collect of the probe discipline
+      val buckets = s.read.parquet(layoutDir)
+        .groupBy("zbucket")
+        .agg(min("pk").as("min_pk"), max("pk").as("max_pk"),
+          min("sk").as("min_sk"), max("sk").as("max_sk"))
+        .filter(col("max_pk") >= pkLo && col("min_pk") <= pkHi &&
+          col("max_sk") >= skLo && col("min_sk") <= skHi)
+        .select("zbucket").collect().map(_.get(0))
+      s.read.parquet(layoutDir)
+        .filter(col("zbucket").isin(buckets: _*))
+        .filter(col("pk") >= pkLo && col("pk") <= pkHi &&
+          col("sk") >= skLo && col("sk") <= skHi)
+        .groupBy("pk")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(20,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("pk")
+    },
+    Some("""
+      SELECT CAST(l_partkey AS BIGINT) & 65535 AS pk, COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE)
+               AS sum_price
+      FROM lineitem
+      WHERE (CAST(l_partkey AS BIGINT) & 65535) BETWEEN 20 AND 160
+        AND (CAST(l_suppkey AS BIGINT) & 65535) BETWEEN 2 AND 8
+      GROUP BY 1 ORDER BY pk"""))
+
   /** ORDERED conversion funnel (view → click → purchase): step i counts
     * users whose earliest step-i event STRICTLY FOLLOWS their step-(i−1)
     * completion time — the sequencing semantics of ClickHouse's
@@ -936,5 +992,5 @@ object Relational {
     qEventsHourly, qEventsSliding, qEventsJson, qEventsDslTime, qSaltedAgg,
     qAsofJoin,
     qPercentile, qZorder, qFunnel, qRetention, pipePagerank,
-    qEventsAnomaly, qRangeJoin, qSaltedJoin, qEventsLatest)
+    qEventsAnomaly, qRangeJoin, qSaltedJoin, qEventsLatest, qZorderPrune)
 }

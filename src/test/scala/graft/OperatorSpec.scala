@@ -1181,6 +1181,32 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q_zorder_prune: the bucket probe reaches the scan as " +
+       "PartitionFilters and actually SKIPS buckets (2-D pruning)") {
+    val df = Queries.queries("q_zorder_prune")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe is a literal predicate on the partition column — an IN
+    // list, or a plain equality when only one bucket survives (at
+    // sf0.001 every 16-bit key interleaves below bit 23, so the whole
+    // layout IS one bucket)
+    val pf = "PartitionFilters: \\[[^\\]]*zbucket[^\\]]*\\]".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"bucket probe not pruned at file listing:\n$plan")
+    assert(df.count() > 0)
+    // when the layout has multiple buckets, the 2-D corner box
+    // [20,160]×[2,8] must prune SOME of them (min/max boxes miss it)
+    val layout = Tables.memoTempDir("zord", sf) { _ =>
+      fail("layout must already be memoized by the query above")
+    }
+    val total = spark.read.parquet(layout)
+      .select("zbucket").distinct().count()
+    if (total > 1) {
+      val probed = "\\d+".r.findAllIn(pf.findFirstIn(plan).get).length
+      assert(probed < total,
+        s"probe did not skip any of the $total buckets:\n$plan")
+    }
+  }
+
   test("saltedJoin: enriched row set equals the plain join exactly; the " +
        "join keys carry the salt (one hot key spreads over buckets)") {
     import graft.operators.Skew
