@@ -289,4 +289,56 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(fp.toDouble / probes <= 0.03,
       s"sharded fp rate ${fp.toDouble / probes} above 3%")
   }
+
+  test("pipe_curriculum's closed-form NTILE equals the spec definition " +
+       "for every (n, k, rank) in a generated sweep") {
+    // the spec: NTILE(k) over n rows gives the first (n mod k) buckets
+    // ceil(n/k) rows and the rest floor(n/k); bucket of rank r is the
+    // smallest b whose cumulative size reaches r
+    def reference(n: Long, k: Long, r: Long): Long = {
+      val big = n % k; val bigSz = n / k + 1; val smallSz = n / k
+      var b = 1L; var cum = 0L
+      while ({ cum += (if (b <= big) bigSz else smallSz); cum < r }) b += 1
+      b
+    }
+    def closedForm(n: Long, k: Long, r: Long): Long =
+      if (r <= (n % k) * (n / k + 1)) (r - 1) / (n / k + 1) + 1
+      else n % k + (r - 1 - (n % k) * (n / k + 1)) / (n / k) + 1
+    val gen = for {
+      n <- Gen.choose(1L, 400L)
+      k <- Gen.choose(1L, 9L)
+      r <- Gen.choose(1L, n)
+    } yield (n, k, r)
+    // deterministic exhaustive corner sweep + random interior
+    val corners = for (n <- 1L to 25L; k <- 1L to 6L; r <- 1L to n)
+      yield (n, k, r)
+    val randoms = Gen.listOfN(500, gen).sample.getOrElse(Nil)
+    (corners ++ randoms).foreach { case (n, k, r) =>
+      assert(closedForm(n, k, r) == reference(n, k, r),
+        s"NTILE mismatch at n=$n k=$k r=$r")
+    }
+  }
+
+  test("interval bucketing (q_range_join) never misses a match: for any " +
+       "value in [lo, hi), floor(value/W) lies in the expanded bucket " +
+       "range [floor(lo/W), floor(hi/W)]") {
+    val gen = for {
+      lo <- Gen.choose(0.0, 1000.0)
+      span <- Gen.choose(1e-6, 200.0)
+      frac <- Gen.choose(0.0, 1.0)
+      w <- Gen.oneOf(1L, 7L, 50L, 128L)
+    } yield (lo, lo + span, lo + span * frac, w)
+    Gen.listOfN(2000, gen).sample.getOrElse(Nil).foreach {
+      case (lo, hi, v0, w) =>
+        // clamp v strictly below hi (frac can generate exactly 1.0)
+        val v = if (v0 >= hi) math.nextDown(hi) else v0
+        if (v >= lo && v < hi) {
+          val b = math.floor(v / w).toLong
+          assert(b >= math.floor(lo / w).toLong &&
+                 b <= math.floor(hi / w).toLong,
+            s"bucket $b outside expansion for v=$v lo=$lo hi=$hi W=$w — " +
+              "an ε-narrowed upper bucket would drop this match")
+        }
+    }
+  }
 }
