@@ -1109,6 +1109,60 @@ object TextQueries {
     explodedBigrams(docs)
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
 
+  /** DENOISING-OBJECTIVE CORPUS PREP (BERT/T5-style token masking) — the
+    * augmentation step that turns raw text into (corrupted input, target)
+    * training pairs: each token position masks independently at 15% by a
+    * SEEDED HASH of (doc_id, position) — pure function of the data, so
+    * the same pairs materialize on any engine, any run, any partitioning
+    * (the `pipe_sample` reshuffle-proof contract; rand() would break
+    * retry idempotence). Output pins the pair content via md5 of the
+    * masked text and of the target sequence. Entirely in-row (one
+    * `transform` lambda over the token array — no explode, no shuffle
+    * beyond the final order): the 100 TB shape is a narrow map. */
+  val pipeMask = Q("pipe_mask",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      Tables.load(s, dir, "documents")
+        .withColumn("graft_toks", TextAnalysis.tokens(col("text")))
+        .withColumn("mask", expr("""
+          transform(graft_toks, (t, i) ->
+            conv(substring(md5(concat(doc_id, '|', i)), 1, 8), 16, 10)
+              % 20 < 3)"""))
+        .select(col("doc_id"),
+          size(col("graft_toks")).cast("long").as("n_tokens"),
+          expr("""CAST(aggregate(mask, 0, (a, m) ->
+            a + IF(m, 1, 0)) AS BIGINT)""").as("n_masked"),
+          md5(expr("""array_join(zip_with(graft_toks, mask,
+            (t, m) -> IF(m, '[MASK]', t)), ' ')""")).as("masked_md5"),
+          md5(expr("""array_join(filter(zip_with(graft_toks, mask,
+            (t, m) -> IF(m, t, NULL)), x -> x IS NOT NULL), ' ')"""))
+            .as("target_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      m AS (
+        SELECT doc_id, tk,
+               list_transform(range(len(tk)), i ->
+                 ('0x' || substr(md5(doc_id || '|' || i), 1, 8))::BIGINT
+                   % 20 < 3) AS mask
+        FROM toks)
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(mask, x -> x)) AS BIGINT) AS n_masked,
+             -- COALESCE: DuckDB array_to_string([]) is NULL, Spark
+             -- array_join([]) is '' — pin the empty case to md5('')
+             md5(COALESCE(array_to_string(list_transform(range(len(tk)),
+               i -> CASE WHEN mask[i + 1] THEN '[MASK]'
+                    ELSE tk[i + 1] END), ' '), '')) AS masked_md5,
+             md5(COALESCE(array_to_string(list_filter(
+               list_transform(range(len(tk)),
+                 i -> CASE WHEN mask[i + 1] THEN tk[i + 1] END),
+               x -> x IS NOT NULL), ' '), '')) AS target_md5
+      FROM m ORDER BY doc_id"""))
+
   /** Per-document TF-IDF KEYWORD EXTRACTION — the feature-extraction op
     * behind tag generation, sparse retrieval fields, and topic labeling:
     * each document's top-3 terms by tf·idf, idf the same ln-free
@@ -1261,5 +1315,5 @@ object TextQueries {
     pipeSample, pipeSplit, pipeStratified, pipeShuffle, txtWinnow, pipeCurate,
     sketchDistinct, sketchCm, txtDecontam, pipePack, txtPii, txtBpePairs,
     txtFreqScore, pipeMix, txtNovelty, txtLmScore, pipeCurriculum,
-    txtIdfKeywords)
+    txtIdfKeywords, pipeMask)
 }
