@@ -908,6 +908,40 @@ object Relational {
       FROM events e JOIN customer c ON c.c_custkey = e.user_id
       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""))
 
+  /** PIVOT + UNPIVOT round-trip — the reshaping operator pair
+    * (`groupBy().pivot()` and `Dataset.unpivot`/SQL `stack`), gated in
+    * one query: statuses pivot to wide columns (pinned literal value
+    * list — never the two-pass value discovery), then unpivot back to
+    * long form, which must equal the DIRECT long-form aggregation (the
+    * oracle). Decimal sums keep cells exact; empty cells (a (priority,
+    * status) pair with no orders) become NULL in the wide form and are
+    * dropped on unpivot, matching the direct aggregation's absent rows.
+    * Scale: pivot with a pinned value list is ONE hash aggregation with
+    * |values|·|aggs| columns — same shuffle as the plain groupBy;
+    * unpivot is a narrow generator. */
+  val qPivot = Q("q_pivot",
+    (s, dir) => {
+      val statuses = Seq("F", "O", "P")
+      val wide = Tables.load(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(sum(col("o_totalprice").cast("decimal(20,2)")).as("sp"))
+      wide.unpivot(Array(col("o_orderpriority")),
+          statuses.map(col).toArray, "o_orderstatus", "sp")
+        .filter(col("sp").isNotNull)
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          col("sp").cast("double").as("sum_price"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+               AS sum_price
+      FROM orders
+      WHERE o_orderstatus IN ('F', 'O', 'P')
+      GROUP BY o_orderpriority, o_orderstatus
+      ORDER BY o_orderpriority, o_orderstatus"""))
+
   /** CHANGELOG COMPACTION — the "current state" view over an event log
     * (the CDC/upsert-materialization read: latest record per key wins),
     * computed as a map-side-combinable argmax `max(struct(ts, event_id,
@@ -999,5 +1033,6 @@ object Relational {
     qEventsHourly, qEventsSliding, qEventsJson, qEventsDslTime, qSaltedAgg,
     qAsofJoin,
     qPercentile, qZorder, qFunnel, qRetention, pipePagerank,
-    qEventsAnomaly, qRangeJoin, qSaltedJoin, qEventsLatest, qZorderPrune)
+    qEventsAnomaly, qRangeJoin, qSaltedJoin, qEventsLatest, qZorderPrune,
+    qPivot)
 }
