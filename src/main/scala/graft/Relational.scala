@@ -908,6 +908,48 @@ object Relational {
       FROM events e JOIN customer c ON c.c_custkey = e.user_id
       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""))
 
+  /** VALUE-BASED RANGE window frame — the window class where the frame
+    * is defined by the ORDER value, not row offsets (`RANGE BETWEEN 30
+    * PRECEDING AND CURRENT ROW` over days): each order carries its
+    * customer's trailing-30-day order count and revenue — the rolling
+    * feature every churn/LTV model computes. RANGE semantics (all PEERS
+    * of the frame bound enter the frame together, unlike ROWS) are
+    * identical in Spark and DuckDB over an integer day column; sums stay
+    * decimal-exact. One customer-keyed shuffle, per-partition frame
+    * scan — the plan a 100 TB feature-backfill wants. */
+  val qWindowRange = Q("q_window_range",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("day")).rangeBetween(-30, 0)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("long").as("day"),
+          col("o_totalprice"))
+        .withColumn("n_30d", count(lit(1)).over(w))
+        .withColumn("rev_30d",
+          sum(col("o_totalprice").cast("decimal(20,2)")).over(w)
+            .cast("double"))
+        .select("o_orderkey", "o_custkey", "day", "n_30d", "rev_30d")
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+               o_totalprice
+        FROM orders)
+      SELECT o_orderkey, o_custkey, day,
+             COUNT(*) OVER w AS n_30d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) OVER w
+               AS DOUBLE) AS rev_30d
+      FROM o
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderkey"""))
+
   /** PIVOT + UNPIVOT round-trip — the reshaping operator pair
     * (`groupBy().pivot()` and `Dataset.unpivot`/SQL `stack`), gated in
     * one query: statuses pivot to wide columns (pinned literal value
@@ -1034,5 +1076,5 @@ object Relational {
     qAsofJoin,
     qPercentile, qZorder, qFunnel, qRetention, pipePagerank,
     qEventsAnomaly, qRangeJoin, qSaltedJoin, qEventsLatest, qZorderPrune,
-    qPivot)
+    qPivot, qWindowRange)
 }
