@@ -1,0 +1,108 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Optimizer rule: VALUE-vs-INTERVAL theta joins → bucketed equi-joins.
+  *
+  * Spark has no physical strategy for `point.v >= iv.lo AND point.v <
+  * iv.hi` — with no equi-conjunct the join plans as
+  * BroadcastNestedLoopJoin (every row against every interval, and a
+  * hard failure once the interval side outgrows the broadcast limit).
+  * The standard distributed rewrite (the "range join optimization" of
+  * Photon/Databricks, here as a plain Catalyst rule): quantize the value
+  * domain into fixed-width buckets, expand each interval into every
+  * bucket it overlaps (`explode(sequence(floor(lo/W), floor(hi/W)))` —
+  * the inclusive upper bucket is deliberate, an ε-subtraction could MISS
+  * values in (hi−ε, hi)), join point-bucket = interval-bucket, and keep
+  * the ORIGINAL predicate as a residual so the rewrite is semantics-
+  * preserving by construction. Work drops from |points|×|intervals| to
+  * |points| + Σ span/W, shuffling like any equi-join.
+  *
+  * Scope is deliberately tight — the rule fires only on an INNER join
+  * whose condition is exactly `GreaterThanOrEqual(v, lo) AND
+  * (LessThan(v, hi) | LessThanOrEqual(v, hi))` with `v` from one side
+  * and `lo`/`hi` from the other, all DoubleType: anything else (extra
+  * conjuncts, mixed sides, other types) is left for Spark to plan
+  * normally. `q_range_join` is the manual form of the same rewrite and
+  * its oracle doubles as this rule's semantics gate (RangeJoinRuleSpec
+  * asserts plan shape + row equality on both argument orders).
+  *
+  * Activate per-session via `spark.experimental.extraOptimizations`
+  * (the public hook for exactly this) or bundle into an injected
+  * extension.
+  */
+object RangeJoinRule extends Rule[LogicalPlan] {
+
+  /** Bucket width in value units; one width serves any data whose
+    * interval spans are within a few orders of magnitude of it (the
+    * residual predicate keeps any width CORRECT — width only tunes the
+    * candidate-set size). */
+  val BucketWidth = 50.0
+
+  private def sideOf(e: Expression, l: LogicalPlan, r: LogicalPlan)
+      : Option[Boolean] = {
+    val refs = e.references
+    if (refs.isEmpty) None
+    else if (refs.subsetOf(l.outputSet)) Some(true)
+    else if (refs.subsetOf(r.outputSet)) Some(false)
+    else None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
+      rewrite(j, left, right, cond, hint).getOrElse(j)
+  }
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+                      cond: Expression,
+                      hint: JoinHint): Option[LogicalPlan] = cond match {
+    case And(GreaterThanOrEqual(v1, lo), upper)
+        if upper.isInstanceOf[LessThan] || upper.isInstanceOf[LessThanOrEqual] =>
+      val (v2, hi) = upper match {
+        case LessThan(a, b) => (a, b)
+        case LessThanOrEqual(a, b) => (a, b)
+        case _ => return None
+      }
+      // the same value expression must be both bounds' subject
+      if (!v1.semanticEquals(v2)) return None
+      if (v1.dataType != DoubleType || lo.dataType != DoubleType ||
+          hi.dataType != DoubleType) return None
+      (sideOf(v1, left, right), sideOf(lo, left, right),
+        sideOf(hi, left, right)) match {
+        case (Some(vLeft), Some(loLeft), Some(hiLeft))
+            if loLeft == hiLeft && vLeft != loLeft =>
+          val (pointSide, ivSide) = if (vLeft) (left, right) else (right, left)
+          val w = Literal(BucketWidth, DoubleType)
+          def bucketOf(e: Expression): Expression =
+            Cast(Floor(Divide(e, w)), LongType)
+          // point side: project + bucket column
+          val pB = Alias(bucketOf(v1), "__rj_pb")()
+          val pointPlan = Project(pointSide.output :+ pB, pointSide)
+          // interval side: explode the covered bucket range
+          // Sequence is TimeZoneAwareExpression: `resolved` demands a
+          // timeZoneId even for integral sequences, and the analyzer
+          // rule that fills it has already run — set it here
+          val seq = new Sequence(bucketOf(lo), bucketOf(hi),
+            Literal(1L, LongType)).withTimeZone(conf.sessionLocalTimeZone)
+          // nullability must equal the generator's element schema
+          // (Sequence never yields null elements) or Generate stays
+          // unresolved
+          val iB = AttributeReference("__rj_ib", LongType,
+            nullable = false)()
+          val ivPlan = Generate(Explode(seq), unrequiredChildIndex = Nil,
+            outer = false, qualifier = None, generatorOutput = Seq(iB),
+            child = ivSide)
+          val newCond = And(EqualTo(pB.toAttribute, iB), cond)
+          val joined = Join(pointPlan, ivPlan, Inner, Some(newCond), hint)
+          // restore the original output (drop the bucket columns), in
+          // the original left-then-right order
+          Some(Project(j.output, joined))
+        case _ => None
+      }
+    case _ => None
+  }
+}

@@ -1181,6 +1181,61 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("RangeJoinRule: a value-vs-interval theta join auto-rewrites to " +
+       "a bucketed equi-join (no nested loop), same rows, both argument " +
+       "orders; out-of-scope conditions are left untouched") {
+    import spark.implicits._
+    val points = (0 until 2000)
+      .map(i => (i.toLong, (i * 7919 % 1000).toDouble)).toDF("pid", "v")
+    val ivs = (0 until 40)
+      .map(i => (i.toLong, (i * 37 % 900).toDouble,
+        (i * 37 % 900 + 10 + i * 13 % 90).toDouble)).toDF("qid", "lo", "hi")
+    val expected = points.collect().flatMap { p =>
+      val v = p.getDouble(1)
+      ivs.collect().collect {
+        case iv if v >= iv.getDouble(1) && v < iv.getDouble(2) =>
+          (p.getLong(0), iv.getLong(0))
+      }
+    }.toSet
+    spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRule)
+    try {
+      def check(df: org.apache.spark.sql.DataFrame): Unit = {
+        val opt = df.queryExecution.optimizedPlan.toString
+        assert(opt.contains("__rj_pb"), s"rule did not fire:\n$opt")
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") &&
+               !plan.contains("CartesianProduct"),
+          s"rewritten join still a nested loop:\n$plan")
+        val got = df.select("pid", "qid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == expected,
+          s"rewrite changed the result: got ${got.size}, " +
+            s"expected ${expected.size}")
+      }
+      check(points.join(ivs,
+        points("v") >= ivs("lo") && points("v") < ivs("hi")))
+      check(ivs.join(points,
+        points("v") >= ivs("lo") && points("v") < ivs("hi")))
+      // an extra conjunct: predicate pushdown legitimately strips it
+      // below the join, reducing the condition INTO the rule's scope —
+      // assert the rows, not the plan
+      val got2 = points.join(ivs,
+          points("v") >= ivs("lo") && points("v") < ivs("hi") &&
+            ivs("qid") =!= 7L)
+        .select("pid", "qid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got2 == expected.filterNot(_._2 == 7L))
+      // truly out-of-scope: a LEFT OUTER interval join (the rewrite is
+      // inner-only — outer semantics would need null-extension across
+      // replicated buckets) must be left untouched
+      val outer = points.join(ivs,
+        points("v") >= ivs("lo") && points("v") < ivs("hi"), "left")
+      assert(!outer.queryExecution.optimizedPlan.toString
+        .contains("__rj_pb"), "rule fired on a non-inner join")
+      assert(outer.count() >= points.count())
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("q_zorder_prune: the bucket probe reaches the scan as " +
        "PartitionFilters and actually SKIPS buckets (2-D pruning)") {
     val df = Queries.queries("q_zorder_prune")(spark, sf)
