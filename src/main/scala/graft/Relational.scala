@@ -396,6 +396,47 @@ object Relational {
     * is ns; DuckDB truncates TIMESTAMP_NS to µs, so both engines work in
     * `ts DIV 1000` — see the q_events_hourly precedent). Sentinels: no
     * preceding view → last_view_us = 0, gap_us = -1. */
+  /** FORWARD as-of join (operators/AsOf.asofJoinForward): for each view
+    * event, the same user's NEXT click strictly after it — time-to-next-
+    * click, the forward complement of q_asof_join's last-view-before
+    * lookup (pandas merge_asof direction='forward' / ClickHouse ASOF >).
+    * Same union + one-shuffle + running-window cost; the oracle replays
+    * the mirrored frame (1 FOLLOWING → UNBOUNDED FOLLOWING, quotes
+    * sorting before probes at ties so a same-µs click does NOT match). */
+  val qAsofForward = Q("q_asof_forward",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("tsu", expr("ts DIV 1000"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("tsu"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"))
+      graft.operators.AsOf.asofJoinForward(views, clicks, "user_id", "tsu",
+          asofCol = "next_click_us")
+        .select(col("event_id"), col("user_id"), col("tsu").as("view_us"),
+          coalesce(col("next_click_us"), lit(-1L)).as("nc_us"),
+          expr("CASE WHEN next_click_us IS NULL THEN -1 " +
+            "ELSE next_click_us - tsu END").as("wait_us"))
+        .withColumnRenamed("nc_us", "next_click_us")
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id, epoch_us(ts) AS tsu, 1 AS side, event_id
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, epoch_us(ts) AS tsu, 0 AS side, NULL
+        FROM events WHERE event_type = 'click'),
+      w AS (
+        SELECT *, MIN(CASE WHEN side = 0 THEN tsu END) OVER (
+          PARTITION BY user_id ORDER BY tsu, side
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
+        FROM u)
+      SELECT event_id, user_id, tsu AS view_us,
+             COALESCE(nc, -1) AS next_click_us,
+             CASE WHEN nc IS NULL THEN -1 ELSE nc - tsu END AS wait_us
+      FROM w WHERE side = 1 ORDER BY event_id"""))
+
   val qAsofJoin = Q("q_asof_join",
     (s, dir) => {
       val ev = Tables.load(s, dir, "events")
@@ -1073,7 +1114,7 @@ object Relational {
   def queries: Seq[Q] = Seq(q1Pricing, q3TopOrders, q5RegionRevenue,
     qBrandAgg, qWindowTopn, qRollup, qCube, qSetOps, qCustNoOrders,
     qEventsHourly, qEventsSliding, qEventsJson, qEventsDslTime, qSaltedAgg,
-    qAsofJoin,
+    qAsofJoin, qAsofForward,
     qPercentile, qZorder, qFunnel, qRetention, pipePagerank,
     qEventsAnomaly, qRangeJoin, qSaltedJoin, qEventsLatest, qZorderPrune,
     qPivot, qWindowRange)

@@ -48,4 +48,39 @@ object AsOf {
       .filter(col("__side") === 1)
       .drop("__side", "__qts")
   }
+
+  /** FORWARD as-of: min quote `tsCol` STRICTLY AFTER the probe row's
+    * `tsCol` (same key; null when none follows) — the complement
+    * direction (ClickHouse ASOF ... `>` / pandas merge_asof
+    * direction='forward'): "the next event after this one", the lookup
+    * an attribution window or a sensor-alignment backfill reads. Same
+    * union + running-window shape, mirrored: quotes keep side 0 so they
+    * sort BEFORE probes at equal timestamps — a same-ts quote falls
+    * OUTSIDE the probe's strictly-following frame, which is exactly the
+    * strict `>`; the running MIN runs over rows (current+1,
+    * unboundedFollowing), where intervening probe rows carry null __qts
+    * and cannot win the min. */
+  def asofJoinForward(probe: DataFrame, quote: DataFrame, keyCol: String,
+                      tsCol: String,
+                      asofCol: String = "asof_ts"): DataFrame = {
+    val pCols = probe.columns
+    val pu = probe
+      .withColumn("__side", lit(1))
+      .withColumn("__qts", lit(null).cast("long"))
+    val qu = quote
+      .filter(col(keyCol).isNotNull)
+      .select(pCols.map { c =>
+        if (c == keyCol || c == tsCol) col(c)
+        else lit(null).cast(probe.schema(c).dataType).as(c)
+      }: _*)
+      .withColumn("__side", lit(0))
+      .withColumn("__qts", col(tsCol).cast("long"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    pu.unionByName(qu)
+      .withColumn(asofCol, min(col("__qts")).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__qts")
+  }
 }

@@ -596,6 +596,25 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(got(1L) == 100L)
     // no preceding quote -> null (probe 2 and key-30 probe 5)
     assert(got(2L) == -1L && got(5L) == -1L)
+
+    // FORWARD direction: min quote.ts STRICTLY AFTER per key — a
+    // same-ts quote must NOT match (strict >, unlike backward's <=)
+    val fwd = AsOf.asofJoinForward(probe, quote, "key", "ts")
+      .select("event_id", "asof_ts")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val expectF = Seq((1L, 10L, 100L), (2L, 10L, 5L), (3L, 20L, 50L),
+      (4L, 20L, 40L), (5L, 30L, 7L)).map { case (id, k, ts) =>
+      val c = qs.filter(q => q._1 == k && q._2 > ts).map(_._2)
+      id -> (if (c.isEmpty) -1L else c.min)
+    }.toMap
+    assert(fwd == expectF, s"forward got $fwd, expect $expectF")
+    // probe 1 at ts=100: the same-ts quote (100) is excluded; next is 101
+    assert(fwd(1L) == 101L)
+    // probe 4 at ts=40: same-ts quote 40 excluded; next is 45
+    assert(fwd(4L) == 45L)
+    // nothing after probe 3's ts=50 on key 20 -> null
+    assert(fwd(3L) == -1L)
   }
 
   test("source formats: CSV and ORC round-trip the documents table " +
