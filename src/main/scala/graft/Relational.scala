@@ -639,26 +639,37 @@ object Relational {
   val qZorderPrune = Q("q_zorder_prune",
     (s, dir) => {
       import graft.operators.Layout
-      val layoutDir = Tables.memoTempDir("zord", dir) { target =>
-        Tables.load(s, dir, "lineitem")
+      val baseDir = Tables.memoTempDir("zord", dir) { target =>
+        val laid = Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"),
             col("l_partkey").cast("long").bitwiseAND(lit(65535L)).as("pk"),
             col("l_suppkey").cast("long").bitwiseAND(lit(65535L)).as("sk"),
             col("l_extendedprice"))
           .withColumn("zbucket",
             shiftright(Layout.zValue(col("pk"), col("sk"), 16), 23))
-          .write.mode("overwrite").partitionBy("zbucket").parquet(target)
+        laid.write.mode("overwrite").partitionBy("zbucket")
+          .parquet(s"$target/layout")
+        // the per-bucket min/max stats are part of the LAYOUT — written
+        // once at materialization (what a z-ordered table writer persists
+        // as its data-skipping index), never recomputed by readers: a
+        // query that re-scanned the layout to rebuild them would read
+        // 100% of the bytes before its "pruned" read
+        laid.groupBy("zbucket")
+          .agg(min("pk").as("min_pk"), max("pk").as("max_pk"),
+            min("sk").as("min_sk"), max("sk").as("max_sk"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$target/stats")
       }
+      val layoutDir = s"$baseDir/layout"
       val (pkLo, pkHi, skLo, skHi) = (20L, 160L, 2L, 8L)
-      // stats lookup: bounded by the bucket count (2^9 at 16-bit keys),
-      // the documented k-bounded driver collect of the probe discipline
-      val buckets = s.read.parquet(layoutDir)
-        .groupBy("zbucket")
-        .agg(min("pk").as("min_pk"), max("pk").as("max_pk"),
-          min("sk").as("min_sk"), max("sk").as("max_sk"))
+      // stats lookup: the tiny PERSISTED stats table (bounded by the
+      // bucket count, 2^9 at 16-bit keys) — the documented k-bounded
+      // driver collect of the probe discipline
+      // cast to the layout's DISCOVERED partition type (int — directory
+      // names infer narrow) so the literal isin list prunes statically
+      val buckets = s.read.parquet(s"$baseDir/stats")
         .filter(col("max_pk") >= pkLo && col("min_pk") <= pkHi &&
           col("max_sk") >= skLo && col("min_sk") <= skHi)
-        .select("zbucket").collect().map(_.get(0))
+        .select(col("zbucket").cast("int")).collect().map(_.get(0))
       s.read.parquet(layoutDir)
         .filter(col("zbucket").isin(buckets: _*))
         .filter(col("pk") >= pkLo && col("pk") <= pkHi &&

@@ -10,6 +10,19 @@ import graft.operators.TextAnalysis
   * oracle hashing. */
 object TextQueries {
 
+  /** Closed-form exact NTILE over columns `rnk` (1-based global rank)
+    * and `n` (total rows): the first (n mod k) buckets hold (n div k)+1
+    * rows, the rest (n div k). ONE definition — pipe_curriculum builds
+    * its phase column from this string and PropertySpec evaluates the
+    * SAME string against the windowed NTILE spec, so the production
+    * expression cannot drift from the tested one. */
+  private[graft] def ntileSql(k: Int, rnk: String = "rnk",
+                              n: String = "n"): String = s"""
+    CASE WHEN $rnk <= ($n % $k) * ($n DIV $k + 1)
+         THEN ($rnk - 1) DIV ($n DIV $k + 1) + 1
+         ELSE $n % $k + ($rnk - 1 - ($n % $k) * ($n DIV $k + 1))
+              DIV ($n DIV $k) + 1 END"""
+
   /** DuckDB token-array CTE matching TextAnalysis.tokens. */
   private val tkSql = """
       WITH tk AS (
@@ -1247,12 +1260,7 @@ object TextQueries {
       docs.join(vc.select("len", "off", "n"), "len")
         .withColumn("rnk", col("off") + row_number().over(
           Window.partitionBy("len").orderBy("doc_id")))
-        // exact NTILE: the first (n mod k) buckets hold (n div k)+1 rows
-        .withColumn("phase", expr(s"""
-          CASE WHEN rnk <= (n % $k) * (n DIV $k + 1)
-               THEN (rnk - 1) DIV (n DIV $k + 1) + 1
-               ELSE n % $k + (rnk - 1 - (n % $k) * (n DIV $k + 1))
-                    DIV (n DIV $k) + 1 END"""))
+        .withColumn("phase", expr(TextQueries.ntileSql(k)))
         .select(col("doc_id"), col("len"), col("rnk"),
           col("phase").cast("long").as("phase"))
         .orderBy("doc_id")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType}
 
 /** Optimizer rule: VALUE-vs-INTERVAL theta joins → bucketed equi-joins.
   *
@@ -22,14 +22,28 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * preserving by construction. Work drops from |points|×|intervals| to
   * |points| + Σ span/W, shuffling like any equi-join.
   *
+  * NOT every interval row is bucketable: an inverted interval (hi < lo)
+  * would crash Sequence, an unbounded/NaN one (±Inf bounds) has no
+  * finite bucket range, and a very wide one would explode into millions
+  * of bucket rows. The rewrite therefore SPLITS the interval side on
+  * `0 <= hi − lo <= W·MaxBucketsPerInterval` (double arithmetic — NaN
+  * and ±Inf spans fail the predicate, no overflow): bucketable rows take
+  * the equi-join, the remainder keeps the original theta join, and the
+  * two results union. Row-identical to the plain join for every input —
+  * inverted intervals match nothing via the theta branch instead of
+  * crashing, unbounded ones still match everything.
+  *
   * Scope is deliberately tight — the rule fires only on an INNER join
   * whose condition is exactly `GreaterThanOrEqual(v, lo) AND
   * (LessThan(v, hi) | LessThanOrEqual(v, hi))` with `v` from one side
   * and `lo`/`hi` from the other, all DoubleType: anything else (extra
   * conjuncts, mixed sides, other types) is left for Spark to plan
-  * normally. `q_range_join` is the manual form of the same rewrite and
-  * its oracle doubles as this rule's semantics gate (RangeJoinRuleSpec
-  * asserts plan shape + row equality on both argument orders).
+  * normally. When the point side was the original RIGHT child the
+  * JoinHint's sides are swapped to follow their relations.
+  * `q_range_join` is the manual form of the same rewrite and its oracle
+  * doubles as this rule's semantics gate (OperatorSpec asserts plan
+  * shape + row equality on both argument orders and on
+  * inverted/unbounded interval rows).
   *
   * Activate per-session via `spark.experimental.extraOptimizations`
   * (the public hook for exactly this) or bundle into an injected
@@ -42,6 +56,10 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     * residual predicate keeps any width CORRECT — width only tunes the
     * candidate-set size). */
   val BucketWidth = 50.0
+
+  /** Interval rows expanding to more buckets than this take the
+    * theta-join branch instead (bounding the Explode blow-up). */
+  val MaxBucketsPerInterval = 4096L
 
   private def sideOf(e: Expression, l: LogicalPlan, r: LogicalPlan)
       : Option[Boolean] = {
@@ -76,13 +94,27 @@ object RangeJoinRule extends Rule[LogicalPlan] {
         case (Some(vLeft), Some(loLeft), Some(hiLeft))
             if loLeft == hiLeft && vLeft != loLeft =>
           val (pointSide, ivSide) = if (vLeft) (left, right) else (right, left)
+          // the hint's sides follow their relations: if the point side
+          // was the original RIGHT child, left/right hints swap with it
+          val newHint =
+            if (vLeft) hint else JoinHint(hint.rightHint, hint.leftHint)
           val w = Literal(BucketWidth, DoubleType)
           def bucketOf(e: Expression): Expression =
             Cast(Floor(Divide(e, w)), LongType)
+          // bucketable iff 0 <= hi - lo <= W * MaxBuckets — double
+          // arithmetic on purpose: NaN fails both comparisons, ±Inf
+          // spans exceed the cap, inverted intervals are negative, and
+          // nothing overflows (a Long span check could)
+          val span = Subtract(hi, lo)
+          val bucketable: Expression = And(
+            GreaterThanOrEqual(span, Literal(0.0, DoubleType)),
+            LessThanOrEqual(span,
+              Literal(BucketWidth * MaxBucketsPerInterval, DoubleType)))
+          require(bucketable.dataType == BooleanType)
           // point side: project + bucket column
           val pB = Alias(bucketOf(v1), "__rj_pb")()
           val pointPlan = Project(pointSide.output :+ pB, pointSide)
-          // interval side: explode the covered bucket range
+          // bucketable intervals: explode the covered bucket range.
           // Sequence is TimeZoneAwareExpression: `resolved` demands a
           // timeZoneId even for integral sequences, and the analyzer
           // rule that fills it has already run — set it here
@@ -95,12 +127,22 @@ object RangeJoinRule extends Rule[LogicalPlan] {
             nullable = false)()
           val ivPlan = Generate(Explode(seq), unrequiredChildIndex = Nil,
             outer = false, qualifier = None, generatorOutput = Seq(iB),
-            child = ivSide)
+            child = Filter(bucketable, ivSide))
           val newCond = And(EqualTo(pB.toAttribute, iB), cond)
-          val joined = Join(pointPlan, ivPlan, Inner, Some(newCond), hint)
-          // restore the original output (drop the bucket columns), in
-          // the original left-then-right order
-          Some(Project(j.output, joined))
+          val bucketJoin = Project(j.output,
+            Join(pointPlan, ivPlan, Inner, Some(newCond), newHint))
+          // the remainder (inverted / unbounded / too-wide intervals)
+          // keeps the original theta join — returning Join(j children)
+          // unchanged would re-match this rule, so guard the interval
+          // side with the negated bucketable predicate FIRST and mark
+          // the condition with a no-op conjunct the matcher rejects
+          val rest = Filter(Not(Coalesce(Seq(bucketable,
+            Literal(false, BooleanType)))), ivSide)
+          val (rl, rr) = if (vLeft) (pointSide, rest) else (rest, pointSide)
+          val restJoin = Project(j.output,
+            Join(rl, rr, Inner,
+              Some(And(Literal(true, BooleanType), cond)), hint))
+          Some(Union(Seq(bucketJoin, restJoin)))
         case _ => None
       }
     case _ => None

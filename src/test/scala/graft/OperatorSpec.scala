@@ -1206,44 +1206,70 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     val points = (0 until 2000)
       .map(i => (i.toLong, (i * 7919 % 1000).toDouble)).toDF("pid", "v")
-    val ivs = (0 until 40)
+    // 40 ordinary intervals + the hostile rows the rewrite must survive:
+    // inverted (hi < lo — matches nothing, must not crash Sequence),
+    // unbounded (±Inf — matches everything, not finitely bucketable),
+    // too-wide (span beyond the bucket cap), NaN (matches nothing)
+    val ivRows = (0 until 40)
       .map(i => (i.toLong, (i * 37 % 900).toDouble,
-        (i * 37 % 900 + 10 + i * 13 % 90).toDouble)).toDF("qid", "lo", "hi")
-    val expected = points.collect().flatMap { p =>
-      val v = p.getDouble(1)
-      ivs.collect().collect {
-        case iv if v >= iv.getDouble(1) && v < iv.getDouble(2) =>
-          (p.getLong(0), iv.getLong(0))
-      }
-    }.toSet
+        (i * 37 % 900 + 10 + i * 13 % 90).toDouble)) ++ Seq(
+      (100L, 500.0, 100.0),
+      (101L, Double.NegativeInfinity, Double.PositiveInfinity),
+      (102L, 0.0, 1e9),
+      (103L, Double.NaN, 100.0))
+    val ivs = ivRows.toDF("qid", "lo", "hi")
+    val ivsClean = ivRows.filter(_._1 < 100).toDF("qid", "lo", "hi")
+    val pRows = points.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def model(rows: Seq[(Long, Double, Double)]): Set[(Long, Long)] =
+      pRows.flatMap { case (pid, v) =>
+        rows.collect {
+          case (qid, lo, hi) if v >= lo && v < hi => (pid, qid)
+        }
+      }.toSet
+    val expected = model(ivRows)
+    val expectedClean = model(ivRows.filter(_._1 < 100))
     spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRule)
     try {
-      def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      def check(df: org.apache.spark.sql.DataFrame,
+                expect: Set[(Long, Long)]): Unit = {
         val opt = df.queryExecution.optimizedPlan.toString
         assert(opt.contains("__rj_pb"), s"rule did not fire:\n$opt")
         val plan = df.queryExecution.executedPlan.toString
-        assert(!plan.contains("BroadcastNestedLoopJoin") &&
-               !plan.contains("CartesianProduct"),
-          s"rewritten join still a nested loop:\n$plan")
+        // bucketable rows ride an equi-hash join on the bucket columns…
+        assert(plan.contains("__rj_pb") && plan.contains("__rj_ib") &&
+               (plan.contains("HashJoin") || plan.contains("SortMergeJoin")),
+          s"no bucketed equi-join in the plan:\n$plan")
+        // …and the rest branch's nested loop only ever SEES intervals
+        // that failed the bucketable guard (the structural branch exists
+        // even when it is empty at runtime)
+        assert(plan.contains("NOT coalesce"),
+          s"rest branch not guarded by the negated bucketable filter:\n$plan")
         val got = df.select("pid", "qid").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        assert(got == expected,
+        assert(got == expect,
           s"rewrite changed the result: got ${got.size}, " +
-            s"expected ${expected.size}")
+            s"expected ${expect.size}")
       }
+      check(points.join(ivsClean,
+        points("v") >= ivsClean("lo") && points("v") < ivsClean("hi")),
+        expectedClean)
+      check(ivsClean.join(points,
+        points("v") >= ivsClean("lo") && points("v") < ivsClean("hi")),
+        expectedClean)
+      // hostile rows: inverted must NOT crash, unbounded/too-wide/NaN
+      // take the guarded theta branch — row-identical to the plain join
       check(points.join(ivs,
-        points("v") >= ivs("lo") && points("v") < ivs("hi")))
-      check(ivs.join(points,
-        points("v") >= ivs("lo") && points("v") < ivs("hi")))
+        points("v") >= ivs("lo") && points("v") < ivs("hi")),
+        expected)
       // an extra conjunct: predicate pushdown legitimately strips it
       // below the join, reducing the condition INTO the rule's scope —
       // assert the rows, not the plan
-      val got2 = points.join(ivs,
-          points("v") >= ivs("lo") && points("v") < ivs("hi") &&
-            ivs("qid") =!= 7L)
+      val got2 = points.join(ivsClean,
+          points("v") >= ivsClean("lo") && points("v") < ivsClean("hi") &&
+            ivsClean("qid") =!= 7L)
         .select("pid", "qid").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(got2 == expected.filterNot(_._2 == 7L))
+      assert(got2 == expectedClean.filterNot(_._2 == 7L))
       // truly out-of-scope: a LEFT OUTER interval join (the rewrite is
       // inner-only — outer semantics would need null-extension across
       // replicated buckets) must be left untouched
@@ -1269,13 +1295,18 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() > 0)
     // when the layout has multiple buckets, the 2-D corner box
     // [20,160]×[2,8] must prune SOME of them (min/max boxes miss it)
-    val layout = Tables.memoTempDir("zord", sf) { _ =>
+    val base = Tables.memoTempDir("zord", sf) { _ =>
       fail("layout must already be memoized by the query above")
     }
-    val total = spark.read.parquet(layout)
-      .select("zbucket").distinct().count()
+    val total = spark.read.parquet(s"$base/stats").count()
     if (total > 1) {
-      val probed = "\\d+".r.findAllIn(pf.findFirstIn(plan).get).length
+      // count only the literals INSIDE the IN(...) list — the plan text
+      // also prints attribute exprIds (zbucket#1234), which a bare digit
+      // count would include
+      val inList = "IN \\(([^)]*)\\)".r
+        .findFirstMatchIn(pf.findFirstIn(plan).get).map(_.group(1))
+      val probed = inList.map(_.split(",").count(_.trim.nonEmpty))
+        .getOrElse(1) // single-bucket probe prints as an equality
       assert(probed < total,
         s"probe did not skip any of the $total buckets:\n$plan")
     }

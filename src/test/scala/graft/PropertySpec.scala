@@ -290,8 +290,9 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       s"sharded fp rate ${fp.toDouble / probes} above 3%")
   }
 
-  test("pipe_curriculum's closed-form NTILE equals the spec definition " +
-       "for every (n, k, rank) in a generated sweep") {
+  test("pipe_curriculum's closed-form NTILE (the PRODUCTION expression " +
+       "string) equals the spec definition for every (n, k, rank) in a " +
+       "generated sweep") {
     // the spec: NTILE(k) over n rows gives the first (n mod k) buckets
     // ceil(n/k) rows and the rest floor(n/k); bucket of rank r is the
     // smallest b whose cumulative size reaches r
@@ -301,9 +302,6 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       while ({ cum += (if (b <= big) bigSz else smallSz); cum < r }) b += 1
       b
     }
-    def closedForm(n: Long, k: Long, r: Long): Long =
-      if (r <= (n % k) * (n / k + 1)) (r - 1) / (n / k + 1) + 1
-      else n % k + (r - 1 - (n % k) * (n / k + 1)) / (n / k) + 1
     val gen = for {
       n <- Gen.choose(1L, 400L)
       k <- Gen.choose(1L, 9L)
@@ -312,10 +310,19 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     // deterministic exhaustive corner sweep + random interior
     val corners = for (n <- 1L to 25L; k <- 1L to 6L; r <- 1L to n)
       yield (n, k, r)
-    val randoms = Gen.listOfN(500, gen).sample.getOrElse(Nil)
-    (corners ++ randoms).foreach { case (n, k, r) =>
-      assert(closedForm(n, k, r) == reference(n, k, r),
-        s"NTILE mismatch at n=$n k=$k r=$r")
+    val cases = (corners ++ Gen.listOfN(500, gen).sample.getOrElse(Nil))
+    // evaluate the SAME expression string pipe_curriculum ships
+    // (TextQueries.ntileSql), batched per k into single Spark jobs
+    cases.groupBy(_._2).foreach { case (k, rows) =>
+      val got = rows.map { case (n, _, r) => (n, r) }
+        .toDF("n", "rnk")
+        .withColumn("phase", expr(TextQueries.ntileSql(k.toInt)))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      rows.foreach { case (n, _, r) =>
+        assert(got((n, r)) == reference(n, k, r),
+          s"NTILE mismatch at n=$n k=$k r=$r")
+      }
     }
   }
 
