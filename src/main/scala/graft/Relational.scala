@@ -882,17 +882,39 @@ object Relational {
     * stay exact below ~1e38 — micro-values ×  row counts to ~1e12 rows;
     * beyond that the production form drops to DOUBLE Welford (the test
     * is a 3σ heuristic; the decimal path is what makes it ORACLE-exact
-    * at fixture scale). */
+    * at fixture scale). The bound is ENFORCED, not assumed: the stats
+    * table asserts every cross-product the flag reads (n·q, s², and the
+    * 4·n²·vmax² bound on any row's dev²) is representable — with ANSI
+    * off a decimal(38,0) overflow is a silent NULL that would silently
+    * DROP outliers, so a scale-up past ~1e38 fails loudly here instead. */
   val qEventsAnomaly = Q("q_events_anomaly",
     (s, dir) => {
       val em = Tables.load(s, dir, "events")
         .select(col("event_id"), col("event_type"),
           floor(col("value") * 1e6 + lit(0.5)).cast("decimal(38,0)")
             .as("vm"))
+      // |dev| = |vm·n − s| ≤ 2·n·vmax, so dev² ≤ 4·n²·vmax²: if that
+      // bound and the variance cross-products are non-null (no decimal
+      // overflow), every per-row flag below is exact. Null inputs
+      // (all-null value column) are "no data", not overflow — skipped.
+      def noOverflow(in: org.apache.spark.sql.Column,
+                     product: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column =
+        in.isNull || product.isNotNull
       val st = em.groupBy("event_type").agg(
-        count(lit(1)).cast("decimal(38,0)").as("n"),
-        sum("vm").as("s"),
-        sum(col("vm") * col("vm")).as("q"))
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum("vm").as("s"),
+          sum(col("vm") * col("vm")).as("q"),
+          max(abs(col("vm"))).as("vmax"))
+        .filter(coalesce(assert_true(
+          noOverflow(col("q"), col("n") * col("q")) &&
+            noOverflow(col("s"), col("s") * col("s")) &&
+            noOverflow(col("vmax"), lit(4) * col("n") * col("n") *
+              col("vmax") * col("vmax")),
+          lit("q_events_anomaly: decimal(38,0) moment cross-products " +
+            "overflow ~1e38 — switch to the double Welford form")),
+          lit(true)))
+        .drop("vmax")
       val dev = col("vm") * col("n") - col("s")
       val outliers = em.join(st, "event_type")
         .filter(dev * dev > lit(9) * (col("n") * col("q") -

@@ -53,6 +53,36 @@ object Tables {
   private val memoCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), java.util.concurrent.FutureTask[String]]()
 
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  /** One-shot startup sweep of ORPHANED layout dirs: the shutdown hook
+    * below is in-process only, so a SIGKILLed JVM leaves its pid-keyed
+    * `graft_<prefix>_<hash>_<pid>` dirs behind in /tmp. Any such dir
+    * whose pid is no longer alive is dead by construction (the pid key
+    * exists precisely so only its owner touches it) and is removed the
+    * next time any process memoizes. A recycled pid makes the liveness
+    * probe a false "alive" — the safe direction (dir merely survives
+    * until a later sweep). */
+  private lazy val sweepOrphans: Unit = {
+    val self = ProcessHandle.current().pid()
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val name = f.getName
+      if (f.isDirectory && name.startsWith("graft_")) {
+        val pidStr = name.substring(name.lastIndexOf('_') + 1)
+        val alive = pidStr.toLongOption.exists { p =>
+          p == self || {
+            val h = ProcessHandle.of(p)
+            h.isPresent && h.get().isAlive
+          }
+        }
+        if (!alive) rmTree(f)
+      }
+    }
+  }
+
   /** Memoized per-fixture/per-pid temp materialization (the derived-
     * layout discipline shared by the IVF-index and tenant-layout
     * queries): `build` runs ONCE per (prefix, fixture dir) per JVM into a
@@ -60,10 +90,14 @@ object Tables {
     * collide across paths) + the JVM's pid (two concurrent processes on
     * one fixture must not overwrite each other's live layout); the dir is
     * removed on JVM exit so per-pid dirs don't accumulate across runs.
-    * Contents must be deterministic — the memo is gate-safe only because
-    * rebuilding would produce identical bytes. */
+    * The exit hook registers BEFORE the build runs, so a failed or
+    * interrupted build's partial dir is still cleaned; dirs orphaned by
+    * SIGKILL are reaped by [[sweepOrphans]] on the next process's first
+    * memoization. Contents must be deterministic — the memo is gate-safe
+    * only because rebuilding would produce identical bytes. */
   def memoTempDir(prefix: String, dir: String)(build: String => Unit)
       : String = {
+    sweepOrphans
     val task = new java.util.concurrent.FutureTask[String](() => {
       val pathHash = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(8)
@@ -71,13 +105,10 @@ object Tables {
       val target = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_${prefix}_${pathHash}_${ProcessHandle.current().pid()}")
         .toString
-      build(target)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(target))
+        rmTree(new java.io.File(target))
       }))
+      build(target)
       target
     })
     val winner =

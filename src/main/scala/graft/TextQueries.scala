@@ -1139,8 +1139,8 @@ object TextQueries {
         .withColumn("graft_toks", TextAnalysis.tokens(col("text")))
         .withColumn("mask", expr("""
           transform(graft_toks, (t, i) ->
-            conv(substring(md5(concat(doc_id, '|', i)), 1, 8), 16, 10)
-              % 20 < 3)"""))
+            CAST(conv(substring(md5(concat(doc_id, '|', i)), 1, 8), 16, 10)
+              AS BIGINT) % 20 < 3)"""))
         .select(col("doc_id"),
           size(col("graft_toks")).cast("long").as("n_tokens"),
           expr("""CAST(aggregate(mask, 0, (a, m) ->

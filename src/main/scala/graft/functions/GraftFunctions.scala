@@ -93,12 +93,20 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the full engine surface — SQL
+  * functions AND the optimizer rule — so a production session configured
+  * only with `spark.sql.extensions=graft.functions.GraftExtensions` gets
+  * both (a functions-only injection would leave value-vs-interval theta
+  * joins planning as nested loops). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, ""),
         builder))
     }
+    // runs in the fixed-point operator-optimization batch; the rule is
+    // idempotent there by construction (see RangeJoinRule scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+  }
 }

@@ -74,7 +74,9 @@ object AsOf {
 
   /** FORWARD: min quote `tsCol` STRICTLY AFTER the probe row's `tsCol`
     * (same key; null when none follows) — the complement direction
-    * (ClickHouse ASOF `>` / pandas merge_asof direction='forward'):
+    * (ClickHouse ASOF `>` / pandas merge_asof(direction='forward',
+    * allow_exact_matches=False) — pandas' DEFAULT allow_exact_matches=True
+    * matches on >=, which this deliberately does not):
     * "the next event after this one", the lookup an attribution window
     * or a sensor-alignment backfill reads. Quotes keep side 0 so a
     * same-ts quote sorts BEFORE the probe and falls outside the

@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * existing collection).
   *
   * Shape at 100 TB: the filter is built with ONE distributed pass over the
-  * corpus (map-side-combined distinct of k bit positions — at most m
-  * distinct rows cross the shuffle, bounded by the filter size, never by
-  * the corpus), collected to a driver bitmap of m bits (m/8 bytes — 8 KiB
+  * corpus (k bit positions per key fold map-side into bitmap WORDS via
+  * `bit_or` — at most m/64 rows cross the shuffle, bounded by the filter
+  * size, never by the corpus), collected to a driver bitmap of m bits (m/8 bytes — 8 KiB
   * here; a production m of 2³⁵ for 10¹⁰ keys is 4 GiB, sharded across
   * several filters), and shipped to executors as a PLAN LITERAL. The
   * membership probe is then a narrow in-row expression — no join, no
@@ -42,21 +42,35 @@ object Bloom {
   def positions(h: Column, k: Int, m: Int): Seq[Column] =
     (0 until k).map(j => position(h, j, m))
 
-  /** Build the m-bit filter from a corpus: one distributed
-    * distinct-positions pass (≤ m rows reach the driver), then set bits
-    * into an Array[Long] bitmap. */
+  /** Distributed fold of a position column to finished bitmap WORDS:
+    * positions group by their word index (p DIV 64) and `bit_or` the
+    * per-position masks — `bit_or` is an algebraic aggregate, so the
+    * OR folds map-side and at most m/64 (word, bits) rows cross the
+    * shuffle and reach the driver, 64× less traffic than collecting
+    * distinct positions at the documented 2^26–2^35 production sizes
+    * (and no distinct pass: OR is idempotent). */
+  private def foldToWords(positions: DataFrame,
+                          groupCols: Column*): DataFrame =
+    positions
+      .filter(col("p").isNotNull)
+      .groupBy(groupCols :+
+        call_function("shiftright", col("p"), lit(6)).cast("int")
+          .as("w"): _*)
+      .agg(call_function("bit_or",
+        call_function("shiftleft", lit(1L), (col("p") % 64L).cast("int")))
+        .as("bits"))
+
+  /** Build the m-bit filter from a corpus: one distributed pass folding
+    * the k positions per key into bitmap words ([[foldToWords]] — ≤ m/64
+    * rows reach the driver). */
   def build(corpus: DataFrame, h: Column, k: Int, m: Int): Array[Long] = {
     val words = new Array[Long]((m + 63) / 64)
     // a null hash (e.g. md5 of a null column) contributes no positions —
     // the probe side treats null as not-contained, so the two agree
-    corpus.select(explode(array(positions(h, k, m): _*)).as("p"))
-      .filter(col("p").isNotNull)
-      .distinct()
+    foldToWords(
+      corpus.select(explode(array(positions(h, k, m): _*)).as("p")))
       .collect()
-      .foreach { r =>
-        val p = r.getLong(0).toInt
-        words(p / 64) |= 1L << (p % 64)
-      }
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
     words
   }
 
@@ -80,7 +94,7 @@ object Bloom {
   /** SHARDED filter — the scale path past [[sizeFromEstimate]]'s 2^26-bit
     * single-bitmap bound: keys hash-route to `shards` independent filters
     * (shard = h % shards), each an ordinary m-bit bitmap. Build stays ONE
-    * distributed distinct pass (≤ shards·m rows to the driver); the probe
+    * distributed word-fold pass (≤ shards·m/64 rows to the driver); the probe
     * stays a narrow in-row expression — the shard index just selects the
     * word table from a two-level plan literal. A 10¹⁰-key corpus at
     * 16 bits/key is 512 shards of 2^25 bits (yes, the plan literal is
@@ -112,17 +126,14 @@ object Bloom {
       s"$shards shards × $m bits exceeds the 2^30-bit sharded-literal " +
         "bound — ship the shard tables as a broadcast variable instead")
     val bitmaps = Array.fill(shards)(new Array[Long]((m + 63) / 64))
-    corpus
-      .select(shardOf(h, shards).as("s"),
-        explode(array(positions(h, k, m): _*)).as("p"))
-      .filter(col("s").isNotNull && col("p").isNotNull)
-      .distinct()
+    foldToWords(
+      corpus
+        .select(shardOf(h, shards).as("s"),
+          explode(array(positions(h, k, m): _*)).as("p"))
+        .filter(col("s").isNotNull),
+      col("s"))
       .collect()
-      .foreach { r =>
-        val s = r.getLong(0).toInt
-        val p = r.getLong(1).toInt
-        bitmaps(s)(p / 64) |= 1L << (p % 64)
-      }
+      .foreach(r => bitmaps(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2))
     bitmaps
   }
 

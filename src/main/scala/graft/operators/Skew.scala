@@ -37,6 +37,16 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                  dimKey: String, rowId: String,
                  buckets: Int = 16): DataFrame = {
+    // a pre-existing __salt would be silently overwritten (fact) or
+    // duplicated into the join key (dim); a non-key dim column already
+    // named factKey would collide with the renamed key — both change the
+    // join's result obscurely, so fail fast instead
+    require(!fact.columns.contains("__salt"),
+      "saltedJoin: fact input already has a __salt column")
+    require(!dim.columns.contains("__salt"),
+      "saltedJoin: dim input already has a __salt column")
+    require(dimKey == factKey || !dim.columns.contains(factKey),
+      s"saltedJoin: dim column '$factKey' collides with the renamed key")
     val salted = fact.withColumn("__salt", salt(col(rowId), buckets))
     val repl = dim.withColumnRenamed(dimKey, factKey)
       .withColumn("__salt",
@@ -50,6 +60,8 @@ object Skew {
     * decimal sums keep it exact). */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
                      rowId: String, buckets: Int = 16): DataFrame = {
+    require(!df.columns.contains("__salt"),
+      "saltedSumCount: input already has a __salt column")
     val partial = df
       .withColumn("__salt", salt(col(rowId), buckets))
       .groupBy((keys :+ "__salt").map(col): _*)

@@ -46,8 +46,18 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType}
   * inverted/unbounded interval rows).
   *
   * Activate per-session via `spark.experimental.extraOptimizations`
-  * (the public hook for exactly this) or bundle into an injected
-  * extension.
+  * (the public hook for exactly this) or cluster-wide via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`, which
+  * injects this rule alongside the SQL functions. The injected form
+  * runs inside the fixed-point operator-optimization batch NEXT TO
+  * BooleanSimplification, so the already-rewritten marker cannot be a
+  * boolean no-op (a `true AND` conjunct would be simplified away and
+  * the rest branch re-matched forever): the rest branch instead emits
+  * its condition with the conjuncts SWAPPED (`upper AND lower`) —
+  * semantically identical, stable under every built-in rule (Catalyst
+  * canonicalizes conjunct order only for semantic comparison, never by
+  * rewriting the plan), and outside this matcher's `lower AND upper`
+  * scope by construction.
   */
 object RangeJoinRule extends Rule[LogicalPlan] {
 
@@ -134,14 +144,17 @@ object RangeJoinRule extends Rule[LogicalPlan] {
           // the remainder (inverted / unbounded / too-wide intervals)
           // keeps the original theta join — returning Join(j children)
           // unchanged would re-match this rule, so guard the interval
-          // side with the negated bucketable predicate FIRST and mark
-          // the condition with a no-op conjunct the matcher rejects
+          // side with the negated bucketable predicate FIRST and emit
+          // the condition with SWAPPED conjuncts (upper AND lower): the
+          // matcher only fires on lower-first, and no built-in rule
+          // reorders conjuncts (see scaladoc), so the rewrite is
+          // idempotent even inside a fixed-point batch
           val rest = Filter(Not(Coalesce(Seq(bucketable,
             Literal(false, BooleanType)))), ivSide)
           val (rl, rr) = if (vLeft) (pointSide, rest) else (rest, pointSide)
           val restJoin = Project(j.output,
             Join(rl, rr, Inner,
-              Some(And(Literal(true, BooleanType), cond)), hint))
+              Some(And(upper, GreaterThanOrEqual(v1, lo))), hint))
           Some(Union(Seq(bucketJoin, restJoin)))
         case _ => None
       }

@@ -14,6 +14,14 @@ object SparkTestSession {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the production cluster-wide wiring: functions + optimizer rule
+      // injected by class name, so EVERY suite runs with the injected
+      // RangeJoinRule active (a soak test of its tight scope) and
+      // ExtensionsSpec can assert the real classloading path on a
+      // fresh session (the extension list is read from the
+      // SparkContext's conf, so it must be set when the context is
+      // CREATED — a builder option on a later session is ignored)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -986,6 +986,22 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       .filter(p => ((bitmap(p / 64) >> (p % 64)) & 1L) == 1L)
       .map(_.toLong).toSet
     assert(got == want, "bitmap bits != model position set")
+    // sharded build: every shard's word-folded bitmap equals the model
+    // position set of exactly the keys routing to that shard
+    val shards = 4
+    val sharded = Bloom.buildSharded(d, h, k, m, shards)
+    def modelShard(hv: Long): Int =
+      (((7919L * (hv % Bloom.Mod) + 104729L) % Bloom.Mod) % shards).toInt
+    val byShard = d.select(h.as("h")).collect().map(_.getLong(0))
+      .groupBy(modelShard)
+    (0 until shards).foreach { s =>
+      val gotS = (0 until m)
+        .filter(p => ((sharded(s)(p / 64) >> (p % 64)) & 1L) == 1L)
+        .map(_.toLong).toSet
+      val wantS = byShard.getOrElse(s, Array.empty[Long])
+        .flatMap(modelPos).toSet
+      assert(gotS == wantS, s"shard $s bitmap != model position set")
+    }
   }
 
   test("z-order buckets bound BOTH dimensions simultaneously") {
@@ -1231,7 +1247,7 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRule)
     try {
       def check(df: org.apache.spark.sql.DataFrame,
-                expect: Set[(Long, Long)]): Unit = {
+                expect: Set[(Long, Long)], expectRest: Boolean): Unit = {
         val opt = df.queryExecution.optimizedPlan.toString
         assert(opt.contains("__rj_pb"), s"rule did not fire:\n$opt")
         val plan = df.queryExecution.executedPlan.toString
@@ -1239,11 +1255,19 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
         assert(plan.contains("__rj_pb") && plan.contains("__rj_ib") &&
                (plan.contains("HashJoin") || plan.contains("SortMergeJoin")),
           s"no bucketed equi-join in the plan:\n$plan")
-        // …and the rest branch's nested loop only ever SEES intervals
-        // that failed the bucketable guard (the structural branch exists
-        // even when it is empty at runtime)
-        assert(plan.contains("NOT coalesce"),
-          s"rest branch not guarded by the negated bucketable filter:\n$plan")
+        // …and the rest branch only ever SEES intervals that failed the
+        // bucketable guard. Over these literal inputs the optimizer
+        // constant-folds the guard (the rule now runs in the MAIN batch,
+        // via the injected GraftExtensions on the shared session, before
+        // local-relation folding): all-bucketable intervals prune the
+        // rest branch — and its nested loop — out of the plan entirely;
+        // hostile rows keep it, folded to just the guard-failing rows
+        if (expectRest)
+          assert(plan.contains("NestedLoop"),
+            s"guarded rest branch missing with hostile intervals:\n$plan")
+        else
+          assert(!plan.contains("NestedLoop"),
+            s"empty rest branch not pruned — nested loop survived:\n$plan")
         val got = df.select("pid", "qid").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         assert(got == expect,
@@ -1252,15 +1276,15 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       }
       check(points.join(ivsClean,
         points("v") >= ivsClean("lo") && points("v") < ivsClean("hi")),
-        expectedClean)
+        expectedClean, expectRest = false)
       check(ivsClean.join(points,
         points("v") >= ivsClean("lo") && points("v") < ivsClean("hi")),
-        expectedClean)
+        expectedClean, expectRest = false)
       // hostile rows: inverted must NOT crash, unbounded/too-wide/NaN
       // take the guarded theta branch — row-identical to the plain join
       check(points.join(ivs,
         points("v") >= ivs("lo") && points("v") < ivs("hi")),
-        expected)
+        expected, expectRest = true)
       // an extra conjunct: predicate pushdown legitimately strips it
       // below the join, reducing the condition INTO the rule's scope —
       // assert the rows, not the plan
