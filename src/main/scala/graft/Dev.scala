@@ -88,6 +88,71 @@ object Dev {
           val sizes = cc.groupBy("lbl").agg(count(lit(1)).as("csize"))
           t("sizes-join")(cc.join(sizes, "lbl").count())
         }
+      case "graphquality" :: dir :: Nil =>
+        // build quality: per-node overlap of graph neighbors vs exact
+        // top-M, averaged over a 100-node sample
+        import org.apache.spark.sql.functions._
+        val emb = Tables.load(spark, dir, "embeddings").persist()
+        val adj = spark.read.parquet(GraphAnnQueries.graphIndexDir(spark, dir))
+        val sample = emb.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val m = adj.groupBy("src").count().agg(max("count")).head().getLong(0).toInt
+        val exactNbr = emb.crossJoin(broadcast(sample))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("__s", graft.functions.VectorOps.cosine(
+            col("embedding"), col("qv")))
+          .groupBy("qid")
+          .agg(graft.plans.TopKByScore.topK(col("__s"), col("vec_id"), m)
+            .as("__tk"))
+          .select(col("qid"), explode(col("__tk.id")).as("nbr"))
+        val hits = exactNbr.join(adj.select(col("src").as("qid"),
+            col("dst").as("nbr")), Seq("qid", "nbr"))
+          .groupBy("qid").count()
+        val stats = hits.agg(avg("count"), min("count")).head()
+        println(f"graph quality: avg exact-neighbor overlap " +
+          f"${stats.getDouble(0)}%.2f / $m, min ${stats.getLong(1)}")
+      case "graphrecall" :: dir :: Nil =>
+        // recall@10 + candidate budget: beam search vs IVF, per query id
+        import org.apache.spark.sql.functions._
+        val emb = Tables.load(spark, dir, "embeddings").persist()
+        val adj = spark.read.parquet(GraphAnnQueries.graphIndexDir(spark, dir))
+          .persist()
+        val cents = AnnQueries.trainedCentroids(spark, dir, 8, 2)
+        val assigned = emb.join(graft.operators.Ann.argminAssign(
+          emb, "vec_id", "embedding", cents, "cid", "cv"), "vec_id").persist()
+        val nVec = emb.count()
+        Seq(0L, 101L, 202L, 303L, 404L, 777L, 1234L)
+          .filter(_ < nVec).foreach { qid =>
+          val q = emb.filter(col("vec_id") === qid)
+            .select(col("embedding").cast("array<double>"))
+            .head().getSeq[Double](0)
+          val exact = graft.operators.Knn.knn(emb, "embedding", q, 10)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          val sweep = Seq((10, 5), (20, 8), (40, 10)).map { case (b, r) =>
+            val (g, c) = graft.operators.GraphAnn.beamSearchProbe(
+              emb, "vec_id", "embedding", adj, q, b, r, 10)
+            val h = g.select("id").collect().map(_.getLong(0)).toSet
+            f"b=$b r=$r: ${(h & exact).size}/10 ($c)"
+          }
+          val (g, gCands) = graft.operators.GraphAnn.beamSearchProbe(
+            emb, "vec_id", "embedding", adj, q, 10, 5, 10)
+          val gHits = g.select("id").collect().map(_.getLong(0)).toSet
+          println(s"  sweep qid=$qid  " + sweep.mkString("  "))
+          val ivfRes = Seq(1, 2).map { np =>
+            val probes = graft.operators.Ann.probeClusters(
+              cents, "cid", "cv", q, np).collect().map(_.getLong(0))
+            val cand = assigned.filter(col("cluster").isin(probes: _*))
+            val n = cand.count()
+            val hits = cand.withColumn("score", graft.functions.VectorOps
+                .cosine(col("embedding"), typedLit(q)))
+              .orderBy(desc("score"), col("vec_id")).limit(10)
+              .select("vec_id").collect().map(_.getLong(0)).toSet
+            (np, (hits & exact).size, n)
+          }
+          println(f"qid=$qid%5d graph: ${(gHits & exact).size}/10 " +
+            f"($gCands cands)  " + ivfRes.map { case (np, r, n) =>
+              f"ivf np=$np: $r/10 ($n cands)" }.mkString("  "))
+        }
       case other => sys.error(s"unknown args: $other")
     }
     spark.stop()

@@ -22,6 +22,7 @@ object Queries {
     DedupQueries.queries ++
     TextQueries.queries ++
     AnnQueries.queries ++
+    GraphAnnQueries.queries ++
     MultimodalQueries.queries ++
     StreamingQueries.queries ++
     RecommendQueries.queries ++

@@ -182,17 +182,34 @@ object Collections {
       Some((gen, entries))
     }
 
+  /** The last STREAMING batch id the manifest committed, or -1: the
+    * exactly-once fence for foreachBatch replays (Structured Streaming
+    * re-delivers a batchId after a failure between the sink write and
+    * the checkpoint commit; recording the id IN the manifest makes
+    * "applied" and "visible" the same atomic event). */
+  def lastAppliedBatch(dir: String): Long =
+    if (!Files.exists(manifestPath(dir))) -1L
+    else """"batch":\s*(-?\d+)""".r
+      .findFirstMatchIn(new String(Files.readAllBytes(manifestPath(dir)),
+        StandardCharsets.UTF_8))
+      .map(_.group(1).toLong).getOrElse(-1L)
+
   /** The commit point: stage the manifest beside its target, then one
     * atomic swap. On an object store this becomes a single conditional
     * PUT of `_manifest.json` — no other step of a write mutates a path a
-    * reader can hold. */
+    * reader can hold. `batch` (when ≥ 0) records the streaming batch id
+    * this commit applied; batch-agnostic writes pass the carried-forward
+    * value so a compaction never un-fences a replay. */
   private def writeManifest(dir: String, gen: Int,
-                            buckets: Map[Int, String]): Unit = {
+                            buckets: Map[Int, String],
+                            batch: Long = -1L): Unit = {
     val body = buckets.toSeq.sortBy(_._1)
       .map { case (k, p) => s""""$k": "$p"""" }.mkString("{", ", ", "}")
+    val batchField = if (batch >= 0) s""", "batch": $batch""" else ""
     val tmp = manifestTmp(dir)
     Files.write(tmp,
-      s"""{"gen": $gen, "buckets": $body}""".getBytes(StandardCharsets.UTF_8))
+      s"""{"gen": $gen$batchField, "buckets": $body}"""
+        .getBytes(StandardCharsets.UTF_8))
     try Files.move(tmp, manifestPath(dir),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
@@ -217,7 +234,12 @@ object Collections {
     * [[writeManifest]] is invisible to readers. */
   private def publishGeneration(dir: String, gen: Int,
                                 view: Map[Int, String], touched: Set[Int],
-                                rows: DataFrame): Unit = {
+                                rows: DataFrame,
+                                batch: Long = -1L): Unit = {
+    // batch-agnostic writes (compact, mutation verbs, plain upserts)
+    // carry the recorded streaming fence forward — dropping it would let
+    // a later replay of an already-applied batch double-apply
+    val effBatch = if (batch >= 0) batch else lastAppliedBatch(dir)
     val genName = f"g${gen + 1}%05d"
     val genDir = Paths.get(dir, "data", genName)
     rows.write.mode("overwrite").partitionBy(BucketCol)
@@ -239,7 +261,8 @@ object Collections {
     val written = listBuckets(genDir).keySet
       .map(_.stripPrefix(s"$BucketCol=").toInt)
     writeManifest(dir, gen + 1,
-      (view -- touched) ++ written.map(k => k -> s"$genName/$BucketCol=$k"))
+      (view -- touched) ++ written.map(k => k -> s"$genName/$BucketCol=$k"),
+      effBatch)
   }
 
   /** WRITER-side recovery = garbage collection (manifest layout) or
@@ -309,6 +332,28 @@ object Collections {
     * commit is the manifest swap (object doc) — atomic across buckets. */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame,
              idCol: String, seqCol: String): Unit = {
+    upsertImpl(spark, dir, batch, idCol, seqCol, batchId = -1L); ()
+  }
+
+  /** EXACTLY-ONCE streaming upsert: foreachBatch can re-deliver a
+    * batchId after a failure between the sink write and the checkpoint
+    * commit; this form records the applied batchId in the same atomic
+    * manifest swap that publishes the rows, and NO-OPS any batch whose
+    * id is ≤ the recorded fence (batchIds are monotone per query).
+    * Returns true when the batch was applied, false on a replay skip.
+    * The keep-last upsert is idempotent anyway — the fence upgrades
+    * "replay is harmless" to "replay does not even write a generation"
+    * (no wasted rewrite, no manifest churn, byte-stable layout). */
+  def upsertBatch(spark: SparkSession, dir: String, batch: DataFrame,
+                  idCol: String, seqCol: String, batchId: Long): Boolean = {
+    require(batchId >= 0, s"streaming batchId must be >= 0, got $batchId")
+    if (batchId <= lastAppliedBatch(dir)) false
+    else upsertImpl(spark, dir, batch, idCol, seqCol, batchId)
+  }
+
+  private def upsertImpl(spark: SparkSession, dir: String, batch: DataFrame,
+                         idCol: String, seqCol: String,
+                         batchId: Long): Boolean = {
     recoverForWrite(dir)
     val buckets = numBuckets(dir)
     val dataDir = Paths.get(s"$dir/data")
@@ -327,7 +372,13 @@ object Collections {
         .unionByName(bucketed)
     val touched = withLegacy.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) return
+    if (touched.isEmpty) {
+      // an EMPTY batch still advances the fence (its delivery must not
+      // be replayable as "never applied"): commit a manifest that only
+      // bumps gen + batch, no data movement
+      if (batchId >= 0) writeManifest(dir, gen + 1, view, batchId)
+      return batchId >= 0
+    }
     // files do not store the bucket column (it is the directory name);
     // recompute it on read — same hash, same pinned bucket count
     val existingDirs = touched.toSeq.sorted.flatMap(view.get)
@@ -339,7 +390,8 @@ object Collections {
         .withColumn(BucketCol, bucketOf(idCol, buckets))
         .unionByName(withLegacy)
     val compacted = graft.operators.Ingest.upsert(merged, idCol, seqCol)
-    publishGeneration(dir, gen, view, touched, compacted)
+    publishGeneration(dir, gen, view, touched, compacted, batchId)
+    true
   }
 
   /** COMPACTION — the lakehouse OPTIMIZE maintenance verb: rewrite every
@@ -786,6 +838,13 @@ object Collections {
     override def write(points: DataFrame): Unit = {
       val (ok, _) = validate(points, vecCol, cfg)
       upsert(spark, dir, ok, idCol, seqCol)
+    }
+    /** Exactly-once streaming form: [[Collections.upsertBatch]] with the
+      * foreachBatch batchId — a replayed batch is skipped, not
+      * re-applied. Returns whether the batch was applied. */
+    def writeBatch(points: DataFrame, batchId: Long): Boolean = {
+      val (ok, _) = validate(points, vecCol, cfg)
+      upsertBatch(spark, dir, ok, idCol, seqCol, batchId)
     }
   }
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Ann, GraphAnn, Knn}
+
+/** Graph-ANN (NN-descent build + beam-search serving) — structural
+  * invariants, determinism of the materialized layout, the serving-read
+  * plan shape, and the recall/budget contract vs IVF. */
+class GraphAnnSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val planes = Ann.hyperplanes(24, 64)
+
+  test("adjacency invariants at sf0.001: no self-edges, bounded degree, " +
+       "rank order matches (score DESC, dst ASC), scores are true cosines") {
+    val adj = spark.read.parquet(GraphAnnQueries.graphIndexDir(spark, sf))
+    assert(adj.filter(col("src") === col("dst")).count() == 0)
+    assert(adj.groupBy("src").count().agg(max("count")).head().getLong(0) <= 12)
+    // rnk is dense 1..deg and ordered by (score DESC, dst ASC)
+    val bad = adj.withColumn("__expect",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("src")
+          .orderBy(desc("score_micro"), col("dst"))))
+      .filter(col("rnk") =!= col("__expect"))
+    assert(bad.count() == 0)
+    // stored score == recomputed micro cosine on every edge
+    val emb = Tables.load(spark, sf, "embeddings")
+    val wrong = adj
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("__a")),
+        "src")
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("__b")),
+        "dst")
+      .filter(col("score_micro") =!=
+        floor(graft.functions.VectorOps.cosine(col("__a"), col("__b")) * 1e6
+          + lit(0.5)).cast("long"))
+    assert(wrong.count() == 0)
+  }
+
+  test("build is deterministic: a fresh in-memory build equals the " +
+       "materialized index row for row") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val fresh = GraphAnn.buildGraph(emb, "vec_id", "embedding", planes,
+      bands = 4, planesPerBand = 6, w = 8, m = 12, rounds = 6)
+    val stored = spark.read.parquet(GraphAnnQueries.graphIndexDir(spark, sf))
+    assert(fresh.exceptAll(stored).count() == 0 &&
+           stored.exceptAll(fresh).count() == 0)
+  }
+
+  test("serving read: a beam frontier probe reaches the adjacency scan " +
+       "as PushedFilters on src") {
+    val idx = GraphAnnQueries.graphIndexDir(spark, sf)
+    val probe = spark.read.parquet(idx)
+      .filter(col("src").isin(0L, 7L, 42L))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(src"),
+      s"frontier probe not pushed to the adjacency scan:\n$plan")
+  }
+
+  test("recall@10 at sf0.1: beam search beats IVF nprobe=2 on average " +
+       "while examining FEWER candidates per query") {
+    val dir = "/root/testdata/sf0.1"
+    val emb = Tables.load(spark, dir, "embeddings").persist()
+    try {
+      val adj = spark.read.parquet(GraphAnnQueries.graphIndexDir(spark, dir))
+      val cents = AnnQueries.trainedCentroids(spark, dir, 8, 2)
+      val assigned = emb.join(Ann.argminAssign(emb, "vec_id", "embedding",
+        cents, "cid", "cv"), "vec_id").persist()
+      try {
+        val qids = Seq(0L, 101L, 202L, 303L, 404L, 777L, 1234L)
+        val per = qids.map { qid =>
+          val q = emb.filter(col("vec_id") === qid)
+            .select(col("embedding").cast("array<double>"))
+            .head().getSeq[Double](0)
+          val exact = Knn.knn(emb, "embedding", q, 10)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          val (g, gCands) = GraphAnn.beamSearchProbe(emb, "vec_id",
+            "embedding", adj, q, beam = 10, rounds = 5, k = 10)
+          val gRecall =
+            (g.select("id").collect().map(_.getLong(0)).toSet & exact).size
+          val probes = Ann.probeClusters(cents, "cid", "cv", q, 2)
+            .collect().map(_.getLong(0))
+          val cand = assigned.filter(col("cluster").isin(probes: _*))
+          val iCands = cand.count()
+          val iRecall = (cand.withColumn("score",
+              graft.functions.VectorOps.cosine(col("embedding"), typedLit(q)))
+            .orderBy(desc("score"), col("vec_id")).limit(10)
+            .select("vec_id").collect().map(_.getLong(0)).toSet & exact).size
+          // budget: the graph examines strictly fewer candidates
+          assert(gCands < iCands,
+            s"qid=$qid: graph examined $gCands >= IVF's $iCands")
+          (gRecall, iRecall)
+        }
+        val gAvg = per.map(_._1).sum / (10.0 * per.size)
+        val iAvg = per.map(_._2).sum / (10.0 * per.size)
+        info(f"recall@10 avg of ${qids.size} queries at sf0.1: " +
+          f"graph(beam=10,r=5) $gAvg%.2f vs IVF(np=2) $iAvg%.2f")
+        assert(gAvg > iAvg,
+          s"graph recall $gAvg did not beat IVF nprobe=2 recall $iAvg")
+        assert(gAvg >= 0.7, s"graph recall floor broken: $gAvg")
+      } finally { assigned.unpersist(); () }
+    } finally { emb.unpersist(); () }
+  }
+}

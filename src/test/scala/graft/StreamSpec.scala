@@ -426,6 +426,59 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("exactly-once batch fence: a replayed foreachBatch batchId is " +
+       "skipped — manifest generation, fence, and row set all unchanged; " +
+       "compaction carries the fence forward") {
+    import graft.sources.Collections
+    val tmp = Files.createTempDirectory("graft-fence")
+    val dir = tmp.resolve("coll").toString
+    import spark.implicits._
+    Collections.create(dir, Collections.VectorConfig(2))
+    def pts(rows: (String, Seq[Float], Long)*) =
+      rows.toSeq.toDF("id", "embedding", "__seq")
+
+    assert(Collections.lastAppliedBatch(dir) == -1L)
+    assert(Collections.upsertBatch(spark, dir,
+      pts(("a", Seq(1f, 0f), 0L), ("b", Seq(0f, 1f), 0L)),
+      "id", "__seq", batchId = 0L))
+    val gen1 = new String(Files.readAllBytes(tmp.resolve("coll/_manifest.json")))
+    assert(Collections.lastAppliedBatch(dir) == 0L)
+
+    // the failure-replay shape: same batchId re-delivered with DIFFERENT
+    // derived content (e.g. a nondeterministic enrichment) — the fence
+    // must skip it without writing anything
+    assert(!Collections.upsertBatch(spark, dir,
+      pts(("a", Seq(9f, 9f), 1L), ("c", Seq(1f, 1f), 1L)),
+      "id", "__seq", batchId = 0L))
+    val gen2 = new String(Files.readAllBytes(tmp.resolve("coll/_manifest.json")))
+    assert(gen1 == gen2, "replay must not touch the manifest")
+    val after = Collections.read(spark, dir)
+    assert(after.count() == 2 &&
+      after.filter(col("id") === "a")
+        .select(col("embedding")(0)).head().getFloat(0) == 1f)
+
+    // the NEXT batch applies; an older id stays fenced even after it
+    assert(Collections.upsertBatch(spark, dir,
+      pts(("c", Seq(1f, 1f), 2L)), "id", "__seq", batchId = 1L))
+    assert(Collections.lastAppliedBatch(dir) == 1L)
+    assert(!Collections.upsertBatch(spark, dir,
+      pts(("d", Seq(2f, 2f), 3L)), "id", "__seq", batchId = 0L))
+    assert(Collections.read(spark, dir).count() == 3)
+
+    // batch-agnostic maintenance must not un-fence: compact, then replay
+    Collections.compact(spark, dir, "id")
+    assert(Collections.lastAppliedBatch(dir) == 1L,
+      "compact dropped the batch fence")
+    assert(!Collections.upsertBatch(spark, dir,
+      pts(("e", Seq(3f, 3f), 4L)), "id", "__seq", batchId = 1L))
+    assert(Collections.read(spark, dir).count() == 3)
+
+    // an EMPTY applied batch still advances the fence
+    assert(Collections.upsertBatch(spark, dir,
+      pts().filter(lit(false)), "id", "__seq", batchId = 2L))
+    assert(Collections.lastAppliedBatch(dir) == 2L)
+  }
+
   test("stream-stream interval join (attribution) emits exactly the " +
        "batch twin's pairs") {
     val dir = Files.createTempDirectory("graft-ssjoin")
