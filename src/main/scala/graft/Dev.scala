@@ -105,9 +105,15 @@ object Dev {
           .agg(graft.plans.TopKByScore.topK(col("__s"), col("vec_id"), m)
             .as("__tk"))
           .select(col("qid"), explode(col("__tk.id")).as("nbr"))
-        val hits = exactNbr.join(adj.select(col("src").as("qid"),
-            col("dst").as("nbr")), Seq("qid", "nbr"))
-          .groupBy("qid").count()
+        // LEFT join from the sample so zero-overlap nodes count as 0 —
+        // an inner join would drop them from avg AND make min unable to
+        // report 0, the exact failure this diagnostic exists to catch
+        val hits = sample.select("qid").join(
+            exactNbr.join(adj.select(col("src").as("qid"),
+                col("dst").as("nbr")), Seq("qid", "nbr"))
+              .groupBy("qid").count(),
+            Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("count"), lit(0L)).as("count"))
         val stats = hits.agg(avg("count"), min("count")).head()
         println(f"graph quality: avg exact-neighbor overlap " +
           f"${stats.getDouble(0)}%.2f / $m, min ${stats.getLong(1)}")

@@ -49,11 +49,15 @@ object GraphAnnQueries {
                  AS BIGINT) AS sm
         FROM $cand c JOIN e a ON a.vec_id = c.src
                      JOIN e b ON b.vec_id = c.dst"""
+    // `sm IS NOT NULL` mirrors the Spark side's null-score exclusion
+    // (GraphAnn.scoreEdges drops unscorable edges BEFORE top-M): without
+    // it a fixture row with a null/invalid embedding would occupy rank
+    // slots here (DuckDB NULLS LAST) and silently diverge the gate
     def topMSelect(scored: String) = s"""
         SELECT src, dst, sm FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY src
                       ORDER BY sm DESC, dst) AS rk
-          FROM $scored) WHERE rk <= $M"""
+          FROM $scored WHERE sm IS NOT NULL) WHERE rk <= $M"""
     val init = s"""
       e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       $bandCtes,
@@ -105,18 +109,20 @@ object GraphAnnQueries {
              CAST(SUM(sm) AS BIGINT) AS score_sum
       FROM g$Rounds GROUP BY src ORDER BY src"""))
 
-  /** Graph SERVING gate: fixed-round beam search from the materialized
-    * adjacency (frontier probes = PushedFilters row-group pruning on
-    * `src`; OperatorSpec asserts the plan). The oracle unrolls the same
-    * $SRounds expansion rounds over the replayed graph. */
+  /** Graph SERVING gate: fixed-round beam search over the materialized
+    * index — persisted entry seeds (no per-query corpus pass), frontier
+    * probes as PushedFilters on the adjacency's `src`, candidate scoring
+    * as literal id probes into the collection (GraphAnnSpec asserts both
+    * plan shapes). The oracle unrolls the same $SRounds expansion rounds
+    * over the replayed graph. */
   val annGraphSearch = Q("ann_graph_search",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0)
-      GraphAnn.beamSearch(emb, "vec_id", "embedding",
-          s.read.parquet(graphIndexDir(s, dir)), q, Beam, SRounds, K)
+      GraphAnn.beamSearchIndexed(emb, "vec_id", "embedding",
+          graphIndexDir(s, dir), q, Beam, SRounds, K)
         .select(col("rnk"), col("id").as("vec_id"), col("score_micro"))
     },
     Some {

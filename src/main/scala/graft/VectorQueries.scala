@@ -188,6 +188,38 @@ object VectorQueries {
       LIMIT 10
     """))
 
+  /** Memoized payload-field index on `label` (sources/PayloadIndex —
+    * the Qdrant `create_payload_index` analog). */
+  private def payloadIdxDir(s: org.apache.spark.sql.SparkSession,
+                            dir: String): String =
+    Tables.memoTempDir("payloadidx", dir) { target =>
+      graft.sources.PayloadIndex.build(
+        Tables.load(s, dir, "embeddings"), "label", "vec_id", target)
+    }
+
+  /** V3 over a DECLARED payload field index: the same filtered kNN as
+    * `v_knn_filtered`, served from the (key value-bucket)-partitioned
+    * index layout — the equality predicate constant-folds to a literal
+    * `pbucket` partition filter, so pruning happens at FILE LISTING time
+    * (PartitionFilters-asserted in OperatorSpec), with the residual
+    * equality pushed to row groups. Oracle: the IDENTICAL SQL as the
+    * unindexed filter — materialization must not change a row. */
+  val vKnnPayloadIndexed = Q("v_knn_payload_indexed",
+    (s, dir) => {
+      val served = graft.sources.PayloadIndex.forValue(
+        s, payloadIdxDir(s, dir), 3)
+      Knn.knn(served, "embedding", queryVec(s, dir, 0), 10)
+        .select("vec_id", "label", "score")
+    },
+    Some(s"""
+      SELECT vec_id, label,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQ0), 6) AS score
+      FROM embeddings
+      WHERE label = 3
+      ORDER BY score DESC, vec_id
+      LIMIT 10
+    """))
+
   /** V3 via the Qdrant filter DSL: the JSON filter language the
     * reference's collections are queried with, translated to a Catalyst
     * predicate (operators/PayloadFilter) — must + match + range compose
@@ -1082,7 +1114,8 @@ object VectorQueries {
       ORDER BY rnk"""))
 
   def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnTenant, vKnnMulti, vKnnPage,
-    vKnnMultiAgg, vKnnBatch, vKnnFiltered, vKnnDsl, vKnnDslExcept,
+    vKnnMultiAgg, vKnnBatch, vKnnFiltered, vKnnPayloadIndexed, vKnnDsl,
+    vKnnDslExcept,
     vKnnDslNested, vKnnGeo,
     vL2, vManhattan, vDot, vFusion, vFusionPartial, vMaxsim, vHybridRrf,
     vHybridDbsf, vSqQuantize, vSqSearch, vBqSearch, vPrefetch, vMrlSearch,

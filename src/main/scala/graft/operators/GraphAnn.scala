@@ -79,7 +79,7 @@ object GraphAnn {
   /** Micro-quantized cosine for every (src, dst) pair — the scoring
     * shared by build rounds. Vectors arrive by two equi-joins on id (at
     * scale: shuffle ∝ candidate edges). */
-  private def scoreEdges(coll: DataFrame, idCol: String, vecCol: String,
+  private[graft] def scoreEdges(coll: DataFrame, idCol: String, vecCol: String,
                          pairs: DataFrame): DataFrame =
     pairs
       .join(coll.select(col(idCol).as("src"), col(vecCol).as("__sv")), "src")
@@ -92,7 +92,7 @@ object GraphAnn {
 
   /** Per-src bounded-heap top-M by (score DESC, dst ASC) → ranked
     * adjacency rows (src, dst, score_micro, rnk). */
-  private def topM(scored: DataFrame, m: Int): DataFrame =
+  private[graft] def topM(scored: DataFrame, m: Int): DataFrame =
     scored.groupBy("src")
       .agg(TopKByScore.topK(col("__sm"), col("dst"), m).as("__tk"))
       .select(col("src"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
@@ -141,28 +141,95 @@ object GraphAnn {
     adj
   }
 
-  /** Materialize the adjacency as the serving layout: parquet sorted by
-    * `src` within one file set, so a beam probe (`src IN (frontier)`)
-    * prunes row groups via min/max stats (PushedFilters). At 100 TB this
-    * is the same discipline as the IVF index dir — a derived layout,
-    * rebuildable byte-identically from the collection. */
+  /** How many entry seeds [[buildGraphIndex]] persists — the serving
+    * `beam` must be ≤ this (beam 10–64 covers the HNSW ef range the
+    * reference's Qdrant collections serve with). */
+  val SeedCap = 64
+
+  /** Deterministic entry points, SCATTERED across the collection by a
+    * salted 32-bit hash of the id (the pipe_sample membership contract):
+    * a navigable-graph search without HNSW's long-range upper layers
+    * needs at least one seed near the query's region, and the `cap`
+    * lowest ids could all fall in one cluster. Plans to
+    * TakeOrderedAndProject — a bounded heap, one pass; run at BUILD time
+    * only (the seed list is query-independent, so scanning the corpus per
+    * query for it would be pure waste — HNSW's persistent-entry-point
+    * discipline). */
+  def seedIds(coll: DataFrame, idCol: String, cap: Int): Array[Long] =
+    coll
+      .orderBy(Dedup.h32(concat(lit("gseed|"), col(idCol))), col(idCol))
+      .limit(cap)
+      .select(col(idCol).cast("long")).collect().map(_.getLong(0))
+
+  /** The serving-side candidate fetch: a LITERAL id `IN` probe into the
+    * collection, so the scan prunes row groups via PushedFilters — the
+    * same discipline as the adjacency probe and `coll_get`. At 100 TB
+    * this touches O(|ids|) row groups; a join against the corpus (the
+    * rejected alternative) would read every row group of the collection
+    * per serving round. `ids` is beam-bounded by construction. */
+  private[graft] def collectionProbe(coll: DataFrame, idCol: String,
+                                     ids: Seq[Long]): DataFrame =
+    coll.filter(col(idCol).isin(ids.map(Long.box): _*))
+
+  /** Materialize the serving layout:
+    *
+    *  - `indexDir/` — the ranked adjacency, RANGE-partitioned and sorted
+    *    by `src`: per-file AND per-row-group min/max on `src` stay tight,
+    *    so a beam probe (`src IN (frontier)`) prunes at both granularities
+    *    (PushedFilters), and the write parallelizes across the range
+    *    partitions (a single-file write would serialize the whole graph
+    *    through one task — the opposite of the 100 TB story).
+    *  - `indexDir/_seeds/` — the persistent entry points (seed_rank, id),
+    *    [[SeedCap]] rows. Underscore-prefixed, so a plain parquet read of
+    *    `indexDir` still sees only the adjacency.
+    *
+    * A derived layout, rebuildable byte-identically from the collection
+    * (the IVF index-dir discipline). */
   def buildGraphIndex(coll: DataFrame, idCol: String, vecCol: String,
                       planes: Seq[Seq[Double]], bands: Int,
                       planesPerBand: Int, w: Int, m: Int, rounds: Int,
                       indexDir: String): Unit = {
+    val spark = coll.sparkSession
+    import spark.implicits._
     val adj = buildGraph(coll, idCol, vecCol, planes, bands, planesPerBand,
       w, m, rounds)
-    adj.repartition(1).sortWithinPartitions("src")
+    // explicit partition count ∝ edges (~1M rows ≈ 30 MB per file), never
+    // below 2: the count pins the write's parallelism AND stops AQE from
+    // coalescing a small build back into the single-file bottleneck;
+    // adj is localCheckpoint'd, so the count reads materialized rows
+    val parts = math.max(2, (adj.count() / 1000000L).toInt + 1)
+    adj.repartitionByRange(parts, col("src")).sortWithinPartitions("src")
       .write.mode("overwrite").parquet(indexDir)
-    adj.unpersist(blocking = false)
-    ()
+    // seeds are O(SeedCap) rows — one file is the right layout for them
+    seedIds(coll, idCol, SeedCap).zipWithIndex
+      .map { case (id, i) => ((i + 1).toLong, id) }.toSeq
+      .toDF("seed_rank", "id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_seeds")
+  }
+
+  /** Serving entry point over a materialized index: beam search using the
+    * index's PERSISTED entry seeds — no per-query corpus pass of any
+    * kind. Reads: `rounds` adjacency probes + at most `rounds` collection
+    * probes, all literal-`IN` pruned. */
+  def beamSearchIndexed(coll: DataFrame, idCol: String, vecCol: String,
+                        indexDir: String, query: Seq[Double], beam: Int,
+                        rounds: Int, k: Int): DataFrame = {
+    require(beam <= SeedCap,
+      s"beam=$beam exceeds the $SeedCap persisted seeds — rebuild the " +
+        s"index with a larger SeedCap or lower the beam")
+    val spark = coll.sparkSession
+    val seeds = spark.read.parquet(s"$indexDir/_seeds")
+      .orderBy("seed_rank").limit(beam)
+      .select(col("id")).collect().map(_.getLong(0))
+    beamSearchFrom(coll, idCol, vecCol, spark.read.parquet(indexDir),
+      seeds, query, beam, rounds, k)._1
   }
 
   /** Fixed-round beam search over a (materialized or in-memory) ranked
-    * adjacency. Returns (rnk, id, score_micro) — the top `k` of the
-    * final candidate set, k ≤ beam. Each round collects only the
-    * beam-bounded frontier to the driver (the [[Ann.ivfSearchIndexed]]
-    * probe discipline: literal predicates prune statically). */
+    * adjacency, seeding from the collection (dev/spec path — the serving
+    * path is [[beamSearchIndexed]], which reads persisted seeds).
+    * Returns (rnk, id, score_micro) — the top `k` of the final candidate
+    * set, k ≤ beam. */
   def beamSearch(coll: DataFrame, idCol: String, vecCol: String,
                  adj: DataFrame, query: Seq[Double], beam: Int,
                  rounds: Int, k: Int): DataFrame =
@@ -173,50 +240,77 @@ object GraphAnn {
     * fraction of IVF's candidate budget). */
   def beamSearchProbe(coll: DataFrame, idCol: String, vecCol: String,
                       adj: DataFrame, query: Seq[Double], beam: Int,
-                      rounds: Int, k: Int): (DataFrame, Long) = {
+                      rounds: Int, k: Int): (DataFrame, Long) =
+    beamSearchFrom(coll, idCol, vecCol, adj,
+      seedIds(coll, idCol, beam), query, beam, rounds, k)
+
+  /** The shared beam-search core. Each round:
+    *
+    *  1. expand the beam-bounded frontier through the adjacency
+    *     (`src IN (frontier)` — PushedFilters row-group pruning);
+    *  2. score ONLY candidates not already scored, via a literal id
+    *     probe into the collection ([[collectionProbe]] — the scan reads
+    *     O(new candidates) row groups, never the corpus; scores are
+    *     deterministic, so caching across rounds cannot change a result);
+    *  3. rank the round's candidate set driver-side from the cache and
+    *     keep the best `beam` — rank-and-truncate costs no extra job.
+    *
+    * Total reads per query: ≤ `rounds` adjacency probes + ≤ `rounds`
+    * collection probes, each literal-pruned and beam·(M+1)-bounded — vs
+    * the rejected broadcast-join form whose collection side re-read ALL
+    * row groups every round. Driver state is ≤ beam·(M+1)·rounds cached
+    * (id, score) pairs. Ids must be integral (cast to long). */
+  private[graft] def beamSearchFrom(coll: DataFrame, idCol: String, vecCol: String,
+                             adj: DataFrame, seeds: Array[Long],
+                             query: Seq[Double], beam: Int, rounds: Int,
+                             k: Int): (DataFrame, Long) = {
     require(k <= beam, s"k=$k must be <= beam=$beam")
+    val spark = coll.sparkSession
+    import spark.implicits._
     val qScore =
       floor(VectorOps.cosine(col(vecCol), typedLit(query)) * 1e6 + lit(0.5))
         .cast("long")
-    // deterministic entry points, SCATTERED across the collection by a
-    // salted 32-bit hash of the id (the pipe_sample membership contract):
-    // a navigable-graph search without HNSW's long-range upper layers
-    // needs at least one seed near the query's region, and the `beam`
-    // lowest ids can all fall in one cluster
-    var frontier: Array[Long] = coll
-      .orderBy(Dedup.h32(concat(lit("gseed|"), col(idCol))), col(idCol))
-      .limit(beam)
-      .select(col(idCol).cast("long")).collect().map(_.getLong(0))
-    val spark = coll.sparkSession
-    import spark.implicits._
-    var scored: DataFrame = null
-    val visited = scala.collection.mutable.Set.empty[Long]
-    for (_ <- 0 until rounds) {
-      val expanded = adj
-        .filter(col("src").isin(frontier.map(Long.box): _*))
-        .select(col("dst").cast("long").as("__cand"))
-        .union(frontier.toSeq.toDF("__cand"))
-        .distinct()
-      scored = coll
-        .join(broadcast(expanded), col(idCol).cast("long") === col("__cand"))
-        .withColumn("__sm", qScore)
-        .filter(col("__sm").isNotNull)
-        .select(col(idCol).cast("long").as("id"), col("__sm"))
-      // beam-bounded collect per round (rounds is a small constant); the
-      // visited tally is the probe's budget metric, ≤ beam·(M+1)·rounds
-      val roundIds = scored
-        .orderBy(desc("__sm"), col("id"))
-        .collect().map(_.getLong(0))
-      visited ++= roundIds
-      frontier = roundIds.take(beam)
+    // driver-side score cache: id -> micro score; unscorable (null/invalid
+    // vector) ids are remembered too so they are never re-probed
+    val cache = scala.collection.mutable.LongMap.empty[Long]
+    val unscorable = scala.collection.mutable.Set.empty[Long]
+    def score(ids: Seq[Long]): Unit = {
+      val missing = ids.filterNot(i => cache.contains(i) || unscorable(i))
+      if (missing.nonEmpty) {
+        val got = collectionProbe(coll, idCol, missing)
+          .select(col(idCol).cast("long"), qScore.as("__sm"))
+          .collect()
+        got.foreach { r =>
+          if (r.isNullAt(1)) unscorable += r.getLong(0)
+          else cache(r.getLong(0)) = r.getLong(1)
+        }
+        // ids absent from the collection (dangling adjacency edges) are
+        // unscorable as well
+        unscorable ++= missing.toSet -- got.map(_.getLong(0))
+      }
     }
-    (scored
-      .orderBy(desc("__sm"), col("id"))
-      .limit(k)
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(desc("__sm"), col("id")))
-          .cast("long"))
-      .select(col("rnk"), col("id"), col("__sm").as("score_micro")),
-      visited.size.toLong)
+    var frontier: Array[Long] = seeds.take(beam)
+    var candidates: Array[Long] = frontier
+    var converged = false
+    for (_ <- 0 until rounds if !converged) {
+      val nbrs = adj
+        .filter(col("src").isin(frontier.map(Long.box): _*))
+        .select(col("dst").cast("long")).collect().map(_.getLong(0))
+      candidates = (frontier ++ nbrs).distinct
+      score(candidates.toSeq)
+      // rank by (score DESC, id ASC) from the cache — no extra job
+      val ranked = candidates.filter(cache.contains)
+        .sortBy(id => (-cache(id), id))
+      // fixed point: an unchanged frontier re-derives the identical
+      // candidate set next round — skipping the remaining rounds cannot
+      // change the result (exactness preserved, jobs saved)
+      converged = frontier.sameElements(ranked.take(beam))
+      frontier = ranked.take(beam)
+    }
+    val top = candidates.filter(cache.contains)
+      .sortBy(id => (-cache(id), id)).take(k)
+      .zipWithIndex
+      .map { case (id, i) => ((i + 1).toLong, id, cache(id)) }
+    (top.toSeq.toDF("rnk", "id", "score_micro"), cache.size.toLong)
   }
 }

@@ -760,8 +760,12 @@ object Collections {
       finally s.close()
     }
     // the manifest is written LAST — a torn snapshot directory (crash
-    // mid-copy) has no manifest and is detectably incomplete
-    writeManifest(snapDir, gen, view)
+    // mid-copy) has no manifest and is detectably incomplete. The
+    // streaming batch fence travels WITH the snapshot: a restore()d
+    // collection must still skip replays of batches it already applied
+    // (same carry-forward contract as compact), or the exactly-once
+    // guarantee would silently end at the first restore.
+    writeManifest(snapDir, gen, view, lastAppliedBatch(dir))
   }
 
   /** Qdrant `recover_snapshot`: a snapshot directory IS a collection
@@ -841,10 +845,34 @@ object Collections {
     }
     /** Exactly-once streaming form: [[Collections.upsertBatch]] with the
       * foreachBatch batchId — a replayed batch is skipped, not
-      * re-applied. Returns whether the batch was applied. */
-    def writeBatch(points: DataFrame, batchId: Long): Boolean = {
+      * re-applied. Returns whether the batch was applied.
+      *
+      * Rejection visibility: a batch whose rows are ALL dropped by
+      * validation must NOT advance the fence — silently fencing it would
+      * make a corrected replay of that batchId permanently skippable with
+      * the bad rows unrecoverable, indistinguishable from a genuinely
+      * empty batch. Partial rejections apply the surviving rows (the
+      * reference's drop-on-error containment, `embedder.py`) but are
+      * surfaced loudly via the returned count. */
+    def writeBatch(points: DataFrame, batchId: Long): Boolean =
+      writeBatchCounted(points, batchId)._1
+
+    /** [[writeBatch]] plus the rejected-row count (one aggregate job —
+      * total and valid counted in the same pass). */
+    def writeBatchCounted(points: DataFrame, batchId: Long): (Boolean, Long) = {
       val (ok, _) = validate(points, vecCol, cfg)
-      upsertBatch(spark, dir, ok, idCol, seqCol, batchId)
+      val counts = points.agg(
+        count(lit(1)).as("__total"),
+        count(when(VectorOps.hasDim(col(vecCol), cfg.dim), 1)).as("__ok"))
+        .head()
+      val (total, valid) = (counts.getLong(0), counts.getLong(1))
+      val rejected = total - valid
+      if (rejected > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"collection $dir batch $batchId: $rejected of $total " +
+            s"rows rejected by dim validation")
+      if (valid == 0 && total > 0) (false, rejected) // fence untouched
+      else (upsertBatch(spark, dir, ok, idCol, seqCol, batchId), rejected)
     }
   }
 }

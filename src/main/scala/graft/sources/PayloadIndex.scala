@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Payload FIELD index — the engine's form of Qdrant's
+  * `create_payload_index` (the public API companion of the filter DSL:
+  * the reference's collections get payload filtering accelerated
+  * server-side by exactly this declaration; `qdrant_embedder.py:92-103`
+  * creates the collections the README's "Query the DB" claim filters
+  * over). The engine's payload filters already push down to parquet row
+  * groups; this index upgrades a DECLARED high-selectivity key to
+  * file-listing pruning — the serving-layout family's last member next
+  * to IVF ([[IvfIndex]]), sparse ([[SparseIndex]]) and tenant
+  * ([[Tenancy]]) routing.
+  *
+  * == Layout ==
+  *
+  * A generic (key → value-bucket) partitioned materialization:
+  *
+  * {{{
+  * indexDir/
+  *   _payload_index.json                {"key": k, "value_buckets": vb}
+  *   src_bucket=b/pbucket=v/part-….parquet
+  * }}}
+  *
+  * `pbucket = pmod(hash(key), vb)` hashes ANY value type (string, long,
+  * bool …) into a bounded directory fan-out — unlike [[Tenancy]] (one
+  * directory per distinct value, low-cardinality only), a hashed value
+  * bucket serves high-cardinality keys with a pinned layout width.
+  * `src_bucket` is the collection's id-hash bucket, the refresh/swap
+  * unit ([[IvfIndex]]'s discipline exactly).
+  *
+  * == Serving ==
+  *
+  * An equality (or IN) predicate on the declared key becomes a LITERAL
+  * `pbucket` comparison: `pmod(hash(lit(v)), vb)` constant-folds at
+  * optimization, so the scan shows `PartitionFilters: [pbucket = N]` —
+  * pruning at FILE LISTING time on the driver; only 1/vb of the index's
+  * files are listed, and the residual `key = v` equality (hash
+  * collisions share a bucket) pushes down to row groups as usual. At
+  * 100 TB: a selective payload filter reads O(matching bucket) files,
+  * never the corpus listing.
+  *
+  * The index stores full rows (a covering index): a query that filters
+  * on the key can be served from the index alone, row-identical to
+  * filtering the collection — materialization must never change a
+  * result (the gate runs the SAME oracle as the unindexed filter).
+  *
+  * == Refresh ==
+  *
+  * [[refresh]] composes the collection change feed
+  * ([[Collections.changedSince]]) with a STAGED per-src_bucket swap:
+  * replacement rows are written under `_staging_refresh` first
+  * (underscore — invisible to Spark's listing), then stale `src_bucket=`
+  * dirs are deleted and staged dirs move in (renames only). Cost is
+  * O(points in touched buckets); untouched buckets' files are not read,
+  * not rewritten, not moved. Crash during the write leaves the live
+  * index intact (single writer; re-run repairs the rename window).
+  */
+object PayloadIndex {
+
+  val DefaultValueBuckets = 64
+
+  private def metaPath(dir: String) = Paths.get(dir, "_payload_index.json")
+
+  /** The value-bucket routing expression — shared by build (assignment)
+    * and serving (constant-folded literal comparison), so the two can
+    * never disagree. */
+  def valueBucket(key: Column, buckets: Int): Column =
+    pmod(hash(key), lit(buckets))
+
+  /** The declared key of an existing index. */
+  def keyOf(dir: String): String =
+    """"key":\s*"([^"]+)"""".r
+      .findFirstMatchIn(new String(Files.readAllBytes(metaPath(dir)),
+        StandardCharsets.UTF_8)).get.group(1)
+
+  /** The pinned value-bucket count of an existing index. */
+  def valueBucketsOf(dir: String): Int =
+    """"value_buckets":\s*(\d+)""".r
+      .findFirstMatchIn(new String(Files.readAllBytes(metaPath(dir)),
+        StandardCharsets.UTF_8)).get.group(1).toInt
+
+  private def writeMeta(dir: String, key: String, vb: Int): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(metaPath(dir),
+      s"""{"key": "$key", "value_buckets": $vb}"""
+        .getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def assigned(points: DataFrame, key: String, idCol: String,
+                       idBuckets: Int, vb: Int): DataFrame = {
+    require(!points.columns.contains("pbucket") &&
+        !points.columns.contains("src_bucket"),
+      "points carry a column named 'pbucket'/'src_bucket' — reserved " +
+        "for the index layout")
+    points
+      .withColumn("pbucket", valueBucket(col(key), vb))
+      .withColumn("src_bucket", Collections.bucketOf(idCol, idBuckets))
+  }
+
+  /** Materialize the index from a points frame (fixture-table form). */
+  def build(points: DataFrame, key: String, idCol: String, dir: String,
+            idBuckets: Int = Collections.DefaultBuckets,
+            valueBuckets: Int = DefaultValueBuckets): Unit = {
+    require(!key.contains("\""), "key must not contain quotes")
+    assigned(points, key, idCol, idBuckets, valueBuckets)
+      .write.mode("overwrite")
+      .partitionBy("src_bucket", "pbucket")
+      .parquet(dir)
+    // AFTER the data write: overwrite mode deletes the target dir first,
+    // and a metadata record present without data would claim a live index
+    writeMeta(dir, key, valueBuckets)
+  }
+
+  /** Materialize FROM a collection; returns the manifest cursor for
+    * [[refresh]]. */
+  def buildFromCollection(spark: SparkSession, collDir: String,
+                          indexDir: String, key: String, idCol: String,
+                          valueBuckets: Int = DefaultValueBuckets)
+      : Collections.ManifestView = {
+    val cur = Collections.manifestView(collDir)
+    build(Collections.read(spark, collDir), key, idCol, indexDir,
+      Collections.numBuckets(collDir), valueBuckets)
+    cur
+  }
+
+  /** The indexed read for `key = value`: a constant-folded `pbucket`
+    * literal → static partition pruning at file listing, plus the
+    * residual key equality pushed to row groups (bucket collisions).
+    * Row-identical to `collection.filter(key === value)`. */
+  def forValue(spark: SparkSession, dir: String, value: Any): DataFrame = {
+    val key = keyOf(dir)
+    val vb = valueBucketsOf(dir)
+    spark.read.parquet(dir)
+      .filter(col("pbucket") === valueBucket(lit(value), vb) &&
+        col(key) === lit(value))
+      .drop("pbucket", "src_bucket")
+  }
+
+  /** The indexed read for `key IN (values)` (the DSL's `match any`):
+    * the pruned listing is the union of the values' buckets. */
+  def forValues(spark: SparkSession, dir: String, values: Seq[Any])
+      : DataFrame = {
+    val key = keyOf(dir)
+    val vb = valueBucketsOf(dir)
+    val bucketPred = values.map(v => col("pbucket") === valueBucket(lit(v), vb))
+      .reduce(_ || _)
+    spark.read.parquet(dir)
+      .filter(bucketPred && col(key).isin(values: _*))
+      .drop("pbucket", "src_bucket")
+  }
+
+  /** Incremental refresh from the change feed — the [[IvfIndex.refresh]]
+    * contract verbatim: stale `src_bucket=` dirs deleted, staged
+    * replacements moved in, untouched buckets byte-stable. Returns the
+    * new cursor. */
+  def refresh(spark: SparkSession, collDir: String, indexDir: String,
+              idCol: String,
+              prev: Collections.ManifestView): Collections.ManifestView = {
+    import scala.jdk.CollectionConverters._
+    val key = keyOf(indexDir)
+    val vb = valueBucketsOf(indexDir)
+    val (cur, changedDf, dropped) =
+      Collections.changedSince(spark, collDir, prev)
+    val changedBuckets = Collections.changedBuckets(prev, cur)
+    // 1. STAGE: run the whole replacement job before touching live dirs
+    val staging = Paths.get(indexDir, "_staging_refresh")
+    if (Files.exists(staging)) Collections.deleteRecursively(staging)
+    if (changedBuckets.nonEmpty)
+      assigned(changedDf, key, idCol, Collections.numBuckets(collDir), vb)
+        .write.mode("overwrite")
+        .partitionBy("src_bucket", "pbucket")
+        .parquet(staging.toString)
+    // 2. SWAP: delete stale dirs, move staged replacements in
+    (changedBuckets ++ dropped).foreach { b =>
+      val dir = Paths.get(indexDir, s"src_bucket=$b")
+      if (Files.exists(dir)) Collections.deleteRecursively(dir)
+    }
+    if (Files.isDirectory(staging)) {
+      val staged = Files.list(staging)
+      try staged.iterator().asScala
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("src_bucket="))
+        .foreach(d =>
+          Files.move(d, Paths.get(indexDir, d.getFileName.toString)))
+      finally staged.close()
+      Collections.deleteRecursively(staging)
+    }
+    cur
+  }
+}

@@ -577,6 +577,78 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     assert(rows(idx).nonEmpty)
   }
 
+  test("payload field index: indexed read is row-identical to the " +
+       "unindexed filter; refresh over the change feed equals a full " +
+       "rebuild; untouched bucket dirs are physically untouched") {
+    import graft.sources.PayloadIndex
+    val root = Files.createTempDirectory("graft-pidx").toString
+    val dir = s"$root/c16"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(200)
+    sink.write(emb.withColumn("seq", lit(0)))
+    val idx = s"$root/pidx"
+    val v0 = PayloadIndex.buildFromCollection(spark, dir, idx,
+      "label", "vec_id")
+    assert(PayloadIndex.keyOf(idx) == "label")
+
+    // covering-index contract: the indexed read IS the filtered read
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("vec_id"), col("label").cast("long"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)).toString)
+        .toSeq.sorted
+    assert(canon(PayloadIndex.forValue(spark, idx, 3)) ==
+      canon(Collections.read(spark, dir).filter(col("label") === 3)))
+    assert(canon(PayloadIndex.forValues(spark, idx, Seq(2, 5))) ==
+      canon(Collections.read(spark, dir)
+        .filter(col("label").isin(2, 5))))
+
+    // mixed mutation sequence (the IvfIndex refresh shape)
+    sink.write(emb.filter(col("vec_id") % 10 === 0)
+      .withColumn("label", col("label") + 100) // move rows across values
+      .withColumn("seq", lit(1)))
+    Collections.deleteWhere(spark, dir, col("vec_id") % 7 === 0, "vec_id")
+    Collections.setPayloadWhere(spark, dir, col("vec_id") % 11 === 3,
+      "vec_id", Map("label" -> (col("label") + 1)))
+
+    val nb = Collections.numBuckets(dir)
+    val touchedBuckets = Collections.read(spark, dir)
+      .filter(col("vec_id") % 10 === 0 || col("vec_id") % 11 === 3)
+      .select(pmod(hash(col("vec_id")), lit(nb)))
+      .union(emb.filter(col("vec_id") % 7 === 0)
+        .select(pmod(hash(col("vec_id")), lit(nb))))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val untouched = (0 until nb).find(b => !touchedBuckets.contains(b)
+      && Files.exists(java.nio.file.Paths.get(idx, s"src_bucket=$b")))
+    def listing(b: Int): Set[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(java.nio.file.Paths.get(idx, s"src_bucket=$b"))
+      try walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toSet
+      finally walk.close()
+    }
+    val preListing = untouched.map(listing)
+
+    PayloadIndex.refresh(spark, dir, idx, "vec_id", v0)
+    untouched.foreach(b => assert(listing(b) == preListing.get,
+      s"untouched bucket $b index files were rewritten"))
+
+    val idx2 = s"$root/pidx_full"
+    PayloadIndex.buildFromCollection(spark, dir, idx2, "label", "vec_id")
+    def rows(p: String): Seq[String] = canon(spark.read.parquet(p)
+      .drop("pbucket", "src_bucket"))
+    assert(rows(idx) == rows(idx2),
+      "incrementally-maintained payload index diverges from a full rebuild")
+    assert(rows(idx).nonEmpty)
+    // and the refreshed index still serves row-identically
+    assert(canon(PayloadIndex.forValue(spark, idx, 103)) ==
+      canon(Collections.read(spark, dir).filter(col("label") === 103)))
+  }
+
   test("sparse index refresh over the change feed equals a full rebuild; " +
        "untouched bucket dirs are physically untouched") {
     import graft.sources.SparseIndex

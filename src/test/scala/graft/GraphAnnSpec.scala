@@ -56,6 +56,58 @@ class GraphAnnSpec extends AnyFunSuite with SparkSpec {
       s"frontier probe not pushed to the adjacency scan:\n$plan")
   }
 
+  test("serving layout: the index write is range-partitioned (>1 file, " +
+       "no single-task bottleneck) and files stay src-pruned") {
+    val idx = GraphAnnQueries.graphIndexDir(spark, sf)
+    val parts = new java.io.File(idx).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length > 1,
+      s"index at $idx written as ${parts.length} file(s) — the " +
+        "repartition(1) bottleneck the range layout exists to avoid")
+    // range partitioning ⇒ per-FILE src ranges are disjoint, so a literal
+    // probe prunes whole files before row groups
+    val ranges = parts.map { f =>
+      val d = spark.read.parquet(f.getPath)
+        .agg(min("src"), max("src")).head()
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping src ranges across index files")
+      case _ =>
+    }
+  }
+
+  test("serving scoring: the candidate fetch is a literal id probe — " +
+       "PushedFilters In on the COLLECTION scan, not a corpus join") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val probe = graft.operators.GraphAnn.collectionProbe(
+      emb, "vec_id", Seq(1L, 5L, 9L))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(vec_id"),
+      s"candidate probe not pushed to the collection scan:\n$plan")
+  }
+
+  test("persisted seeds: _seeds holds the SeedCap-prefix of the " +
+       "deterministic seed ordering, and indexed serving equals the " +
+       "seed-from-collection dev path") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val idx = GraphAnnQueries.graphIndexDir(spark, sf)
+    val stored = spark.read.parquet(s"$idx/_seeds")
+      .orderBy("seed_rank").select("id").collect().map(_.getLong(0))
+    val expect = GraphAnn.seedIds(emb, "vec_id", GraphAnn.SeedCap)
+    assert(stored.toSeq == expect.toSeq)
+    val q = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val viaIndex = GraphAnn.beamSearchIndexed(emb, "vec_id", "embedding",
+      idx, q, beam = 10, rounds = 3, k = 10).collect().toSeq
+    val viaColl = GraphAnn.beamSearch(emb, "vec_id", "embedding",
+      spark.read.parquet(idx), q, beam = 10, rounds = 3, k = 10)
+      .collect().toSeq
+    assert(viaIndex == viaColl)
+  }
+
   test("recall@10 at sf0.1: beam search beats IVF nprobe=2 on average " +
        "while examining FEWER candidates per query") {
     val dir = "/root/testdata/sf0.1"

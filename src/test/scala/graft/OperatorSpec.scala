@@ -475,6 +475,24 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       "tenant key degraded to a data filter")
   }
 
+  test("payload field index: the indexed serving scan prunes at FILE " +
+       "LISTING — the constant-folded value bucket lands in " +
+       "PartitionFilters, the residual equality in PushedFilters") {
+    val plan = Queries.queries("v_knn_payload_indexed")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // pmod(hash(lit(3)), 64) must have constant-folded to a literal
+    // partition comparison — NOT a per-row hash evaluation
+    val pf = "PartitionFilters: \\[[^\\]]*pbucket[^\\]]*=[^\\]]*\\]".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"value bucket not pushed to partition pruning:\n$plan")
+    assert(!plan.contains("murmur3hash"),
+      s"bucket hash did not constant-fold — evaluated per row:\n$plan")
+    // the residual key equality (bucket collisions) reaches row groups
+    assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)")
+        || plan.contains("EqualTo(label,3)"),
+      s"residual key equality not pushed:\n$plan")
+  }
+
   test("multimodal: byteSum/byteLen agree with driver-side computation " +
        "and with the hex-parse HOF twin") {
     val d = Multimodal.attachBinary(docs20)

@@ -477,6 +477,58 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(Collections.upsertBatch(spark, dir,
       pts().filter(lit(false)), "id", "__seq", batchId = 2L))
     assert(Collections.lastAppliedBatch(dir) == 2L)
+
+    // snapshot/restore carries the fence like compact does: a restored
+    // collection must keep skipping batches it already applied, or the
+    // exactly-once guarantee would silently end at the first restore
+    val snap = tmp.resolve("snap").toString
+    Collections.snapshot(dir, snap)
+    Collections.restore(snap, dir)
+    assert(Collections.lastAppliedBatch(dir) == 2L,
+      "snapshot/restore dropped the batch fence")
+    assert(!Collections.upsertBatch(spark, dir,
+      pts(("f", Seq(4f, 4f), 5L)), "id", "__seq", batchId = 2L))
+    assert(Collections.read(spark, dir).count() == 3)
+  }
+
+  test("an all-rejected streaming batch does NOT advance the fence: a " +
+       "corrected replay of that batchId can still apply, and the " +
+       "rejected count is surfaced") {
+    import graft.sources.Collections
+    val tmp = Files.createTempDirectory("graft-fence-rej")
+    val dir = tmp.resolve("coll").toString
+    import spark.implicits._
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      Collections.VectorConfig(2), "embedding", "id", "__seq")
+    def pts(rows: (String, Seq[Float], Long)*) =
+      rows.toSeq.toDF("id", "embedding", "__seq")
+
+    // every row violates the declared dim → not applied, fence untouched,
+    // rejection count surfaced (NOT the same as a genuinely empty batch)
+    val (applied, rejected) = sink.writeBatchCounted(
+      pts(("a", Seq(1f, 2f, 3f), 0L), ("b", Seq(9f), 0L)), batchId = 0L)
+    assert(!applied && rejected == 2L)
+    assert(Collections.lastAppliedBatch(dir) == -1L,
+      "an all-rejected batch must not fence its batchId")
+
+    // the corrected replay of the SAME batchId applies
+    val (applied2, rejected2) = sink.writeBatchCounted(
+      pts(("a", Seq(1f, 2f), 0L), ("b", Seq(9f, 8f), 0L)), batchId = 0L)
+    assert(applied2 && rejected2 == 0L)
+    assert(Collections.lastAppliedBatch(dir) == 0L)
+    assert(Collections.read(spark, dir).count() == 2)
+
+    // a PARTIALLY-rejected batch applies the surviving rows, surfaces the
+    // count, and fences (the reference's drop-on-error containment)
+    val (applied3, rejected3) = sink.writeBatchCounted(
+      pts(("c", Seq(5f, 5f), 1L), ("d", Seq(1f), 1L)), batchId = 1L)
+    assert(applied3 && rejected3 == 1L)
+    assert(Collections.lastAppliedBatch(dir) == 1L)
+    assert(Collections.read(spark, dir).count() == 3)
+
+    // a genuinely EMPTY batch still advances the fence
+    assert(sink.writeBatch(pts().filter(lit(false)), batchId = 2L))
+    assert(Collections.lastAppliedBatch(dir) == 2L)
   }
 
   test("stream-stream interval join (attribution) emits exactly the " +
