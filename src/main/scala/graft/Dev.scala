@@ -88,6 +88,81 @@ object Dev {
           val sizes = cc.groupBy("lbl").agg(count(lit(1)).as("csize"))
           t("sizes-join")(cc.join(sizes, "lbl").count())
         }
+      case "scaleprobe" :: dir :: rest =>
+        // 10×/100× blow-up probe (SURVEY §8.5): materialize synthetic
+        // embeddings/documents at 1×, 10×, 100× of `dir` (deterministic
+        // perturbed copies — ids offset, vectors slightly rotated, text
+        // suffixed so near-dup structure stays realistic), then time each
+        // probe query cold (incl. memoized index builds) and warm
+        // (min of 2). Factors share one JVM; exponents = log10 ratios.
+        import org.apache.spark.sql.functions._
+        val factors = if (rest.isEmpty) Seq(1, 10, 100) else rest.map(_.toInt)
+        val probeQueries = Seq(
+          "v_cosine", "v_knn", "v_knn_filtered", "v_prefetch", "v_pq_search",
+          "ann_ivf", "ann_ivf_indexed", "ann_lsh", "ann_graph_search",
+          "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embed",
+          "dedup_cluster", "txt_quality", "txt_decontam")
+        def blowUp(factor: Int): String = {
+          val hash = java.lang.Integer.toHexString(dir.hashCode)
+          // NOT under the `graft_` prefix: Tables.memoTempDir's orphan
+          // sweep reclaims those by pid suffix, and this dir is meant to
+          // be reused across probe runs
+          val out = s"${System.getProperty("java.io.tmpdir")}/graft-scale-${factor}x-$hash"
+          val marker = java.nio.file.Paths.get(s"$out/embeddings.parquet/_SUCCESS")
+          if (!java.nio.file.Files.exists(marker)) {
+            val emb = Tables.load(spark, dir, "embeddings")
+            val eOff = emb.agg(max("vec_id")).head().getLong(0) + 1
+            emb.withColumn("c", explode(sequence(lit(0), lit(factor - 1))))
+              .select((col("vec_id") + col("c") * eOff).as("vec_id"),
+                transform(col("embedding"),
+                  (x, i) => x * (lit(1.0f) + col("c").cast("float") *
+                    lit(0.0001f) * (pmod(i, lit(11)) - lit(5)).cast("float")))
+                  .cast("array<float>").as("embedding"),
+                col("label"))
+              .repartition(32)
+              .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+            val docs = Tables.load(spark, dir, "documents")
+            val dOff = docs.agg(max("doc_id")).head().getLong(0) + 1
+            docs.withColumn("c", explode(sequence(lit(0), lit(factor - 1))))
+              .select((col("doc_id") + col("c") * dOff).as("doc_id"),
+                concat(col("text"), lit(" c"), col("c")).as("text"),
+                col("lang"), col("source"))
+              .withColumn("n_chars", length(col("text")).cast("long"))
+              .repartition(32)
+              .write.mode("overwrite").parquet(s"$out/documents.parquet")
+          }
+          out
+        }
+        val results = factors.map { f =>
+          val fdir = blowUp(f)
+          println(s"== factor $f → $fdir")
+          f -> probeQueries.map { name =>
+            def eval(): Double = {
+              val t0 = System.nanoTime()
+              Queries.queries(name)(spark, fdir)
+                .queryExecution.toRdd.foreach(_ => ())
+              (System.nanoTime() - t0) / 1e9
+            }
+            val cold = eval()
+            val warm = math.min(eval(), eval())
+            println(f"  [$name%-18s] cold $cold%8.2f s   warm $warm%8.2f s")
+            name -> (cold, warm)
+          }.toMap
+        }.toMap
+        println("\nquery, " + factors.map(f => s"cold${f}x, warm${f}x")
+          .mkString(", ") + ", warm-exp/decade")
+        probeQueries.foreach { name =>
+          val cells = factors.flatMap { f =>
+            val (c, w) = results(f)(name); Seq(f"$c%.2f", f"$w%.2f")
+          }
+          val exp =
+            if (factors.size >= 2) {
+              val (fa, fb) = (factors.head, factors.last)
+              val (wa, wb) = (results(fa)(name)._2, results(fb)(name)._2)
+              f"${math.log10(wb / wa) / math.log10(fb.toDouble / fa)}%.2f"
+            } else "n/a"
+          println(s"$name, ${cells.mkString(", ")}, $exp")
+        }
       case "graphquality" :: dir :: Nil =>
         // build quality: per-node overlap of graph neighbors vs exact
         // top-M, averaged over a 100-node sample

@@ -1,0 +1,474 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Dedup, GraphAnn}
+
+/** Incrementally-maintained navigable-graph ANN index over a collection —
+  * the change-feed composition the other derived layouts already have
+  * ([[IvfIndex]], [[SparseIndex]], [[Tenancy]], [[PayloadIndex]]): after
+  * an upsert / deleteWhere / setVectorWhere sequence touches a handful of
+  * collection buckets, [[refresh]] re-runs the NN-descent rounds ONLY for
+  * the nodes the change can actually reach, instead of rebuilding the
+  * graph from the whole collection.
+  *
+  * == Why the layout stores every round ==
+  *
+  * The build ([[GraphAnn.buildGraph]]) is deterministic but ITERATIVE:
+  * round r's adjacency is a function of round r-1's. An incremental
+  * refresh that must reproduce the full rebuild ROW FOR ROW therefore
+  * needs the old per-round states to diff against — so the index persists
+  * them (rounds are a small constant; the analog of HNSW's layers):
+  *
+  * {{{
+  * indexDir/
+  *   _graph_index.json            pinned build params incl. hyperplanes
+  *   order/src_bucket=b/          (id, band, bkt)   LSH bucket membership
+  *   graph/round=r/src_bucket=b/  (src, dst, score_micro, rnk)
+  *   seeds/src_bucket=b/          (id)              per-bucket entry seeds
+  * }}}
+  *
+  * `src_bucket` is the collection's id-hash bucket — the refresh/swap
+  * unit. Serving reads `graph/round=R` alone (partition pruning on
+  * `round`), with the usual row-group pruning on `src` for beam probes.
+  *
+  * == The dirty-propagation argument (why refresh == rebuild) ==
+  *
+  * Let C = all ids in collection buckets the feed reports changed (old
+  * rows ∪ new rows — the feed's granularity), the only nodes whose
+  * VECTOR or existence can differ.
+  *
+  *  - '''Init (round 0).''' A node's initial candidates are its windowed
+  *    successors/predecessors inside its LSH buckets. Membership changed
+  *    only in buckets holding a C member (old or new), so recomputing
+  *    window edges for exactly those buckets and diffing old vs new gives
+  *    every added/removed init edge; the endpoints of those edges, plus
+  *    every endpoint of a surviving edge INCIDENT to C (same edge, new
+  *    score — cosine reads the vectors), are the only nodes whose round-0
+  *    top-M inputs differ. Recompute those, diff against the stored
+  *    round-0 rows → D'₀ = nodes whose round-0 rows ACTUALLY changed.
+  *  - '''Round r.''' g_r(s) is a function of (a) the edge sets und(x)
+  *    for x ∈ {s} ∪ und(s) (symmetrize + one closure hop), and (b) the
+  *    vectors of s and its candidates. (a) differs only for s within one
+  *    und-hop of U = D'_{r-1} ∪ (old∪new neighbors of D'_{r-1}); (b)
+  *    differs only for s within TWO und-hops of a vector-changed node
+  *    (a candidate at closure distance 2 may be in C). So recomputing
+  *    S_r = T ∪ N₁(T), T = U ∪ C ∪ N₁(C) (a superset of both) from the
+  *    MERGED round r-1 table — which equals the full rebuild's g_{r-1}
+  *    by induction — reproduces the rebuild's g_r for S_r, and every
+  *    node outside S_r has bit-identical inputs, hence bit-identical
+  *    rows. Diff → D'_r, merge-write, repeat.
+  *
+  * Scores are micro-quantized cosines with id tie-breaks (the
+  * [[GraphAnn]] determinism contract), so "identical inputs" really does
+  * mean "identical rows", and D'_r shrinks to the true change set — if a
+  * round's diff is empty (and nothing was deleted), the remaining rounds
+  * are provably unchanged and refresh stops early.
+  *
+  * == Cost & limits ==
+  *
+  * Per round: two adjacency-table passes for the neighbor expansions
+  * (narrow columns, no vectors), candidate scoring on the dirty
+  * neighborhood only (vectors fetched by literal id probes —
+  * PushedFilters — up to [[ProbeLimit]] ids, broadcast-joined above it),
+  * and a staged per-`src_bucket` swap that leaves untouched buckets'
+  * files byte-identical. Dirty sets live on the driver (bounded by
+  * |touched|·(M+1)² per round); when a delta approaches corpus scale a
+  * full [[build]] is the cheaper path — the same trade HNSW makes
+  * between incremental insert and bulk rebuild. Ids must be BIGINT
+  * (enforced at build).
+  */
+object GraphIndex {
+
+  /** Pinned build parameters — persisted in `_graph_index.json` so
+    * refresh can never diverge from the build's geometry. */
+  final case class Params(bands: Int, planesPerBand: Int, w: Int, m: Int,
+                          rounds: Int, planes: Seq[Seq[Double]],
+                          seedCap: Int = GraphAnn.SeedCap) {
+    require(planes.length == bands * planesPerBand,
+      s"need ${bands * planesPerBand} planes, got ${planes.length}")
+  }
+
+  /** Above this many dirty ids a literal IN probe stops being the right
+    * plan (planning cost ∝ literals); fall back to a broadcast semi-join. */
+  val ProbeLimit = 10000
+
+  private def metaPath(dir: String) = Paths.get(dir, "_graph_index.json")
+
+  private def writeMeta(dir: String, p: Params): Unit = {
+    val planesJson = p.planes
+      .map(_.map(d => java.lang.Double.toString(d)).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(metaPath(dir),
+      (s"""{"bands": ${p.bands}, "planes_per_band": ${p.planesPerBand}, """ +
+        s""""w": ${p.w}, "m": ${p.m}, "rounds": ${p.rounds}, """ +
+        s""""seed_cap": ${p.seedCap}, "planes": $planesJson}""")
+        .getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Read back the pinned params (Double.toString round-trips exactly). */
+  def params(dir: String): Params = {
+    val txt = new String(Files.readAllBytes(metaPath(dir)),
+      StandardCharsets.UTF_8)
+    def int(k: String): Int =
+      (""""""" + k + """":\s*(-?\d+)""").r.findFirstMatchIn(txt)
+        .get.group(1).toInt
+    val planesTxt = txt.substring(txt.indexOf("\"planes\":") + 9).trim
+      .stripSuffix("}").trim.stripPrefix("[").stripSuffix("]")
+    val planes =
+      if (planesTxt.isEmpty) Seq.empty[Seq[Double]]
+      else planesTxt.split("\\],\\[").toSeq
+        .map(_.stripPrefix("[").stripSuffix("]")
+          .split(',').toSeq.map(_.trim.toDouble))
+    Params(int("bands"), int("planes_per_band"), int("w"), int("m"),
+      int("rounds"), planes, int("seed_cap"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Shared relational pieces (build AND refresh derive edges the same way)
+  // ---------------------------------------------------------------------
+
+  /** LSH bucket membership rows (id, band, bkt) for a points frame. */
+  private def orderOf(points: DataFrame, idCol: String, vecCol: String,
+                      p: Params): DataFrame =
+    (0 until p.bands).map { b =>
+      points.select(col(idCol).cast("long").as("id"),
+        lit(b).as("band"),
+        Ann.lshBucket(col(vecCol),
+          p.planes.slice(b * p.planesPerBand, (b + 1) * p.planesPerBand))
+          .as("bkt"))
+    }.reduce(_ union _)
+
+  /** Init edges from a membership frame: per (band, bkt), connect each
+    * id to its `w` successors in id order — [[GraphAnn]]'s band-pair
+    * window expressed over the ORDER table. */
+  private def initEdges(order: DataFrame, w: Int): DataFrame = {
+    val win = Window.partitionBy(col("band"), col("bkt")).orderBy(col("id"))
+    order
+      .select(col("id").as("src"),
+        array((1 to w).map(i => lead(col("id"), i).over(win)): _*)
+          .as("__succ"))
+      .select(col("src"), explode(col("__succ")).as("dst"))
+      .filter(col("dst").isNotNull)
+  }
+
+  private def bucketCol(c: String, nb: Int) =
+    pmod(hash(col(c)), lit(nb)).as("src_bucket")
+
+  /** Literal-probe filter with join fallback above [[ProbeLimit]]. */
+  private def inIds(df: DataFrame, c: String, ids: Iterable[Long]): DataFrame =
+    if (ids.isEmpty) df.limit(0)
+    else if (ids.sizeIs <= ProbeLimit)
+      df.filter(col(c).isin(ids.toSeq.map(Long.box): _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(ids.toSeq.toDF(c)), Seq(c), "leftsemi")
+    }
+
+  private def notInIds(df: DataFrame, c: String,
+                       ids: Iterable[Long]): DataFrame =
+    if (ids.isEmpty) df
+    else if (ids.sizeIs <= ProbeLimit)
+      df.filter(!col(c).isin(ids.toSeq.map(Long.box): _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(ids.toSeq.toDF(c)), Seq(c), "leftanti")
+    }
+
+  private def collectLongs(df: DataFrame): Set[Long] =
+    df.collect().iterator.map(_.getLong(0)).toSet
+
+  /** Score candidate pairs against vectors fetched by id probe — the
+    * [[GraphAnn.scoreEdges]] math on the dirty neighborhood only. */
+  private def scoreProbed(collLong: DataFrame, vecCol: String,
+                          pairs: DataFrame): DataFrame = {
+    val ids = collectLongs(
+      pairs.select(col("src")).union(pairs.select(col("dst"))).distinct())
+    GraphAnn.scoreEdges(inIds(collLong, "id", ids), "id", vecCol, pairs)
+  }
+
+  private def roundPath(dir: String, r: Int): String =
+    s"$dir/graph/round=$r"
+
+  // ---------------------------------------------------------------------
+  // Build
+  // ---------------------------------------------------------------------
+
+  /** Full build: order table, all NN-descent round states, per-bucket
+    * entry seeds. Returns the manifest cursor for [[refresh]]. */
+  def build(spark: SparkSession, collDir: String, indexDir: String,
+            idCol: String, vecCol: String, p: Params)
+      : Collections.ManifestView = {
+    val cur = Collections.manifestView(collDir)
+    val coll = Collections.read(spark, collDir)
+    require(coll.schema(idCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"graph index requires a BIGINT id column, got " +
+        s"${coll.schema(idCol).dataType}")
+    val nb = Collections.numBuckets(collDir)
+    val collLong = coll.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as(vecCol))
+    val order = orderOf(coll, idCol, vecCol, p)
+    order.withColumn("src_bucket", pmod(hash(col("id")), lit(nb)))
+      .write.mode("overwrite").partitionBy("src_bucket")
+      .parquet(s"$indexDir/order")
+    // round states: identical math to GraphAnn.buildGraph, but every
+    // intermediate is persisted (the refresh diff base) — the write IS
+    // the per-round checkpoint, so no localCheckpoint is needed
+    val init = initEdges(spark.read.parquet(s"$indexDir/order"), p.w)
+    val sym = init.union(init.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct()
+    var adj = GraphAnn.topM(
+      GraphAnn.scoreEdges(collLong, "id", vecCol, sym), p.m)
+    writeRound(indexDir, 0, adj.withColumn("src_bucket",
+      pmod(hash(col("src")), lit(nb))))
+    for (r <- 1 to p.rounds) {
+      val prev = spark.read.parquet(roundPath(indexDir, r - 1))
+        .drop("src_bucket")
+      val und = prev.select("src", "dst")
+        .union(prev.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val closure = und.as("a")
+        .join(und.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      adj = GraphAnn.topM(GraphAnn.scoreEdges(collLong, "id", vecCol,
+        und.union(closure).distinct()), p.m)
+      writeRound(indexDir, r, adj.withColumn("src_bucket",
+        pmod(hash(col("src")), lit(nb))))
+    }
+    // per-bucket entry seeds: the global top-seedCap by the salted-hash
+    // ordering is a subset of the per-bucket top-seedCaps, so seed
+    // refresh is bucket-local and serving merges driver-side
+    coll.select(col(idCol).cast("long").as("id"),
+        bucketCol(idCol, nb))
+      .withColumn("__rk", row_number().over(Window
+        .partitionBy("src_bucket").orderBy(
+          Dedup.h32(concat(lit("gseed|"), col("id"))), col("id"))))
+      .filter(col("__rk") <= p.seedCap).drop("__rk")
+      .write.mode("overwrite").partitionBy("src_bucket")
+      .parquet(s"$indexDir/seeds")
+    writeMeta(indexDir, p)
+    cur
+  }
+
+  private def writeRound(dir: String, r: Int, rows: DataFrame): Unit =
+    rows.write.mode("overwrite").partitionBy("src_bucket")
+      .parquet(roundPath(dir, r))
+
+  // ---------------------------------------------------------------------
+  // Serving
+  // ---------------------------------------------------------------------
+
+  /** The serving adjacency: the FINAL round only (partition-pruned). */
+  def adjacency(spark: SparkSession, indexDir: String): DataFrame = {
+    val r = params(indexDir).rounds
+    spark.read.parquet(roundPath(indexDir, r)).drop("src_bucket")
+  }
+
+  /** Entry seeds in the deterministic global order (driver-side merge of
+    * the per-bucket lists — O(buckets · seedCap) rows). */
+  def seeds(spark: SparkSession, indexDir: String, beam: Int): Array[Long] = {
+    val cap = params(indexDir).seedCap
+    require(beam <= cap, s"beam=$beam exceeds the $cap persisted seeds")
+    spark.read.parquet(s"$indexDir/seeds")
+      .orderBy(Dedup.h32(concat(lit("gseed|"), col("id"))), col("id"))
+      .limit(beam).select("id").collect().map(_.getLong(0))
+  }
+
+  /** Beam search over the maintained index ([[GraphAnn]]'s serving core:
+    * persisted seeds, literal-probe expansion and scoring). */
+  def search(spark: SparkSession, collDir: String, indexDir: String,
+             idCol: String, vecCol: String, query: Seq[Double], beam: Int,
+             rounds: Int, k: Int): DataFrame =
+    GraphAnn.beamSearchFrom(Collections.read(spark, collDir), idCol, vecCol,
+      adjacency(spark, indexDir), seeds(spark, indexDir, beam), query,
+      beam, rounds, k)._1
+
+  // ---------------------------------------------------------------------
+  // Refresh
+  // ---------------------------------------------------------------------
+
+  /** Incremental refresh from the change feed; row-for-row equal to a
+    * full [[build]] over the collection's current state (spec-gated).
+    * Returns the new cursor. */
+  def refresh(spark: SparkSession, collDir: String, indexDir: String,
+              idCol: String, vecCol: String,
+              prev: Collections.ManifestView): Collections.ManifestView = {
+    val p = params(indexDir)
+    val (cur, changedDf, dropped) =
+      Collections.changedSince(spark, collDir, prev)
+    val changedBuckets = Collections.changedBuckets(prev, cur)
+    val stale: Set[Int] = changedBuckets ++ dropped
+    if (stale.isEmpty) return cur
+    val nb = Collections.numBuckets(collDir)
+    val collLong = Collections.read(spark, collDir)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as(vecCol))
+
+    val storedOrder = spark.read.parquet(s"$indexDir/order")
+    val staleSeq = stale.toSeq.sorted.map(Int.box)
+    val oldOrderCB = storedOrder
+      .filter(col("src_bucket").isin(staleSeq: _*)) // partition-pruned
+    val newRows = changedDf.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as(vecCol))
+    val newOrderCB = orderOf(newRows, "id", vecCol, p)
+
+    // C = every id the feed's granularity can have touched (old ∪ new)
+    val oldIds = collectLongs(oldOrderCB.select("id").distinct())
+    val newIds = collectLongs(newRows.select("id").distinct())
+    val cIds = oldIds ++ newIds
+    val dead = oldIds -- newIds
+
+    // ---- round 0: init-edge delta over affected LSH buckets -----------
+    val aBuckets = oldOrderCB.select("band", "bkt")
+      .union(newOrderCB.select("band", "bkt")).distinct()
+    val newOrder = storedOrder
+      .filter(!col("src_bucket").isin(staleSeq: _*))
+      .select("id", "band", "bkt")
+      .unionByName(newOrderCB)
+    val oldEdgesA = initEdges(storedOrder.select("id", "band", "bkt")
+      .join(broadcast(aBuckets), Seq("band", "bkt")), p.w)
+    val newEdgesA = initEdges(newOrder
+      .join(broadcast(aBuckets), Seq("band", "bkt")), p.w)
+    val deltaE = oldEdgesA.exceptAll(newEdgesA)
+      .union(newEdgesA.exceptAll(oldEdgesA))
+    // dirty₀ = endpoints of membership-changed edges ∪ endpoints of
+    // surviving edges incident to C (same edge, possibly new score) ∪ C
+    val incidentC = inIds(newEdgesA, "src", cIds)
+      .union(inIds(newEdgesA, "dst", cIds))
+    val d0 = collectLongs(
+      deltaE.select("src").union(deltaE.select("dst"))
+        .union(incidentC.select("src")).union(incidentC.select("dst"))
+        .distinct()) ++ cIds
+    // recompute round-0 rows for d0: window edges of every bucket holding
+    // a d0 member (under the new membership), symmetrized, incident to d0
+    val bPlus = inIds(newOrder, "id", d0).select("band", "bkt").distinct()
+    val e0 = initEdges(newOrder.join(broadcast(bPlus), Seq("band", "bkt")),
+      p.w)
+    val cand0 = inIds(e0, "src", d0)
+      .union(inIds(e0, "dst", d0)
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val r0 = GraphAnn.topM(scoreProbed(collLong, vecCol, cand0), p.m)
+      .localCheckpoint(eager = true)
+    var (dp, oldDsts, newDsts) = mergeRound(spark, indexDir, 0, nb, d0, r0)
+
+    // order + seeds swaps (safe now: no later step reads the OLD order)
+    swapBucketDirs(spark, s"$indexDir/order", stale,
+      newOrderCB.withColumn("src_bucket", pmod(hash(col("id")), lit(nb))))
+    swapBucketDirs(spark, s"$indexDir/seeds", stale,
+      newRows.select(col("id"), bucketCol("id", nb))
+        .withColumn("__rk", row_number().over(Window
+          .partitionBy("src_bucket").orderBy(
+            Dedup.h32(concat(lit("gseed|"), col("id"))), col("id"))))
+        .filter(col("__rk") <= p.seedCap).drop("__rk"))
+
+    // ---- rounds 1..R: dirty-neighborhood recompute --------------------
+    for (r <- 1 to p.rounds) {
+      if (dp.nonEmpty) {
+        val g = spark.read.parquet(roundPath(indexDir, r - 1))
+          .select("src", "dst") // merged state == the rebuild's g_{r-1}
+        def n1(ids: Set[Long]): Set[Long] =
+          collectLongs(inIds(g, "src", ids).select(col("dst"))
+            .union(inIds(g, "dst", ids).select(col("src"))).distinct())
+        val u = dp ++ oldDsts ++ newDsts
+        val t = u ++ cIds ++ n1(cIds)
+        val s = t ++ n1(t)
+        val undS = inIds(g, "src", s)
+          .union(inIds(g, "dst", s)
+            .select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+        val undFull = g.union(
+          g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        val closure = undS.as("a")
+          .join(undFull.as("b"), col("a.dst") === col("b.src"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val candR = undS.union(closure).distinct()
+        val rr = GraphAnn.topM(scoreProbed(collLong, vecCol, candR), p.m)
+          .localCheckpoint(eager = true)
+        val next = mergeRound(spark, indexDir, r, nb, s, rr)
+        dp = next._1; oldDsts = next._2; newDsts = next._3
+      }
+      // dp empty ⇒ round r-1 is bit-identical to before ⇒ all later
+      // rounds have identical inputs — nothing left to do
+    }
+    cur
+  }
+
+  /** Diff recomputed rows (`repl`, for dirty-superset `s`) against the
+    * stored round-r table, and merge-write ONLY the buckets holding a
+    * truly-changed src. Returns (changed srcs, their old dsts, their new
+    * dsts) — the propagation state for round r+1. Deleted nodes appear
+    * as changed srcs with no replacement rows. */
+  private def mergeRound(spark: SparkSession, indexDir: String, r: Int,
+                         nb: Int, s: Set[Long], repl: DataFrame)
+      : (Set[Long], Set[Long], Set[Long]) = {
+    val path = roundPath(indexDir, r)
+    val stored = spark.read.parquet(path)
+    val storedS = inIds(stored, "src", s)
+      .select("src", "dst", "score_micro", "rnk")
+      .localCheckpoint(eager = true) // pre-swap rows must survive the swap
+    val replS = repl.select("src", "dst", "score_micro", "rnk")
+    val diff = storedS.exceptAll(replS).union(replS.exceptAll(storedS))
+      .localCheckpoint(eager = true)
+    val dp = collectLongs(diff.select("src").distinct())
+    if (dp.isEmpty) return (dp, Set.empty, Set.empty)
+    val oldDsts = collectLongs(
+      inIds(storedS, "src", dp).select("dst").distinct())
+    val newDsts = collectLongs(
+      inIds(replS, "src", dp).select("dst").distinct())
+    // dirty buckets = buckets of changed srcs; replacement content =
+    // kept stored rows ∪ recomputed rows, staged then swapped
+    import spark.implicits._
+    val dirtyB = collectLongs(dp.toSeq.toDF("src")
+        .select(pmod(hash(col("src")), lit(nb)).cast("long")).distinct())
+      .map(_.toInt)
+    val dirtySeq = dirtyB.toSeq.sorted.map(Int.box)
+    val replacement = notInIds(
+        stored.filter(col("src_bucket").isin(dirtySeq: _*))
+          .select("src", "dst", "score_micro", "rnk"), "src", dp)
+      .union(inIds(replS, "src", dp))
+      .withColumn("src_bucket", pmod(hash(col("src")), lit(nb)))
+    swapBucketDirs(spark, path, dirtyB, replacement)
+    (dp, oldDsts, newDsts)
+  }
+
+  /** Staged bucket-dir swap (the [[IvfIndex.refresh]] commit shape):
+    * write `replacement` under `_staging_refresh` first, then delete the
+    * stale `src_bucket=` dirs and move staged dirs in (renames only —
+    * a crash during the expensive write leaves the live table intact). */
+  private def swapBucketDirs(spark: SparkSession, tableDir: String,
+                             staleBuckets: Set[Int],
+                             replacement: DataFrame): Unit = {
+    import scala.jdk.CollectionConverters._
+    val staging = Paths.get(tableDir, "_staging_refresh")
+    if (Files.exists(staging)) Collections.deleteRecursively(staging)
+    replacement.write.mode("overwrite").partitionBy("src_bucket")
+      .parquet(staging.toString)
+    staleBuckets.foreach { b =>
+      val d = Paths.get(tableDir, s"src_bucket=$b")
+      if (Files.exists(d)) Collections.deleteRecursively(d)
+    }
+    if (Files.isDirectory(staging)) {
+      val ls = Files.list(staging)
+      try ls.iterator().asScala
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("src_bucket="))
+        .foreach { d =>
+          val dst = Paths.get(tableDir, d.getFileName.toString)
+          if (Files.exists(dst)) Collections.deleteRecursively(dst)
+          Files.move(d, dst)
+        }
+      finally ls.close()
+      Collections.deleteRecursively(staging)
+    }
+  }
+}
