@@ -15,7 +15,7 @@ object DedupQueries {
 
   /** Corpus + planted dups: exact copy of every doc_id % 100 == 0, near
     * copy (4 tokens appended) of every doc_id % 100 == 1. */
-  private def planted(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def planted(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents").select("doc_id", "text")
     d.unionAll(d.filter(col("doc_id") % 100 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("text")))
@@ -208,8 +208,8 @@ object DedupQueries {
     * for a random pair is ~2⁻⁶; recall for cosine≈0.9 pairs is ~0.95
     * across 6 bands. Planes are md5-derived ±1 constants, so the oracle
     * replays the identical bucket→verify pipeline. */
-  private val embBands = 6
-  private lazy val embPlanes =
+  private[graft] val embBands = 6
+  private[graft] lazy val embPlanes =
     graft.operators.Ann.hyperplanes(embBands * 6, 64)
 
   val dedupEmbed = Q("dedup_embed",

@@ -8,6 +8,28 @@ import org.apache.spark.sql.SparkSession
   *   run <queryName> <sfDir>   — run + show a declared query
   */
 object Dev {
+  /** The dedup_embed pipeline with pluggable LSH geometry + super-bucket
+    * cap — the §8.5b probe's scaled-geometry twin. */
+  private def embedNearDupProbe(s: SparkSession, d: String,
+                                planes: Seq[Seq[Double]], bands: Int,
+                                cap: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(s, d, "embeddings")
+    val banded = emb.select(col("vec_id"),
+      posexplode(graft.operators.Ann.lshBandBuckets(
+        col("embedding"), planes, bands)).as(Seq("band", "bits")))
+    graft.operators.Dedup.bandedPairs(banded, Seq("band", "bits"),
+        "vec_id", Some(cap))
+      .join(emb.select(col("vec_id").as("doc_a"),
+        col("embedding").as("va")), "doc_a")
+      .join(emb.select(col("vec_id").as("doc_b"),
+        col("embedding").as("vb")), "doc_b")
+      .withColumn("score",
+        graft.functions.VectorOps.cosine(col("va"), col("vb")))
+      .orderBy(desc("score"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -96,8 +118,11 @@ object Dev {
         // probe query cold (incl. memoized index builds) and warm
         // (min of 2). Factors share one JVM; exponents = log10 ratios.
         import org.apache.spark.sql.functions._
-        val factors = if (rest.isEmpty) Seq(1, 10, 100) else rest.map(_.toInt)
-        val probeQueries = Seq(
+        // args: <sfDir> [factorsCsv] [query...] — e.g. `scaleprobe d 1,10`
+        // or `scaleprobe d 100 ann_graph_search` (split long 100× runs)
+        val factors = rest.headOption.map(_.split(',').toSeq.map(_.toInt))
+          .getOrElse(Seq(1, 10, 100))
+        val probeQueries = if (rest.length > 1) rest.tail else Seq(
           "v_cosine", "v_knn", "v_knn_filtered", "v_prefetch", "v_pq_search",
           "ann_ivf", "ann_ivf_indexed", "ann_lsh", "ann_graph_search",
           "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embed",
@@ -110,41 +135,107 @@ object Dev {
           val out = s"${System.getProperty("java.io.tmpdir")}/graft-scale-${factor}x-$hash"
           val marker = java.nio.file.Paths.get(s"$out/embeddings.parquet/_SUCCESS")
           if (!java.nio.file.Files.exists(marker)) {
+            // copies must be DISTINCT documents/points, not near-dups of
+            // each other: a blow-up of near-identical copies multiplies
+            // dedup candidate PAIRS quadratically in the copy count (a
+            // duplication-density artifact, measured: dedup_simhash 0.65 s
+            // → 10 s at 10×), drowning the n-scaling signal the probe
+            // exists to read. Copy 0 is byte-identical to the source.
             val emb = Tables.load(spark, dir, "embeddings")
             val eOff = emb.agg(max("vec_id")).head().getLong(0) + 1
             emb.withColumn("c", explode(sequence(lit(0), lit(factor - 1))))
               .select((col("vec_id") + col("c") * eOff).as("vec_id"),
+                // element-wise multiplier in [0.1, 1.9] pseudo-random per
+                // (copy, dim): copies point in substantially different
+                // directions (cross-copy cosine ~0.8, below near-dup)
                 transform(col("embedding"),
-                  (x, i) => x * (lit(1.0f) + col("c").cast("float") *
-                    lit(0.0001f) * (pmod(i, lit(11)) - lit(5)).cast("float")))
+                  (x, i) => x * (lit(1.0f) + lit(0.3f) *
+                    (pmod(col("c") * (i + lit(3)), lit(7)) - lit(3))
+                      .cast("float")))
                   .cast("array<float>").as("embedding"),
                 col("label"))
               .repartition(32)
               .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
             val docs = Tables.load(spark, dir, "documents")
             val dOff = docs.agg(max("doc_id")).head().getLong(0) + 1
-            docs.withColumn("c", explode(sequence(lit(0), lit(factor - 1))))
-              .select((col("doc_id") + col("c") * dOff).as("doc_id"),
-                concat(col("text"), lit(" c"), col("c")).as("text"),
-                col("lang"), col("source"))
+            // per-copy ALPHABET ROTATION (translate): most words change,
+            // so shingle/gram/fingerprint features are disjoint across
+            // rotation classes — distinct docs, constant collision
+            // density. (A repeated per-copy filler token was measured to
+            // CORRELATE simhash fingerprints — the filler dominates the
+            // weight vector and every same-copy pair becomes a band
+            // collision: dedup_simhash 0.8 s → 73 s at 10×.) Copies ≥ 26
+            // reuse a rotation and differ only by the tail token —
+            // bounded near-dup clusters (≤ factor/26), realistic and
+            // linear in n.
+            val abc = ('a' to 'z').mkString + ('A' to 'Z').mkString
+            (0 until factor).map { c =>
+              if (c == 0)
+                docs.select(col("doc_id"), col("text"), col("lang"),
+                  col("source"))
+              else {
+                val r = c % 26
+                val lower = ('a' to 'z').mkString
+                val upper = ('A' to 'Z').mkString
+                val mapped = lower.drop(r) + lower.take(r) +
+                  upper.drop(r) + upper.take(r)
+                docs.select((col("doc_id") + c * dOff).as("doc_id"),
+                  concat(translate(col("text"), abc, mapped),
+                    lit(s" x$c")).as("text"),
+                  col("lang"), col("source"))
+              }
+            }.reduce(_ unionByName _)
               .withColumn("n_chars", length(col("text")).cast("long"))
               .repartition(32)
               .write.mode("overwrite").parquet(s"$out/documents.parquet")
           }
           out
         }
+        // probe-only SCALED-GEOMETRY twins of the two §8.5b cliff queries:
+        // identical pipelines with the super-bucket cap engaged — the
+        // production knob the probe's diagnosis (94% of pairs from
+        // buckets >64) calls for. Declared queries stay uncapped (oracle
+        // semantics untouched).
+        import graft.operators.Dedup
+        val scaled: Map[String, (SparkSession, String) =>
+            org.apache.spark.sql.DataFrame] = Map(
+          "dedup_simhash_capped" -> ((s, d) => {
+            val sig = Dedup.simhashCached(DedupQueries.planted(s, d),
+              "doc_id", "text")
+            Dedup.simhashCandidates(
+                Dedup.simhashBands(sig, "doc_id", bits = 60, bands = 4),
+                "doc_id", maxBucket = Some(64))
+              .join(sig.select(col("doc_id").as("doc_a"),
+                col("simhash").as("sa")), "doc_a")
+              .join(sig.select(col("doc_id").as("doc_b"),
+                col("simhash").as("sb")), "doc_b")
+              .withColumn("hamming",
+                bit_count(col("sa").bitwiseXOR(col("sb"))))
+              .filter(col("hamming") <= 8)
+              .select("doc_a", "doc_b", "hamming")
+          }),
+          "dedup_embed_capped" -> ((s, d) =>
+            embedNearDupProbe(s, d, DedupQueries.embPlanes,
+              DedupQueries.embBands, cap = 64)),
+          // geometry grown with n: 12 bands × 14 planes → 16k-bucket
+          // bands (≈30 vectors/bucket at 500k), recall ≈ 0.77 for
+          // cos≈0.9 pairs — the planes ∝ log n remedy itself, measured
+          "dedup_embed_scaledgeo" -> ((s, d) =>
+            embedNearDupProbe(s, d,
+              graft.operators.Ann.hyperplanes(12 * 14, 64), 12,
+              cap = 256)))
         val results = factors.map { f =>
           val fdir = blowUp(f)
           println(s"== factor $f → $fdir")
           f -> probeQueries.map { name =>
             def eval(): Double = {
               val t0 = System.nanoTime()
-              Queries.queries(name)(spark, fdir)
+              scaled.getOrElse(name, Queries.queries(name))(spark, fdir)
                 .queryExecution.toRdd.foreach(_ => ())
               (System.nanoTime() - t0) / 1e9
             }
             val cold = eval()
-            val warm = math.min(eval(), eval())
+            val warm = eval()
             println(f"  [$name%-18s] cold $cold%8.2f s   warm $warm%8.2f s")
             name -> (cold, warm)
           }.toMap
@@ -163,6 +254,26 @@ object Dev {
             } else "n/a"
           println(s"$name, ${cells.mkString(", ")}, $exp")
         }
+      case "simhashbuckets" :: dir :: Nil =>
+        // diagnostic for the §8.5b simhash cliff: is candidate blowup
+        // uniform band saturation or super-bucket skew?
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(spark, dir, "documents")
+          .select("doc_id", "text")
+        val sig = graft.operators.Dedup.simhash(docs, "doc_id", "text")
+        val bands = graft.operators.Dedup.simhashBands(sig, "doc_id",
+          bits = 60, bands = 4)
+        val sizes = bands.groupBy("band", "band_bits").count()
+          .persist()
+        println("docs=" + docs.count())
+        sizes.agg(count(lit(1)).as("buckets"), max("count").as("max_sz"),
+            sum(col("count") * (col("count") - 1) / 2).as("pairs"))
+          .show(false)
+        println("top-10 buckets:")
+        sizes.orderBy(desc("count")).show(10, false)
+        println("pairs from buckets > 64: ")
+        sizes.filter(col("count") > 64)
+          .agg(sum(col("count") * (col("count") - 1) / 2)).show(false)
       case "graphquality" :: dir :: Nil =>
         // build quality: per-node overlap of graph neighbors vs exact
         // top-M, averaged over a 100-node sample

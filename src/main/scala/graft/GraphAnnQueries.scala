@@ -155,5 +155,32 @@ object GraphAnnQueries {
       WHERE rk <= $K ORDER BY rnk"""
     })
 
-  def queries: Seq[Q] = Seq(annGraph, annGraphSearch)
+  /** Session-lifetime MAINTAINED graph index (sources/GraphIndex — the
+    * refreshable per-round layout) built with the identical params. */
+  private def graphIndexV2Dir(s: org.apache.spark.sql.SparkSession,
+                              dir: String): String =
+    Tables.memoTempDir("graphidx2", dir) { target =>
+      graft.sources.GraphIndex.buildFromPoints(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 16,
+        target, graft.sources.GraphIndex.Params(Bands, Per, W, M, Rounds,
+          planes))
+    }
+
+  /** The MAINTAINED layout's serving gate: the same per-node adjacency
+    * digest as `ann_graph`, read from sources/GraphIndex's final-round
+    * table (partition pruning on `round`) — the refreshable layout must
+    * not change one row vs the flat build (the `ann_ivf_indexed`
+    * materialization contract; refresh equivalence is GraphIndexSpec's
+    * gate). */
+  val annGraphIndexed = Q("ann_graph_indexed",
+    (s, dir) =>
+      graft.sources.GraphIndex.adjacency(s, graphIndexV2Dir(s, dir))
+        .groupBy("src")
+        .agg(count(lit(1)).as("deg"),
+          sum(col("dst")).as("nbr_sum"),
+          sum(col("score_micro")).as("score_sum"))
+        .orderBy("src"),
+    annGraph.oracle)
+
+  def queries: Seq[Q] = Seq(annGraph, annGraphSearch, annGraphIndexed)
 }

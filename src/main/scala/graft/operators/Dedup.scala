@@ -199,11 +199,40 @@ object Dedup {
     * signatures agree exactly on >= 1 band. Same LSH shape as
     * [[lshCandidates]] — a shuffled equi-join keyed on (band, band_bits),
     * candidate volume proportional to band-bucket collision density, never
-    * O(n²). Output (doc_a < doc_b), distinct. */
-  def simhashCandidates(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col("band"), col("band_bits"), col(idCol).as("doc_a"))
-    val b = bands.select(col("band"), col("band_bits"), col(idCol).as("doc_b"))
-    a.join(b, Seq("band", "band_bits"))
+    * O(n²). Output (doc_a < doc_b), distinct.
+    *
+    * `maxBucket`: the SUPER-BUCKET cap, the production knob for skewed
+    * corpora — §8.5b's 100× probe measured 94% of all candidate pairs
+    * coming from band buckets holding >64 docs (low-entropy/short
+    * documents collapsing onto shared band values; pairs grow as the
+    * SQUARE of a bucket's size). A capped bucket contributes no pairs
+    * from THIS band: byte-identical docs are already caught by exact
+    * dedup, and a true near-dup pair usually collides in another,
+    * uncapped band — the documented LSH recall trade (the same skip-
+    * super-buckets discipline as published dedup pipelines). None (the
+    * default) keeps exact banded semantics for the oracle-gated query. */
+  def simhashCandidates(bands: DataFrame, idCol: String,
+                        maxBucket: Option[Int] = None): DataFrame =
+    bandedPairs(bands, Seq("band", "band_bits"), idCol, maxBucket)
+
+  /** Shared banded-pairing core: equi-join a band table with itself on
+    * `keyCols`, optionally skipping super-buckets (see
+    * [[simhashCandidates]]). */
+  private[graft] def bandedPairs(bands: DataFrame, keyCols: Seq[String],
+                                 idCol: String,
+                                 maxBucket: Option[Int]): DataFrame = {
+    val kept = maxBucket match {
+      case None => bands
+      case Some(cap) =>
+        // one map-side-combined count per bucket (rows ∝ buckets), then a
+        // semi-join keeps only members of small-enough buckets
+        val ok = bands.groupBy(keyCols.map(col): _*).count()
+          .filter(col("count") <= cap).drop("count")
+        bands.join(ok, keyCols, "leftsemi")
+    }
+    val a = kept.select((keyCols.map(col) :+ col(idCol).as("doc_a")): _*)
+    val b = kept.select((keyCols.map(col) :+ col(idCol).as("doc_b")): _*)
+    a.join(b, keyCols)
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()

@@ -291,7 +291,8 @@ object GraphAnn {
     }
     var frontier: Array[Long] = seeds.take(beam)
     var candidates: Array[Long] = frontier
-    var converged = false
+    // an empty collection has no seeds — the search is trivially empty
+    var converged = frontier.isEmpty
     for (_ <- 0 until rounds if !converged) {
       val nbrs = adj
         .filter(col("src").isin(frontier.map(Long.box): _*))

@@ -201,18 +201,30 @@ object GraphIndex {
   // Build
   // ---------------------------------------------------------------------
 
-  /** Full build: order table, all NN-descent round states, per-bucket
-    * entry seeds. Returns the manifest cursor for [[refresh]]. */
+  /** Full build from a collection: order table, all NN-descent round
+    * states, per-bucket entry seeds. Returns the manifest cursor for
+    * [[refresh]]. */
   def build(spark: SparkSession, collDir: String, indexDir: String,
             idCol: String, vecCol: String, p: Params)
       : Collections.ManifestView = {
     val cur = Collections.manifestView(collDir)
-    val coll = Collections.read(spark, collDir)
+    buildFromPoints(Collections.read(spark, collDir), idCol, vecCol,
+      Collections.numBuckets(collDir), indexDir, p)
+    cur
+  }
+
+  /** Full build from any points frame (fixture-table form — the same
+    * split every derived layout has). The round-R table is row-identical
+    * to [[graft.operators.GraphAnn.buildGraph]] with the same params:
+    * identical init windows, scoring, and top-M — only the layout
+    * (per-round, per-bucket, refreshable) differs. */
+  def buildFromPoints(coll: DataFrame, idCol: String, vecCol: String,
+                      nb: Int, indexDir: String, p: Params): Unit = {
+    val spark = coll.sparkSession
     require(coll.schema(idCol).dataType ==
         org.apache.spark.sql.types.LongType,
       s"graph index requires a BIGINT id column, got " +
         s"${coll.schema(idCol).dataType}")
-    val nb = Collections.numBuckets(collDir)
     val collLong = coll.select(col(idCol).cast("long").as("id"),
       col(vecCol).as(vecCol))
     val order = orderOf(coll, idCol, vecCol, p)
@@ -256,7 +268,6 @@ object GraphIndex {
       .write.mode("overwrite").partitionBy("src_bucket")
       .parquet(s"$indexDir/seeds")
     writeMeta(indexDir, p)
-    cur
   }
 
   private def writeRound(dir: String, r: Int, rows: DataFrame): Unit =

@@ -80,7 +80,14 @@ class GraphAnnSpec extends AnyFunSuite with SparkSpec {
 
   test("serving scoring: the candidate fetch is a literal id probe — " +
        "PushedFilters In on the COLLECTION scan, not a corpus join") {
-    val emb = Tables.load(spark, sf, "embeddings")
+    // probe a COPY of the fixture: another suite may have persist()ed the
+    // fixture table, and CacheManager substitution would hide the file
+    // scan this test asserts on (same analyzed plan → InMemoryTableScan)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gprobe")
+    val path = tmp.resolve("emb.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"), path)
+    val emb = spark.read.parquet(path.toString)
     val probe = graft.operators.GraphAnn.collectionProbe(
       emb, "vec_id", Seq(1L, 5L, 9L))
     val plan = probe.queryExecution.executedPlan.toString

@@ -129,6 +129,45 @@ class GraphIndexSpec extends AnyFunSuite with SparkSpec {
     assert(listings() == preNoop, "no-change refresh rewrote files")
   }
 
+  test("successive refreshes from a moving cursor track a growing " +
+       "collection (the per-micro-batch maintenance loop)") {
+    val root = Files.createTempDirectory("graft-gidx2").toString
+    val dir = s"$root/coll"
+    Collections.create(dir, VectorConfig(64), buckets = 16)
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings")
+
+    sink.write(emb.filter(col("vec_id") < 120).withColumn("seq", lit(0)))
+    val idx = s"$root/gidx"
+    var cursor = GraphIndex.build(spark, dir, idx, "vec_id", "embedding", P)
+
+    // batch 2: 40 new points
+    sink.write(emb.filter(col("vec_id").between(120, 159))
+      .withColumn("seq", lit(1)))
+    cursor = GraphIndex.refresh(spark, dir, idx, "vec_id", "embedding",
+      cursor)
+    // batch 3: 20 more new points + a deletion + a re-embed
+    sink.write(emb.filter(col("vec_id").between(160, 179))
+      .withColumn("seq", lit(2)))
+    Collections.deleteWhere(spark, dir, col("vec_id") === 7, "vec_id")
+    Collections.setVectorWhere(spark, dir, col("vec_id") === 11,
+      "vec_id", "embedding",
+      reverse(col("embedding")).cast("array<float>"))
+    cursor = GraphIndex.refresh(spark, dir, idx, "vec_id", "embedding",
+      cursor)
+
+    val full = s"$root/gidx_full"
+    GraphIndex.build(spark, dir, full, "vec_id", "embedding", P)
+    (0 to P.rounds).foreach { r =>
+      assert(graphRows(spark, idx, r) == graphRows(spark, full, r),
+        s"round $r diverges after two chained refreshes")
+    }
+    assert(tableRows(spark, s"$idx/seeds", "id") ==
+      tableRows(spark, s"$full/seeds", "id"))
+    assert(graphRows(spark, idx, P.rounds).nonEmpty)
+  }
+
   test("params round-trip through _graph_index.json exactly") {
     val tmp = Files.createTempDirectory("graft-gmeta").toString
     val dir = s"$tmp/coll"

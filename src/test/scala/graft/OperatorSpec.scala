@@ -83,6 +83,37 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       s"hamming<=3 pair ($ia, $ib) missed — pigeonhole violated")
   }
 
+  test("super-bucket cap: no-op below the cap; a pathological bucket " +
+       "contributes no pairs when capped; subset of uncapped") {
+    val d = docs20.select("doc_id", "text")
+    val sig = Dedup.simhash(d, "doc_id", "text")
+    val bands = Dedup.simhashBands(sig, "doc_id")
+    def pairs(cap: Option[Int]): Set[(Long, Long)] =
+      Dedup.simhashCandidates(bands, "doc_id", cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fixture buckets are tiny → a generous cap changes nothing
+    assert(pairs(Some(64)) == pairs(None))
+    // plant a super-bucket: 200 byte-identical docs collapse onto the
+    // same band values; capped, they contribute ZERO pairs (exact dedup's
+    // job), while genuinely small buckets keep pairing
+    val flood = d.limit(1).select(lit("the same short text").as("text"))
+      .crossJoin(spark.range(200).select((col("id") + 50000).as("doc_id")))
+      .select(col("doc_id"), col("text"))
+    val sig2 = Dedup.simhash(d.unionAll(flood), "doc_id", "text")
+    val bands2 = Dedup.simhashBands(sig2, "doc_id")
+    val capped = Dedup.simhashCandidates(bands2, "doc_id", Some(64))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.simhashCandidates(bands2, "doc_id", None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    assert(!capped.exists { case (a, b) => a >= 50000 && b >= 50000 },
+      "super-bucket members still paired with each other under the cap")
+    assert(capped == pairs(None),
+      "capping the flood bucket must leave the original corpus' pairs")
+    assert(uncapped.count { case (a, b) => a >= 50000 && b >= 50000 } ==
+      200 * 199 / 2, "flood bucket should pair quadratically uncapped")
+  }
+
   test("banded dedup plans contain no nested-loop join") {
     Seq("dedup_simhash", "dedup_embed").foreach { q =>
       val plan = Queries.queries(q)(spark, sf)
