@@ -14,13 +14,32 @@ import graft.operators.Dedup
 object DedupQueries {
 
   /** Corpus + planted dups: exact copy of every doc_id % 100 == 0, near
-    * copy (4 tokens appended) of every doc_id % 100 == 1. */
+    * copy (4 tokens appended) of every doc_id % 100 == 1. The plant
+    * offset is `greatest(100000, max(doc_id)+1)`, computed IN-PLAN (a
+    * 1-row broadcast scalar, the txt_decontam discipline): 100000 at
+    * fixture scale — oracle rows byte-identical — but collision-proof on
+    * larger corpora (the §8.5b probe's 100× blow-up reaches doc_id
+    * 500000, where a fixed +100000 would alias planted copies onto REAL
+    * documents and corrupt every dedup measurement). */
+  // one narrow max-scan per (table, fixture dir) per JVM — a memoized
+  // driver literal keeps every plant plan free of the 1-row cross join a
+  // scalar subquery would repeat per union branch (measured: 12
+  // BroadcastNestedLoopJoins in the dedup_simhash plan)
+  private val offCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+  private[graft] def plantOffset(s: SparkSession, dir: String,
+                                 table: String, idCol: String): Long =
+    offCache.computeIfAbsent((table, dir), _ =>
+      math.max(100000L, Tables.load(s, dir, table)
+        .agg(max(col(idCol))).head().getLong(0) + 1L))
+
   private[graft] def planted(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val off = plantOffset(s, dir, "documents", "doc_id")
     d.unionAll(d.filter(col("doc_id") % 100 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .select((col("doc_id") + off).as("doc_id"), col("text")))
       .unionAll(d.filter(col("doc_id") % 100 === 1)
-        .select((col("doc_id") + 200000).as("doc_id"),
+        .select((col("doc_id") + off * 2).as("doc_id"),
           concat(col("text"), lit(" extra trailing tokens appended"))
             .as("text")))
       // The fixture is one small parquet file → a single input split; the
@@ -31,12 +50,15 @@ object DedupQueries {
   }
 
   private val plantedSql = """
+      poff AS (SELECT greatest(100000, max(doc_id) + 1) AS o FROM documents),
       docs2 AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 100 = 0
+        SELECT doc_id + (SELECT o FROM poff), text
+        FROM documents WHERE doc_id % 100 = 0
         UNION ALL
-        SELECT doc_id + 200000, text || ' extra trailing tokens appended'
+        SELECT doc_id + 2 * (SELECT o FROM poff),
+               text || ' extra trailing tokens appended'
         FROM documents WHERE doc_id % 100 = 1)"""
 
   /** Shared shingle CTE (lowercase whitespace tokens → distinct word
@@ -510,11 +532,14 @@ object DedupQueries {
       import graft.operators.Ann
       val emb = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // memoized plant offset (plantOffset): 100000 at fixture scale,
+      // collision-proof when a blown-up corpus outgrows it
+      val off = plantOffset(s, dir, "embeddings", "vec_id")
       val planted = emb
         .unionAll(emb.filter(col("vec_id") % 50 === 0)
-          .select((col("vec_id") + 100000).as("vec_id"), col("v")))
+          .select((col("vec_id") + off).as("vec_id"), col("v")))
         .unionAll(emb.filter(col("vec_id") % 50 === 1)
-          .select((col("vec_id") + 200000).as("vec_id"),
+          .select((col("vec_id") + off * 2).as("vec_id"),
             concat(array(element_at(col("v"), 1) + lit(0.25)),
               slice(col("v"), 2, 63)).as("v")))
       val cents = AnnQueries.trainedCentroids(s, dir, 8, 2)
@@ -537,13 +562,15 @@ object DedupQueries {
     },
     Some(s"""
       WITH ${AnnQueries.kmeansSql(8, 2)},
+      voff AS (SELECT greatest(100000, max(vec_id) + 1) AS o
+               FROM embeddings),
       pemb AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         UNION ALL
-        SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+        SELECT vec_id + (SELECT o FROM voff), CAST(embedding AS DOUBLE[])
         FROM embeddings WHERE vec_id % 50 = 0
         UNION ALL
-        SELECT vec_id + 200000,
+        SELECT vec_id + 2 * (SELECT o FROM voff),
                [CAST(embedding AS DOUBLE[])[1] + 0.25]
                  || CAST(embedding AS DOUBLE[])[2:64]
         FROM embeddings WHERE vec_id % 50 = 1),

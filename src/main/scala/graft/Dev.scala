@@ -143,19 +143,29 @@ object Dev {
             // exists to read. Copy 0 is byte-identical to the source.
             val emb = Tables.load(spark, dir, "embeddings")
             val eOff = emb.agg(max("vec_id")).head().getLong(0) + 1
-            emb.withColumn("c", explode(sequence(lit(0), lit(factor - 1))))
+            val embBlown = emb
+              .withColumn("c", explode(sequence(lit(0), lit(factor - 1))))
               .select((col("vec_id") + col("c") * eOff).as("vec_id"),
                 // element-wise multiplier in [0.1, 1.9] pseudo-random per
                 // (copy, dim): copies point in substantially different
-                // directions (cross-copy cosine ~0.8, below near-dup)
-                transform(col("embedding"),
-                  (x, i) => x * (lit(1.0f) + lit(0.3f) *
-                    (pmod(col("c") * (i + lit(3)), lit(7)) - lit(3))
-                      .cast("float")))
-                  .cast("array<float>").as("embedding"),
+                // directions (cross-copy cosine ~0.8, below near-dup).
+                // The pmod argument mixes c AND c/7 so the pattern does
+                // NOT repeat with period 7 in the copy index (a plain
+                // c·(i+3) term made copies c and c+7 bit-identical —
+                // ~15-point exact-dup vector clusters at 100×, exactly
+                // the duplicate-density artifact this blow-up exists to
+                // avoid; residual collisions at period 49 leave clusters
+                // ≤ 3, matching the text side's rotation classes). Copy 0
+                // stays byte-identical to the source.
+                when(col("c") === 0, col("embedding")).otherwise(
+                  transform(col("embedding"),
+                    (x, i) => x * (lit(1.0f) + lit(0.3f) *
+                      (pmod(col("c") * (i + lit(3)) +
+                          floor(col("c") / 7).cast("int") *
+                          (i * 3 + lit(5)), lit(7)) - lit(3))
+                        .cast("float")))
+                    .cast("array<float>")).as("embedding"),
                 col("label"))
-              .repartition(32)
-              .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
             val docs = Tables.load(spark, dir, "documents")
             val dOff = docs.agg(max("doc_id")).head().getLong(0) + 1
             // per-copy ALPHABET ROTATION (translate): most words change,
@@ -188,6 +198,12 @@ object Dev {
               .withColumn("n_chars", length(col("text")).cast("long"))
               .repartition(32)
               .write.mode("overwrite").parquet(s"$out/documents.parquet")
+            // embeddings LAST: its _SUCCESS is the completion marker, so
+            // it must imply the documents write finished too (a crash
+            // between the two would otherwise leave a half-built dir
+            // every later run trusts)
+            embBlown.repartition(32)
+              .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
           }
           out
         }

@@ -127,15 +127,12 @@ object Dedup {
           s => s.getField("minhash").cast("string")), "-").as("band_sig"))
 
   /** Candidate near-dup pairs: docs colliding in ≥1 band. Output
-    * (doc_a < doc_b), distinct. */
-  def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col("band"), col("band_sig"), col(idCol).as("doc_a"))
-    val b = bands.select(col("band"), col("band_sig"), col(idCol).as("doc_b"))
-    a.join(b, Seq("band", "band_sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
-  }
+    * (doc_a < doc_b), distinct. `maxBucket` is the super-bucket cap —
+    * the same skewed-corpus knob as [[simhashCandidates]] (None keeps
+    * exact banded semantics for the oracle-gated query). */
+  def lshCandidates(bands: DataFrame, idCol: String,
+                    maxBucket: Option[Int] = None): DataFrame =
+    bandedPairs(bands, Seq("band", "band_sig"), idCol, maxBucket)
 
   /** SimHash: 60-bit signature (60 bits keeps every intermediate positive
     * in a signed 64-bit int in both engines). Token weight = occurrence

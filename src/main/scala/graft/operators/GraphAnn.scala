@@ -200,6 +200,10 @@ object GraphAnn {
     val parts = math.max(2, (adj.count() / 1000000L).toInt + 1)
     adj.repartitionByRange(parts, col("src")).sortWithinPartitions("src")
       .write.mode("overwrite").parquet(indexDir)
+    // adj is localCheckpoint'd; its blocks are released by the
+    // ContextCleaner once the RDD reference is GC'd after this frame —
+    // an explicit unpersist() would NOT free checkpoint blocks (it only
+    // touches cache storage) and was removed as misleading (r9 ADVICE)
     // seeds are O(SeedCap) rows — one file is the right layout for them
     seedIds(coll, idCol, SeedCap).zipWithIndex
       .map { case (id, i) => ((i + 1).toLong, id) }.toSeq

@@ -114,12 +114,18 @@ object Collections {
         StandardCharsets.UTF_8))
       .map(_.group(1).toInt).getOrElse(DefaultBuckets)
 
+  /** THE validity predicate — one definition shared by [[validate]] and
+    * the rejection counting in `writeBatchCounted`, so the two can never
+    * drift. */
+  private[sources] def validCond(vecCol: String, cfg: VectorConfig): Column =
+    VectorOps.hasDim(col(vecCol), cfg.dim)
+
   /** Dim-validation gate: rows whose vector violates the collection's
     * declared size are rejected (returned separately — the quarantine
     * analog of the reference's drop-on-error, upgraded to be observable). */
   def validate(points: DataFrame, vecCol: String, cfg: VectorConfig)
       : (DataFrame, DataFrame) = {
-    val okCond = VectorOps.hasDim(col(vecCol), cfg.dim)
+    val okCond = validCond(vecCol, cfg)
     (points.filter(okCond), points.filter(!okCond || col(vecCol).isNull))
   }
 
@@ -858,12 +864,17 @@ object Collections {
       writeBatchCounted(points, batchId)._1
 
     /** [[writeBatch]] plus the rejected-row count (one aggregate job —
-      * total and valid counted in the same pass). */
+      * total and valid counted in the same pass, with [[validate]]'s own
+      * predicate). An already-fenced replay short-circuits BEFORE the
+      * count: it must cost one metadata read, not a batch scan + a
+      * spurious rejection warning. */
     def writeBatchCounted(points: DataFrame, batchId: Long): (Boolean, Long) = {
+      require(batchId >= 0, s"streaming batchId must be >= 0, got $batchId")
+      if (batchId <= lastAppliedBatch(dir)) return (false, 0L)
       val (ok, _) = validate(points, vecCol, cfg)
       val counts = points.agg(
         count(lit(1)).as("__total"),
-        count(when(VectorOps.hasDim(col(vecCol), cfg.dim), 1)).as("__ok"))
+        count(when(validCond(vecCol, cfg), 1)).as("__ok"))
         .head()
       val (total, valid) = (counts.getLong(0), counts.getLong(1))
       val rejected = total - valid

@@ -66,7 +66,10 @@ import graft.operators.{Ann, Dedup, GraphAnn}
   * [[GraphAnn]] determinism contract), so "identical inputs" really does
   * mean "identical rows", and D'_r shrinks to the true change set — if a
   * round's diff is empty (and nothing was deleted), the remaining rounds
-  * are provably unchanged and refresh stops early.
+  * are provably unchanged and refresh stops early — but ONLY on
+  * pure-deletion refreshes: a live changed-bucket id may carry a new
+  * vector whose effect first surfaces at a later round's closure pair,
+  * so any such id keeps all rounds running (guard in [[refresh]]).
   *
   * == Cost & limits ==
   *
@@ -382,8 +385,17 @@ object GraphIndex {
         .filter(col("__rk") <= p.seedCap).drop("__rk"))
 
     // ---- rounds 1..R: dirty-neighborhood recompute --------------------
+    // A round may be SKIPPED only when (a) the previous round's diff is
+    // empty AND (b) no live node's VECTOR may have changed: with
+    // unchanged g_{r-1} a changed vector can still flip a LATER round —
+    // a pair (s, c) first formed at closure distance in round r scores
+    // with c's new vector even though every earlier round's output was
+    // bit-identical (micro-quantization makes such collisions possible).
+    // The feed cannot tell WHICH rewritten rows changed their vector, so
+    // any live id in a changed bucket (newIds) keeps the rounds running.
+    val vectorsMayHaveChanged = newIds.nonEmpty
     for (r <- 1 to p.rounds) {
-      if (dp.nonEmpty) {
+      if (dp.nonEmpty || vectorsMayHaveChanged) {
         val g = spark.read.parquet(roundPath(indexDir, r - 1))
           .select("src", "dst") // merged state == the rebuild's g_{r-1}
         def n1(ids: Set[Long]): Set[Long] =
@@ -408,8 +420,9 @@ object GraphIndex {
         val next = mergeRound(spark, indexDir, r, nb, s, rr)
         dp = next._1; oldDsts = next._2; newDsts = next._3
       }
-      // dp empty ⇒ round r-1 is bit-identical to before ⇒ all later
-      // rounds have identical inputs — nothing left to do
+      // dp empty AND no possibly-revectored live nodes ⇒ round r-1 is
+      // bit-identical to before and every remaining round has identical
+      // inputs — nothing left to do (see vectorsMayHaveChanged above)
     }
     cur
   }

@@ -78,16 +78,28 @@ object PayloadIndex {
       .findFirstMatchIn(new String(Files.readAllBytes(metaPath(dir)),
         StandardCharsets.UTF_8)).get.group(1)
 
+  /** The indexed key's Catalyst type (catalogString), pinned at build.
+    * Serving must hash the query literal AS THIS TYPE: Murmur3 is
+    * type-sensitive (hash(3: Int) != hash(3L)), so an uncast literal of
+    * the wrong Scala type would route to the wrong pbucket and silently
+    * return zero rows while the residual equality (which casts
+    * implicitly) hides the mismatch. */
+  def keyTypeOf(dir: String): String =
+    """"key_type":\s*"([^"]+)"""".r
+      .findFirstMatchIn(new String(Files.readAllBytes(metaPath(dir)),
+        StandardCharsets.UTF_8)).get.group(1)
+
   /** The pinned value-bucket count of an existing index. */
   def valueBucketsOf(dir: String): Int =
     """"value_buckets":\s*(\d+)""".r
       .findFirstMatchIn(new String(Files.readAllBytes(metaPath(dir)),
         StandardCharsets.UTF_8)).get.group(1).toInt
 
-  private def writeMeta(dir: String, key: String, vb: Int): Unit = {
+  private def writeMeta(dir: String, key: String, keyType: String,
+                        vb: Int): Unit = {
     Files.createDirectories(Paths.get(dir))
     Files.write(metaPath(dir),
-      s"""{"key": "$key", "value_buckets": $vb}"""
+      s"""{"key": "$key", "key_type": "$keyType", "value_buckets": $vb}"""
         .getBytes(StandardCharsets.UTF_8))
     ()
   }
@@ -108,13 +120,15 @@ object PayloadIndex {
             idBuckets: Int = Collections.DefaultBuckets,
             valueBuckets: Int = DefaultValueBuckets): Unit = {
     require(!key.contains("\""), "key must not contain quotes")
+    val keyType = points.schema(key).dataType.catalogString
+    require(!keyType.contains("\""), s"unsupported key type: $keyType")
     assigned(points, key, idCol, idBuckets, valueBuckets)
       .write.mode("overwrite")
       .partitionBy("src_bucket", "pbucket")
       .parquet(dir)
     // AFTER the data write: overwrite mode deletes the target dir first,
     // and a metadata record present without data would claim a live index
-    writeMeta(dir, key, valueBuckets)
+    writeMeta(dir, key, keyType, valueBuckets)
   }
 
   /** Materialize FROM a collection; returns the manifest cursor for
@@ -136,9 +150,11 @@ object PayloadIndex {
   def forValue(spark: SparkSession, dir: String, value: Any): DataFrame = {
     val key = keyOf(dir)
     val vb = valueBucketsOf(dir)
+    // cast the literal to the INDEXED type before hashing (still
+    // constant-folds): Murmur3 is type-sensitive, see [[keyTypeOf]]
+    val v = lit(value).cast(keyTypeOf(dir))
     spark.read.parquet(dir)
-      .filter(col("pbucket") === valueBucket(lit(value), vb) &&
-        col(key) === lit(value))
+      .filter(col("pbucket") === valueBucket(v, vb) && col(key) === v)
       .drop("pbucket", "src_bucket")
   }
 
@@ -148,10 +164,12 @@ object PayloadIndex {
       : DataFrame = {
     val key = keyOf(dir)
     val vb = valueBucketsOf(dir)
-    val bucketPred = values.map(v => col("pbucket") === valueBucket(lit(v), vb))
+    val t = keyTypeOf(dir)
+    val lits = values.map(v => lit(v).cast(t))
+    val bucketPred = lits.map(v => col("pbucket") === valueBucket(v, vb))
       .reduce(_ || _)
     spark.read.parquet(dir)
-      .filter(bucketPred && col(key).isin(values: _*))
+      .filter(bucketPred && lits.map(col(key) === _).reduce(_ || _))
       .drop("pbucket", "src_bucket")
   }
 

@@ -591,6 +591,21 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     val v0 = PayloadIndex.buildFromCollection(spark, dir, idx,
       "label", "vec_id")
     assert(PayloadIndex.keyOf(idx) == "label")
+    assert(PayloadIndex.keyTypeOf(idx) == "int")
+
+    // literal-type independence: Murmur3 is type-sensitive, so an index
+    // on a BIGINT key probed with an Int (or String) literal must still
+    // route to the right pbucket — the serving cast is the regression
+    // under test (an uncast lit(3) would hash to the wrong partition and
+    // silently return zero rows)
+    val idxL = s"$root/pidx_long"
+    PayloadIndex.buildFromCollection(spark, dir, idxL, "vec_id", "vec_id")
+    assert(PayloadIndex.keyTypeOf(idxL) == "bigint")
+    assert(PayloadIndex.forValue(spark, idxL, 3).count() == 1L,
+      "Int literal against a BIGINT key missed its bucket")
+    assert(PayloadIndex.forValue(spark, idxL, "3").count() == 1L,
+      "String literal against a BIGINT key missed its bucket")
+    assert(PayloadIndex.forValues(spark, idxL, Seq(3, 5)).count() == 2L)
 
     // covering-index contract: the indexed read IS the filtered read
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
