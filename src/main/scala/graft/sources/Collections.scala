@@ -579,6 +579,123 @@ object Collections {
       }
     }
 
+  /** One operation of a [[updateBatch]] — the Qdrant `batch_update_points`
+    * operation vocabulary (upsert / delete / set_payload /
+    * overwrite_payload / clear_payload / update_vectors / delete_vectors),
+    * each with the IDENTICAL semantics of its standalone verb. */
+  sealed trait PointOp
+  object PointOp {
+    final case class Upsert(points: DataFrame) extends PointOp
+    final case class Delete(filter: Column) extends PointOp
+    final case class SetPayload(filter: Column,
+                                sets: Map[String, Column]) extends PointOp
+    final case class OverwritePayload(filter: Column,
+                                      sets: Map[String, Column]) extends PointOp
+    final case class ClearPayload(filter: Column) extends PointOp
+    final case class SetVector(filter: Column, vecCol: String,
+                               newVec: Column) extends PointOp
+    final case class DeleteVectors(filter: Column,
+                                   vecCols: Seq[String]) extends PointOp
+  }
+
+  /** Qdrant `batch_update_points`: a SEQUENCE of heterogeneous point
+    * operations, applied in order — each op sees the preceding ops'
+    * effects (an op's filter can match a row the batch itself upserted) —
+    * but committed through ONE generation write and ONE atomic manifest
+    * swap. That makes the batch ALL-OR-NOTHING: a failure anywhere (a
+    * dim-violating SetVector replacement, a lost executor mid-write)
+    * leaves the collection at the pre-batch state with no partial
+    * application — strictly stronger than replaying the standalone verbs
+    * one by one, where a mid-sequence crash strands the collection
+    * between generations. (Qdrant itself applies the batch sequentially;
+    * the one-commit form is the lakehouse upgrade the manifest layout
+    * makes free.)
+    *
+    * Cost: one progressive pass per FILTER op to locate its matched
+    * buckets (pushdown-friendly, exactly like the standalone verbs),
+    * then a single rewrite of the union of touched buckets. `vecCols` /
+    * `seqCol` provide the clear/overwrite verbs' identity-column context.
+    * Ops count is expected small (the public API batches a handful);
+    * lineage grows with ops and stays linear. */
+  def updateBatch(spark: SparkSession, dir: String, ops: Seq[PointOp],
+                  idCol: String, seqCol: String,
+                  vecCols: Seq[String]): Unit = {
+    import PointOp._
+    recoverForWrite(dir)
+    require(readManifest(dir).isDefined ||
+        looseFiles(Paths.get(s"$dir/data")).isEmpty,
+      s"updateBatch needs a migrated collection (unbucketed loose files " +
+        s"present) — run one upsert first: $dir")
+    val buckets = numBuckets(dir)
+    val (gen, view) = currentState(dir)
+    val keep = (Seq(idCol, seqCol, BucketCol) ++ vecCols).toSet
+    def withBucket(df: DataFrame) =
+      df.withColumn(BucketCol, bucketOf(idCol, buckets))
+    var cur = withBucket(read(spark, dir))
+    var touched = Set.empty[Int]
+    def matchedBuckets(cond: Column): Set[Int] =
+      cur.filter(cond).select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSet
+    ops.foreach { op =>
+      op match {
+        case Upsert(points) =>
+          val b = withBucket(points)
+          touched ++= b.select(BucketCol).distinct()
+            .collect().map(_.getInt(0)).toSet
+          cur = withBucket(graft.operators.Ingest.upsert(
+            cur.drop(BucketCol).unionByName(points), idCol, seqCol))
+        case Delete(f) =>
+          val cond = coalesce(f, lit(false))
+          touched ++= matchedBuckets(cond)
+          cur = cur.filter(!cond)
+        case SetPayload(f, sets) =>
+          val cond = coalesce(f, lit(false))
+          touched ++= matchedBuckets(cond)
+          cur = sets.foldLeft(cur) { case (d, (name, e)) =>
+            d.withColumn(name, when(cond, e).otherwise(col(name)))
+          }
+        case OverwritePayload(f, sets) =>
+          val cond = coalesce(f, lit(false))
+          touched ++= matchedBuckets(cond)
+          cur = cur.columns.filterNot(keep).foldLeft(cur) { (d, name) =>
+            val replaced = sets.getOrElse(name,
+              lit(null).cast(d.schema(name).dataType))
+            d.withColumn(name, when(cond, replaced).otherwise(col(name)))
+          }
+        case ClearPayload(f) =>
+          val cond = coalesce(f, lit(false))
+          touched ++= matchedBuckets(cond)
+          cur = cur.columns.filterNot(keep).foldLeft(cur) { (d, name) =>
+            d.withColumn(name,
+              when(cond, lit(null).cast(d.schema(name).dataType))
+                .otherwise(col(name)))
+          }
+        case SetVector(f, vecCol, newVec) =>
+          val cond = coalesce(f, lit(false))
+          val dim = config(dir).dim
+          touched ++= matchedBuckets(cond)
+          cur = cur.withColumn(vecCol,
+            when(!cond, col(vecCol))
+              .when(VectorOps.hasDim(newVec, dim), newVec)
+              .otherwise(raise_error(concat(
+                lit(s"updateBatch SetVector: replacement vector violates "
+                  + s"dim=$dim for id "),
+                col(idCol).cast("string")))))
+        case DeleteVectors(f, vcs) =>
+          val cond = coalesce(f, lit(false))
+          touched ++= matchedBuckets(cond)
+          cur = vcs.foldLeft(cur) { (d, name) =>
+            d.withColumn(name,
+              when(cond, lit(null).cast(d.schema(name).dataType))
+                .otherwise(col(name)))
+          }
+      }
+    }
+    if (touched.isEmpty) return
+    publishGeneration(dir, gen, view, touched,
+      cur.filter(col(BucketCol).isin(touched.toSeq.sorted.map(Int.box): _*)))
+  }
+
   /** Readers resolve through the manifest: the path set is immutable for
     * the life of that manifest generation (superseded generations outlive
     * their de-referencing write by one more write — the grace window for

@@ -577,6 +577,80 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     assert(rows(idx).nonEmpty)
   }
 
+  test("updateBatch (batch_update_points): ops apply in order with " +
+       "in-batch visibility, commit as ONE generation, and fail " +
+       "all-or-nothing") {
+    import Collections.PointOp._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ubatch").toString
+    def mk(name: String): String = {
+      val dir = s"$root/$name"
+      val sink = new Collections.ParquetCollectionSink(spark, dir,
+        VectorConfig(2), "embedding", "id", "seq")
+      sink.write(Seq(
+        ("a", Seq(1f, 0f), "red", 0L), ("b", Seq(0f, 1f), "red", 0L),
+        ("c", Seq(1f, 1f), "blue", 0L), ("d", Seq(2f, 1f), "blue", 0L))
+        .toDF("id", "embedding", "color", "seq"))
+      dir
+    }
+    def rows(dir: String): Set[(String, Seq[Float], String)] =
+      Collections.read(spark, dir)
+        .select(col("id"), col("embedding"), col("color"))
+        .collect().map(r => (r.getString(0),
+          Option(r.getSeq[Float](1)).getOrElse(null), r.getString(2))).toSet
+
+    // the batch: upsert e + re-embed a, delete blue, recolor the rest —
+    // then delete the row the batch ITSELF upserted (in-batch visibility)
+    val batchDir = mk("batch")
+    val ops = Seq(
+      Upsert(Seq(("e", Seq(5f, 5f), "green", 1L),
+        ("a", Seq(9f, 9f), "red", 1L))
+        .toDF("id", "embedding", "color", "seq")),
+      Delete(col("color") === "blue"),
+      SetPayload(col("color") === "red", Map("color" -> lit("crimson"))),
+      Delete(col("id") === "e"))
+    val genBefore = Collections.manifestView(batchDir).gen
+    Collections.updateBatch(spark, batchDir, ops, "id", "seq",
+      Seq("embedding"))
+    assert(Collections.manifestView(batchDir).gen == genBefore + 1,
+      "batch must commit exactly one generation")
+
+    // equivalence with the standalone verbs applied sequentially
+    val seqDir = mk("seq")
+    Collections.upsert(spark, seqDir,
+      Seq(("e", Seq(5f, 5f), "green", 1L), ("a", Seq(9f, 9f), "red", 1L))
+        .toDF("id", "embedding", "color", "seq"), "id", "seq")
+    Collections.deleteWhere(spark, seqDir, col("color") === "blue", "id")
+    Collections.setPayloadWhere(spark, seqDir, col("color") === "red",
+      "id", Map("color" -> lit("crimson")))
+    Collections.deleteWhere(spark, seqDir, col("id") === "e", "id")
+    assert(rows(batchDir) == rows(seqDir),
+      "one-commit batch diverges from the sequential verbs")
+    assert(rows(batchDir).map(_._1) == Set("a", "b"))
+    assert(rows(batchDir).forall(_._3 == "crimson"))
+
+    // ATOMICITY: a failing op (dim-violating SetVector) must leave the
+    // collection at the PRE-batch state — no partial application of the
+    // earlier ops (the property sequential verbs cannot give)
+    val before = rows(batchDir)
+    val manBefore = Collections.manifestView(batchDir)
+    val bad = Seq(
+      Delete(col("id") === "a"), // would apply first if not atomic
+      SetVector(col("id") === "b", "embedding",
+        lit(Array(1f)))) // wrong dim → job fails before the swap
+    val thrown = intercept[Exception] {
+      Collections.updateBatch(spark, batchDir, bad, "id", "seq",
+        Seq("embedding"))
+    }
+    assert(thrown.getMessage != null)
+    val manAfter = Collections.manifestView(batchDir)
+    assert(manAfter.gen == manBefore.gen &&
+      manAfter.buckets == manBefore.buckets,
+      "failed batch mutated the manifest")
+    assert(rows(batchDir) == before,
+      "failed batch partially applied — atomicity broken")
+  }
+
   test("payload field index: indexed read is row-identical to the " +
        "unindexed filter; refresh over the change feed equals a full " +
        "rebuild; untouched bucket dirs are physically untouched") {
