@@ -162,6 +162,7 @@ object PayloadIndex {
     * the pruned listing is the union of the values' buckets. */
   def forValues(spark: SparkSession, dir: String, values: Seq[Any])
       : DataFrame = {
+    require(values.nonEmpty, "forValues needs at least one value")
     val key = keyOf(dir)
     val vb = valueBucketsOf(dir)
     val t = keyTypeOf(dir)
