@@ -131,8 +131,13 @@ object Dev {
           val hash = java.lang.Integer.toHexString(dir.hashCode)
           // NOT under the `graft_` prefix: Tables.memoTempDir's orphan
           // sweep reclaims those by pid suffix, and this dir is meant to
-          // be reused across probe runs
-          val out = s"${System.getProperty("java.io.tmpdir")}/graft-scale-${factor}x-$hash"
+          // be reused across probe runs. The GENERATOR VERSION is part of
+          // the name: reuse is keyed on what produced the data, so a
+          // formula change can never silently serve stale blow-ups (the
+          // period-7 artifact survived one fix exactly this way) — bump
+          // it whenever the perturbation/rotation logic changes
+          val genVersion = "v3"
+          val out = s"${System.getProperty("java.io.tmpdir")}/graft-scale-$genVersion-${factor}x-$hash"
           val marker = java.nio.file.Paths.get(s"$out/embeddings.parquet/_SUCCESS")
           if (!java.nio.file.Files.exists(marker)) {
             // copies must be DISTINCT documents/points, not near-dups of

@@ -481,12 +481,62 @@ object Collections {
     perBucket.values.sum
   }
 
+  // -------------------------------------------------------------------
+  // THE verb transforms — one definition each, shared by the standalone
+  // verbs (via rewriteWhere) AND by updateBatch, so "identical semantics
+  // of the standalone verb" is true by construction, not by hand-kept
+  // copies. Each is (state, coalesced match condition) => new state.
+  // -------------------------------------------------------------------
+  private def xformDelete(df: DataFrame, cond: Column): DataFrame =
+    df.filter(!cond)
+
+  private def xformSetPayload(sets: Map[String, Column])
+                             (df: DataFrame, cond: Column): DataFrame =
+    sets.foldLeft(df) { case (d, (name, e)) =>
+      d.withColumn(name, when(cond, e).otherwise(col(name)))
+    }
+
+  private def xformClearPayload(keep: Set[String])
+                               (df: DataFrame, cond: Column): DataFrame =
+    df.columns.filterNot(keep).foldLeft(df) { (d, name) =>
+      d.withColumn(name,
+        when(cond, lit(null).cast(d.schema(name).dataType))
+          .otherwise(col(name)))
+    }
+
+  private def xformOverwritePayload(keep: Set[String],
+                                    sets: Map[String, Column])
+                                   (df: DataFrame, cond: Column): DataFrame =
+    df.columns.filterNot(keep).foldLeft(df) { (d, name) =>
+      val replaced = sets.getOrElse(name,
+        lit(null).cast(d.schema(name).dataType))
+      d.withColumn(name, when(cond, replaced).otherwise(col(name)))
+    }
+
+  private def xformSetVector(idCol: String, vecCol: String, newVec: Column,
+                             dim: Int, verb: String)
+                            (df: DataFrame, cond: Column): DataFrame =
+    df.withColumn(vecCol,
+      when(!cond, col(vecCol))
+        .when(VectorOps.hasDim(newVec, dim), newVec)
+        .otherwise(raise_error(concat(
+          lit(s"$verb: replacement vector violates dim=$dim for id "),
+          col(idCol).cast("string")))))
+
+  private def xformDeleteVectors(vecCols: Seq[String])
+                                (df: DataFrame, cond: Column): DataFrame =
+    vecCols.foldLeft(df) { (d, name) =>
+      d.withColumn(name,
+        when(cond, lit(null).cast(d.schema(name).dataType))
+          .otherwise(col(name)))
+    }
+
   /** Qdrant `delete(filter)`: remove matching points; only buckets
     * holding matches are rewritten (a bucket emptied by the delete is
     * dropped from the manifest). Returns the number of points deleted. */
   def deleteWhere(spark: SparkSession, dir: String, filter: Column,
                   idCol: String): Long =
-    rewriteWhere(spark, dir, filter, idCol)((df, cond) => df.filter(!cond))
+    rewriteWhere(spark, dir, filter, idCol)(xformDelete)
 
   /** Qdrant `set_payload` / `delete_payload` by filter: on matching
     * points, each named column is replaced by its expression (use
@@ -494,11 +544,7 @@ object Collections {
     * and untouched buckets are byte-identical. Returns matched count. */
   def setPayloadWhere(spark: SparkSession, dir: String, filter: Column,
                       idCol: String, sets: Map[String, Column]): Long =
-    rewriteWhere(spark, dir, filter, idCol) { (df, cond) =>
-      sets.foldLeft(df) { case (d, (name, e)) =>
-        d.withColumn(name, when(cond, e).otherwise(col(name)))
-      }
-    }
+    rewriteWhere(spark, dir, filter, idCol)(xformSetPayload(sets))
 
   /** Qdrant `update_vectors` analog: replace the vector on matching
     * points — the re-embed flow (model upgrade over a filtered subset)
@@ -510,18 +556,10 @@ object Collections {
     * generation stays live — mutation is all-or-nothing. Returns the
     * matched-point count. */
   def setVectorWhere(spark: SparkSession, dir: String, filter: Column,
-                     idCol: String, vecCol: String, newVec: Column): Long = {
-    val dim = config(dir).dim
-    rewriteWhere(spark, dir, filter, idCol) { (df, cond) =>
-      df.withColumn(vecCol,
-        when(!cond, col(vecCol))
-          .when(VectorOps.hasDim(newVec, dim), newVec)
-          .otherwise(raise_error(concat(
-            lit(s"setVectorWhere: replacement vector violates dim=$dim "
-              + "for id "),
-            col(idCol).cast("string")))))
-    }
-  }
+                     idCol: String, vecCol: String, newVec: Column): Long =
+    rewriteWhere(spark, dir, filter, idCol)(
+      xformSetVector(idCol, vecCol, newVec, config(dir).dim,
+        "setVectorWhere"))
 
   /** Qdrant `clear_payload` by filter: on matching points, EVERY payload
     * column nulls out — the id, vector, and sequence columns survive
@@ -533,13 +571,7 @@ object Collections {
                         seqCol: String): Long = {
     // BucketCol is the layout's routing partition column — never payload
     val keep = (Seq(idCol, seqCol, BucketCol) ++ vecCols).toSet
-    rewriteWhere(spark, dir, filter, idCol) { (df, cond) =>
-      df.columns.filterNot(keep).foldLeft(df) { (d, name) =>
-        d.withColumn(name,
-          when(cond, lit(null).cast(d.schema(name).dataType))
-            .otherwise(col(name)))
-      }
-    }
+    rewriteWhere(spark, dir, filter, idCol)(xformClearPayload(keep))
   }
 
   /** Qdrant `overwrite_payload` by filter: on matching points the ENTIRE
@@ -551,13 +583,8 @@ object Collections {
                             idCol: String, vecCols: Seq[String],
                             seqCol: String, sets: Map[String, Column]): Long = {
     val keep = (Seq(idCol, seqCol, BucketCol) ++ vecCols).toSet
-    rewriteWhere(spark, dir, filter, idCol) { (df, cond) =>
-      df.columns.filterNot(keep).foldLeft(df) { (d, name) =>
-        val replaced = sets.getOrElse(name,
-          lit(null).cast(d.schema(name).dataType))
-        d.withColumn(name, when(cond, replaced).otherwise(col(name)))
-      }
-    }
+    rewriteWhere(spark, dir, filter, idCol)(
+      xformOverwritePayload(keep, sets))
   }
 
   /** Qdrant `delete_vectors` by filter: on matching points, the NAMED
@@ -571,13 +598,7 @@ object Collections {
     * matched count. */
   def deleteVectorsWhere(spark: SparkSession, dir: String, filter: Column,
                          idCol: String, vecCols: Seq[String]): Long =
-    rewriteWhere(spark, dir, filter, idCol) { (df, cond) =>
-      vecCols.foldLeft(df) { (d, name) =>
-        d.withColumn(name,
-          when(cond, lit(null).cast(d.schema(name).dataType))
-            .otherwise(col(name)))
-      }
-    }
+    rewriteWhere(spark, dir, filter, idCol)(xformDeleteVectors(vecCols))
 
   /** One operation of a [[updateBatch]] — the Qdrant `batch_update_points`
     * operation vocabulary (upsert / delete / set_payload /
@@ -629,71 +650,73 @@ object Collections {
     val buckets = numBuckets(dir)
     val (gen, view) = currentState(dir)
     val keep = (Seq(idCol, seqCol, BucketCol) ++ vecCols).toSet
+    val dim = config(dir).dim
     def withBucket(df: DataFrame) =
       df.withColumn(BucketCol, bucketOf(idCol, buckets))
     var cur = withBucket(read(spark, dir))
     var touched = Set.empty[Int]
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def matchedBuckets(cond: Column): Set[Int] =
       cur.filter(cond).select(BucketCol).distinct()
         .collect().map(_.getInt(0)).toSet
     ops.foreach { op =>
       op match {
         case Upsert(points) =>
-          val b = withBucket(points)
+          // dim gate on upserted rows (loud-fail — the batch is
+          // all-or-nothing, so failing beats the sink's quarantine-drop):
+          // a null named vector is the legal "vector absent" state
+          // (partial named vectors), a wrong-sized one never is
+          val gated = vecCols.foldLeft(points) { (d, vc) =>
+            d.withColumn(vc,
+              when(col(vc).isNull || VectorOps.hasDim(col(vc), dim),
+                col(vc))
+                .otherwise(raise_error(concat(
+                  lit(s"updateBatch Upsert: vector violates dim=$dim "
+                    + "for id "),
+                  col(idCol).cast("string")))))
+          }
+          val b = withBucket(gated)
           touched ++= b.select(BucketCol).distinct()
             .collect().map(_.getInt(0)).toSet
+          // persist the post-upsert state: the keep-last window is the
+          // batch's one shuffle, and every later op's match scan (plus
+          // the final write) would otherwise replay it — O(ops²) work
           cur = withBucket(graft.operators.Ingest.upsert(
-            cur.drop(BucketCol).unionByName(points), idCol, seqCol))
+            cur.drop(BucketCol).unionByName(gated), idCol, seqCol))
+            .persist()
+          persisted += cur
         case Delete(f) =>
           val cond = coalesce(f, lit(false))
           touched ++= matchedBuckets(cond)
-          cur = cur.filter(!cond)
+          cur = xformDelete(cur, cond)
         case SetPayload(f, sets) =>
           val cond = coalesce(f, lit(false))
           touched ++= matchedBuckets(cond)
-          cur = sets.foldLeft(cur) { case (d, (name, e)) =>
-            d.withColumn(name, when(cond, e).otherwise(col(name)))
-          }
+          cur = xformSetPayload(sets)(cur, cond)
         case OverwritePayload(f, sets) =>
           val cond = coalesce(f, lit(false))
           touched ++= matchedBuckets(cond)
-          cur = cur.columns.filterNot(keep).foldLeft(cur) { (d, name) =>
-            val replaced = sets.getOrElse(name,
-              lit(null).cast(d.schema(name).dataType))
-            d.withColumn(name, when(cond, replaced).otherwise(col(name)))
-          }
+          cur = xformOverwritePayload(keep, sets)(cur, cond)
         case ClearPayload(f) =>
           val cond = coalesce(f, lit(false))
           touched ++= matchedBuckets(cond)
-          cur = cur.columns.filterNot(keep).foldLeft(cur) { (d, name) =>
-            d.withColumn(name,
-              when(cond, lit(null).cast(d.schema(name).dataType))
-                .otherwise(col(name)))
-          }
+          cur = xformClearPayload(keep)(cur, cond)
         case SetVector(f, vecCol, newVec) =>
           val cond = coalesce(f, lit(false))
-          val dim = config(dir).dim
           touched ++= matchedBuckets(cond)
-          cur = cur.withColumn(vecCol,
-            when(!cond, col(vecCol))
-              .when(VectorOps.hasDim(newVec, dim), newVec)
-              .otherwise(raise_error(concat(
-                lit(s"updateBatch SetVector: replacement vector violates "
-                  + s"dim=$dim for id "),
-                col(idCol).cast("string")))))
+          cur = xformSetVector(idCol, vecCol, newVec, dim,
+            "updateBatch SetVector")(cur, cond)
         case DeleteVectors(f, vcs) =>
           val cond = coalesce(f, lit(false))
           touched ++= matchedBuckets(cond)
-          cur = vcs.foldLeft(cur) { (d, name) =>
-            d.withColumn(name,
-              when(cond, lit(null).cast(d.schema(name).dataType))
-                .otherwise(col(name)))
-          }
+          cur = xformDeleteVectors(vcs)(cur, cond)
       }
     }
-    if (touched.isEmpty) return
-    publishGeneration(dir, gen, view, touched,
-      cur.filter(col(BucketCol).isin(touched.toSeq.sorted.map(Int.box): _*)))
+    try {
+      if (touched.isEmpty) return
+      publishGeneration(dir, gen, view, touched,
+        cur.filter(col(BucketCol).isin(touched.toSeq.sorted.map(Int.box): _*)))
+    } finally persisted.foreach(_.unpersist(blocking = false))
   }
 
   /** Readers resolve through the manifest: the path set is immutable for

@@ -54,13 +54,18 @@ import graft.operators.{Ann, Dedup, GraphAnn}
   *    for x ∈ {s} ∪ und(s) (symmetrize + one closure hop), and (b) the
   *    vectors of s and its candidates. (a) differs only for s within one
   *    und-hop of U = D'_{r-1} ∪ (old∪new neighbors of D'_{r-1}); (b)
-  *    differs only for s within TWO und-hops of a vector-changed node
-  *    (a candidate at closure distance 2 may be in C). So recomputing
-  *    S_r = T ∪ N₁(T), T = U ∪ C ∪ N₁(C) (a superset of both) from the
+  *    differs only for s within TWO und-hops of a RE-VECTORED node V
+  *    (a candidate at closure distance 2 may be in V). So recomputing
+  *    S_r = T ∪ N₁(T), T = U ∪ V ∪ N₁(V) (a superset of both) from the
   *    MERGED round r-1 table — which equals the full rebuild's g_{r-1}
   *    by induction — reproduces the rebuild's g_r for S_r, and every
   *    node outside S_r has bit-identical inputs, hence bit-identical
-  *    rows. Diff → D'_r, merge-write, repeat.
+  *    rows. Diff → D'_r, merge-write, repeat. V is computed EXACTLY by
+  *    diffing old vs new vectors through the previous manifest's still-
+  *    readable generation dirs (the one-write reader grace window), so a
+  *    compact or payload-only rewrite has V = ∅ and the rounds skip; if
+  *    the old state is already GC'd, V falls back to every live changed
+  *    id — conservative, never unsound.
   *
   * Scores are micro-quantized cosines with id tie-breaks (the
   * [[GraphAnn]] determinism contract), so "identical inputs" really does
@@ -337,8 +342,35 @@ object GraphIndex {
     // C = every id the feed's granularity can have touched (old ∪ new)
     val oldIds = collectLongs(oldOrderCB.select("id").distinct())
     val newIds = collectLongs(newRows.select("id").distinct())
-    val cIds = oldIds ++ newIds
     val dead = oldIds -- newIds
+
+    // Which live changed-bucket ids ACTUALLY changed their vector? The
+    // feed's granularity is whole buckets, but superseded generation
+    // dirs survive one write (the reader grace window), so the OLD rows
+    // are usually still readable through the PREVIOUS manifest view —
+    // diffing old vs new vectors shrinks "every id in a rewritten
+    // bucket" to the true re-vectored set. A compact or payload-only
+    // rewrite shrinks it to ∅, and the score-propagation rounds below
+    // skip entirely — without this, every such refresh would pay ~full
+    // NN-descent cost for provably-unchanged vectors. If the old state
+    // is already GC'd, fall back to the conservative set (all live
+    // changed ids) — soundness never depends on the grace window.
+    val oldPathOf: Map[Int, String] = changedBuckets.iterator
+      .flatMap(b => prev.buckets.get(b)
+        .map(rel => b -> s"$collDir/data/$rel")).toMap
+    val vecChanged: Set[Long] =
+      if (oldPathOf.values.exists(pth => !Files.exists(Paths.get(pth))))
+        newIds
+      else if (oldPathOf.isEmpty) newIds // all-new buckets: pure inserts
+      else {
+        val olds = spark.read.parquet(oldPathOf.values.toSeq.sorted: _*)
+          .select(col(idCol).cast("long").as("id"),
+            col(vecCol).as("__oldvec"))
+        // inserts (no old row) + rows whose vector is not byte-equal
+        collectLongs(newRows.join(olds, Seq("id"), "left")
+          .filter(!(col(vecCol) <=> col("__oldvec")))
+          .select("id").distinct())
+      }
 
     // ---- round 0: init-edge delta over affected LSH buckets -----------
     val aBuckets = oldOrderCB.select("band", "bkt")
@@ -354,13 +386,16 @@ object GraphIndex {
     val deltaE = oldEdgesA.exceptAll(newEdgesA)
       .union(newEdgesA.exceptAll(oldEdgesA))
     // dirty₀ = endpoints of membership-changed edges ∪ endpoints of
-    // surviving edges incident to C (same edge, possibly new score) ∪ C
-    val incidentC = inIds(newEdgesA, "src", cIds)
-      .union(inIds(newEdgesA, "dst", cIds))
+    // surviving edges incident to a RE-VECTORED node (same edge, new
+    // score) ∪ the re-vectored/dead nodes themselves. Membership-only
+    // changes are fully covered by deltaE; same-vector same-membership
+    // rows in a rewritten bucket provably keep identical round-0 rows
+    val incidentC = inIds(newEdgesA, "src", vecChanged)
+      .union(inIds(newEdgesA, "dst", vecChanged))
     val d0 = collectLongs(
       deltaE.select("src").union(deltaE.select("dst"))
         .union(incidentC.select("src")).union(incidentC.select("dst"))
-        .distinct()) ++ cIds
+        .distinct()) ++ vecChanged ++ dead
     // recompute round-0 rows for d0: window edges of every bucket holding
     // a d0 member (under the new membership), symmetrized, incident to d0
     val bPlus = inIds(newOrder, "id", d0).select("band", "bkt").distinct()
@@ -386,23 +421,22 @@ object GraphIndex {
 
     // ---- rounds 1..R: dirty-neighborhood recompute --------------------
     // A round may be SKIPPED only when (a) the previous round's diff is
-    // empty AND (b) no live node's VECTOR may have changed: with
+    // empty AND (b) no live node's vector actually changed: with
     // unchanged g_{r-1} a changed vector can still flip a LATER round —
     // a pair (s, c) first formed at closure distance in round r scores
     // with c's new vector even though every earlier round's output was
     // bit-identical (micro-quantization makes such collisions possible).
-    // The feed cannot tell WHICH rewritten rows changed their vector, so
-    // any live id in a changed bucket (newIds) keeps the rounds running.
-    val vectorsMayHaveChanged = newIds.nonEmpty
+    // vecChanged is exact when the old generation is still readable and
+    // conservative (= all live changed ids) when it is not.
     for (r <- 1 to p.rounds) {
-      if (dp.nonEmpty || vectorsMayHaveChanged) {
+      if (dp.nonEmpty || vecChanged.nonEmpty) {
         val g = spark.read.parquet(roundPath(indexDir, r - 1))
           .select("src", "dst") // merged state == the rebuild's g_{r-1}
         def n1(ids: Set[Long]): Set[Long] =
           collectLongs(inIds(g, "src", ids).select(col("dst"))
             .union(inIds(g, "dst", ids).select(col("src"))).distinct())
         val u = dp ++ oldDsts ++ newDsts
-        val t = u ++ cIds ++ n1(cIds)
+        val t = u ++ vecChanged ++ n1(vecChanged)
         val s = t ++ n1(t)
         val undS = inIds(g, "src", s)
           .union(inIds(g, "dst", s)

@@ -87,7 +87,12 @@ object PayloadIndex {
   def keyTypeOf(dir: String): String =
     """"key_type":\s*"([^"]+)"""".r
       .findFirstMatchIn(new String(Files.readAllBytes(metaPath(dir)),
-        StandardCharsets.UTF_8)).get.group(1)
+        StandardCharsets.UTF_8))
+      .map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"payload index at $dir predates the key_type metadata — " +
+          "rebuild it with PayloadIndex.build (a derived layout, " +
+          "rebuildable from the collection)"))
 
   /** The pinned value-bucket count of an existing index. */
   def valueBucketsOf(dir: String): Int =
@@ -151,10 +156,15 @@ object PayloadIndex {
     val key = keyOf(dir)
     val vb = valueBucketsOf(dir)
     // cast the literal to the INDEXED type before hashing (still
-    // constant-folds): Murmur3 is type-sensitive, see [[keyTypeOf]]
+    // constant-folds): Murmur3 is type-sensitive, see [[keyTypeOf]].
+    // The round-trip conjunct (v === lit) guards LOSSY casts: a query
+    // for 3.7 against an int key must return NOTHING (as the unindexed
+    // double-promoted comparison does), not every key=3 row — the
+    // conjunct folds to false and the whole scan prunes away
     val v = lit(value).cast(keyTypeOf(dir))
     spark.read.parquet(dir)
-      .filter(col("pbucket") === valueBucket(v, vb) && col(key) === v)
+      .filter(col("pbucket") === valueBucket(v, vb) && col(key) === v &&
+        v === lit(value))
       .drop("pbucket", "src_bucket")
   }
 
@@ -166,11 +176,15 @@ object PayloadIndex {
     val key = keyOf(dir)
     val vb = valueBucketsOf(dir)
     val t = keyTypeOf(dir)
-    val lits = values.map(v => lit(v).cast(t))
-    val bucketPred = lits.map(v => col("pbucket") === valueBucket(v, vb))
-      .reduce(_ || _)
+    // per-value arm with the same lossy-cast round-trip guard as
+    // [[forValue]]; an all-lossy value list folds to an empty scan
+    val arms = values.map { raw =>
+      val v = lit(raw).cast(t)
+      (col("pbucket") === valueBucket(v, vb)) && col(key) === v &&
+        v === lit(raw)
+    }
     spark.read.parquet(dir)
-      .filter(bucketPred && lits.map(col(key) === _).reduce(_ || _))
+      .filter(arms.reduce(_ || _))
       .drop("pbucket", "src_bucket")
   }
 

@@ -680,6 +680,13 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     assert(PayloadIndex.forValue(spark, idxL, "3").count() == 1L,
       "String literal against a BIGINT key missed its bucket")
     assert(PayloadIndex.forValues(spark, idxL, Seq(3, 5)).count() == 2L)
+    // LOSSY casts must return nothing — the unindexed double-promoted
+    // comparison (vec_id === 3.7) matches no row, so the index must not
+    // either (an uncast guard would truncate 3.7 -> 3 and return a
+    // FALSE POSITIVE)
+    assert(PayloadIndex.forValue(spark, idxL, 3.7).count() == 0L,
+      "lossy double literal matched rows the unindexed filter rejects")
+    assert(PayloadIndex.forValues(spark, idxL, Seq(3, 3.7)).count() == 1L)
 
     // covering-index contract: the indexed read IS the filtered read
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =

@@ -168,6 +168,46 @@ class GraphIndexSpec extends AnyFunSuite with SparkSpec {
     assert(graphRows(spark, idx, P.rounds).nonEmpty)
   }
 
+  test("payload-only rewrite: refresh proves V = ∅ by vector diff and " +
+       "touches NO graph dir (compact/set-payload must not cost a " +
+       "rebuild)") {
+    val root = Files.createTempDirectory("graft-gidx3").toString
+    val dir = s"$root/coll"
+    Collections.create(dir, VectorConfig(64), buckets = 16)
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    sink.write(Tables.load(spark, sf, "embeddings").limit(150)
+      .withColumn("seq", lit(0)).withColumn("tag", lit("x")))
+    val idx = s"$root/gidx"
+    val v0 = GraphIndex.build(spark, dir, idx, "vec_id", "embedding", P)
+
+    // payload-only mutation: rows rewrite (bucket paths change) but no
+    // vector moves — the change feed reports the buckets, the vector
+    // diff must prove nothing re-vectored
+    Collections.setPayloadWhere(spark, dir, col("vec_id") % 5 === 0,
+      "vec_id", Map("tag" -> lit("y")))
+
+    def graphListing(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(Paths.get(s"$idx/graph"))
+      try walk.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis)
+        .toMap
+      finally walk.close()
+    }
+    val pre = graphListing()
+    GraphIndex.refresh(spark, dir, idx, "vec_id", "embedding", v0)
+    assert(graphListing() == pre,
+      "payload-only refresh rewrote graph files — the vector diff " +
+        "failed to prove V = ∅")
+    // and the index still equals a full rebuild over the current state
+    val full = s"$root/gidx_full"
+    GraphIndex.build(spark, dir, full, "vec_id", "embedding", P)
+    (0 to P.rounds).foreach { r =>
+      assert(graphRows(spark, idx, r) == graphRows(spark, full, r))
+    }
+  }
+
   test("params round-trip through _graph_index.json exactly") {
     val tmp = Files.createTempDirectory("graft-gmeta").toString
     val dir = s"$tmp/coll"
