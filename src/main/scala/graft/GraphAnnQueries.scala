@@ -125,35 +125,82 @@ object GraphAnnQueries {
           graphIndexDir(s, dir), q, Beam, SRounds, K)
         .select(col("rnk"), col("id").as("vec_id"), col("score_micro"))
     },
-    Some {
-      val searchRounds = (1 to SRounds).map { r =>
-        val prev = if (r == 1) "seed" else s"f${r - 1}"
-        s""",
-        x$r AS MATERIALIZED (SELECT vec_id FROM $prev
-                UNION
-                SELECT a.dst AS vec_id FROM $prev s
-                JOIN g$Rounds a ON a.src = s.vec_id),
-        sc$r AS MATERIALIZED (
-          SELECT x.vec_id,
-                 CAST(floor(list_cosine_similarity(e.v, (SELECT qv FROM q))
-                        * 1000000 + 0.5) AS BIGINT) AS sm
-          FROM x$r x JOIN e ON e.vec_id = x.vec_id),
-        f$r AS MATERIALIZED (SELECT vec_id FROM (
-                  SELECT *, ROW_NUMBER() OVER (ORDER BY sm DESC, vec_id) AS rk
-                  FROM sc$r) WHERE rk <= $Beam)"""
-      }.mkString
-      s"""
+    Some(s"""
       WITH $graphSql,
-      q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0),
-      seed AS MATERIALIZED (SELECT vec_id FROM e
-               ORDER BY ('0x' || substr(md5('gseed|' || vec_id), 1, 8))::BIGINT,
-                        vec_id LIMIT $Beam)
-      $searchRounds
+      $seedSql,
+      ${searchCtes("", 0L)}
       SELECT CAST(rk AS BIGINT) AS rnk, vec_id, sm AS score_micro
       FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY sm DESC, vec_id) AS rk
             FROM sc$SRounds)
-      WHERE rk <= $K ORDER BY rnk"""
-    })
+      WHERE rk <= $K ORDER BY rnk"""))
+
+  /** The query-independent entry-seed CTE (the persisted `_seeds`
+    * ordering) — shared by every serving replay in one statement. */
+  private def seedSql: String = s"""
+      seed AS MATERIALIZED (SELECT vec_id FROM e
+               ORDER BY ('0x' || substr(md5('gseed|' || vec_id), 1, 8))::BIGINT,
+                        vec_id LIMIT $Beam)"""
+
+  /** One query's beam-search CTE chain (q/x/sc/f per round), names
+    * prefixed so several queries replay inside ONE statement — the
+    * batched-serving oracle's building block. */
+  private def searchCtes(pfx: String, qid: Long): String = {
+    val rounds = (1 to SRounds).map { r =>
+      val prev = if (r == 1) "seed" else s"${pfx}f${r - 1}"
+      s""",
+        ${pfx}x$r AS MATERIALIZED (SELECT vec_id FROM $prev
+                UNION
+                SELECT a.dst AS vec_id FROM $prev s
+                JOIN g$Rounds a ON a.src = s.vec_id),
+        ${pfx}sc$r AS MATERIALIZED (
+          SELECT x.vec_id,
+                 CAST(floor(list_cosine_similarity(e.v,
+                        (SELECT qv FROM ${pfx}q))
+                        * 1000000 + 0.5) AS BIGINT) AS sm
+          FROM ${pfx}x$r x JOIN e ON e.vec_id = x.vec_id),
+        ${pfx}f$r AS MATERIALIZED (SELECT vec_id FROM (
+                  SELECT *, ROW_NUMBER() OVER (ORDER BY sm DESC, vec_id) AS rk
+                  FROM ${pfx}sc$r) WHERE rk <= $Beam)"""
+    }.mkString
+    s"""${pfx}q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = $qid)
+      $rounds"""
+  }
+
+  /** BATCHED serving gate: [[GraphAnn.beamSearchMultiIndexed]] — two
+    * queries advance in lock-step sharing one adjacency probe and one
+    * collection probe per round (job budget independent of batch size;
+    * GraphAnnSpec asserts the budget and per-query equality with the
+    * single-query path). The oracle replays BOTH beam searches inside
+    * one statement over the same replayed graph. */
+  val annGraphSearchMulti = Q("ann_graph_search_multi",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      def qv(id: Long): Seq[Double] = emb.filter(col("vec_id") === id)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      GraphAnn.beamSearchMultiIndexed(emb, "vec_id", "embedding",
+          graphIndexDir(s, dir), Seq(0L -> qv(0L), 7L -> qv(7L)),
+          Beam, SRounds, K)
+        .select(col("query_id"), col("rnk"), col("id").as("vec_id"),
+          col("score_micro"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""
+      WITH $graphSql,
+      $seedSql,
+      ${searchCtes("qa", 0L)},
+      ${searchCtes("qb", 7L)}
+      SELECT query_id, CAST(rk AS BIGINT) AS rnk, vec_id,
+             sm AS score_micro
+      FROM (
+        SELECT 0 AS query_id, vec_id, sm,
+               ROW_NUMBER() OVER (ORDER BY sm DESC, vec_id) AS rk
+        FROM qasc$SRounds
+        UNION ALL
+        SELECT 7 AS query_id, vec_id, sm,
+               ROW_NUMBER() OVER (ORDER BY sm DESC, vec_id) AS rk
+        FROM qbsc$SRounds)
+      WHERE rk <= $K ORDER BY query_id, rnk"""))
 
   /** Session-lifetime MAINTAINED graph index (sources/GraphIndex — the
     * refreshable per-round layout) built with the identical params. */
@@ -182,5 +229,6 @@ object GraphAnnQueries {
         .orderBy("src"),
     annGraph.oracle)
 
-  def queries: Seq[Q] = Seq(annGraph, annGraphSearch, annGraphIndexed)
+  def queries: Seq[Q] = Seq(annGraph, annGraphSearch,
+    annGraphSearchMulti, annGraphIndexed)
 }

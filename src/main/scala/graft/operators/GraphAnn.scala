@@ -229,6 +229,96 @@ object GraphAnn {
       seeds, query, beam, rounds, k)._1
   }
 
+  /** BATCHED serving over a materialized index — the [[graft.operators.Knn.knnMulti]]
+    * analog for the graph path: N queries advance their beams in
+    * lock-step, sharing ONE adjacency probe (union of live frontiers)
+    * and ONE collection probe (union of unscored candidates, one score
+    * column per live query) per round. Total jobs: 1 seed read +
+    * ≤ 2·rounds — independent of the batch size, vs 2·rounds per query
+    * served one at a time. Scores come from the identical per-query
+    * Catalyst expression the single-query path evaluates, so each
+    * query's rows equal its [[beamSearchIndexed]] result exactly
+    * (spec-gated). Returns (query_id, rnk, id, score_micro). */
+  def beamSearchMultiIndexed(coll: DataFrame, idCol: String, vecCol: String,
+                             indexDir: String,
+                             queries: Seq[(Long, Seq[Double])], beam: Int,
+                             rounds: Int, k: Int): DataFrame = {
+    require(k <= beam, s"k=$k must be <= beam=$beam")
+    require(beam <= SeedCap,
+      s"beam=$beam exceeds the $SeedCap persisted seeds")
+    val spark = coll.sparkSession
+    import spark.implicits._
+    val seeds = spark.read.parquet(s"$indexDir/_seeds")
+      .orderBy("seed_rank").limit(beam)
+      .select(col("id")).collect().map(_.getLong(0))
+    val adj = spark.read.parquet(indexDir)
+    val qScore: Map[Long, Column] = queries.map { case (qid, q) =>
+      qid -> floor(VectorOps.cosine(col(vecCol), typedLit(q)) * 1e6 +
+        lit(0.5)).cast("long")
+    }.toMap
+    // per-query driver state (each ≤ beam·(M+1)·rounds entries)
+    val frontier = scala.collection.mutable.Map(
+      queries.map { case (qid, _) => qid -> seeds.take(beam) }: _*)
+    val candidates = scala.collection.mutable.Map(
+      queries.map { case (qid, _) => qid -> seeds.take(beam) }: _*)
+    val cache = scala.collection.mutable.Map(
+      queries.map { case (qid, _) =>
+        qid -> scala.collection.mutable.LongMap.empty[Long] }: _*)
+    val unscorable = scala.collection.mutable.Map(
+      queries.map { case (qid, _) =>
+        qid -> scala.collection.mutable.Set.empty[Long] }: _*)
+    val converged = scala.collection.mutable.Map(
+      queries.map { case (qid, _) => qid -> seeds.isEmpty }: _*)
+    for (_ <- 0 until rounds if converged.values.exists(!_)) {
+      val live = queries.map(_._1).filter(q => !converged(q))
+      // ONE adjacency probe for every live query's frontier
+      val probeSrcs = live.flatMap(frontier(_)).distinct
+      val nbrMap: Map[Long, Array[Long]] =
+        if (probeSrcs.isEmpty) Map.empty
+        else adj.filter(col("src").isin(probeSrcs.map(Long.box): _*))
+          .select(col("src").cast("long"), col("dst").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      live.foreach { q =>
+        candidates(q) = (frontier(q) ++
+          frontier(q).flatMap(nbrMap.getOrElse(_, Array.empty[Long])))
+          .distinct
+      }
+      // ONE collection probe for every query's unscored candidates,
+      // one score column per live query
+      val missing = live.flatMap(q => candidates(q)
+        .filterNot(id => cache(q).contains(id) || unscorable(q)(id)))
+        .distinct
+      if (missing.nonEmpty) {
+        val got = collectionProbe(coll, idCol, missing)
+          .select(col(idCol).cast("long") +:
+            live.map(q => qScore(q).as(s"__sm_$q")): _*)
+          .collect()
+        got.foreach { r =>
+          val id = r.getLong(0)
+          live.zipWithIndex.foreach { case (q, i) =>
+            if (r.isNullAt(i + 1)) unscorable(q) += id
+            else cache(q)(id) = r.getLong(i + 1)
+          }
+        }
+        val found = got.map(_.getLong(0)).toSet
+        live.foreach(q => unscorable(q) ++= missing.toSet -- found)
+      }
+      live.foreach { q =>
+        val ranked = candidates(q).filter(cache(q).contains)
+          .sortBy(id => (-cache(q)(id), id))
+        converged(q) = frontier(q).sameElements(ranked.take(beam))
+        frontier(q) = ranked.take(beam)
+      }
+    }
+    queries.flatMap { case (qid, _) =>
+      candidates(qid).filter(cache(qid).contains)
+        .sortBy(id => (-cache(qid)(id), id)).take(k)
+        .zipWithIndex
+        .map { case (id, i) => (qid, (i + 1).toLong, id, cache(qid)(id)) }
+    }.toDF("query_id", "rnk", "id", "score_micro")
+  }
+
   /** Fixed-round beam search over a (materialized or in-memory) ranked
     * adjacency, seeding from the collection (dev/spec path — the serving
     * path is [[beamSearchIndexed]], which reads persisted seeds).

@@ -115,6 +115,48 @@ class GraphAnnSpec extends AnyFunSuite with SparkSpec {
     assert(viaIndex == viaColl)
   }
 
+  test("batched serving (beamSearchMultiIndexed) equals per-query " +
+       "beamSearchIndexed exactly and spends a batch-size-independent " +
+       "job budget") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val idx = GraphAnnQueries.graphIndexDir(spark, sf)
+    def qv(id: Long): Seq[Double] = emb.filter(col("vec_id") === id)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val qs = Seq(0L, 3L, 7L, 11L).map(i => i -> qv(i))
+
+    val sc = spark.sparkContext
+    sc.setJobGroup("gmulti", "batched graph serving", false)
+    val multi = GraphAnn.beamSearchMultiIndexed(emb, "vec_id", "embedding",
+        idx, qs, beam = 10, rounds = 5, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    sc.clearJobGroup()
+
+    // exact equality with the single-query serving path, per query
+    qs.foreach { case (qid, q) =>
+      val single = GraphAnn.beamSearchIndexed(emb, "vec_id", "embedding",
+          idx, q, beam = 10, rounds = 5, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      val mine = multi.filter(_._1 == qid).sortBy(_._2)
+        .map(t => (t._2, t._3, t._4)).toSeq
+      assert(mine == single, s"query $qid: batched != single")
+    }
+    assert(multi.nonEmpty)
+
+    // job budget: 1 seed read + ≤ 2 probe jobs/round (+ a few footer /
+    // local-materialization jobs) — INDEPENDENT of the 4-query batch;
+    // the per-query path would spend ≥ 4·(1 + 2·rounds). The
+    // statusTracker feed is async — give it a beat before judging.
+    Thread.sleep(500)
+    val jobs = sc.statusTracker.getJobIdsForGroup("gmulti").length
+    val cap = 1 + 2 * 5 + 5
+    assert(jobs > 0 && jobs <= cap,
+      s"batched serving ran $jobs jobs for 4 queries (cap $cap) — " +
+        "probe sharing broken")
+  }
+
   test("recall@10 at sf0.1: beam search beats IVF nprobe=2 on average " +
        "while examining FEWER candidates per query") {
     val dir = "/root/testdata/sf0.1"
