@@ -25,13 +25,20 @@ object DedupQueries {
   // driver literal keeps every plant plan free of the 1-row cross join a
   // scalar subquery would repeat per union branch (measured: 12
   // BroadcastNestedLoopJoins in the dedup_simhash plan)
+  // Memo assumes fixture dirs are immutable for the JVM's lifetime (true
+  // for the driver's testdata; a regenerated dir in the same session
+  // would serve a stale offset — restart the JVM after regenerating).
   private val offCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
   private[graft] def plantOffset(s: SparkSession, dir: String,
                                  table: String, idCol: String): Long =
     offCache.computeIfAbsent((table, dir), _ =>
-      math.max(100000L, Tables.load(s, dir, table)
-        .agg(max(col(idCol))).head().getLong(0) + 1L))
+      math.max(100000L,
+        // via Option+toString.toLong: max() is NULL on an empty table and
+        // the id column may arrive as INT rather than BIGINT — getLong(0)
+        // would NPE / ClassCastException respectively
+        Option(Tables.load(s, dir, table).agg(max(col(idCol))).head().get(0))
+          .map(_.toString.toLong).getOrElse(0L) + 1L))
 
   private[graft] def planted(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents").select("doc_id", "text")

@@ -161,15 +161,43 @@ object GraphAnn {
       .limit(cap)
       .select(col(idCol).cast("long")).collect().map(_.getLong(0))
 
+  /** Above this many literal ids an `IN` probe stops being the right
+    * plan — planning cost grows with the literal count and pushdown
+    * degrades — so [[inIds]] falls back to a broadcast semi-join. One
+    * constant for the whole graph family ([[graft.sources.GraphIndex]]
+    * delegates here). Runtime-tunable via `graft.graph.probeLimit` so
+    * specs can force the fallback path on fixture-sized id sets. */
+  val ProbeLimit = 10000
+
+  private[graft] def probeLimit(spark: SparkSession): Int =
+    spark.conf.getOption("graft.graph.probeLimit")
+      .map(_.toInt).getOrElse(ProbeLimit)
+
+  /** Literal-probe filter with broadcast-semi-join fallback above
+    * [[ProbeLimit]] — row-identical either way (spec-gated); only the
+    * physical probe changes. Batched serving can push hundreds of
+    * queries × beam·(M+1) ids through one probe, which crosses the
+    * literal budget exactly when batching pays off most. */
+  private[graft] def inIds(df: DataFrame, c: String, ids: Seq[Long]): DataFrame =
+    if (ids.isEmpty) df.limit(0)
+    else if (ids.sizeIs <= probeLimit(df.sparkSession))
+      df.filter(col(c).isin(ids.map(Long.box): _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(ids.toDF(c)), Seq(c), "leftsemi")
+    }
+
   /** The serving-side candidate fetch: a LITERAL id `IN` probe into the
     * collection, so the scan prunes row groups via PushedFilters — the
     * same discipline as the adjacency probe and `coll_get`. At 100 TB
     * this touches O(|ids|) row groups; a join against the corpus (the
     * rejected alternative) would read every row group of the collection
-    * per serving round. `ids` is beam-bounded by construction. */
+    * per serving round. `ids` is beam-bounded per query; batched unions
+    * can cross [[ProbeLimit]], where [[inIds]] switches probes. */
   private[graft] def collectionProbe(coll: DataFrame, idCol: String,
                                      ids: Seq[Long]): DataFrame =
-    coll.filter(col(idCol).isin(ids.map(Long.box): _*))
+    inIds(coll, idCol, ids)
 
   /** Materialize the serving layout:
     *
@@ -275,7 +303,7 @@ object GraphAnn {
       val probeSrcs = live.flatMap(frontier(_)).distinct
       val nbrMap: Map[Long, Array[Long]] =
         if (probeSrcs.isEmpty) Map.empty
-        else adj.filter(col("src").isin(probeSrcs.map(Long.box): _*))
+        else inIds(adj, "src", probeSrcs)
           .select(col("src").cast("long"), col("dst").cast("long"))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
           .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
@@ -388,8 +416,7 @@ object GraphAnn {
     // an empty collection has no seeds — the search is trivially empty
     var converged = frontier.isEmpty
     for (_ <- 0 until rounds if !converged) {
-      val nbrs = adj
-        .filter(col("src").isin(frontier.map(Long.box): _*))
+      val nbrs = inIds(adj, "src", frontier.toSeq)
         .select(col("dst").cast("long")).collect().map(_.getLong(0))
       candidates = (frontier ++ nbrs).distinct
       score(candidates.toSeq)

@@ -101,8 +101,10 @@ object GraphIndex {
   }
 
   /** Above this many dirty ids a literal IN probe stops being the right
-    * plan (planning cost ∝ literals); fall back to a broadcast semi-join. */
-  val ProbeLimit = 10000
+    * plan (planning cost ∝ literals); fall back to a broadcast semi-join.
+    * Shared with the serving side ([[GraphAnn.ProbeLimit]]) so build,
+    * refresh, and serving all switch probes at the same point. */
+  val ProbeLimit: Int = GraphAnn.ProbeLimit
 
   private def metaPath(dir: String) = Paths.get(dir, "_graph_index.json")
 
@@ -168,21 +170,15 @@ object GraphIndex {
   private def bucketCol(c: String, nb: Int) =
     pmod(hash(col(c)), lit(nb)).as("src_bucket")
 
-  /** Literal-probe filter with join fallback above [[ProbeLimit]]. */
+  /** Literal-probe filter with join fallback above [[ProbeLimit]] — the
+    * canonical form lives at [[GraphAnn.inIds]]. */
   private def inIds(df: DataFrame, c: String, ids: Iterable[Long]): DataFrame =
-    if (ids.isEmpty) df.limit(0)
-    else if (ids.sizeIs <= ProbeLimit)
-      df.filter(col(c).isin(ids.toSeq.map(Long.box): _*))
-    else {
-      val spark = df.sparkSession
-      import spark.implicits._
-      df.join(broadcast(ids.toSeq.toDF(c)), Seq(c), "leftsemi")
-    }
+    GraphAnn.inIds(df, c, ids.toSeq)
 
   private def notInIds(df: DataFrame, c: String,
                        ids: Iterable[Long]): DataFrame =
     if (ids.isEmpty) df
-    else if (ids.sizeIs <= ProbeLimit)
+    else if (ids.sizeIs <= GraphAnn.probeLimit(df.sparkSession))
       df.filter(!col(c).isin(ids.toSeq.map(Long.box): _*))
     else {
       val spark = df.sparkSession
@@ -315,12 +311,31 @@ object GraphIndex {
   // Refresh
   // ---------------------------------------------------------------------
 
+  /** Marker present while a refresh is mid-mutation. The per-round /
+    * order / seeds swaps are separate delete-then-move sequences; a crash
+    * between them leaves a TORN index (e.g. order already rewritten,
+    * later rounds not merged) from which a re-run with the same cursor
+    * would compute an empty init-edge delta and silently diverge from a
+    * full rebuild. The marker makes the torn state detectable; recovery
+    * is a full [[build]] — the layout is derived and rebuildable. */
+  private def refreshMarker(indexDir: String) =
+    Paths.get(indexDir, "_refresh_in_progress")
+
   /** Incremental refresh from the change feed; row-for-row equal to a
     * full [[build]] over the collection's current state (spec-gated).
-    * Returns the new cursor. */
+    * Returns the new cursor. Crash-safe: a marker brackets the
+    * mutation window, and a marker found at entry (a previous refresh
+    * died mid-swap) forces a full rebuild instead of trusting the torn
+    * on-disk state. */
   def refresh(spark: SparkSession, collDir: String, indexDir: String,
               idCol: String, vecCol: String,
               prev: Collections.ManifestView): Collections.ManifestView = {
+    if (Files.exists(refreshMarker(indexDir))) {
+      val rebuilt = build(spark, collDir, indexDir, idCol, vecCol,
+        params(indexDir))
+      Files.deleteIfExists(refreshMarker(indexDir))
+      return rebuilt
+    }
     val p = params(indexDir)
     val (cur, changedDf, dropped) =
       Collections.changedSince(spark, collDir, prev)
@@ -407,6 +422,8 @@ object GraphIndex {
       .distinct()
     val r0 = GraphAnn.topM(scoreProbed(collLong, vecCol, cand0), p.m)
       .localCheckpoint(eager = true)
+    // everything below mutates on-disk state; bracket it with the marker
+    Files.write(refreshMarker(indexDir), Array.emptyByteArray)
     var (dp, oldDsts, newDsts) = mergeRound(spark, indexDir, 0, nb, d0, r0)
 
     // order + seeds swaps (safe now: no later step reads the OLD order)
@@ -458,6 +475,7 @@ object GraphIndex {
       // bit-identical to before and every remaining round has identical
       // inputs — nothing left to do (see vectorsMayHaveChanged above)
     }
+    Files.deleteIfExists(refreshMarker(indexDir))
     cur
   }
 

@@ -148,24 +148,44 @@ object PayloadIndex {
     cur
   }
 
+  /** A STRING key probed with a non-string literal cannot be served by
+    * pbucket routing at all: the unindexed comparison coerces the COLUMN
+    * side numerically (`'03' = 3` is true — both promote to double), so
+    * a matching row may live in hash("03")'s bucket while the literal
+    * routes to hash("3")'s — no residual predicate can recover a row in
+    * a bucket the listing never probes. The pbucket route is therefore
+    * the one cast-sensitive step: for this mismatch the read falls back
+    * to the unindexed coercion semantics over the full index (correct,
+    * unpruned — pass string probes to string keys to keep the pruning). */
+  private def stringKeyMismatch(keyType: String, value: Any): Boolean =
+    keyType == "string" && value != null && !value.isInstanceOf[String]
+
   /** The indexed read for `key = value`: a constant-folded `pbucket`
     * literal → static partition pruning at file listing, plus the
     * residual key equality pushed to row groups (bucket collisions).
-    * Row-identical to `collection.filter(key === value)`. */
+    * Row-identical to `collection.filter(key === value)` — including the
+    * string-key/numeric-probe case, which serves via the
+    * [[stringKeyMismatch]] fallback. */
   def forValue(spark: SparkSession, dir: String, value: Any): DataFrame = {
     val key = keyOf(dir)
     val vb = valueBucketsOf(dir)
-    // cast the literal to the INDEXED type before hashing (still
-    // constant-folds): Murmur3 is type-sensitive, see [[keyTypeOf]].
-    // The round-trip conjunct (v === lit) guards LOSSY casts: a query
-    // for 3.7 against an int key must return NOTHING (as the unindexed
-    // double-promoted comparison does), not every key=3 row — the
-    // conjunct folds to false and the whole scan prunes away
-    val v = lit(value).cast(keyTypeOf(dir))
-    spark.read.parquet(dir)
-      .filter(col("pbucket") === valueBucket(v, vb) && col(key) === v &&
-        v === lit(value))
-      .drop("pbucket", "src_bucket")
+    val t = keyTypeOf(dir)
+    if (stringKeyMismatch(t, value))
+      spark.read.parquet(dir).filter(col(key) === lit(value))
+        .drop("pbucket", "src_bucket")
+    else {
+      // cast the literal to the INDEXED type before hashing (still
+      // constant-folds): Murmur3 is type-sensitive, see [[keyTypeOf]].
+      // The round-trip conjunct (v === lit) guards LOSSY casts: a query
+      // for 3.7 against an int key must return NOTHING (as the unindexed
+      // double-promoted comparison does), not every key=3 row — the
+      // conjunct folds to false and the whole scan prunes away
+      val v = lit(value).cast(t)
+      spark.read.parquet(dir)
+        .filter(col("pbucket") === valueBucket(v, vb) && col(key) === v &&
+          v === lit(value))
+        .drop("pbucket", "src_bucket")
+    }
   }
 
   /** The indexed read for `key IN (values)` (the DSL's `match any`):
@@ -176,16 +196,27 @@ object PayloadIndex {
     val key = keyOf(dir)
     val vb = valueBucketsOf(dir)
     val t = keyTypeOf(dir)
-    // per-value arm with the same lossy-cast round-trip guard as
-    // [[forValue]]; an all-lossy value list folds to an empty scan
-    val arms = values.map { raw =>
-      val v = lit(raw).cast(t)
-      (col("pbucket") === valueBucket(v, vb)) && col(key) === v &&
-        v === lit(raw)
+    // ONE non-string probe against a string key forces the whole read
+    // onto the [[stringKeyMismatch]] fallback: its arm can match rows in
+    // any bucket, and an OR with an unpruned arm defeats listing-time
+    // pruning anyway — serving the entire disjunction with the unindexed
+    // coercion semantics keeps the row-identical contract
+    if (values.exists(stringKeyMismatch(t, _)))
+      spark.read.parquet(dir)
+        .filter(values.map(raw => col(key) === lit(raw)).reduce(_ || _))
+        .drop("pbucket", "src_bucket")
+    else {
+      // per-value arm with the same lossy-cast round-trip guard as
+      // [[forValue]]; an all-lossy value list folds to an empty scan
+      val arms = values.map { raw =>
+        val v = lit(raw).cast(t)
+        (col("pbucket") === valueBucket(v, vb)) && col(key) === v &&
+          v === lit(raw)
+      }
+      spark.read.parquet(dir)
+        .filter(arms.reduce(_ || _))
+        .drop("pbucket", "src_bucket")
     }
-    spark.read.parquet(dir)
-      .filter(arms.reduce(_ || _))
-      .drop("pbucket", "src_bucket")
   }
 
   /** Incremental refresh from the change feed — the [[IvfIndex.refresh]]

@@ -745,6 +745,39 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
       canon(Collections.read(spark, dir).filter(col("label") === 103)))
   }
 
+  test("payload field index: a STRING key probed with a numeric literal " +
+       "serves via the unindexed coercion fallback — no under-return") {
+    import graft.sources.PayloadIndex
+    val root = Files.createTempDirectory("graft-pidxs").toString
+    val dir = s"$root/coll"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    // string codes WITH leading zeros: '03' = 3 is TRUE under the
+    // unindexed numeric coercion but hash("03") != hash("3") — the case
+    // where pbucket routing on the rendered literal cannot reach the row
+    sink.write(Tables.load(spark, sf, "embeddings").limit(100)
+      .withColumn("code", format_string("%02d", pmod(col("vec_id"), lit(10))))
+      .withColumn("seq", lit(0)))
+    val idx = s"$root/pidx"
+    PayloadIndex.buildFromCollection(spark, dir, idx, "code", "vec_id")
+    assert(PayloadIndex.keyTypeOf(idx) == "string")
+    val coll = Collections.read(spark, dir)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    // string probe: routed + pruned, row-identical
+    assert(ids(PayloadIndex.forValue(spark, idx, "03")) ==
+      ids(coll.filter(col("code") === "03")))
+    // numeric probe: the unindexed comparison matches '03' rows; the
+    // indexed read must return the same set, not silently drop them
+    val unidx = ids(coll.filter(col("code") === 3))
+    assert(unidx.nonEmpty, "fixture lost the coercion-match rows")
+    assert(ids(PayloadIndex.forValue(spark, idx, 3)) == unidx,
+      "numeric probe against a string key under-returned")
+    assert(ids(PayloadIndex.forValues(spark, idx, Seq(3, "04"))) ==
+      ids(coll.filter(col("code") === 3 || col("code") === "04")),
+      "mixed-type IN against a string key under-returned")
+  }
+
   test("sparse index refresh over the change feed equals a full rebuild; " +
        "untouched bucket dirs are physically untouched") {
     import graft.sources.SparseIndex

@@ -157,6 +157,36 @@ class GraphAnnSpec extends AnyFunSuite with SparkSpec {
         "probe sharing broken")
   }
 
+  test("probe fallback above ProbeLimit: forcing the broadcast-semi-join " +
+       "path (graft.graph.probeLimit) leaves single and batched serving " +
+       "row-identical") {
+    // one shared switch point for the whole graph family
+    assert(graft.sources.GraphIndex.ProbeLimit == GraphAnn.ProbeLimit)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val idx = GraphAnnQueries.graphIndexDir(spark, sf)
+    def qv(id: Long): Seq[Double] = emb.filter(col("vec_id") === id)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val qs = Seq(0L, 7L).map(i => i -> qv(i))
+    def single() = GraphAnn.beamSearchIndexed(emb, "vec_id", "embedding",
+        idx, qs.head._2, beam = 10, rounds = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def multi() = GraphAnn.beamSearchMultiIndexed(emb, "vec_id",
+        "embedding", idx, qs, beam = 10, rounds = 3, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    val (s0, m0) = (single(), multi())
+    try {
+      // fixture id sets can't cross 10k literals; force the fallback at 1
+      // so EVERY probe (adjacency + collection, single + batched) runs
+      // the broadcast-semi-join arm
+      spark.conf.set("graft.graph.probeLimit", "1")
+      assert(single() == s0, "semi-join probe changed single-query rows")
+      assert(multi() == m0, "semi-join probe changed batched rows")
+    } finally spark.conf.unset("graft.graph.probeLimit")
+  }
+
   test("recall@10 at sf0.1: beam search beats IVF nprobe=2 on average " +
        "while examining FEWER candidates per query") {
     val dir = "/root/testdata/sf0.1"

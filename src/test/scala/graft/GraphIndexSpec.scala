@@ -208,6 +208,53 @@ class GraphIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("a _refresh_in_progress marker at entry (crashed refresh) forces " +
+       "a full rebuild instead of trusting torn on-disk state") {
+    val root = Files.createTempDirectory("graft-gidx4").toString
+    val dir = s"$root/coll"
+    Collections.create(dir, VectorConfig(64), buckets = 16)
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings")
+    sink.write(emb.filter(col("vec_id") < 120).withColumn("seq", lit(0)))
+    val idx = s"$root/gidx"
+    val v0 = GraphIndex.build(spark, dir, idx, "vec_id", "embedding", P)
+    sink.write(emb.filter(col("vec_id").between(120, 139))
+      .withColumn("seq", lit(1)))
+
+    // simulate a refresh that died mid-swap: marker present, and the
+    // round-1 table torn (one bucket dir gone) — the state an
+    // incremental re-run would silently diverge from
+    Files.write(Paths.get(idx, "_refresh_in_progress"),
+      Array.emptyByteArray)
+    locally {
+      import scala.jdk.CollectionConverters._
+      val r1 = Paths.get(s"$idx/graph/round=1")
+      val ls = Files.list(r1)
+      val victim = try ls.iterator().asScala
+        .filter(d => d.getFileName.toString.startsWith("src_bucket="))
+        .toSeq.minBy(_.toString)
+      finally ls.close()
+      val walk = Files.walk(victim)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
+
+    GraphIndex.refresh(spark, dir, idx, "vec_id", "embedding", v0)
+    assert(!Files.exists(Paths.get(idx, "_refresh_in_progress")),
+      "marker survived recovery")
+    val full = s"$root/gidx_full"
+    GraphIndex.build(spark, dir, full, "vec_id", "embedding", P)
+    (0 to P.rounds).foreach { r =>
+      assert(graphRows(spark, idx, r) == graphRows(spark, full, r),
+        s"round $r after marker recovery diverges from a full rebuild")
+    }
+    assert(tableRows(spark, s"$idx/order", "id", "band", "bkt") ==
+      tableRows(spark, s"$full/order", "id", "band", "bkt"))
+    assert(tableRows(spark, s"$idx/seeds", "id") ==
+      tableRows(spark, s"$full/seeds", "id"))
+  }
+
   test("params round-trip through _graph_index.json exactly") {
     val tmp = Files.createTempDirectory("graft-gmeta").toString
     val dir = s"$tmp/coll"
