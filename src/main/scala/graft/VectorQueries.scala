@@ -803,12 +803,7 @@ object VectorQueries {
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val qv = queryVec(s, dir, 0)
-      val qWords = (0 until (qv.length + 31) / 32).map { w =>
-        (0 until 32).map { j =>
-          val i = w * 32 + j
-          if (i < qv.length && qv(i) > 0) 1L << j else 0L
-        }.sum
-      }
+      val qWords = graft.sources.QuantIndex.packQueryWords(qv)
       val cands = emb
         .withColumn("bq", VectorOps.bqPack(col("embedding"), qv.length))
         .withColumn("hamming",
@@ -871,12 +866,7 @@ object VectorQueries {
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val qv = queryVec(s, dir, 0)
-      val qWords = (0 until (qv.length + 31) / 32).map { w =>
-        (0 until 32).map { j =>
-          val i = w * 32 + j
-          if (i < qv.length && qv(i) > 0) 1L << j else 0L
-        }.sum
-      }
+      val qWords = graft.sources.QuantIndex.packQueryWords(qv)
       val stage1 = emb
         .withColumn("bq", VectorOps.bqPack(col("embedding"), qv.length))
         .withColumn("hamming",
@@ -947,6 +937,102 @@ object VectorQueries {
       FROM s2
       ORDER BY list_cosine_similarity(v, $oracleQ0) DESC, vec_id
       LIMIT 10"""))
+
+  /** Session-lifetime memo of the quantized-codes sidecar
+    * ([[graft.sources.QuantIndex]]) for a fixture dir — built once per
+    * JVM per fixture under java.io.tmpdir (the ivfIndexDir discipline);
+    * contents are a pure deterministic function of the vectors. */
+  private def quantIndexDir(s: org.apache.spark.sql.SparkSession,
+                            dir: String): String =
+    Tables.memoTempDir("quant", dir) { target =>
+      graft.sources.QuantIndex.build(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", queryVec(s, dir, 0).length, target)
+    }
+
+  /** Stage-3 of codes-sidecar serving: the candidate set is driver-
+    * bounded (≤100 rows), so collect it, literal-probe the collection
+    * for ONLY those ids' full vectors (PushedFilters row-group pruning,
+    * [[graft.operators.GraphAnn.inIds]] — with its >ProbeLimit
+    * broadcast-semi-join fallback), broadcast-join the tiny candidate
+    * frame back (no shuffle on the collection side), rescore at full
+    * precision, exact top-k. At 100 TB the full embedding column is
+    * read for O(candidates) rows, never the corpus. */
+  private def exactRescore(s: org.apache.spark.sql.SparkSession,
+                           emb: org.apache.spark.sql.DataFrame,
+                           cand: org.apache.spark.sql.DataFrame,
+                           qv: Seq[Double], k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val rows = cand.collect()
+    val candDf = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), cand.schema)
+    val ids = rows.map(r => r.getLong(r.fieldIndex("vec_id"))).toSeq
+    graft.operators.GraphAnn.inIds(
+        emb.select("vec_id", "embedding"), "vec_id", ids)
+      .join(broadcast(candDf), "vec_id")
+      .withColumn("score", VectorOps.cosine(col("embedding"), typedLit(qv)))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** [[vSqSearch]] over the MATERIALIZED codes sidecar: stage 1 scans
+    * ONLY the int8 codes table (no embedding column in the ReadSchema —
+    * spec-asserted; ~4× fewer stage-1 bytes), scoring the stored codes
+    * with the bit-identical [[VectorOps.sqScoreFromCodes]] kernel;
+    * stage 2 probes 30 full vectors by literal id. Same oracle as
+    * `v_sq_search`: materialization must not change a row. */
+  val vSqSearchIndexed = Q("v_sq_search_indexed",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = queryVec(s, dir, 0)
+      val cands = graft.sources.QuantIndex
+        .sqTopN(s, quantIndexDir(s, dir), qv, 30)
+        .select(col("vec_id"), col("score_q"))
+      exactRescore(s, emb, cands, qv, 10)
+        .select(col("vec_id"),
+          floor(col("score") * 1e6 + lit(0.5)).cast("long").as("score_micro"),
+          floor(col("score_q") * 1e6 + lit(0.5)).cast("long")
+            .as("scoreq_micro"))
+    },
+    vSqSearch.oracle)
+
+  /** [[vBqSearch]] over the materialized sidecar: the collection-wide
+    * hamming pass scans only the packed sign-bit words (2 BIGINTs/row at
+    * dim 64 — the 32× stage-1 byte reduction 1-bit quantization exists
+    * for), then 30 full vectors by literal probe. Same oracle as
+    * `v_bq_search`. */
+  val vBqSearchIndexed = Q("v_bq_search_indexed",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = queryVec(s, dir, 0)
+      val cands = graft.sources.QuantIndex
+        .hammingTopN(s, quantIndexDir(s, dir), qv, 30)
+        .select(col("vec_id"), col("hamming"))
+      exactRescore(s, emb, cands, qv, 10)
+        .select(col("vec_id"), col("hamming"),
+          floor(col("score") * 1e6 + lit(0.5)).cast("long").as("score_micro"))
+    },
+    vBqSearch.oracle)
+
+  /** [[vPrefetch]] over the materialized sidecar — the serving form of
+    * the nested-prefetch chain whose IO claims are true as PLAN facts:
+    * stages 1–2 are ONE scan of the codes table (1-bit hamming top-100,
+    * int8 rescore of the same rows to top-30 — no vector column read);
+    * only stage 3 touches 30 full-precision vectors, by literal id
+    * probe. Same oracle as `v_prefetch`. */
+  val vPrefetchIndexed = Q("v_prefetch_indexed",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = queryVec(s, dir, 0)
+      val cands = graft.sources.QuantIndex
+        .prefetchTopN(s, quantIndexDir(s, dir), qv, 100, 30)
+        .select(col("vec_id"), col("hamming"), col("score_q"))
+      exactRescore(s, emb, cands, qv, 10)
+        .select(col("vec_id"), col("hamming"),
+          floor(col("score_q") * 1e6 + lit(0.5)).cast("long")
+            .as("scoreq_micro"),
+          floor(col("score") * 1e6 + lit(0.5)).cast("long").as("score_micro"))
+    },
+    vPrefetch.oracle)
 
   /** MATRYOSHKA (MRL) truncated-prefix retrieval — the adaptive-dim
     * serving pattern for MRL-trained embeddings (Kusupati et al. 2022,
@@ -1118,6 +1204,7 @@ object VectorQueries {
     vKnnDslExcept,
     vKnnDslNested, vKnnGeo,
     vL2, vManhattan, vDot, vFusion, vFusionPartial, vMaxsim, vHybridRrf,
-    vHybridDbsf, vSqQuantize, vSqSearch, vBqSearch, vPrefetch, vMrlSearch,
+    vHybridDbsf, vSqQuantize, vSqSearch, vBqSearch, vPrefetch,
+    vSqSearchIndexed, vBqSearchIndexed, vPrefetchIndexed, vMrlSearch,
     vScoreBoost, collStats)
 }

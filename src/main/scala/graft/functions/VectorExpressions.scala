@@ -845,6 +845,79 @@ object SqUtil {
     }
     dot / (math.sqrt(xx) * math.sqrt(yy))
   }
+
+  /** Quantized cosine from MATERIALIZED int8 codes + their (mn, mx)
+    * range — the codes-sidecar serving kernel ([[graft.sources.QuantIndex]]):
+    * identical dequantize (`mn + c/255·(mx−mn)`) and the same three
+    * index-order accumulators as [[score]], so scoring stored codes is
+    * bit-identical to scoring the full vector — a sidecar read can never
+    * change a row (spec-gated). */
+  def scoreFromCodes(codes: ArrayData, mn: Double, mx: Double,
+                     q: Array[Double]): Double = {
+    val n = codes.numElements()
+    var dot = 0.0; var xx = 0.0; var yy = 0.0
+    var i = 0
+    while (i < n) {
+      val dq =
+        if (mx == mn) mn
+        else mn + codes.getInt(i).toDouble / 255 * (mx - mn)
+      val qv = q(i)
+      dot += dq * qv; xx += dq * dq; yy += qv * qv
+      i += 1
+    }
+    dot / (math.sqrt(xx) * math.sqrt(yy))
+  }
+}
+
+/** Quantized-cosine score from materialized codes (see
+  * [[SqUtil.scoreFromCodes]]): children are (codes: array<int>,
+  * mn: double, mx: double); the query is a bound literal. Stage-2 of
+  * codes-sidecar serving — the scan supplying it never reads the
+  * embedding column. */
+case class SqCodesScoreExpr(codes: Expression, mnE: Expression,
+                            mxE: Expression, query: Seq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = codes
+  override def second: Expression = mnE
+  override def third: Expression = mxE
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, mnE.dataType, mxE.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+            DoubleType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (c, a, b) => TypeCheckResult.TypeCheckFailure(
+        s"sq_codes_score needs (array<int>, double, double), got " +
+          s"(${c.catalogString}, ${a.catalogString}, ${b.catalogString})")
+    }
+
+  override def prettyName: String = "graft_sq_codes_score"
+
+  @transient private lazy val qArr: Array[Double] = query.toArray
+
+  override protected def nullSafeEval(c: Any, mn: Any, mx: Any): Any = {
+    val a = c.asInstanceOf[ArrayData]
+    if (a.numElements() != qArr.length) null
+    else SqUtil.scoreFromCodes(a, mn.asInstanceOf[Double],
+      mx.asInstanceOf[Double], qArr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("sqQuery", qArr, "double[]")
+    nullSafeCodeGen(ctx, ev, (c, mn, mx) => s"""
+      if ($c.numElements() != $qRef.length) { ${ev.isNull} = true; }
+      else { ${ev.value} =
+        graft.functions.SqUtil.scoreFromCodes($c, $mn, $mx, $qRef); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(codes = newFirst, mnE = newSecond, mxE = newThird)
 }
 
 /** Fused quantized-cosine prefilter score (see [[SqUtil.score]]). */

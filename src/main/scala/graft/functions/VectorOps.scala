@@ -131,6 +131,17 @@ object VectorOps {
   def sqScore(v: Column, q: Seq[Double]): Column =
     GraftSqlBridge.column(SqScoreExpr(GraftSqlBridge.expression(v), q))
 
+  /** [[sqScore]] from MATERIALIZED codes + range — bit-identical to
+    * scoring the full vector, but the supplying scan reads only the
+    * int8 codes sidecar ([[graft.sources.QuantIndex]]), never the
+    * embedding column: the 4× stage-IO reduction quantized serving
+    * exists for. */
+  def sqScoreFromCodes(codes: Column, mn: Column, mx: Column,
+                       q: Seq[Double]): Column =
+    GraftSqlBridge.column(SqCodesScoreExpr(
+      GraftSqlBridge.expression(codes), GraftSqlBridge.expression(mn),
+      GraftSqlBridge.expression(mx), q))
+
   /** Binary quantization (the public Qdrant 1-bit scheme): the sign bit
     * of each element (`x > 0`), packed 32 per BIGINT word — 32× memory
     * reduction; at 100 TB the packed collection is the only thing a BQ

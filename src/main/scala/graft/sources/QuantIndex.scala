@@ -1,0 +1,235 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Materialized quantized-codes sidecar — the engine's form of Qdrant's
+  * `quantization_config` (the public serving design: the server keeps
+  * compressed codes BESIDE the original vectors and serves the first
+  * search pass from the codes alone; the reference's collections are
+  * created against exactly that server, `qdrant_embedder.py:92-103`).
+  *
+  * Why a sidecar and not in-plan codes: computing BQ/SQ codes from the
+  * `embedding` column per query means stage-1 IO equals exact search —
+  * the 32× (1-bit) / 4× (int8) first-pass byte reduction that is the
+  * whole point of quantized serving at 100 TB never materializes. With
+  * the sidecar, the collection-wide pass scans ONLY this table:
+  * `dim/8` bytes of packed sign bits + `dim` int8 codes + 2 doubles per
+  * row, vs `4·dim` bytes of floats (spec-asserted: the stage-1 plan's
+  * `ReadSchema` carries no embedding column).
+  *
+  * == Layout ==
+  *
+  * {{{
+  * quantDir/
+  *   _quant_index.json            {"id_col", "vec_col", "dim", "word_bits"}
+  *   src_bucket=b/part-….parquet  (id, bq ARRAY<BIGINT>, mn, mx,
+  *                                 codes ARRAY<INT>)
+  * }}}
+  *
+  * `bq` = sign bits packed 32/word ([[VectorOps.bqPack]]); `(mn, mx,
+  * codes)` = the per-vector int8 affine map ([[VectorOps.sqCodes]]).
+  * `src_bucket` is the collection's id-hash bucket — the refresh/swap
+  * unit ([[IvfIndex]]/[[PayloadIndex]]'s discipline exactly). Codes are
+  * a pure deterministic function of the vector (same IEEE ops the
+  * in-plan expressions run), so the sidecar is a derived layout,
+  * rebuildable byte-identically — and serving from it can never change
+  * a row ([[graft.functions.SqUtil.scoreFromCodes]] is bit-identical to
+  * scoring the full vector).
+  *
+  * == Serving ==
+  *
+  * [[hammingTopN]] / [[sqTopN]] / [[prefetchTopN]] are the
+  * collection-wide candidate stages: one scan of the codes table ending
+  * in a bounded top-k heap (TakeOrderedAndProject). The exact final
+  * stage (full-precision rescore of ≤ top-k rows) probes the collection
+  * by LITERAL id ([[graft.operators.GraphAnn.inIds]] — PushedFilters,
+  * O(candidates) row groups), so the full vectors of only the
+  * candidates are ever read.
+  *
+  * == Refresh ==
+  *
+  * [[refresh]] composes the collection change feed
+  * ([[Collections.changedSince]]) with the staged per-`src_bucket` swap
+  * ([[PayloadIndex.refresh]]'s contract verbatim): recompute codes for
+  * changed buckets only, stage under `_staging_refresh`, delete stale
+  * dirs, move staged dirs in. Untouched buckets' files are not read,
+  * not rewritten, not moved; refresh == rebuild row-for-row
+  * (spec-gated).
+  */
+object QuantIndex {
+
+  /** Pinned build parameters, persisted so serving and refresh can never
+    * disagree with the build's geometry. */
+  final case class Meta(idCol: String, vecCol: String, dim: Int,
+                        wordBits: Int)
+
+  private def metaPath(dir: String) = Paths.get(dir, "_quant_index.json")
+
+  private def writeMeta(dir: String, m: Meta): Unit = {
+    require(!m.idCol.contains("\"") && !m.vecCol.contains("\""),
+      "column names must not contain quotes")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(metaPath(dir),
+      (s"""{"id_col": "${m.idCol}", "vec_col": "${m.vecCol}", """ +
+        s""""dim": ${m.dim}, "word_bits": ${m.wordBits}}""")
+        .getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Read back the pinned parameters. */
+  def metaOf(dir: String): Meta = {
+    val txt = new String(Files.readAllBytes(metaPath(dir)),
+      StandardCharsets.UTF_8)
+    def str(k: String): String =
+      (""""""" + k + """":\s*"([^"]+)"""").r.findFirstMatchIn(txt)
+        .get.group(1)
+    def int(k: String): Int =
+      (""""""" + k + """":\s*(\d+)""").r.findFirstMatchIn(txt)
+        .get.group(1).toInt
+    Meta(str("id_col"), str("vec_col"), int("dim"), int("word_bits"))
+  }
+
+  /** The query's packed sign-bit words — same weighted-bit sum as
+    * [[VectorOps.bqPack]] runs over stored vectors, so query-vs-code
+    * hamming is exactly the in-plan pack-both-sides hamming. */
+  def packQueryWords(q: Seq[Double], wordBits: Int = 32): Seq[Long] =
+    (0 until (q.length + wordBits - 1) / wordBits).map { w =>
+      (0 until wordBits).map { j =>
+        val i = w * wordBits + j
+        if (i < q.length && q(i) > 0) 1L << j else 0L
+      }.sum
+    }
+
+  /** The codes projection — ONE definition shared by build and refresh
+    * (they can never disagree), running the same fused expressions the
+    * in-plan queries use (identical IEEE ops → identical codes). */
+  private def codesOf(points: DataFrame, m: Meta): DataFrame =
+    points
+      .select(col(m.idCol),
+        VectorOps.bqPack(col(m.vecCol), m.dim, m.wordBits).as("bq"),
+        VectorOps.sqCodes(col(m.vecCol)).as("__q"))
+      .select(col(m.idCol), col("bq"),
+        col("__q.mn").as("mn"), col("__q.mx").as("mx"),
+        col("__q.codes").as("codes"))
+
+  /** Materialize the sidecar from a points frame (fixture-table form). */
+  def build(points: DataFrame, idCol: String, vecCol: String, dim: Int,
+            dir: String, idBuckets: Int = Collections.DefaultBuckets,
+            wordBits: Int = 32): Unit = {
+    val m = Meta(idCol, vecCol, dim, wordBits)
+    codesOf(points, m)
+      .withColumn("src_bucket", Collections.bucketOf(idCol, idBuckets))
+      .write.mode("overwrite").partitionBy("src_bucket").parquet(dir)
+    // meta AFTER data (overwrite deletes the dir first; a meta record
+    // without data must never claim a live index)
+    writeMeta(dir, m)
+  }
+
+  /** Materialize FROM a collection; returns the manifest cursor for
+    * [[refresh]]. */
+  def buildFromCollection(spark: SparkSession, collDir: String,
+                          indexDir: String, idCol: String, vecCol: String,
+                          dim: Int): Collections.ManifestView = {
+    val cur = Collections.manifestView(collDir)
+    build(Collections.read(spark, collDir), idCol, vecCol, dim, indexDir,
+      Collections.numBuckets(collDir))
+    cur
+  }
+
+  /** The sidecar rows (id, bq, mn, mx, codes) — layout columns dropped. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).drop("src_bucket")
+
+  /** Stage-1 BQ prefilter: hamming of every stored code word vs the
+    * packed query, top-`n` by (hamming ASC, id ASC). ONE scan of the
+    * codes table — `ReadSchema` holds no vector column — ending in a
+    * bounded heap. Rows keep (mn, mx, codes) so an SQ rescore stage
+    * needs no second read. */
+  def hammingTopN(spark: SparkSession, dir: String, query: Seq[Double],
+                  n: Int): DataFrame = {
+    val m = metaOf(dir)
+    require(query.length == m.dim,
+      s"query dim ${query.length} != index dim ${m.dim}")
+    read(spark, dir)
+      .withColumn("hamming", VectorOps.bqHamming(col("bq"),
+        typedLit(packQueryWords(query, m.wordBits))))
+      .orderBy(asc("hamming"), col(m.idCol))
+      .limit(n)
+  }
+
+  /** Stage-1 SQ prefilter: quantized cosine from the STORED codes
+    * ([[VectorOps.sqScoreFromCodes]] — bit-identical to scoring the
+    * full vector), top-`n` by (score DESC, id ASC). One codes-only
+    * scan. */
+  def sqTopN(spark: SparkSession, dir: String, query: Seq[Double],
+             n: Int): DataFrame = {
+    val m = metaOf(dir)
+    require(query.length == m.dim,
+      s"query dim ${query.length} != index dim ${m.dim}")
+    read(spark, dir)
+      .withColumn("score_q",
+        VectorOps.sqScoreFromCodes(col("codes"), col("mn"), col("mx"),
+          query))
+      .orderBy(desc("score_q"), col(m.idCol))
+      .limit(n)
+  }
+
+  /** The nested-prefetch candidate chain (Qdrant `query_points` with
+    * `prefetch: {prefetch: ...}`): 1-bit hamming top-`n1`, then int8
+    * rescore of those `n1` rows from their STORED codes (same rows —
+    * no second read) to top-`n2`. Still one codes-table scan; the full
+    * vectors of the `n2` survivors are fetched by the caller's literal
+    * probe. */
+  def prefetchTopN(spark: SparkSession, dir: String, query: Seq[Double],
+                   n1: Int, n2: Int): DataFrame = {
+    val m = metaOf(dir)
+    hammingTopN(spark, dir, query, n1)
+      .withColumn("score_q",
+        VectorOps.sqScoreFromCodes(col("codes"), col("mn"), col("mx"),
+          query))
+      .orderBy(desc("score_q"), col(m.idCol))
+      .limit(n2)
+  }
+
+  /** Incremental refresh from the change feed — the
+    * [[PayloadIndex.refresh]] contract verbatim: stale `src_bucket=`
+    * dirs deleted, staged replacements moved in, untouched buckets
+    * byte-stable. Returns the new cursor. */
+  def refresh(spark: SparkSession, collDir: String, indexDir: String,
+              prev: Collections.ManifestView): Collections.ManifestView = {
+    import scala.jdk.CollectionConverters._
+    val m = metaOf(indexDir)
+    val (cur, changedDf, dropped) =
+      Collections.changedSince(spark, collDir, prev)
+    val changedBuckets = Collections.changedBuckets(prev, cur)
+    // 1. STAGE: run the whole replacement job before touching live dirs
+    val staging = Paths.get(indexDir, "_staging_refresh")
+    if (Files.exists(staging)) Collections.deleteRecursively(staging)
+    if (changedBuckets.nonEmpty)
+      codesOf(changedDf, m)
+        .withColumn("src_bucket",
+          Collections.bucketOf(m.idCol, Collections.numBuckets(collDir)))
+        .write.mode("overwrite").partitionBy("src_bucket")
+        .parquet(staging.toString)
+    // 2. SWAP: delete stale dirs, move staged replacements in
+    (changedBuckets ++ dropped).foreach { b =>
+      val dir = Paths.get(indexDir, s"src_bucket=$b")
+      if (Files.exists(dir)) Collections.deleteRecursively(dir)
+    }
+    if (Files.isDirectory(staging)) {
+      val staged = Files.list(staging)
+      try staged.iterator().asScala
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("src_bucket="))
+        .foreach(d =>
+          Files.move(d, Paths.get(indexDir, d.getFileName.toString)))
+      finally staged.close()
+      Collections.deleteRecursively(staging)
+    }
+    cur
+  }
+}

@@ -745,6 +745,79 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
       canon(Collections.read(spark, dir).filter(col("label") === 103)))
   }
 
+  test("quantized-codes sidecar refresh over the change feed equals a " +
+       "full rebuild; untouched bucket dirs are physically untouched") {
+    import graft.sources.QuantIndex
+    val root = Files.createTempDirectory("graft-qidx").toString
+    val dir = s"$root/coll"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(200)
+    sink.write(emb.withColumn("seq", lit(0)))
+    val idx = s"$root/qidx"
+    val v0 = QuantIndex.buildFromCollection(spark, dir, idx,
+      "vec_id", "embedding", 64)
+    val m = QuantIndex.metaOf(idx)
+    assert(m.idCol == "vec_id" && m.vecCol == "embedding" &&
+      m.dim == 64 && m.wordBits == 32)
+
+    def canon(p: String): Seq[String] =
+      spark.read.parquet(p).drop("src_bucket")
+        .collect()
+        .map(r => (r.getLong(r.fieldIndex("vec_id")),
+          r.getSeq[Long](r.fieldIndex("bq")),
+          r.getDouble(r.fieldIndex("mn")),
+          r.getDouble(r.fieldIndex("mx")),
+          r.getSeq[Int](r.fieldIndex("codes"))).toString)
+        .toSeq.sorted
+
+    assert(canon(idx).nonEmpty)
+
+    // mutations: re-embed (vector changes → codes must change), delete
+    sink.write(emb.filter(col("vec_id") % 10 === 0)
+      .withColumn("embedding", reverse(col("embedding")).cast("array<float>"))
+      .withColumn("seq", lit(1)))
+    Collections.deleteWhere(spark, dir, col("vec_id") % 7 === 0, "vec_id")
+
+    val nb = Collections.numBuckets(dir)
+    val touched = emb
+      .filter(col("vec_id") % 10 === 0 || col("vec_id") % 7 === 0)
+      .select(pmod(hash(col("vec_id")), lit(nb)))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val untouched = (0 until nb).find(b => !touched.contains(b) &&
+      Files.exists(java.nio.file.Paths.get(idx, s"src_bucket=$b")))
+    def listing(b: Int): Set[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(java.nio.file.Paths.get(idx, s"src_bucket=$b"))
+      try walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toSet
+      finally walk.close()
+    }
+    val preListing = untouched.map(listing)
+
+    QuantIndex.refresh(spark, dir, idx, v0)
+    untouched.foreach(b => assert(listing(b) == preListing.get,
+      s"untouched bucket $b sidecar files were rewritten"))
+
+    val idx2 = s"$root/qidx_full"
+    QuantIndex.buildFromCollection(spark, dir, idx2,
+      "vec_id", "embedding", 64)
+    assert(canon(idx) == canon(idx2),
+      "incrementally-maintained codes sidecar diverges from a full rebuild")
+    assert(canon(idx).nonEmpty)
+
+    // and the refreshed sidecar still serves: hamming stage returns rows
+    // for a live query and none for deleted ids
+    val q = Collections.read(spark, dir).filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val hits = QuantIndex.hammingTopN(spark, idx, q, 10)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(hits.length == 10 && !hits.exists(_ % 7 == 0),
+      "deleted rows survive in the refreshed sidecar")
+  }
+
   test("payload field index: a STRING key probed with a numeric literal " +
        "serves via the unindexed coercion fallback — no under-return") {
     import graft.sources.PayloadIndex
