@@ -16,22 +16,39 @@ import org.apache.spark.sql.functions._
   * to IVF ([[IvfIndex]]), sparse ([[SparseIndex]]) and tenant
   * ([[Tenancy]]) routing.
   *
+  * Two field schemas, mirroring Qdrant's public index types:
+  *
+  *  - **hash** ([[build]]): keyword/equality fields — `pbucket =
+  *    pmod(hash(key), vb)`, serving `match`/`match.any` via a
+  *    constant-folded literal bucket ([[forValue]]/[[forValues]]).
+  *  - **range** ([[buildRange]]): integer/float/datetime fields —
+  *    `pbucket = floor((key − origin) / width)`, the value-width
+  *    partitioning production lakes use for date keys. A DSL `range`
+  *    becomes a contiguous literal `pbucket BETWEEN` comparison
+  *    ([[forRange]]) that prunes at FILE LISTING, which hashing
+  *    structurally cannot do (hash scatters adjacent values across all
+  *    buckets). The bucket is a pure function of the value — no trained
+  *    quantiles — so refresh == rebuild holds bit-exactly and
+  *    boundaries never drift. Datetime keys index their epoch integer
+  *    (Qdrant's datetime index is integer timestamps internally too);
+  *    float keys index a fixed-point micro-unit column.
+  *
   * == Layout ==
   *
   * A generic (key → value-bucket) partitioned materialization:
   *
   * {{{
   * indexDir/
-  *   _payload_index.json                {"key": k, "value_buckets": vb}
+  *   _payload_index.json    {"key", "key_type", "kind", "value_buckets",
+  *                           "origin", "width"}
   *   src_bucket=b/pbucket=v/part-….parquet
   * }}}
   *
-  * `pbucket = pmod(hash(key), vb)` hashes ANY value type (string, long,
-  * bool …) into a bounded directory fan-out — unlike [[Tenancy]] (one
-  * directory per distinct value, low-cardinality only), a hashed value
-  * bucket serves high-cardinality keys with a pinned layout width.
   * `src_bucket` is the collection's id-hash bucket, the refresh/swap
-  * unit ([[IvfIndex]]'s discipline exactly).
+  * unit ([[IvfIndex]]'s discipline exactly). Hash `pbucket` serves
+  * high-cardinality keys with a pinned fan-out (unlike [[Tenancy]]'s
+  * one-dir-per-value); range `pbucket` fan-out is value-span/width —
+  * pick `width` like a lake picks its date partition grain.
   *
   * == Serving ==
   *
@@ -100,11 +117,32 @@ object PayloadIndex {
       .findFirstMatchIn(new String(Files.readAllBytes(metaPath(dir)),
         StandardCharsets.UTF_8)).get.group(1).toInt
 
+  /** The field-schema kind: "hash" (equality) or "range". Pre-range
+    * metadata (no kind record) is a hash index. */
+  def kindOf(dir: String): String =
+    """"kind":\s*"([^"]+)"""".r
+      .findFirstMatchIn(new String(Files.readAllBytes(metaPath(dir)),
+        StandardCharsets.UTF_8)).map(_.group(1)).getOrElse("hash")
+
+  /** The pinned (origin, width) of a range index. */
+  def rangeParamsOf(dir: String): (Long, Long) = {
+    val txt = new String(Files.readAllBytes(metaPath(dir)),
+      StandardCharsets.UTF_8)
+    def long(k: String): Long =
+      (""""""" + k + """":\s*(-?\d+)""").r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalStateException(
+          s"index at $dir is not a range index (no $k in metadata)"))
+        .group(1).toLong
+    (long("origin"), long("width"))
+  }
+
   private def writeMeta(dir: String, key: String, keyType: String,
-                        vb: Int): Unit = {
+                        vb: Int, kind: String = "hash",
+                        origin: Long = 0L, width: Long = 0L): Unit = {
     Files.createDirectories(Paths.get(dir))
     Files.write(metaPath(dir),
-      s"""{"key": "$key", "key_type": "$keyType", "value_buckets": $vb}"""
+      (s"""{"key": "$key", "key_type": "$keyType", "kind": "$kind", """ +
+        s""""value_buckets": $vb, "origin": $origin, "width": $width}""")
         .getBytes(StandardCharsets.UTF_8))
     ()
   }
@@ -146,6 +184,109 @@ object PayloadIndex {
     build(Collections.read(spark, collDir), key, idCol, indexDir,
       Collections.numBuckets(collDir), valueBuckets)
     cur
+  }
+
+  // ---------------------------------------------------------------------
+  // Range field schema (Qdrant integer / float / datetime index types)
+  // ---------------------------------------------------------------------
+
+  /** The range-bucket routing expression: `floor((key − origin) /
+    * width)` in EXACT integer arithmetic (a double floor would lose
+    * precision beyond 2⁵³ — epoch-nanos keys live there). Shared by
+    * build (assignment) and serving (bound computation), so the two can
+    * never disagree. Truncating `div` on `a − pmod(a, w)` (an exact
+    * multiple of w, with pmod ∈ [0, w)) equals floor division for
+    * negatives too. */
+  def rangeBucket(key: Column, origin: Long, width: Long): Column = {
+    val a = key.cast("long") - lit(origin)
+    val fl = a - pmod(a, lit(width))
+    call_function("div", fl, lit(width)).cast("int")
+  }
+
+  /** The bucket id holding `value` — driver-side twin of
+    * [[rangeBucket]]. */
+  private def bucketOfValue(v: Long, origin: Long, width: Long): Long =
+    Math.floorDiv(v - origin, width)
+
+  private def assignedRange(points: DataFrame, key: String, idCol: String,
+                            idBuckets: Int, origin: Long,
+                            width: Long): DataFrame = {
+    require(!points.columns.contains("pbucket") &&
+        !points.columns.contains("src_bucket"),
+      "points carry a column named 'pbucket'/'src_bucket' — reserved " +
+        "for the index layout")
+    points
+      .withColumn("pbucket", rangeBucket(col(key), origin, width))
+      .withColumn("src_bucket", Collections.bucketOf(idCol, idBuckets))
+  }
+
+  /** Materialize a RANGE index from a points frame. The key must be
+    * integral (datetime keys index their epoch integer; float keys a
+    * fixed-point micro-unit column — exact bucket arithmetic needs
+    * integers). `width` is the partition grain in key units (e.g. one
+    * day of epoch-nanos); fan-out = value span / width. */
+  def buildRange(points: DataFrame, key: String, idCol: String,
+                 dir: String, origin: Long, width: Long,
+                 idBuckets: Int = Collections.DefaultBuckets): Unit = {
+    require(width > 0, s"width must be positive, got $width")
+    require(!key.contains("\""), "key must not contain quotes")
+    val keyType = points.schema(key).dataType.catalogString
+    require(Set("tinyint", "smallint", "int", "bigint")(keyType),
+      s"range index needs an integral key, got $keyType (index datetime" +
+        " as epoch integers, float as fixed-point micro-units)")
+    assignedRange(points, key, idCol, idBuckets, origin, width)
+      .write.mode("overwrite")
+      .partitionBy("src_bucket", "pbucket")
+      .parquet(dir)
+    writeMeta(dir, key, keyType, 0, kind = "range", origin = origin,
+      width = width)
+  }
+
+  /** Materialize a range index FROM a collection; returns the cursor. */
+  def buildRangeFromCollection(spark: SparkSession, collDir: String,
+                               indexDir: String, key: String,
+                               idCol: String, origin: Long, width: Long)
+      : Collections.ManifestView = {
+    val cur = Collections.manifestView(collDir)
+    buildRange(Collections.read(spark, collDir), key, idCol, indexDir,
+      origin, width, Collections.numBuckets(collDir))
+    cur
+  }
+
+  /** The indexed read for a DSL `range` condition (gt/gte/lt/lte, any
+    * subset): the bound buckets become LITERAL `pbucket >= / <=`
+    * comparisons — partition pruning at file listing, only
+    * span/width-intersecting directories are listed — and the exact
+    * bounds push to row groups as the residual predicate. Row-identical
+    * to filtering the collection with the same bounds. The upper bucket
+    * bound uses the `lt`/`lte` value's own bucket (a ≤ one-bucket
+    * superset at an exact boundary; the residual keeps it exact). */
+  def forRange(spark: SparkSession, dir: String,
+               gt: Option[Long] = None, gte: Option[Long] = None,
+               lt: Option[Long] = None, lte: Option[Long] = None)
+      : DataFrame = {
+    require(gt.nonEmpty || gte.nonEmpty || lt.nonEmpty || lte.nonEmpty,
+      "forRange needs at least one bound")
+    require(kindOf(dir) == "range",
+      s"index at $dir is a ${kindOf(dir)} index — forRange needs a " +
+        "range index (buildRange)")
+    val key = keyOf(dir)
+    val (origin, width) = rangeParamsOf(dir)
+    val lo = (gt.toSeq ++ gte.toSeq).reduceOption(_ max _)
+      .map(v => bucketOfValue(v, origin, width))
+    val hi = (lt.toSeq ++ lte.toSeq).reduceOption(_ min _)
+      .map(v => bucketOfValue(v, origin, width))
+    val prune = (lo.map(b => col("pbucket") >= lit(b)).toSeq
+        ++ hi.map(b => col("pbucket") <= lit(b)).toSeq)
+      .reduce(_ && _)
+    val residual = (gt.map(v => col(key) > lit(v)).toSeq
+        ++ gte.map(v => col(key) >= lit(v)).toSeq
+        ++ lt.map(v => col(key) < lit(v)).toSeq
+        ++ lte.map(v => col(key) <= lit(v)).toSeq)
+      .reduce(_ && _)
+    spark.read.parquet(dir)
+      .filter(prune && residual)
+      .drop("pbucket", "src_bucket")
   }
 
   /** A STRING key probed with a non-string literal cannot be served by
@@ -222,21 +363,31 @@ object PayloadIndex {
   /** Incremental refresh from the change feed — the [[IvfIndex.refresh]]
     * contract verbatim: stale `src_bucket=` dirs deleted, staged
     * replacements moved in, untouched buckets byte-stable. Returns the
-    * new cursor. */
+    * new cursor. Serves both kinds: the bucket expression (hash or
+    * range) is the pinned pure function the build used, so refresh ==
+    * rebuild bit-exactly either way. */
   def refresh(spark: SparkSession, collDir: String, indexDir: String,
               idCol: String,
               prev: Collections.ManifestView): Collections.ManifestView = {
     import scala.jdk.CollectionConverters._
     val key = keyOf(indexDir)
-    val vb = valueBucketsOf(indexDir)
     val (cur, changedDf, dropped) =
       Collections.changedSince(spark, collDir, prev)
     val changedBuckets = Collections.changedBuckets(prev, cur)
+    def assignedKind(points: DataFrame): DataFrame = kindOf(indexDir) match {
+      case "range" =>
+        val (origin, width) = rangeParamsOf(indexDir)
+        assignedRange(points, key, idCol, Collections.numBuckets(collDir),
+          origin, width)
+      case _ =>
+        assigned(points, key, idCol, Collections.numBuckets(collDir),
+          valueBucketsOf(indexDir))
+    }
     // 1. STAGE: run the whole replacement job before touching live dirs
     val staging = Paths.get(indexDir, "_staging_refresh")
     if (Files.exists(staging)) Collections.deleteRecursively(staging)
     if (changedBuckets.nonEmpty)
-      assigned(changedDf, key, idCol, Collections.numBuckets(collDir), vb)
+      assignedKind(changedDf)
         .write.mode("overwrite")
         .partitionBy("src_bucket", "pbucket")
         .parquet(staging.toString)

@@ -745,6 +745,53 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
       canon(Collections.read(spark, dir).filter(col("label") === 103)))
   }
 
+  test("RANGE payload index refresh over the change feed equals a full " +
+       "rebuild (pinned origin/width — no boundary drift)") {
+    import graft.sources.PayloadIndex
+    val root = Files.createTempDirectory("graft-pridxr").toString
+    val dir = s"$root/coll"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(200)
+      // an integral payload key with range structure
+      .withColumn("score_i", (col("vec_id") * 7 % 100).cast("long"))
+    sink.write(emb.withColumn("seq", lit(0)))
+    val idx = s"$root/pridx"
+    val v0 = PayloadIndex.buildRangeFromCollection(spark, dir, idx,
+      "score_i", "vec_id", origin = 0L, width = 10L)
+    assert(PayloadIndex.kindOf(idx) == "range")
+
+    // serving parity before mutations
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(canon(PayloadIndex.forRange(spark, idx,
+        gte = Some(20L), lt = Some(40L))) ==
+      canon(Collections.read(spark, dir)
+        .filter(col("score_i") >= 20 && col("score_i") < 40)))
+
+    // mutations: move some keys across range buckets, delete others
+    sink.write(emb.filter(col("vec_id") % 10 === 0)
+      .withColumn("score_i", col("score_i") + 55)
+      .withColumn("seq", lit(1)))
+    Collections.deleteWhere(spark, dir, col("vec_id") % 7 === 0, "vec_id")
+
+    PayloadIndex.refresh(spark, dir, idx, "vec_id", v0)
+    val idx2 = s"$root/pridx_full"
+    PayloadIndex.buildRangeFromCollection(spark, dir, idx2,
+      "score_i", "vec_id", origin = 0L, width = 10L)
+    def rows(p: String): Seq[String] =
+      spark.read.parquet(p).select("vec_id", "score_i", "pbucket")
+        .collect().map(_.toSeq.toString).toSeq.sorted
+    assert(rows(idx) == rows(idx2),
+      "incrementally-maintained range index diverges from a full rebuild")
+    assert(rows(idx).nonEmpty)
+    // post-refresh serving parity (covers rows moved across buckets)
+    assert(canon(PayloadIndex.forRange(spark, idx,
+        gte = Some(100L), lte = Some(154L))) ==
+      canon(Collections.read(spark, dir).filter(col("score_i") >= 100 &&
+        col("score_i") <= 154)))
+  }
+
   test("quantized-codes sidecar refresh over the change feed equals a " +
        "full rebuild; untouched bucket dirs are physically untouched") {
     import graft.sources.QuantIndex

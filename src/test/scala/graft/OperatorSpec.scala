@@ -524,6 +524,66 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       s"residual key equality not pushed:\n$plan")
   }
 
+  test("range payload index: a datetime DSL range prunes at FILE " +
+       "LISTING — literal pbucket bound comparisons in PartitionFilters, " +
+       "exact ns bounds in PushedFilters — and rows match the unindexed " +
+       "filter") {
+    val df = Queries.queries("q_events_dsl_time_indexed")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*pbucket[^\\]]*\\]".r
+      .findFirstIn(plan)
+    assert(pf.isDefined,
+      s"range bounds not pushed to partition pruning:\n$plan")
+    assert(pf.get.contains(">=") && pf.get.contains("<="),
+      s"expected both bucket bound comparisons, got ${pf.get}")
+    // the exact ns bounds (the residual) reach the row groups
+    assert(plan.contains("GreaterThanOrEqual(ts,"),
+      s"residual lower bound not pushed:\n$plan")
+    assert(plan.contains("LessThan(ts,"),
+      s"residual upper bound not pushed:\n$plan")
+    // row-identical to the unindexed DSL filter (same oracle, and the
+    // whole-second ↔ nanos bound equivalence the scaladoc claims)
+    def rows(name: String): Seq[String] =
+      Queries.queries(name)(spark, sf)
+        .collect().map(_.toSeq.toString).toSeq
+    assert(rows("q_events_dsl_time_indexed") == rows("q_events_dsl_time"),
+      "range-indexed read changed rows")
+    assert(rows("q_events_dsl_time_indexed").nonEmpty)
+  }
+
+  test("range payload index: bucket arithmetic is exact floor division " +
+       "(negatives included) and every gt/gte/lt/lte combination matches " +
+       "the brute-force filter") {
+    import spark.implicits._
+    import graft.sources.PayloadIndex
+    val root = java.nio.file.Files.createTempDirectory("graft-pridx")
+      .toString
+    // values straddling the origin: floor division must round toward -∞
+    val rows = Seq(-25L, -10L, -1L, 0L, 1L, 9L, 10L, 11L, 25L, 99L)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("id", "v")
+    val idx = s"$root/idx"
+    PayloadIndex.buildRange(df, "v", "id", idx, origin = 0L, width = 10L)
+    assert(PayloadIndex.kindOf(idx) == "range")
+    assert(PayloadIndex.rangeParamsOf(idx) == (0L, 10L))
+    def got(gt: Option[Long] = None, gte: Option[Long] = None,
+            lt: Option[Long] = None, lte: Option[Long] = None): Seq[Long] =
+      PayloadIndex.forRange(spark, idx, gt, gte, lt, lte)
+        .select("v").collect().map(_.getLong(0)).toSeq.sorted
+    def want(p: Long => Boolean): Seq[Long] =
+      rows.map(_._2).filter(p).sorted
+    assert(got(gte = Some(-10L), lt = Some(10L)) ==
+      want(v => v >= -10 && v < 10))
+    assert(got(gt = Some(0L), lte = Some(25L)) ==
+      want(v => v > 0 && v <= 25))
+    assert(got(gte = Some(11L)) == want(_ >= 11))
+    assert(got(lt = Some(0L)) == want(_ < 0))
+    assert(got(gt = Some(-1L), lt = Some(1L)) == Seq(0L))
+    // boundary exactness: lt on a bucket edge excludes the edge value
+    assert(got(gte = Some(0L), lt = Some(10L)) ==
+      want(v => v >= 0 && v < 10))
+  }
+
   test("multimodal: byteSum/byteLen agree with driver-side computation " +
        "and with the hex-parse HOF twin") {
     val d = Multimodal.attachBinary(docs20)
