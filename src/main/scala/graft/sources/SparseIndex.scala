@@ -116,6 +116,40 @@ object SparseIndex {
     cur
   }
 
+  /** FULL-TEXT candidate probe (the Qdrant `text` payload-index type)
+    * over the SAME postings layout — one materialization serves both the
+    * sparse dot-product and full-text filtering: ids whose posting set
+    * contains EVERY query token's bucket (`match.text`'s
+    * all-tokens-present contract). A hash-collision SUPERSET of the true
+    * matches — the caller verifies the exact predicate on the probed
+    * candidate rows only, which `match.phrase` needs anyway (postings
+    * store no positions; Qdrant's own phrase serving is
+    * candidates-then-verify against its text index). The probe prunes to
+    * ≤ |tokens| of the [[Groups]] posting groups at FILE LISTING and
+    * pushes the sbucket IN-list to row groups — at 100 TB a 2-token
+    * phrase opens ≤ 2/64 of the index bytes and never the corpus text;
+    * the per-id hit count folds map-side (shuffle ∝ candidate postings,
+    * `sbucket` is distinct per (id, bucket) row by construction so the
+    * count needs no distinct). */
+  def candidatesContainingAll(spark: SparkSession, indexDir: String,
+                              idCol: String, tokens: Seq[String])
+      : DataFrame = {
+    require(tokens.nonEmpty, "candidatesContainingAll needs ≥ 1 token")
+    // lowercase with ROOT locale — the locale-independent fold Spark's
+    // lower() applies inside the tokenizer the postings were built with
+    val buckets = tokens
+      .map(t => graft.operators.Dedup.h32(
+        t.toLowerCase(java.util.Locale.ROOT)) % Buckets)
+      .distinct
+    spark.read.parquet(indexDir)
+      .filter(col("sgrp").isin(buckets.map(_ % Groups).distinct: _*) &&
+        col("sbucket").isin(buckets: _*))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === buckets.size)
+      .select(idCol)
+  }
+
   /** Sparse dot-product search against the materialized index: the
     * query's literal (sbucket, weight) list prunes partitions (sgrp) and
     * row groups (sbucket) BEFORE any join; the surviving postings join

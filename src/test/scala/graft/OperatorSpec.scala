@@ -584,6 +584,44 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       want(v => v >= 0 && v < 10))
   }
 
+  test("text payload index: the full-text probe prunes posting groups " +
+       "at FILE LISTING, candidates are a superset of phrase matches, " +
+       "and the indexed phrase query equals the unindexed filter") {
+    import graft.sources.SparseIndex
+    val idx = java.nio.file.Files.createTempDirectory("graft-tidx")
+      .resolve("postings").toString
+    val docs = Tables.load(spark, sf, "documents")
+    SparseIndex.buildFrom(docs, "doc_id", "text", idx)
+
+    val cand = SparseIndex.candidatesContainingAll(spark, idx, "doc_id",
+      Seq("scan", "query"))
+    val plan = cand.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*sgrp[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined,
+      s"posting groups not pruned at file listing:\n$plan")
+    assert(plan.contains("In(sbucket"),
+      s"sbucket IN-list not pushed to row groups:\n$plan")
+
+    // superset contract: every doc whose token set holds both tokens is
+    // a candidate (collisions may add extras — the residual removes them)
+    val candIds = cand.collect().map(_.getLong(0)).toSet
+    val exact = docs
+      .filter(array_contains(
+          graft.operators.TextAnalysis.tokens(col("text")), "scan") &&
+        array_contains(
+          graft.operators.TextAnalysis.tokens(col("text")), "query"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty && exact.subsetOf(candIds),
+      s"${(exact -- candIds).size} true matches missing from candidates")
+
+    // declared query equality (oracle also gates this; keep it local)
+    def rows(name: String): Seq[String] =
+      Queries.queries(name)(spark, sf).collect().map(_.toSeq.toString).toSeq
+    assert(rows("txt_phrase_indexed") == rows("txt_phrase"),
+      "text-indexed phrase serving changed rows")
+    assert(rows("txt_phrase_indexed").nonEmpty)
+  }
+
   test("multimodal: byteSum/byteLen agree with driver-side computation " +
        "and with the hex-parse HOF twin") {
     val d = Multimodal.attachBinary(docs20)
