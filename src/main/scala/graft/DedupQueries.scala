@@ -143,8 +143,17 @@ object DedupQueries {
   val dedupSimhash = Q("dedup_simhash",
     (s, dir) => {
       val sig = Dedup.simhashCached(planted(s, dir), "doc_id", "text")
+      // super-bucket cap AUTO-SIZED from the KMV n̂ (Dedup.autoMaxBucket):
+      // the 1024 floor sits ~4× above the largest ORGANIC band bucket at
+      // the gate SFs (measured 269 at sf0.1), so no row is dropped and
+      // the uncapped oracle stays exact — while a 100× corpus's
+      // pathological buckets (the §8.5b 101 s cliff) are bounded by this
+      // same call with no hand-set knob
+      val cap = Dedup.autoMaxBucket(
+        corpusEstimate(s, dir, "documents", "doc_id"))
       val cands = Dedup.simhashCandidates(
-        Dedup.simhashBands(sig, "doc_id", bits = 60, bands = 4), "doc_id")
+        Dedup.simhashBands(sig, "doc_id", bits = 60, bands = 4), "doc_id",
+        maxBucket = Some(cap))
       cands
         .join(sig.select(col("doc_id").as("doc_a"),
           col("simhash").as("sa")), "doc_a")
@@ -230,23 +239,61 @@ object DedupQueries {
       WHERE inter * 1000000 // (sa.n_sh + sb.n_sh - inter) >= 300000
       ORDER BY doc_a, doc_b"""))
 
+  /** Driver-side memoized KMV corpus-cardinality estimate per
+    * (table, dir) — the n̂ that feeds the auto-sized LSH geometry. One
+    * narrow sketch aggregation per JVM per fixture (same 60-bit md5
+    * hashing as sketch_distinct, k = 1024 → ±3% — the sizing functions'
+    * floor rungs leave far wider margins than that). Deterministic, so
+    * the memo is gate-safe like [[plantOffset]]. */
+  private val estCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Double]()
+  private[graft] def corpusEstimate(s: SparkSession, dir: String,
+                                    table: String, idCol: String): Double =
+    estCache.computeIfAbsent((table, dir), _ =>
+      Tables.load(s, dir, table)
+        .select(conv(substring(md5(concat(lit("kmv|"), col(idCol))), 1, 15),
+          16, 10).cast("long").as("h"))
+        .agg(graft.plans.KmvSketch.estimate(
+          graft.plans.KmvSketch.kmv(col("h"), 1024), 1024).as("est"))
+        .head().getDouble(0))
+
   /** V6 — embedding-cosine near-dup, the 100 TB form: hyperplane-LSH band
-    * buckets propose candidate pairs (6 bands × 6 planes, OR-construction
-    * — an equi-join on (band, bucket), never a cross join), exact cosine
-    * verifies candidates only, top-20 kept. Per-band collision probability
-    * for a random pair is ~2⁻⁶; recall for cosine≈0.9 pairs is ~0.95
-    * across 6 bands. Planes are md5-derived ±1 constants, so the oracle
-    * replays the identical bucket→verify pipeline. */
+    * buckets propose candidate pairs (6 bands × 6 planes at fixture
+    * scale, OR-construction — an equi-join on (band, bucket), never a
+    * cross join), exact cosine verifies candidates only, top-20 kept.
+    * Per-band collision probability for a random pair is ~2⁻⁶; recall
+    * for cosine≈0.9 pairs is ~0.95 across 6 bands. Planes are
+    * md5-derived ±1 constants, so the oracle replays the identical
+    * bucket→verify pipeline.
+    *
+    * Geometry is AUTO-SIZED from the KMV n̂ ([[embGeometry]] →
+    * [[graft.operators.Ann.lshGeometryFor]]): at the gate SFs the
+    * estimate sits under the floor rung, so the auto size RESOLVES to
+    * the pinned (6, 6) the static oracle replays — rows bit-unchanged —
+    * while a 100× corpus gets log₂-grown planes and recall-holding
+    * bands through this same code path with no hand-set knobs (the
+    * §8.5b conclusion closed). */
   private[graft] val embBands = 6
   private[graft] lazy val embPlanes =
     graft.operators.Ann.hyperplanes(embBands * 6, 64)
 
+  private val geoCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Int, Int)]()
+  private[graft] def embGeometry(s: SparkSession, dir: String)
+      : (Int, Seq[Seq[Double]]) = {
+    val (b, p) = geoCache.computeIfAbsent(("embeddings", dir), _ =>
+      graft.operators.Ann.lshGeometryFor(
+        corpusEstimate(s, dir, "embeddings", "vec_id")))
+    (b, graft.operators.Ann.hyperplanes(b * p, 64))
+  }
+
   val dedupEmbed = Q("dedup_embed",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
+      val (bands, planes) = embGeometry(s, dir)
       val banded = emb.select(col("vec_id"),
         posexplode(graft.operators.Ann.lshBandBuckets(
-          col("embedding"), embPlanes, embBands)).as(Seq("band", "bits")))
+          col("embedding"), planes, bands)).as(Seq("band", "bits")))
       val cands = banded
         .select(col("band"), col("bits"), col("vec_id").as("doc_a"))
         .join(banded.select(col("band"), col("bits"),

@@ -53,6 +53,46 @@ object Ann {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Auto-sized hyperplane-LSH geometry from a corpus-cardinality
+    * estimate — the §8.5b conclusion ("band geometry must grow ∝ log₂ n")
+    * as a first-class function instead of a hand-set knob:
+    *
+    *  - **planes per band** p = the smallest p with `2^p ≥ n̂ /
+    *    targetOccupancy` (floored): expected band-bucket occupancy stays
+    *    ≈ constant, so candidate pairs grow ∝ n · occupancy (linear),
+    *    never n².
+    *  - **bands** b = the smallest b with collision recall `1 − (1 −
+    *    p₁^p)^b ≥ recallTarget` at the target cosine (p₁ = 1 − acos(sim)/π,
+    *    the sign-random-projection collision probability), floored: more
+    *    planes per band cut per-band collision odds, so bands must grow
+    *    with them to hold recall — the growth law the §8.5b probe
+    *    measured by hand (12 bands × 14 planes at 500k vectors; this
+    *    formula yields (10, 13) there — same shape, derived not tuned).
+    *
+    * The floors pin the fixture-scale geometry (6 × 6): below
+    * `targetOccupancy · 2^floorPlanes` the auto size RESOLVES to the
+    * pinned geometry, so the oracle-gated queries are bit-unchanged at
+    * the gate SFs while the same code path scales the geometry on a
+    * 100× corpus. Transcendentals are fine here — sizing is driver-side
+    * plan construction, never oracle-replayed arithmetic. */
+  def lshGeometryFor(est: Double, simTarget: Double = 0.9,
+                     recallTarget: Double = 0.75,
+                     targetOccupancy: Double = 64.0,
+                     floorBands: Int = 6, floorPlanes: Int = 6,
+                     capPlanes: Int = 24): (Int, Int) = {
+    require(est >= 0 && est.isFinite, s"bad cardinality estimate: $est")
+    require(simTarget > 0 && simTarget < 1 &&
+      recallTarget > 0 && recallTarget < 1, "targets must be in (0,1)")
+    var p = floorPlanes
+    while (p < capPlanes && math.pow(2.0, p) * targetOccupancy < est)
+      p += 1
+    val p1 = 1.0 - math.acos(simTarget) / math.Pi
+    val perBand = math.pow(p1, p)
+    val b = math.max(floorBands,
+      math.ceil(math.log(1.0 - recallTarget) / math.log1p(-perBand)).toInt)
+    (b, p)
+  }
+
   /** Per-band LSH bucket ids: splits `planes` into `bands` consecutive
     * groups and emits one bucket id per band (the OR-construction — a pair
     * is a near-dup candidate iff >= 1 band bucket matches, which boosts

@@ -212,6 +212,25 @@ object Dedup {
                         maxBucket: Option[Int] = None): DataFrame =
     bandedPairs(bands, Seq("band", "band_bits"), idCol, maxBucket)
 
+  /** Auto-sized super-bucket cap from a corpus-cardinality estimate —
+    * the knob [[simhashCandidates]] documents, derived instead of
+    * hand-set. Grows with expected band-bucket occupancy
+    * (`n̂ / bandBuckets`, ×`perExpected` headroom for benign skew) and
+    * floors at 1024: the floor sits far above any ORGANIC near-dup
+    * cluster at fixture scale (measured max band bucket at sf0.1 is 269
+    * — real template clusters the cap must NOT drop, so the oracle-gated
+    * query is row-unchanged at the gate SFs), while a 100× blow-up's
+    * pathological low-entropy buckets (thousands of members, pairs ∝
+    * size² — the §8.5b cliff) are bounded by the same call with no
+    * hand-tuning. The banding itself (4 × 15 bits) is deliberately NOT
+    * auto-sized: Manku band count pins WHICH hamming distances are
+    * guaranteed found — a semantic contract, not a performance knob. */
+  def autoMaxBucket(est: Double, bandBuckets: Long = 1L << 15,
+                    perExpected: Double = 32.0, floor: Int = 1024): Int = {
+    require(est >= 0 && est.isFinite, s"bad cardinality estimate: $est")
+    math.max(floor, math.ceil(est / bandBuckets * perExpected).toInt)
+  }
+
   /** Shared banded-pairing core: equi-join a band table with itself on
     * `keyCols`, optionally skipping super-buckets (see
     * [[simhashCandidates]]). */

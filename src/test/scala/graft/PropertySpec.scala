@@ -348,4 +348,43 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
         }
     }
   }
+
+  test("LSH geometry auto-sizing: gate-SF floor rung, bounded occupancy, " +
+       "recall held, monotone growth") {
+    import graft.operators.Ann
+    // 1. the floor rung covers every gate-SF corpus size (±far more than
+    //    the KMV ±3%): auto geometry RESOLVES to the pinned (6, 6) there,
+    //    so the oracle-gated queries are row-unchanged
+    Seq(0.0, 100.0, 500.0, 2000.0, 2060.0, 4000.0).foreach { n =>
+      assert(Ann.lshGeometryFor(n) == (6, 6),
+        s"n̂=$n left the (6,6) floor rung — gate queries would change")
+    }
+    // 2. above the rung: occupancy bound + recall identity + monotone
+    val p1 = 1.0 - math.acos(0.9) / math.Pi
+    var prevP = 0
+    Seq(5000.0, 20000.0, 50000.0, 200000.0, 500000.0, 5000000.0).foreach {
+      n =>
+        val (b, p) = Ann.lshGeometryFor(n)
+        assert(math.pow(2.0, p) * 64.0 >= n || p == 24,
+          s"occupancy bound violated at n̂=$n: p=$p")
+        assert(p >= prevP, s"planes not monotone at n̂=$n"); prevP = p
+        val recall = 1.0 - math.pow(1.0 - math.pow(p1, p), b)
+        assert(recall >= 0.75 - 1e-9,
+          f"recall $recall%.3f < 0.75 at n̂=$n (b=$b, p=$p)")
+    }
+    // 3. the §8.5b hand-tuned 500k remedy (12 bands × 14 planes) is
+    //    reproduced in shape by the formula: log-grown planes, 10+ bands
+    val (b500k, p500k) = Ann.lshGeometryFor(500000.0)
+    assert(p500k >= 12 && b500k >= 9,
+      s"500k geometry ($b500k, $p500k) weaker than the measured remedy")
+
+    // simhash super-bucket cap: floor above organic clusters at gate SFs
+    // (measured max bucket 269 at sf0.1), ∝ n̂ above it, monotone
+    assert(graft.operators.Dedup.autoMaxBucket(5150.0) == 1024)
+    assert(graft.operators.Dedup.autoMaxBucket(500000.0) == 1024)
+    assert(graft.operators.Dedup.autoMaxBucket(5000000.0) ==
+      math.ceil(5000000.0 / 32768 * 32).toInt)
+    assert(graft.operators.Dedup.autoMaxBucket(1e8) >
+      graft.operators.Dedup.autoMaxBucket(1e7))
+  }
 }
