@@ -244,6 +244,30 @@ object VectorQueries {
       LIMIT 10
     """))
 
+  /** [[vKnnDsl]] through the INDEX-AWARE router
+    * ([[graft.sources.IndexRouter]]): the caller declares which keys
+    * carry payload indexes and submits the SAME DSL — the router
+    * consults the declarations the way the Qdrant server consults its
+    * field indexes, serves the base read from the label hash index
+    * (`match.any` → forValues: literal pbucket partition pruning at
+    * file listing), and re-applies the full DSL as the residual. Same
+    * oracle as `v_knn_dsl`: routing is an IO decision, never a
+    * semantic one. */
+  val vKnnDslRouted = Q("v_knn_dsl_routed",
+    (s, dir) => {
+      val dsl = """
+        {"must": [
+          {"key": "label", "match": {"any": [2, 3, 5]}},
+          {"key": "vec_id", "range": {"gte": 10, "lt": 400}}
+        ]}"""
+      val served = graft.sources.IndexRouter.filtered(s,
+        Tables.load(s, dir, "embeddings"),
+        Seq("label" -> payloadIdxDir(s, dir)), dsl, idCol = "vec_id")
+      Knn.knn(served, "embedding", queryVec(s, dir, 0), 10)
+        .select("vec_id", "label", "score")
+    },
+    vKnnDsl.oracle)
+
   /** V3 — GEO payload condition oracle-gated (r7): `geo_bounding_box` is
     * pure comparisons (unlike geo_radius' haversine, whose trig is not
     * exact-hash-replayable — that path stays spec-gated in
@@ -1202,7 +1226,7 @@ object VectorQueries {
   def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnTenant, vKnnMulti, vKnnPage,
     vKnnMultiAgg, vKnnBatch, vKnnFiltered, vKnnPayloadIndexed, vKnnDsl,
     vKnnDslExcept,
-    vKnnDslNested, vKnnGeo,
+    vKnnDslNested, vKnnDslRouted, vKnnGeo,
     vL2, vManhattan, vDot, vFusion, vFusionPartial, vMaxsim, vHybridRrf,
     vHybridDbsf, vSqQuantize, vSqSearch, vBqSearch, vPrefetch,
     vSqSearchIndexed, vBqSearchIndexed, vPrefetchIndexed, vMrlSearch,

@@ -1,0 +1,146 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Index-aware serving for the Qdrant filter DSL — the planner step
+  * that makes DECLARED payload indexes apply AUTOMATICALLY, the way the
+  * Qdrant server consults its field indexes when executing a filter
+  * (`create_payload_index` exists so filters get faster without the
+  * caller changing the query), instead of requiring callers to invoke
+  * `forValue`/`forRange` by hand.
+  *
+  * == Routing rule ==
+  *
+  * Scan the DSL's top-level `must` conditions in declaration order and
+  * take the FIRST one a declared index can serve:
+  *
+  *  - **hash** index on the key: `match.value` →
+  *    [[PayloadIndex.forValue]], `match.any` → [[PayloadIndex.forValues]];
+  *  - **range** index on the key: a numeric `range` whose bounds are all
+  *    integral → [[PayloadIndex.forRange]]. Fractional or
+  *    datetime-string bounds do NOT route: the bucket arithmetic needs
+  *    exact integers and the router cannot know a datetime key's epoch
+  *    unit — such filters serve unrouted, or through a purpose-built
+  *    read like `q_events_dsl_time_indexed`.
+  *
+  * First-match (not cost-based) keeps the choice deterministic and
+  * plan-stable; declare the most selective key's index first. `should` /
+  * `must_not` conditions never route (they do not restrict the base set
+  * the way a conjunctive `must` does).
+  *
+  * == Correctness ==
+  *
+  * The indexed read replaces only the BASE SCAN; the FULL DSL predicate
+  * re-applies on top (the covering index stores complete rows, so every
+  * key the filter references is present). `must` conditions AND
+  * together, so the routed condition's matches are a superset of the
+  * filter's matches — routing is purely an IO decision and the one
+  * predicate remains the single source of semantics. Result is
+  * row-identical to `points.filter(PayloadFilter.fromJson(dsl))`
+  * whether or not anything routed (oracle-gated: `v_knn_dsl_routed`
+  * reuses `v_knn_dsl`'s oracle verbatim). Typed (top-level-column) mode
+  * only — a JSON-payload-column filter addresses keys the index layout
+  * does not cover.
+  *
+  * At 100 TB: a selective declared key turns the filter's base read
+  * from a corpus scan into a file-listing-pruned index read
+  * (PartitionFilters — spec-asserted on the routed plan), with the
+  * residual predicate pushed to row groups as usual.
+  */
+object IndexRouter {
+
+  /** Serve `points.filter(dsl)` through the first routable declared
+    * index. `indexes` = (key → indexDir) in declaration order. */
+  def filtered(spark: SparkSession, points: DataFrame,
+               indexes: Seq[(String, String)], dslJson: String,
+               idCol: String = "id"): DataFrame = {
+    val pred =
+      graft.operators.PayloadFilter.fromJson(dslJson, idCol = idCol)
+    baseRead(spark, points, indexes, dslJson).filter(pred)
+  }
+
+  /** The base read alone (exposed for plan-shape specs): the routed
+    * index read, or `points` when nothing routes. */
+  private[graft] def baseRead(spark: SparkSession, points: DataFrame,
+                              indexes: Seq[(String, String)],
+                              dslJson: String): DataFrame = {
+    val musts: Seq[JValue] = JsonMethods.parse(dslJson) match {
+      case JObject(fs) => fs.toMap.get("must") match {
+        case Some(JArray(cs)) => cs
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+    musts.iterator
+      .map(routeOne(spark, indexes, _))
+      .collectFirst { case Some(df) => df }
+      .getOrElse(points)
+  }
+
+  private def raw(v: JValue): Option[Any] = v match {
+    case JInt(i) => Some(i.toLong)
+    case JLong(l) => Some(l)
+    case JDouble(d) => Some(d)
+    case JDecimal(d) => Some(d.toDouble)
+    case JString(s) => Some(s)
+    case JBool(b) => Some(b)
+    case _ => None
+  }
+
+  private def routeOne(spark: SparkSession,
+                       indexes: Seq[(String, String)],
+                       cond: JValue): Option[DataFrame] = cond match {
+    case JObject(fs) =>
+      val m = fs.toMap
+      m.get("key") match {
+        case Some(JString(k)) =>
+          indexes.find(_._1 == k).flatMap { case (_, dir) =>
+            PayloadIndex.kindOf(dir) match {
+              case "hash" => m.get("match") match {
+                case Some(JObject(mf)) =>
+                  val mm = mf.toMap
+                  mm.get("value").flatMap(raw)
+                    .map(PayloadIndex.forValue(spark, dir, _))
+                    .orElse(mm.get("any") match {
+                      case Some(JArray(vs)) if vs.nonEmpty =>
+                        val rs = vs.flatMap(raw)
+                        if (rs.length == vs.length)
+                          Some(PayloadIndex.forValues(spark, dir, rs))
+                        else None
+                      case _ => None
+                    })
+                case _ => None
+              }
+              case "range" => m.get("range") match {
+                case Some(JObject(rf)) =>
+                  val rm = rf.toMap
+                  // None = absent bound (fine); Some(None) encodes a
+                  // NON-INTEGRAL bound → the whole condition must not
+                  // route (a truncated bucket bound could under-prune)
+                  def bound(n: String): Option[Option[Long]] =
+                    rm.get(n) match {
+                      case None => None
+                      case Some(JInt(i)) => Some(Some(i.toLong))
+                      case Some(JLong(l)) => Some(Some(l))
+                      case Some(_) => Some(None)
+                    }
+                  val bs = Seq("gt", "gte", "lt", "lte").map(bound)
+                  if (bs.exists(_.contains(None)) || bs.forall(_.isEmpty))
+                    None
+                  else {
+                    val Seq(gt, gte, lt, lte) = bs.map(_.flatten)
+                    Some(PayloadIndex.forRange(spark, dir, gt, gte, lt,
+                      lte))
+                  }
+                case _ => None
+              }
+              case _ => None
+            }
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+}

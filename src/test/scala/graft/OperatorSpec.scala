@@ -584,6 +584,69 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       want(v => v >= 0 && v < 10))
   }
 
+  test("index router: a DSL filter with a declared hash key serves its " +
+       "base read from the index (PartitionFilters on pbucket), routes " +
+       "nothing without a declaration, and never changes rows") {
+    import graft.sources.{IndexRouter, PayloadIndex}
+    val root = java.nio.file.Files.createTempDirectory("graft-router")
+      .toString
+    val emb = Tables.load(spark, sf, "embeddings")
+    val hashIdx = s"$root/label_idx"
+    PayloadIndex.build(emb, "label", "vec_id", hashIdx)
+    val rangeIdx = s"$root/vid_idx"
+    PayloadIndex.buildRange(emb, "vec_id", "vec_id", rangeIdx,
+      origin = 0L, width = 100L)
+    val dsl = """
+      {"must": [
+        {"key": "label", "match": {"any": [2, 3, 5]}},
+        {"key": "vec_id", "range": {"gte": 10, "lt": 400}}
+      ]}"""
+
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    val unrouted = ids(emb.filter(
+      graft.operators.PayloadFilter.fromJson(dsl, idCol = "vec_id")))
+    assert(unrouted.nonEmpty)
+
+    // hash declaration first: label match.any routes, pbucket arms
+    // reach PartitionFilters on the routed base read
+    val routed = IndexRouter.filtered(spark, emb,
+      Seq("label" -> hashIdx), dsl, idCol = "vec_id")
+    assert(ids(routed) == unrouted, "hash routing changed rows")
+    val plan = routed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pbucket[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined,
+      s"routed base read not partition-pruned:\n$plan")
+
+    // range declaration first: the vec_id range condition routes
+    // (integral bounds), same rows, pbucket bound comparisons pruned
+    val routedR = IndexRouter.filtered(spark, emb,
+      Seq("vec_id" -> rangeIdx, "label" -> hashIdx), dsl,
+      idCol = "vec_id")
+    assert(ids(routedR) == unrouted, "range routing changed rows")
+    val planR = routedR.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pbucket[^\\]]*\\]".r
+        .findFirstIn(planR).isDefined,
+      s"range-routed base read not partition-pruned:\n$planR")
+
+    // no declaration → nothing routes, plain filtered scan, same rows
+    val bare = IndexRouter.filtered(spark, emb, Nil, dsl,
+      idCol = "vec_id")
+    assert(ids(bare) == unrouted)
+    assert(!bare.queryExecution.executedPlan.toString.contains("pbucket"))
+
+    // fractional range bounds must NOT route (truncated bucket bounds
+    // could under-prune) — rows still correct via the plain scan
+    val dslFrac = """
+      {"must": [{"key": "vec_id", "range": {"gte": 10.5, "lt": 400}}]}"""
+    val fr = IndexRouter.filtered(spark, emb,
+      Seq("vec_id" -> rangeIdx), dslFrac, idCol = "vec_id")
+    assert(!fr.queryExecution.executedPlan.toString.contains("pbucket"),
+      "fractional bound routed — unsound bucket arithmetic")
+    assert(ids(fr) == ids(emb.filter(col("vec_id") >= 10.5 &&
+      col("vec_id") < 400)))
+  }
+
   test("text payload index: the full-text probe prunes posting groups " +
        "at FILE LISTING, candidates are a superset of phrase matches, " +
        "and the indexed phrase query equals the unindexed filter") {
