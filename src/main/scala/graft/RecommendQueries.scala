@@ -593,7 +593,9 @@ object RecommendQueries {
   /** The MATERIALIZED sparse inverted index (sources/SparseIndex), built
     * once per fixture per JVM — the serving layout the in-query sparse
     * operators compute on the fly. */
-  private def sparseIndexDir(s: org.apache.spark.sql.SparkSession,
+  // shared with txt_phrase_indexed (TextQueries): one builder, one
+  // memo key, one on-disk postings copy for both serving paths
+  private[graft] def sparseIndexDir(s: org.apache.spark.sql.SparkSession,
                              dir: String): String =
     Tables.memoTempDir("sparseidx", dir) { target =>
       graft.sources.SparseIndex.buildFrom(

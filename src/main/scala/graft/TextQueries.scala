@@ -402,37 +402,32 @@ object TextQueries {
       FROM n WHERE norm LIKE '% scan query %'
       GROUP BY lang ORDER BY lang"""))
 
-  /** The shared postings materialization (sources/SparseIndex) — same
-    * memo key as the sparse queries' index, so ONE layout on disk serves
-    * both the sparse dot-product and the full-text probe. */
-  private def textIdxDir(s: org.apache.spark.sql.SparkSession,
-                         dir: String): String =
-    Tables.memoTempDir("sparseidx", dir) { target =>
-      graft.sources.SparseIndex.buildFrom(
-        Tables.load(s, dir, "documents"), "doc_id", "text", target)
-    }
-
   /** [[txtPhrase]] served through the TEXT payload index (Qdrant's
     * full-text `create_payload_index` type): the query tokens' posting
     * groups are probed at FILE LISTING (≤ 2/64 of the index bytes for
     * this 2-token phrase — the unindexed form scans every document's
     * text), candidate ids containing ALL token buckets come back, and
-    * only those candidates' rows are fetched (literal id probe with the
-    * shared >ProbeLimit broadcast-semi-join fallback) and verified
-    * against the EXACT phrase predicate — hash collisions and word
-    * order are both settled on the candidate rows, the
+    * only those candidates' rows are fetched — a literal id probe when
+    * the candidate set fits the ProbeLimit (driver memory bounded BY
+    * CONSTRUCTION: `inIdsFrame` collects at most limit+1 ids), a fully
+    * distributed semi-join when a common-token phrase makes it large —
+    * then verified against the EXACT phrase predicate: hash collisions
+    * and word order are both settled on the candidate rows, the
     * candidates-then-verify shape Qdrant's own phrase matching uses.
-    * Same oracle as txt_phrase: the index must not change a row. */
+    * The postings dir is the SAME materialization the sparse queries
+    * memoize (`RecommendQueries.sparseIndexDir` — one builder, one
+    * on-disk copy). Same oracle as txt_phrase: the index must not
+    * change a row. */
   val txtPhraseIndexed = Q("txt_phrase_indexed",
     (s, dir) => {
       val phrase = "scan query"
       val dsl =
         s"""{"must": [{"key": "text", "match": {"phrase": "$phrase"}}]}"""
-      val ids = graft.sources.SparseIndex.candidatesContainingAll(
-          s, textIdxDir(s, dir), "doc_id", phrase.split("\\s+").toSeq)
-        .collect().map(_.getLong(0)).toSeq
-      graft.operators.GraphAnn.inIds(
-          Tables.load(s, dir, "documents"), "doc_id", ids)
+      val cands = graft.sources.SparseIndex.candidatesContainingAll(
+        s, RecommendQueries.sparseIndexDir(s, dir), "doc_id",
+        phrase.split("\\s+").toSeq)
+      graft.operators.GraphAnn.inIdsFrame(
+          Tables.load(s, dir, "documents"), "doc_id", cands)
         .filter(graft.operators.PayloadFilter.fromJson(dsl, idCol = "doc_id"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))

@@ -989,7 +989,10 @@ object VectorQueries {
     val rows = cand.collect()
     val candDf = s.createDataFrame(
       java.util.Arrays.asList(rows: _*), cand.schema)
-    val ids = rows.map(r => r.getLong(r.fieldIndex("vec_id"))).toSeq
+    // via Number: the sidecar persists the id column with the source
+    // table's type — an INT-id fixture would make getLong throw
+    val ids = rows
+      .map(r => r.getAs[Number](r.fieldIndex("vec_id")).longValue).toSeq
     graft.operators.GraphAnn.inIds(
         emb.select("vec_id", "embedding"), "vec_id", ids)
       .join(broadcast(candDf), "vec_id")

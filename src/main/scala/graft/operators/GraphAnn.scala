@@ -188,6 +188,25 @@ object GraphAnn {
       df.join(broadcast(ids.toDF(c)), Seq(c), "leftsemi")
     }
 
+  /** [[inIds]] for a DISTRIBUTED candidate id frame (one id column):
+    * collect at most ProbeLimit ids for the literal probe — driver
+    * memory is bounded BY CONSTRUCTION via limit(), not by hoping the
+    * set is small — and a larger set never reaches the driver at all:
+    * the probe becomes a distributed left-semi join against the
+    * candidate frame. The sizing pass reads `limit+1` rows of `cands`
+    * (cheap — the candidate computation is already pruned/bounded by
+    * its own plan). */
+  private[graft] def inIdsFrame(df: DataFrame, c: String,
+                                cands: DataFrame): DataFrame = {
+    val limit = probeLimit(df.sparkSession)
+    val sample = cands.select(col(c).cast("long"))
+      .limit(limit + 1).collect()
+    if (sample.length <= limit)
+      inIds(df, c, sample.map(_.getLong(0)).toSeq)
+    else
+      df.join(cands.select(col(c).cast("long").as(c)), Seq(c), "leftsemi")
+  }
+
   /** The serving-side candidate fetch: a LITERAL id `IN` probe into the
     * collection, so the scan prunes row groups via PushedFilters — the
     * same discipline as the adjacency probe and `coll_get`. At 100 TB

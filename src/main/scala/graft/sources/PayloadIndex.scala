@@ -308,6 +308,12 @@ object PayloadIndex {
     * string-key/numeric-probe case, which serves via the
     * [[stringKeyMismatch]] fallback. */
   def forValue(spark: SparkSession, dir: String, value: Any): DataFrame = {
+    // wrong-kind probes must fail loudly, not return zero rows: a range
+    // index's meta has value_buckets = 0, and pmod(hash, 0) is NULL —
+    // an unguarded equality probe would silently match nothing
+    require(kindOf(dir) == "hash",
+      s"index at $dir is a ${kindOf(dir)} index — forValue needs a " +
+        "hash index (build); ranges go through forRange")
     val key = keyOf(dir)
     val vb = valueBucketsOf(dir)
     val t = keyTypeOf(dir)
@@ -334,6 +340,9 @@ object PayloadIndex {
   def forValues(spark: SparkSession, dir: String, values: Seq[Any])
       : DataFrame = {
     require(values.nonEmpty, "forValues needs at least one value")
+    require(kindOf(dir) == "hash",
+      s"index at $dir is a ${kindOf(dir)} index — forValues needs a " +
+        "hash index (build); ranges go through forRange")
     val key = keyOf(dir)
     val vb = valueBucketsOf(dir)
     val t = keyTypeOf(dir)

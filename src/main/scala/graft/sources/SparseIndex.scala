@@ -135,11 +135,16 @@ object SparseIndex {
                               idCol: String, tokens: Seq[String])
       : DataFrame = {
     require(tokens.nonEmpty, "candidatesContainingAll needs ≥ 1 token")
-    // lowercase with ROOT locale — the locale-independent fold Spark's
-    // lower() applies inside the tokenizer the postings were built with
+    // lowercase EXACTLY as the build side did: postings were tokenized
+    // through Spark's lower(), i.e. UTF8String.toLowerCase — whose
+    // non-ASCII slow path is locale-sensitive. Folding the query token
+    // through the same UTF8String call makes the two sides agree byte
+    // for byte on any JVM locale (a Locale.ROOT fold can diverge on
+    // e.g. tr-TR dotted/dotless I and silently drop true matches).
     val buckets = tokens
       .map(t => graft.operators.Dedup.h32(
-        t.toLowerCase(java.util.Locale.ROOT)) % Buckets)
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)
+          .toLowerCase.toString) % Buckets)
       .distinct
     spark.read.parquet(indexDir)
       .filter(col("sgrp").isin(buckets.map(_ % Groups).distinct: _*) &&

@@ -683,6 +683,37 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(rows("txt_phrase_indexed") == rows("txt_phrase"),
       "text-indexed phrase serving changed rows")
     assert(rows("txt_phrase_indexed").nonEmpty)
+
+    // candidate fetch above ProbeLimit: the distributed semi-join arm
+    // (no driver id materialization) must serve identical rows
+    try {
+      spark.conf.set("graft.graph.probeLimit", "1")
+      assert(rows("txt_phrase_indexed") == rows("txt_phrase"),
+        "semi-join candidate fetch changed rows")
+    } finally spark.conf.unset("graft.graph.probeLimit")
+  }
+
+  test("payload index kind guards: equality probes on a range index " +
+       "and range probes on a hash index fail loudly, never return " +
+       "empty") {
+    import graft.sources.PayloadIndex
+    val root = java.nio.file.Files.createTempDirectory("graft-kindg")
+      .toString
+    val emb = Tables.load(spark, sf, "embeddings")
+    val hashIdx = s"$root/h"; val rangeIdx = s"$root/r"
+    PayloadIndex.build(emb, "label", "vec_id", hashIdx)
+    PayloadIndex.buildRange(emb, "vec_id", "vec_id", rangeIdx, 0L, 100L)
+    // a range index's meta has value_buckets = 0 → pmod(hash, 0) is
+    // NULL → an unguarded forValue would silently match nothing
+    intercept[IllegalArgumentException] {
+      PayloadIndex.forValue(spark, rangeIdx, 3)
+    }
+    intercept[IllegalArgumentException] {
+      PayloadIndex.forValues(spark, rangeIdx, Seq(3, 5))
+    }
+    intercept[IllegalArgumentException] {
+      PayloadIndex.forRange(spark, hashIdx, gte = Some(1L))
+    }
   }
 
   test("multimodal: byteSum/byteLen agree with driver-side computation " +
