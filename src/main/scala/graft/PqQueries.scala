@@ -172,6 +172,48 @@ object PqQueries {
       FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
       ORDER BY score_micro DESC, e.vec_id LIMIT 10"""))
 
+  /** Session-lifetime memo of the PQ codes sidecar
+    * ([[graft.sources.PqIndex]]) — codebooks pinned from the same
+    * memoized training run the in-plan queries share. */
+  private def pqIndexDir(s: org.apache.spark.sql.SparkSession,
+                         dir: String): String =
+    Tables.memoTempDir("pqidx", dir) { target =>
+      graft.sources.PqIndex.build(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", codebooks(s, dir), SubDim, target)
+    }
+
+  /** [[vPqSearch]] over the MATERIALIZED codes sidecar: the ADC pass
+    * scans ONLY `(vec_id, codes)` — 4 small ints per row, never the
+    * embedding column (ReadSchema spec-asserted) — with the query's m×k
+    * integer LUT as a plan literal; the exact stage probes 20 full
+    * vectors by literal id and re-ranks by the SAME micro-quantized
+    * score (and tie-break) as the in-plan twin. Same oracle as
+    * `v_pq_search`: materialization must not change a row. */
+  val vPqSearchIndexed = Q("v_pq_search_indexed",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val cand = graft.sources.PqIndex.adcTopN(s, pqIndexDir(s, dir),
+          q.map(Pq.microQ).toArray, 20)
+        .select(col("vec_id"), col("adc"))
+      val rows = cand.collect()
+      val candDf = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), cand.schema)
+      val ids = rows
+        .map(r => r.getAs[Number](r.fieldIndex("vec_id")).longValue).toSeq
+      graft.operators.GraphAnn.inIds(
+          emb.select("vec_id", "embedding"), "vec_id", ids)
+        .join(broadcast(candDf), "vec_id")
+        .withColumn("score_micro",
+          floor(VectorOps.cosine(col("embedding"), typedLit(q)) * 1e6
+            + lit(0.5)).cast("long"))
+        .orderBy(desc("score_micro"), col("vec_id")).limit(10)
+        .select("vec_id", "adc", "score_micro")
+    },
+    vPqSearch.oracle)
+
   /** IVF-PQ — the composed production ANN shape (the published FAISS
     * IVFADC construction, re-expressed Spark-first): the trained-k-means
     * IVF probe PRUNES the collection to nprobe cells, the integer ADC
@@ -272,5 +314,6 @@ object PqQueries {
       FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
       ORDER BY score_micro DESC, cand.vec_id LIMIT 10"""))
 
-  def queries: Seq[Q] = Seq(vPqCodebooks, vPqSearch, annIvfPq)
+  def queries: Seq[Q] = Seq(vPqCodebooks, vPqSearch, vPqSearchIndexed,
+    annIvfPq)
 }

@@ -1,0 +1,201 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Pq
+
+/** Materialized PRODUCT-QUANTIZATION codes sidecar — [[QuantIndex]]'s
+  * sibling for the PQ family (FAISS's IVFADC storage layout: the codes
+  * table IS what an ADC pass scans; the public design this engine's
+  * `v_pq_search`/`ann_ivfpq` compute in-plan). Without it the ADC stage
+  * reads the full vector column to encode per query — the ~m·log₂k bits
+  * per vector that make PQ the densest compression in the family never
+  * pay off as IO. With it, the collection-wide ADC pass scans ONLY
+  * `(id, codes ARRAY<INT>)` — m small ints per row — and the scan's
+  * `ReadSchema` is spec-asserted vector-free.
+  *
+  * Unlike SQ/BQ codes (pure functions of the vector), PQ codes depend
+  * on TRAINED codebooks, so the build PINS its codebooks inside the
+  * layout (`_codebooks/` parquet + geometry in `_pq_index.json` — the
+  * [[GraphIndex.Params]] discipline): [[refresh]] encodes changed rows
+  * with the PINNED codebooks, never retrains, and refresh == rebuild
+  * holds bit-exactly against a rebuild with the same codebooks
+  * (spec-gated). Retraining is a NEW index build — the same contract as
+  * re-clustering an IVF layout.
+  *
+  * {{{
+  * pqDir/
+  *   _pq_index.json               {"id_col","vec_col","m","sub_dim","k"}
+  *   _codebooks/part-….parquet    (sub, cid, i, c_micro)
+  *   src_bucket=b/part-….parquet  (id, codes ARRAY<INT>)
+  * }}}
+  *
+  * Serving ([[adcTopN]]): the query's m×k integer LUT is a plan
+  * literal; per row the ADC distance is m `element_at` lookups summed —
+  * a narrow codegen pass ending in a bounded top-n heap. The exact
+  * rescore stage fetches only the survivors' full vectors by literal id
+  * probe (the [[QuantIndex]] serving shape).
+  */
+object PqIndex {
+
+  private def metaPath(dir: String) = Paths.get(dir, "_pq_index.json")
+
+  final case class Meta(idCol: String, vecCol: String, m: Int,
+                        subDim: Int, k: Int)
+
+  private def writeMeta(dir: String, mt: Meta): Unit = {
+    require(!mt.idCol.contains("\"") && !mt.vecCol.contains("\""),
+      "column names must not contain quotes")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(metaPath(dir),
+      (s"""{"id_col": "${mt.idCol}", "vec_col": "${mt.vecCol}", """ +
+        s""""m": ${mt.m}, "sub_dim": ${mt.subDim}, "k": ${mt.k}}""")
+        .getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  def metaOf(dir: String): Meta = {
+    val txt = new String(Files.readAllBytes(metaPath(dir)),
+      StandardCharsets.UTF_8)
+    def str(kk: String): String =
+      (""""""" + kk + """":\s*"([^"]+)"""").r.findFirstMatchIn(txt)
+        .get.group(1)
+    def int(kk: String): Int =
+      (""""""" + kk + """":\s*(\d+)""").r.findFirstMatchIn(txt)
+        .get.group(1).toInt
+    Meta(str("id_col"), str("vec_col"), int("m"), int("sub_dim"),
+      int("k"))
+  }
+
+  /** The PINNED codebooks, read back in [[Pq.trainCodebooks]]'s shape:
+    * per subspace, (cid → micro-centroid) ordered by cid. */
+  def codebooksOf(spark: SparkSession, dir: String)
+      : Array[Array[(Long, Array[Long])]] = {
+    val mt = metaOf(dir)
+    val rows = spark.read.parquet(s"$dir/_codebooks")
+      .select("sub", "cid", "i", "c_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    (0 until mt.m).map { sub =>
+      rows.filter(_._1 == sub).groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (cid, cells) =>
+          (cid, cells.sortBy(_._3).map(_._4))
+        }.toArray
+    }.toArray
+  }
+
+  /** The codes projection — ONE definition shared by build and refresh
+    * (identical integer argmin per subspace as the in-plan
+    * [[Pq.codeCol]], so a sidecar read can never change a row). */
+  private def codesOf(points: DataFrame, mt: Meta,
+                      cbs: Array[Array[(Long, Array[Long])]]): DataFrame = {
+    val vm = Pq.vmicro(col(mt.vecCol))
+    val codeCols = (0 until mt.m).map(sub =>
+      Pq.codeCol(vm, cbs(sub), sub, mt.subDim).cast("int"))
+    points.select(col(mt.idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** Materialize the sidecar from a points frame with the given trained
+    * codebooks (pinned into the layout). */
+  def build(points: DataFrame, idCol: String, vecCol: String,
+            cbs: Array[Array[(Long, Array[Long])]], subDim: Int,
+            dir: String,
+            idBuckets: Int = Collections.DefaultBuckets): Unit = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val mt = Meta(idCol, vecCol, cbs.length, subDim,
+      cbs.headOption.map(_.length).getOrElse(0))
+    codesOf(points, mt, cbs)
+      .withColumn("src_bucket", Collections.bucketOf(idCol, idBuckets))
+      .write.mode("overwrite").partitionBy("src_bucket").parquet(dir)
+    cbs.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.flatMap { case (cid, cm) =>
+        cm.zipWithIndex.map { case (c, i) =>
+          (sub.toLong, cid, i.toLong, c)
+        }
+      }
+    }.toSeq.toDF("sub", "cid", "i", "c_micro")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_codebooks")
+    // meta LAST: its presence claims a complete live index
+    writeMeta(dir, mt)
+  }
+
+  /** Materialize FROM a collection; returns the manifest cursor. */
+  def buildFromCollection(spark: SparkSession, collDir: String,
+                          indexDir: String, idCol: String, vecCol: String,
+                          cbs: Array[Array[(Long, Array[Long])]],
+                          subDim: Int): Collections.ManifestView = {
+    val cur = Collections.manifestView(collDir)
+    build(Collections.read(spark, collDir), idCol, vecCol, cbs, subDim,
+      indexDir, Collections.numBuckets(collDir))
+    cur
+  }
+
+  /** The sidecar rows (id, codes) — layout columns dropped. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).drop("src_bucket")
+
+  /** Stage-1 ADC prefilter over the STORED codes: the query's m×k
+    * integer distance LUT rides as a plan literal; per row the ADC sum
+    * is m element_at lookups — the scan reads (id, codes) only,
+    * ending in a bounded top-`n` heap by (adc ASC, id ASC). `queryMicro`
+    * is the micro-quantized query vector ([[Pq.microQ]] per element). */
+  def adcTopN(spark: SparkSession, dir: String, queryMicro: Array[Long],
+              n: Int): DataFrame = {
+    val mt = metaOf(dir)
+    require(queryMicro.length == mt.m * mt.subDim,
+      s"query dim ${queryMicro.length} != ${mt.m}·${mt.subDim}")
+    val cbs = codebooksOf(spark, dir)
+    val lut: Array[Array[Long]] = cbs.zipWithIndex.map { case (cb, sub) =>
+      cb.map { case (_, cm) =>
+        Pq.distInt(
+          queryMicro.slice(sub * mt.subDim, (sub + 1) * mt.subDim), cm)
+      }
+    }
+    val adc = (0 until mt.m).map { sub =>
+      element_at(typedLit(lut(sub).toSeq),
+        col("codes")(sub).cast("int") + lit(1))
+    }.reduce(_ + _)
+    read(spark, dir)
+      .withColumn("adc", adc)
+      .orderBy(asc("adc"), col(mt.idCol))
+      .limit(n)
+  }
+
+  /** Incremental refresh from the change feed — the staged-swap
+    * contract ([[PayloadIndex.refresh]] verbatim), encoding changed rows
+    * with the PINNED codebooks. */
+  def refresh(spark: SparkSession, collDir: String, indexDir: String,
+              prev: Collections.ManifestView): Collections.ManifestView = {
+    import scala.jdk.CollectionConverters._
+    val mt = metaOf(indexDir)
+    val cbs = codebooksOf(spark, indexDir)
+    val (cur, changedDf, dropped) =
+      Collections.changedSince(spark, collDir, prev)
+    val changedBuckets = Collections.changedBuckets(prev, cur)
+    val staging = Paths.get(indexDir, "_staging_refresh")
+    if (Files.exists(staging)) Collections.deleteRecursively(staging)
+    if (changedBuckets.nonEmpty)
+      codesOf(changedDf, mt, cbs)
+        .withColumn("src_bucket",
+          Collections.bucketOf(mt.idCol, Collections.numBuckets(collDir)))
+        .write.mode("overwrite").partitionBy("src_bucket")
+        .parquet(staging.toString)
+    (changedBuckets ++ dropped).foreach { b =>
+      val d = Paths.get(indexDir, s"src_bucket=$b")
+      if (Files.exists(d)) Collections.deleteRecursively(d)
+    }
+    if (Files.isDirectory(staging)) {
+      val staged = Files.list(staging)
+      try staged.iterator().asScala
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("src_bucket="))
+        .foreach(d =>
+          Files.move(d, Paths.get(indexDir, d.getFileName.toString)))
+      finally staged.close()
+      Collections.deleteRecursively(staging)
+    }
+    cur
+  }
+}

@@ -865,6 +865,53 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
       "deleted rows survive in the refreshed sidecar")
   }
 
+  test("PQ codes sidecar refresh encodes with the PINNED codebooks and " +
+       "equals a rebuild with the same codebooks") {
+    import graft.sources.PqIndex
+    import graft.operators.Pq
+    val root = Files.createTempDirectory("graft-pqidxr").toString
+    val dir = s"$root/coll"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(200)
+    sink.write(emb.withColumn("seq", lit(0)))
+    // train ONCE on the initial state — the pin under test
+    val cbs = Pq.trainCodebooks(Collections.read(spark, dir),
+      "vec_id", "embedding", 4, 16, 8, 1)
+    val idx = s"$root/pqidx"
+    val v0 = PqIndex.buildFromCollection(spark, dir, idx,
+      "vec_id", "embedding", cbs, 16)
+
+    sink.write(emb.filter(col("vec_id") % 10 === 0)
+      .withColumn("embedding", reverse(col("embedding")).cast("array<float>"))
+      .withColumn("seq", lit(1)))
+    Collections.deleteWhere(spark, dir, col("vec_id") % 7 === 0, "vec_id")
+
+    PqIndex.refresh(spark, dir, idx, v0)
+    // rebuild with the SAME pinned codebooks (retraining would be a new
+    // index — the IVF re-clustering contract)
+    val idx2 = s"$root/pqidx_full"
+    PqIndex.buildFromCollection(spark, dir, idx2,
+      "vec_id", "embedding", cbs, 16)
+    def rows(p: String): Seq[String] =
+      spark.read.parquet(p).drop("src_bucket")
+        .collect()
+        .map(r => (r.getLong(r.fieldIndex("vec_id")),
+          r.getSeq[Int](r.fieldIndex("codes"))).toString)
+        .toSeq.sorted
+    assert(rows(idx) == rows(idx2),
+      "incrementally-maintained PQ sidecar diverges from a rebuild")
+    assert(rows(idx).nonEmpty)
+    // deleted rows are gone; re-vectored rows re-encoded (spot check:
+    // serving returns only live ids)
+    val hits = PqIndex.adcTopN(spark, idx,
+        Collections.read(spark, dir).filter(col("vec_id") === 1)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).map(Pq.microQ).toArray, 10)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(hits.length == 10 && !hits.exists(_ % 7 == 0))
+  }
+
   test("payload field index: a STRING key probed with a numeric literal " +
        "serves via the unindexed coercion fallback — no under-return") {
     import graft.sources.PayloadIndex

@@ -861,6 +861,59 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("PQ codes sidecar (PqIndex): the ADC pass scans only (id, codes) " +
+       "— no embedding in ReadSchema — stored codes equal the in-plan " +
+       "encoding, and the indexed query equals its twin") {
+    import graft.sources.PqIndex
+    import graft.operators.Pq
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", 4, 16, 8, 1)
+    val idx = java.nio.file.Files.createTempDirectory("graft-pqidx")
+      .resolve("codes").toString
+    PqIndex.build(emb, "vec_id", "embedding", cbs, 16, idx)
+    val mt = PqIndex.metaOf(idx)
+    assert(mt.m == 4 && mt.subDim == 16 && mt.k == 8)
+
+    // pinned codebooks round-trip exactly
+    val back = PqIndex.codebooksOf(spark, idx)
+    assert(back.length == cbs.length)
+    cbs.zip(back).foreach { case (a, b) =>
+      assert(a.map(_._1).toSeq == b.map(_._1).toSeq)
+      a.zip(b).foreach { case ((_, ca), (_, cb2)) =>
+        assert(ca.toSeq == cb2.toSeq, "codebook centroid drifted")
+      }
+    }
+
+    // stage-1 plan: one scan of the codes table, vector-free ReadSchema
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val stage1 = PqIndex.adcTopN(spark, idx, q.map(Pq.microQ).toArray, 20)
+    val plan = stage1.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"ADC pass must be one codes scan:\n$plan")
+    val rs = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(rs.nonEmpty && rs.forall(!_.contains("embedding")),
+      s"ADC ReadSchema still reads the embedding column:\n$plan")
+
+    // stored codes == in-plan encoding on EVERY row
+    val vm = Pq.vmicro(col("embedding"))
+    val inPlan = emb.select(col("vec_id"),
+      array((0 until 4).map(sub =>
+        Pq.codeCol(vm, cbs(sub), sub, 16).cast("int")): _*).as("expect"))
+    val diverged = PqIndex.read(spark, idx)
+      .join(inPlan, "vec_id")
+      .filter(!(col("codes") <=> col("expect")))
+    assert(diverged.count() == 0, "sidecar codes != in-plan encoding")
+
+    // declared query equality with the in-plan twin
+    def rows(name: String): Seq[String] =
+      Queries.queries(name)(spark, sf).collect().map(_.toSeq.toString).toSeq
+    assert(rows("v_pq_search_indexed") == rows("v_pq_search"),
+      "PQ sidecar serving changed rows")
+    assert(rows("v_pq_search_indexed").nonEmpty)
+  }
+
   test("as-of join matches the brute-force model (ties: quote at equal " +
        "ts counts)") {
     import spark.implicits._
