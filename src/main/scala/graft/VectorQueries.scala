@@ -1122,6 +1122,28 @@ object VectorQueries {
       ORDER BY list_cosine_similarity(v, $oracleQ0) DESC, vec_id
       LIMIT 10"""))
 
+  /** [[vMrlSearch]] over the materialized sidecar — the "prefix-laid
+    * column store" the MRL pattern's 4× IO claim assumes, now a plan
+    * fact: stage 1 scans only the stored 16-float `prefix` column
+    * (ReadSchema vector-free, spec-asserted), stage 2 probes 50 full
+    * vectors by literal id. The prefix was stored by `slice` of the
+    * same float array the in-plan twin slices per query, so scores are
+    * bit-identical. Same oracle as `v_mrl_search`. */
+  val vMrlSearchIndexed = Q("v_mrl_search_indexed",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = queryVec(s, dir, 0)
+      val cands = graft.sources.QuantIndex
+        .prefixTopN(s, quantIndexDir(s, dir), qv, 50)
+        .select(col("vec_id"), col("score_p"))
+      exactRescore(s, emb, cands, qv, 10)
+        .select(col("vec_id"),
+          floor(col("score_p") * 1e6 + lit(0.5)).cast("long")
+            .as("scorep_micro"),
+          floor(col("score") * 1e6 + lit(0.5)).cast("long").as("score_micro"))
+    },
+    vMrlSearch.oracle)
+
   /** Qdrant FORMULA query (`query: {"formula": ...}` — the public
     * score-boosting API): the final rank is an expression over the base
     * similarity `$score` and payload fields, here the documented
@@ -1233,5 +1255,5 @@ object VectorQueries {
     vL2, vManhattan, vDot, vFusion, vFusionPartial, vMaxsim, vHybridRrf,
     vHybridDbsf, vSqQuantize, vSqSearch, vBqSearch, vPrefetch,
     vSqSearchIndexed, vBqSearchIndexed, vPrefetchIndexed, vMrlSearch,
-    vScoreBoost, collStats)
+    vMrlSearchIndexed, vScoreBoost, collStats)
 }

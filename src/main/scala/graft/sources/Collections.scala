@@ -798,6 +798,56 @@ object Collections {
     (cur, df, dropped)
   }
 
+  /** The staged per-`src_bucket` refresh EVERY flat derived layout
+    * shares (IvfIndex, PayloadIndex, SparseIndex, QuantIndex, PqIndex —
+    * one implementation so their crash contracts can never drift;
+    * Tenancy's tenant-rooted leaves and GraphIndex's per-round merge
+    * keep their own specialized swaps):
+    *
+    *  1. STAGE — run `replacementOf(changedRows)` to completion under
+    *     `_staging_refresh` (underscore: invisible to Spark's listing);
+    *     a failure during the expensive write leaves the live layout
+    *     byte-identical. A leftover staging dir from a previous crash is
+    *     cleared first.
+    *  2. SWAP — delete the stale `src_bucket=` dirs the feed reported
+    *     changed/dropped, move staged dirs in (renames only). Untouched
+    *     buckets' files are not read, not rewritten, not moved.
+    *
+    * `replacementOf` receives the change feed's rows and must return
+    * them with a `src_bucket` column plus whatever secondary partition
+    * columns `partitionCols` names (which must start with
+    * "src_bucket"). Returns the new cursor. */
+  private[sources] def stagedBucketRefresh(
+      spark: SparkSession, collDir: String, indexDir: String,
+      prev: ManifestView, partitionCols: Seq[String])(
+      replacementOf: DataFrame => DataFrame): ManifestView = {
+    require(partitionCols.headOption.contains("src_bucket"),
+      s"staged refresh swaps src_bucket dirs; got $partitionCols")
+    val (cur, changedDf, dropped) = changedSince(spark, collDir, prev)
+    val stale = changedBuckets(prev, cur)
+    val staging = Paths.get(indexDir, "_staging_refresh")
+    if (Files.exists(staging)) deleteRecursively(staging)
+    if (stale.nonEmpty)
+      replacementOf(changedDf)
+        .write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(staging.toString)
+    (stale ++ dropped).foreach { b =>
+      val dir = Paths.get(indexDir, s"src_bucket=$b")
+      if (Files.exists(dir)) deleteRecursively(dir)
+    }
+    if (Files.isDirectory(staging)) {
+      val staged = Files.list(staging)
+      try staged.iterator().asScala
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("src_bucket="))
+        .foreach(d =>
+          Files.move(d, Paths.get(indexDir, d.getFileName.toString)))
+      finally staged.close()
+      deleteRecursively(staging)
+    }
+    cur
+  }
+
   /** Collection info (the Qdrant collection-info shape): declared config
     * plus live point count. */
   final case class CollectionInfo(config: VectorConfig, numPoints: Long)

@@ -69,37 +69,9 @@ object IvfIndex {
   def refresh(spark: SparkSession, collDir: String, indexDir: String,
               idCol: String, vecCol: String, centroids: DataFrame,
               cidCol: String, cvCol: String,
-              prev: Collections.ManifestView): Collections.ManifestView = {
-    import scala.jdk.CollectionConverters._
-    val (cur, changedDf, dropped) =
-      Collections.changedSince(spark, collDir, prev)
-    val changedBuckets = Collections.changedBuckets(prev, cur)
-    // 1. STAGE: run the whole replacement job before touching live dirs —
-    //    a failure here leaves the index exactly as it was
-    val staging = Paths.get(indexDir, "_staging_refresh")
-    if (Files.exists(staging)) Collections.deleteRecursively(staging)
-    if (changedBuckets.nonEmpty)
-      assigned(changedDf, idCol, vecCol, centroids, cidCol, cvCol,
-        Collections.numBuckets(collDir))
-        .write.mode("overwrite")
-        .partitionBy("src_bucket", "cluster")
-        .parquet(staging.toString)
-    // 2. SWAP: delete stale dirs, move staged replacements in (renames
-    //    only — the index is inconsistent for this window alone)
-    (changedBuckets ++ dropped).foreach { b =>
-      val dir = Paths.get(indexDir, s"src_bucket=$b")
-      if (Files.exists(dir)) Collections.deleteRecursively(dir)
-    }
-    if (Files.isDirectory(staging)) {
-      val staged = Files.list(staging)
-      try staged.iterator().asScala
-        .filter(d => Files.isDirectory(d) &&
-          d.getFileName.toString.startsWith("src_bucket="))
-        .foreach(d =>
-          Files.move(d, Paths.get(indexDir, d.getFileName.toString)))
-      finally staged.close()
-      Collections.deleteRecursively(staging)
-    }
-    cur
-  }
+              prev: Collections.ManifestView): Collections.ManifestView =
+    Collections.stagedBucketRefresh(spark, collDir, indexDir, prev,
+      Seq("src_bucket", "cluster"))(
+      assigned(_, idCol, vecCol, centroids, cidCol, cvCol,
+        Collections.numBuckets(collDir)))
 }

@@ -378,43 +378,18 @@ object PayloadIndex {
   def refresh(spark: SparkSession, collDir: String, indexDir: String,
               idCol: String,
               prev: Collections.ManifestView): Collections.ManifestView = {
-    import scala.jdk.CollectionConverters._
     val key = keyOf(indexDir)
-    val (cur, changedDf, dropped) =
-      Collections.changedSince(spark, collDir, prev)
-    val changedBuckets = Collections.changedBuckets(prev, cur)
-    def assignedKind(points: DataFrame): DataFrame = kindOf(indexDir) match {
-      case "range" =>
-        val (origin, width) = rangeParamsOf(indexDir)
-        assignedRange(points, key, idCol, Collections.numBuckets(collDir),
-          origin, width)
-      case _ =>
-        assigned(points, key, idCol, Collections.numBuckets(collDir),
-          valueBucketsOf(indexDir))
+    Collections.stagedBucketRefresh(spark, collDir, indexDir, prev,
+      Seq("src_bucket", "pbucket")) { changed =>
+      kindOf(indexDir) match {
+        case "range" =>
+          val (origin, width) = rangeParamsOf(indexDir)
+          assignedRange(changed, key, idCol,
+            Collections.numBuckets(collDir), origin, width)
+        case _ =>
+          assigned(changed, key, idCol, Collections.numBuckets(collDir),
+            valueBucketsOf(indexDir))
+      }
     }
-    // 1. STAGE: run the whole replacement job before touching live dirs
-    val staging = Paths.get(indexDir, "_staging_refresh")
-    if (Files.exists(staging)) Collections.deleteRecursively(staging)
-    if (changedBuckets.nonEmpty)
-      assignedKind(changedDf)
-        .write.mode("overwrite")
-        .partitionBy("src_bucket", "pbucket")
-        .parquet(staging.toString)
-    // 2. SWAP: delete stale dirs, move staged replacements in
-    (changedBuckets ++ dropped).foreach { b =>
-      val dir = Paths.get(indexDir, s"src_bucket=$b")
-      if (Files.exists(dir)) Collections.deleteRecursively(dir)
-    }
-    if (Files.isDirectory(staging)) {
-      val staged = Files.list(staging)
-      try staged.iterator().asScala
-        .filter(d => Files.isDirectory(d) &&
-          d.getFileName.toString.startsWith("src_bucket="))
-        .foreach(d =>
-          Files.move(d, Paths.get(indexDir, d.getFileName.toString)))
-      finally staged.close()
-      Collections.deleteRecursively(staging)
-    }
-    cur
   }
 }

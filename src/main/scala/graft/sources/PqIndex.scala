@@ -168,34 +168,12 @@ object PqIndex {
     * with the PINNED codebooks. */
   def refresh(spark: SparkSession, collDir: String, indexDir: String,
               prev: Collections.ManifestView): Collections.ManifestView = {
-    import scala.jdk.CollectionConverters._
     val mt = metaOf(indexDir)
     val cbs = codebooksOf(spark, indexDir)
-    val (cur, changedDf, dropped) =
-      Collections.changedSince(spark, collDir, prev)
-    val changedBuckets = Collections.changedBuckets(prev, cur)
-    val staging = Paths.get(indexDir, "_staging_refresh")
-    if (Files.exists(staging)) Collections.deleteRecursively(staging)
-    if (changedBuckets.nonEmpty)
-      codesOf(changedDf, mt, cbs)
-        .withColumn("src_bucket",
-          Collections.bucketOf(mt.idCol, Collections.numBuckets(collDir)))
-        .write.mode("overwrite").partitionBy("src_bucket")
-        .parquet(staging.toString)
-    (changedBuckets ++ dropped).foreach { b =>
-      val d = Paths.get(indexDir, s"src_bucket=$b")
-      if (Files.exists(d)) Collections.deleteRecursively(d)
+    Collections.stagedBucketRefresh(spark, collDir, indexDir, prev,
+      Seq("src_bucket")) { changed =>
+      codesOf(changed, mt, cbs).withColumn("src_bucket",
+        Collections.bucketOf(mt.idCol, Collections.numBuckets(collDir)))
     }
-    if (Files.isDirectory(staging)) {
-      val staged = Files.list(staging)
-      try staged.iterator().asScala
-        .filter(d => Files.isDirectory(d) &&
-          d.getFileName.toString.startsWith("src_bucket="))
-        .foreach(d =>
-          Files.move(d, Paths.get(indexDir, d.getFileName.toString)))
-      finally staged.close()
-      Collections.deleteRecursively(staging)
-    }
-    cur
   }
 }

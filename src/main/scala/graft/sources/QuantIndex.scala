@@ -63,9 +63,10 @@ import graft.functions.VectorOps
 object QuantIndex {
 
   /** Pinned build parameters, persisted so serving and refresh can never
-    * disagree with the build's geometry. */
+    * disagree with the build's geometry. `prefixDim` = the stored MRL
+    * prefix length ([[prefixTopN]]). */
   final case class Meta(idCol: String, vecCol: String, dim: Int,
-                        wordBits: Int)
+                        wordBits: Int, prefixDim: Int)
 
   private def metaPath(dir: String) = Paths.get(dir, "_quant_index.json")
 
@@ -75,7 +76,8 @@ object QuantIndex {
     Files.createDirectories(Paths.get(dir))
     Files.write(metaPath(dir),
       (s"""{"id_col": "${m.idCol}", "vec_col": "${m.vecCol}", """ +
-        s""""dim": ${m.dim}, "word_bits": ${m.wordBits}}""")
+        s""""dim": ${m.dim}, "word_bits": ${m.wordBits}, """ +
+        s""""prefix_dim": ${m.prefixDim}}""")
         .getBytes(StandardCharsets.UTF_8))
     ()
   }
@@ -90,7 +92,8 @@ object QuantIndex {
     def int(k: String): Int =
       (""""""" + k + """":\s*(\d+)""").r.findFirstMatchIn(txt)
         .get.group(1).toInt
-    Meta(str("id_col"), str("vec_col"), int("dim"), int("word_bits"))
+    Meta(str("id_col"), str("vec_col"), int("dim"), int("word_bits"),
+      int("prefix_dim"))
   }
 
   /** The query's packed sign-bit words — same weighted-bit sum as
@@ -106,21 +109,24 @@ object QuantIndex {
 
   /** The codes projection — ONE definition shared by build and refresh
     * (they can never disagree), running the same fused expressions the
-    * in-plan queries use (identical IEEE ops → identical codes). */
+    * in-plan queries use (identical IEEE ops → identical codes). The
+    * MRL `prefix` column is the vector's first `prefixDim` floats —
+    * the prefix-laid column store the MRL serving pattern assumes. */
   private def codesOf(points: DataFrame, m: Meta): DataFrame =
     points
       .select(col(m.idCol),
         VectorOps.bqPack(col(m.vecCol), m.dim, m.wordBits).as("bq"),
-        VectorOps.sqCodes(col(m.vecCol)).as("__q"))
+        VectorOps.sqCodes(col(m.vecCol)).as("__q"),
+        slice(col(m.vecCol), 1, m.prefixDim).as("prefix"))
       .select(col(m.idCol), col("bq"),
         col("__q.mn").as("mn"), col("__q.mx").as("mx"),
-        col("__q.codes").as("codes"))
+        col("__q.codes").as("codes"), col("prefix"))
 
   /** Materialize the sidecar from a points frame (fixture-table form). */
   def build(points: DataFrame, idCol: String, vecCol: String, dim: Int,
             dir: String, idBuckets: Int = Collections.DefaultBuckets,
-            wordBits: Int = 32): Unit = {
-    val m = Meta(idCol, vecCol, dim, wordBits)
+            wordBits: Int = 32, prefixDim: Int = 16): Unit = {
+    val m = Meta(idCol, vecCol, dim, wordBits, prefixDim)
     codesOf(points, m)
       .withColumn("src_bucket", Collections.bucketOf(idCol, idBuckets))
       .write.mode("overwrite").partitionBy("src_bucket").parquet(dir)
@@ -178,6 +184,25 @@ object QuantIndex {
       .limit(n)
   }
 
+  /** Stage-1 MRL prefix ranking (Matryoshka truncated-dim retrieval —
+    * Kusupati et al. 2022): cosine of the STORED `prefixDim`-float
+    * prefix vs the query's prefix, top-`n` by (score DESC, id ASC),
+    * zero-norm prefixes dropped (NULL cosine — the in-plan twin's
+    * semantics exactly). One codes-table scan reading `prefixDim/dim`
+    * of the vector bytes; `ReadSchema` holds no full-vector column. */
+  def prefixTopN(spark: SparkSession, dir: String, query: Seq[Double],
+                 n: Int): DataFrame = {
+    val m = metaOf(dir)
+    require(query.length == m.dim,
+      s"query dim ${query.length} != index dim ${m.dim}")
+    read(spark, dir)
+      .withColumn("score_p",
+        VectorOps.cosine(col("prefix"), typedLit(query.take(m.prefixDim))))
+      .filter(col("score_p").isNotNull)
+      .orderBy(desc("score_p"), col(m.idCol))
+      .limit(n)
+  }
+
   /** The nested-prefetch candidate chain (Qdrant `query_points` with
     * `prefetch: {prefetch: ...}`): 1-bit hamming top-`n1`, then int8
     * rescore of those `n1` rows from their STORED codes (same rows —
@@ -201,35 +226,11 @@ object QuantIndex {
     * byte-stable. Returns the new cursor. */
   def refresh(spark: SparkSession, collDir: String, indexDir: String,
               prev: Collections.ManifestView): Collections.ManifestView = {
-    import scala.jdk.CollectionConverters._
     val m = metaOf(indexDir)
-    val (cur, changedDf, dropped) =
-      Collections.changedSince(spark, collDir, prev)
-    val changedBuckets = Collections.changedBuckets(prev, cur)
-    // 1. STAGE: run the whole replacement job before touching live dirs
-    val staging = Paths.get(indexDir, "_staging_refresh")
-    if (Files.exists(staging)) Collections.deleteRecursively(staging)
-    if (changedBuckets.nonEmpty)
-      codesOf(changedDf, m)
-        .withColumn("src_bucket",
-          Collections.bucketOf(m.idCol, Collections.numBuckets(collDir)))
-        .write.mode("overwrite").partitionBy("src_bucket")
-        .parquet(staging.toString)
-    // 2. SWAP: delete stale dirs, move staged replacements in
-    (changedBuckets ++ dropped).foreach { b =>
-      val dir = Paths.get(indexDir, s"src_bucket=$b")
-      if (Files.exists(dir)) Collections.deleteRecursively(dir)
+    Collections.stagedBucketRefresh(spark, collDir, indexDir, prev,
+      Seq("src_bucket")) { changed =>
+      codesOf(changed, m).withColumn("src_bucket",
+        Collections.bucketOf(m.idCol, Collections.numBuckets(collDir)))
     }
-    if (Files.isDirectory(staging)) {
-      val staged = Files.list(staging)
-      try staged.iterator().asScala
-        .filter(d => Files.isDirectory(d) &&
-          d.getFileName.toString.startsWith("src_bucket="))
-        .foreach(d =>
-          Files.move(d, Paths.get(indexDir, d.getFileName.toString)))
-      finally staged.close()
-      Collections.deleteRecursively(staging)
-    }
-    cur
   }
 }

@@ -85,36 +85,10 @@ object SparseIndex {
     * not rewritten, not moved. Returns the new cursor. */
   def refresh(spark: SparkSession, collDir: String, indexDir: String,
               idCol: String, textCol: String,
-              prev: Collections.ManifestView): Collections.ManifestView = {
-    import scala.jdk.CollectionConverters._
-    val (cur, changedDf, dropped) =
-      Collections.changedSince(spark, collDir, prev)
-    val changedBuckets = Collections.changedBuckets(prev, cur)
-    // 1. STAGE the replacement postings (live index untouched on failure)
-    val staging = Paths.get(indexDir, "_staging_refresh")
-    if (Files.exists(staging)) Collections.deleteRecursively(staging)
-    if (changedBuckets.nonEmpty)
-      postings(changedDf, idCol, textCol, Collections.numBuckets(collDir))
-        .write.mode("overwrite")
-        .partitionBy("src_bucket", "sgrp")
-        .parquet(staging.toString)
-    // 2. SWAP: delete stale dirs, move staged replacements in
-    (changedBuckets ++ dropped).foreach { b =>
-      val dir = Paths.get(indexDir, s"src_bucket=$b")
-      if (Files.exists(dir)) Collections.deleteRecursively(dir)
-    }
-    if (Files.isDirectory(staging)) {
-      val staged = Files.list(staging)
-      try staged.iterator().asScala
-        .filter(d => Files.isDirectory(d) &&
-          d.getFileName.toString.startsWith("src_bucket="))
-        .foreach(d =>
-          Files.move(d, Paths.get(indexDir, d.getFileName.toString)))
-      finally staged.close()
-      Collections.deleteRecursively(staging)
-    }
-    cur
-  }
+              prev: Collections.ManifestView): Collections.ManifestView =
+    Collections.stagedBucketRefresh(spark, collDir, indexDir, prev,
+      Seq("src_bucket", "sgrp"))(
+      postings(_, idCol, textCol, Collections.numBuckets(collDir)))
 
   /** FULL-TEXT candidate probe (the Qdrant `text` payload-index type)
     * over the SAME postings layout — one materialization serves both the

@@ -806,7 +806,7 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
       "vec_id", "embedding", 64)
     val m = QuantIndex.metaOf(idx)
     assert(m.idCol == "vec_id" && m.vecCol == "embedding" &&
-      m.dim == 64 && m.wordBits == 32)
+      m.dim == 64 && m.wordBits == 32 && m.prefixDim == 16)
 
     def canon(p: String): Seq[String] =
       spark.read.parquet(p).drop("src_bucket")
@@ -815,7 +815,8 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
           r.getSeq[Long](r.fieldIndex("bq")),
           r.getDouble(r.fieldIndex("mn")),
           r.getDouble(r.fieldIndex("mx")),
-          r.getSeq[Int](r.fieldIndex("codes"))).toString)
+          r.getSeq[Int](r.fieldIndex("codes")),
+          r.getSeq[Float](r.fieldIndex("prefix"))).toString)
         .toSeq.sorted
 
     assert(canon(idx).nonEmpty)

@@ -851,14 +851,25 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(diverged.count() == 0,
       "sqScoreFromCodes != sqScore on the full vector")
 
+    // MRL prefix stage: also one scan, ReadSchema without the full
+    // vector column (the prefix IS a vector slice, so assert the
+    // projection reads prefix but not embedding)
+    val mrlPlan = QuantIndex.prefixTopN(spark, idx, qv, 50)
+      .queryExecution.executedPlan.toString
+    val mrlRs = "ReadSchema: [^\\n]*".r.findAllIn(mrlPlan).toSeq
+    assert(mrlRs.nonEmpty && mrlRs.forall(!_.contains("embedding")) &&
+        mrlRs.exists(_.contains("prefix")),
+      s"MRL stage-1 must read the stored prefix, not the vector:\n$mrlPlan")
+
     // the declared indexed queries equal their in-plan twins row-for-row
-    Seq("v_prefetch", "v_bq_search", "v_sq_search").foreach { base =>
-      val a = Queries.queries(base)(spark, sf)
-        .collect().map(_.toSeq.toString).toSeq
-      val b = Queries.queries(s"${base}_indexed")(spark, sf)
-        .collect().map(_.toSeq.toString).toSeq
-      assert(a == b, s"$base: sidecar serving changed rows")
-    }
+    Seq("v_prefetch", "v_bq_search", "v_sq_search", "v_mrl_search")
+      .foreach { base =>
+        val a = Queries.queries(base)(spark, sf)
+          .collect().map(_.toSeq.toString).toSeq
+        val b = Queries.queries(s"${base}_indexed")(spark, sf)
+          .collect().map(_.toSeq.toString).toSeq
+        assert(a == b, s"$base: sidecar serving changed rows")
+      }
   }
 
   test("PQ codes sidecar (PqIndex): the ADC pass scans only (id, codes) " +
