@@ -289,9 +289,10 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
       hits.head.getString(hits.head.fieldIndex("id")) == probe.getString(0))
   }
 
-  test("streaming upserts keep the incremental IVF index fresh: change-" +
-       "feed refresh per micro-batch equals a full rebuild at the end") {
-    import graft.sources.{Collections, IvfIndex}
+  test("streaming upserts keep the incremental IVF index AND the " +
+       "quantized-codes sidecar fresh: change-feed refresh per " +
+       "micro-batch equals a full rebuild at the end") {
+    import graft.sources.{Collections, IvfIndex, QuantIndex}
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-sivf")
     val in = tmp.resolve("in"); Files.createDirectories(in)
@@ -312,7 +313,9 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
       (0L, Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)),
       (1L, Seq.tabulate(dim)(i => if (i == 1) 1.0 else 0.0)))
       .toDF("cid", "cv")
+    val quantDir = tmp.resolve("quant").toString
     var cursor = Collections.ManifestView(0, Map.empty)
+    var qCursor = Collections.ManifestView(0, Map.empty)
     var batches = 0
     val raw = spark.readStream.option("maxFilesPerTrigger", 1)
       .text(in.toString).withColumnRenamed("value", "raw")
@@ -323,6 +326,13 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
           .withColumn("__seq", lit(0L)))
         cursor = IvfIndex.refresh(spark, collDir, idxDir, "id",
           "embedding", cents, "cid", "cv", cursor)
+        // first batch creates the sidecar, later batches maintain it —
+        // the per-micro-batch loop every derived layout shares
+        if (batches == 0)
+          qCursor = QuantIndex.buildFromCollection(spark, collDir,
+            quantDir, "id", "embedding", dim)
+        else
+          qCursor = QuantIndex.refresh(spark, collDir, quantDir, qCursor)
         batches += 1
       })
     assert(batches >= 2, s"expected >=2 micro-batches, got $batches")
@@ -337,6 +347,20 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(rows(idxDir) == rows(full),
       "per-batch incremental index diverges from a full rebuild")
     assert(rows(idxDir).nonEmpty)
+
+    val qFull = tmp.resolve("quant_full").toString
+    QuantIndex.build(Collections.read(spark, collDir), "id", "embedding",
+      dim, qFull, Collections.numBuckets(collDir))
+    def qRows(p: String): Seq[String] =
+      spark.read.parquet(p).drop("src_bucket")
+        .collect()
+        .map(r => (r.getString(r.fieldIndex("id")),
+          r.getSeq[Long](r.fieldIndex("bq")),
+          r.getSeq[Int](r.fieldIndex("codes"))).toString)
+        .toSeq.sorted
+    assert(qRows(quantDir) == qRows(qFull),
+      "per-batch quantized sidecar diverges from a full rebuild")
+    assert(qRows(quantDir).nonEmpty)
   }
 
   test("nearDupStreamTtl: expired band bucket re-admits content; " +
