@@ -198,18 +198,7 @@ object PqQueries {
       val cand = graft.sources.PqIndex.adcTopN(s, pqIndexDir(s, dir),
           q.map(Pq.microQ).toArray, 20)
         .select(col("vec_id"), col("adc"))
-      val rows = cand.collect()
-      val candDf = s.createDataFrame(
-        java.util.Arrays.asList(rows: _*), cand.schema)
-      val ids = rows
-        .map(r => r.getAs[Number](r.fieldIndex("vec_id")).longValue).toSeq
-      graft.operators.GraphAnn.inIds(
-          emb.select("vec_id", "embedding"), "vec_id", ids)
-        .join(broadcast(candDf), "vec_id")
-        .withColumn("score_micro",
-          floor(VectorOps.cosine(col("embedding"), typedLit(q)) * 1e6
-            + lit(0.5)).cast("long"))
-        .orderBy(desc("score_micro"), col("vec_id")).limit(10)
+      VectorQueries.exactRescore(s, emb, cand, q, 10, byMicro = true)
         .select("vec_id", "adc", "score_micro")
     },
     vPqSearch.oracle)

@@ -981,10 +981,11 @@ object VectorQueries {
     * frame back (no shuffle on the collection side), rescore at full
     * precision, exact top-k. At 100 TB the full embedding column is
     * read for O(candidates) rows, never the corpus. */
-  private def exactRescore(s: org.apache.spark.sql.SparkSession,
-                           emb: org.apache.spark.sql.DataFrame,
-                           cand: org.apache.spark.sql.DataFrame,
-                           qv: Seq[Double], k: Int)
+  private[graft] def exactRescore(s: org.apache.spark.sql.SparkSession,
+                                  emb: org.apache.spark.sql.DataFrame,
+                                  cand: org.apache.spark.sql.DataFrame,
+                                  qv: Seq[Double], k: Int,
+                                  byMicro: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     val rows = cand.collect()
     val candDf = s.createDataFrame(
@@ -993,11 +994,18 @@ object VectorQueries {
     // table's type — an INT-id fixture would make getLong throw
     val ids = rows
       .map(r => r.getAs[Number](r.fieldIndex("vec_id")).longValue).toSeq
-    graft.operators.GraphAnn.inIds(
+    val scored = graft.operators.GraphAnn.inIds(
         emb.select("vec_id", "embedding"), "vec_id", ids)
       .join(broadcast(candDf), "vec_id")
       .withColumn("score", VectorOps.cosine(col("embedding"), typedLit(qv)))
-      .orderBy(desc("score"), col("vec_id"))
+    // byMicro: rank by the micro-quantized score (PQ's in-plan twin
+    // orders on score_micro, whose micro-ties break by id differently
+    // than the raw double would)
+    (if (byMicro)
+      scored.withColumn("score_micro",
+          floor(col("score") * 1e6 + lit(0.5)).cast("long"))
+        .orderBy(desc("score_micro"), col("vec_id"))
+    else scored.orderBy(desc("score"), col("vec_id")))
       .limit(k)
   }
 

@@ -199,12 +199,19 @@ object GraphAnn {
   private[graft] def inIdsFrame(df: DataFrame, c: String,
                                 cands: DataFrame): DataFrame = {
     val limit = probeLimit(df.sparkSession)
-    val sample = cands.select(col(c).cast("long"))
-      .limit(limit + 1).collect()
+    // materialize the candidate ids ONCE (localCheckpoint — the sizing
+    // collect and, on the large path, the semi-join both read the
+    // materialized rows; without it the semi-join would re-execute the
+    // whole candidate computation. Blocks are released by the
+    // ContextCleaner once the frame is GC'd — the buildGraph
+    // discipline).
+    val idsDf = cands.select(col(c).cast("long").as(c))
+      .localCheckpoint(eager = true)
+    val sample = idsDf.limit(limit + 1).collect()
     if (sample.length <= limit)
       inIds(df, c, sample.map(_.getLong(0)).toSeq)
     else
-      df.join(cands.select(col(c).cast("long").as(c)), Seq(c), "leftsemi")
+      df.join(idsDf, Seq(c), "leftsemi")
   }
 
   /** The serving-side candidate fetch: a LITERAL id `IN` probe into the

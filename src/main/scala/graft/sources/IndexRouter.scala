@@ -26,9 +26,11 @@ import org.json4s.jackson.JsonMethods
   *    read like `q_events_dsl_time_indexed`.
   *
   * First-match (not cost-based) keeps the choice deterministic and
-  * plan-stable; declare the most selective key's index first. `should` /
-  * `must_not` conditions never route (they do not restrict the base set
-  * the way a conjunctive `must` does).
+  * plan-stable. Priority follows the FILTER's must-condition order —
+  * declarations are a lookup set, their order carries no preference —
+  * so put the most selective condition first in the filter JSON.
+  * `should` / `must_not` conditions never route (they do not restrict
+  * the base set the way a conjunctive `must` does).
   *
   * == Correctness ==
   *

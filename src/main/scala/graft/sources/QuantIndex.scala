@@ -82,16 +82,21 @@ object QuantIndex {
     ()
   }
 
-  /** Read back the pinned parameters. */
+  /** Read back the pinned parameters. A missing field (a sidecar
+    * persisted by an older layout shape) gets the descriptive
+    * rebuild-it error, not a bare None.get — the keyTypeOf precedent. */
   def metaOf(dir: String): Meta = {
     val txt = new String(Files.readAllBytes(metaPath(dir)),
       StandardCharsets.UTF_8)
-    def str(k: String): String =
-      (""""""" + k + """":\s*"([^"]+)"""").r.findFirstMatchIn(txt)
-        .get.group(1)
-    def int(k: String): Int =
-      (""""""" + k + """":\s*(\d+)""").r.findFirstMatchIn(txt)
-        .get.group(1).toInt
+    def field(k: String, re: String): String =
+      (""""""" + k + """":\s*""" + re).r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalStateException(
+          s"quant sidecar at $dir predates the $k metadata — rebuild " +
+            "it with QuantIndex.build (a derived layout, rebuildable " +
+            "from the collection)"))
+        .group(1)
+    def str(k: String): String = field(k, """"([^"]+)"""")
+    def int(k: String): Int = field(k, """(\d+)""").toInt
     Meta(str("id_col"), str("vec_col"), int("dim"), int("word_bits"),
       int("prefix_dim"))
   }

@@ -108,17 +108,24 @@ object SparseIndex {
   def candidatesContainingAll(spark: SparkSession, indexDir: String,
                               idCol: String, tokens: Seq[String])
       : DataFrame = {
-    require(tokens.nonEmpty, "candidatesContainingAll needs ≥ 1 token")
     // lowercase EXACTLY as the build side did: postings were tokenized
     // through Spark's lower(), i.e. UTF8String.toLowerCase — whose
     // non-ASCII slow path is locale-sensitive. Folding the query token
     // through the same UTF8String call makes the two sides agree byte
     // for byte on any JVM locale (a Locale.ROOT fold can diverge on
     // e.g. tr-TR dotted/dotless I and silently drop true matches).
-    val buckets = tokens
-      .map(t => graft.operators.Dedup.h32(
-        org.apache.spark.unsafe.types.UTF8String.fromString(t)
-          .toLowerCase.toString) % Buckets)
+    // EMPTY tokens are dropped like the build-side tokenizer drops them:
+    // hash("") names a bucket no posting can contain, and requiring it
+    // would collapse the candidate set to zero — an under-return.
+    val toks = tokens
+      .map(t => org.apache.spark.unsafe.types.UTF8String.fromString(t)
+        .toLowerCase.toString)
+      .filter(_.nonEmpty)
+    require(toks.nonEmpty,
+      "candidatesContainingAll needs ≥ 1 non-empty token (an all-blank " +
+        "match.text is vacuously true — serve it unindexed)")
+    val buckets = toks
+      .map(t => graft.operators.Dedup.h32(t) % Buckets)
       .distinct
     spark.read.parquet(indexDir)
       .filter(col("sgrp").isin(buckets.map(_ % Groups).distinct: _*) &&

@@ -618,16 +618,24 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
         .findFirstIn(plan).isDefined,
       s"routed base read not partition-pruned:\n$plan")
 
-    // range declaration first: the vec_id range condition routes
-    // (integral bounds), same rows, pbucket bound comparisons pruned
+    // genuine RANGE routing: a filter whose FIRST (and only routable)
+    // must condition is the integral range — the hash index cannot
+    // claim it, so the forRange arm must serve the base read (priority
+    // follows must-condition order, not declaration order)
+    val dslR = """
+      {"must": [{"key": "vec_id", "range": {"gte": 10, "lt": 400}}]}"""
+    val unroutedR = ids(emb.filter(
+      graft.operators.PayloadFilter.fromJson(dslR, idCol = "vec_id")))
     val routedR = IndexRouter.filtered(spark, emb,
-      Seq("vec_id" -> rangeIdx, "label" -> hashIdx), dsl,
+      Seq("label" -> hashIdx, "vec_id" -> rangeIdx), dslR,
       idCol = "vec_id")
-    assert(ids(routedR) == unrouted, "range routing changed rows")
+    assert(ids(routedR) == unroutedR, "range routing changed rows")
     val planR = routedR.queryExecution.executedPlan.toString
-    assert("PartitionFilters: \\[[^\\]]*pbucket[^\\]]*\\]".r
-        .findFirstIn(planR).isDefined,
-      s"range-routed base read not partition-pruned:\n$planR")
+    val pfR = "PartitionFilters: \\[[^\\]]*pbucket[^\\]]*\\]".r
+      .findFirstIn(planR)
+    assert(pfR.isDefined && pfR.get.contains(">=") &&
+        pfR.get.contains("<="),
+      s"range-routed base read not bound-pruned:\n$planR")
 
     // no declaration → nothing routes, plain filtered scan, same rows
     val bare = IndexRouter.filtered(spark, emb, Nil, dsl,
