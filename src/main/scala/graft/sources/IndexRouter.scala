@@ -23,7 +23,16 @@ import org.json4s.jackson.JsonMethods
   *    datetime-string bounds do NOT route: the bucket arithmetic needs
   *    exact integers and the router cannot know a datetime key's epoch
   *    unit — such filters serve unrouted, or through a purpose-built
-  *    read like `q_events_dsl_time_indexed`.
+  *    read like `q_events_dsl_time_indexed`;
+  *  - **text** index (a [[SparseIndex]] postings dir) on the key:
+  *    `match.text` / `match.phrase` → the candidates-then-verify read:
+  *    ids containing all query-token buckets
+  *    ([[SparseIndex.candidatesContainingAll]]) select the base rows via
+  *    [[graft.operators.GraphAnn.inIdsFrame]] (literal probe ≤
+  *    ProbeLimit, distributed semi-join above), and the full DSL
+  *    residual settles collisions and word order. An all-blank query
+  *    does not route (vacuously true — routing would have to return
+  *    every row).
   *
   * First-match (not cost-based) keeps the choice deterministic and
   * plan-stable. Priority follows the FILTER's must-condition order —
@@ -60,14 +69,14 @@ object IndexRouter {
                idCol: String = "id"): DataFrame = {
     val pred =
       graft.operators.PayloadFilter.fromJson(dslJson, idCol = idCol)
-    baseRead(spark, points, indexes, dslJson).filter(pred)
+    baseRead(spark, points, indexes, dslJson, idCol).filter(pred)
   }
 
   /** The base read alone (exposed for plan-shape specs): the routed
     * index read, or `points` when nothing routes. */
   private[graft] def baseRead(spark: SparkSession, points: DataFrame,
                               indexes: Seq[(String, String)],
-                              dslJson: String): DataFrame = {
+                              dslJson: String, idCol: String): DataFrame = {
     val musts: Seq[JValue] = JsonMethods.parse(dslJson) match {
       case JObject(fs) => fs.toMap.get("must") match {
         case Some(JArray(cs)) => cs
@@ -76,7 +85,7 @@ object IndexRouter {
       case _ => Nil
     }
     musts.iterator
-      .map(routeOne(spark, indexes, _))
+      .map(routeOne(spark, points, indexes, idCol, _))
       .collectFirst { case Some(df) => df }
       .getOrElse(points)
   }
@@ -91,15 +100,39 @@ object IndexRouter {
     case _ => None
   }
 
-  private def routeOne(spark: SparkSession,
-                       indexes: Seq[(String, String)],
+  private def routeOne(spark: SparkSession, points: DataFrame,
+                       indexes: Seq[(String, String)], idCol: String,
                        cond: JValue): Option[DataFrame] = cond match {
     case JObject(fs) =>
       val m = fs.toMap
       m.get("key") match {
         case Some(JString(k)) =>
           indexes.find(_._1 == k).flatMap { case (_, dir) =>
-            PayloadIndex.kindOf(dir) match {
+            val kind =
+              if (SparseIndex.isTextIndex(dir)) "text"
+              else PayloadIndex.kindOf(dir)
+            kind match {
+              case "text" => m.get("match") match {
+                case Some(JObject(mf)) =>
+                  val mm = mf.toMap
+                  (mm.get("text").orElse(mm.get("phrase")) match {
+                    case Some(JString(qtext)) =>
+                      val toks = qtext.split("\\s+").toSeq
+                        .filter(_.nonEmpty)
+                      if (toks.isEmpty) None // vacuously-true condition
+                      else Some(toks)
+                    case _ => None
+                  }).map { toks =>
+                    // the postings pin their own id column name — probe
+                    // with it, rename to the caller's id for the join
+                    val (idxId, _) = SparseIndex.textMeta(dir)
+                    graft.operators.GraphAnn.inIdsFrame(points, idCol,
+                      SparseIndex.candidatesContainingAll(spark, dir,
+                          idxId, toks)
+                        .withColumnRenamed(idxId, idCol))
+                  }
+                case _ => None
+              }
               case "hash" => m.get("match") match {
                 case Some(JObject(mf)) =>
                   val mm = mf.toMap

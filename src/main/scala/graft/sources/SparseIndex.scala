@@ -59,15 +59,43 @@ object SparseIndex {
       .withColumn("src_bucket", Collections.bucketOf(idCol, numBuckets))
       .withColumn("sgrp", col("sbucket") % Groups)
 
+  private def metaPath(dir: String) =
+    java.nio.file.Paths.get(dir, "_sparse_index.json")
+
+  /** True when `dir` holds a postings layout (the self-identification
+    * [[IndexRouter]] uses to tell a text index from a payload index). */
+  def isTextIndex(dir: String): Boolean = Files.exists(metaPath(dir))
+
+  /** The pinned (id_col, text_col) of a postings layout. */
+  def textMeta(dir: String): (String, String) = {
+    val txt = new String(Files.readAllBytes(metaPath(dir)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def str(k: String): String =
+      (""""""" + k + """":\s*"([^"]+)"""").r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalStateException(
+          s"postings at $dir predate the $k metadata — rebuild with " +
+            "SparseIndex.buildFrom (a derived layout)"))
+        .group(1)
+    (str("id_col"), str("text_col"))
+  }
+
   /** Build the layout directly from a point DataFrame (the fixture-table
     * form the declared query uses; collections go through [[build]] so
     * [[refresh]] has a manifest cursor). */
   def buildFrom(points: DataFrame, idCol: String, textCol: String,
-                indexDir: String, numBuckets: Int = 16): Unit =
+                indexDir: String, numBuckets: Int = 16): Unit = {
     postings(points, idCol, textCol, numBuckets)
       .write.mode("overwrite")
       .partitionBy("src_bucket", "sgrp")
       .parquet(indexDir)
+    // meta AFTER data (overwrite deletes the dir first): identifies the
+    // layout kind to the router and pins the indexed columns
+    Files.write(metaPath(indexDir),
+      (s"""{"kind": "text", "id_col": "$idCol", """ +
+        s""""text_col": "$textCol"}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
 
   /** Full build from a collection; returns the manifest cursor for
     * [[refresh]]. */

@@ -653,6 +653,36 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       "fractional bound routed — unsound bucket arithmetic")
     assert(ids(fr) == ids(emb.filter(col("vec_id") >= 10.5 &&
       col("vec_id") < 400)))
+
+    // TEXT kind: a declared postings index routes match.phrase — the
+    // base read becomes the candidates-then-verify probe (literal In on
+    // the id at fixture scale), rows identical to the unrouted filter
+    import graft.sources.SparseIndex
+    val docs = Tables.load(spark, sf, "documents")
+    val textIdx = s"$root/text_idx"
+    SparseIndex.buildFrom(docs, "doc_id", "text", textIdx)
+    assert(SparseIndex.isTextIndex(textIdx) &&
+      !SparseIndex.isTextIndex(hashIdx))
+    assert(SparseIndex.textMeta(textIdx) == ("doc_id", "text"))
+    val dslT = """
+      {"must": [
+        {"key": "text", "match": {"phrase": "scan query"}},
+        {"key": "lang", "match": {"value": "en"}}
+      ]}"""
+    val unroutedT = docs.filter(
+        graft.operators.PayloadFilter.fromJson(dslT, idCol = "doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    val routedT = IndexRouter.filtered(spark, docs,
+      Seq("text" -> textIdx), dslT, idCol = "doc_id")
+    assert(routedT.select("doc_id").collect().map(_.getLong(0))
+        .toSeq.sorted == unroutedT, "text routing changed rows")
+    assert(unroutedT.nonEmpty)
+    // and the routed base read is the id probe, not a full scan
+    val baseT = IndexRouter.baseRead(spark, docs,
+      Seq("text" -> textIdx), dslT, "doc_id")
+    val planT = baseT.queryExecution.executedPlan.toString
+    assert(planT.contains("In(doc_id") || planT.contains("LeftSemi"),
+      s"text-routed base read is not a candidate probe:\n$planT")
   }
 
   test("text payload index: the full-text probe prunes posting groups " +
