@@ -1048,6 +1048,84 @@ object VectorQueries {
     },
     vBqSearch.oracle)
 
+  /** One query's CTE block of the batched-BQ oracle: packing CTEs (`d`,
+    * `bits`) are shared across the batch; per query the chain replays
+    * hamming → top-30 → exact rescore → top-10, tagged with query_id. */
+  private def bqMultiBlock(qid: Long): String = s"""
+      q_$qid AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id = $qid),
+      qb_$qid AS (
+        SELECT list_transform(range(2), w ->
+                 CAST(list_sum(list_transform(range(32), j ->
+                   CASE WHEN qv[w*32 + j + 1] > 0
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END))
+                 AS BIGINT)) AS qw
+        FROM q_$qid),
+      ham_$qid AS (
+        SELECT vec_id, v,
+               CAST(bit_count(xor(words[1], qw[1]))
+                    + bit_count(xor(words[2], qw[2])) AS BIGINT) AS hamming
+        FROM bits, qb_$qid),
+      cand_$qid AS (
+        SELECT * FROM ham_$qid ORDER BY hamming ASC, vec_id LIMIT 30),
+      res_$qid AS (
+        SELECT CAST($qid AS BIGINT) AS query_id, c.vec_id, c.hamming,
+               CAST(floor(list_cosine_similarity(c.v, q.qv) * 1000000 + 0.5)
+                 AS BIGINT) AS score_micro
+        FROM cand_$qid c, q_$qid q
+        ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id
+        LIMIT 10)"""
+
+  /** BATCHED quantized serving — the [[graft.operators.Knn.knnMulti]] /
+    * graph-multi analog on the codes sidecar: both queries' stage-1
+    * hamming prefilters share ONE scan of the codes table
+    * ([[graft.sources.QuantIndex.hammingTopNMulti]] — map-side per-query
+    * heaps, |partitions|·N·30 rows shuffled), and the exact stage probes
+    * the UNION of both candidate sets by literal id in one job, scoring
+    * each row against its own query via the broadcast query frame. The
+    * oracle replays both chains in one statement over shared packing
+    * CTEs. */
+  val vBqSearchMulti = Q("v_bq_search_multi",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val qs = Seq(0L, 3L).map(i => i -> queryVec(s, dir, i))
+      val cands = graft.sources.QuantIndex
+        .hammingTopNMulti(s, quantIndexDir(s, dir), qs, 30)
+      val rows = cands.collect()
+      val candDf = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), cands.schema)
+      val ids = rows
+        .map(r => r.getAs[Number](r.fieldIndex("vec_id")).longValue)
+        .distinct.toSeq
+      val qvDf = qs.toDF("query_id", "__qv")
+      graft.operators.GraphAnn.inIds(
+          emb.select("vec_id", "embedding"), "vec_id", ids)
+        .join(broadcast(candDf), "vec_id")
+        .join(broadcast(qvDf), "query_id")
+        .withColumn("score", VectorOps.cosine(col("embedding"), col("__qv")))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(desc("score"), col("vec_id"))))
+        .filter(col("rnk") <= 10)
+        .select(col("query_id"), col("vec_id"), col("hamming"),
+          floor(col("score") * 1e6 + lit(0.5)).cast("long").as("score_micro"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bits AS (
+        SELECT vec_id, v,
+               list_transform(range(2), w ->
+                 CAST(list_sum(list_transform(range(32), j ->
+                   CASE WHEN v[w*32 + j + 1] > 0
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END))
+                 AS BIGINT)) AS words
+        FROM d),
+      ${bqMultiBlock(0)},
+      ${bqMultiBlock(3)}
+      SELECT * FROM res_0 UNION ALL SELECT * FROM res_3"""))
+
   /** [[vPrefetch]] over the materialized sidecar — the serving form of
     * the nested-prefetch chain whose IO claims are true as PLAN facts:
     * stages 1–2 are ONE scan of the codes table (1-bit hamming top-100,
@@ -1262,6 +1340,6 @@ object VectorQueries {
     vKnnDslNested, vKnnDslRouted, vKnnGeo,
     vL2, vManhattan, vDot, vFusion, vFusionPartial, vMaxsim, vHybridRrf,
     vHybridDbsf, vSqQuantize, vSqSearch, vBqSearch, vPrefetch,
-    vSqSearchIndexed, vBqSearchIndexed, vPrefetchIndexed, vMrlSearch,
-    vMrlSearchIndexed, vScoreBoost, collStats)
+    vSqSearchIndexed, vBqSearchIndexed, vBqSearchMulti, vPrefetchIndexed,
+    vMrlSearch, vMrlSearchIndexed, vScoreBoost, collStats)
 }

@@ -208,6 +208,40 @@ object QuantIndex {
       .limit(n)
   }
 
+  /** BATCHED stage-1 BQ prefilter — the [[graft.operators.Knn.knnMultiAgg]]
+    * analog on the codes sidecar: N queries share ONE codes-table scan.
+    * The broadcast query-words frame pairs with every codes row, and the
+    * bounded-heap aggregate ([[graft.plans.TopKByScore]]) keeps each
+    * query's top-`n` by (hamming ASC, id ASC) on the MAP side, so only
+    * |partitions|·N·n rows cross the shuffle — batch cost is one scan,
+    * not N. Rows per query are identical to [[hammingTopN]]
+    * (spec-gated). Returns (query_id, id, hamming). */
+  def hammingTopNMulti(spark: SparkSession, dir: String,
+                       queries: Seq[(Long, Seq[Double])], n: Int)
+      : DataFrame = {
+    val m = metaOf(dir)
+    queries.foreach { case (qid, q) => require(q.length == m.dim,
+      s"query $qid dim ${q.length} != index dim ${m.dim}") }
+    import spark.implicits._
+    val qdf = broadcast(
+      queries.map { case (qid, q) => (qid, packQueryWords(q, m.wordBits)) }
+        .toDF("query_id", "__qw"))
+    read(spark, dir)
+      .crossJoin(qdf)
+      .withColumn("hamming", VectorOps.bqHamming(col("bq"), col("__qw")))
+      .filter(col("hamming").isNotNull)
+      .groupBy("query_id")
+      // max-heap on −hamming ⇒ (hamming ASC, id ASC) — the single-query
+      // ordering exactly
+      .agg(graft.plans.TopKByScore.topK(
+        (-col("hamming")).cast("double"), col(m.idCol).cast("long"), n)
+        .as("__tk"))
+      .select(col("query_id"),
+        posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as(m.idCol),
+        (-col("__e.score")).cast("long").as("hamming"))
+  }
+
   /** The nested-prefetch candidate chain (Qdrant `query_points` with
     * `prefetch: {prefetch: ...}`): 1-bit hamming top-`n1`, then int8
     * rescore of those `n1` rows from their STORED codes (same rows —

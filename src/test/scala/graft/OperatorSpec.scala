@@ -908,6 +908,27 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
           .collect().map(_.toSeq.toString).toSeq
         assert(a == b, s"$base: sidecar serving changed rows")
       }
+
+    // batched stage 1: per-query rows equal the single-query heap, and
+    // the whole batch is ONE codes scan (no per-query re-scan)
+    val q3 = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val multi = QuantIndex.hammingTopNMulti(spark, idx,
+      Seq(0L -> qv, 3L -> q3), 30)
+    val mPlan = multi.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(mPlan).length == 1,
+      s"batched hamming stage must be one codes scan:\n$mPlan")
+    val got = multi.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    Seq(0L -> qv, 3L -> q3).foreach { case (qid, q) =>
+      val single = QuantIndex.hammingTopN(spark, idx, q, 30)
+        .select(col("vec_id"), col("hamming"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got(qid).sorted == single.sorted,
+        s"query $qid: batched stage-1 != single-query stage-1")
+    }
   }
 
   test("PQ codes sidecar (PqIndex): the ADC pass scans only (id, codes) " +
