@@ -358,6 +358,44 @@ object Relational {
     },
     qEventsDslTime.oracle)
 
+  /** Day-grain TIMESTAMP range index over the derived `ts_utc` column —
+    * the declaration [[qEventsDslTimeRouted]] routes through. */
+  private def eventsTsUtcIdxDir(s: org.apache.spark.sql.SparkSession,
+                                dir: String): String =
+    Tables.memoTempDir("pridxts", dir) { target =>
+      graft.sources.PayloadIndex.buildRange(
+        Tables.load(s, dir, "events").withColumn("ts_utc",
+          timestamp_micros(call_function("div", col("ts"), lit(1000L)))),
+        "ts_utc", "event_id", target, origin = 0L, width = 86400L)
+    }
+
+  /** [[qEventsDslTime]] with the ORIGINAL DSL — RFC 3339 string bounds
+    * and all — served through the router: the declared TIMESTAMP range
+    * index buckets on epoch seconds, the router parses the datetime
+    * bounds (floored/ceiled to a superset window), prunes day
+    * directories at file listing, and the untouched DSL predicate is
+    * the residual. The caller changed NOTHING about the query except
+    * declaring the index — the `create_payload_index` promise
+    * end-to-end. Same oracle as `q_events_dsl_time`. */
+  val qEventsDslTimeRouted = Q("q_events_dsl_time_routed",
+    (s, dir) => {
+      val dsl = """{"must": [
+        {"key": "ts_utc", "range": {"gte": "2024-01-03T00:00:00Z",
+                                    "lt":  "2024-01-10T00:00:00Z"}},
+        {"key": "event_type", "match": {"any": ["click", "purchase"]}}]}"""
+      val pts = Tables.load(s, dir, "events").withColumn("ts_utc",
+        timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+      graft.sources.IndexRouter.filtered(s, pts,
+          Seq("ts_utc" -> eventsTsUtcIdxDir(s, dir)), dsl,
+          idCol = "event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    },
+    qEventsDslTime.oracle)
+
   /** Explicit set operations (beyond the anti-join): INTERSECT and EXCEPT
     * of two customer-key sets, tagged and unioned into one result.
     * Computed as ONE left join with a presence tag: the literal
@@ -1184,7 +1222,7 @@ object Relational {
   def queries: Seq[Q] = Seq(q1Pricing, q3TopOrders, q5RegionRevenue,
     qBrandAgg, qWindowTopn, qRollup, qCube, qSetOps, qCustNoOrders,
     qEventsHourly, qEventsSliding, qEventsJson, qEventsDslTime,
-    qEventsDslTimeIndexed, qSaltedAgg,
+    qEventsDslTimeIndexed, qEventsDslTimeRouted, qSaltedAgg,
     qAsofJoin, qAsofForward,
     qPercentile, qZorder, qFunnel, qRetention, pipePagerank,
     qEventsAnomaly, qRangeJoin, qSaltedJoin, qEventsLatest, qZorderPrune,

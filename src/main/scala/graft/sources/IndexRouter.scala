@@ -90,6 +90,39 @@ object IndexRouter {
       .getOrElse(points)
   }
 
+  /** Qdrant's DATETIME range (RFC 3339 string bounds) on a declared
+    * TIMESTAMP range key: bounds parse to epoch seconds — FLOORED for
+    * lower bounds and CEILED for upper bounds, so the bucket window is
+    * a SUPERSET at sub-second precision (the full-DSL residual the
+    * router re-applies restores exactness; the prune-only read skips
+    * the key residual whose timestamp-vs-long coercion the bucket math
+    * must not depend on). Any unparseable bound → no route. */
+  private def routeTimestampRange(spark: SparkSession, dir: String,
+                                  rm: Map[String, JValue])
+      : Option[DataFrame] = {
+    def sec(n: String, ceil: Boolean): Option[Option[Long]] =
+      rm.get(n) match {
+        case None => None
+        case Some(JString(s)) =>
+          try {
+            val i = java.time.OffsetDateTime.parse(s).toInstant
+            Some(Some(i.getEpochSecond +
+              (if (ceil && i.getNano > 0) 1L else 0L)))
+          } catch { case _: java.time.format.DateTimeParseException =>
+            Some(None) }
+        case Some(_) => Some(None) // non-string bound on a ts key
+      }
+    val bs = Seq(sec("gt", ceil = false), sec("gte", ceil = false),
+      sec("lt", ceil = true), sec("lte", ceil = true))
+    if (bs.exists(_.contains(None)) || bs.forall(_.isEmpty)) None
+    else {
+      val Seq(gt, gte, lt, lte) = bs.map(_.flatten)
+      val lo = (gt.toSeq ++ gte.toSeq).reduceOption(_ max _)
+      val hi = (lt.toSeq ++ lte.toSeq).reduceOption(_ min _)
+      Some(PayloadIndex.forRangePrune(spark, dir, lo, hi))
+    }
+  }
+
   private def raw(v: JValue): Option[Any] = v match {
     case JInt(i) => Some(i.toLong)
     case JLong(l) => Some(l)
@@ -151,23 +184,28 @@ object IndexRouter {
               case "range" => m.get("range") match {
                 case Some(JObject(rf)) =>
                   val rm = rf.toMap
-                  // None = absent bound (fine); Some(None) encodes a
-                  // NON-INTEGRAL bound → the whole condition must not
-                  // route (a truncated bucket bound could under-prune)
-                  def bound(n: String): Option[Option[Long]] =
-                    rm.get(n) match {
-                      case None => None
-                      case Some(JInt(i)) => Some(Some(i.toLong))
-                      case Some(JLong(l)) => Some(Some(l))
-                      case Some(_) => Some(None)
-                    }
-                  val bs = Seq("gt", "gte", "lt", "lte").map(bound)
-                  if (bs.exists(_.contains(None)) || bs.forall(_.isEmpty))
-                    None
+                  if (PayloadIndex.keyTypeOf(dir) == "timestamp")
+                    routeTimestampRange(spark, dir, rm)
                   else {
-                    val Seq(gt, gte, lt, lte) = bs.map(_.flatten)
-                    Some(PayloadIndex.forRange(spark, dir, gt, gte, lt,
-                      lte))
+                    // None = absent bound (fine); Some(None) encodes a
+                    // NON-INTEGRAL bound → the whole condition must not
+                    // route (a truncated bucket bound could under-prune)
+                    def bound(n: String): Option[Option[Long]] =
+                      rm.get(n) match {
+                        case None => None
+                        case Some(JInt(i)) => Some(Some(i.toLong))
+                        case Some(JLong(l)) => Some(Some(l))
+                        case Some(_) => Some(None)
+                      }
+                    val bs = Seq("gt", "gte", "lt", "lte").map(bound)
+                    if (bs.exists(_.contains(None)) ||
+                        bs.forall(_.isEmpty))
+                      None
+                    else {
+                      val Seq(gt, gte, lt, lte) = bs.map(_.flatten)
+                      Some(PayloadIndex.forRange(spark, dir, gt, gte, lt,
+                        lte))
+                    }
                   }
                 case _ => None
               }

@@ -221,19 +221,23 @@ object PayloadIndex {
   }
 
   /** Materialize a RANGE index from a points frame. The key must be
-    * integral (datetime keys index their epoch integer; float keys a
-    * fixed-point micro-unit column — exact bucket arithmetic needs
-    * integers). `width` is the partition grain in key units (e.g. one
-    * day of epoch-nanos); fan-out = value span / width. */
+    * integral or TIMESTAMP (a timestamp key buckets on its epoch
+    * SECONDS — `cast(ts as long)` floors exactly — so `width`/`origin`
+    * are in seconds and sub-second precision lives in the residual;
+    * float keys index a fixed-point micro-unit column — exact bucket
+    * arithmetic needs integers). `width` is the partition grain in key
+    * units (e.g. 86400 for day-grain timestamps); fan-out = value
+    * span / width. */
   def buildRange(points: DataFrame, key: String, idCol: String,
                  dir: String, origin: Long, width: Long,
                  idBuckets: Int = Collections.DefaultBuckets): Unit = {
     require(width > 0, s"width must be positive, got $width")
     require(!key.contains("\""), "key must not contain quotes")
     val keyType = points.schema(key).dataType.catalogString
-    require(Set("tinyint", "smallint", "int", "bigint")(keyType),
-      s"range index needs an integral key, got $keyType (index datetime" +
-        " as epoch integers, float as fixed-point micro-units)")
+    require(
+      Set("tinyint", "smallint", "int", "bigint", "timestamp")(keyType),
+      s"range index needs an integral or timestamp key, got $keyType " +
+        "(index float as fixed-point micro-units)")
     assignedRange(points, key, idCol, idBuckets, origin, width)
       .write.mode("overwrite")
       .partitionBy("src_bucket", "pbucket")
@@ -287,6 +291,28 @@ object PayloadIndex {
     spark.read.parquet(dir)
       .filter(prune && residual)
       .drop("pbucket", "src_bucket")
+  }
+
+  /** PRUNE-ONLY range read — bucket bound comparisons, NO residual:
+    * the [[IndexRouter]] path for timestamp keys, whose exact
+    * comparison semantics live in the full-DSL residual the router
+    * re-applies (a long-literal residual against a TIMESTAMP column
+    * would ride on cast coercions the bucket math must not depend on).
+    * `lo`/`hi` are key-unit values (epoch seconds for timestamp keys),
+    * already widened to a superset by the caller. */
+  private[graft] def forRangePrune(spark: SparkSession, dir: String,
+                                   lo: Option[Long], hi: Option[Long])
+      : DataFrame = {
+    require(lo.nonEmpty || hi.nonEmpty, "forRangePrune needs a bound")
+    require(kindOf(dir) == "range",
+      s"index at $dir is a ${kindOf(dir)} index")
+    val (origin, width) = rangeParamsOf(dir)
+    val prune = (lo.map(v => col("pbucket") >=
+          lit(bucketOfValue(v, origin, width))).toSeq
+        ++ hi.map(v => col("pbucket") <=
+          lit(bucketOfValue(v, origin, width))).toSeq)
+      .reduce(_ && _)
+    spark.read.parquet(dir).filter(prune).drop("pbucket", "src_bucket")
   }
 
   /** A STRING key probed with a non-string literal cannot be served by

@@ -654,6 +654,35 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(ids(fr) == ids(emb.filter(col("vec_id") >= 10.5 &&
       col("vec_id") < 400)))
 
+    // TIMESTAMP range key: RFC 3339 string bounds route through the
+    // prune-only read (bucket window floored/ceiled to a superset;
+    // exactness from the full-DSL residual) — the declared query
+    // q_events_dsl_time_routed also oracle-gates this end-to-end
+    val events = Tables.load(spark, sf, "events").withColumn("ts_utc",
+      timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+    val tsIdx = s"$root/ts_idx"
+    PayloadIndex.buildRange(events, "ts_utc", "event_id", tsIdx,
+      origin = 0L, width = 86400L)
+    assert(PayloadIndex.keyTypeOf(tsIdx) == "timestamp")
+    val dslTs = """{"must": [
+      {"key": "ts_utc", "range": {"gte": "2024-01-03T00:00:00Z",
+                                  "lt":  "2024-01-10T00:00:00Z"}}]}"""
+    def eids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+    val unroutedTs = eids(events.filter(
+      graft.operators.PayloadFilter.fromJson(dslTs, idCol = "event_id")))
+    val routedTs = IndexRouter.filtered(spark, events,
+      Seq("ts_utc" -> tsIdx), dslTs, idCol = "event_id")
+    assert(eids(routedTs) == unroutedTs,
+      "timestamp-range routing changed rows")
+    assert(unroutedTs.nonEmpty)
+    val planTs = routedTs.queryExecution.executedPlan.toString
+    val pfTs = "PartitionFilters: \\[[^\\]]*pbucket[^\\]]*\\]".r
+      .findFirstIn(planTs)
+    assert(pfTs.isDefined && pfTs.get.contains(">=") &&
+        pfTs.get.contains("<="),
+      s"datetime bounds not pruned at file listing:\n$planTs")
+
     // TEXT kind: a declared postings index routes match.phrase — the
     // base read becomes the candidates-then-verify probe (literal In on
     // the id at fixture scale), rows identical to the unrouted filter
