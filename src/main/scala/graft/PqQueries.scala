@@ -303,6 +303,43 @@ object PqQueries {
       FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
       ORDER BY score_micro DESC, cand.vec_id LIMIT 10"""))
 
+  /** Session-lifetime memo of the IVF+PQ layout
+    * ([[graft.sources.IvfPqIndex]]) — coarse centroids and codebooks
+    * pinned from the SAME memoized training runs the in-plan `ann_ivfpq`
+    * uses, so assignment and encoding are bit-identical by construction. */
+  private def ivfPqIndexDir(s: org.apache.spark.sql.SparkSession,
+                            dir: String): String =
+    Tables.memoTempDir("ivfpqidx", dir) { target =>
+      graft.sources.IvfPqIndex.build(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", AnnQueries.trainedCentroids(s, dir, 8, 2),
+        codebooks(s, dir), SubDim, target)
+    }
+
+  /** [[annIvfPq]] over the MATERIALIZED layout: the nprobe-cluster probe
+    * becomes PARTITION PRUNING (the ADC pass lists only the probed
+    * `cluster=` dirs — PartitionFilters spec-asserted) and scans ONLY
+    * `(vec_id, codes)` — never the embedding column (ReadSchema
+    * spec-asserted). The exact stage probes 20 full vectors by literal
+    * id and re-ranks by the SAME micro-quantized score as the in-plan
+    * twin. Same oracle as `ann_ivfpq`: materialization must not change
+    * a row. */
+  val annIvfPqIndexed = Q("ann_ivfpq_indexed",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val cand = graft.sources.IvfPqIndex
+        .adcTopN(s, ivfPqIndexDir(s, dir), q, nprobe = 2, n = 20)
+        // partition-discovery types the cluster column int; the in-plan
+        // twin's (and the oracle's) cluster is BIGINT
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("adc"))
+      VectorQueries.exactRescore(s, emb, cand, q, 10, byMicro = true)
+        .select("vec_id", "cluster", "adc", "score_micro")
+    },
+    annIvfPq.oracle)
+
   def queries: Seq[Q] = Seq(vPqCodebooks, vPqSearch, vPqSearchIndexed,
-    annIvfPq)
+    annIvfPq, annIvfPqIndexed)
 }

@@ -72,17 +72,38 @@ object PqIndex {
   /** The PINNED codebooks, read back in [[Pq.trainCodebooks]]'s shape:
     * per subspace, (cid → micro-centroid) ordered by cid. */
   def codebooksOf(spark: SparkSession, dir: String)
+      : Array[Array[(Long, Array[Long])]] =
+    readCodebooks(spark, dir, metaOf(dir).m)
+
+  /** Shared `_codebooks/` reader — [[IvfPqIndex]] pins the same layout
+    * beside its cluster-partitioned codes. */
+  private[sources] def readCodebooks(spark: SparkSession, dir: String,
+                                     m: Int)
       : Array[Array[(Long, Array[Long])]] = {
-    val mt = metaOf(dir)
     val rows = spark.read.parquet(s"$dir/_codebooks")
       .select("sub", "cid", "i", "c_micro").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    (0 until mt.m).map { sub =>
+    (0 until m).map { sub =>
       rows.filter(_._1 == sub).groupBy(_._2).toSeq.sortBy(_._1)
         .map { case (cid, cells) =>
           (cid, cells.sortBy(_._3).map(_._4))
         }.toArray
     }.toArray
+  }
+
+  /** Shared `_codebooks/` writer (long format — the [[codebooksOf]]
+    * round-trip's exact inverse). */
+  private[sources] def writeCodebooks(spark: SparkSession, dir: String,
+      cbs: Array[Array[(Long, Array[Long])]]): Unit = {
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.flatMap { case (cid, cm) =>
+        cm.zipWithIndex.map { case (c, i) =>
+          (sub.toLong, cid, i.toLong, c)
+        }
+      }
+    }.toSeq.toDF("sub", "cid", "i", "c_micro")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_codebooks")
   }
 
   /** The codes projection — ONE definition shared by build and refresh
@@ -103,20 +124,12 @@ object PqIndex {
             dir: String,
             idBuckets: Int = Collections.DefaultBuckets): Unit = {
     val spark = points.sparkSession
-    import spark.implicits._
     val mt = Meta(idCol, vecCol, cbs.length, subDim,
       cbs.headOption.map(_.length).getOrElse(0))
     codesOf(points, mt, cbs)
       .withColumn("src_bucket", Collections.bucketOf(idCol, idBuckets))
       .write.mode("overwrite").partitionBy("src_bucket").parquet(dir)
-    cbs.zipWithIndex.flatMap { case (cb, sub) =>
-      cb.flatMap { case (cid, cm) =>
-        cm.zipWithIndex.map { case (c, i) =>
-          (sub.toLong, cid, i.toLong, c)
-        }
-      }
-    }.toSeq.toDF("sub", "cid", "i", "c_micro")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_codebooks")
+    writeCodebooks(spark, dir, cbs)
     // meta LAST: its presence claims a complete live index
     writeMeta(dir, mt)
   }

@@ -913,6 +913,77 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     assert(hits.length == 10 && !hits.exists(_ % 7 == 0))
   }
 
+  test("IVF+PQ layout refresh re-assigns with the PINNED centroids and " +
+       "re-encodes with the PINNED codebooks; a re-vectored row MOVES " +
+       "to its new cluster partition; refresh equals a rebuild") {
+    import graft.sources.IvfPqIndex
+    import graft.operators.{Ann, Pq}
+    val root = Files.createTempDirectory("graft-ivfpqr").toString
+    val dir = s"$root/coll"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(200)
+    sink.write(emb.withColumn("seq", lit(0)))
+    // train BOTH artifacts once on the initial state — the pins under test
+    val coll0 = Collections.read(spark, dir)
+    val cbs = Pq.trainCodebooks(coll0, "vec_id", "embedding", 4, 16, 8, 1)
+    val centroids = Ann.kmeansFit(coll0, "vec_id", "embedding", 8, 2)
+    val idx = s"$root/ivfpqidx"
+    val v0 = IvfPqIndex.buildFromCollection(spark, dir, idx,
+      "vec_id", "embedding", centroids, cbs, 16)
+
+    def clusterOf(p: String, id: Long): Long =
+      spark.read.parquet(p).filter(col("vec_id") === id)
+        .select(col("cluster").cast("long")).head().getLong(0)
+
+    // pick a row and the centroid of a DIFFERENT cluster; re-vectoring
+    // the row to that centroid guarantees its argmin moves there (its
+    // distance to that centroid is ~0, every other is > 0)
+    val victim = 1L
+    val before = clusterOf(idx, victim)
+    val targetCluster = centroids
+      .filter(col("cid") =!= before).orderBy("cid")
+      .head()
+    val (targetCid, targetCv) =
+      (targetCluster.getLong(0), targetCluster.getSeq[Double](1))
+    sink.write(emb.filter(col("vec_id") === victim)
+      .withColumn("embedding",
+        typedLit(targetCv.map(_.toFloat)).cast("array<float>"))
+      .withColumn("seq", lit(1)))
+    Collections.deleteWhere(spark, dir, col("vec_id") % 7 === 0, "vec_id")
+
+    IvfPqIndex.refresh(spark, dir, idx, v0)
+
+    // the re-vectored row physically moved to the target cluster's dir
+    assert(clusterOf(idx, victim) == targetCid,
+      s"re-vectored row should now live in cluster=$targetCid")
+
+    // refresh == rebuild with the SAME pinned artifacts
+    val idx2 = s"$root/ivfpqidx_full"
+    IvfPqIndex.buildFromCollection(spark, dir, idx2,
+      "vec_id", "embedding", centroids, cbs, 16)
+    def rows(p: String): Seq[String] =
+      spark.read.parquet(p).drop("src_bucket")
+        .collect()
+        .map(r => (r.getLong(r.fieldIndex("vec_id")),
+          r.getSeq[Int](r.fieldIndex("codes")),
+          r.getAs[Number](r.fieldIndex("cluster")).longValue).toString)
+        .toSeq.sorted
+    assert(rows(idx) == rows(idx2),
+      "incrementally-maintained IVF+PQ layout diverges from a rebuild")
+    assert(rows(idx).nonEmpty)
+
+    // serving over the refreshed layout returns only live ids
+    val qv = Collections.read(spark, dir).filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val hits = IvfPqIndex.adcTopN(spark, idx, qv, 2, 10)
+      .select("vec_id").collect()
+      .map(r => r.getAs[Number](0).longValue)
+    assert(hits.length == 10 && !hits.exists(_ % 7 == 0),
+      "deleted rows survive in the refreshed IVF+PQ layout")
+  }
+
   test("payload field index: a STRING key probed with a numeric literal " +
        "serves via the unindexed coercion fallback — no under-return") {
     import graft.sources.PayloadIndex

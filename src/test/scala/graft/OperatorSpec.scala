@@ -1013,6 +1013,83 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(rows("v_pq_search_indexed").nonEmpty)
   }
 
+  test("IVF+PQ materialized layout (IvfPqIndex): the ADC pass prunes to " +
+       "the probed cluster partitions (PartitionFilters), scans only " +
+       "(id, codes), and the indexed query equals its in-plan twin") {
+    import graft.sources.IvfPqIndex
+    import graft.operators.Pq
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cbs = Pq.trainCodebooks(emb, "vec_id", "embedding", 4, 16, 8, 1)
+    val centroids = Ann.kmeansFit(emb, "vec_id", "embedding", 8, 2)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+      .resolve("idx").toString
+    IvfPqIndex.build(emb, "vec_id", "embedding", centroids, cbs, 16, idx)
+    val mt = IvfPqIndex.metaOf(idx)
+    assert(mt.m == 4 && mt.subDim == 16 && mt.k == 8)
+
+    // pinned artifacts round-trip exactly
+    val centBack = IvfPqIndex.centroidsOf(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val centIn = centroids
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(centBack.toSeq == centIn.toSeq, "pinned centroids drifted")
+
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+
+    // stage-1 plan: ONE scan, cluster probe in PartitionFilters (file
+    // listing prunes the unprobed ~1-nprobe/k of the corpus), ReadSchema
+    // vector-free — the two plan facts the layout exists for
+    val stage1 = IvfPqIndex.adcTopN(spark, idx, q, nprobe = 2, n = 20)
+    val plan = stage1.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"ADC pass must be one codes scan:\n$plan")
+    val rs = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(rs.nonEmpty && rs.forall(!_.contains("embedding")),
+      s"ADC ReadSchema still reads the embedding column:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*cluster[^\\]]*IN[^\\]]*\\]".r
+        .findFirstIn(plan).nonEmpty,
+      s"cluster probe must prune partitions at file listing:\n$plan")
+
+    // candidates come only from the probed cells, and the candidate set
+    // equals the in-plan stage (same probe, same assignment, same codes,
+    // same ADC, same tie-break)
+    val probed = IvfPqIndex.probe(spark, idx, q, 2)
+      .map(_.toString.toLong).toSet
+    val got = stage1.collect()
+      .map(r => (r.getAs[Number](r.fieldIndex("vec_id")).longValue,
+        r.getAs[Number](r.fieldIndex("cluster")).longValue,
+        r.getLong(r.fieldIndex("adc"))))
+    assert(got.length == 20)
+    assert(got.forall(c => probed.contains(c._2)),
+      "candidate outside the probed clusters")
+    val qm = q.map(Pq.microQ).toArray
+    val lut: Array[Array[Long]] = cbs.zipWithIndex.map { case (cb, sub) =>
+      cb.map { case (_, cm) =>
+        Pq.distInt(qm.slice(sub * 16, (sub + 1) * 16), cm) }
+    }
+    val vm = Pq.vmicro(col("embedding"))
+    val inPlanCand = emb
+      .join(Ann.argminAssign(emb, "vec_id", "embedding", centroids,
+        "cid", "cv"), "vec_id")
+      .filter(col("cluster").isin(probed.toSeq: _*))
+      .withColumn("adc", Pq.adcCol((0 until 4).map(sub =>
+        Pq.codeCol(vm, cbs(sub), sub, 16)), lut))
+      .orderBy(col("adc"), col("vec_id")).limit(20)
+      .select("vec_id", "cluster", "adc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == inPlanCand.toSeq,
+      "materialized ADC candidates != in-plan candidates")
+
+    // declared query equality with the in-plan twin
+    def rows(name: String): Seq[String] =
+      Queries.queries(name)(spark, sf).collect().map(_.toSeq.toString).toSeq
+    assert(rows("ann_ivfpq_indexed") == rows("ann_ivfpq"),
+      "IVF+PQ layout serving changed rows")
+    assert(rows("ann_ivfpq_indexed").nonEmpty)
+  }
+
   test("as-of join matches the brute-force model (ties: quote at equal " +
        "ts counts)") {
     import spark.implicits._
