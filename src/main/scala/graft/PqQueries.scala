@@ -307,7 +307,7 @@ object PqQueries {
     * ([[graft.sources.IvfPqIndex]]) — coarse centroids and codebooks
     * pinned from the SAME memoized training runs the in-plan `ann_ivfpq`
     * uses, so assignment and encoding are bit-identical by construction. */
-  private def ivfPqIndexDir(s: org.apache.spark.sql.SparkSession,
+  private[graft] def ivfPqIndexDir(s: org.apache.spark.sql.SparkSession,
                             dir: String): String =
     Tables.memoTempDir("ivfpqidx", dir) { target =>
       graft.sources.IvfPqIndex.build(Tables.load(s, dir, "embeddings"),

@@ -26,7 +26,8 @@ object Queries {
     MultimodalQueries.queries ++
     StreamingQueries.queries ++
     RecommendQueries.queries ++
-    PqQueries.queries
+    PqQueries.queries ++
+    AutoQueries.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -16,14 +16,14 @@ import graft.operators.Knn
 object VectorQueries {
 
   /** Driver-side fetch of one query vector, widened exactly to double. */
-  private def queryVec(s: org.apache.spark.sql.SparkSession, dir: String,
+  private[graft] def queryVec(s: org.apache.spark.sql.SparkSession, dir: String,
                        id: Long): Seq[Double] =
     Tables.load(s, dir, "embeddings")
       .filter(col("vec_id") === id)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0)
 
-  private val oracleQ0 = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+  private[graft] val oracleQ0 = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
 
   /** V1 — cosine score of every vector vs the query (full scoring pass). */
   val vCosine = Q("v_cosine",
@@ -190,7 +190,7 @@ object VectorQueries {
 
   /** Memoized payload-field index on `label` (sources/PayloadIndex —
     * the Qdrant `create_payload_index` analog). */
-  private def payloadIdxDir(s: org.apache.spark.sql.SparkSession,
+  private[graft] def payloadIdxDir(s: org.apache.spark.sql.SparkSession,
                             dir: String): String =
     Tables.memoTempDir("payloadidx", dir) { target =>
       graft.sources.PayloadIndex.build(
@@ -966,7 +966,7 @@ object VectorQueries {
     * ([[graft.sources.QuantIndex]]) for a fixture dir — built once per
     * JVM per fixture under java.io.tmpdir (the ivfIndexDir discipline);
     * contents are a pure deterministic function of the vectors. */
-  private def quantIndexDir(s: org.apache.spark.sql.SparkSession,
+  private[graft] def quantIndexDir(s: org.apache.spark.sql.SparkSession,
                             dir: String): String =
     Tables.memoTempDir("quant", dir) { target =>
       graft.sources.QuantIndex.build(Tables.load(s, dir, "embeddings"),

@@ -1,0 +1,222 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.operators.GraphAnn
+
+/** Index-aware vector serving — the planner step that makes DECLARED
+  * vector indexes apply AUTOMATICALLY, the way the Qdrant server serves
+  * `query_points` through whatever its collection config declares (HNSW
+  * graph, quantization codes, both) without the caller naming an index:
+  * the caller submits a vector, a limit, optionally a filter DSL and
+  * search params; the router picks the serving pipeline. The vector
+  * twin of [[IndexRouter]] (which routes the FILTER side), completing
+  * the "declare once, every query benefits" surface: reference users
+  * never choose an index at query time (`bob_vector_db` `qdrant_db.py`
+  * delegates search wholesale to the server), so neither do ours.
+  *
+  * == Declarations ==
+  *
+  * `vectorIndexes` is a list of layout DIRS in declaration order; the
+  * KIND is sniffed from each layout's own self-describing artifacts
+  * ([[IndexRouter]]'s dir-sniffing discipline — a declaration is a
+  * pointer, not a schema):
+  *
+  *  - `_quant_index.json` → **quant** ([[QuantIndex]]): the nested
+  *    prefetch chain — BQ hamming top-(prefetchFactor·k) and stored-int8
+  *    rescore to top-(oversampling·k) over ONE codes-only scan, then the
+  *    exact stage (`v_prefetch_indexed`'s pipeline verbatim);
+  *  - `_ivfpq_index.json` → **ivfpq** ([[IvfPqIndex]]): nprobe-cluster
+  *    partition pruning + integer ADC over the probed cells' codes to
+  *    top-(oversampling·k), then the exact stage (`ann_ivfpq_indexed`'s
+  *    pipeline: micro-quantized final ordering — PQ's in-plan twin
+  *    contract);
+  *  - a `_seeds/` dir → **graph** ([[GraphIndex]]/[[graft.operators.GraphAnn]]):
+  *    fixed-round beam search from the persisted entry seeds
+  *    (`ann_graph_search`'s pipeline; the beam is the oversampling).
+  *
+  * First usable declaration wins (first-match, not cost-based — the
+  * [[IndexRouter]] determinism rule). `params.exact = true` (the public
+  * Qdrant `search_params.exact`) bypasses every index; `params.quantIgnore`
+  * (Qdrant `quantization.ignore`) skips quant declarations and falls
+  * through to the next.
+  *
+  * == Filtered search: the cardinality plan choice ==
+  *
+  * With a filter DSL, the router implements the documented Qdrant query
+  * planner decision: estimate the filter's cardinality and choose
+  * between a FULL SCAN OF THE FILTERED POINTS (cheap when the filter is
+  * selective) and an INDEX SEARCH with the filter applied to candidates.
+  * The estimate is the row count of [[IndexRouter.baseRead]] — the
+  * payload-index-pruned superset read, a file-listing-pruned count when
+  * the condition routes (at 100 TB: counting a declared selective key's
+  * index partitions, never the corpus).
+  *
+  *  - estimate ≤ `scanThreshold` (or nothing routable): exact top-k over
+  *    the payload-ROUTED filtered read — row-identical to brute force by
+  *    [[IndexRouter]]'s superset+residual contract (the oracle-gated
+  *    path);
+  *  - above the threshold: ANN candidates (oversampled), the full DSL
+  *    residual on the candidates, exact top-k. Honest contract: this is
+  *    candidate POST-filtering — recall-bounded like every
+  *    oversampling-based filtered-ANN scheme, and may return fewer than
+  *    `k` rows when the filter kills most candidates (Qdrant's
+  *    filter-aware HNSW traversal avoids this by searching WITH the
+  *    filter; the scan-plan branch below the threshold is exact).
+  *    Spec-gated (plan choice + row containment), not oracle-gated.
+  *
+  * == Output contract ==
+  *
+  * `(idCol, score_micro)` — exact full-precision cosine of the returned
+  * rows in micro-units, ranked by each family's own twin ordering, so
+  * every routed result is row-identical to the corresponding declared
+  * `*_indexed` query (oracle-gated: `v_auto_*` keys reuse the twins'
+  * oracles verbatim, projected to the common columns).
+  */
+object VectorRouter {
+
+  /** Public search params — the Qdrant `search_params` /
+    * `quantization_config` query-time knobs this engine honors. */
+  final case class Params(
+      exact: Boolean = false,
+      quantIgnore: Boolean = false,
+      oversampling: Int = 3,
+      prefetchFactor: Int = 10,
+      scanThreshold: Long = 1024,
+      nprobe: Int = 2,
+      beam: Int = 10,
+      rounds: Int = 5)
+
+  /** Sniff a declared layout's kind from its self-describing artifacts;
+    * None = not a vector index this router can serve (declaration
+    * ignored — mirrors [[IndexRouter]] skipping undeclared keys). */
+  def kindOf(dir: String): Option[String] =
+    if (Files.exists(Paths.get(dir, "_quant_index.json"))) Some("quant")
+    else if (Files.exists(Paths.get(dir, "_ivfpq_index.json")))
+      Some("ivfpq")
+    else if (Files.isDirectory(Paths.get(dir, "_seeds"))) Some("graph")
+    else None
+
+  /** The first usable declaration under `params`, if any. */
+  private def route(vectorIndexes: Seq[String], params: Params)
+      : Option[(String, String)] =
+    if (params.exact) None
+    else vectorIndexes.iterator
+      .flatMap(d => kindOf(d).map((_, d)))
+      .find { case (kind, _) => !(params.quantIgnore && kind == "quant") }
+
+  /** Serve a top-`k` cosine search through the declared indexes. */
+  def queryPoints(spark: SparkSession, points: DataFrame, idCol: String,
+                  vecCol: String, vectorIndexes: Seq[String],
+                  payloadIndexes: Seq[(String, String)],
+                  query: Seq[Double], k: Int,
+                  dslJson: Option[String] = None,
+                  params: Params = Params()): DataFrame = {
+    val routed = route(vectorIndexes, params)
+    dslJson match {
+      case None => routed match {
+        case None => exactTopK(points, idCol, vecCol, query, k)
+        case Some((kind, dir)) =>
+          annTopK(spark, points, idCol, vecCol, kind, dir, query, k, params)
+      }
+      case Some(dsl) =>
+        val pred =
+          graft.operators.PayloadFilter.fromJson(dsl, idCol = idCol)
+        // estimate only when a vector index could serve — with no route
+        // the scan plan is taken regardless, and the count job is the
+        // estimate's whole cost
+        def estimate: Long = IndexRouter
+          .baseRead(spark, points, payloadIndexes, dsl, idCol).count()
+        routed match {
+          case Some((kind, dir)) if estimate > params.scanThreshold =>
+            // candidate post-filtering (see scaladoc: recall-bounded)
+            val candIds =
+              annCandidateIds(spark, points, idCol, vecCol, kind, dir,
+                query, k, params)
+            rescore(points.filter(pred), idCol, vecCol, candIds, query, k,
+              byMicro = kind == "ivfpq")
+          case _ =>
+            exactTopK(
+              IndexRouter.filtered(spark, points, payloadIndexes, dsl,
+                idCol),
+              idCol, vecCol, query, k)
+        }
+    }
+  }
+
+  /** Brute-force exact top-k — the `params.exact` / no-index / selective-
+    * filter plan: one scan, bounded heap (TakeOrderedAndProject). */
+  private def exactTopK(pts: DataFrame, idCol: String, vecCol: String,
+                        q: Seq[Double], k: Int): DataFrame =
+    pts.select(col(idCol),
+        VectorOps.cosine(col(vecCol), typedLit(q)).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+      .select(col(idCol),
+        floor(col("score") * 1e6 + lit(0.5)).cast("long").as("score_micro"))
+
+  /** One routed un-filtered search — each kind's pipeline IS its
+    * oracle-gated twin's, so routing can never change a row. */
+  private def annTopK(spark: SparkSession, points: DataFrame, idCol: String,
+                      vecCol: String, kind: String, dir: String,
+                      q: Seq[Double], k: Int, params: Params): DataFrame =
+    kind match {
+      case "graph" =>
+        GraphAnn.beamSearchIndexed(points, idCol, vecCol, dir, q,
+            params.beam, params.rounds, k)
+          .select(col("id").as(idCol), col("score_micro"))
+      case _ =>
+        rescore(points, idCol, vecCol,
+          annCandidateIds(spark, points, idCol, vecCol, kind, dir, q, k,
+            params),
+          q, k, byMicro = kind == "ivfpq")
+    }
+
+  /** Stage-1 candidate ids for a top-`k` search from a declared index
+    * (driver-bounded: ≤ oversampling·k). */
+  private def annCandidateIds(spark: SparkSession, points: DataFrame,
+                              idCol: String, vecCol: String, kind: String,
+                              dir: String, q: Seq[Double], k: Int,
+                              params: Params): Seq[Long] = {
+    val n = params.oversampling * k
+    val cand = kind match {
+      case "quant" =>
+        val m = QuantIndex.metaOf(dir)
+        QuantIndex
+          .prefetchTopN(spark, dir, q, params.prefetchFactor * k, n)
+          .select(col(m.idCol))
+      case "ivfpq" =>
+        val m = IvfPqIndex.metaOf(dir)
+        IvfPqIndex.adcTopN(spark, dir, q, params.nprobe, n)
+          .select(col(m.idCol))
+      case "graph" =>
+        GraphAnn.beamSearchIndexed(points, idCol, vecCol, dir, q,
+            params.beam, params.rounds, math.min(n, params.beam))
+          .select(col("id"))
+      case other => throw new IllegalArgumentException(
+        s"unroutable vector index kind: $other")
+    }
+    cand.collect().map(_.getAs[Number](0).longValue).toSeq
+  }
+
+  /** Exact stage shared by the code-based kinds: literal-id probe of the
+    * candidates' full vectors ([[GraphAnn.inIds]] — ProbeLimit
+    * fallback), full-precision cosine, top-k. `byMicro` ranks on the
+    * micro-quantized score (the PQ family's twin ordering); otherwise
+    * the raw double ranks (the quant family's). */
+  private def rescore(pts: DataFrame, idCol: String, vecCol: String,
+                      candIds: Seq[Long], q: Seq[Double], k: Int,
+                      byMicro: Boolean): DataFrame = {
+    val scored = GraphAnn.inIds(pts, idCol, candIds)
+      .select(col(idCol),
+        VectorOps.cosine(col(vecCol), typedLit(q)).as("score"))
+      .withColumn("score_micro",
+        floor(col("score") * 1e6 + lit(0.5)).cast("long"))
+    (if (byMicro) scored.orderBy(desc("score_micro"), col(idCol))
+     else scored.orderBy(desc("score"), col(idCol)))
+      .limit(k)
+      .select(col(idCol), col("score_micro"))
+  }
+}

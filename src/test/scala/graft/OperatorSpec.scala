@@ -1090,6 +1090,79 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(rows("ann_ivfpq_indexed").nonEmpty)
   }
 
+  test("VectorRouter: declarations route by sniffed kind, exact/quantIgnore " +
+       "bypass, the filtered plan flips on the cardinality threshold, and " +
+       "every route is row-identical to its serving twin") {
+    import graft.sources.{QuantIndex, VectorRouter}
+    import graft.sources.VectorRouter.Params
+    import graft.functions.VectorOps
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = VectorQueries.queryVec(spark, sf, 0)
+    val quantDir = VectorQueries.quantIndexDir(spark, sf)
+    val graphDir = GraphAnnQueries.graphIndexDir(spark, sf)
+    val ivfpqDir = PqQueries.ivfPqIndexDir(spark, sf)
+
+    // kind sniffing: each layout self-describes; anything else is inert
+    assert(VectorRouter.kindOf(quantDir).contains("quant"))
+    assert(VectorRouter.kindOf(ivfpqDir).contains("ivfpq"))
+    assert(VectorRouter.kindOf(graphDir).contains("graph"))
+    assert(VectorRouter.kindOf(sf).isEmpty)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getLong(1))).toSeq
+    def declared(name: String): Seq[(Long, Long)] =
+      rows(Queries.queries(name)(spark, sf)
+        .select(col("vec_id"), col("score_micro")))
+    def auto(decls: Seq[String], p: Params = Params(),
+             dsl: Option[String] = None,
+             pidx: Seq[(String, String)] = Nil): Seq[(Long, Long)] =
+      rows(VectorRouter.queryPoints(spark, emb, "vec_id", "embedding",
+        decls, pidx, q, 10, dslJson = dsl, params = p))
+
+    // each route serves its oracle-gated twin's pipeline row-for-row
+    assert(auto(Seq(quantDir)) == declared("v_prefetch_indexed"),
+      "quant route != v_prefetch_indexed")
+    assert(auto(Seq(graphDir, quantDir)) == declared("ann_graph_search"),
+      "first-declaration preference broken")
+    assert(auto(Seq(quantDir, graphDir), Params(quantIgnore = true)) ==
+      declared("ann_graph_search"), "quantIgnore must fall through")
+    assert(auto(Seq(ivfpqDir), Params(oversampling = 2)) ==
+      declared("ann_ivfpq_indexed"), "ivfpq route != ann_ivfpq_indexed")
+    // exact bypasses every declaration
+    assert(auto(Seq(graphDir, quantDir), Params(exact = true)) ==
+      auto(Nil), "exact=true must bypass the declarations")
+
+    // filtered search: the cardinality plan choice
+    val dsl = """{"must": [{"key": "label", "match": {"value": 3}}]}"""
+    val pidx = Seq("label" -> VectorQueries.payloadIdxDir(spark, sf))
+    def bruteTopK(base: org.apache.spark.sql.DataFrame) =
+      rows(base
+        .select(col("vec_id"),
+          VectorOps.cosine(col("embedding"), typedLit(q)).as("score"))
+        .orderBy(desc("score"), col("vec_id")).limit(10)
+        .select(col("vec_id"),
+          floor(col("score") * 1e6 + lit(0.5)).cast("long")
+            .as("score_micro")))
+    // selective filter (fixture count << default threshold): the scan
+    // plan — exact over the payload-routed filtered read
+    val scanPlan = auto(Seq(quantDir), dsl = Some(dsl), pidx = pidx)
+    assert(scanPlan == bruteTopK(emb.filter(col("label") === 3)),
+      "scan-plan filtered search != brute force")
+    // threshold 0 forces the ANN branch: oversampled candidates,
+    // residual filter, exact top-k — recall-bounded by construction
+    val annPlan = auto(Seq(quantDir), Params(scanThreshold = 0),
+      Some(dsl), pidx)
+    val candIds = QuantIndex.prefetchTopN(spark, quantDir, q, 100, 30)
+      .select("vec_id").collect()
+      .map(_.getAs[Number](0).longValue).toSeq
+    assert(annPlan.nonEmpty)
+    assert(annPlan == bruteTopK(
+        emb.filter(col("label") === 3)
+          .filter(col("vec_id").isin(candIds.map(Long.box): _*))),
+      "ANN-plan filtered search != candidates ∩ filter, exact-ranked")
+  }
+
   test("as-of join matches the brute-force model (ties: quote at equal " +
        "ts counts)") {
     import spark.implicits._
