@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.TextAnalysis
 
 /** Declared text-analysis queries over the `documents` fixture (V7 +
@@ -974,6 +975,167 @@ object TextQueries {
       SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
       FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""))
 
+  /** One BPE training round of the [[txtBpeTrain]] oracle: pair counts
+    * over the current segmentation, the argmax merge (ties lexicographic
+    * on the pair), and the merged next-round word table. `range(len-1)`
+    * is empty for single-symbol words — they simply stop contributing
+    * pairs, exactly the engine's `size(syms) >= 2` filter. */
+  private def bpeRoundSql(r: Int): String = s"""
+      p$r AS (
+        SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS n
+        FROM (
+          SELECT freq,
+                 unnest(list_transform(range(len(syms) - 1),
+                   i -> {'a': syms[i+1], 'b': syms[i+2]})) AS pr
+          FROM (SELECT freq, string_split(trim(sym, '|'), '||') AS syms
+                FROM w$r)
+        ) GROUP BY pr.a, pr.b),
+      b$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+      w${r + 1} AS (
+        SELECT freq,
+               replace(sym, '|' || a || '||' || b || '|',
+                       '|' || a || b || '|') AS sym
+        FROM w$r, b$r)"""
+
+  private val BpeRounds = 5
+
+  /** Shared oracle prefix of the BPE family: corpus → distinct-word
+    * frequency table in the delimited-symbol encoding (the engine's
+    * `base` frame, expressed over DuckDB's tokenizer twin). */
+  private val bpeBaseSql = s"""
+      WITH tok AS (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+          t -> t <> '')) AS w
+        FROM documents),
+      w0 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+               regexp_replace(w, '(.)', '|\\1|', 'g') AS sym
+        FROM tok WHERE length(w) >= 2 AND NOT contains(w, '|')
+        GROUP BY w),
+      ${(0 until BpeRounds).map(bpeRoundSql).mkString(",\n")}"""
+
+  /** Shared BPE trainer behind [[txtBpeTrain]] (the merge table) and
+    * [[txtBpeEncode]] (the applied tokenizer). The corpus folds ONCE to
+    * the persisted distinct-word table; the [[BpeRounds]] training rounds
+    * run eagerly (each collects its one-row argmax — the k-means
+    * per-round discipline). Returns the collected merges, the final-round
+    * word table (freq, sym) as a lazy frame over the persisted base, and
+    * the base handle the CALLER must unpersist after consuming. */
+  private def bpeTrained(s: SparkSession, dir: String)
+      : (IndexedSeq[(Long, String, String, Long)], DataFrame, DataFrame) = {
+    val base = Tables.load(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2 && !col("w").contains("|"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        regexp_replace(col("w"), "(.)", "|$1|").as("sym"))
+      .persist()
+    var cur = base
+    val merges = (0 until BpeRounds).map { r =>
+      val best = cur
+        .select(col("freq"),
+          split(trim(col("sym"), "|"), "\\|\\|").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(0), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), i + 1).as("a"),
+            element_at(col("syms"), i + 2).as("b")))).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum("freq").as("n"))
+        .orderBy(desc("n"), col("a"), col("b"))
+        .limit(1).collect()
+      require(best.nonEmpty,
+        s"BPE round $r: no pairs left — corpus too small for " +
+          s"$BpeRounds merges")
+      val (a, b, n) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      cur = cur.withColumn("sym",
+        replace(col("sym"), lit(s"|$a||$b|"), lit(s"|$a$b|")))
+      (r.toLong, a, b, n)
+    }
+    (merges.toIndexedSeq, cur, base)
+  }
+
+  /** BPE merge TRAINING — tokenizer training at corpus scale (the
+    * byte-pair-encoding algorithm of Sennrich et al. 2016, the public
+    * construction behind GPT/Llama-family tokenizers; [[txtBpePairs]]
+    * counts ONE round's pair statistics, this trains the merge TABLE).
+    * Each round: adjacent-symbol pair counts over the current
+    * segmentation weighted by word frequency (overlapping positions
+    * count, the reference algorithm's statistic), the globally
+    * most-frequent pair wins (ties: lexicographically smallest, pinned
+    * in both engines), and every word merges that pair leftmost-first
+    * non-overlapping. Words ride as `|`-delimited symbol strings
+    * (`|h||e||l||l||o|`) so the merge is ONE literal `replace` — both
+    * engines' `replace` scans left-to-right and continues AFTER each
+    * replacement, which IS the BPE merge order (the shared-delimiter
+    * encoding makes adjacent symbols consume disjoint text, verified
+    * against the reference algorithm in the spec). Output: the learned
+    * 5-round merge table (round, lhs, rhs, pair_count) — the artifact a
+    * tokenizer ships.
+    *
+    * Scale: the corpus folds ONCE to its distinct-word frequency table
+    * (the Zipf fold every `txt_*` two-pass kernel uses — corpus tokens
+    * shuffle once, then rounds never touch the corpus again); each round
+    * is one pair-explode aggregation over the word table (shuffle ∝
+    * distinct pair kinds, map-side partial agg), a driver argmax of ONE
+    * row (TakeOrderedAndProject — the k-means/Lloyd per-round
+    * discipline), and a narrow map applying the merge. The word table is
+    * persisted once; round lineage is `replace`-on-`replace`, depth =
+    * rounds. */
+  val txtBpeTrain = Q("txt_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      val (merges, _, base) = bpeTrained(s, dir)
+      base.unpersist()
+      merges.toDF("merge_round", "lhs", "rhs", "pair_count")
+        .orderBy("merge_round")
+    },
+    Some(s"""
+      $bpeBaseSql
+      ${(0 until BpeRounds).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS merge_round, a AS lhs, b AS rhs,
+               n AS pair_count FROM b$r""").mkString("\nUNION ALL\n")}
+      ORDER BY merge_round"""))
+
+  /** BPE tokenizer APPLICATION — encode the corpus with the merge table
+    * [[txtBpeTrain]] learns and report the resulting vocabulary's top-20
+    * tokens by corpus frequency (the tokenizer-shipping artifact's other
+    * half: train produces the merges, encode proves they apply — the
+    * multi-character winners in the output are exactly the learned
+    * merges' closures). Segmentation rides the same delimited-symbol
+    * encoding, so "apply the tokenizer" is the training loop's final
+    * word table read back out: explode each distinct word's symbols
+    * weighted by word frequency, sum per token, top-20 (ties: token
+    * lexicographic, pinned in both engines).
+    *
+    * Scale: training cost is [[txtBpeTrain]]'s (the corpus folds once —
+    * rounds never touch it again); encoding adds ONE explode-aggregate
+    * over the distinct-word table (shuffle ∝ vocabulary size, map-side
+    * partials) and a 20-row driver heap (TakeOrderedAndProject). Per-doc
+    * token ids at serving time would be the same replace-chain as a
+    * narrow per-row map — no shuffle at all. */
+  val txtBpeEncode = Q("txt_bpe_encode",
+    (s, dir) => {
+      import s.implicits._
+      val (_, words, base) = bpeTrained(s, dir)
+      val top = words
+        .select(col("freq"),
+          explode(split(trim(col("sym"), "|"), "\\|\\|")).as("token"))
+        .groupBy("token").agg(sum("freq").as("n"))
+        .orderBy(desc("n"), col("token"))
+        .limit(20).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      base.unpersist()
+      top.toDF("token", "n")
+    },
+    Some(s"""
+      $bpeBaseSql
+      SELECT token, CAST(SUM(freq) AS BIGINT) AS n
+      FROM (SELECT freq, unnest(string_split(trim(sym, '|'), '||')) AS token
+            FROM w$BpeRounds)
+      GROUP BY token ORDER BY n DESC, token LIMIT 20"""))
+
   /** Corpus-frequency quality score — the integer-exact stand-in for the
     * CCNet LM-perplexity filter (engines can't replay transcendentals, so
     * instead of log-probs this scores each document by how much of it is
@@ -1356,6 +1518,7 @@ object TextQueries {
     txtPhraseIndexed,
     pipeSample, pipeSplit, pipeStratified, pipeShuffle, txtWinnow, pipeCurate,
     sketchDistinct, sketchCm, txtDecontam, pipePack, txtPii, txtBpePairs,
+    txtBpeTrain, txtBpeEncode,
     txtFreqScore, pipeMix, txtNovelty, txtLmScore, pipeCurriculum,
     txtIdfKeywords, pipeMask)
 }

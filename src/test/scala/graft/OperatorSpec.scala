@@ -1090,6 +1090,71 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(rows("ann_ivfpq_indexed").nonEmpty)
   }
 
+  /** Driver-side reference BPE (the Sennrich algorithm re-implemented
+    * independently with mutable state): returns the 5-round merge table
+    * and the final word → segmentation map, plus word frequencies. */
+  private def referenceBpe(): (Seq[(Long, String, String, Long)],
+      Map[String, Vector[String]], Map[String, Long]) = {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val words = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_.toLowerCase.split("\\s+")
+      .filter(w => w.length >= 2 && !w.contains("|"))
+      .foreach(w => words(w) = words.getOrElse(w, 0L) + 1L))
+    var segs: Map[String, Vector[String]] =
+      words.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val merges = (0 until 5).map { r =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (w, f) =>
+        val s0 = segs(w)
+        (0 until s0.length - 1).foreach { i =>
+          val k = (s0(i), s0(i + 1))
+          pc(k) = pc.getOrElse(k, 0L) + f
+        }
+      }
+      val ((a, b), n) = pc.minBy { case ((x, y), c) => (-c, x, y) }
+      segs = segs.map { case (w, s0) =>
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < s0.length) {
+          if (i + 1 < s0.length && s0(i) == a && s0(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += s0(i); i += 1 }
+        }
+        w -> out.result()
+      }
+      (r.toLong, a, b, n)
+    }
+    (merges, segs, words.toMap)
+  }
+
+  test("txt_bpe_train matches a driver-side reference BPE (overlapping " +
+       "pair counts, leftmost non-overlapping merges, lexicographic " +
+       "tie-break) — the Sennrich algorithm re-implemented independently") {
+    val (expect, _, _) = referenceBpe()
+    val got = Queries.queries("txt_bpe_train")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == expect, "distributed BPE training diverges from the " +
+      "reference algorithm")
+  }
+
+  test("txt_bpe_encode applies the learned merges: top-20 token counts " +
+       "match the reference segmentation, and multi-char tokens appear " +
+       "(the merges actually fired)") {
+    val (_, segs, words) = referenceBpe()
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, f) =>
+      segs(w).foreach(t => counts(t) = counts.getOrElse(t, 0L) + f)
+    }
+    val expect = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+    val got = Queries.queries("txt_bpe_encode")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect, "distributed BPE encoding diverges from the " +
+      "reference segmentation")
+    assert(got.exists(_._1.length > 1),
+      "no merged token in the top-20 — the merge table never applied")
+  }
+
   test("VectorRouter: declarations route by sniffed kind, exact/quantIgnore " +
        "bypass, the filtered plan flips on the cardinality threshold, and " +
        "every route is row-identical to its serving twin") {
