@@ -275,6 +275,26 @@ object VectorQueries {
     * Points get deterministic synthetic coordinates (exact integer
     * arithmetic → one correctly-rounded division, identical doubles in
     * both engines); the DSL predicate then drives a filtered top-k. */
+  /** Deterministic synthetic geo coordinates for the embeddings table
+    * (exact integer arithmetic → one correctly-rounded division →
+    * identical doubles in both engines) — shared by the in-plan geo
+    * filter, the geo index build, and the geo-routed DSL key. */
+  private def geoLocated(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.withColumn("location", struct(
+      ((col("vec_id") * 37) % 18000 / lit(100.0) - lit(90.0)).as("lat"),
+      ((col("vec_id") * 73) % 36000 / lit(100.0) - lit(180.0)).as("lon")))
+
+  /** Memoized GEO payload index over the synthetic coordinates
+    * (sources/PayloadIndex geo field schema, 1° cells). */
+  private[graft] def geoIdxDir(s: org.apache.spark.sql.SparkSession,
+                               dir: String): String =
+    Tables.memoTempDir("geoidx", dir) { target =>
+      graft.sources.PayloadIndex.buildGeo(
+        geoLocated(Tables.load(s, dir, "embeddings")),
+        "location", "vec_id", target)
+    }
+
   val vKnnGeo = Q("v_knn_geo",
     (s, dir) => {
       val filter = graft.operators.PayloadFilter.fromJson("""
@@ -284,12 +304,7 @@ object VectorQueries {
             "bottom_right": {"lat": -40.0, "lon": 120.0}
           }}
         ]}""")
-      val emb = Tables.load(s, dir, "embeddings")
-        .withColumn("location", struct(
-          ((col("vec_id") * 37) % 18000 / lit(100.0) - lit(90.0))
-            .as("lat"),
-          ((col("vec_id") * 73) % 36000 / lit(100.0) - lit(180.0))
-            .as("lon")))
+      val emb = geoLocated(Tables.load(s, dir, "embeddings"))
         .filter(filter)
       Knn.knn(emb, "embedding", queryVec(s, dir, 0), 10)
         .select(col("vec_id"), col("label"),
@@ -313,6 +328,32 @@ object VectorQueries {
       WHERE lat <= 40.0 AND lat >= -40.0 AND lon >= -20.0 AND lon <= 120.0
       ORDER BY score DESC, vec_id
       LIMIT 10"""))
+
+  /** V3 over a DECLARED GEO payload index (the last Qdrant
+    * `create_payload_index` field schema — keyword/integer/float/bool/
+    * uuid equality, integer/float/datetime ranges, full-text and geo
+    * are now all declarable): the same bounding-box-filtered kNN as
+    * `v_knn_geo`, served from the 2-D cell-partitioned layout — the
+    * box's cell window becomes literal `plat`/`plon` partition filters,
+    * so file listing prunes BOTH axes (PartitionFilters-asserted in
+    * OperatorSpec), with the exact box comparisons as the residual.
+    * Oracle: IDENTICAL SQL as the unindexed geo filter —
+    * materialization must not change a row. The ROUTED form runs the
+    * ORIGINAL geo DSL unchanged through IndexRouter with `location`
+    * declared. */
+  val vKnnGeoIndexed = Q("v_knn_geo_indexed",
+    (s, dir) => {
+      val served = graft.sources.PayloadIndex.forGeoBox(
+        s, geoIdxDir(s, dir), 40.0, -20.0, -40.0, 120.0)
+      Knn.knn(served, "embedding", queryVec(s, dir, 0), 10)
+        .select(col("vec_id"), col("label"),
+          floor(col("location.lat") * 100 + lit(0.5)).cast("long")
+            .as("lat_centi"),
+          floor(col("location.lon") * 100 + lit(0.5)).cast("long")
+            .as("lon_centi"),
+          col("score"))
+    },
+    vKnnGeo.oracle)
 
   /** V3 — the extended DSL conditions (match.except + values_count), the
     * Qdrant predicates a payload-filtered search hits next after
@@ -1337,7 +1378,7 @@ object VectorQueries {
   def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnTenant, vKnnMulti, vKnnPage,
     vKnnMultiAgg, vKnnBatch, vKnnFiltered, vKnnPayloadIndexed, vKnnDsl,
     vKnnDslExcept,
-    vKnnDslNested, vKnnDslRouted, vKnnGeo,
+    vKnnDslNested, vKnnDslRouted, vKnnGeo, vKnnGeoIndexed,
     vL2, vManhattan, vDot, vFusion, vFusionPartial, vMaxsim, vHybridRrf,
     vHybridDbsf, vSqQuantize, vSqSearch, vBqSearch, vPrefetch,
     vSqSearchIndexed, vBqSearchIndexed, vBqSearchMulti, vPrefetchIndexed,

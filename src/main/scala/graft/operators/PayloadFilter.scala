@@ -54,6 +54,20 @@ object PayloadFilter {
                idCol: String = "id"): Column =
     build(JsonMethods.parse(json), jsonCol, idCol)
 
+  /** The haversine great-circle predicate (meters, R = 6371 km — the
+    * figure Qdrant's geo docs use) — shared by the in-plan `geo_radius`
+    * DSL arm and [[graft.sources.PayloadIndex.forGeoRadius]]'s residual,
+    * so the indexed read's exactness step IS the in-plan predicate (the
+    * two can never disagree on a boundary point). */
+  private[graft] def geoRadiusPred(lat: Column, lon: Column,
+      cLat: Column, cLon: Column, radiusM: Column): Column = {
+    val dLat = radians(lat - cLat) / 2
+    val dLon = radians(lon - cLon) / 2
+    val h = sin(dLat) * sin(dLat) +
+      cos(radians(cLat)) * cos(radians(lat)) * sin(dLon) * sin(dLon)
+    asin(sqrt(h)) * lit(2 * 6371000.0) <= radiusM
+  }
+
   /** With `jsonCol` set, every key resolves inside that JSON payload
     * column (Qdrant keys address the payload); otherwise keys are
     * top-level columns. */
@@ -267,13 +281,7 @@ object PayloadFilter {
             val radiusM = litOf(rm("radius")).cast("double")
             val lat = keyCol(s"$key.lat", jsonCol).cast("double")
             val lon = keyCol(s"$key.lon", jsonCol).cast("double")
-            // haversine great-circle distance (meters, R=6371km — the
-            // figure Qdrant's geo docs use)
-            val dLat = radians(lat - cLat) / 2
-            val dLon = radians(lon - cLon) / 2
-            val h = sin(dLat) * sin(dLat) +
-              cos(radians(cLat)) * cos(radians(lat)) * sin(dLon) * sin(dLon)
-            clauses += (asin(sqrt(h)) * lit(2 * 6371000.0) <= radiusM)
+            clauses += geoRadiusPred(lat, lon, cLat, cLon, radiusM)
           case other =>
             throw new IllegalArgumentException(s"geo_radius: $other")
         }

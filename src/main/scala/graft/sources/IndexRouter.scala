@@ -32,7 +32,12 @@ import org.json4s.jackson.JsonMethods
   *    ProbeLimit, distributed semi-join above), and the full DSL
   *    residual settles collisions and word order. An all-blank query
   *    does not route (vacuously true — routing would have to return
-  *    every row).
+  *    every row);
+  *  - **geo** index on the key: `geo_bounding_box` →
+  *    [[PayloadIndex.forGeoBox]] (the box's 2-D cell window prunes at
+  *    file listing), `geo_radius` → [[PayloadIndex.forGeoRadius]] (the
+  *    spherical cap's bounding box prunes; the exact haversine rides
+  *    in the read's own residual and again in the full DSL).
   *
   * First-match (not cost-based) keeps the choice deterministic and
   * plan-stable. Priority follows the FILTER's must-condition order —
@@ -181,6 +186,39 @@ object IndexRouter {
                     })
                 case _ => None
               }
+              case "geo" =>
+                def num(v: JValue): Option[Double] = v match {
+                  case JInt(i) => Some(i.toDouble)
+                  case JLong(l) => Some(l.toDouble)
+                  case JDouble(d) => Some(d)
+                  case JDecimal(d) => Some(d.toDouble)
+                  case _ => None
+                }
+                def pt(v: JValue): Option[(Double, Double)] = v match {
+                  case JObject(p) =>
+                    val pm = p.toMap
+                    for (la <- pm.get("lat").flatMap(num);
+                         lo <- pm.get("lon").flatMap(num)) yield (la, lo)
+                  case _ => None
+                }
+                m.get("geo_bounding_box") match {
+                  case Some(JObject(b)) =>
+                    val bm = b.toMap
+                    for ((tlLat, tlLon) <- bm.get("top_left").flatMap(pt);
+                         (brLat, brLon) <-
+                           bm.get("bottom_right").flatMap(pt))
+                      yield PayloadIndex.forGeoBox(spark, dir,
+                        tlLat, tlLon, brLat, brLon)
+                  case _ => m.get("geo_radius") match {
+                    case Some(JObject(r)) =>
+                      val rm = r.toMap
+                      for ((cLat, cLon) <- rm.get("center").flatMap(pt);
+                           rad <- rm.get("radius").flatMap(num))
+                        yield PayloadIndex.forGeoRadius(spark, dir,
+                          cLat, cLon, rad)
+                    case _ => None
+                  }
+                }
               case "range" => m.get("range") match {
                 case Some(JObject(rf)) =>
                   val rm = rf.toMap

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * to IVF ([[IvfIndex]]), sparse ([[SparseIndex]]) and tenant
   * ([[Tenancy]]) routing.
   *
-  * Two field schemas, mirroring Qdrant's public index types:
+  * Three field schemas, mirroring Qdrant's public index types:
   *
   *  - **hash** ([[build]]): keyword/equality fields — `pbucket =
   *    pmod(hash(key), vb)`, serving `match`/`match.any` via a
@@ -32,6 +32,17 @@ import org.apache.spark.sql.functions._
   *    boundaries never drift. Datetime keys index their epoch integer
   *    (Qdrant's datetime index is integer timestamps internally too);
   *    float keys index a fixed-point micro-unit column.
+  *  - **geo** ([[buildGeo]]): geo-point fields (Qdrant's `geo` field
+  *    schema) — 2-D integer cells `plat=floor(lat·cpd)/plon=
+  *    floor(lon·cpd)`, serving `geo_bounding_box` via the box's cell
+  *    window ([[forGeoBox]]) and `geo_radius` via the spherical cap's
+  *    bounding box + the exact haversine residual ([[forGeoRadius]]) —
+  *    BOTH axes prune at file listing.
+  *
+  * (The full Qdrant field-schema list — keyword, integer, float, bool,
+  * uuid, datetime, text, geo — maps onto these plus [[SparseIndex]]'s
+  * text postings: keyword/bool/uuid/integer/float equality → hash,
+  * integer/float/datetime ranges → range, full-text → text, geo → geo.)
   *
   * == Layout ==
   *
@@ -138,11 +149,13 @@ object PayloadIndex {
 
   private def writeMeta(dir: String, key: String, keyType: String,
                         vb: Int, kind: String = "hash",
-                        origin: Long = 0L, width: Long = 0L): Unit = {
+                        origin: Long = 0L, width: Long = 0L,
+                        cellsPerDeg: Int = 0): Unit = {
     Files.createDirectories(Paths.get(dir))
     Files.write(metaPath(dir),
       (s"""{"key": "$key", "key_type": "$keyType", "kind": "$kind", """ +
-        s""""value_buckets": $vb, "origin": $origin, "width": $width}""")
+        s""""value_buckets": $vb, "origin": $origin, "width": $width, """ +
+        s""""cells_per_deg": $cellsPerDeg}""")
         .getBytes(StandardCharsets.UTF_8))
     ()
   }
@@ -315,6 +328,171 @@ object PayloadIndex {
     spark.read.parquet(dir).filter(prune).drop("pbucket", "src_bucket")
   }
 
+  // ---------------------------------------------------------------------
+  // Geo field schema (Qdrant geo index type)
+  // ---------------------------------------------------------------------
+
+  /** The pinned cell granularity of a geo index (integer cells per
+    * degree — 1 → 1°×1° cells, 4 → 0.25° cells). */
+  def cellsPerDegOf(dir: String): Int =
+    """"cells_per_deg":\s*(\d+)""".r
+      .findFirstMatchIn(new String(Files.readAllBytes(metaPath(dir)),
+        StandardCharsets.UTF_8))
+      .getOrElse(throw new IllegalStateException(
+        s"index at $dir is not a geo index (no cells_per_deg)"))
+      .group(1).toInt
+
+  /** The 2-D cell assignment — `floor(deg · cpd)` per axis. Doubles are
+    * fine here (±180·cpd is far inside 2⁵³, and `x → x·cpd` then `floor`
+    * are both MONOTONE in IEEE arithmetic, which is all the serving-side
+    * window computation needs: every value between two bounds lands in a
+    * cell between the bounds' cells). Shared by build and serving. */
+  private def geoCell(deg: Column, cpd: Int): Column =
+    floor(deg.cast("double") * lit(cpd)).cast("int")
+
+  /** Driver-side twin of [[geoCell]] — same IEEE ops, same result. */
+  private def cellOfDeg(deg: Double, cpd: Int): Int =
+    math.floor(deg * cpd).toInt
+
+  private def assignedGeo(points: DataFrame, key: String, idCol: String,
+                          idBuckets: Int, cpd: Int): DataFrame = {
+    require(!points.columns.exists(Set("plat", "plon", "src_bucket")),
+      "points carry a column named 'plat'/'plon'/'src_bucket' — " +
+        "reserved for the index layout")
+    points
+      .withColumn("plat", geoCell(col(s"$key.lat"), cpd))
+      .withColumn("plon", geoCell(col(s"$key.lon"), cpd))
+      .withColumn("src_bucket", Collections.bucketOf(idCol, idBuckets))
+  }
+
+  /** Materialize a GEO index (Qdrant's `geo` field schema) from a points
+    * frame. `key` names a struct column with `lat`/`lon` fields (the
+    * Qdrant geo-point payload shape the DSL's `geo_bounding_box` /
+    * `geo_radius` conditions address). Layout partitions by the 2-D
+    * integer cell (`plat=`/`plon=` under `src_bucket=`), so a geo
+    * condition's cell window prunes BOTH axes at file listing. Fan-out =
+    * covered cells; pick `cellsPerDeg` like a lake picks its grid grain
+    * (default 1° cells → ≤ 180×360 dirs for a globe-covering corpus;
+    * real corpora cover far fewer). The cell is a pure function of the
+    * coordinates — refresh == rebuild bit-exactly. Null/missing
+    * coordinates land in the hive default partition and are excluded by
+    * every geo residual, exactly as the unindexed predicates exclude
+    * them. */
+  def buildGeo(points: DataFrame, key: String, idCol: String, dir: String,
+               cellsPerDeg: Int = 1,
+               idBuckets: Int = Collections.DefaultBuckets): Unit = {
+    require(cellsPerDeg > 0, s"cellsPerDeg must be positive: $cellsPerDeg")
+    require(!key.contains("\""), "key must not contain quotes")
+    val keyType = points.schema(key).dataType.catalogString
+    require(keyType.startsWith("struct") && keyType.contains("lat") &&
+        keyType.contains("lon"),
+      s"geo index needs a struct<lat,lon> key, got $keyType")
+    assignedGeo(points, key, idCol, idBuckets, cellsPerDeg)
+      .write.mode("overwrite")
+      .partitionBy("src_bucket", "plat", "plon")
+      .parquet(dir)
+    writeMeta(dir, key, "struct", 0, kind = "geo",
+      cellsPerDeg = cellsPerDeg)
+  }
+
+  /** Materialize a geo index FROM a collection; returns the cursor. */
+  def buildGeoFromCollection(spark: SparkSession, collDir: String,
+                             indexDir: String, key: String, idCol: String,
+                             cellsPerDeg: Int = 1)
+      : Collections.ManifestView = {
+    val cur = Collections.manifestView(collDir)
+    buildGeo(Collections.read(spark, collDir), key, idCol, indexDir,
+      cellsPerDeg, Collections.numBuckets(collDir))
+    cur
+  }
+
+  /** The indexed read for a DSL `geo_bounding_box`: the box's cell
+    * window becomes literal `plat`/`plon` BETWEEN comparisons — file
+    * listing prunes BOTH axes — and the exact box comparisons re-apply
+    * as the residual, row-identical to the in-plan predicate (including
+    * the degenerate tlLon > brLon case, which both forms treat as empty
+    * — the in-plan DSL does not wrap the antimeridian either). */
+  def forGeoBox(spark: SparkSession, dir: String, tlLat: Double,
+                tlLon: Double, brLat: Double, brLon: Double): DataFrame = {
+    require(kindOf(dir) == "geo",
+      s"index at $dir is a ${kindOf(dir)} index — forGeoBox needs a " +
+        "geo index (buildGeo)")
+    val key = keyOf(dir)
+    val cpd = cellsPerDegOf(dir)
+    val lat = col(s"$key.lat").cast("double")
+    val lon = col(s"$key.lon").cast("double")
+    spark.read.parquet(dir)
+      .filter(
+        col("plat") >= lit(cellOfDeg(brLat, cpd)) &&
+          col("plat") <= lit(cellOfDeg(tlLat, cpd)) &&
+          col("plon") >= lit(cellOfDeg(tlLon, cpd)) &&
+          col("plon") <= lit(cellOfDeg(brLon, cpd)) &&
+          lat <= lit(tlLat) && lat >= lit(brLat) &&
+          lon >= lit(tlLon) && lon <= lit(brLon))
+      .drop("plat", "plon", "src_bucket")
+  }
+
+  /** The indexed read for a DSL `geo_radius`: the spherical cap's
+    * bounding box (the published cap-box construction — |Δlat| ≤ d/R,
+    * Δlon = asin(sin(d/R)/cos(center lat)), lon unbounded when the cap
+    * touches a pole) widened by an epsilon for FP rounding gives the
+    * cell window; the EXACT haversine predicate
+    * ([[graft.operators.PayloadFilter.geoRadiusPred]] — the in-plan DSL
+    * arm verbatim) re-applies as the residual. Over-inclusion in the
+    * window is free (the residual is exact); under-inclusion cannot
+    * happen (the cap-box bound is exact and only ever widened). */
+  def forGeoRadius(spark: SparkSession, dir: String, cLat: Double,
+                   cLon: Double, radiusM: Double): DataFrame = {
+    require(kindOf(dir) == "geo",
+      s"index at $dir is a ${kindOf(dir)} index — forGeoRadius needs a " +
+        "geo index (buildGeo)")
+    require(radiusM >= 0, s"radius must be non-negative: $radiusM")
+    val key = keyOf(dir)
+    val cpd = cellsPerDegOf(dir)
+    val dRad = radiusM / 6371000.0 // angular radius
+    val eps = 1e-9
+    val dLatDeg = math.toDegrees(dRad) * (1 + eps) + eps
+    val latLo = cLat - dLatDeg
+    val latHi = cLat + dLatDeg
+    // lon window: unbounded if the cap reaches a pole or sin(d/R) ≥
+    // cos(center lat) (the asin argument would leave [-1, 1]). A window
+    // crossing ±180 WRAPS (the haversine's sin(Δλ/2) is periodic, so the
+    // exact predicate matches across the antimeridian — the window must
+    // too): the between becomes an OR of the two unwrapped arms, still a
+    // partition filter. Coordinates are assumed normalized to the geo
+    // domain ([-90, 90] × [-180, 180], the public Qdrant convention the
+    // in-plan DSL shares).
+    val sinD = math.sin(math.min(dRad, math.Pi / 2))
+    val cosC = math.cos(math.toRadians(cLat))
+    val lonPrune: Option[Column] =
+      if (latHi >= 90.0 || latLo <= -90.0 || sinD >= cosC) None
+      else {
+        val dLonDeg =
+          math.toDegrees(math.asin(sinD / cosC)) * (1 + eps) + eps
+        val (loDeg, hiDeg) = (cLon - dLonDeg, cLon + dLonDeg)
+        def between(lo: Double, hi: Double): Column =
+          col("plon") >= lit(cellOfDeg(lo, cpd)) &&
+            col("plon") <= lit(cellOfDeg(hi, cpd))
+        if (2 * dLonDeg >= 360.0) None
+        else if (loDeg < -180.0)
+          Some(between(loDeg + 360.0, 180.0) || between(-180.0, hiDeg))
+        else if (hiDeg > 180.0)
+          Some(between(loDeg, 180.0) || between(-180.0, hiDeg - 360.0))
+        else Some(between(loDeg, hiDeg))
+      }
+    val lat = col(s"$key.lat").cast("double")
+    val lon = col(s"$key.lon").cast("double")
+    val prune = Seq(
+      Some(col("plat") >= lit(cellOfDeg(latLo, cpd)) &&
+        col("plat") <= lit(cellOfDeg(latHi, cpd))),
+      lonPrune)
+      .flatten.reduce(_ && _)
+    spark.read.parquet(dir)
+      .filter(prune && graft.operators.PayloadFilter.geoRadiusPred(
+        lat, lon, lit(cLat), lit(cLon), lit(radiusM)))
+      .drop("plat", "plon", "src_bucket")
+  }
+
   /** A STRING key probed with a non-string literal cannot be served by
     * pbucket routing at all: the unindexed comparison coerces the COLUMN
     * side numerically (`'03' = 3` is true — both promote to double), so
@@ -405,9 +583,16 @@ object PayloadIndex {
               idCol: String,
               prev: Collections.ManifestView): Collections.ManifestView = {
     val key = keyOf(indexDir)
+    val kind = kindOf(indexDir)
+    val partCols =
+      if (kind == "geo") Seq("src_bucket", "plat", "plon")
+      else Seq("src_bucket", "pbucket")
     Collections.stagedBucketRefresh(spark, collDir, indexDir, prev,
-      Seq("src_bucket", "pbucket")) { changed =>
-      kindOf(indexDir) match {
+      partCols) { changed =>
+      kind match {
+        case "geo" =>
+          assignedGeo(changed, key, idCol, Collections.numBuckets(collDir),
+            cellsPerDegOf(indexDir))
         case "range" =>
           val (origin, width) = rangeParamsOf(indexDir)
           assignedRange(changed, key, idCol,

@@ -792,6 +792,74 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
         col("score_i") <= 154)))
   }
 
+  test("GEO payload index refresh over the change feed equals a full " +
+       "rebuild (pure-function cells — no drift); box and radius reads " +
+       "stay row-identical to the unindexed predicates after rows move " +
+       "across cells") {
+    import graft.sources.PayloadIndex
+    val root = Files.createTempDirectory("graft-pgidx").toString
+    val dir = s"$root/coll"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    def located(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("location", struct(
+        ((col("vec_id") * 37) % 18000 / lit(100.0) - lit(90.0)).as("lat"),
+        ((col("vec_id") * 73) % 36000 / lit(100.0) - lit(180.0)).as("lon")))
+    val emb = located(Tables.load(spark, sf, "embeddings").limit(200))
+    sink.write(emb.withColumn("seq", lit(0)))
+    val idx = s"$root/pgidx"
+    val v0 = PayloadIndex.buildGeoFromCollection(spark, dir, idx,
+      "location", "vec_id")
+    assert(PayloadIndex.kindOf(idx) == "geo")
+    assert(PayloadIndex.keyOf(idx) == "location")
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    def boxPred = {
+      val la = col("location.lat").cast("double")
+      val lo = col("location.lon").cast("double")
+      la <= lit(50.0) && la >= lit(-50.0) &&
+        lo >= lit(-90.0) && lo <= lit(90.0)
+    }
+    assert(canon(PayloadIndex.forGeoBox(spark, idx,
+        50.0, -90.0, -50.0, 90.0)) ==
+      canon(Collections.read(spark, dir).filter(boxPred)))
+
+    // mutations: REFLECT some points' latitude (moves them across plat
+    // cells), delete others — the refresh must move rows between cell
+    // dirs, not just rewrite in place
+    sink.write(emb.filter(col("vec_id") % 10 === 0)
+      .withColumn("location", struct(
+        (col("location.lat") * lit(-1.0)).as("lat"),
+        col("location.lon").as("lon")))
+      .withColumn("seq", lit(1)))
+    Collections.deleteWhere(spark, dir, col("vec_id") % 7 === 0, "vec_id")
+
+    PayloadIndex.refresh(spark, dir, idx, "vec_id", v0)
+    val idx2 = s"$root/pgidx_full"
+    PayloadIndex.buildGeoFromCollection(spark, dir, idx2,
+      "location", "vec_id")
+    def rows(p: String): Seq[String] =
+      spark.read.parquet(p)
+        .select(col("vec_id"), col("location.lat"), col("location.lon"),
+          col("plat"), col("plon"))
+        .collect().map(_.toSeq.toString).toSeq.sorted
+    assert(rows(idx) == rows(idx2),
+      "incrementally-maintained geo index diverges from a full rebuild")
+    assert(rows(idx).nonEmpty)
+    // post-refresh serving parity, box AND radius (haversine residual)
+    assert(canon(PayloadIndex.forGeoBox(spark, idx,
+        50.0, -90.0, -50.0, 90.0)) ==
+      canon(Collections.read(spark, dir).filter(boxPred)))
+    assert(canon(PayloadIndex.forGeoRadius(spark, idx,
+        20.0, 30.0, 4000e3)) ==
+      canon(Collections.read(spark, dir).filter(
+        graft.operators.PayloadFilter.geoRadiusPred(
+          col("location.lat").cast("double"),
+          col("location.lon").cast("double"),
+          lit(20.0), lit(30.0), lit(4000e3)))))
+  }
+
   test("quantized-codes sidecar refresh over the change feed equals a " +
        "full rebuild; untouched bucket dirs are physically untouched") {
     import graft.sources.QuantIndex

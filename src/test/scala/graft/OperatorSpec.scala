@@ -584,6 +584,136 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       want(v => v >= 0 && v < 10))
   }
 
+  test("geo payload index: the box's 2-D cell window prunes at FILE " +
+       "LISTING (PartitionFilters on plat AND plon, files actually " +
+       "skipped) and rows match the unindexed geo filter") {
+    val df = Queries.queries("v_knn_geo_indexed")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the scan's field strings truncate long filter lists ("(pl...,"), so
+    // take the PartitionFilters SEGMENT rather than bracket-matching
+    val pf = plan.split("PartitionFilters: ").lift(1)
+      .map(_.split("PushedFilters").head)
+    assert(pf.isDefined, s"cell window not in partition pruning:\n$plan")
+    assert(pf.get.contains("plat"),
+      s"latitude axis missing from the partition filter: ${pf.get}")
+    assert(pf.get.contains("plon"),
+      s"longitude axis missing from the partition filter: ${pf.get}")
+    def rows(name: String): Seq[String] =
+      Queries.queries(name)(spark, sf)
+        .collect().map(_.toSeq.toString).toSeq
+    assert(rows("v_knn_geo_indexed") == rows("v_knn_geo"),
+      "geo-indexed read changed rows")
+    assert(rows("v_knn_geo_indexed").nonEmpty)
+    // the window must SKIP files, not just appear in the plan: the box
+    // covers lat cells [-40, 39] of [-90, 89] — under half the listing
+    import graft.sources.PayloadIndex
+    val idx = VectorQueries.geoIdxDir(spark, sf)
+    val all = scannedFiles(spark.read.parquet(idx))
+    val pruned = scannedFiles(PayloadIndex.forGeoBox(spark, idx,
+      40.0, -20.0, -40.0, 120.0))
+    assert(pruned < all,
+      s"box read scans every file ($pruned of $all) — no pruning")
+  }
+
+  /** Files the scan actually read (post partition pruning) — the
+    * FileSourceScan `numFiles` metric after execution;
+    * `DataFrame.inputFiles` would report the UNpruned listing. */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.queryExecution.toRdd.foreach(_ => ())
+    df.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+  }
+
+  test("geo payload index: the radius read's cap bounding box is a true " +
+       "superset at every latitude (row-identical to the in-plan " +
+       "haversine), prunes files, and degenerate shapes stay exact") {
+    import spark.implicits._
+    import graft.sources.PayloadIndex
+    val root = java.nio.file.Files.createTempDirectory("graft-geoidx")
+      .toString
+    // a global grid plus near-pole points: 5° spacing both axes
+    val pts = (for (la <- -85 to 85 by 5; lo <- -175 to 175 by 5)
+      yield (la.toLong * 1000 + lo, la.toDouble, lo.toDouble)).toSeq
+    val df = pts.toDF("id", "la", "lo")
+      .select(col("id"), struct(col("la").as("lat"), col("lo").as("lon"))
+        .as("loc"))
+    val idx = s"$root/gidx"
+    PayloadIndex.buildGeo(df, "loc", "id", idx, cellsPerDeg = 1)
+    assert(PayloadIndex.kindOf(idx) == "geo")
+    assert(PayloadIndex.cellsPerDegOf(idx) == 1)
+    def brute(cLat: Double, cLon: Double, r: Double): Seq[Long] =
+      df.filter(graft.operators.PayloadFilter.geoRadiusPred(
+          col("loc.lat"), col("loc.lon"), lit(cLat), lit(cLon), lit(r)))
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    def served(cLat: Double, cLon: Double, r: Double): Seq[Long] =
+      PayloadIndex.forGeoRadius(spark, idx, cLat, cLon, r)
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    // equator, mid-latitude, HIGH latitude (the lon window must widen
+    // with 1/cos — a fixed-degree box would under-return here)
+    for ((cLat, cLon, r) <- Seq((0.0, 0.0, 800e3), (48.85, 2.35, 1200e3),
+        (75.0, 10.0, 900e3), (-60.0, -170.0, 1500e3))) {
+      val b = brute(cLat, cLon, r)
+      assert(served(cLat, cLon, r) == b, s"radius mismatch at $cLat")
+      assert(b.nonEmpty, s"degenerate fixture at $cLat")
+    }
+    // cap touches the pole → longitude cannot prune, rows still exact
+    assert(served(87.0, 0.0, 800e3) == brute(87.0, 0.0, 800e3))
+    // zero radius → only an exact hit could match
+    assert(served(0.0, 0.0, 0.0) == brute(0.0, 0.0, 0.0))
+    // a small cap scans fewer files than the full index
+    val all = scannedFiles(spark.read.parquet(idx))
+    val few = scannedFiles(
+      PayloadIndex.forGeoRadius(spark, idx, 0.0, 0.0, 800e3))
+    assert(few < all, s"radius read scans every file ($few of $all)")
+    // antimeridian-degenerate box (tlLon > brLon): the in-plan DSL is
+    // empty there, so the indexed read must be too — not wrapped
+    assert(PayloadIndex.forGeoBox(spark, idx, 10.0, 170.0, -10.0, -170.0)
+      .count() == 0L)
+  }
+
+  test("index router: a geo condition on a DECLARED geo key routes the " +
+       "base read through the cell window (box AND radius), " +
+       "row-identical to the unrouted filter") {
+    import graft.sources.{IndexRouter, PayloadIndex}
+    val emb = Tables.load(spark, sf, "embeddings")
+    val located = emb.withColumn("location", struct(
+      ((col("vec_id") * 37) % 18000 / lit(100.0) - lit(90.0)).as("lat"),
+      ((col("vec_id") * 73) % 36000 / lit(100.0) - lit(180.0)).as("lon")))
+    val idx = VectorQueries.geoIdxDir(spark, sf)
+    val boxDsl = """
+      {"must": [
+        {"key": "location", "geo_bounding_box": {
+          "top_left":     {"lat": 40.0, "lon": -20.0},
+          "bottom_right": {"lat": -40.0, "lon": 120.0}}},
+        {"key": "label", "match": {"any": [1, 2, 3, 4]}}
+      ]}"""
+    val radDsl = """
+      {"must": [
+        {"key": "location", "geo_radius": {
+          "center": {"lat": 10.0, "lon": 40.0}, "radius": 3000000}}
+      ]}"""
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    for (dsl <- Seq(boxDsl, radDsl)) {
+      val routed = IndexRouter.filtered(spark, located,
+        Seq("location" -> idx), dsl, idCol = "vec_id")
+      val unrouted = located.filter(
+        graft.operators.PayloadFilter.fromJson(dsl, idCol = "vec_id"))
+      assert(canon(routed) == canon(unrouted), "geo routing changed rows")
+      assert(canon(routed).nonEmpty)
+      val plan = IndexRouter.baseRead(spark, located,
+        Seq("location" -> idx), dsl, "vec_id")
+        .queryExecution.executedPlan.toString
+      assert(plan.split("PartitionFilters: ").lift(1)
+          .map(_.split("PushedFilters").head).exists(_.contains("plat")),
+        s"geo condition did not route to the cell window:\n$plan")
+    }
+    // no declaration → no route (the base read is the points frame)
+    assert(IndexRouter.baseRead(spark, located, Nil, boxDsl, "vec_id")
+      .queryExecution.analyzed.sameResult(located.queryExecution.analyzed),
+      "router routed without a declaration")
+  }
+
   test("index router: a DSL filter with a declared hash key serves its " +
        "base read from the index (PartitionFilters on pbucket), routes " +
        "nothing without a declaration, and never changes rows") {
