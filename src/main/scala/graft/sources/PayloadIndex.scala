@@ -150,7 +150,7 @@ object PayloadIndex {
   private def writeMeta(dir: String, key: String, keyType: String,
                         vb: Int, kind: String = "hash",
                         origin: Long = 0L, width: Long = 0L,
-                        cellsPerDeg: Int = 0): Unit = {
+                        cellsPerDeg: Double = 0): Unit = {
     Files.createDirectories(Paths.get(dir))
     Files.write(metaPath(dir),
       (s"""{"key": "$key", "key_type": "$keyType", "kind": "$kind", """ +
@@ -332,30 +332,72 @@ object PayloadIndex {
   // Geo field schema (Qdrant geo index type)
   // ---------------------------------------------------------------------
 
-  /** The pinned cell granularity of a geo index (integer cells per
-    * degree — 1 → 1°×1° cells, 4 → 0.25° cells). */
-  def cellsPerDegOf(dir: String): Int =
-    """"cells_per_deg":\s*(\d+)""".r
+  /** The pinned cell granularity of a geo index (cells per degree —
+    * 1 → 1°×1° cells, 4 → 0.25° cells, 0.03125 → 32° cells; always a
+    * power of two when [[autoCellsPerDeg]] chose it). */
+  def cellsPerDegOf(dir: String): Double =
+    """"cells_per_deg":\s*([0-9.eE+-]+)""".r
       .findFirstMatchIn(new String(Files.readAllBytes(metaPath(dir)),
         StandardCharsets.UTF_8))
       .getOrElse(throw new IllegalStateException(
         s"index at $dir is not a geo index (no cells_per_deg)"))
-      .group(1).toInt
+      .group(1).toDouble
 
   /** The 2-D cell assignment — `floor(deg · cpd)` per axis. Doubles are
     * fine here (±180·cpd is far inside 2⁵³, and `x → x·cpd` then `floor`
     * are both MONOTONE in IEEE arithmetic, which is all the serving-side
     * window computation needs: every value between two bounds lands in a
     * cell between the bounds' cells). Shared by build and serving. */
-  private def geoCell(deg: Column, cpd: Int): Column =
+  private def geoCell(deg: Column, cpd: Double): Column =
     floor(deg.cast("double") * lit(cpd)).cast("int")
 
   /** Driver-side twin of [[geoCell]] — same IEEE ops, same result. */
-  private def cellOfDeg(deg: Double, cpd: Int): Int =
+  private def cellOfDeg(deg: Double, cpd: Double): Int =
     math.floor(deg * cpd).toInt
 
+  /** Auto-sized cell granularity (the [[graft.operators.Ann]] LSH
+    * auto-geometry discipline applied to the geo grid): a fixed `cpd`
+    * cannot serve every corpus — 1° cells over a scattered synthetic
+    * corpus explode into one tiny file per (src_bucket, cell) (the 100×
+    * probe measured 51k+ files for 200k points — a listing-time cliff),
+    * while a dense city-scale corpus wants sub-degree cells. Pick cells
+    * ≈ n̂/[[GeoRowsPerCell]] clamped to [64, 4096] occupied cells,
+    * spread over the data's actual lat×lon extent, and SNAP to a
+    * power-of-two rung (deterministic, and the floor rung pins
+    * fixture-scale geometry the way the LSH/bucket-cap rungs do). The
+    * chosen value is PINNED in the layout metadata — refresh reuses it,
+    * so refresh == rebuild regardless of drift in n. */
+  def autoCellsPerDeg(points: DataFrame, key: String): Double = {
+    val row = points.select(
+      count(lit(1)),
+      coalesce((max(col(s"$key.lat")) - min(col(s"$key.lat")))
+        .cast("double"), lit(0.0)),
+      coalesce((max(col(s"$key.lon")) - min(col(s"$key.lon")))
+        .cast("double"), lit(0.0)))
+      .head()
+    val n = row.getLong(0)
+    // degenerate extents (all points in one spot) get a 1-cell-wide
+    // floor; the grid then has a handful of cells, which is correct —
+    // pruning value comes from cells the data does NOT occupy
+    val area = math.max(row.getDouble(1), 1.0) *
+      math.max(row.getDouble(2), 1.0)
+    val targetCells =
+      math.min(4096.0, math.max(64.0, n.toDouble / GeoRowsPerCell))
+    val raw = math.sqrt(targetCells / area)
+    // snap to the nearest power-of-two rung, clamped to sane grains
+    // (2^-6 = 64° cells … 2^10 ≈ 0.001° ≈ 100 m cells)
+    val k = math.max(-6, math.min(10, math.round(
+      math.log(raw) / math.log(2.0)).toInt))
+    math.pow(2.0, k)
+  }
+
+  /** Build-time target occupancy for [[autoCellsPerDeg]]: enough rows
+    * per cell that a cell is a real parquet file, few enough that a
+    * box/radius residual scans a bounded neighborhood. */
+  val GeoRowsPerCell = 1024
+
   private def assignedGeo(points: DataFrame, key: String, idCol: String,
-                          idBuckets: Int, cpd: Int): DataFrame = {
+                          idBuckets: Int, cpd: Double): DataFrame = {
     require(!points.columns.exists(Set("plat", "plon", "src_bucket")),
       "points carry a column named 'plat'/'plon'/'src_bucket' — " +
         "reserved for the index layout")
@@ -371,34 +413,37 @@ object PayloadIndex {
     * `geo_radius` conditions address). Layout partitions by the 2-D
     * integer cell (`plat=`/`plon=` under `src_bucket=`), so a geo
     * condition's cell window prunes BOTH axes at file listing. Fan-out =
-    * covered cells; pick `cellsPerDeg` like a lake picks its grid grain
-    * (default 1° cells → ≤ 180×360 dirs for a globe-covering corpus;
-    * real corpora cover far fewer). The cell is a pure function of the
+    * occupied cells — the auto grain targets [[GeoRowsPerCell]] rows per
+    * cell within a [64, 4096]-cell budget, so the layout never explodes
+    * into tiny files however the corpus scatters, and a dense city-scale
+    * corpus still gets sub-degree cells. The cell is a pure function of the
     * coordinates — refresh == rebuild bit-exactly. Null/missing
     * coordinates land in the hive default partition and are excluded by
     * every geo residual, exactly as the unindexed predicates exclude
-    * them. */
+    * them. `cellsPerDeg` ≤ 0 (the default) auto-sizes the grain from
+    * the data ([[autoCellsPerDeg]]); pass an explicit positive value to
+    * pin it. */
   def buildGeo(points: DataFrame, key: String, idCol: String, dir: String,
-               cellsPerDeg: Int = 1,
+               cellsPerDeg: Double = 0,
                idBuckets: Int = Collections.DefaultBuckets): Unit = {
-    require(cellsPerDeg > 0, s"cellsPerDeg must be positive: $cellsPerDeg")
     require(!key.contains("\""), "key must not contain quotes")
     val keyType = points.schema(key).dataType.catalogString
     require(keyType.startsWith("struct") && keyType.contains("lat") &&
         keyType.contains("lon"),
       s"geo index needs a struct<lat,lon> key, got $keyType")
-    assignedGeo(points, key, idCol, idBuckets, cellsPerDeg)
+    val cpd =
+      if (cellsPerDeg > 0) cellsPerDeg else autoCellsPerDeg(points, key)
+    assignedGeo(points, key, idCol, idBuckets, cpd)
       .write.mode("overwrite")
       .partitionBy("src_bucket", "plat", "plon")
       .parquet(dir)
-    writeMeta(dir, key, "struct", 0, kind = "geo",
-      cellsPerDeg = cellsPerDeg)
+    writeMeta(dir, key, "struct", 0, kind = "geo", cellsPerDeg = cpd)
   }
 
   /** Materialize a geo index FROM a collection; returns the cursor. */
   def buildGeoFromCollection(spark: SparkSession, collDir: String,
                              indexDir: String, key: String, idCol: String,
-                             cellsPerDeg: Int = 1)
+                             cellsPerDeg: Double = 0)
       : Collections.ManifestView = {
     val cur = Collections.manifestView(collDir)
     buildGeo(Collections.read(spark, collDir), key, idCol, indexDir,

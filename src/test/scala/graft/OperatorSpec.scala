@@ -671,6 +671,41 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       .count() == 0L)
   }
 
+  test("geo payload index: auto cell granularity snaps to power-of-two " +
+       "rungs, grows with corpus size, upgrades dense corpora to " +
+       "sub-degree cells, and the build PINS the chosen grain") {
+    import spark.implicits._
+    import graft.sources.PayloadIndex
+    def frame(n: Int, latSpan: Double, lonSpan: Double) =
+      (0 until n).map { i =>
+        (i.toLong, -latSpan / 2 + latSpan * i / math.max(n - 1, 1),
+          -lonSpan / 2 + lonSpan * ((i * 7) % n) / math.max(n - 1, 1))
+      }.toDF("id", "la", "lo")
+        .select(col("id"),
+          struct(col("la").as("lat"), col("lo").as("lon")).as("loc"))
+    def cpd(n: Int, la: Double, lo: Double): Double =
+      PayloadIndex.autoCellsPerDeg(frame(n, la, lo), "loc")
+    // every pick is a power-of-two rung
+    val g = cpd(10000, 170.0, 350.0)
+    val lg = math.log(g) / math.log(2.0)
+    assert(math.abs(lg - math.round(lg)) < 1e-12, s"not a rung: $g")
+    // more rows over the same extent → cells never coarser (the 100×
+    // probe's regime: 200k scattered points must not get 1° cells)
+    assert(cpd(400000, 170.0, 350.0) >= g)
+    // a dense city-scale corpus gets sub-degree cells
+    assert(cpd(100000, 0.4, 0.4) > 1.0)
+    // a small globe-scattered corpus floors at a coarse grain: the
+    // occupied-cell budget (not the extent) drives the file count
+    assert(cpd(100, 179.0, 359.0) <= math.pow(2.0, -4))
+    // the build pins the chosen grain in metadata (refresh reuses it —
+    // auto-sizing never runs twice on drifted data)
+    val root = java.nio.file.Files.createTempDirectory("graft-geoauto")
+      .toString
+    val idx = s"$root/gidx"
+    PayloadIndex.buildGeo(frame(1000, 170.0, 350.0), "loc", "id", idx)
+    assert(PayloadIndex.cellsPerDegOf(idx) == cpd(1000, 170.0, 350.0))
+  }
+
   test("index router: a geo condition on a DECLARED geo key routes the " +
        "base read through the cell window (box AND radius), " +
        "row-identical to the unrouted filter") {
