@@ -754,6 +754,74 @@ object TextQueries {
       FROM agg a JOIN sk s ON s.lang = a.lang
       ORDER BY a.lang"""))
 
+  /** Corpus-percentile estimation under BOUNDED state — the
+    * HDR-histogram quantile sketch ([[graft.operators.Hdr]]): doc-length
+    * percentiles (the quality-filter thresholds a curation pipeline sets,
+    * e.g. "drop below p10 / above p99 length") at ≤1% relative error
+    * from a ≤7.3k-bucket histogram, at ANY corpus size. `q_percentile`
+    * already serves exact order statistics with a shuffle ∝ distinct
+    * values; this is its 100-TB companion: the groupBy state is bounded
+    * by the bucket space, only (bucket, count) pairs cross the shuffle,
+    * and the quantile walk (cumulative window + rank probe) runs over
+    * the SKETCH — a ≤7.3k-row frame — never the corpus. Unlike
+    * KLL/t-digest (whose compactions depend on merge order), the HDR
+    * bucket is a pure integer function of the value, so the sketch is
+    * deterministic, reshuffle-proof, and the oracle replays it
+    * bit-for-bit IN the approximate regime — the gate covers the
+    * estimator itself, not just an exact small-n special case.
+    * Output: (q_permille, est) with est = the rank-holding bucket's
+    * upper bound — never under the true order statistic, within
+    * 2^-7 relative above it. */
+  val sketchQuantile = Q("sketch_quantile",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Hdr
+      val docs = Tables.load(s, dir, "documents")
+      val sketch = docs
+        .select(Hdr.bucket(col("n_chars")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+      // cumulative walk over the bounded sketch (≤7.3k rows): the
+      // single-partition window is the POINT — this stage's input is
+      // sketch-sized regardless of corpus size
+      val cum = sketch.withColumn("cum",
+        sum("c").over(org.apache.spark.sql.expressions.Window
+          .orderBy("b").rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val total = docs.agg(count(lit(1)).as("n"))
+      val qdf = Seq(100L, 250L, 500L, 750L, 900L, 990L).toDF("q_permille")
+      qdf.crossJoin(total).crossJoin(cum)
+        .filter(col("cum") >=
+          call_function("div", col("q_permille") * col("n") + 999,
+            lit(1000L)))
+        .groupBy("q_permille").agg(min("b").as("mb"))
+        .select(col("q_permille"), Hdr.upper(col("mb")).as("est"))
+        .orderBy("q_permille")
+    },
+    Some("""
+      WITH b AS (
+        SELECT CASE WHEN n_chars < 128 THEN n_chars
+                    ELSE (length(printf('%b', n_chars)) - 7) * 128
+                         + (n_chars >> (length(printf('%b', n_chars)) - 8))
+                         - 128 END AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1),
+      cum AS (
+        SELECT b, CAST(SUM(c) OVER (ORDER BY b) AS BIGINT) AS cum FROM b),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      q AS (SELECT CAST(unnest([100, 250, 500, 750, 900, 990]) AS BIGINT)
+              AS q_permille)
+      SELECT q_permille,
+             CAST(CASE WHEN mb < 128 THEN mb
+                  ELSE ((mb % 128) + 129)
+                       * (CAST(1 AS BIGINT) << CAST(mb // 128 - 1 AS INT))
+                       - 1 END AS BIGINT) AS est
+      FROM (
+        SELECT q.q_permille AS q_permille, MIN(cum.b) AS mb
+        FROM q, t, cum
+        WHERE cum.cum >= (q.q_permille * t.n + 999) // 1000
+        GROUP BY 1)
+      ORDER BY q_permille"""))
+
   /** Benchmark DECONTAMINATION — the published train-set hygiene pass
     * (exact n-gram overlap against a held-out evaluation set, the
     * GPT-3/PaLM appendix recipe): any training document sharing a word
@@ -1517,7 +1585,8 @@ object TextQueries {
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats, txtPhrase,
     txtPhraseIndexed,
     pipeSample, pipeSplit, pipeStratified, pipeShuffle, txtWinnow, pipeCurate,
-    sketchDistinct, sketchCm, txtDecontam, pipePack, txtPii, txtBpePairs,
+    sketchDistinct, sketchCm, sketchQuantile, txtDecontam, pipePack,
+    txtPii, txtBpePairs,
     txtBpeTrain, txtBpeEncode,
     txtFreqScore, pipeMix, txtNovelty, txtLmScore, pipeCurriculum,
     txtIdfKeywords, pipeMask)

@@ -1255,6 +1255,58 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(rows("ann_ivfpq_indexed").nonEmpty)
   }
 
+  test("Hdr quantile sketch: small values exact, bucket upper bound " +
+       "within 2^-7 relative everywhere, quantile estimates hold the " +
+       "error bound on a magnitude-spanning corpus, per-shard sketches " +
+       "merge by plain addition") {
+    import spark.implicits._
+    import graft.operators.Hdr
+    // deterministic magnitude-spanning values: 0..1e9-ish, heavy skew
+    val vals = (0 until 200000).map { i =>
+      val v = (i.toLong * i.toLong) % 1000000007L
+      (i.toLong, if (i % 5 == 0) i.toLong % 128 else v)
+    }
+    val df = vals.toDF("id", "v")
+    // round-trip bound: v <= upper(bucket(v)), and the gap is < v/128
+    // (exact below 128)
+    val bad = df.select(col("v"), Hdr.upper(Hdr.bucket(col("v"))).as("u"))
+      .filter(col("u") < col("v") ||
+        (col("v") >= 128 && (col("u") - col("v")) * 128 >= col("v")) ||
+        (col("v") < 128 && col("u") =!= col("v")))
+      .count()
+    assert(bad == 0L, s"$bad values violate the bucket bound")
+    // quantile estimates vs exact order statistics
+    val sorted = vals.map(_._2).sorted
+    val n = sorted.length
+    val sketch = df.select(Hdr.bucket(col("v")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+    val cum = sketch.withColumn("cum",
+      sum("c").over(org.apache.spark.sql.expressions.Window.orderBy("b")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select("b", "cum")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    for (q <- Seq(100L, 500L, 900L, 990L)) {
+      val r = (q * n + 999) / 1000
+      val exact = sorted((r - 1).toInt)
+      val mb = cum.find(_._2 >= r).get._1
+      val est = df.sparkSession.range(1)
+        .select(Hdr.upper(lit(mb)).as("u")).head().getLong(0)
+      assert(est >= exact && est * 128L <= exact * 129L + 128L,
+        s"q=$q: est $est outside [$exact, $exact*129/128]")
+    }
+    // mergeability: per-shard sketches summed bucket-wise == the whole
+    val whole = sketch.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    val merged = df.select((col("id") % 8).as("shard"),
+        Hdr.bucket(col("v")).as("b"))
+      .groupBy("shard", "b").agg(count(lit(1)).as("c"))
+      .groupBy("b").agg(sum("c").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(merged == whole, "per-shard merge diverges from the one-pass " +
+      "sketch — bucket counts must be order-free")
+  }
+
   /** Driver-side reference BPE (the Sennrich algorithm re-implemented
     * independently with mutable state): returns the 5-round merge table
     * and the final word → segmentation map, plus word frequencies. */
