@@ -776,7 +776,11 @@ object TextQueries {
     (s, dir) => {
       import s.implicits._
       import graft.operators.Hdr
+      // quantiles are over the NON-NULL population (pinned explicitly:
+      // Spark windows sort NULLS FIRST, DuckDB NULLS LAST — an implicit
+      // null bucket would shift every cumulative count differently)
       val docs = Tables.load(s, dir, "documents")
+        .filter(col("n_chars").isNotNull)
       val sketch = docs
         .select(Hdr.bucket(col("n_chars")).as("b"))
         .groupBy("b").agg(count(lit(1)).as("c"))
@@ -804,14 +808,16 @@ object TextQueries {
                          + (n_chars >> (length(printf('%b', n_chars)) - 8))
                          - 128 END AS b,
                CAST(COUNT(*) AS BIGINT) AS c
-        FROM documents GROUP BY 1),
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
       cum AS (
         SELECT b, CAST(SUM(c) OVER (ORDER BY b) AS BIGINT) AS cum FROM b),
-      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+            WHERE n_chars IS NOT NULL),
       q AS (SELECT CAST(unnest([100, 250, 500, 750, 900, 990]) AS BIGINT)
               AS q_permille)
       SELECT q_permille,
              CAST(CASE WHEN mb < 128 THEN mb
+                  WHEN mb >= 7295 THEN 9223372036854775807
                   ELSE ((mb % 128) + 129)
                        * (CAST(1 AS BIGINT) << CAST(mb // 128 - 1 AS INT))
                        - 1 END AS BIGINT) AS est
@@ -1047,7 +1053,11 @@ object TextQueries {
     * over the current segmentation, the argmax merge (ties lexicographic
     * on the pair), and the merged next-round word table. `range(len-1)`
     * is empty for single-symbol words — they simply stop contributing
-    * pairs, exactly the engine's `size(syms) >= 2` filter. */
+    * pairs, exactly the engine's `size(syms) >= 2` filter. The LEFT JOIN
+    * carries the word table through a DRY round unchanged (a corpus out
+    * of pairs before the last round yields a partial merge table and a
+    * final segmentation — [[withBpe]]'s stop-early contract; a cross
+    * join would instead EMPTY every later round). */
   private def bpeRoundSql(r: Int): String = s"""
       p$r AS (
         SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS n
@@ -1061,9 +1071,10 @@ object TextQueries {
       b$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
       w${r + 1} AS (
         SELECT freq,
-               replace(sym, '|' || a || '||' || b || '|',
-                       '|' || a || b || '|') AS sym
-        FROM w$r, b$r)"""
+               CASE WHEN mrg.a IS NULL THEN sym
+                    ELSE replace(sym, '|' || mrg.a || '||' || mrg.b || '|',
+                                 '|' || mrg.a || mrg.b || '|') END AS sym
+        FROM w$r LEFT JOIN b$r mrg ON TRUE)"""
 
   private val BpeRounds = 5
 
@@ -1086,11 +1097,16 @@ object TextQueries {
     * [[txtBpeEncode]] (the applied tokenizer). The corpus folds ONCE to
     * the persisted distinct-word table; the [[BpeRounds]] training rounds
     * run eagerly (each collects its one-row argmax — the k-means
-    * per-round discipline). Returns the collected merges, the final-round
-    * word table (freq, sym) as a lazy frame over the persisted base, and
-    * the base handle the CALLER must unpersist after consuming. */
-  private def bpeTrained(s: SparkSession, dir: String)
-      : (IndexedSeq[(Long, String, String, Long)], DataFrame, DataFrame) = {
+    * per-round discipline). A corpus that runs OUT of adjacent pairs
+    * before the last round stops early with a partial merge table — the
+    * oracle's empty-round cross joins produce exactly the same partial
+    * table, so the two engines share the degenerate-input contract.
+    * `use` receives the merges and the final-round word table and is
+    * evaluated INSIDE the persist scope (try/finally — no caller can
+    * leak the cached word table, even on a failing round). */
+  private def withBpe[A](s: SparkSession, dir: String)(
+      use: (IndexedSeq[(Long, String, String, Long)], DataFrame) => A)
+      : A = {
     val base = Tables.load(s, dir, "documents")
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 2 && !col("w").contains("|"))
@@ -1098,30 +1114,40 @@ object TextQueries {
       .select(col("freq"),
         regexp_replace(col("w"), "(.)", "|$1|").as("sym"))
       .persist()
-    var cur = base
-    val merges = (0 until BpeRounds).map { r =>
-      val best = cur
-        .select(col("freq"),
-          split(trim(col("sym"), "|"), "\\|\\|").as("syms"))
-        .filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(transform(
-          sequence(lit(0), size(col("syms")) - 2),
-          i => struct(element_at(col("syms"), i + 1).as("a"),
-            element_at(col("syms"), i + 2).as("b")))).as("pr"))
-        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-        .agg(sum("freq").as("n"))
-        .orderBy(desc("n"), col("a"), col("b"))
-        .limit(1).collect()
-      require(best.nonEmpty,
-        s"BPE round $r: no pairs left — corpus too small for " +
-          s"$BpeRounds merges")
-      val (a, b, n) =
-        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-      cur = cur.withColumn("sym",
-        replace(col("sym"), lit(s"|$a||$b|"), lit(s"|$a$b|")))
-      (r.toLong, a, b, n)
+    try {
+      var cur = base
+      val merges =
+        IndexedSeq.newBuilder[(Long, String, String, Long)]
+      var r = 0
+      var dry = false
+      while (r < BpeRounds && !dry) {
+        val best = cur
+          .select(col("freq"),
+            split(trim(col("sym"), "|"), "\\|\\|").as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(transform(
+            sequence(lit(0), size(col("syms")) - 2),
+            i => struct(element_at(col("syms"), i + 1).as("a"),
+              element_at(col("syms"), i + 2).as("b")))).as("pr"))
+          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+          .agg(sum("freq").as("n"))
+          .orderBy(desc("n"), col("a"), col("b"))
+          .limit(1).collect()
+        if (best.isEmpty) dry = true
+        else {
+          val (a, b, n) = (best(0).getString(0), best(0).getString(1),
+            best(0).getLong(2))
+          cur = cur.withColumn("sym",
+            replace(col("sym"), lit(s"|$a||$b|"), lit(s"|$a$b|")))
+          merges += ((r.toLong, a, b, n))
+        }
+        r += 1
+      }
+      use(merges.result(), cur)
+    } finally {
+      base.unpersist()
+      ()
     }
-    (merges.toIndexedSeq, cur, base)
   }
 
   /** BPE merge TRAINING — tokenizer training at corpus scale (the
@@ -1154,9 +1180,8 @@ object TextQueries {
   val txtBpeTrain = Q("txt_bpe_train",
     (s, dir) => {
       import s.implicits._
-      val (merges, _, base) = bpeTrained(s, dir)
-      base.unpersist()
-      merges.toDF("merge_round", "lhs", "rhs", "pair_count")
+      withBpe(s, dir)((merges, _) => merges)
+        .toDF("merge_round", "lhs", "rhs", "pair_count")
         .orderBy("merge_round")
     },
     Some(s"""
@@ -1186,16 +1211,15 @@ object TextQueries {
   val txtBpeEncode = Q("txt_bpe_encode",
     (s, dir) => {
       import s.implicits._
-      val (_, words, base) = bpeTrained(s, dir)
-      val top = words
-        .select(col("freq"),
-          explode(split(trim(col("sym"), "|"), "\\|\\|")).as("token"))
-        .groupBy("token").agg(sum("freq").as("n"))
-        .orderBy(desc("n"), col("token"))
-        .limit(20).collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq
-      base.unpersist()
-      top.toDF("token", "n")
+      withBpe(s, dir) { (_, words) =>
+        words
+          .select(col("freq"),
+            explode(split(trim(col("sym"), "|"), "\\|\\|")).as("token"))
+          .groupBy("token").agg(sum("freq").as("n"))
+          .orderBy(desc("n"), col("token"))
+          .limit(20).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+      }.toDF("token", "n")
     },
     Some(s"""
       $bpeBaseSql

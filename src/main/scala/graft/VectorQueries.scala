@@ -268,25 +268,19 @@ object VectorQueries {
     },
     vKnnDsl.oracle)
 
-  /** V3 — GEO payload condition oracle-gated (r7): `geo_bounding_box` is
-    * pure comparisons (unlike geo_radius' haversine, whose trig is not
-    * exact-hash-replayable — that path stays spec-gated in
-    * PayloadFilterSpec), so the box condition gets a full oracle row.
-    * Points get deterministic synthetic coordinates (exact integer
-    * arithmetic → one correctly-rounded division, identical doubles in
-    * both engines); the DSL predicate then drives a filtered top-k. */
   /** Deterministic synthetic geo coordinates for the embeddings table
     * (exact integer arithmetic → one correctly-rounded division →
     * identical doubles in both engines) — shared by the in-plan geo
-    * filter, the geo index build, and the geo-routed DSL key. */
-  private def geoLocated(df: org.apache.spark.sql.DataFrame)
+    * filter, the geo index build, the geo-routed DSL key, and the geo
+    * specs (one formula, no drift between test and serving frames). */
+  private[graft] def geoLocated(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     df.withColumn("location", struct(
       ((col("vec_id") * 37) % 18000 / lit(100.0) - lit(90.0)).as("lat"),
       ((col("vec_id") * 73) % 36000 / lit(100.0) - lit(180.0)).as("lon")))
 
   /** Memoized GEO payload index over the synthetic coordinates
-    * (sources/PayloadIndex geo field schema, 1° cells). */
+    * (sources/PayloadIndex geo field schema, auto-sized cell grain). */
   private[graft] def geoIdxDir(s: org.apache.spark.sql.SparkSession,
                                dir: String): String =
     Tables.memoTempDir("geoidx", dir) { target =>
@@ -295,6 +289,12 @@ object VectorQueries {
         "location", "vec_id", target)
     }
 
+  /** V3 — GEO payload condition oracle-gated (r7): `geo_bounding_box` is
+    * pure comparisons (unlike geo_radius' haversine, whose trig is not
+    * exact-hash-replayable — that path stays spec-gated in
+    * PayloadFilterSpec), so the box condition gets a full oracle row.
+    * Points get deterministic synthetic coordinates ([[geoLocated]]);
+    * the DSL predicate then drives a filtered top-k. */
   val vKnnGeo = Q("v_knn_geo",
     (s, dir) => {
       val filter = graft.operators.PayloadFilter.fromJson("""

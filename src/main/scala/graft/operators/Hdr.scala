@@ -51,6 +51,13 @@ object Hdr {
       .otherwise((h.cast("long") + 1) * lit(Sub) + m - lit(Sub))
   }
 
+  /** The highest bucket a long can land in (h = 55, m = 255): its
+    * nominal upper bound (m+1)·2^h = 2^63 overflows, so [[upper]] clamps
+    * it to Long.MaxValue explicitly — the JVM would wrap to the right
+    * answer by accident, but the DuckDB oracle's BIGINT multiply raises
+    * instead of wrapping. */
+  val TopBucket: Long = (63L - SubBits + 1) * Sub - 1
+
   /** The UPPER bound of bucket `idx` — the sketch's representative
     * value (a quantile answer is the largest value its bucket could
     * hold, so estimates never under-report and sit within 2^-SubBits
@@ -59,6 +66,7 @@ object Hdr {
     val h = (call_function("div", idx, lit(Sub)) - 1).cast("int")
     val m = pmod(idx, lit(Sub)) + lit(Sub)
     when(idx < lit(Sub), idx)
+      .when(idx >= lit(TopBucket), lit(Long.MaxValue))
       .otherwise((m + 1) * call_function("shiftleft", lit(1L), h) - 1)
   }
 }

@@ -212,8 +212,13 @@ object IndexRouter {
                   case _ => m.get("geo_radius") match {
                     case Some(JObject(r)) =>
                       val rm = r.toMap
+                      // a negative radius must NOT route: the unrouted
+                      // haversine predicate evaluates to an empty frame,
+                      // and the router's contract is row-identical
+                      // serving, never a crash the unrouted form lacks
                       for ((cLat, cLon) <- rm.get("center").flatMap(pt);
-                           rad <- rm.get("radius").flatMap(num))
+                           rad <- rm.get("radius").flatMap(num)
+                             if rad >= 0)
                         yield PayloadIndex.forGeoRadius(spark, dir,
                           cLat, cLon, rad)
                     case _ => None

@@ -152,10 +152,14 @@ object PayloadIndex {
                         origin: Long = 0L, width: Long = 0L,
                         cellsPerDeg: Double = 0): Unit = {
     Files.createDirectories(Paths.get(dir))
+    // cells_per_deg appears ONLY on geo indexes: stamping it everywhere
+    // would turn cellsPerDegOf's not-a-geo-index guard into a silent 0.0
+    val geoField =
+      if (kind == "geo") s""", "cells_per_deg": $cellsPerDeg""" else ""
     Files.write(metaPath(dir),
       (s"""{"key": "$key", "key_type": "$keyType", "kind": "$kind", """ +
-        s""""value_buckets": $vb, "origin": $origin, "width": $width, """ +
-        s""""cells_per_deg": $cellsPerDeg}""")
+        s""""value_buckets": $vb, "origin": $origin, "width": $width""" +
+        s"""$geoField}""")
         .getBytes(StandardCharsets.UTF_8))
     ()
   }

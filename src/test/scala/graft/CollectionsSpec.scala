@@ -801,11 +801,8 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     val dir = s"$root/coll"
     val sink = new Collections.ParquetCollectionSink(spark, dir,
       VectorConfig(64), "embedding", "vec_id", "seq")
-    def located(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("location", struct(
-        ((col("vec_id") * 37) % 18000 / lit(100.0) - lit(90.0)).as("lat"),
-        ((col("vec_id") * 73) % 36000 / lit(100.0) - lit(180.0)).as("lon")))
-    val emb = located(Tables.load(spark, sf, "embeddings").limit(200))
+    val emb = VectorQueries.geoLocated(
+      Tables.load(spark, sf, "embeddings").limit(200))
     sink.write(emb.withColumn("seq", lit(0)))
     val idx = s"$root/pgidx"
     val v0 = PayloadIndex.buildGeoFromCollection(spark, dir, idx,

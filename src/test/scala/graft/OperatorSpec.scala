@@ -709,11 +709,11 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
   test("index router: a geo condition on a DECLARED geo key routes the " +
        "base read through the cell window (box AND radius), " +
        "row-identical to the unrouted filter") {
-    import graft.sources.{IndexRouter, PayloadIndex}
-    val emb = Tables.load(spark, sf, "embeddings")
-    val located = emb.withColumn("location", struct(
-      ((col("vec_id") * 37) % 18000 / lit(100.0) - lit(90.0)).as("lat"),
-      ((col("vec_id") * 73) % 36000 / lit(100.0) - lit(180.0)).as("lon")))
+    import graft.sources.IndexRouter
+    // the SAME coordinate formula the memoized index was built from —
+    // a drifted inline copy would compare different frames
+    val located = VectorQueries.geoLocated(
+      Tables.load(spark, sf, "embeddings"))
     val idx = VectorQueries.geoIdxDir(spark, sf)
     val boxDsl = """
       {"must": [
@@ -1295,6 +1295,12 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       assert(est >= exact && est * 128L <= exact * 129L + 128L,
         s"q=$q: est $est outside [$exact, $exact*129/128]")
     }
+    // the one overflow bucket is clamped (the oracle's BIGINT multiply
+    // would raise instead of wrapping, so the clamp is explicit)
+    val top = df.sparkSession.range(1)
+      .select(Hdr.upper(Hdr.bucket(lit(Long.MaxValue))).as("u"))
+      .head().getLong(0)
+    assert(top == Long.MaxValue, s"top bucket not clamped: $top")
     // mergeability: per-shard sketches summed bucket-wise == the whole
     val whole = sketch.collect().map(r => (r.getLong(0), r.getLong(1)))
       .toMap
@@ -1353,6 +1359,25 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
         r.getLong(3))).toSeq
     assert(got == expect, "distributed BPE training diverges from the " +
       "reference algorithm")
+  }
+
+  test("BPE degenerate corpus: merges run dry before the round budget — " +
+       "train returns the partial merge table, encode tokenizes the " +
+       "final segmentation (stop-early, not a crash)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-bpedry")
+      .toString
+    // one distinct word: exactly one merge possible, then dry
+    Seq((1L, "ab ab ab", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$root/documents.parquet")
+    val train = Queries.queries("txt_bpe_train")(spark, root).collect()
+    assert(train.map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq == Seq(("a", "b", 3L)),
+      "expected exactly the one possible merge")
+    val enc = Queries.queries("txt_bpe_encode")(spark, root).collect()
+    assert(enc.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("ab", 3L)), "encode must tokenize the final segmentation")
   }
 
   test("txt_bpe_encode applies the learned merges: top-20 token counts " +
