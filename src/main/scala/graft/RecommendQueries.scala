@@ -321,6 +321,50 @@ object RecommendQueries {
       ORDER BY label, vec_id
       LIMIT 20"""))
 
+  /** Session-lifetime memo of the RANGE payload index over the
+    * embeddings `label` column (width 1 — one directory per label
+    * value), the declaration the ordered-scroll serving path reads. */
+  private def labelRangeIdxDir(s: org.apache.spark.sql.SparkSession,
+                               dir: String): String =
+    Tables.memoTempDir("lblidx", dir) { target =>
+      graft.sources.PayloadIndex.buildRange(
+        Tables.load(s, dir, "embeddings").select("vec_id", "label"),
+        "label", "vec_id", target, origin = 0L, width = 1L)
+    }
+
+  /** [[collScroll]] served from the declared range index
+    * ([[graft.sources.PayloadIndex.scrollAfter]]): the monotone value
+    * buckets bound the page globally, so the scan lists only the
+    * leading directories past the cursor instead of feeding a top-K
+    * heap from the whole collection. Same oracle — the index must not
+    * change a row. */
+  val collScrollIndexed = Q("coll_scroll_indexed",
+    (s, dir) =>
+      graft.sources.PayloadIndex.scrollAfter(s,
+          labelRangeIdxDir(s, dir), "vec_id",
+          afterOrder = 3L, afterId = 150L, pageSize = 20)
+        .select("vec_id", "label"),
+    collScroll.oracle)
+
+  /** Ordered scroll DESCENDING (Qdrant `order_by.direction: desc`),
+    * served from the same range index walking the bucket list
+    * backwards — the cursor sits mid-bucket so the boundary residual
+    * (`label < 6 OR (label = 6 AND vec_id < 950)`) is exercised at the
+    * gate. */
+  val collScrollDesc = Q("coll_scroll_desc",
+    (s, dir) =>
+      graft.sources.PayloadIndex.scrollAfter(s,
+          labelRangeIdxDir(s, dir), "vec_id",
+          afterOrder = 6L, afterId = 950L, pageSize = 20,
+          ascending = false)
+        .select("vec_id", "label"),
+    Some("""
+      SELECT vec_id, label
+      FROM embeddings
+      WHERE label < 6 OR (label = 6 AND vec_id < 950)
+      ORDER BY label DESC, vec_id DESC
+      LIMIT 20"""))
+
   /** Qdrant `count(exact=false)` analog: the approximate point count
     * under a DSL filter, via the KMV distinct-id sketch (ids are unique,
     * so distinct-count == count) — ≤64 longs shuffle instead of a full
@@ -690,6 +734,7 @@ object RecommendQueries {
   def queries: Seq[Q] = Seq(vRecommend, vRecommendLookup, vRecommendBest,
     vRecommendSum, vMatrix, vMmr,
     vKnnGroups, vKnnGroupsLookup, collCount, collCountApprox, collScroll,
+    collScrollIndexed, collScrollDesc,
     collFacet, collSample, collGet, vDiscover, vContext, chromaWhere,
     vSparseSearch,
     vSparseIndexed, vSparseIdf)

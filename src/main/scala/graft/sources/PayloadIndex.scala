@@ -332,6 +332,82 @@ object PayloadIndex {
     spark.read.parquet(dir).filter(prune).drop("pbucket", "src_bucket")
   }
 
+  /** Ordered scroll served from a RANGE index — Qdrant's `scroll` with
+    * `order_by`, which the server only permits on a field carrying a
+    * range-capable payload index (the documented precondition); this is
+    * the layout that precondition buys. The unindexed
+    * `Recommend.scrollOrdered` is row-identical but feeds a top-K heap
+    * from EVERY row of the collection; here the value-width `pbucket`
+    * partitioning is monotone in the key (bucket b's key range lies
+    * strictly below bucket b+1's — disjoint floor intervals), so the
+    * minimal prefix of value-ordered bucket directories holding
+    * `pageSize` qualifying rows bounds the page GLOBALLY: an
+    * ORDER BY + LIMIT that reads a few directories at file listing
+    * instead of scanning the corpus, at any collection size.
+    *
+    * The window is found by geometric expansion (1, 2, 4, … of the
+    * present buckets past the cursor — dir-level listing only, never a
+    * file enumeration), so total probe work is ≤ 2× the final window
+    * and the job count is logarithmic in it. Rows with a NULL key sit
+    * in the Hive default partition, which the bucket window never
+    * lists — exactly Qdrant's "points missing the order_by field are
+    * skipped" contract. Integral keys only (a TIMESTAMP key's order
+    * scroll goes through its epoch column, the [[IndexRouter]]
+    * discipline — a long cursor literal against a timestamp column
+    * would ride on cast coercions the bucket math must not depend
+    * on). */
+  def scrollAfter(spark: SparkSession, dir: String, idCol: String,
+                  afterOrder: Long, afterId: Long, pageSize: Int,
+                  ascending: Boolean = true): DataFrame = {
+    require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+    require(kindOf(dir) == "range",
+      s"index at $dir is a ${kindOf(dir)} index — ordered scroll " +
+        "needs a range index (buildRange)")
+    require(Set("tinyint", "smallint", "int", "bigint")(keyTypeOf(dir)),
+      s"ordered scroll needs an integral key, got ${keyTypeOf(dir)} " +
+        "(scroll a timestamp key through its epoch column)")
+    val key = keyOf(dir)
+    val (origin, width) = rangeParamsOf(dir)
+    val b0 = bucketOfValue(afterOrder, origin, width)
+    // present value buckets, dir-level glob (∝ bucket dirs, not files)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val present = fs
+      .globStatus(new org.apache.hadoop.fs.Path(dir,
+        "src_bucket=*/pbucket=*"))
+      .toSeq.map(_.getPath.getName.stripPrefix("pbucket="))
+      .filter(_.matches("-?\\d+")).map(_.toLong).distinct.sorted
+    val ahead =
+      if (ascending) present.filter(_ >= b0)
+      else present.filter(_ <= b0).reverse
+    val residual =
+      if (ascending)
+        col(key) > lit(afterOrder) ||
+          (col(key) === lit(afterOrder) && col(idCol) > lit(afterId))
+      else
+        col(key) < lit(afterOrder) ||
+          (col(key) === lit(afterOrder) && col(idCol) < lit(afterId))
+    def window(n: Int): DataFrame = {
+      val w = ahead.take(n)
+      spark.read.parquet(dir)
+        .filter(col("pbucket") >= lit(w.min) &&
+          col("pbucket") <= lit(w.max) && residual)
+    }
+    if (ahead.isEmpty)
+      // cursor past the last (first, desc) present bucket: empty page,
+      // original schema
+      return spark.read.parquet(dir).filter(lit(false))
+        .drop("pbucket", "src_bucket")
+    var n = 1
+    while (n < ahead.length &&
+        window(n).limit(pageSize).count() < pageSize)
+      n = math.min(n * 2, ahead.length)
+    val ordered =
+      if (ascending) window(n).orderBy(col(key), col(idCol))
+      else window(n).orderBy(col(key).desc, col(idCol).desc)
+    ordered.limit(pageSize).drop("pbucket", "src_bucket")
+  }
+
   // ---------------------------------------------------------------------
   // Geo field schema (Qdrant geo index type)
   // ---------------------------------------------------------------------

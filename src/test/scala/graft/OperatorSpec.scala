@@ -2349,4 +2349,62 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(out == expect, "novelty diverged from the naive model")
     assert(out.forall(r => r._3 >= 0 && r._3 <= 1000))
   }
+
+  test("range-index ordered scroll: row-identical to the unindexed " +
+       "keyset page at every cursor shape, skips files, skips NULL " +
+       "keys, empty past the tail") {
+    import spark.implicits._
+    import graft.sources.PayloadIndex
+    val root = java.nio.file.Files.createTempDirectory("graft-scroll")
+      .toString
+    // 1000 rows, key = id/10 (values 0..99), every 97th key NULL;
+    // width 5 → 20 value buckets
+    val df = (0L until 1000L).map { i =>
+      (i, if (i % 97 == 0) None else Some((i / 10).toInt))
+    }.toDF("id", "k")
+    val idx = s"$root/sidx"
+    PayloadIndex.buildRange(df, "k", "id", idx, origin = 0L, width = 5L)
+    def brute(after: Long, afterId: Long, n: Int,
+              asc: Boolean): Seq[(Long, Int)] = {
+      val q = df.filter(
+        if (asc) col("k") > after ||
+          (col("k") === after && col("id") > afterId)
+        else col("k") < after ||
+          (col("k") === after && col("id") < afterId))
+      val o = if (asc) q.orderBy(col("k"), col("id"))
+              else q.orderBy(col("k").desc, col("id").desc)
+      o.limit(n).select("id", "k").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    }
+    def served(after: Long, afterId: Long, n: Int,
+               asc: Boolean): Seq[(Long, Int)] =
+      PayloadIndex.scrollAfter(spark, idx, "id", after, afterId, n, asc)
+        .select("id", "k").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // mid-bucket cursor, bucket-boundary cursor (value 4→5 crosses
+    // pbucket 0→1), cursor before all data, page spanning several
+    // buckets, both directions
+    for ((a, aid, n, asc) <- Seq(
+        (37L, 373L, 25, true), (4L, 49L, 30, true),
+        (-5L, 0L, 40, true), (10L, 105L, 200, true),
+        (62L, 625L, 25, false), (5L, 50L, 30, false),
+        (120L, 0L, 40, false)))
+      assert(served(a, aid, n, asc) == brute(a, aid, n, asc),
+        s"scroll mismatch at cursor ($a, $aid, asc=$asc)")
+    // NULL keys are never returned (Qdrant: points missing the
+    // order_by field are skipped)
+    assert(served(-5L, 0L, 1000, true).size ==
+      brute(-5L, 0L, 1000, true).size)
+    // past the tail → empty page, schema intact
+    val tail = PayloadIndex.scrollAfter(spark, idx, "id", 99L, 999L, 20)
+    assert(tail.columns.toSeq == Seq("id", "k"))
+    assert(tail.count() == 0L)
+    // the page read must SKIP files: a late cursor lists only the
+    // trailing value buckets
+    val all = scannedFiles(spark.read.parquet(idx))
+    val page = scannedFiles(
+      PayloadIndex.scrollAfter(spark, idx, "id", 90L, 0L, 10))
+    assert(page < all,
+      s"ordered scroll scanned every file ($page of $all) — no pruning")
+  }
 }
