@@ -393,6 +393,118 @@ object AnnQueries {
                AS kept_id_sum
       FROM ranked GROUP BY cluster ORDER BY cluster"""))
 
+  /** Bulk kNN JOIN ([[Ann.knnJoin]]): every embedding's approximate
+    * top-3 cosine neighbors in one pass — the kNN-graph construction
+    * primitive. Candidates are hyperplane-LSH band collisions (the
+    * `dedup_embed` geometry, auto-sized from the corpus estimate and
+    * resolving to the pinned (6, 6) at gate SFs so the static oracle
+    * replays it); each source keeps a bounded top-k heap with map-side
+    * partials — no window sort, no all-pairs anywhere. The oracle
+    * replays banding, exact scoring, and the (desc micro-score, asc
+    * neighbor) rank order per source. */
+  val vKnnJoin = Q("v_knn_join",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (bands, ps) = DedupQueries.embGeometry(s, dir)
+      Ann.knnJoin(emb, "vec_id", "embedding", ps, bands, k = 3)
+        .orderBy("src_id", "rnk")
+    },
+    Some(s"""
+      $knnJoinCtes
+      SELECT src_id, nbr_id, score_micro, rnk
+      FROM ranked WHERE rnk <= 3
+      ORDER BY src_id, rnk"""))
+
+  /** NN-descent refinement round ([[Ann.knnRefine]]) over the
+    * `v_knn_join` base graph — the recall-improving second stage of
+    * kNN-graph construction. The base graph is materialized ONCE per
+    * fixture ([[Tables.memoTempDir]] — the derived-layout discipline; at
+    * scale the base graph is a written table and each refinement round
+    * reads the previous round's output), then candidates = base ∪
+    * reverse(base) ∪ base∘base, rescored exactly, per-source bounded
+    * heap. The oracle replays the base chain and the three expansion
+    * arms in one statement; the refined score at each rank dominates the
+    * base's (candidates ⊇ base edges — spec-asserted). */
+  val vKnnJoinRefined = Q("v_knn_join_refined",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val baseDir = Tables.memoTempDir("knnjoin", dir) { target =>
+        val (bands, ps) = DedupQueries.embGeometry(s, dir)
+        Ann.knnJoin(emb, "vec_id", "embedding", ps, bands, k = 3)
+          .write.mode("overwrite").parquet(target)
+      }
+      Ann.knnRefine(emb, "vec_id", "embedding",
+          s.read.parquet(baseDir), k = 3)
+        .orderBy("src_id", "rnk")
+    },
+    Some(s"""
+      $knnJoinCtes,
+      base AS (SELECT src_id, nbr_id FROM ranked WHERE rnk <= 3),
+      expand AS (
+        SELECT src_id, nbr_id FROM base
+        UNION
+        SELECT nbr_id AS src_id, src_id AS nbr_id FROM base
+        UNION
+        SELECT e1.src_id, e2.nbr_id
+        FROM base e1 JOIN base e2 ON e1.nbr_id = e2.src_id),
+      cand2 AS (
+        SELECT src_id, nbr_id FROM expand WHERE src_id <> nbr_id),
+      scored2 AS (${cosineScoredSql("cand2")}),
+      ranked2 AS (
+        SELECT src_id, nbr_id, score_micro,
+               CAST(ROW_NUMBER() OVER (PARTITION BY src_id
+                 ORDER BY score_micro DESC, nbr_id) AS BIGINT) AS rnk
+        FROM scored2)
+      SELECT src_id, nbr_id, score_micro, rnk
+      FROM ranked2 WHERE rnk <= 3
+      ORDER BY src_id, rnk"""))
+
+  /** Exact cosine scoring of a candidate-pair CTE (columns `src_id`,
+    * `nbr_id`) against the embeddings table, micro-quantized — the
+    * shared verify stage of the kNN-join oracles. */
+  private def cosineScoredSql(candCte: String): String = s"""
+        SELECT n.src_id, n.nbr_id,
+               CAST(floor(
+                 list_inner_product(CAST(sa.embedding AS DOUBLE[]),
+                                    CAST(sb.embedding AS DOUBLE[]))
+                 / (sqrt(list_inner_product(CAST(sa.embedding AS DOUBLE[]),
+                                            CAST(sa.embedding AS DOUBLE[])))
+                    * sqrt(list_inner_product(CAST(sb.embedding AS DOUBLE[]),
+                                              CAST(sb.embedding AS DOUBLE[]))))
+                 * 1000000 + 0.5) AS BIGINT) AS score_micro
+        FROM $candCte n
+        JOIN embeddings sa ON sa.vec_id = n.src_id
+        JOIN embeddings sb ON sb.vec_id = n.nbr_id"""
+
+  /** Shared oracle chain of the bulk-kNN-join family: per-band bucket
+    * columns → distinct collision pairs (either direction) → exact
+    * micro-quantized cosine → per-source rank. Ends at `ranked`;
+    * callers append the final SELECT (and the refined form its
+    * expansion CTEs). Geometry is the pinned gate-SF resolution of the
+    * auto-sizer, exactly like `dedup_embed`'s oracle. */
+  private lazy val knnJoinCtes: String = {
+    val per = DedupQueries.embPlanes.length / DedupQueries.embBands
+    val bucketCols = (0 until DedupQueries.embBands).map { b =>
+      s"${bucketSqlFor("embedding",
+        DedupQueries.embPlanes.slice(b * per, (b + 1) * per))} AS b$b"
+    }.mkString(", ")
+    val orJoin = (0 until DedupQueries.embBands)
+      .map(b => s"a.b$b = c.b$b").mkString(" OR ")
+    s"""
+      WITH bk AS (
+        SELECT vec_id, embedding, $bucketCols FROM embeddings),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS src_id, c.vec_id AS nbr_id
+        FROM bk a JOIN bk c ON a.vec_id <> c.vec_id AND ($orJoin)),
+      scored AS (${cosineScoredSql("cand")}),
+      ranked AS (
+        SELECT src_id, nbr_id, score_micro,
+               CAST(ROW_NUMBER() OVER (PARTITION BY src_id
+                 ORDER BY score_micro DESC, nbr_id) AS BIGINT) AS rnk
+        FROM scored)"""
+  }
+
   def queries: Seq[Q] = Seq(annKmeans, annIvf, annIvfIndexed,
-    annIvfFiltered, annLsh, annLshStats, pipeHardNegatives, pipeBalance)
+    annIvfFiltered, annLsh, annLshStats, pipeHardNegatives, pipeBalance,
+    vKnnJoin, vKnnJoinRefined)
 }

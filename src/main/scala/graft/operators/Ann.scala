@@ -241,6 +241,96 @@ object Ann {
       idCol, vecCol, query, k)
   }
 
+  /** Bulk kNN JOIN — every point's approximate top-`k` cosine
+    * neighbors in one distributed pass: the kNN-graph construction
+    * primitive (SemDeDup's cluster-free cousin, hard-negative mining
+    * with a large anchor side, graph-ANN edge init). Both sides are the
+    * whole collection, so the all-pairs form is structurally banned;
+    * candidates come from hyperplane-LSH band collisions exactly like
+    * [[graft.operators.Dedup]]'s embedding near-dup (shuffle ∝
+    * collisions, never n²), then each candidate pair is scored exactly
+    * and every source id keeps a bounded top-k heap with map-side
+    * partials ([[graft.plans.TopKByScore]] — no window sort over the
+    * candidate set). Scores are micro-quantized BEFORE ranking so rank
+    * ties break identically on any engine (desc score, asc neighbor
+    * id). Points whose bands collide with nothing yield no rows — the
+    * honest ANN contract; recall is the band geometry's recall
+    * ([[lshGeometryFor]] sizes it from the corpus estimate). `maxBucket`
+    * is [[Dedup.simhashCandidates]]'s super-bucket cap — the production
+    * knob for corpora with massive exact-duplicate clusters, where a
+    * single band bucket's pairs grow as its size² ([[Dedup.autoMaxBucket]]
+    * derives it; None keeps exact banded semantics for the oracle). */
+  def knnJoin(points: DataFrame, idCol: String, vecCol: String,
+              planes: Seq[Seq[Double]], bands: Int, k: Int,
+              maxBucket: Option[Int] = None): DataFrame = {
+    val banded = points.select(col(idCol),
+      posexplode(lshBandBuckets(col(vecCol), planes, bands))
+        .as(Seq("band", "bits")))
+    // undirected collision pairs from the shared banded core (with the
+    // super-bucket cap), then both directions — each side is a source
+    val undirected =
+      Dedup.bandedPairs(banded, Seq("band", "bits"), idCol, maxBucket)
+    val cands = undirected
+      .select(col("doc_a").as("__src"), col("doc_b").as("__dst"))
+      .union(undirected
+        .select(col("doc_b").as("__src"), col("doc_a").as("__dst")))
+    scoreTopK(cands, points, idCol, vecCol, k)
+  }
+
+  /** One NN-descent refinement round (Dong et al. 2011, WWW) over a base
+    * kNN graph `base` (the [[knnJoin]] output shape `(src_id, nbr_id,
+    * ...)`) — the standard recall-improving second stage of distributed
+    * kNN-graph construction: a point's true neighbors are usually
+    * neighbors OF its current approximate neighbors. Candidates per
+    * source = its current neighbors ∪ its REVERSE neighbors ∪ its
+    * neighbors' neighbors (one forward hop) — |E|·(k+2) rows at most,
+    * never corpus², and the exact rescoring runs on candidates only with
+    * the same bounded per-source heap as [[knnJoin]]. Because the
+    * candidate set contains every base edge, the refined score at each
+    * rank dominates the base score at that rank (monotone improvement —
+    * spec-asserted). Deterministic given `base`: no sampling, exact
+    * scoring, micro-quantized rank order — the oracle replays the
+    * expansion as three UNION arms over the base ranking. */
+  def knnRefine(points: DataFrame, idCol: String, vecCol: String,
+                base: DataFrame, k: Int): DataFrame = {
+    val edges = base.select(col("src_id"), col("nbr_id"))
+    val hop = edges.as("e1")
+      .join(edges.as("e2"), col("e1.nbr_id") === col("e2.src_id"))
+      .select(col("e1.src_id").as("__src"), col("e2.nbr_id").as("__dst"))
+    val cands = edges.select(col("src_id").as("__src"),
+        col("nbr_id").as("__dst"))
+      .union(edges.select(col("nbr_id").as("__src"),
+        col("src_id").as("__dst")))
+      .union(hop)
+      .filter(col("__src") =!= col("__dst"))
+      .distinct()
+    scoreTopK(cands, points, idCol, vecCol, k)
+  }
+
+  /** Shared exact-scoring tail of [[knnJoin]]/[[knnRefine]]: join the
+    * candidate (`__src`,`__dst`) pairs back to their vectors, score
+    * cosine micro-quantized, keep each source's bounded top-`k` heap
+    * (map-side partials — no window sort), ranked (desc score, asc
+    * neighbor id). */
+  private def scoreTopK(cands: DataFrame, points: DataFrame,
+                        idCol: String, vecCol: String, k: Int): DataFrame =
+    cands
+      .join(points.select(col(idCol).as("__src"),
+        col(vecCol).as("__sv")), "__src")
+      .join(points.select(col(idCol).as("__dst"),
+        col(vecCol).as("__dv")), "__dst")
+      .withColumn("__sm",
+        floor(VectorOps.cosine(col("__sv"), col("__dv")) * 1e6
+          + lit(0.5)).cast("double"))
+      .groupBy("__src")
+      .agg(graft.plans.TopKByScore.topK(col("__sm"), col("__dst"), k)
+        .as("__tk"))
+      .select(col("__src").as("src_id"),
+        posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col("src_id"), col("__e.id").as("nbr_id"),
+        col("__e.score").cast("long").as("score_micro"),
+        (col("__pos") + 1).cast("long").as("rnk"))
+
   /** IVF search: probe the `nprobe` nearest clusters to the query, exact
     * cosine top-k within them. */
   def ivfSearch(coll: DataFrame, idCol: String, vecCol: String,

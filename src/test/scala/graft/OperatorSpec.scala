@@ -2350,6 +2350,134 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall(r => r._3 >= 0 && r._3 <= 1000))
   }
 
+  test("knn join: planted exact duplicates are each other's rank-1 " +
+       "neighbor at score 1e6; no self pairs; ranks dense from 1") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").limit(60)
+    val dup = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    val pts = emb.unionByName(dup)
+    val planes = Ann.hyperplanes(36, 64)
+    val out = Ann.knnJoin(pts, "vec_id", "embedding", planes,
+        bands = 6, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ids = emb.select("vec_id").collect().map(_.getLong(0))
+    val rank1 = out.filter(_._4 == 1L).map(t => t._1 -> (t._2, t._3)).toMap
+    ids.foreach { id =>
+      // an exact copy collides in EVERY band and scores exactly 1e6;
+      // ties on the score break toward the smaller neighbor id, which
+      // the plant wins only when no other exact dup exists — here the
+      // corpus has none (max natural cosine ≈ 0.51)
+      assert(rank1(id) == (id + 100000L, 1000000L),
+        s"plant not rank-1 for $id: ${rank1.get(id)}")
+      assert(rank1(id + 100000L) == (id, 1000000L),
+        s"plant's own rank-1 is not the original for $id")
+    }
+    assert(out.forall(t => t._1 != t._2), "self pair leaked")
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._4).sorted.toSeq ==
+        (1L to rows.length.toLong).toSeq, s"ranks not dense for $src")
+      assert(rows.map(_._2).distinct.length == rows.length,
+        s"duplicate neighbor for $src")
+    }
+  }
+
+  test("knn refine: per-rank score dominates the base graph (candidates " +
+       "are a superset of base edges), planted dups stay rank-1, ranks " +
+       "dense, no self pairs") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").limit(60)
+    val dup = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    val pts = emb.unionByName(dup)
+    val planes = Ann.hyperplanes(36, 64)
+    val base = Ann.knnJoin(pts, "vec_id", "embedding", planes,
+      bands = 6, k = 3)
+    val refined = Ann.knnRefine(pts, "vec_id", "embedding", base, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val baseRows = base.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val refScore = refined.map(t => (t._1, t._4) -> t._3).toMap
+    baseRows.foreach { case (src, _, sc, rnk) =>
+      assert(refScore.getOrElse((src, rnk), Long.MinValue) >= sc,
+        s"refined rank-$rnk score for $src regressed below base")
+    }
+    val rank1 = refined.filter(_._4 == 1L)
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    emb.select("vec_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(rank1(id) == (id + 100000L, 1000000L))
+      assert(rank1(id + 100000L) == (id, 1000000L))
+    }
+    assert(refined.forall(t => t._1 != t._2), "self pair leaked")
+    refined.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._4).sorted.toSeq ==
+        (1L to rows.length.toLong).toSeq, s"ranks not dense for $src")
+    }
+  }
+
+  test("knn join super-bucket cap: tuple-identical to an independent " +
+       "driver reimplementation (banding, cap filter, exact scoring, " +
+       "rank); a 40-clone cluster contributes nothing under the cap") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").limit(60)
+    val cloneVec = emb.limit(1)
+    val clones = (0 until 40).map(i => cloneVec
+      .select((lit(200000L + i)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val pts = emb.unionByName(clones)
+    val planes = Ann.hyperplanes(36, 64)
+    val cap = 32
+    val engine = Ann.knnJoin(pts, "vec_id", "embedding", planes,
+        bands = 6, k = 3, maxBucket = Some(cap)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // independent reimplementation, mirroring the kernels' sequential
+    // double arithmetic (DotProductExpr / CosineSimExpr loops)
+    val rows = pts.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def dotD(v: Array[Double], p: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * p(i); i += 1 }; s
+    }
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); xx += a(i) * a(i); yy += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    val byBucket: Map[(Int, Long), Seq[Long]] = rows.toSeq
+      .flatMap { case (id, v) =>
+        (0 until 6).map { b =>
+          val bits = (0 until 6).map { p =>
+            if (dotD(v, planes(b * 6 + p)) > 0.0) 1L << p else 0L
+          }.sum
+          (b, bits) -> id
+        }
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val candPairs: Set[(Long, Long)] = byBucket.values
+      .filter(_.length <= cap)
+      .flatMap(ids => for (a <- ids; b <- ids if a != b) yield (a, b))
+      .toSet
+    assert(candPairs.forall(t => t._1 < 200000L && t._2 < 200000L),
+      "a clone-saturated bucket slipped under the cap")
+    val vecOf = rows.toMap
+    val expected = candPairs.groupBy(_._1).flatMap { case (src, ps) =>
+      ps.toSeq.map { case (_, nbr) =>
+        (nbr, math.floor(cosD(vecOf(src), vecOf(nbr)) * 1e6 + 0.5).toLong)
+      }.sortBy { case (nbr, sc) => (-sc, nbr) }
+        .take(3).zipWithIndex
+        .map { case ((nbr, sc), i) => (src, nbr, sc, i + 1L) }
+    }.toSet
+    assert(expected.nonEmpty,
+      "vectors outside the clone cluster must keep their pairs")
+    assert(engine == expected,
+      s"engine != reimplementation: extra=${engine -- expected} " +
+      s"missing=${expected -- engine}")
+  }
+
   test("range-index ordered scroll: row-identical to the unindexed " +
        "keyset page at every cursor shape, skips files, skips NULL " +
        "keys, empty past the tail") {
