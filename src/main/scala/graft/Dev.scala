@@ -324,6 +324,44 @@ object Dev {
         val stats = hits.agg(avg("count"), min("count")).head()
         println(f"graph quality: avg exact-neighbor overlap " +
           f"${stats.getDouble(0)}%.2f / $m, min ${stats.getLong(1)}")
+      case "knnquality" :: dir :: Nil =>
+        // bulk-kNN-join quality: recall@3 of the LSH-banded base graph
+        // and of successive NN-descent rounds, against the exact top-3
+        // of EVERY point (all-pairs is fine for a diagnostic corpus)
+        import org.apache.spark.sql.functions._
+        val emb = Tables.load(spark, dir, "embeddings")
+          .select("vec_id", "embedding").persist()
+        val (bands, ps) = DedupQueries.embGeometry(spark, dir)
+        val k = 3
+        val n = emb.count()
+        val exact = emb.select(col("vec_id").as("qid"),
+            col("embedding").as("qv"))
+          .crossJoin(emb.select(col("vec_id").as("nid"),
+            col("embedding").as("nv")))
+          .filter(col("qid") =!= col("nid"))
+          .withColumn("__s", graft.functions.VectorOps.cosine(
+            col("qv"), col("nv")))
+          .groupBy("qid")
+          .agg(graft.plans.TopKByScore.topK(col("__s"), col("nid"), k)
+            .as("tk"))
+          .select(col("qid"), explode(col("tk.id")).as("nbr"))
+          .persist()
+        def recall(g: org.apache.spark.sql.DataFrame, label: String)
+            : Unit = {
+          val hit = exact.join(g.select(col("src_id").as("qid"),
+              col("nbr_id").as("nbr")), Seq("qid", "nbr"))
+            .count()
+          println(f"  $label%-24s recall@$k = ${hit.toDouble / (n * k)}%.3f" +
+            f"  ($hit/${n * k})")
+        }
+        val base = graft.operators.Ann.knnJoin(
+          emb, "vec_id", "embedding", ps, bands, k).persist()
+        recall(base, "base LSH graph")
+        val r1 = graft.operators.Ann.knnRefine(
+          emb, "vec_id", "embedding", base, k).persist()
+        recall(r1, "NN-descent round 1")
+        recall(graft.operators.Ann.knnRefine(
+          emb, "vec_id", "embedding", r1, k), "NN-descent round 2")
       case "graphrecall" :: dir :: Nil =>
         // recall@10 + candidate budget: beam search vs IVF, per query id
         import org.apache.spark.sql.functions._

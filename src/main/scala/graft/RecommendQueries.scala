@@ -159,6 +159,34 @@ object RecommendQueries {
       FROM r WHERE rnk <= 3
       ORDER BY id_a, rnk"""))
 
+  /** Offsets form of the distance-matrix API (`search_matrix_offsets`):
+    * the same matrix addressed by offsets into the ascending sampled-id
+    * array (Qdrant's flat wire shape, one cell per row). Ascending ids ↔
+    * ascending offsets, so the oracle's offset tie-break replays the
+    * engine's id tie-break exactly. */
+  val vMatrixOffsets = Q("v_matrix_offsets",
+    (s, dir) =>
+      Recommend.searchMatrixOffsets(Tables.load(s, dir, "embeddings"),
+          "embedding", "vec_id", n = 20, k = 3)
+        .orderBy("offset_row", "rnk"),
+    Some("""
+      WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                        CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                          AS BIGINT) AS off
+                 FROM embeddings ORDER BY vec_id LIMIT 20),
+      pairs AS (
+        SELECT a.off AS offset_row, b.off AS offset_col,
+               CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5)
+                 AS BIGINT) AS score_micro
+        FROM s a JOIN s b ON a.vec_id <> b.vec_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY offset_row
+                                         ORDER BY score_micro DESC,
+                                                  offset_col) AS rnk
+            FROM pairs)
+      SELECT offset_row, offset_col, score_micro, CAST(rnk AS INT) AS rnk
+      FROM r WHERE rnk <= 3
+      ORDER BY offset_row, rnk"""))
+
   /** The unrolled greedy-selection SQL for [[vMmr]]: step i picks the
     * argmax of `λ·rel − (1−λ)·max-sim-to-selected` among unselected pool
     * members — one CTE per step, exactly the loop the engine runs
@@ -732,7 +760,7 @@ object RecommendQueries {
       LIMIT 10"""))
 
   def queries: Seq[Q] = Seq(vRecommend, vRecommendLookup, vRecommendBest,
-    vRecommendSum, vMatrix, vMmr,
+    vRecommendSum, vMatrix, vMatrixOffsets, vMmr,
     vKnnGroups, vKnnGroupsLookup, collCount, collCountApprox, collScroll,
     collScrollIndexed, collScrollDesc,
     collFacet, collSample, collGet, vDiscover, vContext, chromaWhere,

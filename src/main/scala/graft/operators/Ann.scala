@@ -267,14 +267,29 @@ object Ann {
       posexplode(lshBandBuckets(col(vecCol), planes, bands))
         .as(Seq("band", "bits")))
     // undirected collision pairs from the shared banded core (with the
-    // super-bucket cap), then both directions — each side is a source
+    // super-bucket cap); cosine is symmetric, so each pair is vector-
+    // joined and scored ONCE, then mirrored into both directions inside
+    // the same codegen pass (explode of a 2-struct array — a union of
+    // swapped projections re-executed the whole scoring subtree per
+    // branch: measured 488 s warm at the 100× probe before this shape)
     val undirected =
       Dedup.bandedPairs(banded, Seq("band", "bits"), idCol, maxBucket)
-    val cands = undirected
-      .select(col("doc_a").as("__src"), col("doc_b").as("__dst"))
-      .union(undirected
-        .select(col("doc_b").as("__src"), col("doc_a").as("__dst")))
-    scoreTopK(cands, points, idCol, vecCol, k)
+    val scored = undirected
+      .join(points.select(col(idCol).as("doc_a"),
+        col(vecCol).as("__va")), "doc_a")
+      .join(points.select(col(idCol).as("doc_b"),
+        col(vecCol).as("__vb")), "doc_b")
+      .withColumn("__sm",
+        floor(VectorOps.cosine(col("__va"), col("__vb")) * 1e6
+          + lit(0.5)).cast("double"))
+      .select(explode(array(
+        struct(col("doc_a").as("s"), col("doc_b").as("d"),
+          col("__sm").as("m")),
+        struct(col("doc_b").as("s"), col("doc_a").as("d"),
+          col("__sm").as("m")))).as("__e"))
+      .select(col("__e.s").as("__src"), col("__e.d").as("__dst"),
+        col("__e.m").as("__sm"))
+    heapRank(scored, k)
   }
 
   /** One NN-descent refinement round (Dong et al. 2011, WWW) over a base
@@ -307,21 +322,26 @@ object Ann {
     scoreTopK(cands, points, idCol, vecCol, k)
   }
 
-  /** Shared exact-scoring tail of [[knnJoin]]/[[knnRefine]]: join the
-    * candidate (`__src`,`__dst`) pairs back to their vectors, score
-    * cosine micro-quantized, keep each source's bounded top-`k` heap
-    * (map-side partials — no window sort), ranked (desc score, asc
-    * neighbor id). */
+  /** Shared exact-scoring tail for directed candidate pairs
+    * ([[knnRefine]]): join (`__src`,`__dst`) back to their vectors,
+    * score cosine micro-quantized, then [[heapRank]]. */
   private def scoreTopK(cands: DataFrame, points: DataFrame,
                         idCol: String, vecCol: String, k: Int): DataFrame =
-    cands
+    heapRank(cands
       .join(points.select(col(idCol).as("__src"),
         col(vecCol).as("__sv")), "__src")
       .join(points.select(col(idCol).as("__dst"),
         col(vecCol).as("__dv")), "__dst")
       .withColumn("__sm",
         floor(VectorOps.cosine(col("__sv"), col("__dv")) * 1e6
-          + lit(0.5)).cast("double"))
+          + lit(0.5)).cast("double")), k)
+
+  /** Bounded per-source top-`k` over scored directed pairs
+    * (`__src`,`__dst`,`__sm`): one heap per source with map-side
+    * partials ([[graft.plans.TopKByScore]] — no window sort), ranked
+    * (desc score, asc neighbor id). */
+  private def heapRank(scored: DataFrame, k: Int): DataFrame =
+    scored
       .groupBy("__src")
       .agg(graft.plans.TopKByScore.topK(col("__sm"), col("__dst"), k)
         .as("__tk"))

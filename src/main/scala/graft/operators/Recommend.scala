@@ -270,6 +270,34 @@ object Recommend {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** The offsets form of the distance-matrix API
+    * (`search_matrix_offsets`): the same matrix as [[searchMatrix]] with
+    * each point addressed by its OFFSET into the ascending sampled-id
+    * array — the wire shape Qdrant's offsets variant returns
+    * (`offsets_row`/`offsets_col` indexing an `ids` list). Rendered
+    * relationally one cell per row; ascending ids make offsets
+    * order-isomorphic to ids, so the rank tie-break is unchanged. Same
+    * scale shape as the pairs form: the collection is never shuffled,
+    * only the n-row sample broadcast-self-joins. */
+  def searchMatrixOffsets(coll: DataFrame, vecCol: String, idCol: String,
+                          n: Int, k: Int): DataFrame = {
+    val pairs = searchMatrix(coll, vecCol, idCol, n, k)
+    val sampleIds = coll.select(col(idCol)).orderBy(col(idCol)).limit(n)
+      .collect().map(_.getLong(0))
+    val spark = coll.sparkSession
+    import spark.implicits._
+    val off = sampleIds.zipWithIndex
+      .map { case (id, i) => (id, i.toLong) }.toSeq
+      .toDF("__id", "__off")
+    pairs
+      .join(broadcast(off.select(col("__id").as("id_a"),
+        col("__off").as("offset_row"))), "id_a")
+      .join(broadcast(off.select(col("__id").as("id_b"),
+        col("__off").as("offset_col"))), "id_b")
+      .select(col("offset_row"), col("offset_col"), col("score_micro"),
+        col("rnk"))
+  }
+
   /** Maximal-marginal-relevance (MMR) diversity re-ranking — the greedy
     * `λ·relevance − (1−λ)·redundancy` selection over a bounded relevance
     * pool (the diversity option of modern vector-search query APIs; the

@@ -234,6 +234,29 @@ class RecommendSpec extends AnyFunSuite with SparkSpec {
     assert(m.map(_.getLong(0)).distinct.length == 10)
   }
 
+  test("searchMatrixOffsets: the pairs matrix relabeled through the " +
+       "ascending sample-id -> offset bijection, cell for cell") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val ids = emb.select("vec_id").orderBy("vec_id").limit(10)
+      .collect().map(_.getLong(0))
+    val offOf = ids.zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    val pairs = Recommend.searchMatrix(emb, "embedding", "vec_id", 10, 3)
+      .collect()
+      .map(r => (offOf(r.getLong(0)), offOf(r.getLong(1)), r.getLong(2),
+        r.getInt(3)))
+      .toSet
+    val offsets = Recommend
+      .searchMatrixOffsets(emb, "embedding", "vec_id", 10, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(offsets == pairs,
+      s"offsets form diverged: extra=${offsets -- pairs} " +
+      s"missing=${pairs -- offsets}")
+    assert(offsets.forall(t => t._1 >= 0 && t._1 < 10 &&
+      t._2 >= 0 && t._2 < 10), "offset out of sample range")
+  }
+
   test("mmr: a duplicate of the first pick is suppressed by the " +
        "redundancy penalty; plain top-k would keep it") {
     val emb = Tables.load(spark, sf, "embeddings")
