@@ -277,6 +277,45 @@ object RecommendQueries {
       FROM hits h JOIN g ON g.label = h.label
       ORDER BY h.label, h.rnk"""))
 
+  /** `recommend_groups` (the recommend-by-examples × grouped-results
+    * composition of the public API): combined vector from positives
+    * {0, 1} / negative {2}, examples excluded, top-2 hits per label for
+    * the 3 best labels. The oracle is `v_recommend`'s combined-vector
+    * CTE feeding `v_knn_groups`' group chain — exactly the composition
+    * the engine runs. */
+  val vRecommendGroups = Q("v_recommend_groups",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Recommend.recommendGroups(emb, "embedding", "vec_id", "label",
+          positiveIds = Seq(0L, 1L), negativeIds = Seq(2L),
+          groups = 3, groupSize = 2)
+        .orderBy("label", "rnk")
+    },
+    Some("""
+      WITH p1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+      p2 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 1),
+      n1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 2),
+      q AS (SELECT list_transform(range(64), i ->
+              (p1.v[i+1] + p2.v[i+1]) / 2
+              + ((p1.v[i+1] + p2.v[i+1]) / 2 - n1.v[i+1])) AS qv
+            FROM p1, p2, n1),
+      scored AS (
+        SELECT vec_id, label,
+               CAST(floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv)
+                 * 1000000 + 0.5) AS BIGINT) AS score_micro
+        FROM embeddings, q
+        WHERE vec_id NOT IN (0, 1, 2)),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY score_micro DESC, vec_id) AS rnk
+        FROM scored),
+      hits AS (SELECT * FROM r WHERE rnk <= 2),
+      g AS (SELECT label, MAX(score_micro) AS best FROM hits GROUP BY label
+            ORDER BY best DESC, label LIMIT 3)
+      SELECT h.label, h.vec_id, h.score_micro, CAST(h.rnk AS INT) AS rnk
+      FROM hits h JOIN g ON g.label = h.label
+      ORDER BY h.label, h.rnk"""))
+
   /** Grouped search with LOOKUP (`search_groups` + `with_lookup`): the
     * group key (label) resolves against a lookup collection — here the
     * nation table stands in as the lookup collection keyed by
@@ -760,7 +799,7 @@ object RecommendQueries {
       LIMIT 10"""))
 
   def queries: Seq[Q] = Seq(vRecommend, vRecommendLookup, vRecommendBest,
-    vRecommendSum, vMatrix, vMatrixOffsets, vMmr,
+    vRecommendSum, vRecommendGroups, vMatrix, vMatrixOffsets, vMmr,
     vKnnGroups, vKnnGroupsLookup, collCount, collCountApprox, collScroll,
     collScrollIndexed, collScrollDesc,
     collFacet, collSample, collGet, vDiscover, vContext, chromaWhere,

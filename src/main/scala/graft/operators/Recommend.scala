@@ -99,6 +99,29 @@ object Recommend {
         (col("__pos") + 1).cast("int").as("rnk"))
   }
 
+  /** Qdrant `recommend_groups` (public API): [[recommend]]'s combined
+    * example-vector scoring (`average_vector` strategy, example points
+    * excluded) delivered through [[searchGroups]]' grouped shape — top
+    * `groupSize` hits per group for the `groups` best groups, groups
+    * ranked by their best hit. Composed from the two public verbs it
+    * combines (the example lookup + combined vector from [[recommend]],
+    * the bounded per-group heap from [[searchGroups]]), so the composed
+    * verb cannot drift from its parts — the spec asserts row-identity
+    * with the hand-built composition. Scale shape inherits from both:
+    * one driver-side example lookup, a broadcast-literal scoring pass,
+    * map-side partial heaps, never a global window. */
+  def recommendGroups(coll: DataFrame, vecCol: String, idCol: String,
+                      groupCol: String,
+                      positiveIds: Seq[Long], negativeIds: Seq[Long],
+                      groups: Int, groupSize: Int): DataFrame = {
+    val all = exampleVectors(coll, idCol, vecCol, positiveIds ++ negativeIds)
+    val qv = averageVector(
+      all.take(positiveIds.length), all.drop(positiveIds.length))
+    searchGroups(
+      coll.filter(!col(idCol).isin((positiveIds ++ negativeIds): _*)),
+      vecCol, idCol, groupCol, qv, groups, groupSize)
+  }
+
   /** Recommend with `lookup_from` (public Qdrant API): the example ids
     * resolve against a DIFFERENT collection (and possibly a different
     * named vector) than the one being searched — the "query by items

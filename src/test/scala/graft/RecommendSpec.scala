@@ -234,6 +234,34 @@ class RecommendSpec extends AnyFunSuite with SparkSpec {
     assert(m.map(_.getLong(0)).distinct.length == 10)
   }
 
+  test("recommendGroups: row-identical to the hand-built composition " +
+       "(recommend's combined vector + exclusion through searchGroups); " +
+       "examples never appear; group shape bounded") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val pos = Seq(0L, 1L); val neg = Seq(2L)
+    val out = Recommend.recommendGroups(emb, "embedding", "vec_id",
+        "label", pos, neg, groups = 3, groupSize = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val all = Recommend.exampleVectors(emb, "vec_id", "embedding",
+      pos ++ neg)
+    val qv = Recommend.averageVector(all.take(pos.length),
+      all.drop(pos.length))
+    val hand = Recommend.searchGroups(
+        emb.filter(!col("vec_id").isin((pos ++ neg): _*)),
+        "embedding", "vec_id", "label", qv, groups = 3, groupSize = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSet == hand.toSet, "composition drifted from its parts")
+    assert(!out.exists(t => (pos ++ neg).contains(t._2)),
+      "example id leaked into the grouped results")
+    assert(out.map(_._1).distinct.length <= 3)
+    out.groupBy(_._1).foreach { case (g, rows) =>
+      assert(rows.length <= 2 && rows.map(_._4).sorted.toSeq ==
+        (1 to rows.length).toSeq, s"bad group shape for $g")
+    }
+  }
+
   test("searchMatrixOffsets: the pairs matrix relabeled through the " +
        "ascending sample-id -> offset bijection, cell for cell") {
     val emb = Tables.load(spark, sf, "embeddings")
