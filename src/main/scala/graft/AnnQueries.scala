@@ -476,6 +476,21 @@ object AnnQueries {
         JOIN embeddings sa ON sa.vec_id = n.src_id
         JOIN embeddings sb ON sb.vec_id = n.nbr_id"""
 
+  /** Shared banded-oracle SQL parts for a (planes, bands) hyperplane
+    * geometry: the per-band bucket column list (`… AS b0, …`) and the
+    * any-band OR-join predicate. Every oracle that replays banding
+    * (`dedup_embed`, the kNN-join family) builds from THIS pair, so the
+    * replayed geometry cannot drift between them. */
+  private[graft] def bandedOracleParts(planes: Seq[Seq[Double]],
+                                       bands: Int): (String, String) = {
+    val per = planes.length / bands
+    val bucketCols = (0 until bands).map { b =>
+      s"${bucketSqlFor("embedding", planes.slice(b * per, (b + 1) * per))} AS b$b"
+    }.mkString(", ")
+    val orJoin = (0 until bands).map(b => s"a.b$b = c.b$b").mkString(" OR ")
+    (bucketCols, orJoin)
+  }
+
   /** Shared oracle chain of the bulk-kNN-join family: per-band bucket
     * columns → distinct collision pairs (either direction) → exact
     * micro-quantized cosine → per-source rank. Ends at `ranked`;
@@ -483,13 +498,8 @@ object AnnQueries {
     * expansion CTEs). Geometry is the pinned gate-SF resolution of the
     * auto-sizer, exactly like `dedup_embed`'s oracle. */
   private lazy val knnJoinCtes: String = {
-    val per = DedupQueries.embPlanes.length / DedupQueries.embBands
-    val bucketCols = (0 until DedupQueries.embBands).map { b =>
-      s"${bucketSqlFor("embedding",
-        DedupQueries.embPlanes.slice(b * per, (b + 1) * per))} AS b$b"
-    }.mkString(", ")
-    val orJoin = (0 until DedupQueries.embBands)
-      .map(b => s"a.b$b = c.b$b").mkString(" OR ")
+    val (bucketCols, orJoin) =
+      bandedOracleParts(DedupQueries.embPlanes, DedupQueries.embBands)
     s"""
       WITH bk AS (
         SELECT vec_id, embedding, $bucketCols FROM embeddings),

@@ -314,12 +314,8 @@ object DedupQueries {
           floor(col("score") * 1e6 + lit(0.5)).cast("long").as("score_micro"))
     },
     Some({
-      val per = embPlanes.length / embBands
-      val bucketCols = (0 until embBands).map { b =>
-        s"${AnnQueries.bucketSqlFor("embedding", embPlanes.slice(b * per, (b + 1) * per))} AS b$b"
-      }.mkString(", ")
-      val orJoin = (0 until embBands).map(b => s"a.b$b = c.b$b")
-        .mkString(" OR ")
+      val (bucketCols, orJoin) =
+        AnnQueries.bandedOracleParts(embPlanes, embBands)
       s"""
       WITH bk AS (
         SELECT vec_id, embedding, $bucketCols FROM embeddings),

@@ -339,8 +339,8 @@ object Dev {
           .crossJoin(emb.select(col("vec_id").as("nid"),
             col("embedding").as("nv")))
           .filter(col("qid") =!= col("nid"))
-          .withColumn("__s", graft.functions.VectorOps.cosine(
-            col("qv"), col("nv")))
+          .withColumn("__s", floor(graft.functions.VectorOps.cosine(
+            col("qv"), col("nv")) * 1e6 + lit(0.5)).cast("double"))
           .groupBy("qid")
           .agg(graft.plans.TopKByScore.topK(col("__s"), col("nid"), k)
             .as("tk"))

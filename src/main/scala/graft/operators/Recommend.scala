@@ -42,6 +42,17 @@ object Recommend {
       throw new IllegalArgumentException(s"example id $id not found")))
   }
 
+  /** Example vectors split into (positives, negatives) in declaration
+    * order. The positional take/drop rides on [[exampleVectors]]
+    * preserving input-id order — that invariant lives HERE, once, for
+    * every recommend-family strategy. */
+  private def exampleSplit(coll: DataFrame, idCol: String, vecCol: String,
+                           positiveIds: Seq[Long], negativeIds: Seq[Long])
+      : (Seq[Seq[Double]], Seq[Seq[Double]]) = {
+    val all = exampleVectors(coll, idCol, vecCol, positiveIds ++ negativeIds)
+    (all.take(positiveIds.length), all.drop(positiveIds.length))
+  }
+
   /** Recommend API: score the collection against the combined example
     * vector, EXCLUDING the example points themselves (Qdrant semantics),
     * top-k by cosine. Same plan shape as plain kNN — a broadcast literal
@@ -54,9 +65,9 @@ object Recommend {
   def recommend(coll: DataFrame, vecCol: String, idCol: String,
                 positiveIds: Seq[Long], negativeIds: Seq[Long],
                 k: Int): DataFrame = {
-    val all = exampleVectors(coll, idCol, vecCol, positiveIds ++ negativeIds)
-    val qv = averageVector(
-      all.take(positiveIds.length), all.drop(positiveIds.length))
+    val (pos, neg) = exampleSplit(coll, idCol, vecCol,
+      positiveIds, negativeIds)
+    val qv = averageVector(pos, neg)
     Knn.scoreAll(
         coll.filter(!col(idCol).isin((positiveIds ++ negativeIds): _*)),
         vecCol, qv)
@@ -114,9 +125,9 @@ object Recommend {
                       groupCol: String,
                       positiveIds: Seq[Long], negativeIds: Seq[Long],
                       groups: Int, groupSize: Int): DataFrame = {
-    val all = exampleVectors(coll, idCol, vecCol, positiveIds ++ negativeIds)
-    val qv = averageVector(
-      all.take(positiveIds.length), all.drop(positiveIds.length))
+    val (pos, neg) = exampleSplit(coll, idCol, vecCol,
+      positiveIds, negativeIds)
+    val qv = averageVector(pos, neg)
     searchGroups(
       coll.filter(!col(idCol).isin((positiveIds ++ negativeIds): _*)),
       vecCol, idCol, groupCol, qv, groups, groupSize)
@@ -137,11 +148,9 @@ object Recommend {
                           lookupVecCol: String,
                           positiveIds: Seq[Long], negativeIds: Seq[Long],
                           k: Int): DataFrame = {
-    val all =
-      exampleVectors(lookup, lookupIdCol, lookupVecCol,
-        positiveIds ++ negativeIds)
-    val qv = averageVector(
-      all.take(positiveIds.length), all.drop(positiveIds.length))
+    val (pos, neg) = exampleSplit(lookup, lookupIdCol, lookupVecCol,
+      positiveIds, negativeIds)
+    val qv = averageVector(pos, neg)
     Knn.scoreAll(coll, vecCol, qv)
       .withColumn("score_micro",
         floor(col("score") * 1e6 + lit(0.5)).cast("long"))
@@ -187,9 +196,8 @@ object Recommend {
                          k: Int): DataFrame = {
     require(positiveIds.nonEmpty || negativeIds.nonEmpty,
       "recommend needs at least one positive or negative example")
-    val all = exampleVectors(coll, idCol, vecCol, positiveIds ++ negativeIds)
-    val (pos, neg) = (all.take(positiveIds.length),
-      all.drop(positiveIds.length))
+    val (pos, neg) = exampleSplit(coll, idCol, vecCol,
+      positiveIds, negativeIds)
     def bestSim(vs: Seq[Seq[Double]]): Column =
       vs.map(v => graft.functions.VectorOps.cosine(col(vecCol), typedLit(v)))
         match {
@@ -240,9 +248,8 @@ object Recommend {
                          k: Int): DataFrame = {
     require(positiveIds.nonEmpty || negativeIds.nonEmpty,
       "recommend needs at least one positive or negative example")
-    val all = exampleVectors(coll, idCol, vecCol, positiveIds ++ negativeIds)
-    val (pos, neg) = (all.take(positiveIds.length),
-      all.drop(positiveIds.length))
+    val (pos, neg) = exampleSplit(coll, idCol, vecCol,
+      positiveIds, negativeIds)
     def sim(v: Seq[Double]): Column =
       graft.functions.VectorOps.cosine(col(vecCol), typedLit(v))
     // bit-parity: keep the s0+s1+… reduce when positives exist (a 0.0
@@ -272,9 +279,19 @@ object Recommend {
     * per-point window over ≤ n rows. The collection itself is never
     * joined or shuffled. */
   def searchMatrix(coll: DataFrame, vecCol: String, idCol: String,
-                   n: Int, k: Int): DataFrame = {
-    val sampleIds = coll.select(col(idCol)).orderBy(col(idCol)).limit(n)
+                   n: Int, k: Int): DataFrame =
+    matrixPairs(coll, vecCol, idCol, sampleIdsOf(coll, idCol, n), k)
+
+  /** The pinned n-lowest-ids matrix sample — collected ONCE per query
+    * and passed to [[matrixPairs]], so the pairs and the offsets form
+    * can never be built from two different samples. */
+  private def sampleIdsOf(coll: DataFrame, idCol: String, n: Int)
+      : Array[Long] =
+    coll.select(col(idCol)).orderBy(col(idCol)).limit(n)
       .collect().map(_.getLong(0))
+
+  private def matrixPairs(coll: DataFrame, vecCol: String, idCol: String,
+                          sampleIds: Array[Long], k: Int): DataFrame = {
     val sample = coll.filter(col(idCol).isin(sampleIds: _*))
       .select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val other = coll.filter(col(idCol).isin(sampleIds: _*))
@@ -304,9 +321,8 @@ object Recommend {
     * only the n-row sample broadcast-self-joins. */
   def searchMatrixOffsets(coll: DataFrame, vecCol: String, idCol: String,
                           n: Int, k: Int): DataFrame = {
-    val pairs = searchMatrix(coll, vecCol, idCol, n, k)
-    val sampleIds = coll.select(col(idCol)).orderBy(col(idCol)).limit(n)
-      .collect().map(_.getLong(0))
+    val sampleIds = sampleIdsOf(coll, idCol, n)
+    val pairs = matrixPairs(coll, vecCol, idCol, sampleIds, k)
     val spark = coll.sparkSession
     import spark.implicits._
     val off = sampleIds.zipWithIndex
