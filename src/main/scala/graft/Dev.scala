@@ -126,7 +126,8 @@ object Dev {
           "v_cosine", "v_knn", "v_knn_filtered", "v_prefetch", "v_pq_search",
           "ann_ivf", "ann_ivf_indexed", "ann_lsh", "ann_graph_search",
           "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embed",
-          "dedup_cluster", "txt_quality", "txt_decontam")
+          "dedup_cluster", "txt_quality", "txt_decontam",
+          "v_knn_join", "v_knn_join_refined")
         def blowUp(factor: Int): String = {
           val hash = java.lang.Integer.toHexString(dir.hashCode)
           // NOT under the `graft_` prefix: Tables.memoTempDir's orphan

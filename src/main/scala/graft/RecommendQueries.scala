@@ -388,6 +388,29 @@ object RecommendQueries {
       ORDER BY label, vec_id
       LIMIT 20"""))
 
+  /** Ordered scroll WITH a DSL filter (Qdrant's `scroll` accepts
+    * `filter` and `order_by` together): the payload-DSL predicate
+    * composes with the keyset cursor on the SAME scan — both reach
+    * `PushedFilters`, so a filtered scroll reads only what the
+    * conjunction admits. The filter here keeps two of the ten labels
+    * and the cursor sits inside the kept range, exercising the
+    * cursor-vs-filter interaction (pages tile the FILTERED order). */
+  val collScrollFiltered = Q("coll_scroll_filtered",
+    (s, dir) =>
+      Recommend.scrollOrdered(
+          Tables.load(s, dir, "embeddings").select("vec_id", "label")
+            .filter(PayloadFilter.fromJson(
+              """{"must": [{"key": "label", "match": {"any": [2, 7]}}]}""")),
+          "label", "vec_id", lit(2), lit(400L), pageSize = 20)
+        .select("vec_id", "label"),
+    Some("""
+      SELECT vec_id, label
+      FROM embeddings
+      WHERE label IN (2, 7)
+        AND (label > 2 OR (label = 2 AND vec_id > 400))
+      ORDER BY label, vec_id
+      LIMIT 20"""))
+
   /** Session-lifetime memo of the RANGE payload index over the
     * embeddings `label` column (width 1 — one directory per label
     * value), the declaration the ordered-scroll serving path reads. */
@@ -801,7 +824,7 @@ object RecommendQueries {
   def queries: Seq[Q] = Seq(vRecommend, vRecommendLookup, vRecommendBest,
     vRecommendSum, vRecommendGroups, vMatrix, vMatrixOffsets, vMmr,
     vKnnGroups, vKnnGroupsLookup, collCount, collCountApprox, collScroll,
-    collScrollIndexed, collScrollDesc,
+    collScrollIndexed, collScrollDesc, collScrollFiltered,
     collFacet, collSample, collGet, vDiscover, vContext, chromaWhere,
     vSparseSearch,
     vSparseIndexed, vSparseIdf)

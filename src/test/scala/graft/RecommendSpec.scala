@@ -65,6 +65,28 @@ class RecommendSpec extends AnyFunSuite with SparkSpec {
     assert((page1 ++ page2).toSeq == ordered.take(60).toSeq)
   }
 
+  test("filtered ordered scroll: DSL filter and keyset cursor reach one " +
+       "scan's PushedFilters; pages tile the FILTERED order") {
+    val f = graft.operators.PayloadFilter.fromJson(
+      """{"must": [{"key": "label", "match": {"any": [2, 7]}}]}""")
+    val base = emb.select("vec_id", "label").filter(f)
+    val ordered = base.orderBy("label", "vec_id").collect()
+      .map(r => (r.getInt(1), r.getLong(0)))
+    val page1 = Recommend.scrollOrdered(base, "label", "vec_id",
+        lit(-1), lit(-1L), pageSize = 15)
+    val plan = page1.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      "filter + cursor must reach the scan")
+    val p1 = page1.collect().map(r => (r.getInt(1), r.getLong(0)))
+    val (ll, li) = p1.last
+    val p2 = Recommend.scrollOrdered(base, "label", "vec_id",
+        lit(ll), lit(li), pageSize = 15)
+      .collect().map(r => (r.getInt(1), r.getLong(0)))
+    assert((p1 ++ p2).toSeq == ordered.take(30).toSeq,
+      "filtered pages must tile with no gaps or overlap")
+    assert(p1.forall(t => t._1 == 2 || t._1 == 7), "filter leaked")
+  }
+
   test("countFiltered matches a hand-written predicate count") {
     val f = graft.operators.PayloadFilter.fromJson(
       """{"must": [{"key": "label", "match": {"any": [1, 4]}}]}""")
