@@ -484,6 +484,10 @@ object AnnQueries {
   private[graft] def bandedOracleParts(planes: Seq[Seq[Double]],
                                        bands: Int): (String, String) = {
     val per = planes.length / bands
+    // mirror the engine's divisibility contract (Ann.lshBandBuckets) —
+    // integer division would otherwise silently band fewer planes here
+    require(bands * per == planes.length,
+      s"$bands bands must divide ${planes.length} planes")
     val bucketCols = (0 until bands).map { b =>
       s"${bucketSqlFor("embedding", planes.slice(b * per, (b + 1) * per))} AS b$b"
     }.mkString(", ")

@@ -69,20 +69,31 @@ class RecommendSpec extends AnyFunSuite with SparkSpec {
        "scan's PushedFilters; pages tile the FILTERED order") {
     val f = graft.operators.PayloadFilter.fromJson(
       """{"must": [{"key": "label", "match": {"any": [2, 7]}}]}""")
-    val base = emb.select("vec_id", "label").filter(f)
+    // UNCACHED read: the shared `emb` is cached, and a cached scan's
+    // FileScan was planned with no predicates — pushdown can only be
+    // asserted against a fresh file read
+    val base = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "label").filter(f)
     val ordered = base.orderBy("label", "vec_id").collect()
       .map(r => (r.getInt(1), r.getLong(0)))
     val page1 = Recommend.scrollOrdered(base, "label", "vec_id",
-        lit(-1), lit(-1L), pageSize = 15)
+        lit(2), lit(400L), pageSize = 15)
     val plan = page1.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.contains("label"),
-      "filter + cursor must reach the scan")
+    // both predicates INSIDE the PushedFilters list: the DSL match.any
+    // and the keyset cursor disjunction
+    assert(plan.contains("In(label, [2,7])"),
+      s"DSL filter not pushed:\n$plan")
+    assert(plan.contains("Or(GreaterThan(label,2)," +
+        "And(EqualTo(label,2),GreaterThan(vec_id,400)))"),
+      s"keyset cursor not pushed:\n$plan")
     val p1 = page1.collect().map(r => (r.getInt(1), r.getLong(0)))
     val (ll, li) = p1.last
     val p2 = Recommend.scrollOrdered(base, "label", "vec_id",
         lit(ll), lit(li), pageSize = 15)
       .collect().map(r => (r.getInt(1), r.getLong(0)))
-    assert((p1 ++ p2).toSeq == ordered.take(30).toSeq,
+    val pastCursor = ordered.filter(t =>
+      t._1 > 2 || (t._1 == 2 && t._2 > 400L))
+    assert((p1 ++ p2).toSeq == pastCursor.take(30).toSeq,
       "filtered pages must tile with no gaps or overlap")
     assert(p1.forall(t => t._1 == 2 || t._1 == 7), "filter leaked")
   }
