@@ -69,11 +69,17 @@ class RecommendSpec extends AnyFunSuite with SparkSpec {
        "scan's PushedFilters; pages tile the FILTERED order") {
     val f = graft.operators.PayloadFilter.fromJson(
       """{"must": [{"key": "label", "match": {"any": [2, 7]}}]}""")
-    // UNCACHED read: the shared `emb` is cached, and a cached scan's
-    // FileScan was planned with no predicates — pushdown can only be
-    // asserted against a fresh file read
-    val base = Tables.load(spark, sf, "embeddings")
-      .select("vec_id", "label").filter(f)
+    // UNCACHED read: the shared `emb` is cached, and CacheManager
+    // substitutes the InMemoryRelation into ANY plan whose subtree
+    // matches the cached load (so a "fresh" Tables.load still has no
+    // FileScan once another test materialized the cache). Pushdown can
+    // only be asserted against a path the cache cannot match — a temp
+    // copy of the two columns.
+    val scrollDir = java.nio.file.Files
+      .createTempDirectory("graft-scrollf").resolve("t").toString
+    Tables.load(spark, sf, "embeddings").select("vec_id", "label")
+      .write.parquet(scrollDir)
+    val base = spark.read.parquet(scrollDir).filter(f)
     val ordered = base.orderBy("label", "vec_id").collect()
       .map(r => (r.getInt(1), r.getLong(0)))
     val page1 = Recommend.scrollOrdered(base, "label", "vec_id",
