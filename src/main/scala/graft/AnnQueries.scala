@@ -410,7 +410,7 @@ object AnnQueries {
         .orderBy("src_id", "rnk")
     },
     Some(s"""
-      $knnJoinCtes
+      ${knnJoinCtes()}
       SELECT src_id, nbr_id, score_micro, rnk
       FROM ranked WHERE rnk <= 3
       ORDER BY src_id, rnk"""))
@@ -438,7 +438,7 @@ object AnnQueries {
         .orderBy("src_id", "rnk")
     },
     Some(s"""
-      $knnJoinCtes,
+      ${knnJoinCtes()},
       base AS (SELECT src_id, nbr_id FROM ranked WHERE rnk <= 3),
       expand AS (
         SELECT src_id, nbr_id FROM base
@@ -459,10 +459,49 @@ object AnnQueries {
       FROM ranked2 WHERE rnk <= 3
       ORDER BY src_id, rnk"""))
 
+  /** SemDeDup over the kNN graph ([[Ann.semanticDrop]]): exact clones
+    * are PLANTED (every 50th vector copied under id+1000000 — the
+    * oracle replays the plant as a UNION ALL source), the kNN join runs
+    * over the planted corpus, and the keep-lowest-id ε-ball rule drops
+    * each clone in favor of its original (τ = 0.999 in micro units —
+    * only exact/near-exact duplicates qualify; the fixture's max
+    * natural cosine ≈ 0.51 stays untouched). Output = the dropped ids
+    * with their chosen representative and edge score. */
+  val dedupKnnGraph = Q("dedup_knn_graph",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val pts = emb.unionByName(emb.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val (bands, ps) = DedupQueries.embGeometry(s, dir)
+      Ann.semanticDrop(
+          Ann.knnJoin(pts, "vec_id", "embedding", ps, bands, k = 3),
+          tauMicro = 999000L)
+        .orderBy("src_id")
+    },
+    Some {
+      val src = """(SELECT vec_id, embedding FROM embeddings
+                    UNION ALL
+                    SELECT vec_id + 1000000 AS vec_id, embedding
+                    FROM embeddings WHERE vec_id % 50 = 0)"""
+      s"""
+      ${knnJoinCtes(src)},
+      topk AS (SELECT * FROM ranked WHERE rnk <= 3),
+      drops AS (
+        SELECT src_id, MIN(nbr_id) AS dup_of
+        FROM topk WHERE score_micro >= 999000 AND nbr_id < src_id
+        GROUP BY src_id)
+      SELECT d.src_id, d.dup_of, t.score_micro
+      FROM drops d JOIN topk t
+        ON t.src_id = d.src_id AND t.nbr_id = d.dup_of
+      ORDER BY d.src_id"""
+    })
+
   /** Exact cosine scoring of a candidate-pair CTE (columns `src_id`,
-    * `nbr_id`) against the embeddings table, micro-quantized — the
+    * `nbr_id`) against the points source `src`, micro-quantized — the
     * shared verify stage of the kNN-join oracles. */
-  private def cosineScoredSql(candCte: String): String = s"""
+  private def cosineScoredSql(candCte: String,
+                              src: String = "embeddings"): String = s"""
         SELECT n.src_id, n.nbr_id,
                CAST(floor(
                  list_inner_product(CAST(sa.embedding AS DOUBLE[]),
@@ -473,8 +512,8 @@ object AnnQueries {
                                               CAST(sb.embedding AS DOUBLE[]))))
                  * 1000000 + 0.5) AS BIGINT) AS score_micro
         FROM $candCte n
-        JOIN embeddings sa ON sa.vec_id = n.src_id
-        JOIN embeddings sb ON sb.vec_id = n.nbr_id"""
+        JOIN $src sa ON sa.vec_id = n.src_id
+        JOIN $src sb ON sb.vec_id = n.nbr_id"""
 
   /** Shared banded-oracle SQL parts for a (planes, bands) hyperplane
     * geometry: the per-band bucket column list (`… AS b0, …`) and the
@@ -501,16 +540,16 @@ object AnnQueries {
     * callers append the final SELECT (and the refined form its
     * expansion CTEs). Geometry is the pinned gate-SF resolution of the
     * auto-sizer, exactly like `dedup_embed`'s oracle. */
-  private lazy val knnJoinCtes: String = {
+  private def knnJoinCtes(src: String = "embeddings"): String = {
     val (bucketCols, orJoin) =
       bandedOracleParts(DedupQueries.embPlanes, DedupQueries.embBands)
     s"""
       WITH bk AS (
-        SELECT vec_id, embedding, $bucketCols FROM embeddings),
+        SELECT vec_id, embedding, $bucketCols FROM $src __p),
       cand AS (
         SELECT DISTINCT a.vec_id AS src_id, c.vec_id AS nbr_id
         FROM bk a JOIN bk c ON a.vec_id <> c.vec_id AND ($orJoin)),
-      scored AS (${cosineScoredSql("cand")}),
+      scored AS (${cosineScoredSql("cand", src)}),
       ranked AS (
         SELECT src_id, nbr_id, score_micro,
                CAST(ROW_NUMBER() OVER (PARTITION BY src_id
@@ -520,5 +559,5 @@ object AnnQueries {
 
   def queries: Seq[Q] = Seq(annKmeans, annIvf, annIvfIndexed,
     annIvfFiltered, annLsh, annLshStats, pipeHardNegatives, pipeBalance,
-    vKnnJoin, vKnnJoinRefined)
+    vKnnJoin, vKnnJoinRefined, dedupKnnGraph)
 }

@@ -322,6 +322,25 @@ object Ann {
     scoreTopK(cands, points, idCol, vecCol, k)
   }
 
+  /** SemDeDup's decision rule (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication")
+    * rendered deterministic over a [[knnJoin]] graph: a point is a
+    * semantic DUPLICATE iff some top-k neighbor scores ≥ `tauMicro`
+    * (inside the ε-ball) AND has a smaller id — the keep-lowest-id
+    * representative rule, replayable on any engine (the paper keeps a
+    * random/low-quality member; a pinned tie-break is the oracle-gate
+    * rendering of "keep exactly one"). `dup_of` is the SMALLEST
+    * qualifying neighbor. One filter + one min-struct aggregation over
+    * the k-bounded graph — |V|·k rows, no new shuffle machinery; at
+    * 100 TB the graph is the small derived table, never the corpus. */
+  def semanticDrop(graph: DataFrame, tauMicro: Long): DataFrame =
+    graph.filter(col("score_micro") >= tauMicro &&
+        col("nbr_id") < col("src_id"))
+      .groupBy(col("src_id"))
+      .agg(min(struct(col("nbr_id"), col("score_micro"))).as("__d"))
+      .select(col("src_id"), col("__d.nbr_id").as("dup_of"),
+        col("__d.score_micro").as("score_micro"))
+
   /** Shared exact-scoring tail for directed candidate pairs
     * ([[knnRefine]]): join (`__src`,`__dst`) back to their vectors,
     * score cosine micro-quantized, then [[heapRank]]. */

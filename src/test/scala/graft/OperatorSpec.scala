@@ -2417,6 +2417,31 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("semanticDrop: planted clones are dropped in favor of their " +
+       "lower-id originals at score 1e6, nothing else qualifies at " +
+       "tau=0.999, and tau above 1e6 drops nothing") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").limit(60)
+    val clones = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val pts = emb.unionByName(clones)
+    val planes = Ann.hyperplanes(36, 64)
+    val graph = Ann.knnJoin(pts, "vec_id", "embedding", planes,
+      bands = 6, k = 3)
+    val dropped = Ann.semanticDrop(graph, tauMicro = 999000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .collect().map(_.getLong(0) + 1000000L).toSet
+    assert(dropped.map(_._1).toSet == planted,
+      "exactly the planted clones must be dropped")
+    dropped.foreach { case (id, dupOf, sc) =>
+      assert(dupOf == id - 1000000L, s"wrong representative for $id")
+      assert(sc == 1000000L, s"clone edge must score exactly 1e6")
+    }
+    assert(Ann.semanticDrop(graph, tauMicro = 1000001L).count() == 0,
+      "tau above the cosine ceiling must drop nothing")
+  }
+
   test("knn join super-bucket cap: tuple-identical to an independent " +
        "driver reimplementation (banding, cap filter, exact scoring, " +
        "rank); a 40-clone cluster contributes nothing under the cap") {
