@@ -568,10 +568,17 @@ object DedupQueries {
     * probabilistic per band; cluster-scoped search is the published
     * semantic-dedup recipe for LLM training corpora.
     *
-    * Centroids are the SAME memoized k=8×2-round Lloyd training as
-    * ann_kmeans (oracle replays training), so this query gates the full
-    * chain: train → assign (argmin, cid tie-break) → within-cluster pair
-    * scoring → keep-lowest-id verdict. The fixture corpus has no natural
+    * Centroids are the SAME memoized 2-round Lloyd training as
+    * ann_kmeans (oracle replays training); the CLUSTER COUNT is
+    * auto-sized from the KMV n̂
+    * ([[graft.operators.Ann.semanticClusterCount]]): at the gate SFs the
+    * estimate sits under the k=8 floor rung, so training resolves to the
+    * k=8 the static oracle replays — rows bit-unchanged — while a 100×
+    * corpus grows k ∝ n̂ to hold per-cluster pair work constant (the
+    * §8.5b DNF closed: fixed k=8 made Σ|cluster|² grow ∝ n²/8). So this
+    * query gates the full chain: train → assign (argmin, cid tie-break)
+    * → within-cluster pair scoring → keep-lowest-id verdict. The fixture
+    * corpus has no natural
     * near-dups (max pair cosine ≈ 0.51), so the query plants exact copies
     * (vec_id+100000 of every id%50==0) and perturbed copies
     * (vec_id+200000 of id%50==1, first component +0.25 → cosine ≈ 0.97);
@@ -592,7 +599,9 @@ object DedupQueries {
           .select((col("vec_id") + off * 2).as("vec_id"),
             concat(array(element_at(col("v"), 1) + lit(0.25)),
               slice(col("v"), 2, 63)).as("v")))
-      val cents = AnnQueries.trainedCentroids(s, dir, 8, 2)
+      val k = Ann.semanticClusterCount(
+        corpusEstimate(s, dir, "embeddings", "vec_id"))
+      val cents = AnnQueries.trainedCentroids(s, dir, k, 2)
       val assigned = planted.join(
         Ann.argminAssign(planted, "vec_id", "v", cents, "cid", "cv"),
         "vec_id")

@@ -93,6 +93,33 @@ object Ann {
     (b, p)
   }
 
+  /** Auto-sized SemDeDup cluster count from a corpus-cardinality
+    * estimate — the same floor-rung discipline as [[lshGeometryFor]],
+    * applied to the k of the cluster-scoped semantic dedup
+    * (`dedup_semantic`). SemDeDup's candidate space is Σ|cluster|², so a
+    * FIXED k means per-cluster size grows ∝ n and pair work grows ∝ n²/k
+    * — the §8.5b probe measured exactly that (DNF at 200k vectors with
+    * k=8). Growing k ∝ n̂ holds the EXPECTED cluster size at
+    * `targetClusterSize`, so pair work grows ∝ n · targetClusterSize —
+    * the linear class (the published SemDeDup recipe also scales k with
+    * the corpus: Abbas et al. 2023 use 11k clusters for LAION-440M,
+    * i.e. ~40k points/cluster at web scale; the smaller target here
+    * reflects the 64-dim fixtures).
+    *
+    * The floor pins k = `floorK` for every n̂ ≤ floorK ·
+    * targetClusterSize (= 4096 at the defaults) — far above the gate
+    * fixtures (embeddings: 2000 rows at sf0.1, KMV ±3%), so the
+    * oracle-gated query trains at the k=8 its static oracle replays,
+    * bit-unchanged, while a 100× corpus sizes itself through this same
+    * call. Sizing is driver-side plan construction, never
+    * oracle-replayed arithmetic. */
+  def semanticClusterCount(est: Double, targetClusterSize: Double = 512.0,
+                           floorK: Int = 8): Int = {
+    require(est >= 0 && est.isFinite, s"bad cardinality estimate: $est")
+    require(targetClusterSize > 0 && floorK > 0, "positive sizing params")
+    math.max(floorK, math.ceil(est / targetClusterSize).toInt)
+  }
+
   /** Per-band LSH bucket ids: splits `planes` into `bands` consecutive
     * groups and emits one bucket id per band (the OR-construction — a pair
     * is a near-dup candidate iff >= 1 band bucket matches, which boosts

@@ -387,4 +387,29 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(graft.operators.Dedup.autoMaxBucket(1e8) >
       graft.operators.Dedup.autoMaxBucket(1e7))
   }
+
+  test("SemDeDup cluster count: k=8 floor rung at gate SFs, cluster size " +
+       "bounded above it, monotone") {
+    import graft.operators.Ann
+    // 1. floor rung covers every gate-SF corpus (embeddings 2000 @ sf0.1,
+    //    KMV ±3% → ≤ 2060; rung extends to 4096 = 8 · 512): the trained k
+    //    resolves to the 8 the static kmeansSql(8, 2) oracle replays
+    Seq(0.0, 20.0, 200.0, 2000.0, 2060.0, 4096.0).foreach { n =>
+      assert(Ann.semanticClusterCount(n) == 8,
+        s"n̂=$n left the k=8 floor rung — dedup_semantic's oracle would " +
+          "replay the wrong training")
+    }
+    // 2. above the rung: expected cluster size bounded by the target →
+    //    within-cluster pair work ∝ n · target, the dedup_embed linear
+    //    class (the §8.5b fixed-k DNF closed)
+    var prevK = 0
+    Seq(5000.0, 20000.0, 200000.0, 2000000.0, 2e7).foreach { n =>
+      val k = Ann.semanticClusterCount(n)
+      assert(n / k <= 512.0 + 1e-9,
+        s"expected cluster size ${n / k} exceeds the 512 target at n̂=$n")
+      assert(k >= prevK, s"k not monotone at n̂=$n"); prevK = k
+    }
+    // the probe's 100× corpus (≈ 200k vectors) trains ~391 clusters
+    assert(Ann.semanticClusterCount(200000.0) == 391)
+  }
 }
