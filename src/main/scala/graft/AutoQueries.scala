@@ -7,11 +7,11 @@ import graft.sources.VectorRouter
   * ([[graft.sources.VectorRouter]]) — the `query_points` surface where
   * the COLLECTION's declarations, not the caller, pick the serving
   * pipeline (the Qdrant server behavior the reference delegates to:
-  * `bob_vector_db` `qdrant_db.py` submits a vector and a limit, and the
-  * server consults its own HNSW/quantization config). Every routed key
-  * reuses its serving twin's oracle verbatim, projected to the router's
-  * uniform `(vec_id, score_micro)` contract: routing is a plan decision,
-  * never a semantic one.
+  * `bob_vector_db/qdrant_embedder.py` submits a vector and a limit, and
+  * the server consults its own HNSW/quantization config). Every routed
+  * key reuses its serving twin's oracle verbatim, projected to the
+  * router's uniform `(vec_id, score_micro)` contract: routing is a plan
+  * decision, never a semantic one.
   */
 object AutoQueries {
 
@@ -94,6 +94,84 @@ object AutoQueries {
       SELECT vec_id, score_micro
       FROM (${GraphAnnQueries.annGraphSearch.oracle.get}) t"""))
 
+  /** One query's routed-quant serving chain as DuckDB CTEs (shared `d` /
+    * `bits` packing CTEs): BQ hamming top-100 → candidate-local int8
+    * de/re-quantize rescore top-30 → exact cosine top-10 — `v_prefetch`'s
+    * oracle parameterized on the query id and projected to the router's
+    * batched (query_id, vec_id, score_micro) contract. */
+  private def prefetchBlock(qid: Long): String = s"""
+      q_$qid AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id = $qid),
+      qb_$qid AS (
+        SELECT list_transform(range(2), w ->
+                 CAST(list_sum(list_transform(range(32), j ->
+                   CASE WHEN qv[w*32 + j + 1] > 0
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END))
+                 AS BIGINT)) AS qw
+        FROM q_$qid),
+      s1_$qid AS (
+        SELECT vec_id, v,
+               CAST(bit_count(xor(words[1], qw[1]))
+                    + bit_count(xor(words[2], qw[2])) AS BIGINT) AS hamming
+        FROM bits, qb_$qid
+        ORDER BY hamming ASC, vec_id LIMIT 100),
+      r_$qid AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx
+                 FROM s1_$qid),
+      dq_$qid AS (
+        SELECT vec_id, v,
+               CASE WHEN mx = mn THEN list_transform(v, x -> mn)
+                    ELSE list_transform(v, x ->
+                      mn + CAST(CAST(floor((x - mn) / (mx - mn) * 255 + 0.5)
+                        AS INT) AS DOUBLE) / 255 * (mx - mn))
+               END AS vq
+        FROM r_$qid),
+      s2_$qid AS (
+        SELECT vec_id, v,
+               list_inner_product(vq, (SELECT qv FROM q_$qid))
+               / (sqrt(list_inner_product(vq, vq))
+                  * sqrt(list_inner_product((SELECT qv FROM q_$qid),
+                                            (SELECT qv FROM q_$qid))))
+                 AS score_q
+        FROM dq_$qid
+        ORDER BY score_q DESC, vec_id LIMIT 30),
+      res_$qid AS (
+        SELECT CAST($qid AS BIGINT) AS query_id, vec_id,
+               CAST(floor(list_cosine_similarity(v, (SELECT qv FROM q_$qid))
+                 * 1000000 + 0.5) AS BIGINT) AS score_micro
+        FROM s2_$qid
+        ORDER BY list_cosine_similarity(v, (SELECT qv FROM q_$qid)) DESC,
+                 vec_id
+        LIMIT 10)"""
+
+  /** BATCHED routed search (`query_batch_points` through the declared
+    * indexes): two queries, ONE route decision, one codes-table scan for
+    * both stage-1 prefilters and one literal-id probe for both exact
+    * stages ([[VectorRouter.queryPointsMulti]] — job budget independent
+    * of the batch size, spec-gated in OperatorSpec). The oracle replays
+    * BOTH nested-prefetch chains in one statement over shared packing
+    * CTEs, each chain `v_prefetch`'s oracle verbatim — every query's
+    * rows equal its single-query `v_auto_search` serving exactly. */
+  val vAutoSearchMulti = Q("v_auto_search_multi",
+    (s, dir) =>
+      VectorRouter.queryPointsMulti(s, Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", decls(s, dir),
+        Seq(0L, 3L).map(i => i -> queryVec(s, dir, i)), 10),
+    Some(s"""
+      WITH d AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bits AS (
+        SELECT vec_id, v,
+               list_transform(range(2), w ->
+                 CAST(list_sum(list_transform(range(32), j ->
+                   CASE WHEN v[w*32 + j + 1] > 0
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END))
+                 AS BIGINT)) AS words
+        FROM d),
+      ${prefetchBlock(0)},
+      ${prefetchBlock(3)}
+      SELECT * FROM res_0 UNION ALL SELECT * FROM res_3"""))
+
   def queries: Seq[Q] =
-    Seq(vAutoSearch, vAutoExact, vAutoFiltered, vAutoGraph)
+    Seq(vAutoSearch, vAutoExact, vAutoFiltered, vAutoGraph,
+      vAutoSearchMulti)
 }

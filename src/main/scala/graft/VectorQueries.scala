@@ -417,6 +417,220 @@ object VectorQueries {
       LIMIT 10
     """))
 
+  /** V3 — the `nested` CONDITION (same-element conjunction), JSON-payload
+    * mode. Each point's payload plants TWO objects under `tags`:
+    * `{t: label, w: 1}` and `{t: label+1, w: 2}`. The nested filter asks
+    * for ONE element with `t == 3` AND `w >= 2` — only the second element
+    * can carry `w >= 2`, so the filter admits exactly `label == 2`. The
+    * any-element reading (`tags[].t match 3` + `tags[].w gte 2`, each
+    * path quantifying independently — `v_knn_dsl_nested`'s semantics)
+    * would ALSO admit `label == 3` via t from the first element and w
+    * from the second; the oracle replays the per-element conjunction, so
+    * a regression to any-element semantics is a row diff, not a nuance. */
+  val vKnnDslNestedObj = Q("v_knn_dsl_nested_obj",
+    (s, dir) => {
+      val filter = graft.operators.PayloadFilter.fromJson("""
+        {"must": [
+          {"nested": {"key": "tags", "filter": {"must": [
+            {"key": "t", "match": {"value": 3}},
+            {"key": "w", "range": {"gte": 2}}
+          ]}}}
+        ]}""", jsonCol = Some("payload"), idCol = "vec_id")
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("payload", to_json(struct(
+          array(struct(col("label").as("t"), lit(1).as("w")),
+            struct((col("label") + 1).as("t"), lit(2).as("w")))
+            .as("tags"))))
+        .filter(filter)
+      Knn.knn(emb, "embedding", queryVec(s, dir, 0), 10)
+        .select("vec_id", "label", "score")
+    },
+    Some(s"""
+      SELECT vec_id, label,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQ0), 6) AS score
+      FROM embeddings
+      -- same-element conjunction over the planted elements
+      -- (t=label, w=1) and (t=label+1, w=2): only the second can satisfy
+      -- w >= 2 (any-element semantics would also admit label = 3)
+      WHERE (label = 3 AND 1 >= 2) OR (label + 1 = 3 AND 2 >= 2)
+      ORDER BY score DESC, vec_id
+      LIMIT 10
+    """))
+
+  /** [[vKnnDslNestedObj]] in TYPED mode: the same nested filter over a
+    * REAL array-of-struct column (no JSON payload) — the inner filter's
+    * keys resolve as struct fields of the quantified element. Same oracle:
+    * the two key-resolution modes must agree row-for-row. */
+  val vKnnDslNestedTyped = Q("v_knn_dsl_nested_typed",
+    (s, dir) => {
+      val filter = graft.operators.PayloadFilter.fromJson("""
+        {"must": [
+          {"nested": {"key": "tags", "filter": {"must": [
+            {"key": "t", "match": {"value": 3}},
+            {"key": "w", "range": {"gte": 2}}
+          ]}}}
+        ]}""", idCol = "vec_id")
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("tags",
+          array(struct(col("label").cast("long").as("t"), lit(1L).as("w")),
+            struct((col("label") + 1).cast("long").as("t"),
+              lit(2L).as("w"))))
+        .filter(filter)
+      Knn.knn(emb, "embedding", queryVec(s, dir, 0), 10)
+        .select("vec_id", "label", "score")
+    },
+    vKnnDslNestedObj.oracle)
+
+  /** One polygon for the geo_polygon keys and their specs: a NON-CONVEX
+    * pentagon (ray casting must handle the concavity — a bounding-box or
+    * convex-hull shortcut returns different rows) with one rectangular
+    * interior hole, both rings explicitly closed (first == last, the
+    * Qdrant wire shape). Shared by the DSL JSON, the oracle SQL, and the
+    * routed twin so there is exactly one source of vertices. */
+  private[graft] val polyExt: Seq[(Double, Double)] = Seq(
+    (60.0, -120.0), (60.0, 40.0), (-20.0, 100.0), (-60.0, -40.0),
+    (0.0, -10.0), (60.0, -120.0))
+  private[graft] val polyHole: Seq[(Double, Double)] = Seq(
+    (20.0, 10.0), (20.0, 40.0), (0.0, 40.0), (0.0, 10.0),
+    (20.0, 10.0))
+
+  private def polyPointsJson(ring: Seq[(Double, Double)]): String =
+    ring.map { case (la, lo) => s"""{"lat": $la, "lon": $lo}""" }
+      .mkString("[", ", ", "]")
+
+  private[graft] def geoPolyDsl: String = s"""
+    {"must": [
+      {"key": "location", "geo_polygon": {
+        "exterior":  {"points": ${polyPointsJson(polyExt)}},
+        "interiors": [{"points": ${polyPointsJson(polyHole)}}]
+      }}
+    ]}"""
+
+  /** SQL replay of [[graft.operators.PayloadFilter.pointInRing]]: the
+    * identical per-edge straddle + division-free crossing tests in
+    * integer micro-degrees, unrolled over the ring's literal edges
+    * (integer arithmetic on both engines → exact hash parity). */
+  private[graft] def polygonOracleSql(latM: String, lonM: String,
+      ringDeg: Seq[(Double, Double)]): String = {
+    val ringAll = ringDeg.map { case (la, lo) =>
+      (math.round(la * 1e6), math.round(lo * 1e6)) }
+    val ring =
+      if (ringAll.length > 1 && ringAll.head == ringAll.last) ringAll.init
+      else ringAll
+    val terms = ring.indices.map { i =>
+      val (y1, x1) = ring(i)
+      val (y2, x2) = ring((i + 1) % ring.length)
+      if (y1 == y2) "0"
+      else {
+        val cmp = if (y2 > y1) "<" else ">"
+        s"(CASE WHEN (($y1 > $latM) <> ($y2 > $latM)) AND " +
+          s"(($lonM - ($x1)) * (${y2 - y1}) $cmp (${x2 - x1}) * " +
+          s"($latM - ($y1))) THEN 1 ELSE 0 END)"
+      }
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  }
+
+  /** V3 — `geo_polygon` (the third public Qdrant geo condition): exact
+    * point-in-polygon over the synthetic coordinates, exterior minus the
+    * hole. Ray casting runs in integer micro-degrees with division-free
+    * crossing tests (PayloadFilter object doc), so — unlike geo_radius'
+    * haversine — the polygon condition is exactly oracle-replayable. */
+  val vKnnGeoPoly = Q("v_knn_geo_poly",
+    (s, dir) => {
+      val filter = graft.operators.PayloadFilter.fromJson(geoPolyDsl,
+        idCol = "vec_id")
+      val emb = geoLocated(Tables.load(s, dir, "embeddings"))
+        .filter(filter)
+      Knn.knn(emb, "embedding", queryVec(s, dir, 0), 10)
+        .select(col("vec_id"), col("label"),
+          floor(col("location.lat") * 100 + lit(0.5)).cast("long")
+            .as("lat_centi"),
+          floor(col("location.lon") * 100 + lit(0.5)).cast("long")
+            .as("lon_centi"),
+          col("score"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT vec_id, label, embedding,
+               (vec_id * 37) % 18000 / 100.0 - 90.0 AS lat,
+               (vec_id * 73) % 36000 / 100.0 - 180.0 AS lon
+        FROM embeddings),
+      m AS (
+        SELECT *, CAST(floor(lat * 1000000 + 0.5) AS BIGINT) AS ym,
+               CAST(floor(lon * 1000000 + 0.5) AS BIGINT) AS xm
+        FROM g)
+      SELECT vec_id, label,
+             CAST(floor(lat * 100 + 0.5) AS BIGINT) AS lat_centi,
+             CAST(floor(lon * 100 + 0.5) AS BIGINT) AS lon_centi,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQ0), 6) AS score
+      FROM m
+      WHERE ${polygonOracleSql("ym", "xm", polyExt)}
+        AND NOT ${polygonOracleSql("ym", "xm", polyHole)}
+      ORDER BY score DESC, vec_id
+      LIMIT 10"""))
+
+  /** [[vKnnGeoPoly]] ROUTED through the declared geo index: the router
+    * prunes the base read to the polygon EXTERIOR's bounding-box cell
+    * window (file-listing pruning, the `v_knn_geo_indexed` read) and the
+    * full DSL — including the exact ray-cast polygon — re-applies as the
+    * residual. Same oracle: routing is an IO decision. */
+  val vKnnGeoPolyRouted = Q("v_knn_geo_poly_routed",
+    (s, dir) => {
+      val served = graft.sources.IndexRouter.filtered(s,
+        geoLocated(Tables.load(s, dir, "embeddings")),
+        Seq("location" -> geoIdxDir(s, dir)), geoPolyDsl, idCol = "vec_id")
+      Knn.knn(served, "embedding", queryVec(s, dir, 0), 10)
+        .select(col("vec_id"), col("label"),
+          floor(col("location.lat") * 100 + lit(0.5)).cast("long")
+            .as("lat_centi"),
+          floor(col("location.lon") * 100 + lit(0.5)).cast("long")
+            .as("lon_centi"),
+          col("score"))
+    },
+    vKnnGeoPoly.oracle)
+
+  /** V3 — `has_vector` + `min_should` (the last public filter-DSL
+    * completions) over the PARTIAL named-vector state (vec_id % 3 == 0
+    * points lack `text_vec`, vec_id % 5 == 0 lack `image_vec` — the
+    * state `deleteVectorsWhere` produces, exercised against a live
+    * collection in PayloadFilterSpec): `has_vector text_vec` gates the
+    * searchable space; `min_should` keeps points matching at least 2 of
+    * {label ∈ {1,2,3}, vec_id < 700, has image_vec}. */
+  val vKnnDslMinShould = Q("v_knn_dsl_min_should",
+    (s, dir) => {
+      val filter = graft.operators.PayloadFilter.fromJson("""
+        {"must": [{"has_vector": "text_vec"}],
+         "min_should": {"conditions": [
+           {"key": "label", "match": {"any": [1, 2, 3]}},
+           {"key": "vec_id", "range": {"lt": 700}},
+           {"has_vector": "image_vec"}
+         ], "min_count": 2}}""", idCol = "vec_id")
+      val emb = Tables.load(s, dir, "embeddings")
+      val pts = emb.select(col("vec_id"), col("label"),
+        when(col("vec_id") % 3 =!= 0, col("embedding")).as("text_vec"),
+        when(col("vec_id") % 5 =!= 0, reverse(col("embedding")))
+          .as("image_vec"))
+      Knn.knn(pts.filter(filter), "text_vec", queryVec(s, dir, 0), 10)
+        .select("vec_id", "label", "score")
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT vec_id, label,
+               CASE WHEN vec_id % 3 <> 0
+                 THEN CAST(embedding AS DOUBLE[]) END AS tv,
+               vec_id % 5 <> 0 AS has_iv
+        FROM embeddings)
+      SELECT vec_id, label,
+             ROUND(list_cosine_similarity(tv, $oracleQ0), 6) AS score
+      FROM p
+      WHERE tv IS NOT NULL
+        AND (CASE WHEN label IN (1, 2, 3) THEN 1 ELSE 0 END)
+          + (CASE WHEN vec_id < 700 THEN 1 ELSE 0 END)
+          + (CASE WHEN has_iv THEN 1 ELSE 0 END) >= 2
+      ORDER BY score DESC, vec_id
+      LIMIT 10"""))
+
   /** V8 — PARTIAL named vectors (Qdrant: a point may carry any subset of
     * the declared named vectors): a mixed collection where vec_id % 3 == 0
     * points lack `text_vec` and vec_id % 5 == 0 points lack `image_vec`
@@ -1378,7 +1592,8 @@ object VectorQueries {
   def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnTenant, vKnnMulti, vKnnPage,
     vKnnMultiAgg, vKnnBatch, vKnnFiltered, vKnnPayloadIndexed, vKnnDsl,
     vKnnDslExcept,
-    vKnnDslNested, vKnnDslRouted, vKnnGeo, vKnnGeoIndexed,
+    vKnnDslNested, vKnnDslNestedObj, vKnnDslNestedTyped, vKnnDslMinShould,
+    vKnnDslRouted, vKnnGeo, vKnnGeoIndexed, vKnnGeoPoly, vKnnGeoPolyRouted,
     vL2, vManhattan, vDot, vFusion, vFusionPartial, vMaxsim, vHybridRrf,
     vHybridDbsf, vSqQuantize, vSqSearch, vBqSearch, vPrefetch,
     vSqSearchIndexed, vBqSearchIndexed, vBqSearchMulti, vPrefetchIndexed,

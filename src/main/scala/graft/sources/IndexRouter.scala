@@ -37,7 +37,10 @@ import org.json4s.jackson.JsonMethods
   *    [[PayloadIndex.forGeoBox]] (the box's 2-D cell window prunes at
   *    file listing), `geo_radius` → [[PayloadIndex.forGeoRadius]] (the
   *    spherical cap's bounding box prunes; the exact haversine rides
-  *    in the read's own residual and again in the full DSL).
+  *    in the read's own residual and again in the full DSL),
+  *    `geo_polygon` → [[PayloadIndex.forGeoBox]] over the exterior
+  *    ring's bounding box (the exact ray-cast polygon, holes included,
+  *    rides in the full-DSL residual).
   *
   * First-match (not cost-based) keeps the choice deterministic and
   * plan-stable. Priority follows the FILTER's must-condition order —
@@ -221,7 +224,33 @@ object IndexRouter {
                              if rad >= 0)
                         yield PayloadIndex.forGeoRadius(spark, dir,
                           cLat, cLon, rad)
-                    case _ => None
+                    case _ => m.get("geo_polygon") match {
+                      // the EXTERIOR ring's bounding box prunes the cell
+                      // window; the exact ray-cast polygon (holes
+                      // included) rides in the full-DSL residual. The
+                      // polygon predicate is plate-carrée (no
+                      // antimeridian wrap — PayloadFilter object doc),
+                      // so the flat min/max box is always a superset of
+                      // the ring it serves.
+                      case Some(JObject(gp)) =>
+                        def ringPts(v: JValue)
+                            : Option[Seq[(Double, Double)]] = v match {
+                          case JObject(r) => r.toMap.get("points") match {
+                            case Some(JArray(ps)) =>
+                              val pts = ps.flatMap(pt)
+                              if (pts.length == ps.length && pts.nonEmpty)
+                                Some(pts)
+                              else None
+                            case _ => None
+                          }
+                          case _ => None
+                        }
+                        for (ext <- gp.toMap.get("exterior").flatMap(ringPts))
+                          yield PayloadIndex.forGeoBox(spark, dir,
+                            ext.map(_._1).max, ext.map(_._2).min,
+                            ext.map(_._1).min, ext.map(_._2).max)
+                      case _ => None
+                    }
                   }
                 }
               case "range" => m.get("range") match {
@@ -258,5 +287,38 @@ object IndexRouter {
         case _ => None
       }
     case _ => None
+  }
+
+  /** ZERO-SCAN row count of a parquet read: the sum of the footer
+    * (row-group metadata) row counts over the scan's PRUNED file
+    * listing — `selectedPartitions` is the post-PartitionFilters
+    * listing, computed at planning time, so a routed index read costs
+    * one driver-side footer pass over its pruned files and NO Spark
+    * job. None when the plan is not a single parquet file scan (the
+    * caller falls back to whatever it did before). Used by
+    * [[VectorRouter]]'s filtered-search cardinality estimate: the count
+    * is the pruned listing's TOTAL rows — an upper bound of the routed
+    * condition's matches (bucket/cell co-residents included), which is
+    * exactly what a planner threshold wants (Qdrant's planner likewise
+    * consults index cardinality estimates, not exact predicate
+    * counts). */
+  private[graft] def metadataRowCount(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f
+    }
+    if (scans.length != 1) None
+    else {
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      Some(scans.head.selectedPartitions.filePartitionIterator
+        .flatMap(_.files)
+        .map { st =>
+          val rd = ParquetFileReader.open(
+            HadoopInputFile.fromPath(st.getPath, conf))
+          try rd.getRecordCount finally rd.close()
+        }.sum)
+    }
   }
 }

@@ -182,6 +182,74 @@ object IvfPqIndex {
       .limit(n)
   }
 
+  /** BATCHED IVFADC stage 1 — N queries with a batch-size-independent
+    * job budget: ONE probe job ranks every query's centroids (the
+    * identical (L2 ASC, cid ASC) ordering as [[Ann.probeClusters]],
+    * partitioned by query), ONE scan lists the UNION of the probed
+    * `cluster=` partitions, and the broadcast (query, cluster) pair
+    * frame replicates each row to exactly the queries that probed its
+    * cell. Each pair ADC-scores through the query's OWN m×k literal LUT
+    * (per-query CASE chain — the one-column-per-query rule), and the
+    * bounded per-query heap keeps (adc ASC, id ASC), so each query's
+    * rows equal its [[adcTopN]] result exactly (spec-gated). Returns
+    * (query_id, id, adc). */
+  def adcTopNMulti(spark: SparkSession, dir: String,
+                   queries: Seq[(Long, Seq[Double])], nprobe: Int,
+                   n: Int): DataFrame = {
+    val mt = metaOf(dir)
+    queries.foreach { case (qid, q) =>
+      require(q.length == mt.m * mt.subDim,
+        s"query $qid dim ${q.length} != ${mt.m}·${mt.subDim}") }
+    val cbs = codebooksOf(spark, dir)
+    import spark.implicits._
+    val qdf = broadcast(queries.toDF("query_id", "__qv"))
+    val probes: Map[Long, Seq[Long]] = centroidsOf(spark, dir)
+      .crossJoin(qdf)
+      .withColumn("__qd", graft.functions.VectorOps.l2(col("cv"),
+        col("__qv")))
+      .withColumn("__rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("__qd"), col("cid"))))
+      .filter(col("__rnk") <= nprobe)
+      .select(col("query_id"), col("cid").cast("long"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    val luts: Seq[(Long, Array[Array[Long]], Seq[Long])] =
+      queries.map { case (qid, q) =>
+        val qm = q.map(Pq.microQ).toArray
+        val lut = cbs.zipWithIndex.map { case (cb, sub) =>
+          cb.map { case (_, cm) =>
+            Pq.distInt(qm.slice(sub * mt.subDim, (sub + 1) * mt.subDim),
+              cm) }
+        }
+        (qid, lut, probes.getOrElse(qid, Nil))
+      }
+    def adcExpr(lut: Array[Array[Long]]) =
+      (0 until mt.m).map { sub =>
+        element_at(typedLit(lut(sub).toSeq),
+          col("codes")(sub).cast("int") + lit(1))
+      }.reduce(_ + _)
+    val scoreAdc = luts.foldRight(lit(null).cast("long")) {
+      case ((qid, lut, _), acc) =>
+        when(col("query_id") === qid, adcExpr(lut)).otherwise(acc)
+    }
+    val allClusters = luts.flatMap(_._3).distinct
+    val pairDf = broadcast(
+      luts.flatMap { case (qid, _, cl) => cl.map(c => (qid, c)) }
+        .toDF("query_id", "__cl"))
+    read(spark, dir)
+      .filter(col("cluster").isin(allClusters: _*))
+      .join(pairDf, col("cluster").cast("long") === col("__cl"))
+      .withColumn("adc", scoreAdc)
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByScore.topK((-col("adc")).cast("double"),
+        col(mt.idCol).cast("long"), n).as("__tk"))
+      .select(col("query_id"),
+        posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as(mt.idCol),
+        (-col("__e.score")).cast("long").as("adc"))
+  }
+
   /** Incremental refresh from the change feed — the staged-swap contract
     * ([[IvfIndex.refresh]]'s partition scheme, [[PqIndex.refresh]]'s
     * pinned-artifact rule): changed buckets re-assigned with the PINNED

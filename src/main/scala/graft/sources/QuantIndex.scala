@@ -259,6 +259,46 @@ object QuantIndex {
       .limit(n2)
   }
 
+  /** BATCHED nested-prefetch chain — N queries through [[prefetchTopN]]'s
+    * two quantized stages with a batch-size-independent job budget:
+    * stage 1 is ONE codes-table scan ([[hammingTopNMulti]]); the int8
+    * rescore re-probes the sidecar by literal id for the survivors'
+    * stored codes (ONE job — the candidate union is driver-bounded at
+    * N·n1 rows) and scores each row against ITS query via a per-query
+    * CASE chain over the SAME [[graft.functions.VectorOps.sqScoreFromCodes]]
+    * literal expression the single-query path evaluates, so each query's
+    * rows equal its [[prefetchTopN]] result exactly (spec-gated).
+    * Returns (query_id, id, hamming, score_q) — top `n2` per query. */
+  def prefetchTopNMulti(spark: SparkSession, dir: String,
+                        queries: Seq[(Long, Seq[Double])], n1: Int,
+                        n2: Int): DataFrame = {
+    val m = metaOf(dir)
+    val h = hammingTopNMulti(spark, dir, queries, n1)
+    val hRows = h.collect()
+    val hDf = spark.createDataFrame(
+      java.util.Arrays.asList(hRows: _*), h.schema)
+    val ids = hRows
+      .map(_.getAs[Number](h.schema.fieldIndex(m.idCol)).longValue)
+      .distinct.toSeq
+    // score each (query, row) pair once, with the query's OWN literal
+    // expression (the beamSearchMultiIndexed one-column-per-query rule)
+    val scoreQ = queries.foldRight(lit(null).cast("double")) {
+      case ((qid, q), acc) =>
+        when(col("query_id") === qid,
+          VectorOps.sqScoreFromCodes(col("codes"), col("mn"), col("mx"), q))
+          .otherwise(acc)
+    }
+    graft.operators.GraphAnn.inIds(read(spark, dir), m.idCol, ids)
+      .join(broadcast(hDf), m.idCol)
+      .withColumn("score_q", scoreQ)
+      .withColumn("__rnk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(desc("score_q"), col(m.idCol))))
+      .filter(col("__rnk") <= n2)
+      .select(col("query_id"), col(m.idCol), col("hamming"),
+        col("score_q"))
+  }
+
   /** Incremental refresh from the change feed — the
     * [[PayloadIndex.refresh]] contract verbatim: stale `src_bucket=`
     * dirs deleted, staged replacements moved in, untouched buckets

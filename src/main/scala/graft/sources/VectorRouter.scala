@@ -49,10 +49,14 @@ import graft.operators.GraphAnn
   * planner decision: estimate the filter's cardinality and choose
   * between a FULL SCAN OF THE FILTERED POINTS (cheap when the filter is
   * selective) and an INDEX SEARCH with the filter applied to candidates.
-  * The estimate is the row count of [[IndexRouter.baseRead]] — the
-  * payload-index-pruned superset read, a file-listing-pruned count when
-  * the condition routes (at 100 TB: counting a declared selective key's
-  * index partitions, never the corpus).
+  * The estimate is ZERO-JOB: when a payload index routes
+  * [[IndexRouter.baseRead]], the parquet FOOTER row counts of the
+  * routed read's pruned file listing (driver-side metadata — at 100 TB:
+  * the footers of a declared selective key's index partitions, never
+  * the corpus, never even a Spark job); when nothing routes, the
+  * estimate is pinned above the threshold (the filter's cardinality is
+  * unknowable without the very scan the decision is trying to avoid —
+  * same ANN plan the old whole-collection count job always chose).
   *
   *  - estimate ≤ `scanThreshold` (or nothing routable): exact top-k over
   *    the payload-ROUTED filtered read — row-identical to brute force by
@@ -125,10 +129,20 @@ object VectorRouter {
         val pred =
           graft.operators.PayloadFilter.fromJson(dsl, idCol = idCol)
         // estimate only when a vector index could serve — with no route
-        // the scan plan is taken regardless, and the count job is the
-        // estimate's whole cost
-        def estimate: Long = IndexRouter
-          .baseRead(spark, points, payloadIndexes, dsl, idCol).count()
+        // the scan plan is taken regardless. The estimate itself is
+        // ZERO-JOB: when a payload index routes, the parquet footer row
+        // counts of its PRUNED file listing
+        // ([[IndexRouter.metadataRowCount]] — driver-side metadata, no
+        // scan); when nothing routes, the filter's cardinality is
+        // unknowable without scanning the corpus, which is the ANN
+        // branch's answer anyway (the old whole-collection count job was
+        // always > threshold — same plan, one job saved).
+        def estimate: Long = {
+          val base =
+            IndexRouter.baseRead(spark, points, payloadIndexes, dsl, idCol)
+          if (base eq points) Long.MaxValue
+          else IndexRouter.metadataRowCount(base).getOrElse(base.count())
+        }
         routed match {
           case Some((kind, dir)) if estimate > params.scanThreshold =>
             // candidate post-filtering (see scaladoc: recall-bounded)
@@ -144,6 +158,109 @@ object VectorRouter {
               idCol, vecCol, query, k)
         }
     }
+  }
+
+  /** BATCHED routed serving — N `query_points` requests sharing one
+    * stage-1 pass (the Qdrant `query_batch_points` shape, routed): the
+    * route is decided ONCE (declarations are per collection, not per
+    * request) and each kind serves the whole batch through its batched
+    * stage-1 — [[QuantIndex.prefetchTopNMulti]] (one codes scan),
+    * [[IvfPqIndex.adcTopNMulti]] (one probed-partition scan),
+    * [[graft.operators.GraphAnn.beamSearchMultiIndexed]] (lock-step
+    * beams) — followed by ONE literal-id probe of the union candidate
+    * set for the exact stage, scoring each row against its own query
+    * via the broadcast query frame. Total jobs are independent of the
+    * batch size (spec-gated), and each query's rows equal its
+    * single-query [[queryPoints]] result exactly (oracle-gated:
+    * `v_auto_search_multi` replays N chains in one statement).
+    * Point ids must be integral (the graph/heap stages' long-id
+    * contract — same as every materialized vector layout). Returns
+    * (query_id, idCol, score_micro), top `k` per query. */
+  def queryPointsMulti(spark: SparkSession, points: DataFrame,
+                       idCol: String, vecCol: String,
+                       vectorIndexes: Seq[String],
+                       queries: Seq[(Long, Seq[Double])], k: Int,
+                       params: Params = Params()): DataFrame =
+    route(vectorIndexes, params) match {
+      case None => exactTopKMulti(points, idCol, vecCol, queries, k)
+      case Some(("graph", dir)) =>
+        GraphAnn.beamSearchMultiIndexed(points, idCol, vecCol, dir,
+            queries, params.beam, params.rounds, k)
+          .select(col("query_id"), col("id").as(idCol), col("score_micro"))
+      case Some((kind, dir)) =>
+        val cand = kind match {
+          case "quant" =>
+            val m = QuantIndex.metaOf(dir)
+            QuantIndex.prefetchTopNMulti(spark, dir, queries,
+                params.prefetchFactor * k, params.oversampling * k)
+              .select(col("query_id"), col(m.idCol).as(idCol))
+          case "ivfpq" =>
+            val m = IvfPqIndex.metaOf(dir)
+            IvfPqIndex.adcTopNMulti(spark, dir, queries, params.nprobe,
+                params.oversampling * k)
+              .select(col("query_id"), col(m.idCol).as(idCol))
+          case other => throw new IllegalArgumentException(
+            s"unroutable vector index kind: $other")
+        }
+        rescoreMulti(points, idCol, vecCol, cand, queries, k,
+          byMicro = kind == "ivfpq")
+    }
+
+  /** Exact stage of the batched code-based kinds: ONE literal probe of
+    * the union candidate set, per-(query, candidate) cosine via the
+    * broadcast query frame (the same Catalyst expression as the
+    * single-query [[rescore]] — column vs literal operand only), per-
+    * query top-k under each family's twin ordering. */
+  private def rescoreMulti(pts: DataFrame, idCol: String, vecCol: String,
+                           cand: DataFrame,
+                           queries: Seq[(Long, Seq[Double])], k: Int,
+                           byMicro: Boolean): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val rows = cand.collect() // driver-bounded: N · oversampling·k pairs
+    val candDf = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), cand.schema)
+    val ids = rows
+      .map(_.getAs[Number](cand.schema.fieldIndex(idCol)).longValue)
+      .distinct.toSeq
+    val qvDf = broadcast(queries.toDF("query_id", "__qv"))
+    val scored = GraphAnn.inIds(pts, idCol, ids)
+      .join(broadcast(candDf), idCol)
+      .join(qvDf, "query_id")
+      .withColumn("score", VectorOps.cosine(col(vecCol), col("__qv")))
+      .withColumn("score_micro",
+        floor(col("score") * 1e6 + lit(0.5)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+    val ranked =
+      if (byMicro) scored.withColumn("__rnk", row_number().over(
+        w.orderBy(desc("score_micro"), col(idCol))))
+      else scored.withColumn("__rnk", row_number().over(
+        w.orderBy(desc("score"), col(idCol))))
+    ranked.filter(col("__rnk") <= k)
+      .select(col("query_id"), col(idCol), col("score_micro"))
+  }
+
+  /** Brute-force exact top-k over the whole batch: one scan, one
+    * bounded heap per query on the map side
+    * ([[graft.plans.TopKByScore]] — the `params.exact` batched plan). */
+  private def exactTopKMulti(pts: DataFrame, idCol: String,
+                             vecCol: String,
+                             queries: Seq[(Long, Seq[Double])], k: Int)
+      : DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(queries.toDF("query_id", "__qv"))
+    pts.crossJoin(qdf)
+      .withColumn("score", VectorOps.cosine(col(vecCol), col("__qv")))
+      .filter(col("score").isNotNull)
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByScore.topK(col("score"),
+        col(idCol).cast("long"), k).as("__tk"))
+      .select(col("query_id"),
+        posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as(idCol),
+        floor(col("__e.score") * 1e6 + lit(0.5)).cast("long")
+          .as("score_micro"))
   }
 
   /** Brute-force exact top-k — the `params.exact` / no-index / selective-

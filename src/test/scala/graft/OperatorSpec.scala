@@ -707,7 +707,7 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("index router: a geo condition on a DECLARED geo key routes the " +
-       "base read through the cell window (box AND radius), " +
+       "base read through the cell window (box, radius AND polygon), " +
        "row-identical to the unrouted filter") {
     import graft.sources.IndexRouter
     // the SAME coordinate formula the memoized index was built from —
@@ -729,7 +729,9 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       ]}"""
     def canon(df: org.apache.spark.sql.DataFrame): Seq[Long] =
       df.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
-    for (dsl <- Seq(boxDsl, radDsl)) {
+    // polygon: the exterior's bbox prunes, the ray-cast exactness rides
+    // in the residual (VectorQueries.geoPolyDsl is the oracle-gated one)
+    for (dsl <- Seq(boxDsl, radDsl, VectorQueries.geoPolyDsl)) {
       val routed = IndexRouter.filtered(spark, located,
         Seq("location" -> idx), dsl, idCol = "vec_id")
       val unrouted = located.filter(
@@ -2559,5 +2561,121 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       PayloadIndex.scrollAfter(spark, idx, "id", 90L, 0L, 10))
     assert(page < all,
       s"ordered scroll scanned every file ($page of $all) — no pruning")
+  }
+
+  test("vector router batched serving: queryPointsMulti equals per-query " +
+       "queryPoints for every routable kind + exact, with a batch-size-" +
+       "independent job budget") {
+    import graft.sources.VectorRouter
+    val emb = Tables.load(spark, sf, "embeddings")
+    val qs = Seq(0L, 3L, 7L, 11L)
+      .map(i => i -> VectorQueries.queryVec(spark, sf, i))
+    val declSets = Seq(
+      ("quant", Seq(VectorQueries.quantIndexDir(spark, sf)),
+        VectorRouter.Params()),
+      ("ivfpq", Seq(PqQueries.ivfPqIndexDir(spark, sf)),
+        VectorRouter.Params()),
+      ("graph", Seq(GraphAnnQueries.graphIndexDir(spark, sf)),
+        VectorRouter.Params()),
+      ("exact", Seq(VectorQueries.quantIndexDir(spark, sf)),
+        VectorRouter.Params(exact = true)))
+    for ((tag, decls, params) <- declSets) {
+      val multi = VectorRouter.queryPointsMulti(spark, emb, "vec_id",
+          "embedding", decls, qs, 10, params)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      qs.foreach { case (qid, q) =>
+        val single = VectorRouter.queryPoints(spark, emb, "vec_id",
+            "embedding", decls, Nil, q, 10, params = params)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1).toSeq
+        val mine = multi.filter(_._1 == qid).map(t => (t._2, t._3))
+          .sortBy(_._1).toSeq
+        assert(mine == single, s"$tag query $qid: batched != single")
+        assert(mine.nonEmpty, s"$tag query $qid: empty result")
+      }
+    }
+    // job budget (quant): the batch shares one codes scan, one sidecar
+    // re-probe and one vector probe — 3 collection points regardless of
+    // batch size. Job COUNT per collection point is AQE stage noise, so
+    // the honest assertion is batch-size INDEPENDENCE: doubling the
+    // batch must not grow the job count (per-query serving doubles it),
+    // and the batch must beat the per-query total at the larger size.
+    // statusTracker feed is async — give it a beat.
+    val sc = spark.sparkContext
+    val quantDecls = Seq(VectorQueries.quantIndexDir(spark, sf))
+    val qs8 = Seq(0L, 3L, 7L, 11L, 13L, 17L, 19L, 23L)
+      .map(i => i -> VectorQueries.queryVec(spark, sf, i))
+    def jobsOf(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group, false)
+      body
+      sc.clearJobGroup()
+      Thread.sleep(500)
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    val single8 = jobsOf("vr-single8") {
+      qs8.foreach { case (_, q) =>
+        VectorRouter.queryPoints(spark, emb, "vec_id", "embedding",
+          quantDecls, Nil, q, 10).collect()
+      }
+    }
+    val multi4 = jobsOf("vr-multi4") {
+      VectorRouter.queryPointsMulti(spark, emb, "vec_id", "embedding",
+        quantDecls, qs, 10).collect()
+    }
+    val multi8 = jobsOf("vr-multi8") {
+      VectorRouter.queryPointsMulti(spark, emb, "vec_id", "embedding",
+        quantDecls, qs8, 10).collect()
+    }
+    assert(multi4 > 0 && multi8 <= multi4 + 1,
+      s"batched serving grew from $multi4 to $multi8 jobs when the " +
+        "batch doubled — job count scales with the batch")
+    assert(multi8 < single8,
+      s"batched serving ran $multi8 jobs vs $single8 per-query for 8 " +
+        "queries — stage-1 sharing broken")
+  }
+
+  test("vector router filtered-search estimate is ZERO-JOB: no payload " +
+       "route spends no more jobs than the unfiltered search, and the " +
+       "footer count is a true upper bound of the routed read") {
+    import graft.sources.{IndexRouter, VectorRouter, PayloadIndex}
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = VectorQueries.queryVec(spark, sf, 0)
+    val decls = Seq(VectorQueries.quantIndexDir(spark, sf))
+    val sc = spark.sparkContext
+    def jobsOf(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group, false)
+      body
+      sc.clearJobGroup()
+      Thread.sleep(500)
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    val j1 = jobsOf("vr-nofilter") {
+      VectorRouter.queryPoints(spark, emb, "vec_id", "embedding", decls,
+        Nil, q, 10).collect()
+    }
+    // a filter that routes NOTHING (no payload index declared): the old
+    // estimate ran a whole-collection count job; the zero-job estimate
+    // must keep the job count at the unfiltered serving's level
+    val j2 = jobsOf("vr-filter-noidx") {
+      VectorRouter.queryPoints(spark, emb, "vec_id", "embedding", decls,
+        Nil, q, 10, dslJson = Some(
+          """{"must": [{"key": "label", "match": {"value": 3}}]}"""))
+        .collect()
+    }
+    assert(j1 > 0 && j2 <= j1,
+      s"filtered search spent $j2 jobs vs $j1 unfiltered — " +
+        "a count job crept back into the estimate")
+    // the footer count of a ROUTED read: exact on the pruned listing,
+    // hence >= the read's own post-residual count (bucket co-residents),
+    // and exact for an unfiltered parquet read
+    val idx = VectorQueries.payloadIdxDir(spark, sf)
+    val routed = PayloadIndex.forValue(spark, idx, 3)
+    val est = IndexRouter.metadataRowCount(routed)
+    assert(est.isDefined, "routed read's footer count unavailable")
+    assert(est.get >= routed.count() && est.get > 0,
+      s"footer estimate ${est.get} below the routed read's row count")
+    val plain = spark.read.parquet(idx)
+    assert(IndexRouter.metadataRowCount(plain).contains(plain.count()),
+      "footer count drifted from the true row count on a plain read")
   }
 }

@@ -274,4 +274,155 @@ class PayloadFilterSpec extends AnyFunSuite with SparkSpec {
         """{"key": "at", "range": {"gte": "2024-01-03T00:00:00Z", "lt": 5}}""")
     }
   }
+
+  private val nestedDsl = """
+    {"nested": {"key": "tags", "filter": {"must": [
+      {"key": "t", "match": {"value": 3}},
+      {"key": "w", "range": {"gte": 2}}
+    ]}}}"""
+
+  test("nested condition: SAME-element conjunction, not any-element " +
+       "(typed + JSON modes agree)") {
+    import spark.implicits._
+    // row 1: t=3 and w>=2 live in DIFFERENT elements → any-element
+    // passes, same-element must NOT; row 2: one element carries both;
+    // row 3: matches neither; row 4: empty array
+    val rows = Seq(
+      (1L, Seq((3L, 1L), (4L, 2L))),
+      (2L, Seq((3L, 2L), (9L, 1L))),
+      (3L, Seq((4L, 1L))),
+      (4L, Seq.empty[(Long, Long)]))
+    val typed = rows.toDF("id", "raw")
+      .select(col("id"), transform(col("raw"),
+        e => struct(e.getField("_1").as("t"), e.getField("_2").as("w")))
+        .as("tags"))
+    val sameElem = typed.filter(PayloadFilter.fromJson(nestedDsl))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sameElem == Set(2L),
+      s"same-element semantics violated: matched $sameElem")
+    // the any-element reading over the SAME rows admits row 1 too —
+    // the difference the nested condition exists for
+    val anyElem = typed.filter(PayloadFilter.fromJson("""
+        {"must": [
+          {"key": "tags[].t", "match": {"value": 3}},
+          {"key": "tags[].w", "range": {"gte": 2}}
+        ]}"""))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(anyElem == Set(1L, 2L),
+      s"any-element baseline drifted: matched $anyElem")
+    // JSON-payload mode: identical verdicts
+    val json = typed.select(col("id"),
+      to_json(struct(col("tags"))).as("payload"))
+    val sameElemJson = json.filter(PayloadFilter.fromJson(nestedDsl,
+        jsonCol = Some("payload")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sameElemJson == Set(2L),
+      s"JSON-mode nested semantics drifted: matched $sameElemJson")
+  }
+
+  test("nested condition rejects has_id / has_vector (public DSL rule)") {
+    intercept[IllegalArgumentException] {
+      PayloadFilter.fromJson(
+        """{"nested": {"key": "tags", "filter":
+             {"must": [{"has_id": [1]}]}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      PayloadFilter.fromJson(
+        """{"nested": {"key": "tags", "filter":
+             {"must": [{"has_vector": "v"}]}}}""")
+    }
+  }
+
+  test("min_should: at least min_count conditions match; a NULL " +
+       "condition counts as unmatched (must_not's coercion)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(3L), 50L),   // label match + range match = 2
+      (2L, Some(3L), 500L),  // label match only            = 1
+      (3L, Some(1L), 50L),   // range match only            = 1
+      (4L, None, 50L),       // NULL label: range only      = 1
+      (5L, None, 5L)         // NULL label + range + id∈    = 2
+    ).toDF("id", "label", "v")
+    val dsl = """
+      {"min_should": {"conditions": [
+        {"key": "label", "match": {"value": 3}},
+        {"key": "v", "range": {"lt": 100}},
+        {"has_id": [5, 6]}
+      ], "min_count": 2}}"""
+    val hit = df.filter(PayloadFilter.fromJson(dsl))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hit == Set(1L, 5L), s"min_should matched $hit")
+    intercept[IllegalArgumentException] { // min_count is required
+      PayloadFilter.fromJson("""{"min_should": {"conditions":
+        [{"key": "v", "range": {"lt": 1}}]}}""")
+    }
+  }
+
+  test("has_vector over the deleteVectorsWhere partial-vector state: " +
+       "exactly the points still carrying the named vector") {
+    import graft.sources.Collections
+    import graft.sources.Collections.VectorConfig
+    val dir = java.nio.file.Files.createTempDirectory("graft-hv")
+      .toString + "/c"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    sink.write(Tables.load(spark, sf, "embeddings").limit(60)
+      .withColumn("seq", lit(0)))
+    Collections.deleteVectorsWhere(spark, dir, col("vec_id") % 3 === 0,
+      "vec_id", vecCols = Seq("embedding"))
+    val pts = Collections.read(spark, dir)
+    val kept = pts.filter(PayloadFilter.fromJson(
+        """{"must": [{"has_vector": "embedding"}]}""", idCol = "vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = pts.filter(col("embedding").isNotNull)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == expected && kept.nonEmpty &&
+      kept.forall(_ % 3 != 0), s"has_vector matched $kept")
+    // and the negated form finds exactly the vector-less points
+    val dropped = pts.filter(PayloadFilter.fromJson(
+        """{"must_not": [{"has_vector": "embedding"}]}""", idCol = "vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty && dropped.forall(_ % 3 == 0))
+  }
+
+  test("geo_polygon: non-convex ray casting with a hole — planted " +
+       "inside/outside/concavity/hole points verdict exactly") {
+    import spark.implicits._
+    // the shared fixture polygon (VectorQueries.polyExt/polyHole):
+    // non-convex pentagon, rectangular hole
+    val pts = Seq(
+      (1L, 40.0, 0.0, true),     // interior, away from everything
+      (2L, 5.0, -60.0, false),   // inside the bbox but in the concavity
+      (3L, 10.0, 5.0, true),     // interior just west of the hole
+      (4L, 10.0, 25.0, false),   // inside the hole
+      (5L, 70.0, 0.0, false),    // north of the exterior
+      (6L, 55.0, 30.0, true),    // interior near the NE corner
+      (7L, -50.0, -170.0, false) // outside the bbox entirely
+    )
+    val df = pts.toDF("id", "lat", "lon", "exp")
+      .select(col("id"), struct(col("lat"), col("lon")).as("location"),
+        col("exp"))
+    val got = df.filter(PayloadFilter.fromJson(VectorQueries.geoPolyDsl,
+        idCol = "id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expected = pts.filter(_._4).map(_._1).toSet
+    assert(got == expected, s"polygon verdicts: got $got want $expected")
+    // explicit (first == last) and implicit ring closure are the same
+    // predicate
+    import graft.operators.PayloadFilter.{microCol, pointInRing}
+    val ringClosed = VectorQueries.polyExt.map { case (la, lo) =>
+      (math.round(la * 1e6), math.round(lo * 1e6)) }
+    val latM = microCol(col("location.lat"))
+    val lonM = microCol(col("location.lon"))
+    val a = df.filter(pointInRing(latM, lonM, ringClosed))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = df.filter(pointInRing(latM, lonM, ringClosed.init))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "ring closure form changed the predicate")
+    // degenerate rings are rejected
+    intercept[IllegalArgumentException] {
+      df.filter(pointInRing(latM, lonM,
+        Seq((0L, 0L), (1L, 1L), (0L, 0L)))).count()
+    }
+  }
 }

@@ -363,6 +363,122 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(qRows(quantDir).nonEmpty)
   }
 
+  test("streaming upserts keep EVERY derived vector layout fresh: PQ " +
+       "codes, IVF+PQ, and the graph index refresh per micro-batch and " +
+       "equal a full rebuild after a mixed insert/re-vector sequence") {
+    import graft.sources.{Collections, PqIndex, IvfPqIndex, GraphIndex}
+    import graft.sources.Collections.VectorConfig
+    import graft.operators.{Ann, Pq}
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-slayouts")
+    val in = tmp.resolve("in"); Files.createDirectories(in)
+    val emb = Tables.load(spark, sf, "embeddings").limit(60)
+      .select(col("vec_id").cast("long").as("id"), col("embedding"))
+    // batch 1: ids 0–39; batch 2: ids 0–9 RE-VECTORED (reversed — a
+    // direction change, so codes/cells/edges all move) + ids 40–59 new —
+    // the mixed sequence every layout's refresh must absorb
+    val b1 = emb.filter(col("id") < 40)
+    val b2 = emb.filter(col("id") < 10)
+      .withColumn("embedding", reverse(col("embedding"))
+        .cast("array<float>"))
+      .unionAll(emb.filter(col("id") >= 40))
+    b1.coalesce(1).write.parquet(in.resolve("b1").toString)
+    b2.coalesce(1).write.parquet(in.resolve("b2").toString)
+
+    val collDir = tmp.resolve("coll").toString
+    Collections.create(collDir, VectorConfig(64), buckets = 8)
+    val sink = new Collections.ParquetCollectionSink(spark, collDir,
+      VectorConfig(64), "embedding", "id", "__seq")
+    val pqDir = tmp.resolve("pq").toString
+    val ivfpqDir = tmp.resolve("ivfpq").toString
+    val graphDir = tmp.resolve("graph").toString
+    val cents = Seq(
+      (0L, Seq.tabulate(64)(i => if (i == 0) 1.0 else 0.0)),
+      (1L, Seq.tabulate(64)(i => if (i == 1) 1.0 else 0.0)))
+      .toDF("cid", "cv")
+    val gp = GraphIndex.Params(bands = 2, planesPerBand = 4, w = 3,
+      m = 4, rounds = 2, planes = Ann.hyperplanes(8, 64))
+    var pqCur = Collections.ManifestView(0, Map.empty)
+    var ivfpqCur = Collections.ManifestView(0, Map.empty)
+    var gCur = Collections.ManifestView(0, Map.empty)
+    var batches = 0
+    val pts = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$in/*")
+    Stream.runAvailableNow(
+      Stream.upsertSink(pts, tmp.resolve("ckpt").toString) { (batch, _) =>
+        sink.write(batch.withColumn("__seq", lit(batches.toLong)))
+        if (batches == 0) {
+          // first batch trains + builds; the artifacts PIN — later
+          // batches refresh with them (the layouts' pinned-artifact rule)
+          val cbs = Pq.trainCodebooks(Collections.read(spark, collDir),
+            "id", "embedding", m = 8, subDim = 8, k = 8, iters = 1)
+          pqCur = PqIndex.buildFromCollection(spark, collDir, pqDir,
+            "id", "embedding", cbs, subDim = 8)
+          ivfpqCur = IvfPqIndex.buildFromCollection(spark, collDir,
+            ivfpqDir, "id", "embedding", cents, cbs, subDim = 8)
+          gCur = GraphIndex.build(spark, collDir, graphDir, "id",
+            "embedding", gp)
+        } else {
+          pqCur = PqIndex.refresh(spark, collDir, pqDir, pqCur)
+          ivfpqCur = IvfPqIndex.refresh(spark, collDir, ivfpqDir,
+            ivfpqCur)
+          gCur = GraphIndex.refresh(spark, collDir, graphDir, "id",
+            "embedding", gCur)
+        }
+        batches += 1
+      })
+    assert(batches >= 2, s"expected >=2 micro-batches, got $batches")
+
+    // full rebuilds over the FINAL collection state with the SAME pinned
+    // artifacts (codebooks read back from the maintained layouts)
+    def rows(p: String, cols: String*): Seq[String] =
+      spark.read.parquet(p).select(cols.map(col): _*)
+        .collect().map(_.toSeq.toString).toSeq.sorted
+    val coll = Collections.read(spark, collDir)
+    val nb = Collections.numBuckets(collDir)
+
+    val pqFull = tmp.resolve("pq_full").toString
+    PqIndex.build(coll, "id", "embedding",
+      PqIndex.codebooksOf(spark, pqDir), subDim = 8, pqFull, nb)
+    assert(rows(pqDir, "id", "codes") == rows(pqFull, "id", "codes"),
+      "per-batch PQ sidecar diverges from a full rebuild")
+
+    val ivfpqFull = tmp.resolve("ivfpq_full").toString
+    IvfPqIndex.build(coll, "id", "embedding", cents,
+      IvfPqIndex.codebooksOf(spark, ivfpqDir), subDim = 8, ivfpqFull, nb)
+    assert(rows(ivfpqDir, "id", "codes", "cluster") ==
+        rows(ivfpqFull, "id", "codes", "cluster"),
+      "per-batch IVF+PQ layout diverges from a full rebuild")
+
+    val graphFull = tmp.resolve("graph_full").toString
+    GraphIndex.build(spark, collDir, graphFull, "id", "embedding", gp)
+    (0 to gp.rounds).foreach { r =>
+      assert(rows(s"$graphDir/graph/round=$r",
+          "src", "dst", "score_micro", "rnk") ==
+        rows(s"$graphFull/graph/round=$r",
+          "src", "dst", "score_micro", "rnk"),
+        s"per-batch graph round $r diverges from a full rebuild")
+    }
+    assert(rows(s"$graphDir/seeds", "id") == rows(s"$graphFull/seeds", "id"),
+      "per-batch graph seeds diverge from a full rebuild")
+
+    // the re-vectored points actually changed their codes (the batch 2
+    // update was absorbed, not skipped)
+    assert(rows(pqDir, "id", "codes").nonEmpty)
+    val reVec = spark.read.parquet(pqDir).filter(col("id") < 10)
+      .select("id", "codes").collect().map(_.toSeq.toString).toSeq.sorted
+    val b1Codes = {
+      val d = tmp.resolve("pq_b1").toString
+      PqIndex.build(b1, "id", "embedding",
+        PqIndex.codebooksOf(spark, pqDir), subDim = 8, d, nb)
+      spark.read.parquet(d).filter(col("id") < 10)
+        .select("id", "codes").collect().map(_.toSeq.toString).toSeq.sorted
+    }
+    assert(reVec != b1Codes,
+      "re-vectored points kept their batch-1 codes — update not absorbed")
+  }
+
   test("nearDupStreamTtl: expired band bucket re-admits content; " +
        "within-TTL duplicate still hits") {
     import spark.implicits._
