@@ -171,7 +171,47 @@ object AutoQueries {
       ${prefetchBlock(3)}
       SELECT * FROM res_0 UNION ALL SELECT * FROM res_3"""))
 
+  /** BATCHED + FILTERED routed search (the shared-filter
+    * `query_batch_points` shape): two queries under one selective
+    * `label = 3` filter. The zero-job footer estimate decides the plan
+    * ONCE — under the threshold at every gate SF — so the whole batch
+    * is ONE exact pass over the payload-routed filtered read with
+    * per-query map-side heaps ([[VectorRouter.exactTopKMulti]]). The
+    * oracle replays both filtered exact chains; the over-threshold
+    * batched candidate-post-filter branch is spec-gated in OperatorSpec
+    * (recall-bounded, like the single-query branch). */
+  val vAutoFilteredMulti = Q("v_auto_filtered_multi",
+    (s, dir) =>
+      VectorRouter.queryPointsMulti(s, Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", decls(s, dir),
+        Seq(0L, 3L).map(i => i -> queryVec(s, dir, i)), 10,
+        dslJson = Some(
+          """{"must": [{"key": "label", "match": {"value": 3}}]}"""),
+        payloadIndexes = Seq("label" -> payloadIdxDir(s, dir))),
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      r0 AS (
+        SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
+               CAST(floor(list_cosine_similarity(v,
+                 (SELECT v FROM e WHERE vec_id = 0)) * 1000000 + 0.5)
+                 AS BIGINT) AS score_micro
+        FROM e WHERE label = 3
+        ORDER BY list_cosine_similarity(v,
+          (SELECT v FROM e WHERE vec_id = 0)) DESC, vec_id
+        LIMIT 10),
+      r3 AS (
+        SELECT CAST(3 AS BIGINT) AS query_id, vec_id,
+               CAST(floor(list_cosine_similarity(v,
+                 (SELECT v FROM e WHERE vec_id = 3)) * 1000000 + 0.5)
+                 AS BIGINT) AS score_micro
+        FROM e WHERE label = 3
+        ORDER BY list_cosine_similarity(v,
+          (SELECT v FROM e WHERE vec_id = 3)) DESC, vec_id
+        LIMIT 10)
+      SELECT * FROM r0 UNION ALL SELECT * FROM r3"""))
+
   def queries: Seq[Q] =
     Seq(vAutoSearch, vAutoExact, vAutoFiltered, vAutoGraph,
-      vAutoSearchMulti)
+      vAutoSearchMulti, vAutoFilteredMulti)
 }

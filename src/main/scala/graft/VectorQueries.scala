@@ -171,6 +171,54 @@ object VectorQueries {
       FROM r WHERE rnk <= 5
       ORDER BY query_id, rnk"""))
 
+  /** V2+V3 — batch search where each request carries its OWN payload
+    * DSL filter (the full `query_batch_points` shape; `v_knn_batch`
+    * covers the value-equality special case): query 0 runs under a
+    * match.any + range conjunction, query 3 under a match.except —
+    * heterogeneous predicates, ONE collection pass
+    * ([[graft.operators.Knn.knnBatchDsl]] — pairs drop map-side before
+    * scoring, bounded per-query heaps). The oracle replays both
+    * filtered chains in one statement. */
+  val vKnnBatchDsl = Q("v_knn_batch_dsl",
+    (s, dir) => {
+      import graft.operators.PayloadFilter
+      val emb = Tables.load(s, dir, "embeddings")
+      Knn.knnBatchDsl(emb, Seq(
+          (0L, queryVec(s, dir, 0), PayloadFilter.fromJson(
+            """{"must": [
+                 {"key": "label", "match": {"any": [2, 3, 5]}},
+                 {"key": "vec_id", "range": {"gte": 10}}]}""",
+            idCol = "vec_id")),
+          (3L, queryVec(s, dir, 3), PayloadFilter.fromJson(
+            """{"must": [{"key": "label", "match": {"except": [0, 1]}}]}""",
+            idCol = "vec_id"))),
+        "embedding", 10)
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      r0 AS (
+        SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
+               CAST(floor(list_cosine_similarity(v,
+                 (SELECT v FROM e WHERE vec_id = 0)) * 1000000 + 0.5)
+                 AS BIGINT) AS score_micro
+        FROM e
+        WHERE label IN (2, 3, 5) AND vec_id >= 10
+        ORDER BY list_cosine_similarity(v,
+          (SELECT v FROM e WHERE vec_id = 0)) DESC, vec_id
+        LIMIT 10),
+      r3 AS (
+        SELECT CAST(3 AS BIGINT) AS query_id, vec_id,
+               CAST(floor(list_cosine_similarity(v,
+                 (SELECT v FROM e WHERE vec_id = 3)) * 1000000 + 0.5)
+                 AS BIGINT) AS score_micro
+        FROM e
+        WHERE label NOT IN (0, 1) OR label IS NULL
+        ORDER BY list_cosine_similarity(v,
+          (SELECT v FROM e WHERE vec_id = 3)) DESC, vec_id
+        LIMIT 10)
+      SELECT * FROM r0 UNION ALL SELECT * FROM r3"""))
+
   /** V3 — payload-filtered kNN (the Qdrant filter-DSL surface): predicate
     * applied BEFORE scoring, so the filter pushes to the parquet scan. */
   val vKnnFiltered = Q("v_knn_filtered",
@@ -1590,7 +1638,8 @@ object VectorQueries {
       ORDER BY rnk"""))
 
   def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnTenant, vKnnMulti, vKnnPage,
-    vKnnMultiAgg, vKnnBatch, vKnnFiltered, vKnnPayloadIndexed, vKnnDsl,
+    vKnnMultiAgg, vKnnBatch, vKnnBatchDsl, vKnnFiltered, vKnnPayloadIndexed,
+    vKnnDsl,
     vKnnDslExcept,
     vKnnDslNested, vKnnDslNestedObj, vKnnDslNestedTyped, vKnnDslMinShould,
     vKnnDslRouted, vKnnGeo, vKnnGeoIndexed, vKnnGeoPoly, vKnnGeoPolyRouted,

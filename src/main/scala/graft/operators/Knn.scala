@@ -120,4 +120,40 @@ object Knn {
         col("__e.id").as(idCol),
         col("__e.score").cast("long").as("score_micro"),
         (col("__pos") + 1).cast("int").as("rnk"))
+
+  /** [[knnBatchFiltered]] generalized to ARBITRARY per-query predicates
+    * (the full `query_batch_points` shape: each request carries its own
+    * payload-filter DSL, not just a value equality). The per-query
+    * predicate cannot ride as data, so it rides as a per-query arm of
+    * one disjunctive CASE predicate over the broadcast (point, query)
+    * pairs — still dropped map-side BEFORE any scoring, still ONE
+    * collection pass, still |partitions|·N·k rows across the shuffle
+    * (the null-is-false coercion matches the DSL translator's must_not
+    * rule, so an unmatched-key predicate drops the pair rather than
+    * NULL-poisoning the filter). `queries` = (id, vector, predicate). */
+  def knnBatchDsl(coll: DataFrame,
+                  queries: Seq[(Long, Seq[Double], Column)],
+                  vecCol: String, k: Int,
+                  idCol: String = "vec_id"): DataFrame = {
+    val spark = coll.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(
+      queries.map { case (qid, qv, _) => (qid, qv) }
+        .toDF("query_id", "__qv"))
+    val pred = queries.map { case (qid, _, p) =>
+      (col("query_id") === qid) && coalesce(p, lit(false))
+    }.reduce(_ || _)
+    coll.crossJoin(qdf)
+      .filter(pred)
+      .withColumn("score", cosine(col(vecCol), col("__qv")))
+      .filter(col("score").isNotNull)
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByScore.topK(col("score"),
+        col(idCol).cast("long"), k).as("__tk"))
+      .select(col("query_id"),
+        posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as(idCol),
+        floor(col("__e.score") * 1e6 + lit(0.5)).cast("long")
+          .as("score_micro"))
+  }
 }

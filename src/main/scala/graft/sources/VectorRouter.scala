@@ -174,36 +174,91 @@ object VectorRouter {
     * single-query [[queryPoints]] result exactly (oracle-gated:
     * `v_auto_search_multi` replays N chains in one statement).
     * Point ids must be integral (the graph/heap stages' long-id
-    * contract — same as every materialized vector layout). Returns
+    * contract — same as every materialized vector layout).
+    *
+    * With a `dslJson` filter (one filter for the whole batch — the
+    * shared-filter `query_batch_points` shape), the single-query
+    * cardinality plan choice applies ONCE: selective filters take ONE
+    * batched exact pass over the payload-routed filtered read
+    * ([[exactTopKMulti]] — per-query map-side heaps); above the
+    * threshold, the batched stage-1 candidates rescore against the
+    * FILTERED points (candidate post-filtering — the same
+    * recall-bounded contract as the single-query branch). Returns
     * (query_id, idCol, score_micro), top `k` per query. */
   def queryPointsMulti(spark: SparkSession, points: DataFrame,
                        idCol: String, vecCol: String,
                        vectorIndexes: Seq[String],
                        queries: Seq[(Long, Seq[Double])], k: Int,
-                       params: Params = Params()): DataFrame =
-    route(vectorIndexes, params) match {
-      case None => exactTopKMulti(points, idCol, vecCol, queries, k)
-      case Some(("graph", dir)) =>
-        GraphAnn.beamSearchMultiIndexed(points, idCol, vecCol, dir,
-            queries, params.beam, params.rounds, k)
-          .select(col("query_id"), col("id").as(idCol), col("score_micro"))
-      case Some((kind, dir)) =>
-        val cand = kind match {
-          case "quant" =>
-            val m = QuantIndex.metaOf(dir)
-            QuantIndex.prefetchTopNMulti(spark, dir, queries,
-                params.prefetchFactor * k, params.oversampling * k)
-              .select(col("query_id"), col(m.idCol).as(idCol))
-          case "ivfpq" =>
-            val m = IvfPqIndex.metaOf(dir)
-            IvfPqIndex.adcTopNMulti(spark, dir, queries, params.nprobe,
-                params.oversampling * k)
-              .select(col("query_id"), col(m.idCol).as(idCol))
-          case other => throw new IllegalArgumentException(
-            s"unroutable vector index kind: $other")
+                       dslJson: Option[String] = None,
+                       payloadIndexes: Seq[(String, String)] = Nil,
+                       params: Params = Params()): DataFrame = {
+    val routed = route(vectorIndexes, params)
+    dslJson match {
+      case None => routed match {
+        case None => exactTopKMulti(points, idCol, vecCol, queries, k)
+        case Some(("graph", dir)) =>
+          GraphAnn.beamSearchMultiIndexed(points, idCol, vecCol, dir,
+              queries, params.beam, params.rounds, k)
+            .select(col("query_id"), col("id").as(idCol),
+              col("score_micro"))
+        case Some((kind, dir)) =>
+          rescoreMulti(points, idCol, vecCol,
+            annCandidatesMulti(spark, points, idCol, vecCol, kind, dir,
+              queries, k, params),
+            queries, k, byMicro = kind == "ivfpq")
+      }
+      case Some(dsl) =>
+        val pred =
+          graft.operators.PayloadFilter.fromJson(dsl, idCol = idCol)
+        // the single-query zero-job estimate, decided once per batch
+        def estimate: Long = {
+          val base =
+            IndexRouter.baseRead(spark, points, payloadIndexes, dsl, idCol)
+          if (base eq points) Long.MaxValue
+          else IndexRouter.metadataRowCount(base).getOrElse(base.count())
         }
-        rescoreMulti(points, idCol, vecCol, cand, queries, k,
-          byMicro = kind == "ivfpq")
+        routed match {
+          case Some((kind, dir)) if estimate > params.scanThreshold =>
+            // candidate post-filtering (recall-bounded, see scaladoc);
+            // the graph kind contributes its beam results as candidates
+            rescoreMulti(points.filter(pred), idCol, vecCol,
+              annCandidatesMulti(spark, points, idCol, vecCol, kind, dir,
+                queries, k, params),
+              queries, k, byMicro = kind == "ivfpq")
+          case _ =>
+            exactTopKMulti(
+              IndexRouter.filtered(spark, points, payloadIndexes, dsl,
+                idCol),
+              idCol, vecCol, queries, k)
+        }
+    }
+  }
+
+  /** Batched stage-1 candidate (query_id, id) pairs from a declared
+    * index — each kind's one-scan batched pass. */
+  private def annCandidatesMulti(spark: SparkSession, points: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 kind: String, dir: String,
+                                 queries: Seq[(Long, Seq[Double])],
+                                 k: Int, params: Params): DataFrame =
+    kind match {
+      case "quant" =>
+        val m = QuantIndex.metaOf(dir)
+        QuantIndex.prefetchTopNMulti(spark, dir, queries,
+            params.prefetchFactor * k, params.oversampling * k)
+          .select(col("query_id"), col(m.idCol).as(idCol))
+      case "ivfpq" =>
+        val m = IvfPqIndex.metaOf(dir)
+        IvfPqIndex.adcTopNMulti(spark, dir, queries, params.nprobe,
+            params.oversampling * k)
+          .select(col("query_id"), col(m.idCol).as(idCol))
+      case "graph" =>
+        GraphAnn.beamSearchMultiIndexed(points, idCol, vecCol, dir,
+            queries, params.beam, params.rounds,
+            math.min(params.oversampling * k, params.beam))
+          .select(col("query_id"), col("id").as(idCol))
+      case other => throw new IllegalArgumentException(
+        s"unroutable vector index kind: $other")
     }
 
   /** Exact stage of the batched code-based kinds: ONE literal probe of

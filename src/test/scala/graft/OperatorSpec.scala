@@ -2581,7 +2581,7 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
         VectorRouter.Params(exact = true)))
     for ((tag, decls, params) <- declSets) {
       val multi = VectorRouter.queryPointsMulti(spark, emb, "vec_id",
-          "embedding", decls, qs, 10, params)
+          "embedding", decls, qs, 10, params = params)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       qs.foreach { case (qid, q) =>
         val single = VectorRouter.queryPoints(spark, emb, "vec_id",
@@ -2632,6 +2632,41 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(multi8 < single8,
       s"batched serving ran $multi8 jobs vs $single8 per-query for 8 " +
         "queries — stage-1 sharing broken")
+  }
+
+  test("vector router batched FILTERED serving: both cardinality plan " +
+       "branches are row-identical to per-query filtered queryPoints") {
+    import graft.sources.VectorRouter
+    val emb = Tables.load(spark, sf, "embeddings")
+    val qs = Seq(0L, 3L).map(i => i -> VectorQueries.queryVec(spark, sf, i))
+    val decls = Seq(VectorQueries.quantIndexDir(spark, sf))
+    val idx = Seq("label" -> VectorQueries.payloadIdxDir(spark, sf))
+    val dsl = """{"must": [{"key": "label", "match": {"value": 3}}]}"""
+    // branch A: selective filter (footer estimate under the threshold)
+    // → one batched exact pass over the routed filtered read;
+    // branch B: scanThreshold = 0 forces the batched candidate
+    // post-filter — both must equal the single-query serving per query
+    val branches = Seq(
+      ("scan", idx, VectorRouter.Params()),
+      ("ann", idx, VectorRouter.Params(scanThreshold = 0)))
+    for ((tag, pIdx, params) <- branches) {
+      val multi = VectorRouter.queryPointsMulti(spark, emb, "vec_id",
+          "embedding", decls, qs, 10, dslJson = Some(dsl),
+          payloadIndexes = pIdx, params = params)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      qs.foreach { case (qid, q) =>
+        val single = VectorRouter.queryPoints(spark, emb, "vec_id",
+            "embedding", decls, pIdx, q, 10, dslJson = Some(dsl),
+            params = params)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1).toSeq
+        val mine = multi.filter(_._1 == qid).map(t => (t._2, t._3))
+          .sortBy(_._1).toSeq
+        assert(mine == single, s"$tag branch, query $qid: batched " +
+          "filtered != single filtered")
+      }
+      assert(multi.nonEmpty, s"$tag branch returned nothing")
+    }
   }
 
   test("vector router filtered-search estimate is ZERO-JOB: no payload " +
