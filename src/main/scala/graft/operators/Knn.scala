@@ -130,11 +130,15 @@ object Knn {
     * collection pass, still |partitions|·N·k rows across the shuffle
     * (the null-is-false coercion matches the DSL translator's must_not
     * rule, so an unmatched-key predicate drops the pair rather than
-    * NULL-poisoning the filter). `queries` = (id, vector, predicate). */
+    * NULL-poisoning the filter). `queries` = (id, vector, predicate).
+    * The predicate CASE arms grow linearly with the batch (they are
+    * per-query expressions, not data) — sized for the public API's
+    * handful-per-batch shape; split batches past ~100 requests. */
   def knnBatchDsl(coll: DataFrame,
                   queries: Seq[(Long, Seq[Double], Column)],
                   vecCol: String, k: Int,
                   idCol: String = "vec_id"): DataFrame = {
+    require(queries.nonEmpty, "knnBatchDsl: empty query batch")
     val spark = coll.sparkSession
     import spark.implicits._
     val qdf = broadcast(

@@ -295,6 +295,10 @@ object PayloadFilter {
             case other => throw new IllegalArgumentException(
               s"min_should min_count: $other")
           }
+          // a non-positive min_count would be vacuously true — reject
+          // like every other malformed condition, never silently match
+          if (minCount < 1) throw new IllegalArgumentException(
+            s"min_should min_count must be >= 1, got $minCount")
           clauses += (conds.map(c =>
               when(coalesce(c, lit(false)), lit(1)).otherwise(lit(0)))
             .reduce(_ + _) >= lit(minCount))

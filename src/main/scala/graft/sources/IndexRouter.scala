@@ -302,7 +302,9 @@ object IndexRouter {
     * exactly what a planner threshold wants (Qdrant's planner likewise
     * consults index cardinality estimates, not exact predicate
     * counts). */
-  private[graft] def metadataRowCount(df: DataFrame): Option[Long] = {
+  private[graft] def metadataRowCount(df: DataFrame,
+                                      maxFiles: Long = Long.MaxValue)
+      : Option[Long] = {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -311,14 +313,20 @@ object IndexRouter {
     }
     if (scans.length != 1) None
     else {
-      val conf = df.sparkSession.sessionState.newHadoopConf()
-      Some(scans.head.selectedPartitions.filePartitionIterator
-        .flatMap(_.files)
-        .map { st =>
-          val rd = ParquetFileReader.open(
-            HadoopInputFile.fromPath(st.getPath, conf))
-          try rd.getRecordCount finally rd.close()
-        }.sum)
+      val listing = scans.head.selectedPartitions
+      // a caller-set file bound keeps the driver-side footer pass an
+      // actual metadata read — past it, None (the caller falls back)
+      if (listing.totalNumberOfFiles > maxFiles) None
+      else {
+        val conf = df.sparkSession.sessionState.newHadoopConf()
+        Some(listing.filePartitionIterator
+          .flatMap(_.files)
+          .map { st =>
+            val rd = ParquetFileReader.open(
+              HadoopInputFile.fromPath(st.getPath, conf))
+            try rd.getRecordCount finally rd.close()
+          }.sum)
+      }
     }
   }
 }

@@ -191,7 +191,10 @@ object IvfPqIndex {
     * cell. Each pair ADC-scores through the query's OWN m×k literal LUT
     * (per-query CASE chain — the one-column-per-query rule), and the
     * bounded per-query heap keeps (adc ASC, id ASC), so each query's
-    * rows equal its [[adcTopN]] result exactly (spec-gated). Returns
+    * rows equal its [[adcTopN]] result exactly (spec-gated). The CASE
+    * arms and m×k LUT literals grow linearly with the batch (per-query
+    * plan constants, not data) — sized for the public API's
+    * handful-per-batch shape; split batches past ~100 queries. Returns
     * (query_id, id, adc). */
   def adcTopNMulti(spark: SparkSession, dir: String,
                    queries: Seq[(Long, Seq[Double])], nprobe: Int,

@@ -268,6 +268,9 @@ object QuantIndex {
     * CASE chain over the SAME [[graft.functions.VectorOps.sqScoreFromCodes]]
     * literal expression the single-query path evaluates, so each query's
     * rows equal its [[prefetchTopN]] result exactly (spec-gated).
+    * The CASE arms grow linearly with the batch (per-query literal
+    * expressions, not data) — sized for the public API's
+    * handful-per-batch shape; split batches past ~100 queries.
     * Returns (query_id, id, hamming, score_q) — top `n2` per query. */
   def prefetchTopNMulti(spark: SparkSession, dir: String,
                         queries: Seq[(Long, Seq[Double])], n1: Int,

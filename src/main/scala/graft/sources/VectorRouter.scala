@@ -129,20 +129,9 @@ object VectorRouter {
         val pred =
           graft.operators.PayloadFilter.fromJson(dsl, idCol = idCol)
         // estimate only when a vector index could serve — with no route
-        // the scan plan is taken regardless. The estimate itself is
-        // ZERO-JOB: when a payload index routes, the parquet footer row
-        // counts of its PRUNED file listing
-        // ([[IndexRouter.metadataRowCount]] — driver-side metadata, no
-        // scan); when nothing routes, the filter's cardinality is
-        // unknowable without scanning the corpus, which is the ANN
-        // branch's answer anyway (the old whole-collection count job was
-        // always > threshold — same plan, one job saved).
-        def estimate: Long = {
-          val base =
-            IndexRouter.baseRead(spark, points, payloadIndexes, dsl, idCol)
-          if (base eq points) Long.MaxValue
-          else IndexRouter.metadataRowCount(base).getOrElse(base.count())
-        }
+        // the scan plan is taken regardless ([[cardinalityEstimate]])
+        def estimate: Long =
+          cardinalityEstimate(spark, points, payloadIndexes, dsl, idCol)
         routed match {
           case Some((kind, dir)) if estimate > params.scanThreshold =>
             // candidate post-filtering (see scaladoc: recall-bounded)
@@ -211,12 +200,8 @@ object VectorRouter {
         val pred =
           graft.operators.PayloadFilter.fromJson(dsl, idCol = idCol)
         // the single-query zero-job estimate, decided once per batch
-        def estimate: Long = {
-          val base =
-            IndexRouter.baseRead(spark, points, payloadIndexes, dsl, idCol)
-          if (base eq points) Long.MaxValue
-          else IndexRouter.metadataRowCount(base).getOrElse(base.count())
-        }
+        def estimate: Long =
+          cardinalityEstimate(spark, points, payloadIndexes, dsl, idCol)
         routed match {
           case Some((kind, dir)) if estimate > params.scanThreshold =>
             // candidate post-filtering (recall-bounded, see scaladoc);
@@ -232,6 +217,33 @@ object VectorRouter {
               idCol, vecCol, queries, k)
         }
     }
+  }
+
+  /** Listing-size bound under which an UNROUTED collection still gets an
+    * exact zero-job footer count: a collection this small is metadata to
+    * read, so it keeps the exact scan plan the old count-job estimate
+    * chose. Above it, opening every footer driver-side would be a scan
+    * in disguise. */
+  private val SmallCollectionFiles = 64L
+
+  /** The filtered-search cardinality estimate — ZERO-JOB in every
+    * branch. A routed payload index contributes the parquet footer row
+    * counts of its PRUNED file listing; with nothing routable, a small
+    * collection (≤ [[SmallCollectionFiles]] files) contributes its own
+    * footer count — tiny collections keep the exact scan plan — while a
+    * large or non-single-scan frame pins the estimate above any
+    * threshold (its filtered cardinality is unknowable without the very
+    * scan the plan decision is trying to avoid, which is the ANN
+    * branch's answer anyway). */
+  private def cardinalityEstimate(spark: SparkSession, points: DataFrame,
+                                  payloadIndexes: Seq[(String, String)],
+                                  dsl: String, idCol: String): Long = {
+    val base =
+      IndexRouter.baseRead(spark, points, payloadIndexes, dsl, idCol)
+    if (base eq points)
+      IndexRouter.metadataRowCount(points, maxFiles = SmallCollectionFiles)
+        .getOrElse(Long.MaxValue)
+    else IndexRouter.metadataRowCount(base).getOrElse(base.count())
   }
 
   /** Batched stage-1 candidate (query_id, id) pairs from a declared
@@ -296,27 +308,16 @@ object VectorRouter {
   }
 
   /** Brute-force exact top-k over the whole batch: one scan, one
-    * bounded heap per query on the map side
-    * ([[graft.plans.TopKByScore]] — the `params.exact` batched plan). */
+    * bounded heap per query on the map side — exactly
+    * [[graft.operators.Knn.knnBatchDsl]] with a vacuous per-query
+    * predicate (one plan, no second copy to drift). */
   private def exactTopKMulti(pts: DataFrame, idCol: String,
                              vecCol: String,
                              queries: Seq[(Long, Seq[Double])], k: Int)
-      : DataFrame = {
-    val spark = pts.sparkSession
-    import spark.implicits._
-    val qdf = broadcast(queries.toDF("query_id", "__qv"))
-    pts.crossJoin(qdf)
-      .withColumn("score", VectorOps.cosine(col(vecCol), col("__qv")))
-      .filter(col("score").isNotNull)
-      .groupBy("query_id")
-      .agg(graft.plans.TopKByScore.topK(col("score"),
-        col(idCol).cast("long"), k).as("__tk"))
-      .select(col("query_id"),
-        posexplode(col("__tk")).as(Seq("__pos", "__e")))
-      .select(col("query_id"), col("__e.id").as(idCol),
-        floor(col("__e.score") * 1e6 + lit(0.5)).cast("long")
-          .as("score_micro"))
-  }
+      : DataFrame =
+    graft.operators.Knn.knnBatchDsl(pts,
+      queries.map { case (qid, q) => (qid, q, lit(true)) },
+      vecCol, k, idCol)
 
   /** Brute-force exact top-k — the `params.exact` / no-index / selective-
     * filter plan: one scan, bounded heap (TakeOrderedAndProject). */
@@ -324,6 +325,10 @@ object VectorRouter {
                         q: Seq[Double], k: Int): DataFrame =
     pts.select(col(idCol),
         VectorOps.cosine(col(vecCol), typedLit(q)).as("score"))
+      // NULL scores (absent named vectors) are excluded — Knn.knn's
+      // contract, and what keeps this row-identical to the batched
+      // exactTopKMulti (whose heap skips nulls)
+      .filter(col("score").isNotNull)
       .orderBy(desc("score"), col(idCol))
       .limit(k)
       .select(col(idCol),

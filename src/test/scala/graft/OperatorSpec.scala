@@ -615,6 +615,26 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       s"box read scans every file ($pruned of $all) — no pruning")
   }
 
+  /** Run `body` under a job group and return its job count once the
+    * async statusTracker feed has SETTLED — poll until two consecutive
+    * nonzero reads agree (cap 5 s) rather than a fixed sleep that can
+    * undercount on a loaded machine. */
+  private def jobsInGroup(group: String)(body: => Unit): Int = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(group, group, false)
+    body
+    sc.clearJobGroup()
+    val deadline = System.nanoTime + 5L * 1000 * 1000 * 1000
+    var prev = -1
+    var cur = sc.statusTracker.getJobIdsForGroup(group).length
+    while ((cur != prev || cur == 0) && System.nanoTime < deadline) {
+      prev = cur
+      Thread.sleep(200)
+      cur = sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    cur
+  }
+
   /** Files the scan actually read (post partition pruning) — the
     * FileSourceScan `numFiles` metric after execution;
     * `DataFrame.inputFiles` would report the UNpruned listing. */
@@ -2600,18 +2620,11 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     // the honest assertion is batch-size INDEPENDENCE: doubling the
     // batch must not grow the job count (per-query serving doubles it),
     // and the batch must beat the per-query total at the larger size.
-    // statusTracker feed is async — give it a beat.
-    val sc = spark.sparkContext
     val quantDecls = Seq(VectorQueries.quantIndexDir(spark, sf))
     val qs8 = Seq(0L, 3L, 7L, 11L, 13L, 17L, 19L, 23L)
       .map(i => i -> VectorQueries.queryVec(spark, sf, i))
-    def jobsOf(group: String)(body: => Unit): Int = {
-      sc.setJobGroup(group, group, false)
-      body
-      sc.clearJobGroup()
-      Thread.sleep(500)
-      sc.statusTracker.getJobIdsForGroup(group).length
-    }
+    def jobsOf(group: String)(body: => Unit): Int =
+      jobsInGroup(group)(body)
     val single8 = jobsOf("vr-single8") {
       qs8.foreach { case (_, q) =>
         VectorRouter.queryPoints(spark, emb, "vec_id", "embedding",
@@ -2676,14 +2689,8 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     val emb = Tables.load(spark, sf, "embeddings")
     val q = VectorQueries.queryVec(spark, sf, 0)
     val decls = Seq(VectorQueries.quantIndexDir(spark, sf))
-    val sc = spark.sparkContext
-    def jobsOf(group: String)(body: => Unit): Int = {
-      sc.setJobGroup(group, group, false)
-      body
-      sc.clearJobGroup()
-      Thread.sleep(500)
-      sc.statusTracker.getJobIdsForGroup(group).length
-    }
+    def jobsOf(group: String)(body: => Unit): Int =
+      jobsInGroup(group)(body)
     val j1 = jobsOf("vr-nofilter") {
       VectorRouter.queryPoints(spark, emb, "vec_id", "embedding", decls,
         Nil, q, 10).collect()

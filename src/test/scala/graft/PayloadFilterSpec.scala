@@ -356,6 +356,11 @@ class PayloadFilterSpec extends AnyFunSuite with SparkSpec {
       PayloadFilter.fromJson("""{"min_should": {"conditions":
         [{"key": "v", "range": {"lt": 1}}]}}""")
     }
+    intercept[IllegalArgumentException] { // and must be positive —
+      // min_count <= 0 would be vacuously true, not a valid filter
+      PayloadFilter.fromJson("""{"min_should": {"conditions":
+        [{"key": "v", "range": {"lt": 1}}], "min_count": 0}}""")
+    }
   }
 
   test("has_vector over the deleteVectorsWhere partial-vector state: " +
