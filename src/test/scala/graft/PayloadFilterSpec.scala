@@ -320,6 +320,40 @@ class PayloadFilterSpec extends AnyFunSuite with SparkSpec {
       s"JSON-mode nested semantics drifted: matched $sameElemJson")
   }
 
+  test("nested condition NESTS: a nested filter inside a nested filter " +
+       "quantifies the inner array of the SAME outer element " +
+       "(typed + JSON modes)") {
+    import spark.implicits._
+    // one variant-level element must carry BOTH kind=a AND an option
+    // element with price >= 5 — row 1 splits them across variants
+    // (outer any-element would pass), row 2 has one variant with both
+    val rows = Seq(
+      (1L, Seq(("a", Seq(1L)), ("b", Seq(9L)))),
+      (2L, Seq(("a", Seq(2L, 7L)), ("b", Seq(1L)))),
+      (3L, Seq(("b", Seq(9L)))))
+    val typed = rows.toDF("id", "raw")
+      .select(col("id"), transform(col("raw"), v =>
+        struct(v.getField("_1").as("kind"),
+          transform(v.getField("_2"), p => struct(p.as("price")))
+            .as("options"))).as("variants"))
+    val dsl = """
+      {"nested": {"key": "variants", "filter": {"must": [
+        {"key": "kind", "match": {"value": "a"}},
+        {"nested": {"key": "options", "filter": {"must": [
+          {"key": "price", "range": {"gte": 5}}
+        ]}}}
+      ]}}}"""
+    val got = typed.filter(PayloadFilter.fromJson(dsl))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L), s"nested-in-nested (typed) matched $got")
+    val json = typed.select(col("id"),
+      to_json(struct(col("variants"))).as("payload"))
+    val gotJson = json.filter(PayloadFilter.fromJson(dsl,
+        jsonCol = Some("payload")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotJson == Set(2L), s"nested-in-nested (JSON) matched $gotJson")
+  }
+
   test("nested condition rejects has_id / has_vector (public DSL rule)") {
     intercept[IllegalArgumentException] {
       PayloadFilter.fromJson(
