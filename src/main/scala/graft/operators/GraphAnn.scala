@@ -188,6 +188,23 @@ object GraphAnn {
       df.join(broadcast(ids.toDF(c)), Seq(c), "leftsemi")
     }
 
+  /** Pin a DRIVER-BOUNDED frame locally (collect → local relation with
+    * the same schema) and return it with the distinct long ids under
+    * `idCol` — the shared "materialize the candidate set, then
+    * literal-probe a store for exactly those ids" idiom of the batched
+    * serving paths (one definition, so ProbeLimit/null-id/duplicate
+    * fixes land everywhere at once). Caller contract: `df` is already
+    * bounded (per-query heaps), never a corpus-scaling frame. */
+  private[graft] def pinWithIds(df: DataFrame, idCol: String)
+      : (DataFrame, Seq[Long]) = {
+    val spark = df.sparkSession
+    val rows = df.collect()
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+    val idx = df.schema.fieldIndex(idCol)
+    (local, rows.map(_.getAs[Number](idx).longValue).distinct.toSeq)
+  }
+
   /** [[inIds]] for a DISTRIBUTED candidate id frame (one id column):
     * collect at most ProbeLimit ids for the literal probe — driver
     * memory is bounded BY CONSTRUCTION via limit(), not by hoping the
@@ -300,6 +317,10 @@ object GraphAnn {
     require(k <= beam, s"k=$k must be <= beam=$beam")
     require(beam <= SeedCap,
       s"beam=$beam exceeds the $SeedCap persisted seeds")
+    // the per-query driver state is keyed by query id — duplicates
+    // would silently collapse two requests into one
+    require(queries.map(_._1).distinct.length == queries.length,
+      "beamSearchMultiIndexed: duplicate query ids in the batch")
     val spark = coll.sparkSession
     import spark.implicits._
     val seeds = spark.read.parquet(s"$indexDir/_seeds")

@@ -139,6 +139,10 @@ object Knn {
                   vecCol: String, k: Int,
                   idCol: String = "vec_id"): DataFrame = {
     require(queries.nonEmpty, "knnBatchDsl: empty query batch")
+    // duplicate ids would merge two requests into one garbage heap —
+    // fail loudly, never silently corrupt
+    require(queries.map(_._1).distinct.length == queries.length,
+      "knnBatchDsl: duplicate query ids in the batch")
     val spark = coll.sparkSession
     import spark.implicits._
     val qdf = broadcast(

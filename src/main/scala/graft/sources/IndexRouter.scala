@@ -84,7 +84,20 @@ object IndexRouter {
     * index read, or `points` when nothing routes. */
   private[graft] def baseRead(spark: SparkSession, points: DataFrame,
                               indexes: Seq[(String, String)],
-                              dslJson: String, idCol: String): DataFrame = {
+                              dslJson: String, idCol: String): DataFrame =
+    baseReadInfo(spark, points, indexes, dslJson, idCol)._1
+
+  /** [[baseRead]] plus whether the routed read is LISTING-PRUNED (its
+    * file listing is the pruned index partitions — the hash/range/geo
+    * kinds). The text kind's candidates-then-verify read filters the
+    * POINTS scan by literal ids, so its listing is the whole
+    * collection: a footer count over it would count the corpus, not
+    * the candidates — [[VectorRouter]]'s estimate must count its ROWS
+    * (a cheap literal-pruned job), never its footers. */
+  private[graft] def baseReadInfo(spark: SparkSession, points: DataFrame,
+                                  indexes: Seq[(String, String)],
+                                  dslJson: String, idCol: String)
+      : (DataFrame, Boolean) = {
     val musts: Seq[JValue] = JsonMethods.parse(dslJson) match {
       case JObject(fs) => fs.toMap.get("must") match {
         case Some(JArray(cs)) => cs
@@ -94,8 +107,8 @@ object IndexRouter {
     }
     musts.iterator
       .map(routeOne(spark, points, indexes, idCol, _))
-      .collectFirst { case Some(df) => df }
-      .getOrElse(points)
+      .collectFirst { case Some(r) => r }
+      .getOrElse((points, false))
   }
 
   /** Qdrant's DATETIME range (RFC 3339 string bounds) on a declared
@@ -141,9 +154,13 @@ object IndexRouter {
     case _ => None
   }
 
+  /** One condition's route, tagged with whether the read is
+    * LISTING-PRUNED (see [[baseReadInfo]]): true for the partition-
+    * window kinds (hash/range/geo), false for text's literal-id read. */
   private def routeOne(spark: SparkSession, points: DataFrame,
                        indexes: Seq[(String, String)], idCol: String,
-                       cond: JValue): Option[DataFrame] = cond match {
+                       cond: JValue): Option[(DataFrame, Boolean)] =
+    cond match {
     case JObject(fs) =>
       val m = fs.toMap
       m.get("key") match {
@@ -152,7 +169,7 @@ object IndexRouter {
             val kind =
               if (SparseIndex.isTextIndex(dir)) "text"
               else PayloadIndex.kindOf(dir)
-            kind match {
+            val routedRead: Option[DataFrame] = kind match {
               case "text" => m.get("match") match {
                 case Some(JObject(mf)) =>
                   val mm = mf.toMap
@@ -283,6 +300,7 @@ object IndexRouter {
               }
               case _ => None
             }
+            routedRead.map((_, kind != "text"))
           }
         case _ => None
       }

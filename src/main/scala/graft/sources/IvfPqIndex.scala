@@ -203,6 +203,9 @@ object IvfPqIndex {
     queries.foreach { case (qid, q) =>
       require(q.length == mt.m * mt.subDim,
         s"query $qid dim ${q.length} != ${mt.m}·${mt.subDim}") }
+    // duplicate ids would merge heaps and mis-dispatch the CASE chain
+    require(queries.map(_._1).distinct.length == queries.length,
+      "adcTopNMulti: duplicate query ids in the batch")
     val cbs = codebooksOf(spark, dir)
     import spark.implicits._
     val qdf = broadcast(queries.toDF("query_id", "__qv"))
@@ -227,6 +230,17 @@ object IvfPqIndex {
         }
         (qid, lut, probes.getOrElse(qid, Nil))
       }
+    // the batched heap ranks through a Double; the worst-case ADC sum
+    // is driver-known from the LUT literals, so exactness past 2^53 is
+    // a checkable precondition, not a silent collapse of distinct longs
+    // (the single-query adcTopN orders the exact BIGINT and has no
+    // such bound)
+    val maxAdc = luts.map(_._2.map(l => if (l.isEmpty) 0L else l.max)
+      .sum).max
+    require(maxAdc < (1L << 53),
+      s"adcTopNMulti: worst-case ADC distance $maxAdc exceeds the " +
+        "double-exact range — serve these magnitudes per query " +
+        "(adcTopN ranks the exact BIGINT)")
     def adcExpr(lut: Array[Array[Long]]) =
       (0 until mt.m).map { sub =>
         element_at(typedLit(lut(sub).toSeq),

@@ -222,6 +222,10 @@ object QuantIndex {
     val m = metaOf(dir)
     queries.foreach { case (qid, q) => require(q.length == m.dim,
       s"query $qid dim ${q.length} != index dim ${m.dim}") }
+    // duplicate ids would merge into one heap (and downstream CASE
+    // chains would score the second request with the first's literal)
+    require(queries.map(_._1).distinct.length == queries.length,
+      "hammingTopNMulti: duplicate query ids in the batch")
     import spark.implicits._
     val qdf = broadcast(
       queries.map { case (qid, q) => (qid, packQueryWords(q, m.wordBits)) }
@@ -276,13 +280,8 @@ object QuantIndex {
                         queries: Seq[(Long, Seq[Double])], n1: Int,
                         n2: Int): DataFrame = {
     val m = metaOf(dir)
-    val h = hammingTopNMulti(spark, dir, queries, n1)
-    val hRows = h.collect()
-    val hDf = spark.createDataFrame(
-      java.util.Arrays.asList(hRows: _*), h.schema)
-    val ids = hRows
-      .map(_.getAs[Number](h.schema.fieldIndex(m.idCol)).longValue)
-      .distinct.toSeq
+    val (hDf, ids) = graft.operators.GraphAnn.pinWithIds(
+      hammingTopNMulti(spark, dir, queries, n1), m.idCol)
     // score each (query, row) pair once, with the query's OWN literal
     // expression (the beamSearchMultiIndexed one-column-per-query rule)
     val scoreQ = queries.foldRight(lit(null).cast("double")) {

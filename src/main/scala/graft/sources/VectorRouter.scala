@@ -226,24 +226,39 @@ object VectorRouter {
     * in disguise. */
   private val SmallCollectionFiles = 64L
 
-  /** The filtered-search cardinality estimate — ZERO-JOB in every
-    * branch. A routed payload index contributes the parquet footer row
-    * counts of its PRUNED file listing; with nothing routable, a small
-    * collection (≤ [[SmallCollectionFiles]] files) contributes its own
-    * footer count — tiny collections keep the exact scan plan — while a
-    * large or non-single-scan frame pins the estimate above any
-    * threshold (its filtered cardinality is unknowable without the very
-    * scan the plan decision is trying to avoid, which is the ANN
-    * branch's answer anyway). */
+  /** Bound on the routed read's listing for the footer pass: a
+    * SELECTIVE routed condition prunes to few files by construction,
+    * and past this many the driver-side footer-per-file walk would
+    * itself be the scan the estimate exists to avoid — fall back to the
+    * (file-listing-pruned) count job instead. */
+  private val RoutedListingFiles = 4096L
+
+  /** The filtered-search cardinality estimate — job-free on every
+    * common path. A LISTING-PRUNED routed payload index (hash/range/geo
+    * — [[IndexRouter.baseReadInfo]]) contributes the parquet footer row
+    * counts of its pruned listing (≤ [[RoutedListingFiles]] files,
+    * else the pruned count job); a TEXT route counts its literal-id
+    * read's ROWS (one cheap row-group-pruned job — its LISTING is the
+    * whole collection, so footers would count the corpus, not the
+    * candidates); with nothing routable, a small collection
+    * (≤ [[SmallCollectionFiles]] files) contributes its own footer
+    * count — tiny collections keep the exact scan plan — while a large
+    * or non-single-scan frame pins the estimate above any threshold
+    * (its filtered cardinality is unknowable without the very scan the
+    * plan decision is trying to avoid, which is the ANN branch's answer
+    * anyway). */
   private def cardinalityEstimate(spark: SparkSession, points: DataFrame,
                                   payloadIndexes: Seq[(String, String)],
                                   dsl: String, idCol: String): Long = {
-    val base =
-      IndexRouter.baseRead(spark, points, payloadIndexes, dsl, idCol)
+    val (base, listingPruned) =
+      IndexRouter.baseReadInfo(spark, points, payloadIndexes, dsl, idCol)
     if (base eq points)
       IndexRouter.metadataRowCount(points, maxFiles = SmallCollectionFiles)
         .getOrElse(Long.MaxValue)
-    else IndexRouter.metadataRowCount(base).getOrElse(base.count())
+    else if (listingPruned)
+      IndexRouter.metadataRowCount(base, maxFiles = RoutedListingFiles)
+        .getOrElse(base.count())
+    else base.count()
   }
 
   /** Batched stage-1 candidate (query_id, id) pairs from a declared
@@ -284,12 +299,8 @@ object VectorRouter {
                            byMicro: Boolean): DataFrame = {
     val spark = pts.sparkSession
     import spark.implicits._
-    val rows = cand.collect() // driver-bounded: N · oversampling·k pairs
-    val candDf = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), cand.schema)
-    val ids = rows
-      .map(_.getAs[Number](cand.schema.fieldIndex(idCol)).longValue)
-      .distinct.toSeq
+    // driver-bounded: N · oversampling·k (query, candidate) pairs
+    val (candDf, ids) = GraphAnn.pinWithIds(cand, idCol)
     val qvDf = broadcast(queries.toDF("query_id", "__qv"))
     val scored = GraphAnn.inIds(pts, idCol, ids)
       .join(broadcast(candDf), idCol)

@@ -899,6 +899,17 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     val planT = baseT.queryExecution.executedPlan.toString
     assert(planT.contains("In(doc_id") || planT.contains("LeftSemi"),
       s"text-routed base read is not a candidate probe:\n$planT")
+    // route-kind tagging for the cardinality estimate: the text route
+    // is NOT listing-pruned (its file listing is the whole collection —
+    // a footer count over it would count the corpus, not the
+    // candidates), the partition-window kinds ARE
+    assert(!IndexRouter.baseReadInfo(spark, docs,
+        Seq("text" -> textIdx), dslT, "doc_id")._2,
+      "text route tagged listing-pruned — the zero-job estimate would " +
+        "footer-count the corpus and flip the plan")
+    assert(IndexRouter.baseReadInfo(spark, events,
+        Seq("ts_utc" -> tsIdx), dslTs, "event_id")._2,
+      "range route not tagged listing-pruned")
   }
 
   test("text payload index: the full-text probe prunes posting groups " +
