@@ -151,17 +151,24 @@ object DedupQueries {
       // same call with no hand-set knob
       val cap = Dedup.autoMaxBucket(
         corpusEstimate(s, dir, "documents", "doc_id"))
-      val cands = Dedup.simhashCandidates(
-        Dedup.simhashBands(sig, "doc_id", bits = 60, bands = 4), "doc_id",
-        maxBucket = Some(cap))
-      cands
-        .join(sig.select(col("doc_id").as("doc_a"),
-          col("simhash").as("sa")), "doc_a")
-        .join(sig.select(col("doc_id").as("doc_b"),
-          col("simhash").as("sb")), "doc_b")
-        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      // the signature RIDES the band rows (8 bytes/row), so the hamming
+      // verify is an IN-ROW xor+popcount at the band join and the ≤8
+      // filter runs BEFORE the pair distinct — the distinct and
+      // everything downstream see only the verified matches, where the
+      // former shape shuffled the FULL candidate volume three times
+      // (distinct + two signature join-backs; measured 58 → 13 s warm
+      // at the 100× probe, §8.7). Row-identical: a set filtered then
+      // deduped equals the set deduped then filtered.
+      Dedup.bandedPairsCarry(
+          Dedup.simhashBands(sig, "doc_id", bits = 60, bands = 4,
+            carrySig = true),
+          Seq("band", "band_bits"), "doc_id", maxBucket = Some(cap),
+          carry = Seq("simhash"))
+        .withColumn("hamming",
+          bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
         .filter(col("hamming") <= 8)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
         .orderBy("doc_a", "doc_b")
     },
     Some(s"""

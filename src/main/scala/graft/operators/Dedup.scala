@@ -181,15 +181,20 @@ object Dedup {
     * the verify cutoff) are found iff some band happens to be untouched —
     * the standard LSH recall trade every banded scheme makes. */
   def simhashBands(sig: DataFrame, idCol: String, bits: Int = 60,
-                   bands: Int = 4): DataFrame = {
+                   bands: Int = 4, carrySig: Boolean = false): DataFrame = {
     val w = bits / bands
     require(bands * w == bits, s"$bands bands must divide $bits bits")
-    sig
+    val banded = sig
       .select(col(idCol), col("simhash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_bits",
         expr(s"(simhash >> (band * $w)) & ${(1L << w) - 1}"))
-      .select(idCol, "band", "band_bits")
+    // carrySig keeps the 8-byte signature ON the band rows so the
+    // verify step can hamming-test pairs IN-ROW at the band join
+    // instead of joining the signature table back onto the (much
+    // larger) pair set twice — see [[bandedPairsCarry]]
+    if (carrySig) banded.select(idCol, "band", "band_bits", "simhash")
+    else banded.select(idCol, "band", "band_bits")
   }
 
   /** Candidate near-dup pairs from banded simhash signatures: docs whose
@@ -233,10 +238,36 @@ object Dedup {
 
   /** Shared banded-pairing core: equi-join a band table with itself on
     * `keyCols`, optionally skipping super-buckets (see
-    * [[simhashCandidates]]). */
+    * [[simhashCandidates]]). Distinct (doc_a < doc_b) pairs. */
   private[graft] def bandedPairs(bands: DataFrame, keyCols: Seq[String],
                                  idCol: String,
-                                 maxBucket: Option[Int]): DataFrame = {
+                                 maxBucket: Option[Int]): DataFrame =
+    bandedPairsCarry(bands, keyCols, idCol, maxBucket, Nil)
+      .select("doc_a", "doc_b")
+      .distinct()
+
+  /** [[bandedPairs]] with PAYLOAD pass-through and NO distinct: each
+    * `carry` column rides the band rows through the self-join and
+    * lands on the pair as `<c>_a` / `<c>_b`. A pair colliding in m
+    * bands appears m times — the caller chooses where to dedupe, which
+    * is the point: a CHEAP in-row verify (one xor+popcount for simhash)
+    * filters the raw collisions BEFORE any shuffle, so the distinct —
+    * and everything after it — runs over the verified matches (tiny)
+    * instead of the full candidate volume. With an expensive verify
+    * (64-dim cosine) or a fat payload (the vector itself), dedupe FIRST
+    * via [[bandedPairs]] and join the payload back — scoring each pair
+    * once was measured 1.8× better for the kNN join (§8.6 r11), while
+    * filter-before-distinct deleted three pair-volume shuffles from
+    * dedup_simhash (58 → 13 s warm at the 100× probe, §8.7 r12). The
+    * fat-carry direction was MEASURED AND REJECTED for dedup_embed:
+    * carrying the 64-float vectors widens every raw collision row to
+    * ~550 B before any filter can run (222 → 255 s at the same probe —
+    * §8.7 r12), so the vector-verified families keep the
+    * dedupe-then-join shape. */
+  private[graft] def bandedPairsCarry(bands: DataFrame,
+                                      keyCols: Seq[String], idCol: String,
+                                      maxBucket: Option[Int],
+                                      carry: Seq[String]): DataFrame = {
     val kept = maxBucket match {
       case None => bands
       case Some(cap) =>
@@ -246,12 +277,12 @@ object Dedup {
           .filter(col("count") <= cap).drop("count")
         bands.join(ok, keyCols, "leftsemi")
     }
-    val a = kept.select((keyCols.map(col) :+ col(idCol).as("doc_a")): _*)
-    val b = kept.select((keyCols.map(col) :+ col(idCol).as("doc_b")): _*)
-    a.join(b, keyCols)
+    def side(suffix: String) = kept.select(
+      (keyCols.map(col) :+ col(idCol).as(s"doc$suffix")) ++
+        carry.map(c => col(c).as(s"$c$suffix")): _*)
+    side("_a").join(side("_b"), keyCols)
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
+      .drop(keyCols: _*)
   }
 
   /** Swap a one-slot cache list: unpersist previous entries UNLESS a new
