@@ -257,13 +257,17 @@ object Dedup {
     * (64-dim cosine) or a fat payload (the vector itself), dedupe FIRST
     * via [[bandedPairs]] and join the payload back — scoring each pair
     * once was measured 1.8× better for the kNN join (§8.6 r11), while
-    * filter-before-distinct deleted three pair-volume shuffles from
-    * dedup_simhash (58 → 13 s warm at the 100× probe, §8.7 r12). The
-    * fat-carry direction was MEASURED AND REJECTED for dedup_embed:
-    * carrying the 64-float vectors widens every raw collision row to
-    * ~550 B before any filter can run (222 → 255 s at the same probe —
-    * §8.7 r12), so the vector-verified families keep the
-    * dedupe-then-join shape. */
+    * filter-before-distinct deleted dedup_simhash's two signature
+    * join-backs (58 → 13 s warm at the 100× probe, §8.7 r12). TWO
+    * carry variants were MEASURED AND REJECTED for dedup_embed: the
+    * 64-float vectors (raw collision rows widen to ~550 B before any
+    * filter can run — 222 → 255 s at the same probe) and even the
+    * compact band-bucket array with a first-collision-band in-row
+    * dedupe (201 → 321 s): `distinct` partial-aggregates map-side, so
+    * raw collisions already dedupe locally before the exchange, and a
+    * per-collision array lambda costs more than the combine it
+    * replaces. The carry pays only when the carried VERIFY payload is
+    * a few bytes and its filter is highly selective (simhash). */
   private[graft] def bandedPairsCarry(bands: DataFrame,
                                       keyCols: Seq[String], idCol: String,
                                       maxBucket: Option[Int],
