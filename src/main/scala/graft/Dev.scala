@@ -276,6 +276,64 @@ object Dev {
             } else "n/a"
           println(s"$name, ${cells.mkString(", ")}, $exp")
         }
+      case "batchprobe" :: dir :: rest =>
+        // measure where the batched stage-1 CASE-chain/LUT growth crosses
+        // per-query serving (the r12 handful-per-batch contract, made a
+        // checked precondition in r13): per-batch-size wall time of the
+        // batched path vs size × single-query serving
+        import org.apache.spark.sql.functions._
+        val sizes = rest.headOption.map(_.split(',').toSeq.map(_.toInt))
+          .getOrElse(Seq(4, 16, 64, 128, 256))
+        val emb = Tables.load(spark, dir, "embeddings")
+        val decls = Seq(VectorQueries.quantIndexDir(spark, dir))
+        val n = emb.count()
+        def qv(i: Long): Seq[Double] = VectorQueries.queryVec(spark, dir, i)
+        val vecs = (0L until sizes.max.toLong)
+          .map(i => i -> qv(i % n)).toMap
+        def time(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        // warmup
+        graft.sources.VectorRouter.queryPointsMulti(spark, emb, "vec_id",
+          "embedding", decls, Seq(0L -> vecs(0L), 1L -> vecs(1L)), 10)
+          .queryExecution.toRdd.foreach(_ => ())
+        val dslOnly = rest.drop(1).headOption.contains("dslonly")
+        sizes.foreach { sz =>
+          val qs = (0L until sz.toLong).map(i => i -> vecs(i))
+          if (dslOnly) {
+            val dsl = time {
+              graft.operators.Knn.knnBatchDsl(emb,
+                  qs.map { case (i, q) => (i, q, col("label") >= 0) },
+                  "embedding", 10)
+                .queryExecution.toRdd.foreach(_ => ())
+            }
+            println(f"batch=$sz%5d  knnBatchDsl $dsl%7.2f s " +
+              f"(per-q ${dsl / sz}%6.3f)")
+          } else {
+          val batched = time {
+            graft.sources.VectorRouter.queryPointsMulti(spark, emb,
+                "vec_id", "embedding", decls, qs, 10)
+              .queryExecution.toRdd.foreach(_ => ())
+          }
+          val single = time {
+            qs.foreach { case (_, q) =>
+              graft.sources.VectorRouter.queryPoints(spark, emb, "vec_id",
+                  "embedding", decls, Nil, q, 10)
+                .queryExecution.toRdd.foreach(_ => ())
+            }
+          }
+          val dsl = time {
+            graft.operators.Knn.knnBatchDsl(emb,
+                qs.map { case (i, q) => (i, q, col("label") >= 0) },
+                "embedding", 10)
+              .queryExecution.toRdd.foreach(_ => ())
+          }
+          println(f"batch=$sz%4d  routed-quant batched $batched%7.2f s " +
+            f"(per-q ${batched / sz}%6.3f)  single total $single%7.2f s " +
+            f"(per-q ${single / sz}%6.3f)  knnBatchDsl $dsl%7.2f s " +
+            f"(per-q ${dsl / sz}%6.3f)")
+          }
+        }
       case "simhashbuckets" :: dir :: Nil =>
         // diagnostic for the §8.5b simhash cliff: is candidate blowup
         // uniform band saturation or super-bucket skew?

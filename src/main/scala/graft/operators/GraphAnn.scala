@@ -194,15 +194,29 @@ object GraphAnn {
     * literal-probe a store for exactly those ids" idiom of the batched
     * serving paths (one definition, so ProbeLimit/null-id/duplicate
     * fixes land everywhere at once). Caller contract: `df` is already
-    * bounded (per-query heaps), never a corpus-scaling frame. */
+    * bounded (per-query heaps), never a corpus-scaling frame — and the
+    * contract is CHECKED, not hoped: the collect reads at most
+    * probeLimit+1 rows (driver memory bounded by construction, the
+    * [[inIdsFrame]] discipline) and fails loudly past the limit or on a
+    * NULL id, instead of OOMing or NPEing three calls later. */
   private[graft] def pinWithIds(df: DataFrame, idCol: String)
       : (DataFrame, Seq[Long]) = {
     val spark = df.sparkSession
-    val rows = df.collect()
+    val limit = probeLimit(spark)
+    val rows = df.limit(limit + 1).collect()
+    require(rows.length <= limit,
+      s"pinWithIds: candidate frame exceeds $limit rows — the caller's " +
+        "driver-bounded contract is violated (batched candidates must " +
+        "be per-query-heap bounded)")
     val local = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)
     val idx = df.schema.fieldIndex(idCol)
-    (local, rows.map(_.getAs[Number](idx).longValue).distinct.toSeq)
+    (local, rows.map { r =>
+      require(!r.isNullAt(idx),
+        s"pinWithIds: NULL $idCol in the candidate frame — ids must be " +
+          "integral and non-null (the literal-probe contract)")
+      r.getAs[Number](idx).longValue
+    }.distinct.toSeq)
   }
 
   /** [[inIds]] for a DISTRIBUTED candidate id frame (one id column):
@@ -321,6 +335,7 @@ object GraphAnn {
     // would silently collapse two requests into one
     require(queries.map(_._1).distinct.length == queries.length,
       "beamSearchMultiIndexed: duplicate query ids in the batch")
+    Knn.requireBatch(queries.length, "beamSearchMultiIndexed")
     val spark = coll.sparkSession
     import spark.implicits._
     val seeds = spark.read.parquet(s"$indexDir/_seeds")

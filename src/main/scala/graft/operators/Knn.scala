@@ -20,6 +20,39 @@ import graft.functions.VectorOps._
   */
 object Knn {
 
+  /** Hard cap on PER-QUERY-EXPRESSION batch sizes (the CASE-chain / LUT /
+    * disjunctive-predicate batched stage-1 sites: [[knnBatchDsl]],
+    * QuantIndex.prefetchTopNMulti/hammingTopNMulti, IvfPqIndex.adcTopNMulti,
+    * GraphAnn.beamSearchMultiIndexed, VectorRouter.queryPointsMulti).
+    * Those plans grow one expression arm per query, so an oversized batch
+    * silently builds a pathological Catalyst tree instead of a slow-but-
+    * correct one — measured (sf0.01, local[8], r13 `Dev batchprobe`):
+    * per-query cost IMPROVES monotonically through the cap (routed-quant
+    * batched 0.25 → 0.016 s/q from batch 4 → 96, vs 0.20–0.33 s/q served
+    * one at a time; knnBatchDsl 0.063 → 0.002 s/q through batch 512), and
+    * the first hard failure is a Catalyst StackOverflowError at batch
+    * 1024 (the depth-1024 Or-chain). 100 sits 10× under the measured
+    * cliff, above every public `query_batch_points` shape, and EQUALS
+    * the quant route's own driver-bounded candidate pin at default
+    * params (GraphAnn.ProbeLimit / prefetch candidates = 10000/100), so
+    * an in-bound batch never trips the pin either. Bigger workloads are
+    * DATA, not expressions: use [[knnMulti]]/[[knnMultiAgg]]/
+    * [[knnBatchFiltered]], whose query side is a broadcast frame with
+    * no per-query arms. */
+  val MaxBatchQueries = 100
+
+  /** The loud batched-size precondition (the duplicate-id-rejection
+    * pattern): reject past [[MaxBatchQueries]] instead of building a
+    * plan that fails deep inside Catalyst — spec-gated. */
+  private[graft] def requireBatch(n: Int, site: String): Unit =
+    require(n <= MaxBatchQueries,
+      s"$site: batch of $n queries exceeds MaxBatchQueries=" +
+        s"$MaxBatchQueries (per-query expression arms grow the plan " +
+        "linearly and Catalyst fails pathologically past ~1024 — " +
+        "measured). Split the batch, or use the data-driven forms " +
+        "(knnMulti/knnMultiAgg/knnBatchFiltered) whose query side is " +
+        "a broadcast frame.")
+
   /** Score every row against one query vector; single-pass, no shuffle. */
   def scoreAll(coll: DataFrame, vecCol: String, query: Seq[Double],
                metric: (Column, Column) => Column = cosine): DataFrame = {
@@ -133,12 +166,13 @@ object Knn {
     * NULL-poisoning the filter). `queries` = (id, vector, predicate).
     * The predicate CASE arms grow linearly with the batch (they are
     * per-query expressions, not data) — sized for the public API's
-    * handful-per-batch shape; split batches past ~100 requests. */
+    * handful-per-batch shape, CHECKED against [[MaxBatchQueries]]. */
   def knnBatchDsl(coll: DataFrame,
                   queries: Seq[(Long, Seq[Double], Column)],
                   vecCol: String, k: Int,
                   idCol: String = "vec_id"): DataFrame = {
     require(queries.nonEmpty, "knnBatchDsl: empty query batch")
+    requireBatch(queries.length, "knnBatchDsl")
     // duplicate ids would merge two requests into one garbage heap —
     // fail loudly, never silently corrupt
     require(queries.map(_._1).distinct.length == queries.length,

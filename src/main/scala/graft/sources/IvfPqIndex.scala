@@ -194,7 +194,8 @@ object IvfPqIndex {
     * rows equal its [[adcTopN]] result exactly (spec-gated). The CASE
     * arms and m×k LUT literals grow linearly with the batch (per-query
     * plan constants, not data) — sized for the public API's
-    * handful-per-batch shape; split batches past ~100 queries. Returns
+    * handful-per-batch shape, CHECKED against
+    * [[graft.operators.Knn.MaxBatchQueries]]. Returns
     * (query_id, id, adc). */
   def adcTopNMulti(spark: SparkSession, dir: String,
                    queries: Seq[(Long, Seq[Double])], nprobe: Int,
@@ -206,6 +207,7 @@ object IvfPqIndex {
     // duplicate ids would merge heaps and mis-dispatch the CASE chain
     require(queries.map(_._1).distinct.length == queries.length,
       "adcTopNMulti: duplicate query ids in the batch")
+    graft.operators.Knn.requireBatch(queries.length, "adcTopNMulti")
     val cbs = codebooksOf(spark, dir)
     import spark.implicits._
     val qdf = broadcast(queries.toDF("query_id", "__qv"))

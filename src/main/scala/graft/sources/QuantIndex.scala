@@ -226,6 +226,7 @@ object QuantIndex {
     // chains would score the second request with the first's literal)
     require(queries.map(_._1).distinct.length == queries.length,
       "hammingTopNMulti: duplicate query ids in the batch")
+    graft.operators.Knn.requireBatch(queries.length, "hammingTopNMulti")
     import spark.implicits._
     val qdf = broadcast(
       queries.map { case (qid, q) => (qid, packQueryWords(q, m.wordBits)) }
@@ -274,11 +275,13 @@ object QuantIndex {
     * rows equal its [[prefetchTopN]] result exactly (spec-gated).
     * The CASE arms grow linearly with the batch (per-query literal
     * expressions, not data) — sized for the public API's
-    * handful-per-batch shape; split batches past ~100 queries.
+    * handful-per-batch shape, CHECKED against
+    * [[graft.operators.Knn.MaxBatchQueries]].
     * Returns (query_id, id, hamming, score_q) — top `n2` per query. */
   def prefetchTopNMulti(spark: SparkSession, dir: String,
                         queries: Seq[(Long, Seq[Double])], n1: Int,
                         n2: Int): DataFrame = {
+    graft.operators.Knn.requireBatch(queries.length, "prefetchTopNMulti")
     val m = metaOf(dir)
     val (hDf, ids) = graft.operators.GraphAnn.pinWithIds(
       hammingTopNMulti(spark, dir, queries, n1), m.idCol)

@@ -14,8 +14,9 @@ import graft.operators.GraphAnn
   * search params; the router picks the serving pipeline. The vector
   * twin of [[IndexRouter]] (which routes the FILTER side), completing
   * the "declare once, every query benefits" surface: reference users
-  * never choose an index at query time (`bob_vector_db` `qdrant_db.py`
-  * delegates search wholesale to the server), so neither do ours.
+  * never choose an index at query time (`bob_vector_db`
+  * `qdrant_embedder.py` delegates search wholesale to the server), so
+  * neither do ours.
   *
   * == Declarations ==
   *
@@ -181,6 +182,9 @@ object VectorRouter {
                        dslJson: Option[String] = None,
                        payloadIndexes: Seq[(String, String)] = Nil,
                        params: Params = Params()): DataFrame = {
+    // reject oversized batches at the public entry (clearest site name);
+    // every batched stage-1 repeats the check for its direct callers
+    graft.operators.Knn.requireBatch(queries.length, "queryPointsMulti")
     val routed = route(vectorIndexes, params)
     dslJson match {
       case None => routed match {

@@ -2731,4 +2731,41 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(IndexRouter.metadataRowCount(plain).contains(plain.count()),
       "footer count drifted from the true row count on a plain read")
   }
+
+  test("batched-size contract is loud: every per-query-expression " +
+       "batched entry rejects a batch past MaxBatchQueries instead of " +
+       "building a pathological plan (measured StackOverflow at 1024)") {
+    import graft.operators.{GraphAnn, Knn}
+    import graft.sources.VectorRouter
+    val emb = Tables.load(spark, sf, "embeddings")
+    val over = (0L to Knn.MaxBatchQueries.toLong)
+      .map(i => i -> Seq.fill(64)(0.5))
+    assert(over.length == Knn.MaxBatchQueries + 1)
+    val eDsl = intercept[IllegalArgumentException] {
+      Knn.knnBatchDsl(emb, over.map { case (i, q) => (i, q, lit(true)) },
+        "embedding", 10)
+    }
+    assert(eDsl.getMessage.contains("MaxBatchQueries"))
+    val eRouter = intercept[IllegalArgumentException] {
+      VectorRouter.queryPointsMulti(spark, emb, "vec_id", "embedding",
+        Nil, over, 10)
+    }
+    assert(eRouter.getMessage.contains("queryPointsMulti"))
+    val eBeam = intercept[IllegalArgumentException] {
+      GraphAnn.beamSearchMultiIndexed(emb, "vec_id", "embedding",
+        "/nonexistent", over, beam = 10, rounds = 1, k = 10)
+    }
+    assert(eBeam.getMessage.contains("MaxBatchQueries"))
+    // the shared-stage-1 sidecar sites enforce the same bound (their
+    // dim checks run first, so probe with the real index meta's dim)
+    val quantDir = VectorQueries.quantIndexDir(spark, sf)
+    val eQuant = intercept[IllegalArgumentException] {
+      graft.sources.QuantIndex.prefetchTopNMulti(spark, quantDir, over,
+        100, 30)
+    }
+    assert(eQuant.getMessage.contains("MaxBatchQueries"))
+    // at the cap itself, construction succeeds (the bound is exact)
+    Knn.knnBatchDsl(emb, over.take(Knn.MaxBatchQueries)
+      .map { case (i, q) => (i, q, lit(true)) }, "embedding", 10)
+  }
 }
