@@ -30,6 +30,98 @@ object Dev {
       .limit(20)
   }
 
+
+  /** Materialize the deterministic blow-up corpus for `scaleprobe` /
+    * `georouteprobe` at `factor`× of `dir` (shared dir convention —
+    * see the scaleprobe case for the generator-version rules). */
+  private def blowUpDir(spark: SparkSession, dir: String,
+                        factor: Int): String = {
+    import org.apache.spark.sql.functions._
+        val hash = java.lang.Integer.toHexString(dir.hashCode)
+        // NOT under the `graft_` prefix: Tables.memoTempDir's orphan
+        // sweep reclaims those by pid suffix, and this dir is meant to
+        // be reused across probe runs. The GENERATOR VERSION is part of
+        // the name: reuse is keyed on what produced the data, so a
+        // formula change can never silently serve stale blow-ups (the
+        // period-7 artifact survived one fix exactly this way) — bump
+        // it whenever the perturbation/rotation logic changes
+        val genVersion = "v3"
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-scale-$genVersion-${factor}x-$hash"
+        val marker = java.nio.file.Paths.get(s"$out/embeddings.parquet/_SUCCESS")
+        if (!java.nio.file.Files.exists(marker)) {
+          // copies must be DISTINCT documents/points, not near-dups of
+          // each other: a blow-up of near-identical copies multiplies
+          // dedup candidate PAIRS quadratically in the copy count (a
+          // duplication-density artifact, measured: dedup_simhash 0.65 s
+          // → 10 s at 10×), drowning the n-scaling signal the probe
+          // exists to read. Copy 0 is byte-identical to the source.
+          val emb = Tables.load(spark, dir, "embeddings")
+          val eOff = emb.agg(max("vec_id")).head().getLong(0) + 1
+          val embBlown = emb
+            .withColumn("c", explode(sequence(lit(0), lit(factor - 1))))
+            .select((col("vec_id") + col("c") * eOff).as("vec_id"),
+              // element-wise multiplier in [0.1, 1.9] pseudo-random per
+              // (copy, dim): copies point in substantially different
+              // directions (cross-copy cosine ~0.8, below near-dup).
+              // The pmod argument mixes c AND c/7 so the pattern does
+              // NOT repeat with period 7 in the copy index (a plain
+              // c·(i+3) term made copies c and c+7 bit-identical —
+              // ~15-point exact-dup vector clusters at 100×, exactly
+              // the duplicate-density artifact this blow-up exists to
+              // avoid; residual collisions at period 49 leave clusters
+              // ≤ 3, matching the text side's rotation classes). Copy 0
+              // stays byte-identical to the source.
+              when(col("c") === 0, col("embedding")).otherwise(
+                transform(col("embedding"),
+                  (x, i) => x * (lit(1.0f) + lit(0.3f) *
+                    (pmod(col("c") * (i + lit(3)) +
+                        floor(col("c") / 7).cast("int") *
+                        (i * 3 + lit(5)), lit(7)) - lit(3))
+                      .cast("float")))
+                  .cast("array<float>")).as("embedding"),
+              col("label"))
+          val docs = Tables.load(spark, dir, "documents")
+          val dOff = docs.agg(max("doc_id")).head().getLong(0) + 1
+          // per-copy ALPHABET ROTATION (translate): most words change,
+          // so shingle/gram/fingerprint features are disjoint across
+          // rotation classes — distinct docs, constant collision
+          // density. (A repeated per-copy filler token was measured to
+          // CORRELATE simhash fingerprints — the filler dominates the
+          // weight vector and every same-copy pair becomes a band
+          // collision: dedup_simhash 0.8 s → 73 s at 10×.) Copies ≥ 26
+          // reuse a rotation and differ only by the tail token —
+          // bounded near-dup clusters (≤ factor/26), realistic and
+          // linear in n.
+          val abc = ('a' to 'z').mkString + ('A' to 'Z').mkString
+          (0 until factor).map { c =>
+            if (c == 0)
+              docs.select(col("doc_id"), col("text"), col("lang"),
+                col("source"))
+            else {
+              val r = c % 26
+              val lower = ('a' to 'z').mkString
+              val upper = ('A' to 'Z').mkString
+              val mapped = lower.drop(r) + lower.take(r) +
+                upper.drop(r) + upper.take(r)
+              docs.select((col("doc_id") + c * dOff).as("doc_id"),
+                concat(translate(col("text"), abc, mapped),
+                  lit(s" x$c")).as("text"),
+                col("lang"), col("source"))
+            }
+          }.reduce(_ unionByName _)
+            .withColumn("n_chars", length(col("text")).cast("long"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$out/documents.parquet")
+          // embeddings LAST: its _SUCCESS is the completion marker, so
+          // it must imply the documents write finished too (a crash
+          // between the two would otherwise leave a half-built dir
+          // every later run trusts)
+          embBlown.repartition(32)
+            .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+        }
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -128,91 +220,7 @@ object Dev {
           "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embed",
           "dedup_cluster", "txt_quality", "txt_decontam",
           "v_knn_join", "v_knn_join_refined")
-        def blowUp(factor: Int): String = {
-          val hash = java.lang.Integer.toHexString(dir.hashCode)
-          // NOT under the `graft_` prefix: Tables.memoTempDir's orphan
-          // sweep reclaims those by pid suffix, and this dir is meant to
-          // be reused across probe runs. The GENERATOR VERSION is part of
-          // the name: reuse is keyed on what produced the data, so a
-          // formula change can never silently serve stale blow-ups (the
-          // period-7 artifact survived one fix exactly this way) — bump
-          // it whenever the perturbation/rotation logic changes
-          val genVersion = "v3"
-          val out = s"${System.getProperty("java.io.tmpdir")}/graft-scale-$genVersion-${factor}x-$hash"
-          val marker = java.nio.file.Paths.get(s"$out/embeddings.parquet/_SUCCESS")
-          if (!java.nio.file.Files.exists(marker)) {
-            // copies must be DISTINCT documents/points, not near-dups of
-            // each other: a blow-up of near-identical copies multiplies
-            // dedup candidate PAIRS quadratically in the copy count (a
-            // duplication-density artifact, measured: dedup_simhash 0.65 s
-            // → 10 s at 10×), drowning the n-scaling signal the probe
-            // exists to read. Copy 0 is byte-identical to the source.
-            val emb = Tables.load(spark, dir, "embeddings")
-            val eOff = emb.agg(max("vec_id")).head().getLong(0) + 1
-            val embBlown = emb
-              .withColumn("c", explode(sequence(lit(0), lit(factor - 1))))
-              .select((col("vec_id") + col("c") * eOff).as("vec_id"),
-                // element-wise multiplier in [0.1, 1.9] pseudo-random per
-                // (copy, dim): copies point in substantially different
-                // directions (cross-copy cosine ~0.8, below near-dup).
-                // The pmod argument mixes c AND c/7 so the pattern does
-                // NOT repeat with period 7 in the copy index (a plain
-                // c·(i+3) term made copies c and c+7 bit-identical —
-                // ~15-point exact-dup vector clusters at 100×, exactly
-                // the duplicate-density artifact this blow-up exists to
-                // avoid; residual collisions at period 49 leave clusters
-                // ≤ 3, matching the text side's rotation classes). Copy 0
-                // stays byte-identical to the source.
-                when(col("c") === 0, col("embedding")).otherwise(
-                  transform(col("embedding"),
-                    (x, i) => x * (lit(1.0f) + lit(0.3f) *
-                      (pmod(col("c") * (i + lit(3)) +
-                          floor(col("c") / 7).cast("int") *
-                          (i * 3 + lit(5)), lit(7)) - lit(3))
-                        .cast("float")))
-                    .cast("array<float>")).as("embedding"),
-                col("label"))
-            val docs = Tables.load(spark, dir, "documents")
-            val dOff = docs.agg(max("doc_id")).head().getLong(0) + 1
-            // per-copy ALPHABET ROTATION (translate): most words change,
-            // so shingle/gram/fingerprint features are disjoint across
-            // rotation classes — distinct docs, constant collision
-            // density. (A repeated per-copy filler token was measured to
-            // CORRELATE simhash fingerprints — the filler dominates the
-            // weight vector and every same-copy pair becomes a band
-            // collision: dedup_simhash 0.8 s → 73 s at 10×.) Copies ≥ 26
-            // reuse a rotation and differ only by the tail token —
-            // bounded near-dup clusters (≤ factor/26), realistic and
-            // linear in n.
-            val abc = ('a' to 'z').mkString + ('A' to 'Z').mkString
-            (0 until factor).map { c =>
-              if (c == 0)
-                docs.select(col("doc_id"), col("text"), col("lang"),
-                  col("source"))
-              else {
-                val r = c % 26
-                val lower = ('a' to 'z').mkString
-                val upper = ('A' to 'Z').mkString
-                val mapped = lower.drop(r) + lower.take(r) +
-                  upper.drop(r) + upper.take(r)
-                docs.select((col("doc_id") + c * dOff).as("doc_id"),
-                  concat(translate(col("text"), abc, mapped),
-                    lit(s" x$c")).as("text"),
-                  col("lang"), col("source"))
-              }
-            }.reduce(_ unionByName _)
-              .withColumn("n_chars", length(col("text")).cast("long"))
-              .repartition(32)
-              .write.mode("overwrite").parquet(s"$out/documents.parquet")
-            // embeddings LAST: its _SUCCESS is the completion marker, so
-            // it must imply the documents write finished too (a crash
-            // between the two would otherwise leave a half-built dir
-            // every later run trusts)
-            embBlown.repartition(32)
-              .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-          }
-          out
-        }
+        def blowUp(factor: Int): String = blowUpDir(spark, dir, factor)
         // probe-only SCALED-GEOMETRY twins of the two §8.5b cliff queries:
         // identical pipelines with the super-bucket cap engaged — the
         // production knob the probe's diagnosis (94% of pairs from
@@ -275,6 +283,105 @@ object Dev {
               f"${math.log10(wb / wa) / math.log10(fb.toDouble / fa)}%.2f"
             } else "n/a"
           println(s"$name, ${cells.mkString(", ")}, $exp")
+        }
+      case "georouteprobe" :: dir :: rest =>
+        // the r13 geo-route cost decision's measurement: routed (cell
+        // index) vs direct (corpus scan) serving of geo_bounding_box
+        // windows of increasing extent fraction, plus the declared
+        // polygon key's bbox, on the blow-up corpus — the crossover this
+        // table shows is what IndexRouter.GeoRouteMaxFraction pins
+        import org.apache.spark.sql.functions._
+        // `georouteprobe <dir> big <rows>` probes a STORED-location
+        // corpus of the given row count instead of the blow-up fixtures:
+        // the regime where corpus scan bytes dwarf the index listing —
+        // the rows floor of the route decision is read off this probe
+        val (pts, idx) = rest match {
+          case "big" :: n :: Nil =>
+            val rows = n.toLong
+            val out = s"${System.getProperty("java.io.tmpdir")}" +
+              s"/graft-geobig-v1-$rows"
+            val marker =
+              java.nio.file.Paths.get(s"$out/points.parquet/_SUCCESS")
+            if (!java.nio.file.Files.exists(marker))
+              VectorQueries.geoLocated(
+                  spark.range(rows).select(col("id").as("vec_id")))
+                .withColumn("label", (col("vec_id") % 11).cast("int"))
+                // filler payload so the corpus scan reads real bytes
+                .withColumn("payload", sha2(col("vec_id").cast("string"), 256))
+                .repartition(32)
+                .write.mode("overwrite").parquet(s"$out/points.parquet")
+            val p = spark.read.parquet(s"$out/points.parquet")
+            val ix = Tables.memoTempDir("geobig", out) { target =>
+              graft.sources.PayloadIndex.buildGeo(p, "location", "vec_id",
+                target)
+            }
+            (p, ix)
+          case _ =>
+            val factor = rest.headOption.map(_.toInt).getOrElse(100)
+            val fdir = blowUpDir(spark, dir, factor)
+            (VectorQueries.geoLocated(
+              Tables.load(spark, fdir, "embeddings")),
+              VectorQueries.geoIdxDir(spark, fdir))
+        }
+        println(s"geo index: $idx  stats=" +
+          graft.sources.PayloadIndex.geoStatsOf(idx))
+        def boxDsl(latHalf: Double, lonHalf: Double): String = s"""
+          {"must": [{"key": "location", "geo_bounding_box": {
+            "top_left": {"lat": $latHalf, "lon": ${-lonHalf}},
+            "bottom_right": {"lat": ${-latHalf}, "lon": $lonHalf}}}]}"""
+        val windows: Seq[(String, String)] =
+          Seq(0.005, 0.02, 0.06, 0.125, 0.25).map { f =>
+            val s = math.sqrt(f)
+            (f"box f=$f%.3f", boxDsl(90 * s, 180 * s))
+          } :+ ("poly (0.41 bbox)", VectorQueries.geoPolyDsl)
+        def timed(dsl: String, frac: String): Double = {
+          spark.conf.set("graft.geo.routeMaxFraction", frac)
+          try {
+            def once(): Double = {
+              val t0 = System.nanoTime()
+              graft.sources.IndexRouter.filtered(spark, pts,
+                  Seq("location" -> idx), dsl, idCol = "vec_id")
+                .queryExecution.toRdd.foreach(_ => ())
+              (System.nanoTime() - t0) / 1e9
+            }
+            once(); once() // warm: min-of-2 discipline → second run
+          } finally spark.conf.unset("graft.geo.routeMaxFraction")
+        }
+        windows.foreach { case (tag, dsl) =>
+          val routed = timed(dsl, "1.0")  // force the index route
+          val direct = timed(dsl, "0.0")  // force the corpus scan
+          println(f"$tag%-18s routed $routed%7.2f s   direct " +
+            f"$direct%7.2f s   ratio ${routed / direct}%5.2f")
+        }
+      case "geodiag" :: dir :: rest =>
+        // where does the routed geo read's fixed cost sit? file counts,
+        // listing/planning time vs execution time, repeated reads
+        import org.apache.spark.sql.functions._
+        val factor = rest.headOption.map(_.toInt).getOrElse(100)
+        val fdir = blowUpDir(spark, dir, factor)
+        val idx = VectorQueries.geoIdxDir(spark, fdir)
+        val files = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+          .filter(p => p.toString.endsWith(".parquet")).count()
+        val dirs = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+          .filter(p => java.nio.file.Files.isDirectory(p)).count()
+        println(s"idx=$idx files=$files dirs=$dirs cpd=" +
+          graft.sources.PayloadIndex.cellsPerDegOf(idx))
+        def t(tag: String)(f: => Any): Unit = {
+          val t0 = System.nanoTime()
+          val r = f
+          println(f"[$tag] ${(System.nanoTime() - t0) / 1e9}%6.2f s ($r)")
+        }
+        (1 to 3).foreach { i =>
+          t(s"plan-only #$i") {
+            graft.sources.PayloadIndex.forGeoBox(spark, idx,
+              10.0, -10.0, -10.0, 10.0).queryExecution.executedPlan
+            "planned"
+          }
+          t(s"plan+exec #$i") {
+            graft.sources.PayloadIndex.forGeoBox(spark, idx,
+                10.0, -10.0, -10.0, 10.0)
+              .queryExecution.toRdd.count()
+          }
         }
       case "batchprobe" :: dir :: rest =>
         // measure where the batched stage-1 CASE-chain/LUT growth crosses

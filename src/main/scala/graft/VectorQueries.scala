@@ -638,6 +638,101 @@ object VectorQueries {
     },
     vKnnGeoPoly.oracle)
 
+  /** [[vKnnGeo]]'s box ROUTED through the r13 COST-GATED geo arm on its
+    * routing branch: a selective window (lat [0, 40] × lon [0, 60] ≈
+    * 3.7% of the pinned extent — under GeoRouteMaxFraction) served through
+    * the declared geo index's cell window + full-DSL residual. The
+    * query pins `graft.geo.routeMinRows = 0` for plan construction: the
+    * rows floor exists because gate/probe-scale corpora are too small
+    * for ANY cell listing to pay (SURVEY §8.8), and the gate's job is
+    * to hold the ROUTED read row-identical to the unrouted predicate at
+    * every SF — the plan the floor picks unaided is the direct scan
+    * both forms equal. Same-shape oracle as `v_knn_geo` with the
+    * selective bounds: routing is an IO decision. */
+  val vKnnGeoSelRouted = Q("v_knn_geo_sel_routed",
+    (s, dir) => {
+      val dsl = """
+        {"must": [
+          {"key": "location", "geo_bounding_box": {
+            "top_left":     {"lat": 40.0, "lon": 0.0},
+            "bottom_right": {"lat": 0.0, "lon": 60.0}
+          }}
+        ]}"""
+      s.conf.set("graft.geo.routeMinRows", "0")
+      val served = try graft.sources.IndexRouter.filtered(s,
+        geoLocated(Tables.load(s, dir, "embeddings")),
+        Seq("location" -> geoIdxDir(s, dir)), dsl, idCol = "vec_id")
+      finally s.conf.unset("graft.geo.routeMinRows")
+      Knn.knn(served, "embedding", queryVec(s, dir, 0), 10)
+        .select(col("vec_id"), col("label"),
+          floor(col("location.lat") * 100 + lit(0.5)).cast("long")
+            .as("lat_centi"),
+          floor(col("location.lon") * 100 + lit(0.5)).cast("long")
+            .as("lon_centi"),
+          col("score"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT vec_id, label, embedding,
+               (vec_id * 37) % 18000 / 100.0 - 90.0 AS lat,
+               (vec_id * 73) % 36000 / 100.0 - 180.0 AS lon
+        FROM embeddings)
+      SELECT vec_id, label,
+             CAST(floor(lat * 100 + 0.5) AS BIGINT) AS lat_centi,
+             CAST(floor(lon * 100 + 0.5) AS BIGINT) AS lon_centi,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQ0), 6) AS score
+      FROM g
+      WHERE lat <= 40.0 AND lat >= 0.0 AND lon >= 0.0 AND lon <= 60.0
+      ORDER BY score DESC, vec_id
+      LIMIT 10"""))
+
+  /** V3 — `geo_radius` ORACLE-GATED (r13, closing the family's last
+    * spec-only gap): the haversine itself is transcendental (Java and
+    * DuckDB trig differ at the last ulp), so exactness comes from the
+    * WIDE-MARGIN fixture contract instead of bit-identical trig — the
+    * dedup_semantic planting trick. The synthetic coordinates are a
+    * 0.01° grid scattered over the globe; the nearest point-distance to
+    * the 3,000 km ring is hundreds of meters at every gate SF
+    * (empirically verified, r13 — recorded in the SURVEY), while
+    * cross-engine trig divergence is sub-millimeter at Earth scale: no
+    * row can flip. DuckDB computes its own haversine from its own
+    * trig. */
+  val vKnnGeoRadius = Q("v_knn_geo_radius",
+    (s, dir) => {
+      val filter = graft.operators.PayloadFilter.fromJson("""
+        {"must": [
+          {"key": "location", "geo_radius": {
+            "center": {"lat": 10.0, "lon": 20.0}, "radius": 3000000}}
+        ]}""")
+      val emb = geoLocated(Tables.load(s, dir, "embeddings"))
+        .filter(filter)
+      Knn.knn(emb, "embedding", queryVec(s, dir, 0), 10)
+        .select(col("vec_id"), col("label"),
+          floor(col("location.lat") * 100 + lit(0.5)).cast("long")
+            .as("lat_centi"),
+          floor(col("location.lon") * 100 + lit(0.5)).cast("long")
+            .as("lon_centi"),
+          col("score"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT vec_id, label, embedding,
+               (vec_id * 37) % 18000 / 100.0 - 90.0 AS lat,
+               (vec_id * 73) % 36000 / 100.0 - 180.0 AS lon
+        FROM embeddings)
+      SELECT vec_id, label,
+             CAST(floor(lat * 100 + 0.5) AS BIGINT) AS lat_centi,
+             CAST(floor(lon * 100 + 0.5) AS BIGINT) AS lon_centi,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $oracleQ0), 6) AS score
+      FROM g
+      WHERE 2 * 6371000.0 * asin(sqrt(
+              sin(radians(lat - 10.0) / 2) * sin(radians(lat - 10.0) / 2)
+              + cos(radians(10.0)) * cos(radians(lat))
+                * sin(radians(lon - 20.0) / 2)
+                * sin(radians(lon - 20.0) / 2))) <= 3000000.0
+      ORDER BY score DESC, vec_id
+      LIMIT 10"""))
+
   /** V3 — `has_vector` + `min_should` (the last public filter-DSL
     * completions) over the PARTIAL named-vector state (vec_id % 3 == 0
     * points lack `text_vec`, vec_id % 5 == 0 lack `image_vec` — the
@@ -1643,6 +1738,7 @@ object VectorQueries {
     vKnnDslExcept,
     vKnnDslNested, vKnnDslNestedObj, vKnnDslNestedTyped, vKnnDslMinShould,
     vKnnDslRouted, vKnnGeo, vKnnGeoIndexed, vKnnGeoPoly, vKnnGeoPolyRouted,
+    vKnnGeoSelRouted, vKnnGeoRadius,
     vL2, vManhattan, vDot, vFusion, vFusionPartial, vMaxsim, vHybridRrf,
     vHybridDbsf, vSqQuantize, vSqSearch, vBqSearch, vPrefetch,
     vSqSearchIndexed, vBqSearchIndexed, vBqSearchMulti, vPrefetchIndexed,

@@ -39,15 +39,30 @@ import org.json4s.jackson.JsonMethods
   *    spherical cap's bounding box prunes; the exact haversine rides
   *    in the read's own residual and again in the full DSL),
   *    `geo_polygon` → [[PayloadIndex.forGeoBox]] over the exterior
-  *    ring's bounding box (the exact ray-cast polygon, holes included,
-  *    rides in the full-DSL residual).
+  *    ring's bounding box, widened 1 µ° per side so the routed read
+  *    stays a strict superset of the micro-degree-quantized ray cast
+  *    (the exact polygon, holes included, rides in the full-DSL
+  *    residual). The geo arm is the one COST-GATED route (the r12
+  *    verdict's prescription): it declines when the window covers more
+  *    than [[GeoRouteMaxFraction]] of the index's pinned build-time
+  *    extent — a wide window prunes too few bytes to repay the 2-D cell
+  *    listing (measured 6× slower at the 100× probe on the fixture
+  *    polygon's 41%-of-extent window) — or when the pinned row count
+  *    sits under [[GeoRouteMinRows]] — a small corpus costs less to
+  *    scan than to list the grid that would prune it (measured: routed
+  *    lost at EVERY window fraction on the 200k-row probe corpus). Both
+  *    signals are pure zero-IO functions of the condition and the
+  *    pinned [[PayloadIndex.geoStatsOf]] stats, so plans stay
+  *    deterministic.
   *
-  * First-match (not cost-based) keeps the choice deterministic and
-  * plan-stable. Priority follows the FILTER's must-condition order —
-  * declarations are a lookup set, their order carries no preference —
-  * so put the most selective condition first in the filter JSON.
-  * `should` / `must_not` conditions never route (they do not restrict
-  * the base set the way a conjunctive `must` does).
+  * First-match keeps the choice deterministic and plan-stable (the geo
+  * selectivity gate is a deterministic function of the condition and
+  * the index metadata, not a runtime sample). Priority follows the
+  * FILTER's must-condition order — declarations are a lookup set, their
+  * order carries no preference — so put the most selective condition
+  * first in the filter JSON. `should` / `must_not` conditions never
+  * route (they do not restrict the base set the way a conjunctive
+  * `must` does).
   *
   * == Correctness ==
   *
@@ -221,14 +236,20 @@ object IndexRouter {
                          lo <- pm.get("lon").flatMap(num)) yield (la, lo)
                   case _ => None
                 }
+                // (window, routed read): the WINDOW is the condition's
+                // lat/lon pruning rectangle — what the cost decision
+                // below measures against the index's pinned data extent
+                val routed: Option[(GeoWindow, () => DataFrame)] =
                 m.get("geo_bounding_box") match {
                   case Some(JObject(b)) =>
                     val bm = b.toMap
                     for ((tlLat, tlLon) <- bm.get("top_left").flatMap(pt);
                          (brLat, brLon) <-
                            bm.get("bottom_right").flatMap(pt))
-                      yield PayloadIndex.forGeoBox(spark, dir,
-                        tlLat, tlLon, brLat, brLon)
+                      yield (GeoWindow(brLat, tlLat,
+                          Some(Seq((tlLon, brLon)))),
+                        () => PayloadIndex.forGeoBox(spark, dir,
+                          tlLat, tlLon, brLat, brLon))
                   case _ => m.get("geo_radius") match {
                     case Some(JObject(r)) =>
                       val rm = r.toMap
@@ -239,8 +260,9 @@ object IndexRouter {
                       for ((cLat, cLon) <- rm.get("center").flatMap(pt);
                            rad <- rm.get("radius").flatMap(num)
                              if rad >= 0)
-                        yield PayloadIndex.forGeoRadius(spark, dir,
-                          cLat, cLon, rad)
+                        yield (radiusWindow(cLat, cLon, rad),
+                          () => PayloadIndex.forGeoRadius(spark, dir,
+                            cLat, cLon, rad))
                     case _ => m.get("geo_polygon") match {
                       // the EXTERIOR ring's bounding box prunes the cell
                       // window; the exact ray-cast polygon (holes
@@ -248,7 +270,14 @@ object IndexRouter {
                       // polygon predicate is plate-carrée (no
                       // antimeridian wrap — PayloadFilter object doc),
                       // so the flat min/max box is always a superset of
-                      // the ring it serves.
+                      // the ring it serves. The box is WIDENED by 1
+                      // micro-degree per side: the exact predicate
+                      // quantizes coordinates to micro-degrees
+                      // (floor(x·1e6 + 0.5)), so a point up to 0.5 µ°
+                      // outside the raw ring extreme can still be
+                      // quantized-inside the ray cast — the widened box
+                      // keeps the routed read a strict superset of the
+                      // quantized polygon (r12 ADVICE).
                       case Some(JObject(gp)) =>
                         def ringPts(v: JValue)
                             : Option[Seq[(Double, Double)]] = v match {
@@ -263,13 +292,22 @@ object IndexRouter {
                           case _ => None
                         }
                         for (ext <- gp.toMap.get("exterior").flatMap(ringPts))
-                          yield PayloadIndex.forGeoBox(spark, dir,
-                            ext.map(_._1).max, ext.map(_._2).min,
-                            ext.map(_._1).min, ext.map(_._2).max)
+                          yield {
+                            val (latLo, latHi) = (ext.map(_._1).min - 1e-6,
+                              ext.map(_._1).max + 1e-6)
+                            val (lonLo, lonHi) = (ext.map(_._2).min - 1e-6,
+                              ext.map(_._2).max + 1e-6)
+                            (GeoWindow(latLo, latHi,
+                                Some(Seq((lonLo, lonHi)))),
+                              () => PayloadIndex.forGeoBox(spark, dir,
+                                latHi, lonLo, latLo, lonHi))
+                          }
                       case _ => None
                     }
                   }
                 }
+                routed.collect { case (win, read)
+                    if geoWindowSelective(spark, dir, win) => read() }
               case "range" => m.get("range") match {
                 case Some(JObject(rf)) =>
                   val rm = rf.toMap
@@ -305,6 +343,114 @@ object IndexRouter {
         case _ => None
       }
     case _ => None
+  }
+
+  /** A geo condition's pruning rectangle in degrees: the latitude span
+    * plus the longitude arms (None = longitude-unbounded, as when a
+    * radius cap touches a pole; two arms when a cap window wraps the
+    * antimeridian). Feeds ONLY the routing cost decision — the routed
+    * read computes its own exact cell window, so a conservative window
+    * here can never change a row. */
+  private[graft] final case class GeoWindow(
+      latLo: Double, latHi: Double,
+      lonArms: Option[Seq[(Double, Double)]])
+
+  /** Default ceiling on the window/extent area fraction a geo route
+    * accepts (override per session via `graft.geo.routeMaxFraction`).
+    * The route reads ≈ fraction of the corpus (plus per-pruned-file
+    * overhead), the direct scan reads all of it in full-size files.
+    * Measured (r13 `Dev georouteprobe`, 2M-row stored-location corpus,
+    * amortized listing — SURVEY §8.8): routed/direct = 0.49 at a 0.5%
+    * window, 0.85 at 2%, 1.40 at 6%, 2.0 at 12.5%, 7.2 at the fixture
+    * polygon's 41% — the crossover sits at ~2–6%, and 0.05 is read off
+    * it. At petabyte scale per-file overhead shrinks relative to bytes
+    * and the crossover moves right; deployments there should RAISE
+    * this. */
+  val GeoRouteMaxFraction = 0.05
+
+  /** Floor on the index's pinned build-time row count under which a geo
+    * route NEVER pays (override via `graft.geo.routeMinRows`): a corpus
+    * this small costs less to scan outright than to open the grid's
+    * many small pruned files — measured (r13 `Dev georouteprobe`,
+    * SURVEY §8.8): at 200k rows the routed form lost or tied at EVERY
+    * window fraction (ratio 1.4–2.2), at 2M rows selective windows win
+    * 2× — 1M is read off that bracket. Pure metadata decision —
+    * [[PayloadIndex.geoStatsOf]]'s pinned rows, zero IO at query
+    * time. */
+  val GeoRouteMinRows = 1000000L
+
+  /** The r13 cost decision the r12 verdict prescribed: serve a geo
+    * condition through the 2-D cell index only when its window is
+    * SELECTIVE against the index's pinned build-time extent
+    * ([[PayloadIndex.geoStatsOf]] — zero IO beyond the metadata file
+    * already read to kind the index). A wide window selects most cells,
+    * and the pruned listing + per-tiny-file task overhead then cost
+    * more than the corpus scan the route avoids (measured: the fixture
+    * polygon's 41%-of-extent bbox served 6× SLOWER routed at the 100×
+    * probe — r12 §8.7). Routing stays deterministic: the decision is a
+    * pure function of the window and the pinned stats. Pre-r13 layouts
+    * (no stats record) route unconditionally, the pre-decision
+    * behavior. */
+  private def geoWindowSelective(spark: SparkSession, dir: String,
+                                 win: GeoWindow): Boolean = {
+    val maxFrac = spark.conf.getOption("graft.geo.routeMaxFraction")
+      .map(_.toDouble).getOrElse(GeoRouteMaxFraction)
+    val minRows = spark.conf.getOption("graft.geo.routeMinRows")
+      .map(_.toLong).getOrElse(GeoRouteMinRows)
+    PayloadIndex.geoStatsOf(dir).forall { st =>
+      st.rows >= minRows && windowFraction(win, st) <= maxFrac
+    }
+  }
+
+  /** The window's share of the index's pinned extent (area fraction,
+    * uniform-density estimate — the same first-order model a server
+    * planner's cardinality estimate uses). */
+  private def windowFraction(win: GeoWindow,
+                             st: PayloadIndex.GeoStats): Double = {
+      def axisFrac(lo: Double, hi: Double, exLo: Double,
+                   exHi: Double): Double =
+        if (hi < lo) 0.0
+        else if (exHi <= exLo) // degenerate extent: one occupied line
+          (if (lo <= exHi && hi >= exLo) 1.0 else 0.0)
+        else {
+          val overlap = math.min(hi, exHi) - math.max(lo, exLo)
+          if (overlap <= 0) 0.0 else math.min(1.0, overlap / (exHi - exLo))
+        }
+      val latFrac = axisFrac(win.latLo, win.latHi, st.latMin, st.latMax)
+      val lonFrac = win.lonArms match {
+        case None => 1.0
+        case Some(arms) => math.min(1.0,
+          arms.map(a => axisFrac(a._1, a._2, st.lonMin, st.lonMax)).sum)
+      }
+      latFrac * lonFrac
+  }
+
+  /** The spherical cap's bounding window — [[PayloadIndex.forGeoRadius]]'s
+    * cap-box construction, reproduced for the COST DECISION only (the
+    * routed read recomputes its own exact window, so any drift here can
+    * change a plan choice, never a row). */
+  private def radiusWindow(cLat: Double, cLon: Double,
+                           radiusM: Double): GeoWindow = {
+    val dRad = radiusM / 6371000.0
+    val eps = 1e-9
+    val dLatDeg = math.toDegrees(dRad) * (1 + eps) + eps
+    val (latLo, latHi) = (cLat - dLatDeg, cLat + dLatDeg)
+    val sinD = math.sin(math.min(dRad, math.Pi / 2))
+    val cosC = math.cos(math.toRadians(cLat))
+    val lonArms: Option[Seq[(Double, Double)]] =
+      if (latHi >= 90.0 || latLo <= -90.0 || sinD >= cosC) None
+      else {
+        val dLonDeg =
+          math.toDegrees(math.asin(sinD / cosC)) * (1 + eps) + eps
+        val (loDeg, hiDeg) = (cLon - dLonDeg, cLon + dLonDeg)
+        if (2 * dLonDeg >= 360.0) None
+        else if (loDeg < -180.0)
+          Some(Seq((loDeg + 360.0, 180.0), (-180.0, hiDeg)))
+        else if (hiDeg > 180.0)
+          Some(Seq((loDeg, 180.0), (-180.0, hiDeg - 360.0)))
+        else Some(Seq((loDeg, hiDeg)))
+      }
+    GeoWindow(latLo, latHi, lonArms)
   }
 
   /** ZERO-SCAN row count of a parquet read: the sum of the footer

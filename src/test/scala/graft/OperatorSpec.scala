@@ -745,26 +745,87 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     val radDsl = """
       {"must": [
         {"key": "location", "geo_radius": {
-          "center": {"lat": 10.0, "lon": 40.0}, "radius": 3000000}}
+          "center": {"lat": 10.0, "lon": 40.0}, "radius": 2000000}}
       ]}"""
     def canon(df: org.apache.spark.sql.DataFrame): Seq[Long] =
       df.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
     // polygon: the exterior's bbox prunes, the ray-cast exactness rides
-    // in the residual (VectorQueries.geoPolyDsl is the oracle-gated one)
-    for (dsl <- Seq(boxDsl, radDsl, VectorQueries.geoPolyDsl)) {
-      val routed = IndexRouter.filtered(spark, located,
-        Seq("location" -> idx), dsl, idCol = "vec_id")
-      val unrouted = located.filter(
-        graft.operators.PayloadFilter.fromJson(dsl, idCol = "vec_id"))
-      assert(canon(routed) == canon(unrouted), "geo routing changed rows")
-      assert(canon(routed).nonEmpty)
-      val plan = IndexRouter.baseRead(spark, located,
-        Seq("location" -> idx), dsl, "vec_id")
+    // in the residual (VectorQueries.geoPolyDsl is the oracle-gated one).
+    // The cost gate is LIFTED here (rows floor + fraction ceiling) so
+    // every condition kind exercises the routing machinery itself; the
+    // decision is asserted separately below.
+    def routes(dsl: String): Boolean =
+      IndexRouter.baseRead(spark, located, Seq("location" -> idx), dsl,
+          "vec_id")
         .queryExecution.executedPlan.toString
-      assert(plan.split("PartitionFilters: ").lift(1)
-          .map(_.split("PushedFilters").head).exists(_.contains("plat")),
-        s"geo condition did not route to the cell window:\n$plan")
+        .split("PartitionFilters: ").lift(1)
+        .map(_.split("PushedFilters").head).exists(_.contains("plat"))
+    try {
+      spark.conf.set("graft.geo.routeMinRows", "0")
+      spark.conf.set("graft.geo.routeMaxFraction", "1.0")
+      for (dsl <- Seq(boxDsl, radDsl, VectorQueries.geoPolyDsl)) {
+        val routed = IndexRouter.filtered(spark, located,
+          Seq("location" -> idx), dsl, idCol = "vec_id")
+        val unrouted = located.filter(
+          graft.operators.PayloadFilter.fromJson(dsl, idCol = "vec_id"))
+        assert(canon(routed) == canon(unrouted),
+          "geo routing changed rows")
+        assert(canon(routed).nonEmpty)
+        assert(routes(dsl),
+          s"geo condition did not route to the cell window: $dsl")
+      }
+    } finally {
+      spark.conf.unset("graft.geo.routeMinRows")
+      spark.conf.unset("graft.geo.routeMaxFraction")
     }
+    // === the r13 cost decision ===
+    // defaults: fixture-scale corpora sit under the rows floor — a cell
+    // listing cannot beat scanning a corpus this small, so NOTHING geo
+    // routes unaided (row-identity above makes the plan choice free)
+    for (dsl <- Seq(boxDsl, radDsl, VectorQueries.geoPolyDsl))
+      assert(!routes(dsl), s"geo routed under the rows floor: $dsl")
+    // floor lifted: the fraction ceiling separates windows — the wide
+    // fixture polygon (~41% of the extent) and the ~17% box decline,
+    // the selective radius cap (~2%) routes
+    try {
+      spark.conf.set("graft.geo.routeMinRows", "0")
+      assert(routes(radDsl), "selective radius window did not route")
+      assert(!routes(VectorQueries.geoPolyDsl),
+        "the 41%-of-extent polygon bbox routed — the r12 crossover " +
+          "the cost gate exists to avoid")
+      assert(!routes(boxDsl),
+        "a 17%-of-extent box routed past the fraction ceiling")
+      // routed and unrouted stay row-identical ON the decision boundary
+      // paths too (the polygon serves direct, the radius serves routed)
+      for (dsl <- Seq(radDsl, VectorQueries.geoPolyDsl))
+        assert(canon(IndexRouter.filtered(spark, located,
+            Seq("location" -> idx), dsl, idCol = "vec_id")) ==
+          canon(located.filter(graft.operators.PayloadFilter.fromJson(
+            dsl, idCol = "vec_id"))),
+          s"cost-gated serving changed rows: $dsl")
+    } finally spark.conf.unset("graft.geo.routeMinRows")
+    // a PRE-r13 layout (no pinned stats) routes unconditionally — the
+    // pre-decision behavior, so old layouts keep serving
+    val legacyRoot = java.nio.file.Files
+      .createTempDirectory("graft-geolegacy").toString
+    val legacyIdx = s"$legacyRoot/gidx"
+    graft.sources.PayloadIndex.buildGeo(
+      located.select("vec_id", "location"), "location", "vec_id",
+      legacyIdx)
+    val metaPath = java.nio.file.Paths.get(legacyIdx,
+      "_payload_index.json")
+    val meta = new String(java.nio.file.Files.readAllBytes(metaPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(metaPath,
+      meta.replaceAll(""", "geo_rows".*?(?=\})""", "")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(graft.sources.PayloadIndex.geoStatsOf(legacyIdx).isEmpty,
+      "legacy meta still parses stats")
+    val legacyPlan = IndexRouter.baseRead(spark, located,
+        Seq("location" -> legacyIdx), VectorQueries.geoPolyDsl, "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(legacyPlan.contains("plat"),
+      "pre-r13 layout (no pinned stats) stopped routing")
     // no declaration → no route (the base read is the points frame)
     assert(IndexRouter.baseRead(spark, located, Nil, boxDsl, "vec_id")
       .queryExecution.analyzed.sameResult(located.queryExecution.analyzed),
