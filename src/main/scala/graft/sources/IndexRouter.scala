@@ -466,6 +466,27 @@ object IndexRouter {
     * exactly what a planner threshold wants (Qdrant's planner likewise
     * consults index cardinality estimates, not exact predicate
     * counts). */
+  /** (files, bytes) of a single-parquet-scan plan's PRUNED listing —
+    * driver-side metadata already materialized at planning, zero IO.
+    * None when the plan is not one parquet file scan. Lets
+    * [[VectorRouter]]'s estimate classify a frame as small by BYTES,
+    * not just file count: a tiny collection fragmented across many
+    * files is still metadata to read (r12 ADVICE — the >64-file
+    * fragmented small collection silently flipped plans). */
+  private[graft] def listingStats(df: DataFrame): Option[(Long, Long)] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f
+    }
+    if (scans.length != 1) None
+    else {
+      val listing = scans.head.selectedPartitions
+      Some((listing.totalNumberOfFiles,
+        listing.filePartitionIterator.flatMap(_.files)
+          .map(_.getLen).sum))
+    }
+  }
+
   private[graft] def metadataRowCount(df: DataFrame,
                                       maxFiles: Long = Long.MaxValue)
       : Option[Long] = {

@@ -227,8 +227,20 @@ object VectorRouter {
     * exact zero-job footer count: a collection this small is metadata to
     * read, so it keeps the exact scan plan the old count-job estimate
     * chose. Above it, opening every footer driver-side would be a scan
-    * in disguise. */
+    * in disguise — unless the listing's BYTES are small too
+    * ([[SmallCollectionBytes]]): a sub-threshold collection FRAGMENTED
+    * across many tiny files is still metadata to read, and pinning it to
+    * MaxValue would silently flip it from the old exact scan plan to the
+    * recall-bounded ANN branch (r12 ADVICE). */
   private val SmallCollectionFiles = 64L
+
+  /** Byte bound for the fragmented-small-collection footer pass: any
+    * collection under [[Params.scanThreshold]] rows is far below this
+    * however wide its payloads, while a real corpus exceeds it
+    * immediately — so the footer pass (still bounded at
+    * [[RoutedListingFiles]] files) runs only where it can change the
+    * plan back to the exact scan. */
+  private val SmallCollectionBytes = 32L * 1024 * 1024
 
   /** Bound on the routed read's listing for the footer pass: a
     * SELECTIVE routed condition prunes to few files by construction,
@@ -245,20 +257,32 @@ object VectorRouter {
     * read's ROWS (one cheap row-group-pruned job — its LISTING is the
     * whole collection, so footers would count the corpus, not the
     * candidates); with nothing routable, a small collection
-    * (≤ [[SmallCollectionFiles]] files) contributes its own footer
-    * count — tiny collections keep the exact scan plan — while a large
+    * (≤ [[SmallCollectionFiles]] files, or ≤ [[SmallCollectionBytes]]
+    * across ≤ [[RoutedListingFiles]] files — fragmentation must not
+    * flip the plan) contributes its own footer count — tiny collections
+    * keep the exact scan plan — while a large
     * or non-single-scan frame pins the estimate above any threshold
     * (its filtered cardinality is unknowable without the very scan the
     * plan decision is trying to avoid, which is the ANN branch's answer
     * anyway). */
-  private def cardinalityEstimate(spark: SparkSession, points: DataFrame,
+  private[graft] def cardinalityEstimate(spark: SparkSession,
+                                  points: DataFrame,
                                   payloadIndexes: Seq[(String, String)],
                                   dsl: String, idCol: String): Long = {
     val (base, listingPruned) =
       IndexRouter.baseReadInfo(spark, points, payloadIndexes, dsl, idCol)
-    if (base eq points)
-      IndexRouter.metadataRowCount(points, maxFiles = SmallCollectionFiles)
-        .getOrElse(Long.MaxValue)
+    if (base eq points) {
+      // small by FILES or by BYTES (fragmented): exact footer count,
+      // still zero jobs; a real corpus pins above any threshold
+      val small = IndexRouter.listingStats(points).exists { case (f, b) =>
+        f <= SmallCollectionFiles ||
+          (b <= SmallCollectionBytes && f <= RoutedListingFiles)
+      }
+      if (small)
+        IndexRouter.metadataRowCount(points, maxFiles = RoutedListingFiles)
+          .getOrElse(Long.MaxValue)
+      else Long.MaxValue
+    }
     else if (listingPruned)
       IndexRouter.metadataRowCount(base, maxFiles = RoutedListingFiles)
         .getOrElse(base.count())

@@ -2793,6 +2793,29 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       "footer count drifted from the true row count on a plain read")
   }
 
+  test("cardinality estimate: a sub-threshold collection FRAGMENTED " +
+       "across >64 tiny files still gets the exact zero-job footer " +
+       "count (the old exact scan plan), not a MaxValue pin") {
+    import graft.sources.VectorRouter
+    val root = java.nio.file.Files.createTempDirectory("graft-frag")
+      .toString
+    val dsl = """{"must": [{"key": "label", "match": {"value": 3}}]}"""
+    // 200 rows in ~100 files (fragmented) and in 2 files (compact):
+    // both are tiny by BYTES, so both must estimate exactly
+    Tables.load(spark, sf, "embeddings").limit(200).repartition(100)
+      .write.parquet(s"$root/frag")
+    Tables.load(spark, sf, "embeddings").limit(200).repartition(2)
+      .write.parquet(s"$root/compact")
+    for (name <- Seq("frag", "compact")) {
+      val pts = spark.read.parquet(s"$root/$name")
+      val est = VectorRouter.cardinalityEstimate(spark, pts, Nil, dsl,
+        "vec_id")
+      assert(est == 200L,
+        s"$name collection estimated $est, not the exact 200 — the " +
+          "plan choice would silently flip to the ANN branch")
+    }
+  }
+
   test("batched-size contract is loud: every per-query-expression " +
        "batched entry rejects a batch past MaxBatchQueries instead of " +
        "building a pathological plan (measured StackOverflow at 1024)") {
