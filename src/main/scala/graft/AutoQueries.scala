@@ -211,7 +211,43 @@ object AutoQueries {
         LIMIT 10)
       SELECT * FROM r0 UNION ALL SELECT * FROM r3"""))
 
+  /** FILTERED GRAPH TRAVERSAL (r13 worklist #4 — the filtrable-HNSW
+    * serving shape): a graph declaration + a `label = 3` filter forced
+    * onto the over-threshold ANN branch (`scanThreshold = 0` — the
+    * public planner knob; the estimate is positive at every SF, so the
+    * branch choice is pinned deterministically). The beam ROUTES
+    * unfiltered — identical frontier sequence to `ann_graph_search` —
+    * while the answer is the top-k passing nodes of the WHOLE visited
+    * pool, so the ~10%-selective filter fills k where post-filtering
+    * the 10-node beam returns ~1 row (the under-return OperatorSpec
+    * plants and proves). The oracle replays the union of the five
+    * rounds' scored sets over the replayed graph, filtered and
+    * re-ranked — an exact-hash gate over a filtered APPROXIMATE search,
+    * the AnnQueries contract. */
+  val vAutoFilteredGraph = Q("v_auto_filtered_graph",
+    (s, dir) =>
+      VectorRouter.queryPoints(s, Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding",
+        Seq(GraphAnnQueries.graphIndexDir(s, dir)), Nil,
+        queryVec(s, dir, 0), 10,
+        dslJson = Some(
+          """{"must": [{"key": "label", "match": {"value": 3}}]}"""),
+        params = VectorRouter.Params(scanThreshold = 0)),
+    Some(s"""
+      WITH ${GraphAnnQueries.graphSql},
+      ${GraphAnnQueries.seedSql},
+      ${GraphAnnQueries.searchCtes("", 0L)}
+      SELECT vec_id, sm AS score_micro FROM (
+        SELECT s.vec_id, s.sm,
+               ROW_NUMBER() OVER (ORDER BY s.sm DESC, s.vec_id) AS rk
+        FROM (${(1 to GraphAnnQueries.SRounds)
+          .map(r => s"SELECT vec_id, sm FROM sc$r")
+          .mkString(" UNION ")}) s
+        JOIN embeddings em ON em.vec_id = s.vec_id
+        WHERE em.label = 3)
+      WHERE rk <= 10 ORDER BY rk"""))
+
   def queries: Seq[Q] =
     Seq(vAutoSearch, vAutoExact, vAutoFiltered, vAutoGraph,
-      vAutoSearchMulti, vAutoFilteredMulti)
+      vAutoSearchMulti, vAutoFilteredMulti, vAutoFilteredGraph)
 }

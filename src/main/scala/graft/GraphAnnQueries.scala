@@ -18,7 +18,7 @@ object GraphAnnQueries {
   private val M = 12        // neighbors kept per node
   private val Rounds = 6    // NN-descent refinement rounds
   private val Beam = 10     // serving beam width
-  private val SRounds = 5   // serving expansion rounds
+  private[graft] val SRounds = 5   // serving expansion rounds
   private val K = 10
 
   private lazy val planes = Ann.hyperplanes(Bands * Per, 64)
@@ -136,7 +136,7 @@ object GraphAnnQueries {
 
   /** The query-independent entry-seed CTE (the persisted `_seeds`
     * ordering) — shared by every serving replay in one statement. */
-  private def seedSql: String = s"""
+  private[graft] def seedSql: String = s"""
       seed AS MATERIALIZED (SELECT vec_id FROM e
                ORDER BY ('0x' || substr(md5('gseed|' || vec_id), 1, 8))::BIGINT,
                         vec_id LIMIT $Beam)"""
@@ -144,7 +144,7 @@ object GraphAnnQueries {
   /** One query's beam-search CTE chain (q/x/sc/f per round), names
     * prefixed so several queries replay inside ONE statement — the
     * batched-serving oracle's building block. */
-  private def searchCtes(pfx: String, qid: Long): String = {
+  private[graft] def searchCtes(pfx: String, qid: Long): String = {
     val rounds = (1 to SRounds).map { r =>
       val prev = if (r == 1) "seed" else s"${pfx}f${r - 1}"
       s""",

@@ -314,6 +314,37 @@ object GraphAnn {
       seeds, query, beam, rounds, k)._1
   }
 
+  /** FILTERED traversal over a materialized index (the filtrable-HNSW
+    * serving shape a real vector server uses for mid-selectivity
+    * filters): the beam ROUTES exactly as [[beamSearchIndexed]] —
+    * filtered-out nodes stay usable as hops, so the walk still follows
+    * the graph's geometry toward the query — while the RESULT pool is
+    * every VISITED node that passes `pred`, accumulated across rounds,
+    * and the answer is its top-`k` by (score DESC, id ASC). Contrast
+    * with candidate post-filtering (filter the final beam's k rows),
+    * which under-returns whenever the filter kills most of the beam:
+    * here the pool is the whole ≈ beam·(M+1)·rounds visited set, so a
+    * 1/s-selective filter still fills k while s ≲ visited/k. The
+    * predicate is evaluated ON the same collection probe that scores a
+    * candidate (no extra jobs; NULL coerces to false — the DSL
+    * translator's must_not rule), and the traversal itself is
+    * UNCHANGED by the filter, so the unfiltered gates cannot move.
+    * Fully oracle-replayable: the pool is the union of the per-round
+    * scored sets (`v_auto_filtered_graph` replays it). */
+  def beamSearchIndexedFiltered(coll: DataFrame, idCol: String,
+                                vecCol: String, indexDir: String,
+                                query: Seq[Double], beam: Int, rounds: Int,
+                                k: Int, pred: Column): DataFrame = {
+    require(beam <= SeedCap,
+      s"beam=$beam exceeds the $SeedCap persisted seeds")
+    val spark = coll.sparkSession
+    val seeds = spark.read.parquet(s"$indexDir/_seeds")
+      .orderBy("seed_rank").limit(beam)
+      .select(col("id")).collect().map(_.getLong(0))
+    beamSearchFrom(coll, idCol, vecCol, spark.read.parquet(indexDir),
+      seeds, query, beam, rounds, k, resultPred = Some(pred))._1
+  }
+
   /** BATCHED serving over a materialized index — the [[graft.operators.Knn.knnMulti]]
     * analog for the graph path: N queries advance their beams in
     * lock-step, sharing ONE adjacency probe (union of live frontiers)
@@ -323,11 +354,18 @@ object GraphAnn {
     * served one at a time. Scores come from the identical per-query
     * Catalyst expression the single-query path evaluates, so each
     * query's rows equal its [[beamSearchIndexed]] result exactly
-    * (spec-gated). Returns (query_id, rnk, id, score_micro). */
+    * (spec-gated). With `resultPred` (ONE shared predicate — the
+    * shared-filter `query_batch_points` shape) the batch runs the
+    * FILTERED-traversal contract of [[beamSearchIndexedFiltered]]:
+    * routing unchanged, each query answering from its own cumulative
+    * visited∩passing pool, the predicate riding the shared probes at
+    * zero extra jobs. Returns (query_id, rnk, id, score_micro). */
   def beamSearchMultiIndexed(coll: DataFrame, idCol: String, vecCol: String,
                              indexDir: String,
                              queries: Seq[(Long, Seq[Double])], beam: Int,
-                             rounds: Int, k: Int): DataFrame = {
+                             rounds: Int, k: Int,
+                             resultPred: Option[Column] = None)
+      : DataFrame = {
     require(k <= beam, s"k=$k must be <= beam=$beam")
     require(beam <= SeedCap,
       s"beam=$beam exceeds the $SeedCap persisted seeds")
@@ -359,6 +397,13 @@ object GraphAnn {
         qid -> scala.collection.mutable.Set.empty[Long] }: _*)
     val converged = scala.collection.mutable.Map(
       queries.map { case (qid, _) => qid -> seeds.isEmpty }: _*)
+    // filtered traversal (one shared predicate for the batch — the
+    // shared-filter query_batch_points shape): ids that passed, and the
+    // cumulative per-query VISITED sets forming the result pools
+    val passing = scala.collection.mutable.Set.empty[Long]
+    val visited = scala.collection.mutable.Map(
+      queries.map { case (qid, _) =>
+        qid -> scala.collection.mutable.Set.empty[Long] }: _*)
     for (_ <- 0 until rounds if converged.values.exists(!_)) {
       val live = queries.map(_._1).filter(q => !converged(q))
       // ONE adjacency probe for every live query's frontier
@@ -373,16 +418,22 @@ object GraphAnn {
         candidates(q) = (frontier(q) ++
           frontier(q).flatMap(nbrMap.getOrElse(_, Array.empty[Long])))
           .distinct
+        visited(q) ++= candidates(q)
       }
       // ONE collection probe for every query's unscored candidates,
-      // one score column per live query
+      // one score column per live query (+ one shared predicate column
+      // when filtering — still one probe)
       val missing = live.flatMap(q => candidates(q)
         .filterNot(id => cache(q).contains(id) || unscorable(q)(id)))
         .distinct
       if (missing.nonEmpty) {
+        val passCol = resultPred
+          .map(p => coalesce(p, lit(false)).cast("boolean"))
+          .getOrElse(lit(true))
         val got = collectionProbe(coll, idCol, missing)
-          .select(col(idCol).cast("long") +:
-            live.map(q => qScore(q).as(s"__sm_$q")): _*)
+          .select((col(idCol).cast("long") +:
+            live.map(q => qScore(q).as(s"__sm_$q"))) :+
+            passCol.as("__ok"): _*)
           .collect()
         got.foreach { r =>
           val id = r.getLong(0)
@@ -390,6 +441,7 @@ object GraphAnn {
             if (r.isNullAt(i + 1)) unscorable(q) += id
             else cache(q)(id) = r.getLong(i + 1)
           }
+          if (r.getBoolean(live.length + 1)) passing += id
         }
         val found = got.map(_.getLong(0)).toSet
         live.foreach(q => unscorable(q) ++= missing.toSet -- found)
@@ -401,8 +453,16 @@ object GraphAnn {
         frontier(q) = ranked.take(beam)
       }
     }
+    // unfiltered: each query's final-round candidate set (pre-r13
+    // contract, bit-unchanged); filtered: the query's OWN cumulative
+    // visited set ∩ passing — cache(q) alone would leak ids probed only
+    // for other queries in the shared probes
+    def pool(qid: Long): Array[Long] =
+      if (resultPred.isEmpty) candidates(qid).filter(cache(qid).contains)
+      else visited(qid).iterator
+        .filter(id => cache(qid).contains(id) && passing(id)).toArray
     queries.flatMap { case (qid, _) =>
-      candidates(qid).filter(cache(qid).contains)
+      pool(qid)
         .sortBy(id => (-cache(qid)(id), id)).take(k)
         .zipWithIndex
         .map { case (id, i) => (qid, (i + 1).toLong, id, cache(qid)(id)) }
@@ -447,7 +507,9 @@ object GraphAnn {
   private[graft] def beamSearchFrom(coll: DataFrame, idCol: String, vecCol: String,
                              adj: DataFrame, seeds: Array[Long],
                              query: Seq[Double], beam: Int, rounds: Int,
-                             k: Int): (DataFrame, Long) = {
+                             k: Int,
+                             resultPred: Option[Column] = None)
+      : (DataFrame, Long) = {
     require(k <= beam, s"k=$k must be <= beam=$beam")
     val spark = coll.sparkSession
     import spark.implicits._
@@ -458,15 +520,28 @@ object GraphAnn {
     // vector) ids are remembered too so they are never re-probed
     val cache = scala.collection.mutable.LongMap.empty[Long]
     val unscorable = scala.collection.mutable.Set.empty[Long]
+    // filtered traversal: ids whose row passed resultPred — eligible for
+    // the RESULT pool (traversal/frontier ignores this entirely)
+    val passing = scala.collection.mutable.Set.empty[Long]
     def score(ids: Seq[Long]): Unit = {
       val missing = ids.filterNot(i => cache.contains(i) || unscorable(i))
       if (missing.nonEmpty) {
+        // the predicate rides the SAME probe that scores the candidate —
+        // filtering costs no extra job; NULL coerces to false (the DSL
+        // translator's must_not rule)
+        val passCol = resultPred
+          .map(p => coalesce(p, lit(false)).cast("boolean"))
+          .getOrElse(lit(true))
         val got = collectionProbe(coll, idCol, missing)
-          .select(col(idCol).cast("long"), qScore.as("__sm"))
+          .select(col(idCol).cast("long"), qScore.as("__sm"),
+            passCol.as("__ok"))
           .collect()
         got.foreach { r =>
           if (r.isNullAt(1)) unscorable += r.getLong(0)
-          else cache(r.getLong(0)) = r.getLong(1)
+          else {
+            cache(r.getLong(0)) = r.getLong(1)
+            if (r.getBoolean(2)) passing += r.getLong(0)
+          }
         }
         // ids absent from the collection (dangling adjacency edges) are
         // unscorable as well
@@ -487,11 +562,19 @@ object GraphAnn {
         .sortBy(id => (-cache(id), id))
       // fixed point: an unchanged frontier re-derives the identical
       // candidate set next round — skipping the remaining rounds cannot
-      // change the result (exactness preserved, jobs saved)
+      // change the result (exactness preserved: with a resultPred the
+      // pool is the union of per-round scored sets, and a fixed frontier
+      // re-derives the identical set, adding nothing)
       converged = frontier.sameElements(ranked.take(beam))
       frontier = ranked.take(beam)
     }
-    val top = candidates.filter(cache.contains)
+    // unfiltered: the final round's candidate set (the pre-r13 contract,
+    // bit-unchanged); filtered: every VISITED passing node — the cache
+    // IS the union of the rounds' scored sets
+    val pool =
+      if (resultPred.isEmpty) candidates.filter(cache.contains)
+      else cache.keysIterator.filter(passing).toArray
+    val top = pool
       .sortBy(id => (-cache(id), id)).take(k)
       .zipWithIndex
       .map { case (id, i) => ((i + 1).toLong, id, cache(id)) }

@@ -63,14 +63,23 @@ import graft.operators.GraphAnn
   *    the payload-ROUTED filtered read — row-identical to brute force by
   *    [[IndexRouter]]'s superset+residual contract (the oracle-gated
   *    path);
-  *  - above the threshold: ANN candidates (oversampled), the full DSL
-  *    residual on the candidates, exact top-k. Honest contract: this is
-  *    candidate POST-filtering — recall-bounded like every
-  *    oversampling-based filtered-ANN scheme, and may return fewer than
-  *    `k` rows when the filter kills most candidates (Qdrant's
-  *    filter-aware HNSW traversal avoids this by searching WITH the
-  *    filter; the scan-plan branch below the threshold is exact).
-  *    Spec-gated (plan choice + row containment), not oracle-gated.
+  *  - above the threshold, GRAPH declaration: FILTERED TRAVERSAL (r13 —
+  *    the filtrable-HNSW shape): the beam routes unfiltered through the
+  *    graph while the result pool is every visited node passing the
+  *    filter ([[graft.operators.GraphAnn.beamSearchIndexedFiltered]]),
+  *    so a mid-selectivity filter fills `k` from the ≈ beam·(M+1)·rounds
+  *    visited set where post-filtering a k-beam under-returns.
+  *    Oracle-gated (`v_auto_filtered_graph` replays the per-round
+  *    scored-set union);
+  *  - above the threshold, code-based kinds (quant/ivfpq): ANN
+  *    candidates (oversampled), the full DSL residual on the
+  *    candidates, exact top-k. Honest contract: this is candidate
+  *    POST-filtering — recall-bounded like every oversampling-based
+  *    filtered-ANN scheme, and may return fewer than `k` rows when the
+  *    filter kills most candidates (their stage-1 runs on codes
+  *    sidecars that carry no payload to filter DURING the scan; the
+  *    scan-plan branch below the threshold is exact). Spec-gated (plan
+  *    choice + row containment), not oracle-gated.
   *
   * == Output contract ==
   *
@@ -134,6 +143,15 @@ object VectorRouter {
         def estimate: Long =
           cardinalityEstimate(spark, points, payloadIndexes, dsl, idCol)
         routed match {
+          case Some(("graph", dir)) if estimate > params.scanThreshold =>
+            // FILTERED TRAVERSAL (r13): the graph kind searches WITH the
+            // filter — routing hops unfiltered, results from the whole
+            // visited∩passing pool — so a mid-selectivity filter fills k
+            // where candidate post-filtering under-returned (oracle-
+            // gated: v_auto_filtered_graph)
+            GraphAnn.beamSearchIndexedFiltered(points, idCol, vecCol, dir,
+                query, params.beam, params.rounds, k, pred)
+              .select(col("id").as(idCol), col("score_micro"))
           case Some((kind, dir)) if estimate > params.scanThreshold =>
             // candidate post-filtering (see scaladoc: recall-bounded)
             val candIds =
@@ -207,9 +225,17 @@ object VectorRouter {
         def estimate: Long =
           cardinalityEstimate(spark, points, payloadIndexes, dsl, idCol)
         routed match {
+          case Some(("graph", dir)) if estimate > params.scanThreshold =>
+            // batched FILTERED TRAVERSAL (r13) — one shared predicate,
+            // lock-step beams, per-query visited∩passing pools; the
+            // predicate rides the shared probes at zero extra jobs
+            GraphAnn.beamSearchMultiIndexed(points, idCol, vecCol, dir,
+                queries, params.beam, params.rounds, k,
+                resultPred = Some(pred))
+              .select(col("query_id"), col("id").as(idCol),
+                col("score_micro"))
           case Some((kind, dir)) if estimate > params.scanThreshold =>
-            // candidate post-filtering (recall-bounded, see scaladoc);
-            // the graph kind contributes its beam results as candidates
+            // candidate post-filtering (recall-bounded, see scaladoc)
             rescoreMulti(points.filter(pred), idCol, vecCol,
               annCandidatesMulti(spark, points, idCol, vecCol, kind, dir,
                 queries, k, params),

@@ -2731,17 +2731,24 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     // → one batched exact pass over the routed filtered read;
     // branch B: scanThreshold = 0 forces the batched candidate
     // post-filter — both must equal the single-query serving per query
+    // quant declaration: scan branch + candidate-post-filter ANN branch;
+    // graph declaration: scan branch + FILTERED-TRAVERSAL ANN branch
+    // (r13) — per-query equality with single-query serving on all four
+    val graphDecls = Seq(GraphAnnQueries.graphIndexDir(spark, sf))
     val branches = Seq(
-      ("scan", idx, VectorRouter.Params()),
-      ("ann", idx, VectorRouter.Params(scanThreshold = 0)))
-    for ((tag, pIdx, params) <- branches) {
+      ("scan", decls, idx, VectorRouter.Params()),
+      ("ann", decls, idx, VectorRouter.Params(scanThreshold = 0)),
+      ("graph-scan", graphDecls, idx, VectorRouter.Params()),
+      ("graph-traversal", graphDecls, idx,
+        VectorRouter.Params(scanThreshold = 0)))
+    for ((tag, ds, pIdx, params) <- branches) {
       val multi = VectorRouter.queryPointsMulti(spark, emb, "vec_id",
-          "embedding", decls, qs, 10, dslJson = Some(dsl),
+          "embedding", ds, qs, 10, dslJson = Some(dsl),
           payloadIndexes = pIdx, params = params)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       qs.foreach { case (qid, q) =>
         val single = VectorRouter.queryPoints(spark, emb, "vec_id",
-            "embedding", decls, pIdx, q, 10, dslJson = Some(dsl),
+            "embedding", ds, pIdx, q, 10, dslJson = Some(dsl),
             params = params)
           .collect().map(r => (r.getLong(0), r.getLong(1)))
           .sortBy(_._1).toSeq
@@ -2752,6 +2759,46 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       }
       assert(multi.nonEmpty, s"$tag branch returned nothing")
     }
+  }
+
+  test("filtered graph traversal: routing is unchanged by the filter, " +
+       "every returned row passes it, and the visited pool fills k " +
+       "where post-filtering the final beam under-returns") {
+    import graft.operators.GraphAnn
+    val emb = Tables.load(spark, sf, "embeddings")
+    val idx = GraphAnnQueries.graphIndexDir(spark, sf)
+    val q = VectorQueries.queryVec(spark, sf, 0)
+    val pred = col("label") === 3
+    val unfiltered = GraphAnn.beamSearchIndexed(emb, "vec_id",
+        "embedding", idx, q, 10, 5, 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val filtered = GraphAnn.beamSearchIndexedFiltered(emb, "vec_id",
+        "embedding", idx, q, 10, 5, 10, pred)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // every filtered row passes the predicate
+    val byId = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    filtered.foreach { case (id, _) =>
+      assert(byId(id) == 3, s"returned $id fails the filter") }
+    // the planted under-return: the final beam post-filtered keeps
+    // fewer rows than the traversal's pool-filled answer
+    val postFiltered = unfiltered.count { case (id, _) => byId(id) == 3 }
+    assert(filtered.length > postFiltered,
+      s"traversal returned ${filtered.length} rows vs $postFiltered " +
+        "post-filtered — the pool added nothing (weak fixture?)")
+    // recall vs the exact filtered top-k: the traversal's answer set
+    // must overlap the true answer substantially (>= half) — the
+    // property candidate post-filtering fails on this fixture
+    val exact = graft.operators.Knn.knn(emb.filter(pred), "embedding",
+        q, 10).select("vec_id").collect().map(_.getLong(0)).toSet
+    val hit = filtered.map(_._1).toSet & exact
+    assert(hit.size * 2 >= exact.size,
+      s"filtered-traversal recall ${hit.size}/${exact.size}")
+    // scores are the exact micro-cosines of the returned ids (ranking
+    // is genuine, not arbitrary pool order)
+    assert(filtered.map(_._2).toSeq ==
+      filtered.map(_._2).toSeq.sorted.reverse,
+      "pool ranking not score-descending")
   }
 
   test("vector router filtered-search estimate is ZERO-JOB: no payload " +
