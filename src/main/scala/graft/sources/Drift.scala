@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.operators.Hdr
+
+/** Artifact-drift maintenance for the trained serving layouts (r12
+  * verdict worklist #5). Every materialized vector layout PINS its
+  * trained artifacts forever — centroids, codebooks, entry seeds —
+  * and [[Collections.stagedBucketRefresh]]-based refresh deliberately
+  * re-uses them so refresh == rebuild bit-exactly. That is the right
+  * maintenance contract, but it leaves a gap a real serving system
+  * closes with a planner statistic: when the COLLECTION's distribution
+  * drifts away from what the artifacts were trained on, the pinned
+  * layout silently degrades (IVF cells stop matching neighborhoods, PQ
+  * codebooks stop covering the value range) and nothing measures it.
+  *
+  * Two pieces close the gap:
+  *
+  *  - **Drift signal** ([[snapshotAssignment]] / [[assignmentRatio]]):
+  *    the HDR sketch ([[graft.operators.Hdr]] — deterministic, bounded,
+  *    mergeable) of each point's micro-quantized L2 distance to its
+  *    assigned pinned centroid, persisted at build time as a `_drift/`
+  *    sidecar (underscore — invisible to layout reads). The signal is
+  *    the ratio of the CURRENT collection's assignment-distance
+  *    quantile (same pinned centroids) to the pinned build-time
+  *    quantile: ≈ 1 while the distribution holds, rising as points land
+  *    ever farther from every trained cell. Cost: one bounded-state
+  *    aggregation pass (≤ 7.3k buckets cross the shuffle), no index
+  *    mutation, no training.
+  *  - **Staged retrain** ([[stagedRebuild]] + the per-layout `retrain`
+  *    verbs): train FRESH artifacts from the current collection with
+  *    the caller's trainer (the same function the original build used)
+  *    and rebuild the whole layout into a `_retrain_staging` dir, then
+  *    swap — the live layout serves unchanged until the swap's renames,
+  *    and a crash during the expensive build leaves it fully intact
+  *    (the [[IvfIndex]] staged-refresh discipline applied to the whole
+  *    layout). Retrain returns the fresh manifest cursor, so the
+  *    pinned-artifact refresh contract continues from the new build.
+  *
+  * Retrain is an OPERATOR the deployment invokes when the signal
+  * crosses its threshold — never something a refresh does implicitly
+  * (that would break refresh == rebuild), and never part of a declared
+  * query (gates stay row-unchanged by construction; CollectionsSpec
+  * proves shift → signal fires → retrained recall > pinned recall with
+  * both refresh contracts intact).
+  */
+object Drift {
+
+  /** Per-point micro-quantized L2 distance to the nearest pinned
+    * centroid, HDR-bucketed and counted — the bounded drift
+    * fingerprint. One broadcast pass; ≤ 7.3k rows out. */
+  def assignmentSketch(points: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame, cidCol: String,
+                       cvCol: String): DataFrame =
+    points.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids.select(col(cvCol).as("__cv"))))
+      .withColumn("__d", VectorOps.l2(col(vecCol), col("__cv")))
+      .filter(col("__d").isNotNull)
+      .groupBy(col(idCol)).agg(min(col("__d")).as("__d"))
+      .select(Hdr.bucket(floor(col("__d") * 1e6 + lit(0.5)).cast("long"))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Driver-side twin of [[Hdr.upper]] — the bucket's upper bound. */
+  private def upperOf(idx: Long): Long = {
+    val sub = 1L << Hdr.SubBits
+    if (idx < sub) idx
+    else if (idx >= Hdr.TopBucket) Long.MaxValue
+    else {
+      val h = (idx / sub - 1).toInt
+      val m = idx % sub + sub
+      (m + 1) * (1L << h) - 1
+    }
+  }
+
+  /** The `q`-quantile upper bound of a (bucket, cnt) sketch — the HDR
+    * cumulative rank walk, driver-side (the sketch is ≤ 7.3k rows by
+    * construction). */
+  def quantileUpper(sketch: DataFrame, q: Double): Long = {
+    require(q > 0 && q <= 1, s"quantile must be in (0, 1]: $q")
+    val rows = sketch
+      .select(col("bucket").cast("long"), col("cnt").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = rows.map(_._2).sum
+    require(total > 0, "drift sketch is empty")
+    val target = math.max(1L, math.ceil(q * total).toLong)
+    var acc = 0L
+    rows.foreach { case (b, c) =>
+      acc += c
+      if (acc >= target) return upperOf(b)
+    }
+    upperOf(rows.last._1)
+  }
+
+  /** Persist the build-time assignment sketch beside a layout (the
+    * `_drift/` sidecar [[assignmentRatio]] compares against). Call it
+    * right after a build/retrain with the SAME points and the layout's
+    * pinned centroids. */
+  def snapshotAssignment(indexDir: String, points: DataFrame,
+                         idCol: String, vecCol: String,
+                         centroids: DataFrame,
+                         cidCol: String = "cid",
+                         cvCol: String = "cv"): Unit = {
+    assignmentSketch(points, idCol, vecCol, centroids, cidCol, cvCol)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/_drift")
+    ()
+  }
+
+  /** The drift signal: current-collection `q`-quantile assignment
+    * distance under the PINNED centroids, divided by the pinned
+    * build-time quantile. ≈ 1.0 while the distribution the artifacts
+    * were trained on holds; rises as the collection drifts. Requires a
+    * [[snapshotAssignment]] sidecar. */
+  def assignmentRatio(spark: SparkSession, indexDir: String,
+                      points: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, cidCol: String = "cid",
+                      cvCol: String = "cv", q: Double = 0.9): Double = {
+    require(Files.isDirectory(Paths.get(indexDir, "_drift")),
+      s"no drift snapshot at $indexDir/_drift — call snapshotAssignment " +
+        "at build time")
+    val now = quantileUpper(
+      assignmentSketch(points, idCol, vecCol, centroids, cidCol, cvCol), q)
+    val pinned = quantileUpper(
+      spark.read.parquet(s"$indexDir/_drift"), q)
+    if (pinned == 0L) (if (now == 0L) 1.0 else Double.PositiveInfinity)
+    else now.toDouble / pinned.toDouble
+  }
+
+  private def rmTree(p: java.io.File): Unit = {
+    Option(p.listFiles()).foreach(_.foreach(rmTree)); p.delete(); ()
+  }
+
+  /** Staged WHOLE-LAYOUT rebuild: `build` writes a complete fresh
+    * layout into a staging dir; only after it succeeds does the swap
+    * run (live → trash, staging → live, trash deleted — renames only).
+    * A crash during the build leaves the live layout intact and
+    * serving; leftover staging/trash dirs are cleared on the next
+    * call. The per-layout `retrain` verbs delegate here. */
+  def stagedRebuild[A](indexDir: String)(build: String => A): A = {
+    val staging = s"${indexDir}_retrain_staging"
+    val trash = s"${indexDir}_retrain_trash"
+    rmTree(new java.io.File(staging))
+    rmTree(new java.io.File(trash))
+    val a = build(staging)
+    if (Files.exists(Paths.get(indexDir)))
+      Files.move(Paths.get(indexDir), Paths.get(trash))
+    Files.move(Paths.get(staging), Paths.get(indexDir))
+    rmTree(new java.io.File(trash))
+    a
+  }
+}

@@ -217,6 +217,25 @@ object GraphIndex {
     cur
   }
 
+  /** Staged RETRAIN (the [[Drift]] maintenance verb): the graph's
+    * data-derived artifacts — entry seeds and the NN-descent adjacency
+    * rounds — recomputed from the CURRENT collection (the LSH planes
+    * stay the caller's `p.planes`, the build's one external artifact),
+    * whole layout rebuilt into staging, swapped. A pinned-seed layout
+    * over drifted data degrades exactly like pinned centroids: the
+    * persisted entries stop being near anything, and incremental
+    * [[refresh]] keeps them by contract. */
+  def retrain(spark: SparkSession, collDir: String, indexDir: String,
+              idCol: String, vecCol: String, p: Params)
+      : Collections.ManifestView = {
+    val cur = Collections.manifestView(collDir)
+    Drift.stagedRebuild(indexDir) { staging =>
+      buildFromPoints(Collections.read(spark, collDir), idCol, vecCol,
+        Collections.numBuckets(collDir), staging, p)
+    }
+    cur
+  }
+
   /** Full build from any points frame (fixture-table form — the same
     * split every derived layout has). The round-R table is row-identical
     * to [[graft.operators.GraphAnn.buildGraph]] with the same params:

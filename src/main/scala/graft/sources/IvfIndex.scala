@@ -74,4 +74,33 @@ object IvfIndex {
       Seq("src_bucket", "cluster"))(
       assigned(_, idCol, vecCol, centroids, cidCol, cvCol,
         Collections.numBuckets(collDir)))
+
+  /** Staged RETRAIN (the [[Drift]] maintenance verb): train FRESH
+    * centroids from the current collection with the caller's trainer
+    * (the same function the original build used — e.g.
+    * `Ann.kmeansFit(_, id, vec, k, iters)`), rebuild the whole layout
+    * into staging, swap, and snapshot the new build-time drift sketch.
+    * Returns (new cursor, the trained centroids) — the caller holds the
+    * centroids for serving and for every later [[refresh]], exactly as
+    * after [[build]]. Refresh from the returned cursor preserves the
+    * pinned-artifact contract against the NEW artifacts. */
+  def retrain(spark: SparkSession, collDir: String, indexDir: String,
+              idCol: String, vecCol: String,
+              trainCentroids: DataFrame => DataFrame,
+              cidCol: String = "cid", cvCol: String = "cv")
+      : (Collections.ManifestView, DataFrame) = {
+    val cur = Collections.manifestView(collDir)
+    val pts = Collections.read(spark, collDir)
+    val cents = trainCentroids(pts)
+    Drift.stagedRebuild(indexDir) { staging =>
+      assigned(pts, idCol, vecCol, cents, cidCol, cvCol,
+          Collections.numBuckets(collDir))
+        .write.mode("overwrite")
+        .partitionBy("src_bucket", "cluster")
+        .parquet(staging)
+      Drift.snapshotAssignment(staging, pts, idCol, vecCol, cents,
+        cidCol, cvCol)
+    }
+    (cur, cents)
+  }
 }

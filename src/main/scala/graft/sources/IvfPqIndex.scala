@@ -137,6 +137,31 @@ object IvfPqIndex {
     cur
   }
 
+  /** Staged RETRAIN (the [[Drift]] maintenance verb — [[IvfIndex
+    * .retrain]]'s contract for this layout): fresh centroids AND
+    * codebooks trained from the current collection with the caller's
+    * trainers (the functions the original build used), whole layout
+    * rebuilt into staging, swapped, new drift sketch snapshotted. The
+    * retrained layout pins the NEW artifacts beside the codes exactly
+    * as [[build]] does, so [[refresh]] continues unchanged from the
+    * returned cursor. */
+  def retrain(spark: SparkSession, collDir: String, indexDir: String,
+              idCol: String, vecCol: String,
+              trainCentroids: DataFrame => DataFrame,
+              trainCodebooks: DataFrame => Array[Array[(Long, Array[Long])]],
+              subDim: Int): Collections.ManifestView = {
+    val cur = Collections.manifestView(collDir)
+    val pts = Collections.read(spark, collDir)
+    val cents = trainCentroids(pts)
+    val cbs = trainCodebooks(pts)
+    Drift.stagedRebuild(indexDir) { staging =>
+      build(pts, idCol, vecCol, cents, cbs, subDim, staging,
+        Collections.numBuckets(collDir))
+      Drift.snapshotAssignment(staging, pts, idCol, vecCol, cents)
+    }
+    cur
+  }
+
   /** The layout rows (id, codes, cluster) — the swap-unit column
     * dropped, the IVF cell kept (it is partition metadata — reading it
     * costs nothing and the declared queries surface it). */

@@ -189,4 +189,23 @@ object PqIndex {
         Collections.bucketOf(mt.idCol, Collections.numBuckets(collDir)))
     }
   }
+
+  /** Staged RETRAIN (the [[Drift]] maintenance verb): fresh codebooks
+    * trained from the current collection with the caller's trainer (the
+    * function the original build used), whole sidecar re-encoded into
+    * staging, swapped. [[refresh]] continues from the returned cursor
+    * with the NEW pinned codebooks. */
+  def retrain(spark: SparkSession, collDir: String, indexDir: String,
+              idCol: String, vecCol: String,
+              trainCodebooks: DataFrame => Array[Array[(Long, Array[Long])]],
+              subDim: Int): Collections.ManifestView = {
+    val cur = Collections.manifestView(collDir)
+    val pts = Collections.read(spark, collDir)
+    val cbs = trainCodebooks(pts)
+    Drift.stagedRebuild(indexDir) { staging =>
+      build(pts, idCol, vecCol, cbs, subDim, staging,
+        Collections.numBuckets(collDir))
+    }
+    cur
+  }
 }

@@ -1394,4 +1394,186 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
       assert(rel.startsWith("g"), s"bucket not in a generation dir: $rel")
     }
   }
+
+  test("drift + staged retrain: a distribution shift raises the HDR " +
+       "assignment-distance signal, pinned-artifact probe recall " +
+       "degrades, retrain restores it, and the refresh contract holds " +
+       "before AND after the retrain") {
+    import graft.sources.{Drift, IvfIndex}
+    import graft.operators.Ann
+    val root = Files.createTempDirectory("graft-drift").toString
+    val dir = s"$root/coll"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(300)
+    sink.write(emb.withColumn("seq", lit(0)))
+    def train(pts: org.apache.spark.sql.DataFrame) =
+      Ann.kmeansFit(pts, "vec_id", "embedding", k = 8, iters = 2)
+    val cents0 = train(Collections.read(spark, dir))
+    val idx = s"$root/idx"
+    val v0 = IvfIndex.build(spark, dir, idx, "vec_id", "embedding",
+      cents0, "cid", "cv")
+    Drift.snapshotAssignment(idx, Collections.read(spark, dir),
+      "vec_id", "embedding", cents0)
+    // no shift → the signal is exactly 1 (same data, same pinned
+    // centroids, deterministic sketch)
+    assert(Drift.assignmentRatio(spark, idx, Collections.read(spark, dir),
+      "vec_id", "embedding", cents0) == 1.0)
+
+    // SYNTHETIC SHIFT (a re-embedding with a new model: direction AND
+    // magnitude change): dimensions rolled by 17 and the vector scaled
+    // 2.5× — a scaled permutation, so cosine neighborhoods are
+    // PRESERVED (orthogonal + scale-invariant) while the pinned
+    // centroids, trained pre-shift, stop describing any cell (the roll
+    // scrambles assignment) and every point sits farther from all of
+    // them (the scale moves the distance quantile): exactly the silent
+    // degradation drift maintenance exists to catch
+    sink.write(emb.withColumn("embedding",
+        transform(concat(slice(col("embedding"), 18, 47),
+          slice(col("embedding"), 1, 17)), x => x * 2.5f)
+          .cast("array<float>"))
+      .withColumn("seq", lit(1)))
+    // refresh contract intact under the PINNED artifacts
+    val v1 = IvfIndex.refresh(spark, dir, idx, "vec_id", "embedding",
+      cents0, "cid", "cv", v0)
+    def rows(p: String): Seq[String] =
+      spark.read.parquet(p)
+        .select(col("vec_id"), col("cluster").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)).toString)
+        .toSeq.sorted
+    val idxPinnedFull = s"$root/idx_pinned_full"
+    IvfIndex.build(spark, dir, idxPinnedFull, "vec_id", "embedding",
+      cents0, "cid", "cv")
+    assert(rows(idx) == rows(idxPinnedFull),
+      "pinned-artifact refresh diverged from rebuild after the shift")
+    // the signal FIRES
+    val shifted = Drift.assignmentRatio(spark, idx,
+      Collections.read(spark, dir), "vec_id", "embedding", cents0)
+    assert(shifted > 1.1,
+      s"drift signal $shifted did not rise on a full distribution shift")
+
+    // probe recall@10 (nprobe 2 of 8) averaged over 3 queries
+    def recall(cents: org.apache.spark.sql.DataFrame): Double = {
+      val coll = Collections.read(spark, dir)
+      val qs = Seq(1L, 5L, 9L).map { qid =>
+        coll.filter(col("vec_id") === qid)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+      }
+      qs.map { q =>
+        val exact = graft.operators.Knn.knn(coll, "embedding", q, 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val probes = Ann.probeClusters(cents, "cid", "cv", q, 2)
+          .collect().map(_.getLong(0))
+        val got = graft.operators.Knn.knn(
+            spark.read.parquet(idx).filter(
+              col("cluster").isin(probes.map(Long.box): _*)),
+            "embedding", q, 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        (got & exact).size.toDouble / exact.size
+      }.sum / qs.size
+    }
+    val pinnedRecall = recall(cents0)
+    val (v2, cents1) = IvfIndex.retrain(spark, dir, idx, "vec_id",
+      "embedding", train)
+    val retrainedRecall = recall(cents1)
+    assert(retrainedRecall > pinnedRecall,
+      s"retrain did not restore recall: pinned $pinnedRecall vs " +
+        s"retrained $retrainedRecall")
+    // retrain reset the drift baseline (snapshot over the new data)
+    assert(Drift.assignmentRatio(spark, idx, Collections.read(spark, dir),
+      "vec_id", "embedding", cents1) == 1.0)
+    // retrained layout == fresh build with the same trained artifacts
+    // (the staged swap published a complete, deterministic layout)
+    val idxFresh = s"$root/idx_fresh"
+    IvfIndex.build(spark, dir, idxFresh, "vec_id", "embedding",
+      cents1, "cid", "cv")
+    assert(rows(idx) == rows(idxFresh),
+      "staged retrain's layout differs from a fresh build")
+    // refresh contract intact AFTER the retrain, from the new cursor
+    // with the new artifacts
+    Collections.deleteWhere(spark, dir, col("vec_id") % 13 === 2,
+      "vec_id")
+    IvfIndex.refresh(spark, dir, idx, "vec_id", "embedding",
+      cents1, "cid", "cv", v2)
+    val idxFull2 = s"$root/idx_full2"
+    IvfIndex.build(spark, dir, idxFull2, "vec_id", "embedding",
+      cents1, "cid", "cv")
+    assert(rows(idx) == rows(idxFull2),
+      "post-retrain refresh diverged from rebuild")
+    assert(rows(idx).nonEmpty)
+  }
+
+  test("staged retrain on the other trained layouts (PqIndex, " +
+       "IvfPqIndex, GraphIndex): the swapped layout equals a fresh " +
+       "build with the same freshly-trained artifacts") {
+    import graft.sources.{GraphIndex, IvfPqIndex, PqIndex}
+    import graft.operators.{Ann, Pq}
+    val root = Files.createTempDirectory("graft-retrain").toString
+    val dir = s"$root/coll"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(200)
+    sink.write(emb.withColumn("seq", lit(0)))
+    def cents(pts: org.apache.spark.sql.DataFrame) =
+      Ann.kmeansFit(pts, "vec_id", "embedding", k = 4, iters = 1)
+    def cbs(pts: org.apache.spark.sql.DataFrame) =
+      Pq.trainCodebooks(pts, "vec_id", "embedding", m = 4, subDim = 16,
+        k = 16, iters = 1)
+    val coll0 = Collections.read(spark, dir)
+    // build each layout on the initial state
+    val pqIdx = s"$root/pq"
+    PqIndex.build(coll0, "vec_id", "embedding", cbs(coll0), 16, pqIdx,
+      Collections.numBuckets(dir))
+    val ivfpqIdx = s"$root/ivfpq"
+    IvfPqIndex.build(coll0, "vec_id", "embedding", cents(coll0),
+      cbs(coll0), 16, ivfpqIdx, Collections.numBuckets(dir))
+    val gParams = GraphIndex.Params(2, 6, 4, 6, 1,
+      Ann.hyperplanes(12, 64))
+    val gIdx = s"$root/graph"
+    GraphIndex.buildFromPoints(coll0, "vec_id", "embedding",
+      Collections.numBuckets(dir), gIdx, gParams)
+    // shift the collection (re-embed), then retrain each layout
+    sink.write(emb.withColumn("embedding",
+        transform(col("embedding"), x => -x).cast("array<float>"))
+      .withColumn("seq", lit(1)))
+    val coll1 = Collections.read(spark, dir)
+    PqIndex.retrain(spark, dir, pqIdx, "vec_id", "embedding",
+      cbs, 16)
+    IvfPqIndex.retrain(spark, dir, ivfpqIdx, "vec_id", "embedding",
+      cents, cbs, 16)
+    GraphIndex.retrain(spark, dir, gIdx, "vec_id", "embedding", gParams)
+    // each swapped layout equals a fresh build over the current state
+    // with identically-trained artifacts (trainers are deterministic)
+    def codes(p: String): Seq[String] =
+      spark.read.parquet(p)
+        .select(col("vec_id"), col("codes").cast("array<long>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1)).toString)
+        .toSeq.sorted
+    val pqFresh = s"$root/pq_fresh"
+    PqIndex.build(coll1, "vec_id", "embedding", cbs(coll1), 16, pqFresh,
+      Collections.numBuckets(dir))
+    assert(codes(pqIdx) == codes(pqFresh) && codes(pqIdx).nonEmpty,
+      "PqIndex retrain != fresh build")
+    val ivfpqFresh = s"$root/ivfpq_fresh"
+    IvfPqIndex.build(coll1, "vec_id", "embedding", cents(coll1),
+      cbs(coll1), 16, ivfpqFresh, Collections.numBuckets(dir))
+    assert(codes(ivfpqIdx) == codes(ivfpqFresh),
+      "IvfPqIndex retrain != fresh build")
+    val gFresh = s"$root/graph_fresh"
+    GraphIndex.buildFromPoints(coll1, "vec_id", "embedding",
+      Collections.numBuckets(dir), gFresh, gParams)
+    def adj(p: String): Seq[String] =
+      GraphIndex.adjacency(spark, p)
+        .select(col("src"), col("dst"), col("score_micro"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2)).toString)
+        .toSeq.sorted
+    assert(adj(gIdx) == adj(gFresh) && adj(gIdx).nonEmpty,
+      "GraphIndex retrain != fresh build")
+    // the retrained graph's persisted entry seeds are live and match
+    // the fresh build's (re-derived from the CURRENT data)
+    assert(GraphIndex.seeds(spark, gIdx, 4).toSeq ==
+      GraphIndex.seeds(spark, gFresh, 4).toSeq)
+  }
 }
