@@ -45,15 +45,16 @@ import org.json4s.jackson.JsonMethods
   *    residual). The geo arm is the one COST-GATED route (the r12
   *    verdict's prescription): it declines when the window covers more
   *    than [[GeoRouteMaxFraction]] of the index's pinned build-time
-  *    extent — a wide window prunes too few bytes to repay the 2-D cell
-  *    listing (measured 6× slower at the 100× probe on the fixture
-  *    polygon's 41%-of-extent window) — or when the pinned row count
-  *    sits under [[GeoRouteMinRows]] — a small corpus costs less to
-  *    scan than to list the grid that would prune it (measured: routed
-  *    lost at EVERY window fraction on the 200k-row probe corpus). Both
-  *    signals are pure zero-IO functions of the condition and the
-  *    pinned [[PayloadIndex.geoStatsOf]] stats, so plans stay
-  *    deterministic.
+  *    extent — a wide window prunes too few bytes to repay opening its
+  *    many small cell files (measured 7.2× slower than the direct scan
+  *    at the 2M-row probe on the fixture polygon's 41%-of-extent
+  *    window, even with the listing amortized) — or when the pinned
+  *    row count sits under [[GeoRouteMinRows]] — a small corpus costs
+  *    less to scan than its cell grid costs to open (measured: routed
+  *    lost or tied at EVERY window fraction on the 200k-row probe
+  *    corpus). Both signals are pure zero-IO functions of the
+  *    condition and the pinned [[PayloadIndex.geoStatsOf]] stats, so
+  *    plans stay deterministic.
   *
   * First-match keeps the choice deterministic and plan-stable (the geo
   * selectivity gate is a deterministic function of the condition and
