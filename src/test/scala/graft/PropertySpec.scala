@@ -412,4 +412,40 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     // the probe's 100× corpus (≈ 200k vectors) trains ~391 clusters
     assert(Ann.semanticClusterCount(200000.0) == 391)
   }
+
+  test("drift quantile: the driver-side bucket-upper twin is bit-equal " +
+       "to Hdr.upper, and quantileUpper answers within the HDR error " +
+       "bound and never under-reports") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Hdr
+    import graft.sources.Drift
+    import spark.implicits._
+    // twin pin: Drift's private upperOf (reached through quantileUpper
+    // on single-bucket sketches) == the Catalyst Hdr.upper on a sweep
+    // of magnitudes incl. the exact-region boundary and the top bucket
+    val vals = Seq(0L, 1L, 127L, 128L, 129L, 1000L, 123456L,
+      987654321L, Long.MaxValue / 3, Long.MaxValue)
+    val buckets = vals.toDF("v")
+      .select(Hdr.bucket(col("v")).as("bucket")).as[Long].collect()
+    val uppers = buckets.toSeq.toDF("bucket")
+      .select(Hdr.upper(col("bucket")).cast("long")).as[Long].collect()
+    buckets.zip(uppers).foreach { case (b, u) =>
+      val single = Seq((b, 1L)).toDF("bucket", "cnt")
+      assert(Drift.quantileUpper(single, 0.5) == u,
+        s"driver upperOf($b) drifted from Hdr.upper")
+    }
+    // quantile walk: on values 1..1000 (exact region is < 128; above it
+    // relative error <= 2^-7) the p-quantile answer bounds the true
+    // order statistic from ABOVE and within 1%
+    val data = (1L to 1000L).toDF("v")
+    val sketch = data.select(Hdr.bucket(col("v")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99, 1.0)) {
+      val est = Drift.quantileUpper(sketch, q)
+      val truth = math.max(1L, math.ceil(q * 1000).toLong)
+      assert(est >= truth, s"q=$q under-reported: $est < $truth")
+      assert(est <= math.ceil(truth * (1 + 1.0 / 128)).toLong + 1,
+        s"q=$q above the HDR error bound: $est vs $truth")
+    }
+  }
 }
