@@ -213,12 +213,14 @@ object Ann {
     * plan). */
   def buildIvfIndex(coll: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, cidCol: String, cvCol: String,
-                    indexDir: String): Unit =
+                    indexDir: String): Unit = {
     coll.join(argminAssign(coll, idCol, vecCol, centroids, cidCol, cvCol),
         idCol)
       .write.mode("overwrite")
       .partitionBy("cluster")
       .parquet(indexDir)
+    graft.sources.ServedReads.evict(indexDir)
+  }
 
   /** The `nprobe` nearest centroids to the query (L2, cid tie-break). */
   def probeClusters(centroids: DataFrame, cidCol: String, cvCol: String,
@@ -262,7 +264,7 @@ object Ann {
     val probed = probeClusters(centroids, cidCol, cvCol, query, nprobe)
       .collect().map(_.get(0))
     topKByCosine(
-      spark.read.parquet(indexDir)
+      graft.sources.ServedReads.of(spark, indexDir)
         .filter(col("cluster").isin(probed: _*))
         .filter(filter),
       idCol, vecCol, query, k)

@@ -294,6 +294,7 @@ object GraphAnn {
       .map { case (id, i) => ((i + 1).toLong, id) }.toSeq
       .toDF("seed_rank", "id")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/_seeds")
+    graft.sources.ServedReads.evict(indexDir)
   }
 
   /** Serving entry point over a materialized index: beam search using the
@@ -307,10 +308,10 @@ object GraphAnn {
       s"beam=$beam exceeds the $SeedCap persisted seeds — rebuild the " +
         s"index with a larger SeedCap or lower the beam")
     val spark = coll.sparkSession
-    val seeds = spark.read.parquet(s"$indexDir/_seeds")
+    val seeds = graft.sources.ServedReads.of(spark, s"$indexDir/_seeds")
       .orderBy("seed_rank").limit(beam)
       .select(col("id")).collect().map(_.getLong(0))
-    beamSearchFrom(coll, idCol, vecCol, spark.read.parquet(indexDir),
+    beamSearchFrom(coll, idCol, vecCol, graft.sources.ServedReads.of(spark, indexDir),
       seeds, query, beam, rounds, k)._1
   }
 
@@ -338,10 +339,10 @@ object GraphAnn {
     require(beam <= SeedCap,
       s"beam=$beam exceeds the $SeedCap persisted seeds")
     val spark = coll.sparkSession
-    val seeds = spark.read.parquet(s"$indexDir/_seeds")
+    val seeds = graft.sources.ServedReads.of(spark, s"$indexDir/_seeds")
       .orderBy("seed_rank").limit(beam)
       .select(col("id")).collect().map(_.getLong(0))
-    beamSearchFrom(coll, idCol, vecCol, spark.read.parquet(indexDir),
+    beamSearchFrom(coll, idCol, vecCol, graft.sources.ServedReads.of(spark, indexDir),
       seeds, query, beam, rounds, k, resultPred = Some(pred))._1
   }
 
@@ -376,10 +377,10 @@ object GraphAnn {
     Knn.requireBatch(queries.length, "beamSearchMultiIndexed")
     val spark = coll.sparkSession
     import spark.implicits._
-    val seeds = spark.read.parquet(s"$indexDir/_seeds")
+    val seeds = graft.sources.ServedReads.of(spark, s"$indexDir/_seeds")
       .orderBy("seed_rank").limit(beam)
       .select(col("id")).collect().map(_.getLong(0))
-    val adj = spark.read.parquet(indexDir)
+    val adj = graft.sources.ServedReads.of(spark, indexDir)
     val qScore: Map[Long, Column] = queries.map { case (qid, q) =>
       qid -> floor(VectorOps.cosine(col(vecCol), typedLit(q)) * 1e6 +
         lit(0.5)).cast("long")

@@ -823,6 +823,10 @@ object Collections {
       replacementOf: DataFrame => DataFrame): ManifestView = {
     require(partitionCols.headOption.contains("src_bucket"),
       s"staged refresh swaps src_bucket dirs; got $partitionCols")
+    // CENTRAL serving-memo eviction for every staged layout refresh: a
+    // memoized listing predates the swap (and one re-memoized mid-swap
+    // is stale too — second evict below)
+    ServedReads.evict(indexDir)
     val (cur, changedDf, dropped) = changedSince(spark, collDir, prev)
     val stale = changedBuckets(prev, cur)
     val staging = Paths.get(indexDir, "_staging_refresh")
@@ -845,6 +849,7 @@ object Collections {
       finally staged.close()
       deleteRecursively(staging)
     }
+    ServedReads.evict(indexDir)
     cur
   }
 

@@ -146,10 +146,12 @@ object Drift {
     rmTree(new java.io.File(staging))
     rmTree(new java.io.File(trash))
     val a = build(staging)
+    ServedReads.evict(indexDir) // memoized reads predate the swap
     if (Files.exists(Paths.get(indexDir)))
       Files.move(Paths.get(indexDir), Paths.get(trash))
     Files.move(Paths.get(staging), Paths.get(indexDir))
     rmTree(new java.io.File(trash))
+    ServedReads.evict(indexDir) // and one re-memoized mid-swap is stale
     a
   }
 }

@@ -291,6 +291,7 @@ object GraphIndex {
       .write.mode("overwrite").partitionBy("src_bucket")
       .parquet(s"$indexDir/seeds")
     writeMeta(indexDir, p)
+    ServedReads.evict(indexDir)
   }
 
   private def writeRound(dir: String, r: Int, rows: DataFrame): Unit =
@@ -304,7 +305,7 @@ object GraphIndex {
   /** The serving adjacency: the FINAL round only (partition-pruned). */
   def adjacency(spark: SparkSession, indexDir: String): DataFrame = {
     val r = params(indexDir).rounds
-    spark.read.parquet(roundPath(indexDir, r)).drop("src_bucket")
+    ServedReads.of(spark, roundPath(indexDir, r)).drop("src_bucket")
   }
 
   /** Entry seeds in the deterministic global order (driver-side merge of
@@ -312,7 +313,7 @@ object GraphIndex {
   def seeds(spark: SparkSession, indexDir: String, beam: Int): Array[Long] = {
     val cap = params(indexDir).seedCap
     require(beam <= cap, s"beam=$beam exceeds the $cap persisted seeds")
-    spark.read.parquet(s"$indexDir/seeds")
+    ServedReads.of(spark, s"$indexDir/seeds")
       .orderBy(Dedup.h32(concat(lit("gseed|"), col("id"))), col("id"))
       .limit(beam).select("id").collect().map(_.getLong(0))
   }
@@ -361,6 +362,10 @@ object GraphIndex {
     val changedBuckets = Collections.changedBuckets(prev, cur)
     val stale: Set[Int] = changedBuckets ++ dropped
     if (stale.isEmpty) return cur
+    // serving memo: a memoized adjacency/seeds listing predates the
+    // in-place swaps below (second evict at exit — a reader
+    // re-memoizing mid-swap is stale too)
+    ServedReads.evict(indexDir)
     val nb = Collections.numBuckets(collDir)
     val collLong = Collections.read(spark, collDir)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as(vecCol))
@@ -495,6 +500,7 @@ object GraphIndex {
       // inputs — nothing left to do (see vectorsMayHaveChanged above)
     }
     Files.deleteIfExists(refreshMarker(indexDir))
+    ServedReads.evict(indexDir) // a read re-memoized mid-swap is stale
     cur
   }
 

@@ -58,6 +58,7 @@ object IvfIndex {
       .write.mode("overwrite")
       .partitionBy("src_bucket", "cluster")
       .parquet(indexDir)
+    ServedReads.evict(indexDir)
     cur
   }
 

@@ -79,7 +79,7 @@ object IvfPqIndex {
   /** The pinned IVF coarse centroids, in [[Ann.probeClusters]]'s input
     * shape (cid, cv). */
   def centroidsOf(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/_centroids").select("cid", "cv")
+    ServedReads.of(spark, s"$dir/_centroids").select("cid", "cv")
 
   /** The pinned PQ codebooks ([[PqIndex.codebooksOf]]'s shape). */
   def codebooksOf(spark: SparkSession, dir: String)
@@ -123,6 +123,7 @@ object IvfPqIndex {
     PqIndex.writeCodebooks(spark, dir, cbs)
     // meta LAST: its presence claims a complete live index
     writeMeta(dir, mt)
+    ServedReads.evict(dir)
   }
 
   /** Materialize FROM a collection; returns the manifest cursor. */
@@ -166,7 +167,7 @@ object IvfPqIndex {
     * dropped, the IVF cell kept (it is partition metadata — reading it
     * costs nothing and the declared queries surface it). */
   def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir).drop("src_bucket")
+    ServedReads.of(spark, dir).drop("src_bucket")
 
   /** The query's nprobe nearest pinned centroids, collected driver-side
     * and returned as literal values — deliberately NOT a join, because

@@ -94,42 +94,16 @@ object PayloadIndex {
 
   private def metaPath(dir: String) = Paths.get(dir, "_payload_index.json")
 
-  /** Serving reads of an index layout go through a per-(session, dir)
-    * DataFrame memo — the "hold the index open" discipline of a serving
-    * system. A fresh `spark.read.parquet(dir)` re-LISTS the layout and
-    * re-parses every partition path on each call (Spark's shared file-
-    * status cache is keyed per FileIndex instance, so new reads never
-    * hit it); on a wide 2-D geo grid that fixed per-query cost dominates
-    * serving — measured (r13 `Dev georouteprobe`): ~45 s PER QUERY on a
-    * 17.6k-dir layout, ~0.8 s on 4.6k dirs, vs one-time after this memo.
-    * The memoized frame is a resolved relation whose file listing is
-    * frozen at first use — sound because layouts are DERIVED and mutate
-    * only through [[build]]/[[buildRange]]/[[buildGeo]]/[[refresh]],
-    * each of which EVICTS the dir ([[evictServedRead]]); external
-    * mutation of a layout dir is outside the contract (rebuild instead).
-    * PartitionFilters still prune per query — only the listing is
-    * shared. */
-  private val servedReadCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
-
+  /** Serving reads go through the layout-read memo ([[ServedReads]] —
+    * the "hold the index open" discipline; measured ~45 s/query of
+    * re-listing on a 17.6k-dir geo grid without it). Every mutating
+    * verb here evicts before and after the mutation. */
   private[sources] def servedRead(spark: SparkSession,
-                                  dir: String): DataFrame = {
-    val k = (spark, dir)
-    Option(servedReadCache.get(k)).getOrElse {
-      // racing builders both produce equivalent relations; first wins
-      val df = spark.read.parquet(dir)
-      Option(servedReadCache.putIfAbsent(k, df)).getOrElse(df)
-    }
-  }
+                                  dir: String): DataFrame =
+    ServedReads.of(spark, dir)
 
-  /** Drop every session's memoized read of `dir` — called by every
-    * verb that mutates the layout, BEFORE and AFTER the mutation (a
-    * concurrent reader re-memoizing mid-write sees a listing the post-
-    * mutation evict clears). */
-  private[sources] def evictServedRead(dir: String): Unit = {
-    servedReadCache.keySet.removeIf(_._2 == dir)
-    ()
-  }
+  private[sources] def evictServedRead(dir: String): Unit =
+    ServedReads.evict(dir)
 
   /** The value-bucket routing expression — shared by build (assignment)
     * and serving (constant-folded literal comparison), so the two can

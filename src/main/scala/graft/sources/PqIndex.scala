@@ -80,7 +80,7 @@ object PqIndex {
   private[sources] def readCodebooks(spark: SparkSession, dir: String,
                                      m: Int)
       : Array[Array[(Long, Array[Long])]] = {
-    val rows = spark.read.parquet(s"$dir/_codebooks")
+    val rows = ServedReads.of(spark, s"$dir/_codebooks")
       .select("sub", "cid", "i", "c_micro").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     (0 until m).map { sub =>
@@ -132,6 +132,7 @@ object PqIndex {
     writeCodebooks(spark, dir, cbs)
     // meta LAST: its presence claims a complete live index
     writeMeta(dir, mt)
+    ServedReads.evict(dir)
   }
 
   /** Materialize FROM a collection; returns the manifest cursor. */
@@ -147,7 +148,7 @@ object PqIndex {
 
   /** The sidecar rows (id, codes) — layout columns dropped. */
   def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir).drop("src_bucket")
+    ServedReads.of(spark, dir).drop("src_bucket")
 
   /** Stage-1 ADC prefilter over the STORED codes: the query's m×k
     * integer distance LUT rides as a plan literal; per row the ADC sum

@@ -138,6 +138,7 @@ object QuantIndex {
     // meta AFTER data (overwrite deletes the dir first; a meta record
     // without data must never claim a live index)
     writeMeta(dir, m)
+    ServedReads.evict(dir)
   }
 
   /** Materialize FROM a collection; returns the manifest cursor for
@@ -153,7 +154,7 @@ object QuantIndex {
 
   /** The sidecar rows (id, bq, mn, mx, codes) — layout columns dropped. */
   def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir).drop("src_bucket")
+    ServedReads.of(spark, dir).drop("src_bucket")
 
   /** Stage-1 BQ prefilter: hamming of every stored code word vs the
     * packed query, top-`n` by (hamming ASC, id ASC). ONE scan of the

@@ -39,13 +39,14 @@ object Tenancy {
       .write.mode("overwrite")
       .partitionBy(tenantCol, "bucket")
       .parquet(dir)
+    ServedReads.evict(dir)
   }
 
   /** Tenant-scoped view: a LITERAL equality on the tenant partition
     * column — static pruning, no other tenant's files are listed. */
   def forTenant(spark: SparkSession, dir: String, tenantCol: String,
                 tenant: Any): DataFrame =
-    spark.read.parquet(dir).filter(col(tenantCol) === lit(tenant))
+    ServedReads.of(spark, dir).filter(col(tenantCol) === lit(tenant))
       .drop("bucket")
 
   /** Materialize the tenant layout FROM a collection (shard key = a
@@ -98,7 +99,9 @@ object Tenancy {
         .partitionBy(tenantCol, "bucket")
         .parquet(staging.toString)
     // 2. SWAP: drop stale leaves under every live tenant dir, then move
-    //    each staged tenant's bucket leaves into place (renames only)
+    //    each staged tenant's bucket leaves into place (renames only).
+    //    Serving memo: evict before AND after the swap window
+    ServedReads.evict(layoutDir)
     val root = Paths.get(layoutDir)
     subdirs(root, s"$tenantCol=").foreach { td =>
       stale.foreach { b =>
@@ -113,6 +116,7 @@ object Tenancy {
         Files.move(leaf, liveTenant.resolve(leaf.getFileName.toString)))
     }
     if (Files.exists(staging)) Collections.deleteRecursively(staging)
+    ServedReads.evict(layoutDir)
     cur
   }
 }

@@ -1395,6 +1395,54 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("serving-read memo: every mutation verb evicts — serving after " +
+       "build/refresh/retrain sees the new layout state, and eviction " +
+       "is prefix-wide (subdir reads like _codebooks drop too)") {
+    import graft.sources.{Drift, PqIndex, QuantIndex, ServedReads}
+    import graft.operators.Pq
+    val root = Files.createTempDirectory("graft-memo").toString
+    val dir = s"$root/coll"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(100)
+    sink.write(emb.withColumn("seq", lit(0)))
+    val qIdx = s"$root/quant"
+    val v0 = QuantIndex.buildFromCollection(spark, dir, qIdx,
+      "vec_id", "embedding", 64)
+    // memoize the serving read
+    val before = QuantIndex.read(spark, qIdx).count()
+    assert(before == 100)
+    // mutate the collection and refresh the sidecar — serving must see
+    // the refreshed state (a stale memo would keep serving 100 rows)
+    Collections.deleteWhere(spark, dir, col("vec_id") < 50, "vec_id")
+    QuantIndex.refresh(spark, dir, qIdx, v0)
+    assert(QuantIndex.read(spark, qIdx).count() ==
+      Collections.read(spark, dir).count(),
+      "stale serving memo survived a refresh")
+    // retrain path (whole-layout staged swap) evicts too, incl. the
+    // _codebooks SUBDIR read (prefix eviction)
+    def cbs(pts: org.apache.spark.sql.DataFrame) =
+      Pq.trainCodebooks(pts, "vec_id", "embedding", m = 4, subDim = 16,
+        k = 8, iters = 1)
+    val pqIdx = s"$root/pq"
+    PqIndex.build(Collections.read(spark, dir), "vec_id", "embedding",
+      cbs(Collections.read(spark, dir)), 16, pqIdx,
+      Collections.numBuckets(dir))
+    val cb0 = PqIndex.codebooksOf(spark, pqIdx) // memoizes _codebooks
+    sink.write(emb.filter(col("vec_id") >= 50)
+      .withColumn("embedding",
+        transform(col("embedding"), x => -x).cast("array<float>"))
+      .withColumn("seq", lit(1)))
+    PqIndex.retrain(spark, dir, pqIdx, "vec_id", "embedding", cbs, 16)
+    val cb1 = PqIndex.codebooksOf(spark, pqIdx)
+    assert(!cb0.flatten.map(_._2.toSeq).sameElements(
+        cb1.flatten.map(_._2.toSeq)),
+      "stale _codebooks memo survived a retrain (prefix evict broken)")
+    // direct eviction is prefix-safe: "a/b" does not evict "a/bc"
+    ServedReads.evict(pqIdx)
+    assert(PqIndex.codebooksOf(spark, pqIdx).nonEmpty)
+  }
+
   test("drift + staged retrain: a distribution shift raises the HDR " +
        "assignment-distance signal, pinned-artifact probe recall " +
        "degrades, retrain restores it, and the refresh contract holds " +
