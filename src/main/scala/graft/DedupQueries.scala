@@ -835,8 +835,141 @@ object DedupQueries {
       FROM per p JOIN dft d USING (wh)
       GROUP BY 1 ORDER BY doc_id"""))
 
+  /** Band CTEs (the dedup_minhash tk → sh → hs → bands chain, suffixed)
+    * over an arbitrary (doc_id, text) CTE `src` — one banding definition
+    * replayed for each SIDE of the incremental-dedup oracles, exactly as
+    * `DedupIndex.banded` is the one definition both sides share in the
+    * engine. Geometry pinned to the index default (16 hashes, 3-gram
+    * shingles, 4 rows/band). */
+  private def bandCtes(src: String, sfx: String): String = s""",
+      tk$sfx AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM $src),
+      sh$sfx AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(tk) >= 3
+                 THEN list_transform(range(len(tk) - 2),
+                        i -> array_to_string(tk[(i+1):(i+3)], ' '))
+                 ELSE [array_to_string(tk, ' ')] END) AS sh
+        FROM tk$sfx),
+      hs$sfx AS (
+        SELECT doc_id, seed,
+               MIN(((seed*2 + 3) * h + seed*104729 + 12345) % 2147483647)
+                 AS minhash
+        FROM (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+              FROM sh$sfx)
+        CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+        GROUP BY doc_id, seed),
+      bands$sfx AS (
+        SELECT doc_id, seed // 4 AS band,
+               string_agg(minhash::VARCHAR, '-' ORDER BY seed) AS band_sig
+        FROM hs$sfx GROUP BY doc_id, seed // 4)"""
+
+  /** The corpus band index (DedupIndex layout over `documents`), built
+    * once per fixture dir per JVM — the persisted form both incremental
+    * verbs serve from. Contents are deterministic (md5-derived bands),
+    * so the memo is gate-safe. */
+  private[graft] def dedupIndexDir(s: SparkSession, dir: String): String =
+    Tables.memoTempDir("dedupidx", dir) { target =>
+      graft.sources.DedupIndex.build(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", target)
+    }
+
+  /** An incoming delivery to dedup AGAINST the corpus: exact copies of
+    * every doc_id % 100 == 0 document, near copies (4-token tail) of
+    * every % 100 == 1, and fully-novel documents (id-salted tokens, so
+    * every shingle is unique) for every % 100 == 2 — the novel rows prove
+    * the index returns nothing for genuinely new content. */
+  private[graft] def shard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val off = plantOffset(s, dir, "documents", "doc_id")
+    d.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + off).as("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") % 100 === 1)
+        .select((col("doc_id") + off * 2).as("doc_id"),
+          concat(col("text"), lit(" extra trailing tokens appended"))
+            .as("text")))
+      .unionAll(d.filter(col("doc_id") % 100 === 2)
+        .select((col("doc_id") + off * 3).as("doc_id"),
+          concat(lit("u"), col("doc_id"), lit("a u"), col("doc_id"),
+            lit("b u"), col("doc_id"), lit("c")).as("text")))
+  }
+
+  private val shardSql = """
+      shard AS (
+        SELECT doc_id + (SELECT o FROM poff) AS doc_id, text
+        FROM documents WHERE doc_id % 100 = 0
+        UNION ALL
+        SELECT doc_id + 2 * (SELECT o FROM poff),
+               text || ' extra trailing tokens appended'
+        FROM documents WHERE doc_id % 100 = 1
+        UNION ALL
+        SELECT doc_id + 3 * (SELECT o FROM poff),
+               'u' || doc_id || 'a u' || doc_id || 'b u' || doc_id || 'c'
+        FROM documents WHERE doc_id % 100 = 2)"""
+
+  /** V6, the 100 TB serving form — incremental dedup of an incoming
+    * shard against the PERSISTED corpus band index: the corpus is banded
+    * once at index build and never re-shingled per delivery; the shard's
+    * bands are broadcast against the streamed index (no corpus shuffle),
+    * with the shard's (band, sbucket) combos — driver-bounded at
+    * bands × sig_buckets rows by construction — pruning the index read.
+    * Exact copies collide in all 4 bands, near copies in ≥ 1, novel
+    * documents in none; the oracle replays both sides' banding and the
+    * band join. */
+  val dedupIncremental = Q("dedup_incremental",
+    (s, dir) =>
+      graft.sources.DedupIndex.pairsAgainst(
+          s, dedupIndexDir(s, dir), shard(s, dir), "doc_id", "text")
+        .orderBy("shard_id", "corpus_id"),
+    Some(s"""
+      WITH poff AS (SELECT greatest(100000, max(doc_id) + 1) AS o
+                    FROM documents),
+      corpus AS (SELECT doc_id, text FROM documents),$shardSql"""
+      + bandCtes("corpus", "_c") + bandCtes("shard", "_s") + """
+      SELECT DISTINCT s.doc_id AS shard_id, c.doc_id AS corpus_id
+      FROM bands_s s JOIN bands_c c
+        ON s.band = c.band AND s.band_sig = c.band_sig
+      ORDER BY shard_id, corpus_id"""))
+
+  /** V6, the point-probe serving form — "is this single document already
+    * in the corpus?": the probe's band signatures are computed
+    * DRIVER-SIDE (the bit-identical minhashLocal twin — zero jobs), so
+    * the one job carries literal (band, sbucket) PartitionFilters into
+    * the index layout — `bands` leaf dirs read out of
+    * bands × sig_buckets — with the band_sig equality pushed to parquet.
+    * Probe = the near-copy of the lowest % 100 == 1 document (1-row
+    * bounded driver fetch, the argmax idiom). */
+  val dedupLookup = Q("dedup_lookup",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 100 === 1)
+        .orderBy("doc_id").select("text").limit(1)
+        .head().getString(0)
+      graft.sources.DedupIndex.lookup(s, dedupIndexDir(s, dir),
+          base + " extra trailing tokens appended")
+        .select(col("doc_id").as("corpus_id"), col("n_bands"))
+        .orderBy("corpus_id")
+    },
+    Some(s"""
+      WITH probe AS (
+        SELECT 0 AS doc_id, text || ' extra trailing tokens appended' AS text
+        FROM documents
+        WHERE doc_id = (SELECT min(doc_id) FROM documents
+                        WHERE doc_id % 100 = 1)),
+      corpus AS (SELECT doc_id, text FROM documents)"""
+      + bandCtes("corpus", "_c") + bandCtes("probe", "_p") + """
+      SELECT c.doc_id AS corpus_id, CAST(count(*) AS BIGINT) AS n_bands
+      FROM bands_c c JOIN bands_p p
+        ON c.band = p.band AND c.band_sig = p.band_sig
+      GROUP BY 1 ORDER BY 1"""))
+
   def queries: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash,
     dedupNgram, dedupEmbed, dedupCluster, dedupPriority,
     dedupStreamNeardup,
-    dedupSegments, dedupSemantic, dedupBloom, dedupSubstring)
+    dedupSegments, dedupSemantic, dedupBloom, dedupSubstring,
+    dedupIncremental, dedupLookup)
 }

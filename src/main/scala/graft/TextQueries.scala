@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.operators.TextAnalysis
 
 /** Declared text-analysis queries over the `documents` fixture (V7 +
@@ -1605,6 +1605,61 @@ object TextQueries {
              CAST(sp // n_bigrams AS BIGINT) AS lm_score_micro
       FROM per ORDER BY doc_id"""))
 
+  /** V7 — hashed-feature linear classifier inference (the fastText /
+    * quality-classifier serving shape a curation pipeline runs over every
+    * document): token bigrams → hashing trick into 4096 buckets → fixed
+    * integer weight per bucket → document score = Σ weights, keep iff
+    * score > 0. UNLIKE txt_freq_score/txt_lm_score there is NO model
+    * table and NO join — the weight lookup is a hash computed in-row
+    * (that is the point of the hashing trick), so the whole inference is
+    * one codegen'd projection and the only shuffle is the final per-lang
+    * roll-up. Weights here are a deterministic md5-derived stand-in
+    * (centered on 0, ±1000) — the same Embedder-style boundary as the
+    * embedding stand-ins: a trained model would ship its weight array as
+    * a literal lookup, the plan shape is identical. All-integer output,
+    * drift-free under the exact hash compare. */
+  val txtClassify = Q("txt_classify",
+    (s, dir) => {
+      val toks = graft.operators.Dedup.tokens(col("text"))
+      val bg = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "),
+            element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val weight = (g: Column) => {
+        val bucket = pmod(graft.operators.Dedup.h32(g), lit(4096L))
+        pmod(graft.operators.Dedup.h32(
+            concat(lit("w|"), bucket.cast("string"))), lit(2001L)) - 1000L
+      }
+      Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          aggregate(bg, lit(0L), (acc, g) => acc + weight(g)).as("score"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("score") > 0, 1)).as("n_keep"),
+          sum("score").as("sum_score"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH tk AS (
+        SELECT lang, list_filter(
+          regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      sc AS (
+        SELECT lang, coalesce(list_sum(list_transform(
+          CASE WHEN len(tk) >= 2
+            THEN list_transform(range(len(tk) - 1),
+                   i -> tk[i + 1] || ' ' || tk[i + 2])
+            ELSE [] END,
+          g -> (('0x' || substr(md5('w|' ||
+                  (('0x' || substr(md5(g), 1, 8))::BIGINT % 4096)),
+                1, 8))::BIGINT % 2001) - 1000)), 0) AS score
+        FROM tk)
+      SELECT lang, COUNT(*) AS n_docs,
+             COUNT(CASE WHEN score > 0 THEN 1 END) AS n_keep,
+             CAST(SUM(score) AS BIGINT) AS sum_score
+      FROM sc GROUP BY lang ORDER BY lang"""))
+
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats, txtPhrase,
     txtPhraseIndexed,
@@ -1613,5 +1668,5 @@ object TextQueries {
     txtPii, txtBpePairs,
     txtBpeTrain, txtBpeEncode,
     txtFreqScore, pipeMix, txtNovelty, txtLmScore, pipeCurriculum,
-    txtIdfKeywords, pipeMask)
+    txtIdfKeywords, pipeMask, txtClassify)
 }

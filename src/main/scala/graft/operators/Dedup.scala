@@ -56,6 +56,35 @@ object Dedup {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** Driver-side twin of the fused tokens→MinHash kernel
+    * (`TokensMinHashExpr` / `MinHashUtil.sig`), bit-identical on any text
+    * [[tokens]] would tokenize (lowercase is Locale.ROOT — the
+    * locale-independent path UTF8String.toLowerCase takes for ASCII):
+    * for query-literal probe construction (a single-document dedup-index
+    * lookup builds its band signatures with ZERO Spark jobs). Spec-pinned
+    * against the compiled kernel on fixture documents. */
+  def minhashLocal(text: String, shingleN: Int, numHashes: Int): Array[Long] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    def fold(h: Long): Unit = {
+      var s = 0
+      while (s < numHashes) {
+        val v = ((2L * s + 3L) * h + 104729L * s + 12345L) % 2147483647L
+        if (v < out(s)) out(s) = v
+        s += 1
+      }
+    }
+    if (toks.length >= shingleN) {
+      var i = 0
+      while (i <= toks.length - shingleN) {
+        fold(h32(toks.slice(i, i + shingleN).mkString(" ")))
+        i += 1
+      }
+    } else fold(h32(toks.mkString(" ")))
+    out
+  }
+
   /** MinHash signatures: one row per (id, seed) with the min hash over the
     * doc's distinct shingles. Each shingle is md5-hashed ONCE to a 32-bit
     * base value; the per-seed hash family is arithmetic

@@ -1,0 +1,200 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Persisted MinHash/LSH band index over a document corpus — the serving
+  * layout incremental deduplication needs at 100 TB, where the corpus is
+  * NEVER re-shingled per incoming shard (the reference delegates near-dup
+  * detection wholesale to its backing store; this is the engine-native
+  * band index the delegation implies, same V6 geometry as the
+  * `dedup_minhash` gate: reference `bob_vector_db/qdrant_db.py:1` stores
+  * points once and every later query reads the stored form).
+  *
+  * Layout: one row per (id, band, band_sig), written `partitionBy(band,
+  * sbucket)` where `sbucket = h32(band_sig) mod sig_buckets`. The
+  * partition space is small (bands × sig_buckets dirs) but exactly what
+  * the two serving verbs prune on:
+  *   - [[lookup]] (single-document probe): the probe's bands are computed
+  *     DRIVER-SIDE (bit-identical twin of the fused TokensMinHashExpr
+  *     kernel — zero jobs), so the read carries literal
+  *     (band, sbucket) partition filters plus the band_sig equality as a
+  *     pushed data filter: `bands` dirs touched out of
+  *     bands × sig_buckets.
+  *   - [[pairsAgainst]] (shard-vs-corpus batch): the shard side is banded
+  *     in flight and BROADCAST — the corpus index streams through a
+  *     broadcast hash join with no shuffle and no re-hash; a bounded
+  *     (≤ bands × sig_buckets rows by construction) distinct pass over
+  *     the shard's bucket combos prunes the index read to the partitions
+  *     the shard can touch at all.
+  * Both verbs read through [[ServedReads]] (the amortized-listing memo),
+  * and [[append]] — the incremental maintenance verb — bands only the NEW
+  * documents under the geometry pinned in `_dedup_index.json`, appends
+  * into the band dirs, and evicts the memo before and after (the
+  * layout-mutation eviction contract). Geometry is pinned at build so an
+  * appended row can never disagree with the corpus rows on band shape.
+  */
+object DedupIndex {
+
+  /** Reserved layout column names — inputs must not carry them. */
+  private val Reserved = Seq("band", "band_sig", "sbucket")
+
+  val DefaultSigBuckets = 16
+
+  private def metaPath(dir: String) = Paths.get(dir, "_dedup_index.json")
+
+  final case class Geometry(idCol: String, numHashes: Int, shingleN: Int,
+                            rowsPerBand: Int, sigBuckets: Int) {
+    def bands: Int = numHashes / rowsPerBand
+  }
+
+  def geometry(dir: String): Geometry = {
+    val txt = new String(Files.readAllBytes(metaPath(dir)),
+      StandardCharsets.UTF_8)
+    def long(k: String): Int = (s""""$k":\\s*(\\d+)""").r
+      .findFirstMatchIn(txt)
+      .getOrElse(throw new IllegalStateException(
+        s"dedup index at $dir has no $k in metadata"))
+      .group(1).toInt
+    val idCol = """"id_col":\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+      .getOrElse(throw new IllegalStateException(
+        s"dedup index at $dir has no id_col in metadata"))
+      .group(1)
+    Geometry(idCol, long("num_hashes"), long("shingle_n"),
+      long("rows_per_band"), long("sig_buckets"))
+  }
+
+  private def writeMeta(dir: String, g: Geometry): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(metaPath(dir),
+      (s"""{"id_col": "${g.idCol}", "num_hashes": ${g.numHashes}, """ +
+        s""""shingle_n": ${g.shingleN}, """ +
+        s""""rows_per_band": ${g.rowsPerBand}, """ +
+        s""""sig_buckets": ${g.sigBuckets}}""").getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** (id, band, band_sig, sbucket) rows for `docs` under geometry `g` —
+    * the one banding definition build, append and the shard side of
+    * [[pairsAgainst]] all share, so the two sides of a probe join can
+    * never drift. */
+  private def banded(docs: DataFrame, idCol: String, textCol: String,
+                     g: Geometry): DataFrame = {
+    Reserved.foreach(c => require(!docs.columns.contains(c),
+      s"input carries a column named '$c' — reserved for the index layout"))
+    Dedup.lshBandsFused(docs.select(col(idCol), col(textCol)), idCol,
+        textCol, g.numHashes, g.shingleN, g.rowsPerBand)
+      .withColumn("sbucket",
+        pmod(Dedup.h32(col("band_sig")), lit(g.sigBuckets)).cast("int"))
+  }
+
+  /** Materialize the band index over the corpus. One exchange on the
+    * partition key before the write (the `Collections.compact`
+    * small-files discipline: a task holds whole (band, sbucket) cells, so
+    * each leaf dir gets one file instead of one per input split). */
+  def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
+            numHashes: Int = 16, shingleN: Int = 3, rowsPerBand: Int = 4,
+            sigBuckets: Int = DefaultSigBuckets): Unit = {
+    require(numHashes % rowsPerBand == 0,
+      s"$rowsPerBand rows/band must divide $numHashes hashes")
+    val g = Geometry(idCol, numHashes, shingleN, rowsPerBand, sigBuckets)
+    ServedReads.evict(dir)
+    banded(docs, idCol, textCol, g)
+      .repartition(col("band"), col("sbucket"))
+      .write.mode("overwrite")
+      .partitionBy("band", "sbucket")
+      .parquet(dir)
+    // after the data write — overwrite deletes the target first, and a
+    // metadata record without data would claim a live index
+    writeMeta(dir, g)
+    ServedReads.evict(dir)
+  }
+
+  /** Incremental maintenance: band ONLY the new documents under the
+    * pinned geometry and append into the band dirs. The corpus is never
+    * re-read — this is the verb that makes the index worth persisting. */
+  def append(docs: DataFrame, textCol: String, dir: String): Unit = {
+    val g = geometry(dir)
+    require(docs.columns.contains(g.idCol),
+      s"append input has no '${g.idCol}' column (pinned id_col of $dir)")
+    ServedReads.evict(dir)
+    banded(docs, g.idCol, textCol, g)
+      .repartition(col("band"), col("sbucket"))
+      .write.mode("append")
+      .partitionBy("band", "sbucket")
+      .parquet(dir)
+    ServedReads.evict(dir)
+  }
+
+  /** The served read of the layout (amortized listing; partition filters
+    * still prune per query). */
+  private def servedBands(spark: SparkSession, dir: String): DataFrame =
+    ServedReads.of(spark, dir)
+
+  /** Shard-vs-corpus candidate pairs: every (shard id, corpus id) that
+    * collides in ≥ 1 band. The shard is the SMALL side by contract (an
+    * incoming delivery against the full corpus): its bands are broadcast,
+    * so the index side never shuffles, and its distinct (band, sbucket)
+    * combos — bounded by bands × sig_buckets rows REGARDLESS of shard
+    * size, so the collect can never be unbounded — become literal
+    * partition filters on the index read (static pruning that pays off
+    * exactly when the shard is far smaller than the bucket space, the
+    * single-delivery serving case). Ids that appear in both the shard and
+    * the index pair with themselves like any other collision — dedup of a
+    * shard against a corpus that already contains it is the re-delivery
+    * case and those pairs are the point. */
+  def pairsAgainst(spark: SparkSession, dir: String, shard: DataFrame,
+                   shardIdCol: String, textCol: String): DataFrame = {
+    val g = geometry(dir)
+    val sb = banded(shard, shardIdCol, textCol, g)
+      .withColumnRenamed(shardIdCol, "shard_id")
+    val combos = sb.select("band", "sbucket").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val idx = servedBands(spark, dir)
+    val pruned =
+      if (combos.length >= g.bands * g.sigBuckets) idx // every cell touched
+      else idx.filter(combos.map { case (b, s) =>
+        col("band") === b && col("sbucket") === s
+      }.reduce(_ || _))
+    pruned
+      .join(broadcast(sb),
+        Seq("band", "sbucket", "band_sig"))
+      .select(col("shard_id"), col(g.idCol).as("corpus_id"))
+      .distinct()
+  }
+
+  /** Driver-side band signatures of one probe text — the bit-identical
+    * local twin of the fused banding pipeline (tokens → word shingles →
+    * md5-based h32 → affine family running min → '-'-joined band
+    * strings; `Dedup.minhashLocal`). Zero Spark jobs. */
+  def probeBands(text: String, g: Geometry): Seq[(Int, Int, String)] = {
+    val sig = Dedup.minhashLocal(text, g.shingleN, g.numHashes)
+    (0 until g.bands).map { b =>
+      val s = sig.slice(b * g.rowsPerBand, (b + 1) * g.rowsPerBand)
+        .mkString("-")
+      (b, (Dedup.h32(s) % g.sigBuckets).toInt, s)
+    }
+  }
+
+  /** Single-document probe: which corpus documents share ≥ 1 band with
+    * `text`, and in how many bands. The probe's band signatures are
+    * computed driver-side (zero jobs), so the one job this runs carries
+    * literal (band, sbucket) PartitionFilters — `bands` leaf dirs read
+    * out of bands × sig_buckets — with the band_sig equality pushed to
+    * parquet. Output: (id_col, n_bands). */
+  def lookup(spark: SparkSession, dir: String, text: String): DataFrame = {
+    val g = geometry(dir)
+    val pred = probeBands(text, g).map { case (b, s, sig) =>
+      col("band") === b && col("sbucket") === s && col("band_sig") === sig
+    }.reduce(_ || _)
+    servedBands(spark, dir)
+      .filter(pred)
+      .groupBy(col(g.idCol))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+}
