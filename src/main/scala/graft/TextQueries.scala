@@ -1615,25 +1615,26 @@ object TextQueries {
     * one codegen'd projection and the only shuffle is the final per-lang
     * roll-up. Weights here are a deterministic md5-derived stand-in
     * (centered on 0, ±1000) — the same Embedder-style boundary as the
-    * embedding stand-ins: a trained model would ship its weight array as
-    * a literal lookup, the plan shape is identical. All-integer output,
-    * drift-free under the exact hash compare. */
+    * embedding stand-ins — but they enter the plan the way a TRAINED
+    * model's would: as a literal 4096-long weight array indexed in-row
+    * (the oracle recomputes each weight from its md5 definition; the
+    * driver-side h32 twin makes the two bit-equal). Inference is the
+    * fused TokensBigramScoreExpr kernel — the transform+aggregate HOF
+    * chain it replaces evaluated interpreted lambdas per bigram and
+    * measured 10.8 s warm at the 100× probe vs 0.90 s fused (spec pins
+    * the two bit-equal). All-integer output, drift-free under the exact
+    * hash compare. */
   val txtClassify = Q("txt_classify",
     (s, dir) => {
-      val toks = graft.operators.Dedup.tokens(col("text"))
-      val bg = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat(element_at(toks, i), lit(" "),
-            element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>"))
-      val weight = (g: Column) => {
-        val bucket = pmod(graft.operators.Dedup.h32(g), lit(4096L))
-        pmod(graft.operators.Dedup.h32(
-            concat(lit("w|"), bucket.cast("string"))), lit(2001L)) - 1000L
-      }
+      val weights = (0 until 4096).map(b =>
+        (graft.operators.Dedup.h32("w|" + b) % 2001L) - 1000L)
+      val score = org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.TokensBigramScoreExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(
+            graft.operators.Dedup.tokens(col("text"))),
+          weights))
       Tables.load(s, dir, "documents")
-        .select(col("lang"),
-          aggregate(bg, lit(0L), (acc, g) => acc + weight(g)).as("score"))
+        .select(col("lang"), score.as("score"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           count(when(col("score") > 0, 1)).as("n_keep"),

@@ -371,6 +371,99 @@ case class TokensMinHashExpr(child: Expression, shingleN: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Runtime helper for [[TokensBigramScoreExpr]] — same plain-JVM contract
+  * as [[MinHashUtil]] (one JIT-compiled loop shared by the interpreted and
+  * codegen paths; md5 → 32-bit base hash identical to Dedup.h32 and the
+  * DuckDB oracle's `('0x'||substr(md5(g),1,8))::BIGINT`). */
+object BigramScoreUtil {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Σ weights[h32(tok_i ⧺ ' ' ⧺ tok_{i+1}) mod weights.length] over the
+    * token array's consecutive bigrams — hashed-feature linear-classifier
+    * inference in one pass: no bigram array, no per-element lambda
+    * dispatch. Null elements are skipped inside a window, keeping window
+    * positions (the [[MinHashUtil.sig]] join semantics). < 2 tokens → 0
+    * (no bigram, empty-sum identity). */
+  def score(tokens: org.apache.spark.sql.catalyst.util.ArrayData,
+            weights: Array[Long]): Long = {
+    val n = tokens.numElements()
+    if (n < 2) return 0L
+    val d = md5.get()
+    val space = ' '.toByte
+    var sum = 0L
+    var i = 0
+    while (i < n - 1) {
+      var len = 0; var nonNull = 0
+      var k = 0
+      while (k < 2) {
+        if (!tokens.isNullAt(i + k)) {
+          len += tokens.getUTF8String(i + k).numBytes(); nonNull += 1
+        }
+        k += 1
+      }
+      if (nonNull > 1) len += nonNull - 1
+      val buf = new Array[Byte](len)
+      var pos = 0; k = 0; var first = true
+      while (k < 2) {
+        if (!tokens.isNullAt(i + k)) {
+          if (!first) { buf(pos) = space; pos += 1 }
+          val t = tokens.getUTF8String(i + k)
+          t.writeToMemory(buf,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+          pos += t.numBytes(); first = false
+        }
+        k += 1
+      }
+      d.reset()
+      val dig = d.digest(buf)
+      val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      sum += weights((h % weights.length).toInt)
+      i += 1
+    }
+    sum
+  }
+}
+
+/** Fused tokens → hashed-bigram linear score (see
+  * [[BigramScoreUtil.score]]): replaces a transform+aggregate HOF chain
+  * whose per-bigram lambdas evaluated interpreted. The weight table rides
+  * into generated code as a bound reference — exactly how a trained
+  * model's weights would ship. */
+case class TokensBigramScoreExpr(child: Expression, weights: Seq[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(weights.nonEmpty, "bigram_score needs a non-empty weight table")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"bigram_score needs array<string>, got ${dt.catalogString}")
+  }
+
+  override def prettyName: String = "graft_bigram_score"
+
+  @transient private lazy val wArr: Array[Long] = weights.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    BigramScoreUtil.score(input.asInstanceOf[ArrayData], wArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("bigramWeights", wArr, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.BigramScoreUtil.score($a, $wRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Runtime helper for [[TokensSimHashExpr]] — same plain-JVM contract as
   * [[MinHashUtil]]. */
 object SimHashUtil {

@@ -195,6 +195,38 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(f1 == f2)
   }
 
+  test("bigram score: fused kernel equals the HOF twin (unicode, " +
+       "1-token and empty docs score 0)") {
+    import graft.operators.Dedup
+    val weights = (0 until 4096).map(b =>
+      (Dedup.h32("w|" + b) % 2001L) - 1000L)
+    val d = docs20.select("doc_id", "text")
+      .unionAll(spark.createDataFrame(Seq(
+        (9001L, "héllo wörld ünïcode bigrams"), (9002L, "single"),
+        (9003L, ""), (9004L, "  two   tokens  ")))
+        .toDF("doc_id", "text"))
+    val toks = Dedup.tokens(col("text"))
+    val fused = d.select(col("doc_id"),
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.TokensBigramScoreExpr(
+            org.apache.spark.sql.GraftSqlBridge.expression(toks), weights))
+          .as("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wLut = lit(weights.toArray)
+    val bg = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val hof = d.select(col("doc_id"),
+        aggregate(bg, lit(0L), (acc, g) => acc + element_at(wLut,
+          pmod(graft.operators.Dedup.h32(g), lit(4096L)).cast("int") + 1))
+          .as("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == hof, "fused bigram score diverges from the HOF twin")
+    assert(fused(9002L) == 0L && fused(9003L) == 0L)
+    assert(fused(9004L) != 0L) // whitespace-salted 2-token doc has 1 bigram
+  }
+
   test("gram stats: fused kernel equals the HOF twin; repetition ratio " +
        "flags planted boilerplate") {
     val d = docs20.select("doc_id", "text")
