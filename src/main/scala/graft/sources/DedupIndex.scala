@@ -136,34 +136,52 @@ object DedupIndex {
   private def servedBands(spark: SparkSession, dir: String): DataFrame =
     ServedReads.of(spark, dir)
 
+  /** Past this many shard band rows the shard is no longer "the small
+    * side": the broadcast falls back to a shuffle join on the band key
+    * (override per session via `graft.dedup.broadcastMaxBandRows`). At
+    * the default 16-hash/4-band geometry 2M band rows ≈ 500k shard
+    * documents ≈ tens of MB of (id, band, sig) — comfortably inside any
+    * executor's broadcast budget; a 100 TB re-delivery above it still
+    * completes, just through the exchange it genuinely needs. */
+  val BroadcastMaxBandRows = 2000000L
+
   /** Shard-vs-corpus candidate pairs: every (shard id, corpus id) that
-    * collides in ≥ 1 band. The shard is the SMALL side by contract (an
+    * collides in ≥ 1 band. The shard is the small side by contract (an
     * incoming delivery against the full corpus): its bands are broadcast,
-    * so the index side never shuffles, and its distinct (band, sbucket)
-    * combos — bounded by bands × sig_buckets rows REGARDLESS of shard
-    * size, so the collect can never be unbounded — become literal
-    * partition filters on the index read (static pruning that pays off
-    * exactly when the shard is far smaller than the bucket space, the
-    * single-delivery serving case). Ids that appear in both the shard and
-    * the index pair with themselves like any other collision — dedup of a
-    * shard against a corpus that already contains it is the re-delivery
-    * case and those pairs are the point. */
+    * so the index side never shuffles, and its per-(band, sbucket) counts
+    * — bounded at bands × sig_buckets rows REGARDLESS of shard size, so
+    * the collect can never be unbounded — become literal partition
+    * filters on the index read (static pruning that pays off exactly when
+    * the shard is far smaller than the bucket space, the single-delivery
+    * serving case). The same one bounded job also yields the shard's
+    * total band-row count for free; an OVERSIZED delivery (>
+    * [[BroadcastMaxBandRows]]) keeps the pruning but downgrades the
+    * broadcast to a shuffle join instead of OOMing the driver — the plan
+    * decision is a pure function of that count, so it stays
+    * deterministic. Ids present in both the shard and the index pair
+    * with themselves like any other collision — dedup of a shard against
+    * a corpus that already contains it is the re-delivery case and those
+    * pairs are the point. */
   def pairsAgainst(spark: SparkSession, dir: String, shard: DataFrame,
                    shardIdCol: String, textCol: String): DataFrame = {
     val g = geometry(dir)
     val sb = banded(shard, shardIdCol, textCol, g)
       .withColumnRenamed(shardIdCol, "shard_id")
-    val combos = sb.select("band", "sbucket").distinct()
-      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val cellCounts = sb.groupBy("band", "sbucket").count()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val bandRows = cellCounts.map(_._3).sum
     val idx = servedBands(spark, dir)
     val pruned =
-      if (combos.length >= g.bands * g.sigBuckets) idx // every cell touched
-      else idx.filter(combos.map { case (b, s) =>
+      if (cellCounts.length >= g.bands * g.sigBuckets) idx // all cells hit
+      else idx.filter(cellCounts.map { case (b, s, _) =>
         col("band") === b && col("sbucket") === s
       }.reduce(_ || _))
+    val maxBroadcast = spark.conf
+      .getOption("graft.dedup.broadcastMaxBandRows")
+      .map(_.toLong).getOrElse(BroadcastMaxBandRows)
+    val right = if (bandRows <= maxBroadcast) broadcast(sb) else sb
     pruned
-      .join(broadcast(sb),
-        Seq("band", "sbucket", "band_sig"))
+      .join(right, Seq("band", "sbucket", "band_sig"))
       .select(col("shard_id"), col(g.idCol).as("corpus_id"))
       .distinct()
   }

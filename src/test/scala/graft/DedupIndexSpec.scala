@@ -129,6 +129,35 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
     assert(got.forall { case (s0, _) => ids.contains(s0 - 1000000L) })
   }
 
+  test("oversized delivery: past the broadcast bound pairsAgainst " +
+       "downgrades to a shuffle join with identical rows (the plan " +
+       "decision never changes WHAT is served)") {
+    val dir = tmp("oversz")
+    val corpus = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    DedupIndex.build(corpus, "doc_id", "text", dir)
+    val shard = DedupQueries.shard(spark, sf)
+    // observe the hint itself: with size-based auto-broadcast OFF, only
+    // the explicit hint can produce a BroadcastHashJoin
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val small = DedupIndex.pairsAgainst(spark, dir, shard, "doc_id", "text")
+      assert(small.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "in-bound delivery lost its deterministic broadcast hint")
+      val smallRows = small.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set("graft.dedup.broadcastMaxBandRows", "0")
+      try {
+        val big = DedupIndex.pairsAgainst(spark, dir, shard, "doc_id", "text")
+        assert(!big.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+          "band-row bound did not downgrade the broadcast")
+        assert(big.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          == smallRows)
+      } finally spark.conf.unset("graft.dedup.broadcastMaxBandRows")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("pairsAgainst equals recompute-from-scratch banding on the " +
        "union (the index changes WHERE bands come from, never WHICH)") {
     val dir = tmp("equiv")
