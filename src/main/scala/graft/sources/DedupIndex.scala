@@ -186,6 +186,33 @@ object DedupIndex {
       .distinct()
   }
 
+  /** The streaming ingestion gate — one micro-batch through the
+    * dedup-before-store loop a training-data pipeline runs continuously:
+    * reject every batch document that near-collides with the corpus
+    * ([[pairsAgainst]]) or with a LOWER-id document in the same batch
+    * (the keep-lowest rule on within-batch band collisions — new ids are
+    * monotone in arrival, so lowest = first seen), then [[append]] the
+    * survivors' bands so the NEXT batch deduplicates against them too.
+    * Returns the kept documents for the caller's downstream write.
+    * Exactly-once around replayed batch ids is the CALLER's fence
+    * (Stream.upsertSink's committed-batch manifest); this verb is
+    * idempotent-unsafe alone, like every append. */
+  def gateAppend(spark: SparkSession, dir: String, batch: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    require(idCol != "shard_id" && idCol != "corpus_id",
+      "batch id column must not collide with the pair output names")
+    val g = geometry(dir)
+    val vsCorpus = pairsAgainst(spark, dir, batch, idCol, textCol)
+      .select(col("shard_id").as(idCol)).distinct()
+    val intraLosers = graft.operators.Dedup.lshCandidates(
+        banded(batch, idCol, textCol, g), idCol)
+      .select(col("doc_b").as(idCol)).distinct()
+    val kept = batch.join(vsCorpus.unionAll(intraLosers).distinct(),
+      Seq(idCol), "left_anti")
+    append(kept, textCol, dir)
+    kept
+  }
+
   /** Driver-side band signatures of one probe text — the bit-identical
     * local twin of the fused banding pipeline (tokens → word shingles →
     * md5-based h32 → affine family running min → '-'-joined band

@@ -479,6 +479,75 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
       "re-vectored points kept their batch-1 codes — update not absorbed")
   }
 
+  test("streaming dedup gate: each micro-batch rejects corpus dups and " +
+       "within-batch dups, appends survivors, and the next batch " +
+       "deduplicates against them; final index equals a full rebuild") {
+    import graft.sources.DedupIndex
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-sdedup")
+    val in = tmp.resolve("in"); Files.createDirectories(in)
+    val idxDir = tmp.resolve("idx").toString
+    val outDir = tmp.resolve("kept").toString
+
+    val corpusText =
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val novelA =
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val novelB =
+      "uniform victor whiskey xray yankee zulu one two three four"
+    val corpus = Seq((1L, corpusText),
+      (2L, "five six seven eight nine ten eleven twelve thirteen fourteen"))
+      .toDF("doc_id", "text")
+    DedupIndex.build(corpus, "doc_id", "text", idxDir)
+
+    // two files + maxFilesPerTrigger=1 → two ordered micro-batches:
+    //   b1: 101 = corpus dup (reject), 102 = novel A (keep),
+    //       103 = intra-batch copy of A (reject — keep-lowest)
+    //   b2: 201 = copy of the doc KEPT in b1 (reject — proves the
+    //       append), 202 = novel B (keep)
+    Files.write(in.resolve("b1.txt"), Seq(
+      s"101|$corpusText", s"102|$novelA", s"103|$novelA").asJava)
+    Files.write(in.resolve("b2.txt"), Seq(
+      s"201|$novelA", s"202|$novelB").asJava)
+
+    val docs = spark.readStream.option("maxFilesPerTrigger", 1)
+      .text(in.toString)
+      .select(split(col("value"), "\\|").getItem(0).cast("long")
+        .as("doc_id"),
+        split(col("value"), "\\|").getItem(1).as("text"))
+    Stream.runAvailableNow(docs.writeStream
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        DedupIndex.gateAppend(spark, idxDir, batch, "doc_id", "text")
+          .write.mode("append").parquet(outDir)
+        ()
+      })
+
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(102L, 202L), s"gate kept $kept")
+
+    // maintenance invariant: the appended index equals a fresh build
+    // over corpus + kept docs (the per-batch-equals-rebuild law every
+    // derived layout holds)
+    val fullDir = tmp.resolve("idx_full").toString
+    DedupIndex.build(
+      corpus.unionAll(Seq((102L, novelA), (202L, novelB))
+        .toDF("doc_id", "text")),
+      "doc_id", "text", fullDir)
+    def bandRows(p: String): Set[String] =
+      spark.read.parquet(p)
+        .select(col("doc_id"), col("band").cast("int"), col("band_sig"),
+          col("sbucket").cast("int"))
+        .collect().map(_.toSeq.toString).toSet
+    assert(bandRows(idxDir) == bandRows(fullDir),
+      "gated index diverges from a full rebuild over corpus + kept")
+    // and the gated content serves: a probe of novel A finds 102 only
+    val hit = DedupIndex.lookup(spark, idxDir, novelA)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hit == Map(102L -> 4L), s"post-stream lookup got $hit")
+  }
+
   test("nearDupStreamTtl: expired band bucket re-admits content; " +
        "within-TTL duplicate still hits") {
     import spark.implicits._
