@@ -186,6 +186,30 @@ object DedupIndex {
       .distinct()
   }
 
+  /** Small-files maintenance for a long-gated index: every [[gateAppend]]
+    * leaves one file per touched cell per micro-batch, so a long-running
+    * stream accretes thousands of tiny files per cell. Rewrite the whole
+    * layout with one exchange on the partition key (one file per cell —
+    * the Collections.compact discipline) into a staging dir, then swap;
+    * a crash mid-build leaves the live layout intact. Band rows are
+    * byte-identical (spec-pinned) — compaction is an IO-layout verb,
+    * never a semantic one. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val g = geometry(dir)
+    // the staged-swap discipline (Drift.stagedRebuild): the live layout
+    // serves until the renames; the build thunk reads the CURRENT bands
+    // (dir is still live inside the thunk) into one file per cell
+    Drift.stagedRebuild(dir) { staging =>
+      servedBands(spark, dir)
+        .select(col(g.idCol), col("band_sig"), col("band"), col("sbucket"))
+        .repartition(col("band"), col("sbucket"))
+        .write.mode("overwrite")
+        .partitionBy("band", "sbucket")
+        .parquet(staging)
+      writeMeta(staging, g) // geometry travels with the new generation
+    }
+  }
+
   /** The streaming ingestion gate — one micro-batch through the
     * dedup-before-store loop a training-data pipeline runs continuously:
     * reject every batch document that near-collides with the corpus

@@ -200,6 +200,44 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
       DedupIndex.Geometry("doc_id", 8, 3, 2, 4))
   }
 
+  test("compact: appended generations collapse to one file per cell, " +
+       "band rows byte-identical, geometry preserved, serving intact") {
+    val dir = tmp("compact")
+    val corpus = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").orderBy("doc_id").limit(30)
+    DedupIndex.build(corpus, "doc_id", "text", dir)
+    // two appends → up to three files per touched cell
+    DedupIndex.append(docs(
+      500001L -> "first appended document with enough tokens for shingles"),
+      "text", dir)
+    DedupIndex.append(docs(
+      500002L -> "second appended document also with plenty of tokens"),
+      "text", dir)
+    def files(): Map[String, Int] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir))
+        .filter(_.getName.endsWith(".parquet"))
+        .groupBy(_.getParentFile.toString).map { case (d, fs) => d -> fs.size }
+    }
+    def rows(): Set[String] = spark.read.parquet(dir)
+      .select(col("doc_id"), col("band").cast("int"), col("band_sig"),
+        col("sbucket").cast("int"))
+      .collect().map(_.toSeq.toString).toSet
+    val before = rows()
+    assert(files().values.exists(_ > 1), "appends did not fragment cells")
+    DedupIndex.compact(spark, dir)
+    assert(files().values.forall(_ == 1),
+      s"compact left multi-file cells: ${files().filter(_._2 > 1)}")
+    assert(rows() == before, "compact changed band rows")
+    assert(DedupIndex.geometry(dir) ==
+      DedupIndex.Geometry("doc_id", 16, 3, 4, 16))
+    val probe = corpus.orderBy("doc_id").select("text").limit(1)
+      .head().getString(0)
+    assert(DedupIndex.lookup(spark, dir, probe).collect().nonEmpty,
+      "post-compact serving read is stale")
+  }
+
   test("loud failures: reserved columns, divisibility, missing pinned " +
        "id column on append") {
     val dir = tmp("loud")
