@@ -441,6 +441,41 @@ object Dev {
             f"(per-q ${dsl / sz}%6.3f)")
           }
         }
+      case "classifyprobe" :: dir :: rest =>
+        // same-session A/B of txt_classify's inference kernels on one
+        // blown-up corpus: fused TokensBigramScoreExpr vs the HOF twin
+        // it replaced (transform+aggregate with interpreted lambdas)
+        import org.apache.spark.sql.functions._
+        val factor = rest.headOption.map(_.toInt).getOrElse(100)
+        val fdir = blowUpDir(spark, dir, factor)
+        val weights = (0 until 4096).map(b =>
+          (graft.operators.Dedup.h32("w|" + b) % 2001L) - 1000L)
+        val toks = graft.operators.Dedup.tokens(col("text"))
+        val fusedCol = org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.TokensBigramScoreExpr(
+            org.apache.spark.sql.GraftSqlBridge.expression(toks), weights))
+        val wLut = lit(weights.toArray)
+        val bgs = when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat(element_at(toks, i), lit(" "),
+              element_at(toks, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val hofCol = aggregate(bgs, lit(0L), (acc, g) =>
+          acc + element_at(wLut,
+            pmod(graft.operators.Dedup.h32(g), lit(4096L)).cast("int") + 1))
+        def run(c: org.apache.spark.sql.Column): Double = {
+          val df = Tables.load(spark, fdir, "documents")
+            .select(col("lang"), c.as("score"))
+            .groupBy("lang").agg(count(lit(1)).as("n"),
+              sum("score").as("s"))
+          val t0 = System.nanoTime()
+          df.queryExecution.toRdd.foreach(_ => ())
+          (System.nanoTime() - t0) / 1e9
+        }
+        (1 to 3).foreach { i =>
+          println(f"[fused] iter $i: ${run(fusedCol)}%.2f s   " +
+            f"[hof] ${run(hofCol)}%.2f s")
+        }
       case "simhashbuckets" :: dir :: Nil =>
         // diagnostic for the §8.5b simhash cliff: is candidate blowup
         // uniform band saturation or super-bucket skew?

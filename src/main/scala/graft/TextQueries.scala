@@ -1620,10 +1620,10 @@ object TextQueries {
     * (the oracle recomputes each weight from its md5 definition; the
     * driver-side h32 twin makes the two bit-equal). Inference is the
     * fused TokensBigramScoreExpr kernel — the transform+aggregate HOF
-    * chain it replaces evaluated interpreted lambdas per bigram and
-    * measured 10.8 s warm at the 100× probe vs 0.90 s fused (spec pins
-    * the two bit-equal). All-integer output, drift-free under the exact
-    * hash compare. */
+    * chain it replaces evaluated interpreted lambdas per bigram:
+    * same-session A/B at the 100× probe (`Dev classifyprobe`) 12.2–12.6 s
+    * warm HOF vs 0.35–0.45 s fused, ~30× (spec pins the two bit-equal).
+    * All-integer output, drift-free under the exact hash compare. */
   val txtClassify = Q("txt_classify",
     (s, dir) => {
       val weights = (0 until 4096).map(b =>
