@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
@@ -28,10 +28,11 @@ import graft.operators.Dedup
   *     bands × sig_buckets.
   *   - [[pairsAgainst]] (shard-vs-corpus batch): the shard side is banded
   *     in flight and BROADCAST — the corpus index streams through a
-  *     broadcast hash join with no shuffle and no re-hash; a bounded
-  *     (≤ bands × sig_buckets rows by construction) distinct pass over
-  *     the shard's bucket combos prunes the index read to the partitions
-  *     the shard can touch at all.
+  *     broadcast hash join with no shuffle and no re-hash; one bounded
+  *     (≤ bands × sig_buckets rows by construction) per-cell count pass
+  *     over the shard both prunes the index read to the partitions the
+  *     shard can touch at all AND bounds the broadcast (oversized
+  *     deliveries downgrade to a shuffle join instead of OOMing).
   * Both verbs read through [[ServedReads]] (the amortized-listing memo),
   * and [[append]] — the incremental maintenance verb — bands only the NEW
   * documents under the geometry pinned in `_dedup_index.json`, appends
