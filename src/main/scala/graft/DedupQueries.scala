@@ -967,9 +967,42 @@ object DedupQueries {
         ON c.band = p.band AND c.band_sig = p.band_sig
       GROUP BY 1 ORDER BY 1"""))
 
+  /** V6, batched point probes — `dedup_lookup` × 3 through ONE pruned
+    * scan: every probe's bands are driver-computed (zero jobs), the
+    * cells' union is one literal PartitionFilter DNF, and per-probe
+    * attribution is a broadcast join against the 12-row literal probe
+    * table (the queryPointsMulti batching discipline on the dedup
+    * index). Probes = near-copies of the 3 lowest % 100 == 1 documents. */
+  val dedupLookupBatch = Q("dedup_lookup_batch",
+    (s, dir) => {
+      val probes = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 100 === 1)
+        .orderBy("doc_id").select("doc_id", "text").limit(3)
+        .collect().map(r => (r.getLong(0),
+          r.getString(1) + " extra trailing tokens appended")).toSeq
+      graft.sources.DedupIndex.lookupMulti(s, dedupIndexDir(s, dir), probes)
+        .select(col("probe_id"), col("doc_id").as("corpus_id"),
+          col("n_bands"))
+        .orderBy("probe_id", "corpus_id")
+    },
+    Some(s"""
+      WITH lows AS (
+        SELECT doc_id, text, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+        FROM documents WHERE doc_id % 100 = 1),
+      probe AS (
+        SELECT doc_id, text || ' extra trailing tokens appended' AS text
+        FROM lows WHERE rn <= 3),
+      corpus AS (SELECT doc_id, text FROM documents)"""
+      + bandCtes("corpus", "_c") + bandCtes("probe", "_p") + """
+      SELECT p.doc_id AS probe_id, c.doc_id AS corpus_id,
+             CAST(count(*) AS BIGINT) AS n_bands
+      FROM bands_c c JOIN bands_p p
+        ON c.band = p.band AND c.band_sig = p.band_sig
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   def queries: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash,
     dedupNgram, dedupEmbed, dedupCluster, dedupPriority,
     dedupStreamNeardup,
     dedupSegments, dedupSemantic, dedupBloom, dedupSubstring,
-    dedupIncremental, dedupLookup)
+    dedupIncremental, dedupLookup, dedupLookupBatch)
 }

@@ -267,4 +267,37 @@ object DedupIndex {
       .groupBy(col(g.idCol))
       .agg(count(lit(1)).as("n_bands"))
   }
+
+  /** Batched point probes — the `queryPointsMulti` serving discipline on
+    * the dedup index: ALL probes' band signatures are computed
+    * driver-side (zero jobs), their cells' union becomes ONE literal
+    * (band, sbucket) DNF PartitionFilter over ONE scan, and per-probe
+    * attribution is a broadcast join against the ≤ batch × bands-row
+    * literal probe table — job budget independent of batch size, each
+    * probe's rows equal to its single-[[lookup]] serving (spec). Bounded
+    * loudly by the measured [[graft.operators.Knn.MaxBatchQueries]]
+    * plan-arm contract. Output: (probe_id, id_col, n_bands). */
+  def lookupMulti(spark: SparkSession, dir: String,
+                  probes: Seq[(Long, String)]): DataFrame = {
+    graft.operators.Knn.requireBatch(probes.length, "DedupIndex.lookupMulti")
+    require(probes.map(_._1).distinct.length == probes.length,
+      "duplicate probe ids in batch")
+    val g = geometry(dir)
+    val rows = probes.flatMap { case (pid, text) =>
+      probeBands(text, g).map { case (b, s, sig) => (pid, b, s, sig) }
+    }
+    val cells = rows.map { case (_, b, s, _) => (b, s) }.distinct
+    val pruned =
+      if (cells.length >= g.bands * g.sigBuckets) servedBands(spark, dir)
+      else servedBands(spark, dir).filter(cells.map { case (b, s) =>
+        col("band") === b && col("sbucket") === s
+      }.reduce(_ || _))
+    import spark.implicits._
+    val probeTable = broadcast(
+      rows.toDF("probe_id", "band", "sbucket", "band_sig"))
+    pruned
+      .join(probeTable, Seq("band", "sbucket", "band_sig"))
+      .groupBy(col("probe_id"), col(g.idCol))
+      .agg(count(lit(1)).as("n_bands"))
+  }
 }

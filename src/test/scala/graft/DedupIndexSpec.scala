@@ -238,6 +238,55 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
       "post-compact serving read is stale")
   }
 
+  test("lookupMulti: each probe's rows equal its single-lookup serving; " +
+       "one scan serves the whole batch; loud bound and duplicate ids") {
+    val dir = tmp("multi")
+    val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    DedupIndex.build(d, "doc_id", "text", dir)
+    val probes = d.orderBy("doc_id").limit(3).collect()
+      .map(r => (r.getLong(0), r.getString(1) + " tail"))
+    val batched = DedupIndex.lookupMulti(spark, dir, probes.toSeq)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val single = probes.flatMap { case (pid, text) =>
+      DedupIndex.lookup(spark, dir, text).collect()
+        .map(r => (pid, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(batched == single,
+      "batched probes diverge from single-probe serving")
+    assert(batched.nonEmpty)
+    // the job budget is independent of batch size (the queryPointsMulti
+    // law): a doubled batch runs the SAME jobs — one scan + the fixed
+    // AQE/broadcast stages — never per-probe scans
+    val sc = spark.sparkContext
+    def jobsFor(ps: Seq[(Long, String)]): Int = {
+      val group = s"lookupmulti-${ps.length}-${System.nanoTime()}"
+      sc.setJobGroup(group, group)
+      try DedupIndex.lookupMulti(spark, dir, ps)
+        .queryExecution.toRdd.foreach(_ => ())
+      finally sc.clearJobGroup()
+      val deadline = System.nanoTime() + 10000000000L
+      var jobs = sc.statusTracker.getJobIdsForGroup(group).length
+      var prev = -1
+      while (jobs != prev && System.nanoTime() < deadline) {
+        prev = jobs; Thread.sleep(200)
+        jobs = sc.statusTracker.getJobIdsForGroup(group).length
+      }
+      jobs
+    }
+    val probes6 = probes.toSeq ++ probes.map { case (pid, t) =>
+      (pid + 500000L, t + " more") }
+    val (j3, j6) = (jobsFor(probes.toSeq), jobsFor(probes6))
+    assert(j3 == j6, s"job budget grew with the batch: $j3 -> $j6")
+    intercept[IllegalArgumentException] {
+      DedupIndex.lookupMulti(spark, dir,
+        (0 to graft.operators.Knn.MaxBatchQueries).map(i => (i.toLong, "x y z")))
+    }
+    intercept[IllegalArgumentException] {
+      DedupIndex.lookupMulti(spark, dir, Seq((1L, "a b c"), (1L, "d e f")))
+    }
+  }
+
   test("loud failures: reserved columns, divisibility, missing pinned " +
        "id column on append") {
     val dir = tmp("loud")
