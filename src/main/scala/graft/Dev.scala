@@ -443,7 +443,7 @@ object Dev {
         }
       case "classifyprobe" :: dir :: rest =>
         // same-session A/B of txt_classify's inference kernels on one
-        // blown-up corpus: fused TokensBigramScoreExpr vs the HOF twin
+        // blown-up corpus: fused TokensNgramScoreExpr vs the HOF twin
         // it replaced (transform+aggregate with interpreted lambdas)
         import org.apache.spark.sql.functions._
         val factor = rest.headOption.map(_.toInt).getOrElse(100)
@@ -452,7 +452,7 @@ object Dev {
           (graft.operators.Dedup.h32("w|" + b) % 2001L) - 1000L)
         val toks = graft.operators.Dedup.tokens(col("text"))
         val fusedCol = org.apache.spark.sql.GraftSqlBridge.column(
-          graft.functions.TokensBigramScoreExpr(
+          graft.functions.TokensNgramScoreExpr(
             org.apache.spark.sql.GraftSqlBridge.expression(toks), weights))
         val wLut = lit(weights.toArray)
         val bgs = when(size(toks) >= 2,

@@ -1619,7 +1619,7 @@ object TextQueries {
     * model's would: as a literal 4096-long weight array indexed in-row
     * (the oracle recomputes each weight from its md5 definition; the
     * driver-side h32 twin makes the two bit-equal). Inference is the
-    * fused TokensBigramScoreExpr kernel — the transform+aggregate HOF
+    * fused TokensNgramScoreExpr kernel — the transform+aggregate HOF
     * chain it replaces evaluated interpreted lambdas per bigram:
     * same-session A/B at the 100× probe (`Dev classifyprobe`) 12.2–12.6 s
     * warm HOF vs 0.35–0.45 s fused, ~30× (spec pins the two bit-equal).
@@ -1629,7 +1629,7 @@ object TextQueries {
       val weights = (0 until 4096).map(b =>
         (graft.operators.Dedup.h32("w|" + b) % 2001L) - 1000L)
       val score = org.apache.spark.sql.GraftSqlBridge.column(
-        graft.functions.TokensBigramScoreExpr(
+        graft.functions.TokensNgramScoreExpr(
           org.apache.spark.sql.GraftSqlBridge.expression(
             graft.operators.Dedup.tokens(col("text"))),
           weights))
@@ -1661,6 +1661,95 @@ object TextQueries {
              CAST(SUM(score) AS BIGINT) AS sum_score
       FROM sc GROUP BY lang ORDER BY lang"""))
 
+  /** The DSIR importance-ratio table for fixture dir `dir`, memoized per
+    * JVM (deterministic — gate-safe): one corpus pass aggregates raw and
+    * target (lang = 'en') token counts per hashed unigram bucket — the
+    * output is BOUNDED at 1024 rows by construction, so the collect is
+    * the literal-LUT discipline, never a corpus collect. Ratios are
+    * Laplace-smoothed integer micro-probabilities (the log-free,
+    * oracle-exact surrogate of the DSIR log-likelihood ratio: monotone
+    * per bucket, summed per token). */
+  private val dsirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+  private def dsirRatios(s: SparkSession, dir: String): Seq[Long] =
+    dsirCache.computeIfAbsent(dir, _ => {
+      val rows = Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          explode(graft.operators.Dedup.tokens(col("text"))).as("t"))
+        .select(col("lang"),
+          pmod(graft.operators.Dedup.h32(col("t")), lit(1024L))
+            .cast("int").as("bk"))
+        .groupBy("bk")
+        .agg(count(lit(1)).as("pr"),
+          count(when(col("lang") === "en", 1)).as("pt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val prt = rows.map(_._2).sum
+      val ptt = rows.map(_._3).sum
+      val m = rows.map(t => t._1 -> (t._2, t._3)).toMap
+      (0 until 1024).map { b =>
+        val (pr, pt) = m.getOrElse(b, (0L, 0L))
+        val prm = math.max(((pr + 1L) * 1000000L) / (prt + 1024L), 1L)
+        val ptm = ((pt + 1L) * 1000000L) / (ptt + 1024L)
+        (ptm * 1000L) / prm
+      }
+    })
+
+  /** Importance-resampling data selection (the DSIR shape, Xie et al.
+    * 2023 — hashed n-gram importance weights of a TARGET domain against
+    * the raw corpus): fit = ONE corpus pass into a 1024-bucket
+    * (raw, target) frequency table (bounded output, map-side combined);
+    * inference = the per-bucket micro-prob ratio LUT bound into the
+    * fused unigram kernel (TokensNgramScoreExpr g = 1) — in-row scoring,
+    * no model join, exactly the txt_classify serving shape with
+    * data-FITTED weights instead of stand-ins. Integer ratios replace
+    * the log-likelihood (transcendental-free oracle law); output = the
+    * top-50 most-target-like documents by per-token milli-ratio. Target
+    * here = lang 'en'; at scale the target table is the curated seed
+    * corpus and the LUT refits per selection round. */
+  val pipeDsir = Q("pipe_dsir",
+    (s, dir) => {
+      val toks = graft.operators.Dedup.tokens(col("text"))
+      val score = org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.TokensNgramScoreExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(toks),
+          dsirRatios(s, dir), g = 1))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), size(toks).cast("long").as("n_tok"),
+          score.as("score"))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("n_tok"),
+          expr("score DIV n_tok").as("dsir_milli"))
+        .orderBy(desc("dsir_milli"), col("doc_id"))
+        .limit(50)
+    },
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, lang, list_filter(
+          regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS tk
+        FROM documents),
+      b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(unnest(tk)), 1, 8))::BIGINT % 1024 AS bk
+        FROM tk),
+      freq AS (
+        SELECT bk, COUNT(*) AS pr,
+               COUNT(CASE WHEN lang = 'en' THEN 1 END) AS pt
+        FROM b GROUP BY bk),
+      tot AS (SELECT SUM(pr) AS prt, SUM(pt) AS ptt FROM freq),
+      ratio AS (
+        SELECT bk,
+               (((pt + 1) * 1000000) // (ptt + 1024) * 1000) //
+                 greatest(((pr + 1) * 1000000) // (prt + 1024), 1) AS r
+        FROM freq CROSS JOIN tot),
+      per AS (
+        SELECT b.doc_id, CAST(SUM(r.r) AS BIGINT) AS score
+        FROM b JOIN ratio r USING (bk) GROUP BY b.doc_id)
+      SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tok,
+             CAST(p.score // len(t.tk) AS BIGINT) AS dsir_milli
+      FROM tk t JOIN per p ON p.doc_id = t.doc_id
+      WHERE len(t.tk) > 0
+      ORDER BY dsir_milli DESC, t.doc_id LIMIT 50"""))
+
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats, txtPhrase,
     txtPhraseIndexed,
@@ -1669,5 +1758,5 @@ object TextQueries {
     txtPii, txtBpePairs,
     txtBpeTrain, txtBpeEncode,
     txtFreqScore, pipeMix, txtNovelty, txtLmScore, pipeCurriculum,
-    txtIdfKeywords, pipeMask, txtClassify)
+    txtIdfKeywords, pipeMask, txtClassify, pipeDsir)
 }

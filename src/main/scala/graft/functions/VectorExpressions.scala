@@ -371,34 +371,34 @@ case class TokensMinHashExpr(child: Expression, shingleN: Int, numHashes: Int)
     copy(child = newChild)
 }
 
-/** Runtime helper for [[TokensBigramScoreExpr]] — same plain-JVM contract
+/** Runtime helper for [[TokensNgramScoreExpr]] — same plain-JVM contract
   * as [[MinHashUtil]] (one JIT-compiled loop shared by the interpreted and
   * codegen paths; md5 → 32-bit base hash identical to Dedup.h32 and the
   * DuckDB oracle's `('0x'||substr(md5(g),1,8))::BIGINT`). */
-object BigramScoreUtil {
+object NgramScoreUtil {
   private val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** Σ weights[h32(tok_i ⧺ ' ' ⧺ tok_{i+1}) mod weights.length] over the
-    * token array's consecutive bigrams — hashed-feature linear-classifier
-    * inference in one pass: no bigram array, no per-element lambda
-    * dispatch. Null elements are skipped inside a window, keeping window
-    * positions (the [[MinHashUtil.sig]] join semantics). < 2 tokens → 0
-    * (no bigram, empty-sum identity). */
+  /** Σ weights[h32(tok_i ⧺ ' ' ⧺ … ⧺ tok_{i+g-1}) mod weights.length]
+    * over the token array's consecutive word g-grams (g = 1 → single
+    * tokens) — hashed-feature linear scoring in one pass: no gram array,
+    * no per-element lambda dispatch. Null elements are skipped inside a
+    * window, keeping window positions (the [[MinHashUtil.sig]] join
+    * semantics). Fewer than g tokens → 0 (no gram, empty-sum identity). */
   def score(tokens: org.apache.spark.sql.catalyst.util.ArrayData,
-            weights: Array[Long]): Long = {
+            weights: Array[Long], g: Int): Long = {
     val n = tokens.numElements()
-    if (n < 2) return 0L
+    if (n < g) return 0L
     val d = md5.get()
     val space = ' '.toByte
     var sum = 0L
     var i = 0
-    while (i < n - 1) {
+    while (i <= n - g) {
       var len = 0; var nonNull = 0
       var k = 0
-      while (k < 2) {
+      while (k < g) {
         if (!tokens.isNullAt(i + k)) {
           len += tokens.getUTF8String(i + k).numBytes(); nonNull += 1
         }
@@ -407,7 +407,7 @@ object BigramScoreUtil {
       if (nonNull > 1) len += nonNull - 1
       val buf = new Array[Byte](len)
       var pos = 0; k = 0; var first = true
-      while (k < 2) {
+      while (k < g) {
         if (!tokens.isNullAt(i + k)) {
           if (!first) { buf(pos) = space; pos += 1 }
           val t = tokens.getUTF8String(i + k)
@@ -428,15 +428,19 @@ object BigramScoreUtil {
   }
 }
 
-/** Fused tokens → hashed-bigram linear score (see
-  * [[BigramScoreUtil.score]]): replaces a transform+aggregate HOF chain
-  * whose per-bigram lambdas evaluated interpreted. The weight table rides
-  * into generated code as a bound reference — exactly how a trained
-  * model's weights would ship. */
-case class TokensBigramScoreExpr(child: Expression, weights: Seq[Long])
+/** Fused tokens → hashed word-g-gram linear score (see
+  * [[NgramScoreUtil.score]]): replaces a transform+aggregate HOF chain
+  * whose per-gram lambdas evaluated interpreted (same-session A/B ~30×,
+  * `Dev classifyprobe`). The weight table rides into generated code as a
+  * bound reference — exactly how a trained model's weights would ship;
+  * g = 2 is the txt_classify bigram classifier, g = 1 the pipe_dsir
+  * unigram importance ratios. */
+case class TokensNgramScoreExpr(child: Expression, weights: Seq[Long],
+                                g: Int = 2)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  require(weights.nonEmpty, "bigram_score needs a non-empty weight table")
+  require(weights.nonEmpty, "ngram_score needs a non-empty weight table")
+  require(g > 0, s"ngram_score needs g > 0, got $g")
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
@@ -444,20 +448,20 @@ case class TokensBigramScoreExpr(child: Expression, weights: Seq[Long])
     case ArrayType(org.apache.spark.sql.types.StringType, _) =>
       TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"bigram_score needs array<string>, got ${dt.catalogString}")
+      s"ngram_score needs array<string>, got ${dt.catalogString}")
   }
 
-  override def prettyName: String = "graft_bigram_score"
+  override def prettyName: String = "graft_ngram_score"
 
   @transient private lazy val wArr: Array[Long] = weights.toArray
 
   override protected def nullSafeEval(input: Any): Any =
-    BigramScoreUtil.score(input.asInstanceOf[ArrayData], wArr)
+    NgramScoreUtil.score(input.asInstanceOf[ArrayData], wArr, g)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val wRef = ctx.addReferenceObj("bigramWeights", wArr, "long[]")
+    val wRef = ctx.addReferenceObj("ngramWeights", wArr, "long[]")
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.BigramScoreUtil.score($a, $wRef);")
+      s"${ev.value} = graft.functions.NgramScoreUtil.score($a, $wRef, $g);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

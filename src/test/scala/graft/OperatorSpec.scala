@@ -208,7 +208,7 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     val toks = Dedup.tokens(col("text"))
     val fused = d.select(col("doc_id"),
         org.apache.spark.sql.GraftSqlBridge.column(
-          graft.functions.TokensBigramScoreExpr(
+          graft.functions.TokensNgramScoreExpr(
             org.apache.spark.sql.GraftSqlBridge.expression(toks), weights))
           .as("score"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -225,6 +225,21 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(fused == hof, "fused bigram score diverges from the HOF twin")
     assert(fused(9002L) == 0L && fused(9003L) == 0L)
     assert(fused(9004L) != 0L) // whitespace-salted 2-token doc has 1 bigram
+    // the unigram form (pipe_dsir's g = 1) against its own HOF twin —
+    // single tokens hash directly, the empty doc stays 0
+    val fused1 = d.select(col("doc_id"),
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.TokensNgramScoreExpr(
+            org.apache.spark.sql.GraftSqlBridge.expression(toks), weights,
+            g = 1)).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof1 = d.select(col("doc_id"),
+        aggregate(toks, lit(0L), (acc, t) => acc + element_at(wLut,
+          pmod(graft.operators.Dedup.h32(t), lit(4096L)).cast("int") + 1))
+          .as("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused1 == hof1, "fused unigram score diverges from the HOF twin")
+    assert(fused1(9003L) == 0L && fused1(9002L) != 0L)
   }
 
   test("gram stats: fused kernel equals the HOF twin; repetition ratio " +
