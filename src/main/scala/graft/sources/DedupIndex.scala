@@ -208,6 +208,17 @@ object DedupIndex {
         .partitionBy("band", "sbucket")
         .parquet(staging)
       writeMeta(staging, g) // geometry travels with the new generation
+      // the gate's replay fence travels too — losing the markers would
+      // re-admit a replayed batch after every compaction
+      val fence = Paths.get(dir, "_gated_batches")
+      if (Files.isDirectory(fence)) {
+        val target = Paths.get(staging, "_gated_batches")
+        Files.createDirectories(target)
+        val s = Files.list(fence)
+        try s.forEach(p =>
+          Files.copy(p, target.resolve(p.getFileName.toString)))
+        finally s.close()
+      }
     }
   }
 
@@ -219,13 +230,27 @@ object DedupIndex {
     * monotone in arrival, so lowest = first seen), then [[append]] the
     * survivors' bands so the NEXT batch deduplicates against them too.
     * Returns the kept documents for the caller's downstream write.
-    * Exactly-once around replayed batch ids is the CALLER's fence
-    * (Stream.upsertSink's committed-batch manifest); this verb is
-    * idempotent-unsafe alone, like every append. */
+    *
+    * Replay contract (`batchId`): a batch id already marked committed
+    * returns an EMPTY frame and touches nothing — the caller's
+    * downstream write is fenced by its own batch id (the
+    * committed-manifest sink pattern), so the replayed batch's kept
+    * rows were already delivered by the original attempt. The marker
+    * lands AFTER the append; a crash inside that window makes the next
+    * attempt re-append IDENTICAL band rows — which is why every
+    * count-serving read distincts band rows first: maintenance is
+    * at-least-once, serving is exactly-once-effective. Without a
+    * `batchId` the verb is a plain append (idempotence is the caller's
+    * problem, like every append). */
   def gateAppend(spark: SparkSession, dir: String, batch: DataFrame,
-                 idCol: String, textCol: String): DataFrame = {
+                 idCol: String, textCol: String,
+                 batchId: Option[Long] = None): DataFrame = {
     require(idCol != "shard_id" && idCol != "corpus_id",
       "batch id column must not collide with the pair output names")
+    val marker = batchId.map(id =>
+      Paths.get(dir, "_gated_batches", id.toString))
+    if (marker.exists(Files.exists(_)))
+      return batch.limit(0)
     val g = geometry(dir)
     val vsCorpus = pairsAgainst(spark, dir, batch, idCol, textCol)
       .select(col("shard_id").as(idCol)).distinct()
@@ -235,6 +260,9 @@ object DedupIndex {
     val kept = batch.join(vsCorpus.unionAll(intraLosers).distinct(),
       Seq(idCol), "left_anti")
     append(kept, textCol, dir)
+    marker.foreach { m =>
+      Files.createDirectories(m.getParent); Files.write(m, Array[Byte]())
+    }
     kept
   }
 
@@ -264,6 +292,11 @@ object DedupIndex {
     }.reduce(_ || _)
     servedBands(spark, dir)
       .filter(pred)
+      // band rows are deterministic per document, so a replayed append
+      // can only DUPLICATE rows, never change them; the distinct makes
+      // every count-serving verb idempotent under at-least-once
+      // maintenance (the gateAppend crash-window contract)
+      .distinct()
       .groupBy(col(g.idCol))
       .agg(count(lit(1)).as("n_bands"))
   }
@@ -296,6 +329,7 @@ object DedupIndex {
     val probeTable = broadcast(
       rows.toDF("probe_id", "band", "sbucket", "band_sig"))
     pruned
+      .distinct() // replay-duplicate band rows count once (see lookup)
       .join(probeTable, Seq("band", "sbucket", "band_sig"))
       .groupBy(col("probe_id"), col(g.idCol))
       .agg(count(lit(1)).as("n_bands"))

@@ -200,6 +200,45 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
       DedupIndex.Geometry("doc_id", 8, 3, 2, 4))
   }
 
+  test("gate replay fence: a committed batchId returns empty and " +
+       "touches nothing; a crash-window duplicate append leaves every " +
+       "count-serving read exact (at-least-once maintenance, " +
+       "exactly-once-effective serving)") {
+    val dir = tmp("fence")
+    DedupIndex.build(
+      docs(1L -> "alpha bravo charlie delta echo foxtrot golf hotel"),
+      "doc_id", "text", dir)
+    val novel = "india juliett kilo lima mike november oscar papa"
+    val batch = docs(2L -> novel)
+    val kept1 = DedupIndex.gateAppend(spark, dir, batch, "doc_id", "text",
+      batchId = Some(7L))
+    assert(kept1.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    def rowCount(): Long = spark.read.parquet(dir).count()
+    val n1 = rowCount()
+    // replay: committed marker short-circuits — empty, rows unchanged
+    val kept2 = DedupIndex.gateAppend(spark, dir, batch, "doc_id", "text",
+      batchId = Some(7L))
+    assert(kept2.isEmpty && rowCount() == n1)
+    // crash window: the append landed but the marker didn't — simulate
+    // by appending the SAME doc's bands again directly; serving must
+    // still count each (doc, band) once
+    DedupIndex.append(batch, "text", dir)
+    assert(rowCount() == n1 + 4, "duplicate append did not duplicate rows")
+    val hit = DedupIndex.lookup(spark, dir, novel)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hit == Map(2L -> 4L), s"duplicate rows leaked into counts: $hit")
+    val hitM = DedupIndex.lookupMulti(spark, dir, Seq((9L, novel)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(hitM == Map((9L, 2L) -> 4L), s"lookupMulti leaked: $hitM")
+    // the fence survives compaction (markers travel with the new
+    // generation) — and compact dedups nothing: rows stay byte-level
+    // duplicates, only serving distincts
+    DedupIndex.compact(spark, dir)
+    assert(rowCount() == n1 + 4)
+    assert(DedupIndex.gateAppend(spark, dir, batch, "doc_id", "text",
+      batchId = Some(7L)).isEmpty, "replay fence lost across compact")
+  }
+
   test("compact: appended generations collapse to one file per cell, " +
        "band rows byte-identical, geometry preserved, serving intact") {
     val dir = tmp("compact")

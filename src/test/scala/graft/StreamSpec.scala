@@ -517,8 +517,9 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
         split(col("value"), "\\|").getItem(1).as("text"))
     Stream.runAvailableNow(docs.writeStream
       .option("checkpointLocation", tmp.resolve("ckpt").toString)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        DedupIndex.gateAppend(spark, idxDir, batch, "doc_id", "text")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        DedupIndex.gateAppend(spark, idxDir, batch, "doc_id", "text",
+            batchId = Some(id))
           .write.mode("append").parquet(outDir)
         ()
       })
