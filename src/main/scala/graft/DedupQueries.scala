@@ -1000,9 +1000,153 @@ object DedupQueries {
         ON c.band = p.band AND c.band_sig = p.band_sig
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** The persisted SemDeDup cell index (SemanticDedupIndex layout over
+    * `embeddings`), built once per fixture dir per JVM — the semantic
+    * twin of [[dedupIndexDir]]. Cluster count auto-sizes from the KMV n̂
+    * (the dedup_semantic law — k = 8 at the gate SFs, so the pinned
+    * centroids are exactly the kmeansSql(8,2) table the oracles replay);
+    * contents are deterministic (kmeansFit's determinism is
+    * spec-asserted), so the memo is gate-safe. */
+  private[graft] def semanticIndexDir(s: SparkSession, dir: String)
+      : String =
+    Tables.memoTempDir("semidx", dir) { target =>
+      val k = graft.operators.Ann.semanticClusterCount(
+        corpusEstimate(s, dir, "embeddings", "vec_id"))
+      graft.sources.SemanticDedupIndex.build(s,
+        Tables.load(s, dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id", "embedding", target,
+        AnnQueries.trainedCentroids(s, dir, k, 2))
+    }
+
+  /** An incoming embedding delivery to dedup AGAINST the corpus index:
+    * exact copies of every vec_id % 50 == 0 point, near copies (first
+    * component +0.25 → cosine ≈ 0.97) of every % 50 == 1, and
+    * fully-novel vectors — the NEGATION of every % 50 == 2 point, whose
+    * cosine against ANY corpus point is ≤ the naturals' max |pairwise
+    * cosine| (measured 0.60 at sf0.1) — far under τ = 0.9, so the novel
+    * rows prove the index returns nothing for genuinely new content. */
+  private[graft] def semanticDelivery(s: SparkSession, dir: String)
+      : DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val off = plantOffset(s, dir, "embeddings", "vec_id")
+    emb.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + off).as("vec_id"), col("v"))
+      .unionAll(emb.filter(col("vec_id") % 50 === 1)
+        .select((col("vec_id") + off * 2).as("vec_id"),
+          concat(array(element_at(col("v"), 1) + lit(0.25)),
+            slice(col("v"), 2, 63)).as("v")))
+      .unionAll(emb.filter(col("vec_id") % 50 === 2)
+        .select((col("vec_id") + off * 3).as("vec_id"),
+          transform(col("v"), x => -x).as("v")))
+  }
+
+  /** DuckDB replay of the delivery plants (over kmeansSql's `e` CTE). */
+  private val semanticDeliverySql = """
+      voff AS (SELECT greatest(100000, max(vec_id) + 1) AS o
+               FROM embeddings),
+      delivery AS (
+        SELECT vec_id + (SELECT o FROM voff) AS vec_id, v
+        FROM e WHERE vec_id % 50 = 0
+        UNION ALL
+        SELECT vec_id + 2 * (SELECT o FROM voff),
+               [v[1] + 0.25] || v[2:64]
+        FROM e WHERE vec_id % 50 = 1
+        UNION ALL
+        SELECT vec_id + 3 * (SELECT o FROM voff),
+               list_transform(v, x -> -x)
+        FROM e WHERE vec_id % 50 = 2)"""
+
+  /** The argmin cell assignment CTE (same (distance, cid) tie-break as
+    * Ann.argminAssign) for DuckDB, over source CTE `src` into `out`. */
+  private def assignSql(src: String, out: String): String = s"""
+      $out AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+          SELECT p.vec_id, p.v, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                   ORDER BY list_distance(p.v, c.cv), c.cid) AS rn
+          FROM $src p CROSS JOIN c2 c) WHERE rn = 1)"""
+
+  /** V6, the 100 TB SEMANTIC serving form — SemDeDup of an incoming
+    * embedding delivery against the PERSISTED cell index: the corpus is
+    * assigned to its pinned-centroid cells once at index build and never
+    * re-scored per delivery; the delivery is assigned in flight (one
+    * broadcast of the k·dim pinned centroids), its distinct cells become
+    * a literal partition filter on the index read, and the cosine verify
+    * runs only within shared cells (the dedup_semantic candidate rule,
+    * corpus × delivery instead of corpus × corpus). Exact copies land in
+    * their source's cell at cosine 1.0, near copies at ≈ 0.97 (when the
+    * +0.25 perturbation keeps the cell — the oracle replays any cell
+    * miss identically), novel rows verify nothing. Keep-lowest corpus id
+    * per delivery point, the dedup_semantic verdict shape. */
+  val dedupSemanticIncremental = Q("dedup_semantic_incremental",
+    (s, dir) =>
+      graft.sources.SemanticDedupIndex.pairsAgainst(
+          s, semanticIndexDir(s, dir), semanticDelivery(s, dir),
+          "vec_id", "v", 900000L)
+        .groupBy("delivery_id")
+        .agg(min("corpus_id").as("dup_of"),
+          min_by(col("score_micro"), col("corpus_id")).as("score_micro"))
+        .orderBy("delivery_id"),
+    Some(s"""
+      WITH ${AnnQueries.kmeansSql(8, 2)},$semanticDeliverySql,
+      ${assignSql("e", "casg")},
+      ${assignSql("delivery", "dasg")},
+      pairs AS (
+        SELECT d.vec_id AS delivery_id, c.vec_id AS corpus_id,
+               CAST(floor(list_cosine_similarity(c.v, d.v) * 1000000 + 0.5)
+                 AS BIGINT) AS score_micro
+        FROM dasg d JOIN casg c ON d.cluster = c.cluster)
+      SELECT delivery_id, MIN(corpus_id) AS dup_of,
+             MIN_BY(score_micro, corpus_id) AS score_micro
+      FROM pairs WHERE score_micro >= 900000
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** V6, the semantic point-probe serving form — "is this single vector
+    * already in the corpus?": the probe's cell is computed DRIVER-SIDE
+    * against the memoized pinned centroids (the minhashLocal twin
+    * discipline — zero jobs), so the one job carries a literal
+    * `cluster =` PartitionFilter (ONE cell dir of k) with the cosine
+    * verify fused in-row. Probe = the near-copy of the lowest
+    * % 50 == 1 embedding (1-row bounded driver fetch, the argmax
+    * idiom). */
+  val dedupSemanticLookup = Q("dedup_semantic_lookup",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 50 === 1)
+        .orderBy("vec_id").limit(1)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val probe = (base.head + 0.25) +: base.tail
+      graft.sources.SemanticDedupIndex.lookup(
+          s, semanticIndexDir(s, dir), probe, 900000L)
+        .select(col("vec_id").as("corpus_id"), col("score_micro"))
+        .orderBy("corpus_id")
+    },
+    Some(s"""
+      WITH ${AnnQueries.kmeansSql(8, 2)},
+      probe AS (
+        SELECT [v[1] + 0.25] || v[2:64] AS v FROM e
+        WHERE vec_id = (SELECT min(vec_id) FROM e WHERE vec_id % 50 = 1)),
+      pcell AS (
+        SELECT cid AS cluster FROM (
+          SELECT c.cid, ROW_NUMBER() OVER (
+            ORDER BY list_distance(p.v, c.cv), c.cid) AS rn
+          FROM probe p CROSS JOIN c2 c) WHERE rn = 1),
+      ${assignSql("e", "casg")}
+      SELECT c.vec_id AS corpus_id,
+             CAST(floor(list_cosine_similarity(c.v, p.v) * 1000000 + 0.5)
+               AS BIGINT) AS score_micro
+      FROM casg c CROSS JOIN probe p
+      WHERE c.cluster = (SELECT cluster FROM pcell)
+        AND floor(list_cosine_similarity(c.v, p.v) * 1000000 + 0.5)
+              >= 900000
+      ORDER BY corpus_id"""))
+
   def queries: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash,
     dedupNgram, dedupEmbed, dedupCluster, dedupPriority,
     dedupStreamNeardup,
     dedupSegments, dedupSemantic, dedupBloom, dedupSubstring,
-    dedupIncremental, dedupLookup, dedupLookupBatch)
+    dedupIncremental, dedupLookup, dedupLookupBatch,
+    dedupSemanticIncremental, dedupSemanticLookup)
 }
