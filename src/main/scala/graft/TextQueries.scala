@@ -1750,6 +1750,117 @@ object TextQueries {
       WHERE len(t.tk) > 0
       ORDER BY dsir_milli DESC, t.doc_id LIMIT 50"""))
 
+  /** The TRAINED classifier's weight LUT for fixture dir `dir`, memoized
+    * per JVM (deterministic — gate-safe): ONE corpus pass folds per-label
+    * bigram-bucket occurrence counts (output BOUNDED at 4096 rows by
+    * construction — the dsirRatios literal-LUT discipline), and the
+    * weight is the Laplace-smoothed integer micro-prob ratio of the two
+    * classes, CENTERED on 0 (ratio 1 → 0) so `score > 0` is the
+    * likelihood-ratio keep decision. Teacher labels are the heuristic
+    * stopword-density gate (`stop_hits · 10 ≥ n_tok`, the division-free
+    * form of ratio ≥ 0.1) — the fastText recipe of distilling a cheap
+    * rule/seed set into a hashed-feature model. */
+  private val nbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+  private def trainedWeights(s: SparkSession, dir: String): Seq[Long] =
+    nbCache.computeIfAbsent(dir, _ => {
+      val en = graft.operators.TextAnalysis.stopwords.toMap.apply("en")
+      graft.operators.TextAnalysis.fitBigramRatioWeights(
+        Tables.load(s, dir, "documents")
+          .select(graft.operators.Dedup.tokens(col("text")).as("tk"))
+          .withColumn("label",
+            graft.operators.TextAnalysis.hitCount(col("tk"), en) * 10
+              >= size(col("tk"))),
+        "tk", "label")
+    })
+
+  /** TRAINED hashed-feature quality classifier — closes the learned-gate
+    * loop txt_classify (stand-in weights) and pipe_dsir (single-class
+    * fit) left open: a two-class model FIT ON THE CORPUS (naive-Bayes
+    * shape — per-bucket class-likelihood ratios over hashed token
+    * bigrams, Laplace-smoothed, integer micro-probs replacing the
+    * log-ratio exactly as pipe_dsir's transcendental-free oracle law)
+    * against heuristic teacher labels, then served through the same
+    * fused [[graft.functions.TokensNgramScoreExpr]] kernel inference
+    * uses for the stand-in model — weights enter generated code via
+    * addReferenceObj, no model table, no join. Training is ONE corpus
+    * pass into a 4096-row bounded table (map-side combined); the output
+    * is the per-language confusion roll-up of the model against its
+    * teacher (n_docs / teacher positives / model keeps / agreement) —
+    * the evaluation a pipeline runs before trusting a distilled gate.
+    * All-integer, drift-free under the exact hash compare. */
+  val txtClassifyTrained = Q("txt_classify_trained",
+    (s, dir) => {
+      val en = graft.operators.TextAnalysis.stopwords.toMap.apply("en")
+      val toks = graft.operators.Dedup.tokens(col("text"))
+      val score = org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.TokensNgramScoreExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("tk")),
+          trainedWeights(s, dir)))
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), toks.as("tk"))
+        .withColumn("label",
+          when(size(col("tk")) >= 2 &&
+            graft.operators.TextAnalysis.hitCount(col("tk"), en) * 10
+              >= size(col("tk")), 1L).otherwise(0L))
+        .withColumn("keep", when(score > 0, 1L).otherwise(0L))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("label").as("n_label"),
+          sum("keep").as("n_keep"),
+          sum(when(col("label") === col("keep"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .orderBy("lang")
+    },
+    Some {
+      val en = graft.operators.TextAnalysis.stopwords.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""
+      WITH tk AS (
+        SELECT doc_id, lang, list_filter(
+          regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS tk
+        FROM documents),
+      lab AS (
+        SELECT doc_id, lang, tk,
+               CASE WHEN len(tk) >= 2 AND
+                 len(list_filter(tk, t -> list_contains($en, t))) * 10
+                   >= len(tk)
+                 THEN 1 ELSE 0 END AS label
+        FROM tk),
+      bg AS (
+        SELECT doc_id, label,
+               unnest(list_transform(range(len(tk) - 1),
+                 i -> tk[i + 1] || ' ' || tk[i + 2])) AS g
+        FROM lab WHERE len(tk) >= 2),
+      bk AS (
+        SELECT doc_id, label,
+               ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS bk
+        FROM bg),
+      freq AS (
+        SELECT bk, COUNT(CASE WHEN label = 1 THEN 1 END) AS p,
+                   COUNT(CASE WHEN label = 0 THEN 1 END) AS q
+        FROM bk GROUP BY bk),
+      tot AS (SELECT SUM(p) AS pt, SUM(q) AS qt FROM freq),
+      w AS (
+        SELECT bk,
+               ((p + 1) * 1000000 // (pt + 4096)) * 1000 //
+                 greatest((q + 1) * 1000000 // (qt + 4096), 1) - 1000 AS w
+        FROM freq CROSS JOIN tot),
+      sc AS (
+        SELECT b.doc_id, SUM(w.w) AS score
+        FROM bk b JOIN w USING (bk) GROUP BY b.doc_id),
+      per AS (
+        SELECT l.lang, l.label,
+               CASE WHEN COALESCE(s.score, 0) > 0 THEN 1 ELSE 0 END AS keep
+        FROM lab l LEFT JOIN sc s ON s.doc_id = l.doc_id)
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(label) AS BIGINT) AS n_label,
+             CAST(SUM(keep) AS BIGINT) AS n_keep,
+             CAST(SUM(CASE WHEN label = keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree
+      FROM per GROUP BY lang ORDER BY lang"""
+    })
+
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats, txtPhrase,
     txtPhraseIndexed,
@@ -1758,5 +1869,5 @@ object TextQueries {
     txtPii, txtBpePairs,
     txtBpeTrain, txtBpeEncode,
     txtFreqScore, pipeMix, txtNovelty, txtLmScore, pipeCurriculum,
-    txtIdfKeywords, pipeMask, txtClassify, pipeDsir)
+    txtIdfKeywords, pipeMask, txtClassify, pipeDsir, txtClassifyTrained)
 }

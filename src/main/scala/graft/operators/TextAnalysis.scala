@@ -192,4 +192,49 @@ object TextAnalysis {
         hit.reduce(_ + _).as("n_terms_hit"))
       .filter(col("n_terms_hit") > 0)
   }
+
+  /** Train a two-class hashed-bigram linear model (the naive-Bayes /
+    * fastText quality-gate shape): token bigrams hash into `buckets`
+    * (h32 mod buckets — the [[graft.functions.TokensNgramScoreExpr]]
+    * feature law, so the fitted table plugs straight into the fused
+    * inference kernel), per-bucket class occurrence counts fold in ONE
+    * corpus pass (map-side combined; output BOUNDED at `buckets` rows by
+    * construction — the literal-LUT collect discipline), and the weight
+    * is the Laplace-smoothed integer micro-probability ratio of the two
+    * classes CENTERED on 0 (ratio 1 → 0), the transcendental-free
+    * surrogate of the log-likelihood ratio (monotone per bucket — the
+    * pipe_dsir oracle law), so `Σ weights > 0` is the keep decision.
+    *
+    * `docs` needs a tokens array column `tokCol` and a boolean teacher
+    * column `labelCol`; rows with fewer than 2 tokens contribute no
+    * feature (the kernel scores them 0 at inference). Scale shape: the
+    * only shuffle is the `buckets`-row aggregation; the model never
+    * becomes a join table. */
+  def fitBigramRatioWeights(docs: DataFrame, tokCol: String,
+                            labelCol: String,
+                            buckets: Int = 4096): Seq[Long] = {
+    require(buckets > 0, s"need a positive bucket count, got $buckets")
+    val rows = docs
+      .select(col(labelCol).as("__label"), col(tokCol).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col("__label"), explode(expr(
+        "transform(sequence(0, size(__tk) - 2), " +
+          "i -> concat(__tk[i], ' ', __tk[i + 1]))")).as("__g"))
+      .select(col("__label"),
+        pmod(Dedup.h32(col("__g")), lit(buckets.toLong))
+          .cast("int").as("__bk"))
+      .groupBy("__bk")
+      .agg(count(when(col("__label"), 1)).as("p"),
+        count(when(!col("__label"), 1)).as("q"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val pt = rows.map(_._2).sum
+    val qt = rows.map(_._3).sum
+    val m = rows.map(t => t._1 -> (t._2, t._3)).toMap
+    (0 until buckets).map { b =>
+      val (p, q) = m.getOrElse(b, (0L, 0L))
+      val pm = ((p + 1L) * 1000000L) / (pt + buckets)
+      val qm = math.max(((q + 1L) * 1000000L) / (qt + buckets), 1L)
+      (pm * 1000L) / qm - 1000L
+    }
+  }
 }

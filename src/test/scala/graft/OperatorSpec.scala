@@ -242,6 +242,57 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(fused1(9003L) == 0L && fused1(9002L) != 0L)
   }
 
+  test("trained bigram classifier: fitBigramRatioWeights separates a " +
+       "planted two-class corpus, the fitted (signed) weights serve " +
+       "bit-equal through the fused kernel, and the table is bounded") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // positives share a handful of stop-ish bigrams; negatives are
+    // id-salted so every negative bigram is (md5-deterministically) its
+    // own feature
+    val pos = (0 until 20).map(i =>
+      (i.toLong, "the of and to the of and to", true))
+    val neg = (0 until 20).map(i =>
+      (100L + i, s"u${i}a u${i}b u${i}c u${i}d", false))
+    val d = (pos ++ neg).toDF("doc_id", "text", "label")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("tk"),
+        col("label"))
+    val w = TextAnalysis.fitBigramRatioWeights(d, "tk", "label")
+    assert(w.length == 4096, "weight table is not the bounded LUT")
+    assert(w.exists(_ > 0) && w.exists(_ < 0),
+      "fitted table carries no signal in one of the classes")
+    val score = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.TokensNgramScoreExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("tk")), w))
+    val scored = d.select(col("doc_id"), score.as("score"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    scored.foreach { case (id, s, label) =>
+      assert((s > 0) == label,
+        s"doc $id: fitted model misclassifies its training corpus ($s)")
+    }
+    // a held-out positive-family doc keeps > 0 (its bigrams were seen;
+    // distillation generalizes to unseen docs of the seen distribution)
+    val held = Seq((900L, "the of and to")).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("tk"))
+    assert(held.select(score.as("s")).head().getLong(0) > 0,
+      "held-out positive-family doc not kept")
+    // fitted weights (which, unlike the md5 stand-ins, carry real signs
+    // and magnitudes) stay bit-equal between the compiled kernel and the
+    // interpreted HOF twin
+    val wLut = lit(w.toArray)
+    val toks = col("tk")
+    val bg = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val hof = d.select(col("doc_id"),
+        aggregate(bg, lit(0L), (acc, g) => acc + element_at(wLut,
+          pmod(Dedup.h32(g), lit(4096L)).cast("int") + 1)).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scored.map(t => t._1 -> t._2).toMap == hof,
+      "fitted-weight fused score diverges from the HOF twin")
+  }
+
   test("gram stats: fused kernel equals the HOF twin; repetition ratio " +
        "flags planted boilerplate") {
     val d = docs20.select("doc_id", "text")
