@@ -1861,6 +1861,67 @@ object TextQueries {
       FROM per GROUP BY lang ORDER BY lang"""
     })
 
+  /** SEMANTIC benchmark decontamination — the embedding-space twin of
+    * txt_decontam's n-gram overlap (the published recipe for catching
+    * paraphrased/translated eval leakage that n-gram matching misses:
+    * flag every training item whose embedding sits within cosine τ of
+    * any benchmark item). Decontamination needs EXACT RECALL — a missed
+    * contamination poisons an eval — so unlike the cell-scoped
+    * dedup_semantic_incremental there is NO candidate pruning: the
+    * benchmark set (bounded by contract: eval suites are thousands of
+    * items, not corpora) is BROADCAST and the corpus is scanned ONCE
+    * with the per-row max-over-benchmark verify fused in-plan — zero
+    * corpus shuffle, hits-only output. Fixture benchmark: perturbed
+    * copies of every vec_id % 97 == 0 embedding (the leaked items,
+    * cosine ≈ 0.97 to their sources) and negated copies of % 97 == 3
+    * (clean items — max natural |cosine| is 0.60, far under τ = 0.9, so
+    * they flag nothing). Verdict per contaminated doc: lowest matching
+    * bench id (the dedup keep-lowest shape). */
+  val txtDecontamSemantic = Q("txt_decontam_semantic",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val off = DedupQueries.plantOffset(s, dir, "embeddings", "vec_id")
+      val bench = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + off).as("bench_id"),
+          concat(array(element_at(col("v"), 1) + lit(0.25)),
+            slice(col("v"), 2, 63)).as("bv"))
+        .unionAll(emb.filter(col("vec_id") % 97 === 3)
+          .select((col("vec_id") + off * 2).as("bench_id"),
+            transform(col("v"), x => -x).as("bv")))
+      emb.crossJoin(broadcast(bench))
+        .withColumn("score_micro",
+          floor(graft.functions.VectorOps.cosine(col("v"), col("bv"))
+            * 1e6 + lit(0.5)).cast("long"))
+        .filter(col("score_micro") >= 900000)
+        .groupBy("vec_id")
+        .agg(min("bench_id").as("bench_id"),
+          min_by(col("score_micro"), col("bench_id")).as("score_micro"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      boff AS (SELECT greatest(100000, max(vec_id) + 1) AS o
+               FROM embeddings),
+      bench AS (
+        SELECT vec_id + (SELECT o FROM boff) AS bench_id,
+               [v[1] + 0.25] || v[2:64] AS bv
+        FROM e WHERE vec_id % 97 = 0
+        UNION ALL
+        SELECT vec_id + 2 * (SELECT o FROM boff),
+               list_transform(v, x -> -x)
+        FROM e WHERE vec_id % 97 = 3),
+      hits AS (
+        SELECT e.vec_id, b.bench_id,
+               CAST(floor(list_cosine_similarity(e.v, b.bv) * 1000000 + 0.5)
+                 AS BIGINT) AS score_micro
+        FROM e CROSS JOIN bench b)
+      SELECT vec_id, MIN(bench_id) AS bench_id,
+             MIN_BY(score_micro, bench_id) AS score_micro
+      FROM hits WHERE score_micro >= 900000
+      GROUP BY 1 ORDER BY 1"""))
+
   def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats, txtPhrase,
     txtPhraseIndexed,
@@ -1869,5 +1930,6 @@ object TextQueries {
     txtPii, txtBpePairs,
     txtBpeTrain, txtBpeEncode,
     txtFreqScore, pipeMix, txtNovelty, txtLmScore, pipeCurriculum,
-    txtIdfKeywords, pipeMask, txtClassify, pipeDsir, txtClassifyTrained)
+    txtIdfKeywords, pipeMask, txtClassify, pipeDsir, txtClassifyTrained,
+    txtDecontamSemantic)
 }

@@ -293,6 +293,29 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       "fitted-weight fused score diverges from the HOF twin")
   }
 
+  test("semantic decontam: the benchmark set is broadcast and the corpus " +
+       "is scanned once — the only exchange is the final hits-only " +
+       "roll-up (exact-recall contract: no candidate pruning)") {
+    val q = TextQueries.txtDecontamSemantic.fn(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("BuildRight"),
+      "benchmark side is not broadcast against the streamed corpus")
+    // below the join (the printed subtree: corpus scan + broadcast side)
+    // there must be NO shuffle — the only exchanges are the broadcast
+    // itself and the post-verify roll-up/sort above the join
+    val below = plan.split("BroadcastNestedLoopJoin").lift(1)
+      .getOrElse(fail("join node missing from plan"))
+    assert(!below.contains("Exchange hashpartitioning") &&
+      !below.contains("Exchange rangepartitioning"),
+      s"corpus shuffles before the verify:\n$plan")
+    // the verify output is hits-only: planted leaks (% 97 == 0), nothing
+    // from the clean benchmark half
+    val rows = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.forall { case (v, b) =>
+      v % 97 == 0 && b >= 100000L })
+  }
+
   test("gram stats: fused kernel equals the HOF twin; repetition ratio " +
        "flags planted boilerplate") {
     val d = docs20.select("doc_id", "text")
