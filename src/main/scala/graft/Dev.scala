@@ -476,6 +476,53 @@ object Dev {
           println(f"[fused] iter $i: ${run(fusedCol)}%.2f s   " +
             f"[hof] ${run(hofCol)}%.2f s")
         }
+      case "semprobe" :: dir :: rest =>
+        // stage decomposition of dedup_semantic_incremental's serving
+        // cost on one blown-up corpus: which piece of pairsAgainst
+        // dominates (delivery assignment / index scan / cell join+score /
+        // hits distinct / final verdict agg)?
+        import org.apache.spark.sql.functions._
+        import graft.sources.{SemanticDedupIndex, ServedReads}
+        val factor = rest.headOption.map(_.toInt).getOrElse(1000)
+        val fdir = blowUpDir(spark, dir, factor)
+        val idx = DedupQueries.semanticIndexDir(spark, fdir)
+        val delivery = DedupQueries.semanticDelivery(spark, fdir)
+        val local = SemanticDedupIndex.pinnedCentroids(spark, idx)
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+          .sortBy(_._1)
+        println(s"cells: ${local.length}")
+        def t(tag: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"  $tag%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+            f"   rows $n%,d")
+        }
+        val del = delivery
+          .select(col("vec_id").as("delivery_id"),
+            col("v").cast("array<double>").as("dv"))
+          .withColumn("cluster", org.apache.spark.sql.GraftSqlBridge.column(
+            graft.functions.ArgminCellExpr(
+              org.apache.spark.sql.GraftSqlBridge.expression(col("dv")),
+              local.map(_._2.toSeq).toSeq, local.map(_._1).toSeq)))
+        val scored = ServedReads.of(spark, idx)
+          .join(broadcast(del), Seq("cluster"))
+          .withColumn("score_micro",
+            floor(graft.functions.VectorOps.cosine(col("v"), col("dv"))
+              * 1e6 + lit(0.5)).cast("long"))
+        (1 to 2).foreach { it =>
+          println(s"== iter $it")
+          t("delivery assign (fused)")(del.count())
+          t("index scan alone")(ServedReads.of(spark, idx).count())
+          t("join+score (no filter)")(scored.count())
+          t("join+score+filter hits")(
+            scored.filter(col("score_micro") >= 900000).count())
+          t("pairsAgainst (full, distinct)")(
+            SemanticDedupIndex.pairsAgainst(spark, idx, delivery,
+              "vec_id", "v", 900000L).count())
+          t("declared query")(
+            Queries.queries("dedup_semantic_incremental")(spark, fdir)
+              .count())
+        }
       case "simhashbuckets" :: dir :: Nil =>
         // diagnostic for the §8.5b simhash cliff: is candidate blowup
         // uniform band saturation or super-bucket skew?

@@ -6,8 +6,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorOps
-import graft.operators.Ann
+import graft.functions.{ArgminCellExpr, VectorOps}
 
 /** Persisted SemDeDup cell index over an embedding corpus — the semantic
   * twin of the MinHash [[DedupIndex]]: the 100 TB serving law is the
@@ -66,6 +65,18 @@ object SemanticDedupIndex {
     * dropped (the scan is near-full anyway) and the join runs unpruned. */
   val MaxLiteralCells = 256
 
+  /** Verify-stage work budget per task, in candidate PAIRS. The cell
+    * join's input bytes are tiny (the index is a compact parquet scan)
+    * but its output is Σ_cell |index_cell|·|delivery_cell| cosine
+    * verifies — a CPU-heavy fan-out Spark's bytes-based task packing
+    * cannot see, so a skewed 111M-pair probe ran on the 2-4 tasks its
+    * 256 MB scan packed into (measured: 54 s verify at 1000×, §8 probe
+    * record; ≈ 0.5-1M pairs/s/task). [[pairsAgainst]] estimates the pair
+    * fan-out zero-job (delivery per-cell counts × parquet-footer per-cell
+    * index counts) and repartitions the pruned read when the estimate
+    * exceeds this budget × the scan's natural parallelism. */
+  val PairsPerTask = 2000000L
+
   private def metaPath(dir: String) =
     Paths.get(dir, "_semantic_index.json")
 
@@ -113,41 +124,64 @@ object SemanticDedupIndex {
     pinnedCentroidsLocal(spark, dir).toSeq.toDF("cid", "cv")
   }
 
-  /** (id, v, cluster) rows under the pinned artifacts — the one
+  /** (id, v, cluster) rows under the given centroids — the one
     * assignment definition build, append and the delivery side of
-    * [[pairsAgainst]] all share. */
-  private def assigned(points: DataFrame, idCol: String, vecCol: String,
-                       centroids: DataFrame): DataFrame = {
+    * [[pairsAgainst]] all share. Assignment is the FUSED in-row argmin
+    * ([[ArgminCellExpr]] — the k·dim centroid matrix rides the generated
+    * code as a reference object): one narrow map over the points, no
+    * k-way row blow-up, no re-aggregation shuffle. Bit-identical to the
+    * broadcast-crossjoin `Ann.argminAssign` chain (spec-pinned), which
+    * this replaced after the 1000×-probe measured the k-way blow-up
+    * dominating delivery serving (70.9 s warm at 500k points × 977
+    * cells; see the SemanticDedupIndex §8 probe record). */
+  private def assignedLocal(points: DataFrame, idCol: String,
+                            vecCol: String,
+                            local: Array[(Long, Seq[Double])]): DataFrame = {
     require(!points.columns.contains(Reserved),
       s"input carries a column named '$Reserved' — reserved for the layout")
-    val pts = points.select(col(idCol),
-      col(vecCol).cast("array<double>").as("v"))
-    pts.join(Ann.argminAssign(pts, idCol, "v", centroids, "cid", "cv"),
-      idCol)
+    points.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      // the vector's L2 norm is STORED with the row (and computed once
+      // per delivery point): the per-pair verify then needs only the
+      // dot — CosineSimExpr's 3 accumulators fall to 1 on the Σ|cell|·
+      // |delivery| fan-out, bit-identically (cosine ≡ dot/(norm_a ·
+      // norm_b) where norm = sqrt(dot(v,v)): same sequential sums, same
+      // sqrt, same final ops — the scratch-equality spec pins it)
+      .withColumn("norm", sqrt(VectorOps.dot(col("v"), col("v"))))
+      .withColumn("cluster", org.apache.spark.sql.GraftSqlBridge.column(
+        ArgminCellExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("v")),
+          local.map(_._2).toSeq, local.map(_._1).toSeq)))
   }
 
   /** Materialize the cell index: assign every corpus point to its
     * nearest centroid and write partitioned by cell, with the centroids
     * pinned inside the layout. `centroids` is the caller's trained
     * (cid, cv) table — training stays the caller's (the IvfIndex
-    * contract), persistence is ours. */
+    * contract), persistence is ours; it is collected here (k·dim
+    * doubles, the same driver bound every consumer of a trained centroid
+    * table already accepts) to bind into the fused assignment kernel. */
   def build(spark: SparkSession, points: DataFrame, idCol: String,
             vecCol: String, dir: String, centroids: DataFrame): Unit = {
     ServedReads.evict(dir)
     centroidCache.remove(dir)
-    val cents = centroids.select(col("cid").cast("long").as("cid"),
-      col("cv").cast("array<double>").as("cv"))
-    assigned(points, idCol, vecCol, cents)
+    val local = centroids
+      .select(col("cid").cast("long"), col("cv").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    assignedLocal(points, idCol, vecCol, local)
       .repartition(col("cluster"))
       .write.mode("overwrite")
       .partitionBy("cluster")
       .parquet(dir)
     // artifacts and metadata land AFTER the data write (overwrite deletes
     // the target first; metadata without data would claim a live index)
-    cents.repartition(1).write.mode("overwrite")
+    import spark.implicits._
+    local.toSeq.toDF("cid", "cv").repartition(1).write.mode("overwrite")
       .parquet(dir + "/_centroids")
-    val local = pinnedCentroidsLocal(spark, dir)
     writeMeta(dir, Geometry(idCol, local.length, local.head._2.length))
+    // doubles round-trip parquet exactly, so pre-populating the memo
+    // with the collected table equals reading the pinned copy back
+    centroidCache.put(dir, local)
     ServedReads.evict(dir)
   }
 
@@ -160,7 +194,8 @@ object SemanticDedupIndex {
     require(points.columns.contains(g.idCol),
       s"append input has no '${g.idCol}' column (pinned id_col of $dir)")
     ServedReads.evict(dir)
-    assigned(points, g.idCol, vecCol, pinnedCentroids(spark, dir))
+    assignedLocal(points, g.idCol, vecCol,
+        pinnedCentroidsLocal(spark, dir))
       .repartition(col("cluster"))
       .write.mode("append")
       .partitionBy("cluster")
@@ -168,8 +203,53 @@ object SemanticDedupIndex {
     ServedReads.evict(dir)
   }
 
-  private def scoreMicro(a: Column, b: Column): Column =
-    floor(VectorOps.cosine(a, b) * 1e6 + lit(0.5)).cast("long")
+  /** floor(cosine·1e6 + 0.5) through the stored norms — bit-identical to
+    * scoring [[VectorOps.cosine]] directly (see [[assignedLocal]]). */
+  private def normScoreMicro(a: Column, b: Column,
+                             na: Column, nb: Column): Column =
+    floor(VectorOps.dot(a, b) / (na * nb) * 1e6 + lit(0.5)).cast("long")
+
+  /** Per-cell row counts of a pruned index read, from parquet FOOTERS
+    * over the scan's selected file listing — driver-side metadata
+    * already materialized at planning, zero jobs (the
+    * `IndexRouter.metadataRowCount` discipline, keyed by the partition
+    * value). None when the listing exceeds `maxFiles` (a footer walk
+    * that big stops being a metadata read), the scan is not a single
+    * file scan, or the partition column is missing. */
+  private def cellFooterRows(df: DataFrame, maxFiles: Long = 4096)
+      : Option[Map[Long, Long]] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f
+    }
+    if (scans.length != 1) return None
+    val scan = scans.head
+    val ps = scan.relation.partitionSchema
+    val ci = ps.fieldNames.indexOf(Reserved)
+    if (ci < 0) return None
+    // partition discovery narrows a written BIGINT partition column to
+    // INT on re-read — handle both widths
+    val isLong =
+      ps.fields(ci).dataType == org.apache.spark.sql.types.LongType
+    val listing = scan.selectedPartitions
+    if (listing.totalNumberOfFiles > maxFiles) return None
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val m = scala.collection.mutable.Map.empty[Long, Long]
+    listing.filePartitionIterator.foreach { p =>
+      val cell =
+        if (isLong) p.values.getLong(ci) else p.values.getInt(ci).toLong
+      var rows = 0L
+      p.files.foreach { st =>
+        val rd = ParquetFileReader.open(
+          HadoopInputFile.fromPath(st.getPath, conf))
+        try rows += rd.getRecordCount finally rd.close()
+      }
+      m.update(cell, m.getOrElse(cell, 0L) + rows)
+    }
+    Some(m.toMap)
+  }
 
   /** Delivery-vs-corpus near-duplicate pairs: every (delivery id,
     * corpus id) sharing a cell with cosine ≥ tauMicro/1e6. One bounded
@@ -183,10 +263,11 @@ object SemanticDedupIndex {
                    idCol: String, vecCol: String,
                    tauMicro: Long): DataFrame = {
     val g = geometry(dir)
-    val del = assigned(
+    val del = assignedLocal(
       delivery.select(col(idCol).as("delivery_id"), col(vecCol)),
-      "delivery_id", vecCol, pinnedCentroids(spark, dir))
+      "delivery_id", vecCol, pinnedCentroidsLocal(spark, dir))
       .withColumnRenamed("v", "dv")
+      .withColumnRenamed("norm", "dnorm")
     val cells = del.groupBy("cluster").count()
       .limit(MaxLiteralCells + 1).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -201,12 +282,41 @@ object SemanticDedupIndex {
       .getOption("graft.dedup.semanticBroadcastMaxRows")
       .map(_.toLong).getOrElse(BroadcastMaxRows)
     val right = if (delRows <= maxBroadcast) broadcast(del) else del
-    pruned
+    // verify-stage parallelism (see [[PairsPerTask]]): a NARROW delivery
+    // gets the zero-job exact estimate (its per-cell counts are in hand,
+    // the index's come from parquet footers over the pruned listing —
+    // the IndexRouter.metadataRowCount discipline); a WIDE delivery
+    // (> MaxLiteralCells cells, or footers unavailable) is batch-shaped
+    // — it reads most of the index regardless, so it gets the session's
+    // full width unconditionally. The repartition is an IO-sized
+    // exchange of exactly the rows the verify must read anyway; rows
+    // served are identical on both branches (spec).
+    val natural = pruned.rdd.getNumPartitions
+    val estPairs: Option[Long] =
+      if (cells.length > MaxLiteralCells) None
+      else cellFooterRows(pruned).map(m =>
+        cells.map { case (c, n) => m.getOrElse(c, 0L) * n }.sum)
+    val wanted = estPairs match {
+      case Some(p) =>
+        math.min((p + PairsPerTask - 1) / PairsPerTask,
+          4L * spark.sparkContext.defaultParallelism).toInt
+      case None => spark.sparkContext.defaultParallelism
+    }
+    val verifySrc =
+      if (wanted > natural) pruned.repartition(wanted) else pruned
+    verifySrc
       .join(right, Seq("cluster"))
-      .withColumn("score_micro", scoreMicro(col("v"), col("dv")))
+      .withColumn("score_micro", normScoreMicro(col("v"), col("dv"),
+        col("norm"), col("dnorm")))
       .filter(col("score_micro") >= tauMicro)
       .select(col("delivery_id"), col(g.idCol).as("corpus_id"),
         col("score_micro"))
+      // a replayed [[gateAppend]] crash-window append can only DUPLICATE
+      // index rows, never change them (assignment is deterministic), so
+      // the hits-only output distinct makes serving exactly-once-
+      // effective under at-least-once maintenance — the DedupIndex
+      // contract, paid on hits instead of on the vector-carrying scan
+      .distinct()
   }
 
   /** Driver-side cell of one probe vector — the bit-identical local twin
@@ -239,11 +349,95 @@ object SemanticDedupIndex {
     require(vec.length == g.dim,
       s"probe vector has ${vec.length} dims, index pinned ${g.dim}")
     val cell = probeCell(spark, dir, vec)
+    // the probe's norm, by the same sequential sum + sqrt as the engine
+    var ss = 0.0
+    vec.foreach(x => ss += x * x)
     ServedReads.of(spark, dir)
       .filter(col("cluster") === cell)
       .withColumn("score_micro",
-        scoreMicro(col("v"), lit(vec.toArray)))
+        normScoreMicro(col("v"), lit(vec.toArray),
+          col("norm"), lit(math.sqrt(ss))))
       .filter(col("score_micro") >= tauMicro)
       .select(col(g.idCol), col("score_micro"))
+      // crash-window duplicates count once (see pairsAgainst)
+      .distinct()
+  }
+
+  /** The streaming ingestion gate — the [[DedupIndex.gateAppend]]
+    * contract on the SEMANTIC index (the dedup-before-store loop for
+    * embedded content): reject every batch point that near-collides with
+    * the corpus ([[pairsAgainst]]) or with a LOWER-id point in the same
+    * batch (keep-lowest on within-batch cell-mate collisions — new ids
+    * are monotone in arrival, so lowest = first seen), then [[append]]
+    * the survivors under the pinned centroids so the NEXT batch
+    * deduplicates against them too. Returns the kept points.
+    *
+    * Replay contract (`batchId`): identical to the lexical gate — a
+    * committed batch id returns an EMPTY frame and touches nothing; the
+    * marker lands AFTER the append, so a crash in that window re-appends
+    * IDENTICAL rows on retry, which is why both serving verbs distinct
+    * their hits (at-least-once maintenance, exactly-once-effective
+    * serving). */
+  def gateAppend(spark: SparkSession, dir: String, batch: DataFrame,
+                 idCol: String, vecCol: String, tauMicro: Long,
+                 batchId: Option[Long] = None): DataFrame = {
+    require(idCol != "delivery_id" && idCol != "corpus_id",
+      "batch id column must not collide with the pair output names")
+    val marker = batchId.map(id =>
+      Paths.get(dir, "_gated_batches", id.toString))
+    if (marker.exists(Files.exists(_)))
+      return batch.limit(0)
+    val vsCorpus = pairsAgainst(spark, dir, batch, idCol, vecCol, tauMicro)
+      .select(col("delivery_id").as(idCol)).distinct()
+    val asg = assignedLocal(batch.select(col(idCol), col(vecCol)), idCol,
+      vecCol, pinnedCentroidsLocal(spark, dir))
+    val intraLosers = asg
+      .select(col("cluster"), col(idCol).as("__a"), col("v").as("__va"),
+        col("norm").as("__na"))
+      .join(asg.select(col("cluster"), col(idCol).as("__b"),
+        col("v").as("__vb"), col("norm").as("__nb")), Seq("cluster"))
+      .filter(col("__a") < col("__b"))
+      .filter(normScoreMicro(col("__va"), col("__vb"), col("__na"),
+        col("__nb")) >= tauMicro)
+      .select(col("__b").as(idCol)).distinct()
+    val kept = batch.join(vsCorpus.unionAll(intraLosers).distinct(),
+      Seq(idCol), "left_anti")
+    append(spark, kept, vecCol, dir)
+    marker.foreach { m =>
+      Files.createDirectories(m.getParent); Files.write(m, Array[Byte]())
+    }
+    kept
+  }
+
+  /** Small-files maintenance for a long-gated index (the
+    * [[DedupIndex.compact]] discipline): every [[gateAppend]] leaves one
+    * file per touched cell per micro-batch; rewrite the layout with one
+    * exchange on the partition key into a staging dir, then swap. The
+    * PINNED artifacts travel with the new generation — `_centroids/`
+    * (losing them would orphan the layout), metadata, and the gate's
+    * replay fence. Rows are byte-identical: compaction is an IO-layout
+    * verb, never a semantic one. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val g = geometry(dir)
+    Drift.stagedRebuild(dir) { staging =>
+      ServedReads.of(spark, dir)
+        .select(col(g.idCol), col("v"), col("norm"), col("cluster"))
+        .repartition(col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(staging)
+      pinnedCentroids(spark, dir).repartition(1)
+        .write.mode("overwrite").parquet(staging + "/_centroids")
+      writeMeta(staging, g)
+      val fence = Paths.get(dir, "_gated_batches")
+      if (Files.isDirectory(fence)) {
+        val target = Paths.get(staging, "_gated_batches")
+        Files.createDirectories(target)
+        val s = Files.list(fence)
+        try s.forEach(p =>
+          Files.copy(p, target.resolve(p.getFileName.toString)))
+        finally s.close()
+      }
+    }
   }
 }

@@ -39,7 +39,8 @@ class SemanticDedupIndexSpec extends AnyFunSuite with SparkSpec {
 
   test("probeCell is bit-identical to the distributed argmin assignment " +
        "on fixture vectors and their perturbations (the zero-job probe " +
-       "twin's contract)") {
+       "twin's contract), and the fused ArgminCellExpr kernel matches " +
+       "both") {
     val dir = builtDir("semtwin")
     val pts = corpus.orderBy("vec_id").limit(40)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -48,6 +49,18 @@ class SemanticDedupIndexSpec extends AnyFunSuite with SparkSpec {
         "vec_id")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(2), r.getSeq[Double](1))).toMap
+    // the fused in-row kernel (the serving/build assignment since the
+    // 1000×-probe fix) agrees with the broadcast-crossjoin HOF chain
+    val local = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val fused = pts.select(col("vec_id"),
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.ArgminCellExpr(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("v")),
+            local.map(_._2).toSeq, local.map(_._1).toSeq)).as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == distributed.map { case (id, (c, _)) => id -> c },
+      "fused argmin kernel diverges from the argminAssign chain")
     distributed.foreach { case (id, (cluster, v)) =>
       assert(SemanticDedupIndex.probeCell(spark, dir, v) == cluster,
         s"vec $id: local cell != distributed assignment $cluster")
@@ -88,8 +101,14 @@ class SemanticDedupIndexSpec extends AnyFunSuite with SparkSpec {
       .map(_.takeWhile(_ != '\n'))
       .getOrElse(fail("no PartitionFilters in lookup plan"))
     assert(pf.contains("cluster"), s"probe cell not in PartitionFilters: $pf")
-    read.queryExecution.toRdd.foreach(_ => ())
-    val numFiles = read.queryExecution.executedPlan.collectLeaves()
+    // numFiles is measured on the scan stage alone (the DedupIndexSpec
+    // discipline: the serving verb's distinct wraps the plan in AQE,
+    // which hides leaf metrics; pruning happens at the scan either way)
+    val cell = SemanticDedupIndex.probeCell(spark, dir, probe)
+    val scan = graft.sources.ServedReads.of(spark, dir)
+      .filter(col("cluster") === cell)
+    scan.queryExecution.toRdd.foreach(_ => ())
+    val numFiles = scan.queryExecution.executedPlan.collectLeaves()
       .flatMap(_.metrics.get("numFiles").map(_.value)).sum
     // the build repartitions on the partition key → one file per cell;
     // the probe touches exactly one cell
@@ -190,6 +209,75 @@ class SemanticDedupIndexSpec extends AnyFunSuite with SparkSpec {
       "appended layout diverged from the from-scratch build")
     assert(SemanticDedupIndex.geometry(dir) ==
       SemanticDedupIndex.geometry(full))
+  }
+
+  test("gateAppend: per-batch semantic dedup-before-store — corpus and " +
+       "within-batch rejects, the gated layout equals a rebuild over " +
+       "corpus + kept, replay fence, crash-window duplicates count " +
+       "once, fence and pinned artifacts survive compact") {
+    import spark.implicits._
+    val dir = tmp("semgate")
+    val base = corpus.filter(col("vec_id").isin(1L, 2L))
+    SemanticDedupIndex.build(spark, base, "vec_id", "embedding", dir, cents)
+    val (v1, v3, v4, v5) = (vecOf(1L), vecOf(3L), vecOf(4L), vecOf(5L))
+    def nearCopy(v: Seq[Double]): Seq[Double] = (v.head + 1e-4) +: v.tail
+    // batch 1: near-copy of corpus 1 → reject; novel 103/104 → keep;
+    // 105 = near-copy of 103 → within-batch loser (keep-lowest)
+    val b1 = Seq((101L, nearCopy(v1)), (103L, v3), (104L, v4),
+      (105L, nearCopy(v3))).toDF("vec_id", "embedding")
+    val kept1 = SemanticDedupIndex.gateAppend(spark, dir, b1, "vec_id",
+      "embedding", 900000L, Some(1L))
+    assert(kept1.collect().map(_.getLong(0)).toSet == Set(103L, 104L))
+    // batch 2: near-copy of a point kept in batch 1 → reject (the gate
+    // dedups against survivors too); novel 206 → keep
+    val b2 = Seq((203L, nearCopy(v3)), (206L, v5))
+      .toDF("vec_id", "embedding")
+    val kept2 = SemanticDedupIndex.gateAppend(spark, dir, b2, "vec_id",
+      "embedding", 900000L, Some(2L))
+    assert(kept2.collect().map(_.getLong(0)).toSet == Set(206L))
+    // the per-batch-equals-rebuild law: gated layout == one build over
+    // corpus + all kept points (same pinned artifacts)
+    val full = tmp("semgate_full")
+    SemanticDedupIndex.build(spark,
+      base.unionAll(Seq((103L, v3), (104L, v4), (206L, v5))
+        .toDF("vec_id", "embedding")),
+      "vec_id", "embedding", full, cents)
+    def rows(d: String): Set[(Long, Long)] = spark.read.parquet(d)
+      .select(col("vec_id"), col("cluster").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(dir) == rows(full), "gated layout diverged from rebuild")
+    // replay: committed marker short-circuits — empty, rows unchanged
+    def count(): Long = spark.read.parquet(dir).count()
+    val n1 = count()
+    assert(SemanticDedupIndex.gateAppend(spark, dir, b1, "vec_id",
+      "embedding", 900000L, Some(1L)).isEmpty && count() == n1)
+    // crash window: the append landed but the marker didn't — re-append
+    // the SAME kept rows; serving must still count each point once
+    SemanticDedupIndex.append(spark,
+      Seq((103L, v3), (104L, v4)).toDF("vec_id", "embedding"),
+      "embedding", dir)
+    assert(count() == n1 + 2, "duplicate append did not duplicate rows")
+    val hit = SemanticDedupIndex.lookup(spark, dir, v3, 999999L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hit == Map(103L -> 1000000L),
+      s"duplicate rows leaked into serving: $hit")
+    val pairs = SemanticDedupIndex.pairsAgainst(spark, dir,
+        Seq((900L, v3)).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        999999L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((900L, 103L)),
+      s"duplicate rows leaked into pairsAgainst: $pairs")
+    // compact: one file per cell again, rows byte-identical, pinned
+    // artifacts + replay fence travel with the new generation
+    val before = rows(dir)
+    SemanticDedupIndex.compact(spark, dir)
+    assert(count() == n1 + 2 && rows(dir) == before,
+      "compact changed index rows")
+    assert(SemanticDedupIndex.gateAppend(spark, dir, b1, "vec_id",
+      "embedding", 900000L, Some(1L)).isEmpty,
+      "replay fence lost across compact")
+    assert(SemanticDedupIndex.lookup(spark, dir, v3, 999999L).collect()
+      .nonEmpty, "pinned centroids lost across compact")
   }
 
   test("loud failures: reserved column, missing pinned id column on " +
