@@ -1143,10 +1143,57 @@ object DedupQueries {
               >= 900000
       ORDER BY corpus_id"""))
 
+  /** V6, batched semantic point probes — `dedup_semantic_lookup` × 3
+    * through ONE pruned scan: every probe's cell and norm are
+    * driver-computed (zero jobs), the cells' union is one literal
+    * cluster IN filter, and per-probe attribution is a broadcast join
+    * against the 3-row literal probe table (the queryPointsMulti
+    * batching discipline on the semantic index). Probes = near-copies
+    * of the 3 lowest % 50 == 1 embeddings. */
+  val dedupSemanticLookupBatch = Q("dedup_semantic_lookup_batch",
+    (s, dir) => {
+      val probes = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 50 === 1)
+        .orderBy("vec_id").limit(3)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map { r =>
+          val v = r.getSeq[Double](1)
+          (r.getLong(0), (v.head + 0.25) +: v.tail)
+        }.toSeq
+      graft.sources.SemanticDedupIndex.lookupMulti(
+          s, semanticIndexDir(s, dir), probes, 900000L)
+        .select(col("probe_id"), col("vec_id").as("corpus_id"),
+          col("score_micro"))
+        .orderBy("probe_id", "corpus_id")
+    },
+    Some(s"""
+      WITH ${AnnQueries.kmeansSql(8, 2)},
+      lows AS (
+        SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM e WHERE vec_id % 50 = 1),
+      probe AS (
+        SELECT vec_id AS probe_id, [v[1] + 0.25] || v[2:64] AS pv
+        FROM lows WHERE rn <= 3),
+      pcell AS (
+        SELECT probe_id, pv, cid AS cluster FROM (
+          SELECT p.probe_id, p.pv, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                   ORDER BY list_distance(p.pv, c.cv), c.cid) AS rn
+          FROM probe p CROSS JOIN c2 c) WHERE rn = 1),
+      ${assignSql("e", "casg")}
+      SELECT p.probe_id, c.vec_id AS corpus_id,
+             CAST(floor(list_cosine_similarity(c.v, p.pv) * 1000000 + 0.5)
+               AS BIGINT) AS score_micro
+      FROM casg c JOIN pcell p ON c.cluster = p.cluster
+      WHERE floor(list_cosine_similarity(c.v, p.pv) * 1000000 + 0.5)
+              >= 900000
+      ORDER BY probe_id, corpus_id"""))
+
   def queries: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash,
     dedupNgram, dedupEmbed, dedupCluster, dedupPriority,
     dedupStreamNeardup,
     dedupSegments, dedupSemantic, dedupBloom, dedupSubstring,
     dedupIncremental, dedupLookup, dedupLookupBatch,
-    dedupSemanticIncremental, dedupSemanticLookup)
+    dedupSemanticIncremental, dedupSemanticLookup,
+    dedupSemanticLookupBatch)
 }

@@ -363,6 +363,48 @@ object SemanticDedupIndex {
       .distinct()
   }
 
+  /** Batched point probes — the `queryPointsMulti` serving discipline on
+    * the semantic index (the [[DedupIndex.lookupMulti]] twin): ALL
+    * probes' cells and norms are computed DRIVER-SIDE (zero jobs), their
+    * cells' union becomes ONE literal cluster IN filter over ONE scan,
+    * and per-probe attribution is a broadcast join against the
+    * batch-row literal probe table — job budget independent of batch
+    * size (spec), each probe's rows equal to its single-[[lookup]]
+    * serving. Bounded loudly by [[graft.operators.Knn.MaxBatchQueries]].
+    * Output: (probe_id, id_col, score_micro). */
+  def lookupMulti(spark: SparkSession, dir: String,
+                  probes: Seq[(Long, Seq[Double])],
+                  tauMicro: Long): DataFrame = {
+    graft.operators.Knn.requireBatch(probes.length,
+      "SemanticDedupIndex.lookupMulti")
+    require(probes.map(_._1).distinct.length == probes.length,
+      "duplicate probe ids in batch")
+    val g = geometry(dir)
+    probes.foreach { case (pid, v) =>
+      require(v.length == g.dim,
+        s"probe $pid has ${v.length} dims, index pinned ${g.dim}")
+    }
+    val rows = probes.map { case (pid, v) =>
+      var ss = 0.0
+      v.foreach(x => ss += x * x)
+      (pid, probeCell(spark, dir, v), v, math.sqrt(ss))
+    }
+    val cells = rows.map(_._2).distinct
+    val pruned = ServedReads.of(spark, dir)
+      .filter(col("cluster").isin(cells: _*))
+    import spark.implicits._
+    val probeTable = broadcast(
+      rows.toDF("probe_id", "cluster", "pv", "pnorm"))
+    pruned
+      .join(probeTable, Seq("cluster"))
+      .withColumn("score_micro", normScoreMicro(col("v"), col("pv"),
+        col("norm"), col("pnorm")))
+      .filter(col("score_micro") >= tauMicro)
+      .select(col("probe_id"), col(g.idCol), col("score_micro"))
+      // crash-window duplicates count once (see pairsAgainst)
+      .distinct()
+  }
+
   /** The streaming ingestion gate — the [[DedupIndex.gateAppend]]
     * contract on the SEMANTIC index (the dedup-before-store loop for
     * embedded content): reject every batch point that near-collides with
@@ -409,6 +451,76 @@ object SemanticDedupIndex {
     kept
   }
 
+  /** The layout's stored points as the (id, v) frame maintenance verbs
+    * train/score against. */
+  private def storedPoints(spark: SparkSession, dir: String): DataFrame = {
+    val g = geometry(dir)
+    ServedReads.of(spark, dir).select(col(g.idCol), col("v")).distinct()
+  }
+
+  /** Snapshot the build-time assignment-distance sketch (`_drift/`
+    * sidecar — the [[Drift]] signal's baseline) under the PINNED
+    * centroids. Call after [[build]] when drift maintenance is wanted;
+    * [[retrain]] refreshes it automatically. */
+  def snapshotDrift(spark: SparkSession, dir: String): Unit = {
+    val g = geometry(dir)
+    Drift.snapshotAssignment(dir, storedPoints(spark, dir), g.idCol, "v",
+      pinnedCentroids(spark, dir))
+  }
+
+  /** The drift signal for this index: current-contents q-quantile
+    * assignment distance under the PINNED centroids over the pinned
+    * build-time quantile — exactly 1.0 on unchanged data, rising as
+    * appended content drifts from the distribution the centroids were
+    * trained on (see [[Drift.assignmentRatio]]). */
+  def driftRatio(spark: SparkSession, dir: String,
+                 q: Double = 0.9): Double = {
+    val g = geometry(dir)
+    Drift.assignmentRatio(spark, dir, storedPoints(spark, dir), g.idCol,
+      "v", pinnedCentroids(spark, dir), q = q)
+  }
+
+  /** Staged RETRAIN (the [[Drift]] maintenance verb, the IvfIndex
+    * contract): train FRESH centroids from the CURRENT index contents
+    * with the caller's trainer (the same function the original build
+    * used), rebuild the whole layout into staging, swap — the live
+    * layout serves until the renames, and the gate's replay fence
+    * travels with the new generation. The drift snapshot is refreshed
+    * against the new artifacts. Retrain is never implicit in append
+    * (append == pinned-artifact assignment is the contract). */
+  def retrain(spark: SparkSession, dir: String,
+              trainCentroids: DataFrame => DataFrame): Unit = {
+    val g = geometry(dir)
+    val pts = storedPoints(spark, dir)
+    val local = trainCentroids(pts)
+      .select(col("cid").cast("long"), col("cv").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    import spark.implicits._
+    Drift.stagedRebuild(dir) { staging =>
+      assignedLocal(pts, g.idCol, "v", local)
+        .repartition(col("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(staging)
+      local.toSeq.toDF("cid", "cv").repartition(1).write.mode("overwrite")
+        .parquet(staging + "/_centroids")
+      writeMeta(staging, Geometry(g.idCol, local.length, g.dim))
+      Drift.snapshotAssignment(staging, pts, g.idCol, "v",
+        local.toSeq.toDF("cid", "cv"))
+      val fence = Paths.get(dir, "_gated_batches")
+      if (Files.isDirectory(fence)) {
+        val target = Paths.get(staging, "_gated_batches")
+        Files.createDirectories(target)
+        val s = Files.list(fence)
+        try s.forEach(p =>
+          Files.copy(p, target.resolve(p.getFileName.toString)))
+        finally s.close()
+      }
+    }
+    centroidCache.put(dir, local)
+  }
+
   /** Small-files maintenance for a long-gated index (the
     * [[DedupIndex.compact]] discipline): every [[gateAppend]] leaves one
     * file per touched cell per micro-batch; rewrite the layout with one
@@ -429,14 +541,19 @@ object SemanticDedupIndex {
       pinnedCentroids(spark, dir).repartition(1)
         .write.mode("overwrite").parquet(staging + "/_centroids")
       writeMeta(staging, g)
-      val fence = Paths.get(dir, "_gated_batches")
-      if (Files.isDirectory(fence)) {
-        val target = Paths.get(staging, "_gated_batches")
-        Files.createDirectories(target)
-        val s = Files.list(fence)
-        try s.forEach(p =>
-          Files.copy(p, target.resolve(p.getFileName.toString)))
-        finally s.close()
+      // the replay fence and the drift baseline travel too — rows are
+      // byte-identical across a compact, so the pinned snapshot stays
+      // the valid baseline
+      Seq("_gated_batches", "_drift").foreach { side =>
+        val src = Paths.get(dir, side)
+        if (Files.isDirectory(src)) {
+          val target = Paths.get(staging, side)
+          Files.createDirectories(target)
+          val s = Files.list(src)
+          try s.forEach(p =>
+            Files.copy(p, target.resolve(p.getFileName.toString)))
+          finally s.close()
+        }
       }
     }
   }

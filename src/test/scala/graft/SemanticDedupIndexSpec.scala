@@ -280,6 +280,118 @@ class SemanticDedupIndexSpec extends AnyFunSuite with SparkSpec {
       .nonEmpty, "pinned centroids lost across compact")
   }
 
+  test("lookupMulti: each probe's rows equal its single-lookup serving; " +
+       "one scan serves the whole batch (job budget flat across batch " +
+       "sizes); loud bound, duplicate ids and dimension mismatch") {
+    val dir = builtDir("semmulti")
+    val probes = corpus.orderBy("vec_id").limit(3)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](1)
+        (r.getLong(0), (v.head + 0.25) +: v.tail)
+      }.toSeq
+    val batched = SemanticDedupIndex.lookupMulti(spark, dir, probes,
+        900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val single = probes.flatMap { case (pid, v) =>
+      SemanticDedupIndex.lookup(spark, dir, v, 900000L).collect()
+        .map(r => (pid, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(batched == single,
+      "batched probes diverge from single-probe serving")
+    assert(batched.nonEmpty)
+    // the queryPointsMulti job-budget law: a doubled batch runs the
+    // SAME jobs — one pruned scan + the fixed broadcast stages
+    val sc = spark.sparkContext
+    def jobsFor(ps: Seq[(Long, Seq[Double])]): Int = {
+      val group = s"semlookupmulti-${ps.length}-${System.nanoTime()}"
+      sc.setJobGroup(group, group)
+      try SemanticDedupIndex.lookupMulti(spark, dir, ps, 900000L)
+        .queryExecution.toRdd.foreach(_ => ())
+      finally sc.clearJobGroup()
+      val deadline = System.nanoTime() + 10000000000L
+      var jobs = sc.statusTracker.getJobIdsForGroup(group).length
+      var prev = -1
+      while (jobs != prev && System.nanoTime() < deadline) {
+        prev = jobs; Thread.sleep(200)
+        jobs = sc.statusTracker.getJobIdsForGroup(group).length
+      }
+      jobs
+    }
+    val probes6 = probes ++ probes.map { case (pid, v) =>
+      (pid + 500000L, v.map(-_)) }
+    val (j3, j6) = (jobsFor(probes), jobsFor(probes6))
+    assert(j3 == j6, s"job budget grew with the batch: $j3 -> $j6")
+    intercept[IllegalArgumentException] {
+      SemanticDedupIndex.lookupMulti(spark, dir,
+        (0 to graft.operators.Knn.MaxBatchQueries)
+          .map(i => (i.toLong, probes.head._2)), 900000L)
+    }
+    intercept[IllegalArgumentException] {
+      SemanticDedupIndex.lookupMulti(spark, dir,
+        Seq((1L, probes.head._2), (1L, probes.head._2)), 900000L)
+    }
+    intercept[IllegalArgumentException] {
+      SemanticDedupIndex.lookupMulti(spark, dir, Seq((1L, Seq(1.0, 2.0))),
+        900000L)
+    }
+  }
+
+  test("drift maintenance: the signal is exactly 1.0 on unchanged data, " +
+       "fires on a scaled-permutation append, staged retrain restores " +
+       "it, the retrained layout equals a fresh build with identically-" +
+       "trained artifacts, and the replay fence survives the swap") {
+    import spark.implicits._
+    val dir = tmp("semdrift")
+    val emb = corpus.limit(300)
+    SemanticDedupIndex.build(spark, emb, "vec_id", "embedding", dir,
+      Ann.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2))
+    SemanticDedupIndex.snapshotDrift(spark, dir)
+    assert(SemanticDedupIndex.driftRatio(spark, dir) == 1.0,
+      "signal not exactly 1.0 on unchanged data")
+    // a gated batch BEFORE the maintenance: its replay fence must
+    // survive the retrain swap
+    val novel = vecOf(1L).map(-_)
+    val keptGate = SemanticDedupIndex.gateAppend(spark, dir,
+      Seq((9001L, novel)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 900000L, Some(5L))
+    assert(keptGate.collect().map(_.getLong(0)).toSeq == Seq(9001L))
+    // the CollectionsSpec distribution shift: appended re-embedded
+    // content (dims rolled by 17, scaled 2.5×) — cosine neighborhoods
+    // preserved, pinned cells scrambled, distances grown
+    val shifted = emb
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(concat(
+          slice(col("embedding").cast("array<double>"), 18, 47),
+          slice(col("embedding").cast("array<double>"), 1, 17)),
+          x => x * 2.5).as("embedding"))
+    SemanticDedupIndex.append(spark, shifted, "embedding", dir)
+    val fired = SemanticDedupIndex.driftRatio(spark, dir)
+    assert(fired > 1.1,
+      s"drift signal $fired did not rise on a distribution shift")
+    // staged retrain with the ORIGINAL trainer on the CURRENT contents
+    SemanticDedupIndex.retrain(spark, dir,
+      pts => Ann.kmeansFit(pts, "vec_id", "v", k = 8, iters = 2))
+    assert(SemanticDedupIndex.driftRatio(spark, dir) == 1.0,
+      "retrain did not restore the signal baseline")
+    // retrained layout == fresh build with identically-trained artifacts
+    def rows(d: String): Set[(Long, Long)] = spark.read.parquet(d)
+      .select(col("vec_id"), col("cluster").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pts2 = spark.read.parquet(dir)
+      .select(col("vec_id"), col("v")).distinct()
+    val fresh = tmp("semdrift_fresh")
+    SemanticDedupIndex.build(spark, pts2, "vec_id", "v", fresh,
+      Ann.kmeansFit(pts2, "vec_id", "v", k = 8, iters = 2))
+    assert(rows(dir) == rows(fresh),
+      "retrained layout diverged from a fresh identically-trained build")
+    // the fence traveled with the swap: the committed batch stays fenced
+    assert(SemanticDedupIndex.gateAppend(spark, dir,
+      Seq((9001L, novel)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 900000L, Some(5L)).isEmpty,
+      "replay fence lost across retrain")
+  }
+
   test("loud failures: reserved column, missing pinned id column on " +
        "append, probe dimension mismatch") {
     val dir = builtDir("semloud")

@@ -549,6 +549,78 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(hit == Map(102L -> 4L), s"post-stream lookup got $hit")
   }
 
+  test("streaming SEMANTIC dedup gate: the embedded-content " +
+       "dedup-before-store loop through foreachBatch — corpus and " +
+       "within-batch rejects per micro-batch, survivors appended under " +
+       "the pinned centroids, next batch dedups against them; final " +
+       "index equals a full rebuild") {
+    import graft.sources.SemanticDedupIndex
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-semgate-stream")
+    val in = tmp.resolve("in").toString
+    val idxDir = tmp.resolve("idx").toString
+    val outDir = tmp.resolve("kept").toString
+
+    def vecOf(id: Long): Seq[Double] =
+      Tables.load(spark, sf, "embeddings").filter(col("vec_id") === id)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+    val (v1, v2, v3, v4) = (vecOf(1L), vecOf(2L), vecOf(3L), vecOf(4L))
+    def nearCopy(v: Seq[Double]): Seq[Double] = (v.head + 1e-4) +: v.tail
+    val corpus = Seq((1L, v1), (2L, v2)).toDF("vec_id", "embedding")
+    SemanticDedupIndex.build(spark, corpus, "vec_id", "embedding",
+      idxDir, AnnQueries.trainedCentroids(spark, sf, 8, 2))
+
+    // two parquet files + maxFilesPerTrigger=1 → two ordered batches:
+    //   b1: 101 = near-copy of corpus 1 (reject), 102 = novel (keep),
+    //       103 = near-copy of 102's vector (reject — keep-lowest)
+    //   b2: 201 = near-copy of the point KEPT in b1 (reject — proves
+    //       the append), 202 = novel (keep)
+    Seq((101L, nearCopy(v1)), (102L, v3), (103L, nearCopy(v3)))
+      .toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(in)
+    Seq((201L, nearCopy(v3)), (202L, v4))
+      .toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(in)
+
+    val pts = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    Stream.runAvailableNow(pts.writeStream
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        SemanticDedupIndex.gateAppend(spark, idxDir, batch, "vec_id",
+            "embedding", 900000L, batchId = Some(id))
+          .write.mode("append").parquet(outDir)
+        ()
+      })
+
+    val kept = spark.read.parquet(outDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(102L, 202L), s"semantic gate kept $kept")
+
+    // the per-batch-equals-rebuild law under the SAME pinned artifacts
+    val fullDir = tmp.resolve("idx_full").toString
+    SemanticDedupIndex.build(spark,
+      corpus.unionAll(Seq((102L, v3), (202L, v4))
+        .toDF("vec_id", "embedding")),
+      "vec_id", "embedding", fullDir,
+      AnnQueries.trainedCentroids(spark, sf, 8, 2))
+    def cellRows(p: String): Set[(Long, Long)] =
+      spark.read.parquet(p)
+        .select(col("vec_id"), col("cluster").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cellRows(idxDir) == cellRows(fullDir),
+      "gated semantic index diverges from a full rebuild over " +
+        "corpus + kept")
+    // and the gated content serves: a probe of the kept vector finds
+    // 102 only (103/201 were rejected)
+    val hit = SemanticDedupIndex.lookup(spark, idxDir, v3, 999999L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hit == Map(102L -> 1000000L), s"post-stream lookup got $hit")
+  }
+
   test("nearDupStreamTtl: expired band bucket re-admits content; " +
        "within-TTL duplicate still hits") {
     import spark.implicits._
