@@ -483,7 +483,12 @@ object ArgminUtil {
            isFloat: Boolean): Long = {
     val dim = cents(0).length
     if (v.numElements() != dim) return Long.MinValue
-    var bestD = Double.PositiveInfinity
+    // Double.compare is the TOTAL order (NaN greater than everything,
+    // equal to itself) — the same order Scala's tuple .min (probeCell)
+    // and Spark's struct min_by (the HOF chain) use, so an all-NaN
+    // vector ties every centroid and the cid tie-break picks the lowest
+    // cid in all three forms instead of leaking a phantom sentinel
+    var bestD = Double.NaN
     var bestCid = Long.MaxValue
     var c = 0
     while (c < cents.length) {
@@ -498,7 +503,8 @@ object ArgminUtil {
         i += 1
       }
       val sd = Math.sqrt(d)
-      if (sd < bestD || (sd == bestD && cids(c) < bestCid)) {
+      val cmp = java.lang.Double.compare(sd, bestD)
+      if (cmp < 0 || (cmp == 0 && cids(c) < bestCid)) {
         bestD = sd; bestCid = cids(c)
       }
       c += 1

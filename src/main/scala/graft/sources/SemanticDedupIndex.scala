@@ -51,8 +51,11 @@ import graft.functions.{ArgminCellExpr, VectorOps}
   */
 object SemanticDedupIndex {
 
-  /** Reserved layout column name — inputs must not carry it. */
+  /** Reserved layout column names — inputs must not carry them (the id
+    * column included: an id named `norm` would be silently replaced by
+    * the stored-norm column). */
   private val Reserved = "cluster"
+  private val ReservedAll = Seq("cluster", "norm")
 
   /** Past this many delivery rows the delivery is no longer "the small
     * side": vector rows are ~dim·8 bytes each, so the broadcast bound
@@ -137,8 +140,11 @@ object SemanticDedupIndex {
   private def assignedLocal(points: DataFrame, idCol: String,
                             vecCol: String,
                             local: Array[(Long, Seq[Double])]): DataFrame = {
-    require(!points.columns.contains(Reserved),
-      s"input carries a column named '$Reserved' — reserved for the layout")
+    ReservedAll.foreach(c => require(
+      !points.columns.contains(c) || c == vecCol,
+      s"input carries a column named '$c' — reserved for the layout"))
+    require(!ReservedAll.contains(idCol),
+      s"id column must not be named ${ReservedAll.mkString("/")}")
     points.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       // the vector's L2 norm is STORED with the row (and computed once
       // per delivery point): the per-pair verify then needs only the
@@ -151,6 +157,17 @@ object SemanticDedupIndex {
         ArgminCellExpr(
           org.apache.spark.sql.GraftSqlBridge.expression(col("v")),
           local.map(_._2).toSeq, local.map(_._1).toSeq)))
+      // a null cell means a null-element or wrong-dimension vector
+      // (ArgminCellExpr's null contract) — fail LOUDLY in the first job
+      // that touches the row instead of writing it to the null
+      // partition (unservable) or NPE-ing a driver collect downstream
+      .withColumn("cluster",
+        when(col("cluster").isNotNull, col("cluster"))
+          .otherwise(raise_error(concat(
+            lit("vector does not match the pinned centroids (dim "),
+            lit(local.head._2.length),
+            lit(") or has null elements — id "),
+            col(idCol).cast("string")))))
   }
 
   /** Materialize the cell index: assign every corpus point to its
@@ -291,19 +308,25 @@ object SemanticDedupIndex {
     // full width unconditionally. The repartition is an IO-sized
     // exchange of exactly the rows the verify must read anyway; rows
     // served are identical on both branches (spec).
-    val natural = pruned.rdd.getNumPartitions
-    val estPairs: Option[Long] =
-      if (cells.length > MaxLiteralCells) None
-      else cellFooterRows(pruned).map(m =>
-        cells.map { case (c, n) => m.getOrElse(c, 0L) * n }.sum)
-    val wanted = estPairs match {
-      case Some(p) =>
-        math.min((p + PairsPerTask - 1) / PairsPerTask,
-          4L * spark.sparkContext.defaultParallelism).toInt
-      case None => spark.sparkContext.defaultParallelism
-    }
-    val verifySrc =
+    // the decision only applies on the BROADCAST branch: a non-broadcast
+    // delivery makes the join a shuffle join, which re-exchanges both
+    // sides by the cluster key anyway (a round-robin repartition there
+    // would be a wasted full exchange) and draws its parallelism from
+    // spark.sql.shuffle.partitions
+    val verifySrc = if (delRows > maxBroadcast) pruned else {
+      val natural = pruned.rdd.getNumPartitions
+      val estPairs: Option[Long] =
+        if (cells.length > MaxLiteralCells) None
+        else cellFooterRows(pruned).map(m =>
+          cells.map { case (c, n) => m.getOrElse(c, 0L) * n }.sum)
+      val wanted = estPairs match {
+        case Some(p) =>
+          math.min((p + PairsPerTask - 1) / PairsPerTask,
+            4L * spark.sparkContext.defaultParallelism).toInt
+        case None => spark.sparkContext.defaultParallelism
+      }
       if (wanted > natural) pruned.repartition(wanted) else pruned
+    }
     verifySrc
       .join(right, Seq("cluster"))
       .withColumn("score_micro", normScoreMicro(col("v"), col("dv"),
@@ -329,6 +352,9 @@ object SemanticDedupIndex {
                 vec: Seq[Double]): Long = {
     val cents = pinnedCentroidsLocal(spark, dir)
     require(cents.nonEmpty, s"semantic index at $dir has no centroids")
+    require(vec.length == cents.head._2.length,
+      s"probe vector has ${vec.length} dims, index pinned " +
+        s"${cents.head._2.length}")
     cents.map { case (cid, cv) =>
       var d = 0.0
       var i = 0
@@ -496,6 +522,10 @@ object SemanticDedupIndex {
       .select(col("cid").cast("long"), col("cv").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
+    require(local.nonEmpty && local.head._2.length == g.dim,
+      s"trainer returned centroids of dim " +
+        s"${local.headOption.map(_._2.length)}, index pinned ${g.dim} — " +
+        "refusing to stage a layout the pinned geometry cannot serve")
     import spark.implicits._
     Drift.stagedRebuild(dir) { staging =>
       assignedLocal(pts, g.idCol, "v", local)

@@ -407,5 +407,25 @@ class SemanticDedupIndexSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] {
       SemanticDedupIndex.lookup(spark, dir, Seq(1.0, 2.0), 900000L)
     }
+    // a wrong-dimension vector fails LOUDLY in the first job that
+    // touches it (the raise_error null-cell guard) — never a silent
+    // null-partition write or a downstream driver NPE
+    import spark.implicits._
+    val short = Seq((7777L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
+    val eAppend = intercept[Exception] {
+      SemanticDedupIndex.append(spark, short, "embedding", dir)
+    }
+    assert(eAppend.getMessage != null)
+    val ePairs = intercept[Exception] {
+      SemanticDedupIndex.pairsAgainst(spark, dir, short, "vec_id",
+        "embedding", 900000L).collect()
+    }
+    assert(ePairs.getMessage != null)
+    // an id column colliding with the stored-norm column is rejected
+    intercept[IllegalArgumentException] {
+      SemanticDedupIndex.build(spark,
+        corpus.withColumnRenamed("vec_id", "norm"), "norm", "embedding",
+        tmp("semloud3"), cents)
+    }
   }
 }
