@@ -1189,11 +1189,128 @@ object DedupQueries {
               >= 900000
       ORDER BY probe_id, corpus_id"""))
 
+  /** The PUBLISHED SemDeDup keeper policy (Abbas et al. 2023 §3: within
+    * each duplicate group "we keep the example with the LOWEST cosine
+    * similarity to the cluster centroid" — the most atypical member,
+    * maximizing retained diversity) — the verdict step dedup_semantic's
+    * keep-lowest-id shape simplifies away. Pipeline: the dedup_semantic
+    * candidate rule (same plants, training and τ), connected components
+    * over the pair graph (the dedup_cluster fixed-round min-label
+    * machinery — groups here are diameter-1 plant pairs), then one
+    * map-side-combinable `min(struct(cc_micro, vec_id))` per group: the
+    * keeper is the member least similar to its OWN pinned centroid (id
+    * tie-break — exact copies tie bit-for-bit). Observably different
+    * from keep-lowest-id: a perturbed clone that sits farther from the
+    * centroid than its source WINS its group. Output = the per-member
+    * audit row (vec_id, grp, cc_micro, keeper, keep). */
+  val dedupSemanticKeeper = Q("dedup_semantic_keeper",
+    (s, dir) => {
+      import graft.functions.VectorOps
+      import graft.operators.{Ann, Dedup}
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val off = plantOffset(s, dir, "embeddings", "vec_id")
+      val planted = emb
+        .unionAll(emb.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + off).as("vec_id"), col("v")))
+        .unionAll(emb.filter(col("vec_id") % 50 === 1)
+          .select((col("vec_id") + off * 2).as("vec_id"),
+            concat(array(element_at(col("v"), 1) + lit(0.25)),
+              slice(col("v"), 2, 63)).as("v")))
+      val k = Ann.semanticClusterCount(
+        corpusEstimate(s, dir, "embeddings", "vec_id"))
+      val cents = AnnQueries.trainedCentroids(s, dir, k, 2)
+      val assigned = planted.join(
+        Ann.argminAssign(planted, "vec_id", "v", cents, "cid", "cv"),
+        "vec_id")
+      val pairs = assigned.select(col("cluster"),
+          col("vec_id").as("doc_a"), col("v").as("va"))
+        .join(assigned.select(col("cluster"), col("vec_id").as("doc_b"),
+          col("v").as("vb")), Seq("cluster"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(floor(VectorOps.cosine(col("va"), col("vb")) * 1e6
+          + lit(0.5)).cast("long") >= 900000)
+        .select("doc_a", "doc_b")
+      val labels = Dedup.connectedComponents(pairs, rounds = 3)
+      val ccm = assigned.join(
+          broadcast(cents.select(col("cid").as("cluster"), col("cv"))),
+          "cluster")
+        .select(col("vec_id"),
+          floor(VectorOps.cosine(col("v"), col("cv")) * 1e6 + lit(0.5))
+            .cast("long").as("cc_micro"))
+      val members = labels.select(col("v").as("vec_id"), col("lbl"))
+        .join(ccm, "vec_id")
+      val keepers = members.groupBy("lbl")
+        .agg(min(struct(col("cc_micro"), col("vec_id"))).as("k"))
+        .select(col("lbl"), col("k.vec_id").as("keeper"))
+      members.join(keepers, "lbl")
+        .select(col("vec_id"), col("lbl").as("grp"), col("cc_micro"),
+          col("keeper"),
+          (col("vec_id") === col("keeper")).cast("long").as("keep"))
+        .orderBy("vec_id")
+    },
+    Some {
+      val rounds = (1 to 3).map { r =>
+        s"""
+      l$r AS (
+        SELECT x.v, MIN(x.lbl) AS lbl FROM (
+          SELECT ed.src AS v, p.lbl FROM ed JOIN l${r - 1} p ON p.v = ed.dst
+          UNION ALL SELECT v, lbl FROM l${r - 1}) x
+        GROUP BY x.v)"""
+      }.mkString(",")
+      s"""
+      WITH ${AnnQueries.kmeansSql(8, 2)},
+      voff AS (SELECT greatest(100000, max(vec_id) + 1) AS o
+               FROM embeddings),
+      pemb AS (
+        SELECT vec_id, v FROM e
+        UNION ALL
+        SELECT vec_id + (SELECT o FROM voff), v
+        FROM e WHERE vec_id % 50 = 0
+        UNION ALL
+        SELECT vec_id + 2 * (SELECT o FROM voff),
+               [v[1] + 0.25] || v[2:64]
+        FROM e WHERE vec_id % 50 = 1),
+      asg AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+          SELECT p.vec_id, p.v, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                   ORDER BY list_distance(p.v, c.cv), c.cid) AS rn
+          FROM pemb p CROSS JOIN c2 c) WHERE rn = 1),
+      pairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM asg a JOIN asg b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5)
+                >= 900000),
+      ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+             UNION ALL SELECT doc_b, doc_a FROM pairs),
+      l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM ed),$rounds,
+      ccm AS (
+        SELECT a.vec_id,
+               CAST(floor(list_cosine_similarity(a.v, c.cv) * 1000000
+                 + 0.5) AS BIGINT) AS cc_micro
+        FROM asg a JOIN c2 c ON c.cid = a.cluster),
+      members AS (
+        SELECT l.v AS vec_id, l.lbl, m.cc_micro
+        FROM l3 l JOIN ccm m ON m.vec_id = l.v),
+      keepers AS (
+        SELECT lbl, vec_id AS keeper FROM (
+          SELECT lbl, vec_id, ROW_NUMBER() OVER (PARTITION BY lbl
+            ORDER BY cc_micro, vec_id) AS rn
+          FROM members) WHERE rn = 1)
+      SELECT m.vec_id, m.lbl AS grp, m.cc_micro, k.keeper,
+             CAST(CASE WHEN m.vec_id = k.keeper THEN 1 ELSE 0 END
+               AS BIGINT) AS keep
+      FROM members m JOIN keepers k ON k.lbl = m.lbl
+      ORDER BY m.vec_id"""
+    })
+
   def queries: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash,
     dedupNgram, dedupEmbed, dedupCluster, dedupPriority,
     dedupStreamNeardup,
     dedupSegments, dedupSemantic, dedupBloom, dedupSubstring,
     dedupIncremental, dedupLookup, dedupLookupBatch,
     dedupSemanticIncremental, dedupSemanticLookup,
-    dedupSemanticLookupBatch)
+    dedupSemanticLookupBatch, dedupSemanticKeeper)
 }
