@@ -523,6 +523,55 @@ object Dev {
             Queries.queries("dedup_semantic_incremental")(spark, fdir)
               .count())
         }
+      case "kmprobe" :: dir :: rest =>
+        // same-session A/B of kmeansFit's per-round assignment forms on
+        // one blown-up corpus: fused ArgminCellExpr map vs the
+        // broadcast-crossjoin argminAssign + join-back it replaced.
+        // Both compute ONE Lloyd round's (cluster, dim) decimal means.
+        import org.apache.spark.sql.functions._
+        import graft.operators.Ann
+        val factor = rest.headOption.map(_.toInt).getOrElse(1000)
+        val fdir = blowUpDir(spark, dir, factor)
+        val emb = Tables.load(spark, fdir, "embeddings")
+        val k = Ann.semanticClusterCount(
+          emb.count().toDouble) // exact n is fine for a probe
+        println(s"k = $k")
+        val cents = emb.orderBy("vec_id").limit(k)
+          .select(col("embedding").cast("array<double>"))
+          .collect().zipWithIndex
+          .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
+        def round(assigned: org.apache.spark.sql.DataFrame): Long = {
+          val t0 = System.nanoTime()
+          assigned
+            .select(col("cluster"),
+              posexplode(col("v")).as(Seq("i", "x")))
+            .groupBy("cluster", "i")
+            .agg((floor(
+              (sum(col("x").cast("decimal(25,12)")).cast("double") /
+                count(lit(1))) * 1e6 + lit(0.5)) / 1e6).as("c"))
+            .queryExecution.toRdd.foreach(_ => ())
+          (System.nanoTime() - t0) / 1000000L
+        }
+        import spark.implicits._
+        def fused() = round(emb
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("cluster", org.apache.spark.sql.GraftSqlBridge.column(
+            graft.functions.ArgminCellExpr(
+              org.apache.spark.sql.GraftSqlBridge.expression(col("v")),
+              cents.map(_._2).toSeq, cents.map(_._1).toSeq))))
+        def crossjoin() = round(emb
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .join(Ann.argminAssign(
+            emb.select(col("vec_id"),
+              col("embedding").cast("array<double>").as("v")),
+            "vec_id", "v", cents.toSeq.toDF("cid", "cv"), "cid", "cv"),
+            "vec_id"))
+        (1 to 3).foreach { i =>
+          println(s"[fused] iter $i: ${fused()} ms   " +
+            s"[crossjoin] ${crossjoin()} ms")
+        }
       case "simhashbuckets" :: dir :: Nil =>
         // diagnostic for the §8.5b simhash cliff: is candidate blowup
         // uniform band saturation or super-bucket skew?
