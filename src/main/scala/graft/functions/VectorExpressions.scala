@@ -511,6 +511,92 @@ object ArgminUtil {
     }
     bestCid
   }
+
+  /** Minimum L2 distance to any centroid (the [[ArgminUtil.cell]] loop
+    * keeping the distance), or -1.0 as the caller's null sentinel on a
+    * null element / dimension mismatch. NaN inputs yield NaN (total-
+    * order min: a NaN distance loses to any real one), matching the
+    * crossjoin + min chain this replaces. */
+  def minDist(v: org.apache.spark.sql.catalyst.util.ArrayData,
+              cents: Array[Array[Double]], isFloat: Boolean): Double = {
+    val dim = cents(0).length
+    if (v.numElements() != dim) return -1.0
+    var bestD = Double.NaN
+    var first = true
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var d = 0.0
+      var i = 0
+      while (i < dim) {
+        if (v.isNullAt(i)) return -1.0
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val t = x - cv(i)
+        d += t * t
+        i += 1
+      }
+      val sd = Math.sqrt(d)
+      if (first || java.lang.Double.compare(sd, bestD) < 0) {
+        bestD = sd; first = false
+      }
+      c += 1
+    }
+    bestD
+  }
+}
+
+/** Fused nearest-centroid DISTANCE: `min_c l2(v, cent_c)` — the
+  * [[ArgminCellExpr]] loop returning the distance instead of the cid
+  * (the [[graft.sources.Drift]] assignment-sketch kernel: the crossjoin
+  * + min-aggregation it replaces had the same k-way row blow-up the
+  * argmin form did; same ~9.5×-per-pass A/B shape). NULL on null array,
+  * null element or dimension mismatch — exactly the rows the old
+  * chain's isNotNull filter dropped. */
+case class MinCellDistExpr(child: Expression, cents: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(cents.nonEmpty, "min_cell_dist needs a non-empty centroid table")
+  require(cents.forall(_.length == cents.head.length),
+    "min_cell_dist centroids must share one dimension")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"min_cell_dist needs array<double|float>, got ${dt.catalogString}")
+  }
+
+  override def prettyName: String = "graft_min_cell_dist"
+
+  @transient private lazy val cArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = ArgminUtil.minDist(input.asInstanceOf[ArrayData], cArr,
+      elemIsFloat)
+    // -1.0 is the null sentinel (a real distance is ≥ 0; NaN inputs
+    // flow through as NaN exactly like the HOF chain they replace)
+    if (r == -1.0) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("minDistCents", cArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.ArgminUtil.minDist($a, $cRef,
+        $elemIsFloat);
+      if (${ev.value} == -1.0) { ${ev.isNull} = true; }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Fused nearest-centroid assignment: `cluster = argmin_c l2(v, cent_c)`

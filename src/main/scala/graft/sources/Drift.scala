@@ -54,15 +54,25 @@ object Drift {
     * fingerprint. One broadcast pass; ≤ 7.3k rows out. */
   def assignmentSketch(points: DataFrame, idCol: String, vecCol: String,
                        centroids: DataFrame, cidCol: String,
-                       cvCol: String): DataFrame =
-    points.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroids.select(col(cvCol).as("__cv"))))
-      .withColumn("__d", VectorOps.l2(col(vecCol), col("__cv")))
+                       cvCol: String): DataFrame = {
+    // fused nearest-centroid distance (the argminAssign discipline —
+    // the crossjoin + per-id min re-aggregation this replaces blew
+    // every point into k rows; the centroid collect is not a new bound,
+    // the broadcast materialized the same table)
+    val local = centroids
+      .select(col(cvCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0))
+    points
+      .select(org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.MinCellDistExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(
+            col(vecCol).cast("array<double>")),
+          local.toSeq)).as("__d"))
       .filter(col("__d").isNotNull)
-      .groupBy(col(idCol)).agg(min(col("__d")).as("__d"))
       .select(Hdr.bucket(floor(col("__d") * 1e6 + lit(0.5)).cast("long"))
         .as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
 
   /** Driver-side twin of [[Hdr.upper]] — the bucket's upper bound. */
   private def upperOf(idx: Long): Long = {
