@@ -523,6 +523,30 @@ object Dev {
             Queries.queries("dedup_semantic_incremental")(spark, fdir)
               .count())
         }
+      case "semcold" :: dir :: rest =>
+        // cold-path decomposition of the 1000× semantic-index build:
+        // which piece costs what in a fresh JVM
+        val factor = rest.headOption.map(_.toInt).getOrElse(1000)
+        val fdir = blowUpDir(spark, dir, factor)
+        def t[A](tag: String)(f: => A): A = {
+          val t0 = System.nanoTime()
+          val a = f
+          println(f"  $tag%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+          a
+        }
+        val est = t("corpusEstimate")(
+          DedupQueries.corpusEstimate(spark, fdir, "embeddings", "vec_id"))
+        val k = graft.operators.Ann.semanticClusterCount(est)
+        println(s"  k = $k")
+        t("kmeansFit (2 rounds)")(
+          AnnQueries.trainedCentroids(spark, fdir, k, 2).count())
+        t("index build+pin")(DedupQueries.semanticIndexDir(spark, fdir))
+        t("query (first run)")(
+          Queries.queries("dedup_semantic_incremental")(spark, fdir)
+            .queryExecution.toRdd.foreach(_ => ()))
+        t("query (warm)")(
+          Queries.queries("dedup_semantic_incremental")(spark, fdir)
+            .queryExecution.toRdd.foreach(_ => ()))
       case "kmprobe" :: dir :: rest =>
         // same-session A/B of kmeansFit's per-round assignment forms on
         // one blown-up corpus: fused ArgminCellExpr map vs the
@@ -572,6 +596,25 @@ object Dev {
           println(s"[fused] iter $i: ${fused()} ms   " +
             s"[crossjoin] ${crossjoin()} ms")
         }
+        // kmeansFit's EXACT frame shape: argmin + posexplode in ONE
+        // select over the raw float column (vs the probe's two-step
+        // cast-then-explode) — explain + time to localize the gap
+        val oneSelect = emb.select(
+          org.apache.spark.sql.GraftSqlBridge.column(
+            graft.functions.ArgminCellExpr(
+              org.apache.spark.sql.GraftSqlBridge.expression(
+                col("embedding").cast("array<double>")),
+              cents.map(_._2).toSeq, cents.map(_._1).toSeq)).as("cluster"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("i", "x")))
+          .groupBy("cluster", "i")
+          .agg((floor(
+            (sum(col("x").cast("decimal(25,12)")).cast("double") /
+              count(lit(1))) * 1e6 + lit(0.5)) / 1e6).as("c"))
+        oneSelect.explain("formatted")
+        val t1 = System.nanoTime()
+        oneSelect.queryExecution.toRdd.foreach(_ => ())
+        println(f"[one-select kmeans round] ${(System.nanoTime() - t1) / 1e9}%.1f s")
       case "simhashbuckets" :: dir :: Nil =>
         // diagnostic for the §8.5b simhash cliff: is candidate blowup
         // uniform band saturation or super-bucket skew?

@@ -214,8 +214,16 @@ object Ann {
             col(vecCol).cast("array<double>")),
           cents.map(_._2).toSeq, cents.map(_._1).toSeq))
       val comp = coll
+        // the argmin is projected BELOW the explode on purpose: a
+        // single select(argmin, posexplode(v)) resolves with the
+        // non-generator expressions in the Project ABOVE the Generate,
+        // re-evaluating the argmin once per EXPLODED row — dim× the
+        // work (measured: 500.9 s for the k=977/500k round vs ~10 s
+        // with this split; `Dev kmprobe`'s one-select twin + explain
+        // pin the plan shape)
         .select(assignedCol.as("cluster"),
-          posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+          col(vecCol).cast("array<double>").as("__v"))
+        .select(col("cluster"), posexplode(col("__v")).as(Seq("i", "x")))
         .groupBy("cluster", "i")
         .agg((floor(
           (sum(col("x").cast("decimal(25,12)")).cast("double") /
