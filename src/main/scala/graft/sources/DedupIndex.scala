@@ -13,7 +13,7 @@ import graft.operators.Dedup
   * NEVER re-shingled per incoming shard (the reference delegates near-dup
   * detection wholesale to its backing store; this is the engine-native
   * band index the delegation implies, same V6 geometry as the
-  * `dedup_minhash` gate: reference `bob_vector_db/qdrant_db.py:1` stores
+  * `dedup_minhash` gate: reference `bob_vector_db/qdrant_embedder.py:1` stores
   * points once and every later query reads the stored form).
   *
   * Layout: one row per (id, band, band_sig), written `partitionBy(band,
@@ -257,8 +257,13 @@ object DedupIndex {
     val intraLosers = graft.operators.Dedup.lshCandidates(
         banded(batch, idCol, textCol, g), idCol)
       .select(col("doc_b").as(idCol)).distinct()
+    // materialize the gate ONCE (localCheckpoint — blocks released by
+    // the ContextCleaner, the inIdsFrame discipline): append() below and
+    // the caller's consumption of the returned frame would otherwise
+    // each re-run the corpus-pair and intra-batch banding joins
     val kept = batch.join(vsCorpus.unionAll(intraLosers).distinct(),
-      Seq(idCol), "left_anti")
+        Seq(idCol), "left_anti")
+      .localCheckpoint(eager = true)
     append(kept, textCol, dir)
     marker.foreach { m =>
       Files.createDirectories(m.getParent); Files.write(m, Array[Byte]())

@@ -51,9 +51,15 @@ object Drift {
 
   /** Per-point micro-quantized L2 distance to the nearest pinned
     * centroid, HDR-bucketed and counted — the bounded drift
-    * fingerprint. One broadcast pass; ≤ 7.3k rows out. */
-  def assignmentSketch(points: DataFrame, idCol: String, vecCol: String,
-                       centroids: DataFrame, cidCol: String,
+    * fingerprint. One broadcast pass; ≤ 7.3k rows out.
+    *
+    * PER-ROW contract: every input row counts once — a duplicate id
+    * contributes once per occurrence. Callers that need per-id
+    * semantics pre-distinct their points (as
+    * [[SemanticDedupIndex]].storedPoints does); the sketch itself stays
+    * a single bounded-state pass with no corpus-sized distinct. */
+  def assignmentSketch(points: DataFrame, vecCol: String,
+                       centroids: DataFrame,
                        cvCol: String): DataFrame = {
     // fused nearest-centroid distance (the argminAssign discipline —
     // the crossjoin + per-id min re-aggregation this replaces blew
@@ -108,13 +114,11 @@ object Drift {
   /** Persist the build-time assignment sketch beside a layout (the
     * `_drift/` sidecar [[assignmentRatio]] compares against). Call it
     * right after a build/retrain with the SAME points and the layout's
-    * pinned centroids. */
+    * pinned centroids ([[assignmentSketch]]'s per-row contract). */
   def snapshotAssignment(indexDir: String, points: DataFrame,
-                         idCol: String, vecCol: String,
-                         centroids: DataFrame,
-                         cidCol: String = "cid",
+                         vecCol: String, centroids: DataFrame,
                          cvCol: String = "cv"): Unit = {
-    assignmentSketch(points, idCol, vecCol, centroids, cidCol, cvCol)
+    assignmentSketch(points, vecCol, centroids, cvCol)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/_drift")
     ()
@@ -126,14 +130,14 @@ object Drift {
     * were trained on holds; rises as the collection drifts. Requires a
     * [[snapshotAssignment]] sidecar. */
   def assignmentRatio(spark: SparkSession, indexDir: String,
-                      points: DataFrame, idCol: String, vecCol: String,
-                      centroids: DataFrame, cidCol: String = "cid",
-                      cvCol: String = "cv", q: Double = 0.9): Double = {
+                      points: DataFrame, vecCol: String,
+                      centroids: DataFrame, cvCol: String = "cv",
+                      q: Double = 0.9): Double = {
     require(Files.isDirectory(Paths.get(indexDir, "_drift")),
       s"no drift snapshot at $indexDir/_drift — call snapshotAssignment " +
         "at build time")
     val now = quantileUpper(
-      assignmentSketch(points, idCol, vecCol, centroids, cidCol, cvCol), q)
+      assignmentSketch(points, vecCol, centroids, cvCol), q)
     val pinned = quantileUpper(
       spark.read.parquet(s"$indexDir/_drift"), q)
     if (pinned == 0L) (if (now == 0L) 1.0 else Double.PositiveInfinity)

@@ -99,8 +99,7 @@ object IvfIndex {
         .write.mode("overwrite")
         .partitionBy("src_bucket", "cluster")
         .parquet(staging)
-      Drift.snapshotAssignment(staging, pts, idCol, vecCol, cents,
-        cidCol, cvCol)
+      Drift.snapshotAssignment(staging, pts, vecCol, cents, cvCol)
     }
     (cur, cents)
   }

@@ -158,7 +158,7 @@ object IvfPqIndex {
     Drift.stagedRebuild(indexDir) { staging =>
       build(pts, idCol, vecCol, cents, cbs, subDim, staging,
         Collections.numBuckets(collDir))
-      Drift.snapshotAssignment(staging, pts, idCol, vecCol, cents)
+      Drift.snapshotAssignment(staging, pts, vecCol, cents)
     }
     cur
   }

@@ -101,6 +101,12 @@ object SemanticDedupIndex {
   }
 
   private def writeMeta(dir: String, g: Geometry): Unit = {
+    // hand-rolled JSON with no escaping: a quote/backslash in the id
+    // column name would write metadata geometry()'s regex cannot parse
+    // back — refuse at write time instead of orphaning the layout
+    require(!g.idCol.contains("\"") && !g.idCol.contains("\\"),
+      s"id column name '${g.idCol}' must not contain quotes or " +
+        "backslashes (pinned verbatim in the layout metadata)")
     Files.write(metaPath(dir),
       (s"""{"id_col": "${g.idCol}", "k": ${g.k}, "dim": ${g.dim}}""")
         .getBytes(StandardCharsets.UTF_8))
@@ -185,6 +191,11 @@ object SemanticDedupIndex {
       .select(col("cid").cast("long"), col("cv").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
+    // the retrain() discipline: an empty trainer output dies here with
+    // the contract named, not as a bare head() on the first assignment
+    require(local.nonEmpty,
+      "build needs a non-empty (cid, cv) centroid table — the trainer " +
+        "returned zero centroids")
     assignedLocal(points, idCol, vecCol, local)
       .repartition(col("cluster"))
       .write.mode("overwrite")
@@ -233,6 +244,16 @@ object SemanticDedupIndex {
     * value). None when the listing exceeds `maxFiles` (a footer walk
     * that big stops being a metadata read), the scan is not a single
     * file scan, or the partition column is missing. */
+  /** Footer row counts memoized per (path, mtime, length) — layout
+    * files are immutable once written (append adds files, compact
+    * swaps directories), so a footer read never goes stale; on a
+    * long-gated index (one file per cell per micro-batch) over remote
+    * storage this turns the per-call footer walk into one round-trip
+    * per NEW file instead of thousands per serve. Bounded: one Long
+    * per distinct layout file ever probed in the session. */
+  private val footerRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
+
   private def cellFooterRows(df: DataFrame, maxFiles: Long = 4096)
       : Option[Map[Long, Long]] = {
     import org.apache.spark.sql.execution.FileSourceScanExec
@@ -259,9 +280,12 @@ object SemanticDedupIndex {
         if (isLong) p.values.getLong(ci) else p.values.getInt(ci).toLong
       var rows = 0L
       p.files.foreach { st =>
-        val rd = ParquetFileReader.open(
-          HadoopInputFile.fromPath(st.getPath, conf))
-        try rows += rd.getRecordCount finally rd.close()
+        rows += footerRowsCache.computeIfAbsent(
+          (st.getPath.toString, st.getModificationTime, st.getLen), _ => {
+            val rd = ParquetFileReader.open(
+              HadoopInputFile.fromPath(st.getPath, conf))
+            try rd.getRecordCount finally rd.close()
+          })
       }
       m.update(cell, m.getOrElse(cell, 0L) + rows)
     }
@@ -468,8 +492,14 @@ object SemanticDedupIndex {
       .filter(normScoreMicro(col("__va"), col("__vb"), col("__na"),
         col("__nb")) >= tauMicro)
       .select(col("__b").as(idCol)).distinct()
+    // materialize the gate ONCE (localCheckpoint — blocks released by
+    // the ContextCleaner, the inIdsFrame discipline): append() below and
+    // the caller's consumption of the returned frame (foreachBatch sinks
+    // count/write it) would otherwise each re-run the corpus-pair and
+    // intra-batch joins — double the per-batch gate cost
     val kept = batch.join(vsCorpus.unionAll(intraLosers).distinct(),
-      Seq(idCol), "left_anti")
+        Seq(idCol), "left_anti")
+      .localCheckpoint(eager = true)
     append(spark, kept, vecCol, dir)
     marker.foreach { m =>
       Files.createDirectories(m.getParent); Files.write(m, Array[Byte]())
@@ -490,7 +520,7 @@ object SemanticDedupIndex {
     * [[retrain]] refreshes it automatically. */
   def snapshotDrift(spark: SparkSession, dir: String): Unit = {
     val g = geometry(dir)
-    Drift.snapshotAssignment(dir, storedPoints(spark, dir), g.idCol, "v",
+    Drift.snapshotAssignment(dir, storedPoints(spark, dir), "v",
       pinnedCentroids(spark, dir))
   }
 
@@ -502,8 +532,8 @@ object SemanticDedupIndex {
   def driftRatio(spark: SparkSession, dir: String,
                  q: Double = 0.9): Double = {
     val g = geometry(dir)
-    Drift.assignmentRatio(spark, dir, storedPoints(spark, dir), g.idCol,
-      "v", pinnedCentroids(spark, dir), q = q)
+    Drift.assignmentRatio(spark, dir, storedPoints(spark, dir), "v",
+      pinnedCentroids(spark, dir), q = q)
   }
 
   /** Staged RETRAIN (the [[Drift]] maintenance verb, the IvfIndex
@@ -536,7 +566,7 @@ object SemanticDedupIndex {
       local.toSeq.toDF("cid", "cv").repartition(1).write.mode("overwrite")
         .parquet(staging + "/_centroids")
       writeMeta(staging, Geometry(g.idCol, local.length, g.dim))
-      Drift.snapshotAssignment(staging, pts, g.idCol, "v",
+      Drift.snapshotAssignment(staging, pts, "v",
         local.toSeq.toDF("cid", "cv"))
       val fence = Paths.get(dir, "_gated_batches")
       if (Files.isDirectory(fence)) {

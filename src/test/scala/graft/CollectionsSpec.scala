@@ -1462,11 +1462,11 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     val v0 = IvfIndex.build(spark, dir, idx, "vec_id", "embedding",
       cents0, "cid", "cv")
     Drift.snapshotAssignment(idx, Collections.read(spark, dir),
-      "vec_id", "embedding", cents0)
+      "embedding", cents0)
     // no shift → the signal is exactly 1 (same data, same pinned
     // centroids, deterministic sketch)
     assert(Drift.assignmentRatio(spark, idx, Collections.read(spark, dir),
-      "vec_id", "embedding", cents0) == 1.0)
+      "embedding", cents0) == 1.0)
 
     // SYNTHETIC SHIFT (a re-embedding with a new model: direction AND
     // magnitude change): dimensions rolled by 17 and the vector scaled
@@ -1496,7 +1496,7 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
       "pinned-artifact refresh diverged from rebuild after the shift")
     // the signal FIRES
     val shifted = Drift.assignmentRatio(spark, idx,
-      Collections.read(spark, dir), "vec_id", "embedding", cents0)
+      Collections.read(spark, dir), "embedding", cents0)
     assert(shifted > 1.1,
       s"drift signal $shifted did not rise on a full distribution shift")
 
@@ -1530,7 +1530,7 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
         s"retrained $retrainedRecall")
     // retrain reset the drift baseline (snapshot over the new data)
     assert(Drift.assignmentRatio(spark, idx, Collections.read(spark, dir),
-      "vec_id", "embedding", cents1) == 1.0)
+      "embedding", cents1) == 1.0)
     // retrained layout == fresh build with the same trained artifacts
     // (the staged swap published a complete, deterministic layout)
     val idxFresh = s"$root/idx_fresh"
