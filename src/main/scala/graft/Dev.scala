@@ -202,6 +202,28 @@ object Dev {
           val sizes = cc.groupBy("lbl").agg(count(lit(1)).as("csize"))
           t("sizes-join")(cc.join(sizes, "lbl").count())
         }
+      case "hybridcand" :: dir :: rest =>
+        // candidate-set size of the EXACT-bound dense stage
+        // (QuantIndex.cosineCandidates) vs corpus size: the bound's
+        // ±err band is data-independent (quantization width), so the
+        // overshoot should track the score density at the top-100
+        // boundary, not the corpus — this prints the measured counts
+        // the SURVEY claim cites. args: <sfDir> [factorsCsv]
+        val factors = rest.headOption.map(_.split(',').toSeq.map(_.toInt))
+          .getOrElse(Seq(1, 10, 100))
+        factors.foreach { f =>
+          val fdir = blowUpDir(spark, dir, f)
+          val qd = VectorQueries.quantIndexDir(spark, fdir)
+          val total = Tables.load(spark, fdir, "embeddings").count()
+          Seq(0L, 3L, 7L).foreach { q =>
+            val qv = VectorQueries.queryVec(spark, fdir, q)
+            val t0 = System.nanoTime()
+            val n = graft.sources.QuantIndex
+              .cosineCandidates(spark, qd, qv, 100).count()
+            println(f"factor $f%4d  query $q: $n%6d candidates of " +
+              f"$total%8d (${(System.nanoTime() - t0) / 1e9}%.2f s)")
+          }
+        }
       case "scaleprobe" :: dir :: rest =>
         // 10×/100× blow-up probe (SURVEY §8.5): materialize synthetic
         // embeddings/documents at 1×, 10×, 100× of `dir` (deterministic

@@ -326,6 +326,28 @@ object TextQueries {
       ${VectorQueries.vectorTop100Sql}
       ${VectorQueries.rrfFuseTailSql}"""))
 
+  /** [[vHybridBm25]] over the MATERIALIZED layouts (the r13 verdict's
+    * top gap): the BM25 leg is served ENTIRELY from the lexical
+    * postings index — tf and document length ride the posting row, df
+    * folds over the ≤ 3 pruned term postings, N/Σlen are the pinned
+    * build stats ([[graft.sources.LexIndex.bm25]], integer-for-integer
+    * the [[TextAnalysis.bm25]] chain, spec-pinned) — so the keyword leg
+    * never touches the corpus text; the vector leg is the exact-bound
+    * codes-sidecar pipeline (VectorQueries.vectorTop100Indexed). No
+    * zero tail here: BM25 lists only documents hitting ≥ 1 term, the
+    * in-plan contract. Same oracle as `v_hybrid_bm25`. */
+  val vHybridBm25Indexed = Q("v_hybrid_bm25_indexed",
+    (s, dir) => {
+      val lex = VectorQueries.lexIndexDir(s, dir)
+      val bmTop = graft.operators.Fusion.topNRanked(
+          graft.sources.LexIndex.bm25(s, lex, bm25Terms),
+          100, "r_t", desc("bm25_micro"), col("doc_id"))
+        .select(col("doc_id"), col("r_t"))
+      graft.operators.Fusion.rrfFuse(bmTop,
+        VectorQueries.vectorTop100Indexed(s, dir).select("doc_id", "r_v"))
+    },
+    vHybridBm25.oracle)
+
   /** Deterministic hash sampling — the reproducible subsampling op every
     * training-data pipeline needs (a seeded md5 bucket per doc id, no
     * rand()): the SAME rows are sampled on any engine, any run, any
@@ -1922,7 +1944,8 @@ object TextQueries {
       FROM hits WHERE score_micro >= 900000
       GROUP BY 1 ORDER BY 1"""))
 
-  def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, txtTokens, txtLangid,
+  def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, vHybridBm25Indexed,
+    txtTokens, txtLangid,
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats, txtPhrase,
     txtPhraseIndexed,
     pipeSample, pipeSplit, pipeStratified, pipeShuffle, txtWinnow, pipeCurate,

@@ -1124,6 +1124,90 @@ object VectorQueries {
       ORDER BY dbsf_micro DESC, doc_id
       LIMIT 10"""))
 
+  /** The documents-table lexical postings layout ([[graft.sources.LexIndex]]),
+    * built once per fixture per JVM — the text leg of INDEXED hybrid
+    * serving (shared by the rrf/bm25/dbsf `_indexed` keys). */
+  private[graft] def lexIndexDir(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): String =
+    Tables.memoTempDir("lexidx", dir) { target =>
+      graft.sources.LexIndex.buildFrom(
+        Tables.load(s, dir, "documents"), "doc_id", "text", target)
+    }
+
+  /** The EXACT dense top-100 served from the codes sidecar — the
+    * vector leg of every `v_hybrid_*_indexed` key: stage 1 is the
+    * rigorous quantization-error bound over a codes-only scan
+    * ([[graft.sources.QuantIndex.cosineCandidates]] — a guaranteed
+    * SUPERSET of the true top-100, ReadSchema vector-free), stage 2
+    * exact-rescores only the candidates (literal id probe with the
+    * > ProbeLimit semi-join downgrade) and re-ranks on the same
+    * micro-quantized key as [[vectorTop100]] — identical rows and
+    * ranks by the bound's superset guarantee, NOT by approximation
+    * (the unchanged hybrid oracles are the gate). Returns
+    * (doc_id, score_vm, r_v). */
+  private[graft] def vectorTop100Indexed(s: org.apache.spark.sql.SparkSession,
+                                         dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val qv = queryVec(s, dir, 0)
+    val cands = graft.sources.QuantIndex
+      .cosineCandidates(s, quantIndexDir(s, dir), qv, 100)
+      .select("vec_id")
+    val scored = graft.operators.GraphAnn
+      .inIdsFrame(emb.select("vec_id", "embedding"), "vec_id", cands)
+      .withColumn("score_vm",
+        floor(VectorOps.cosine(col("embedding"), typedLit(qv)) * 1e6 +
+          lit(0.5)).cast("long"))
+    graft.operators.Fusion
+      .topNRanked(scored, 100, "r_v", desc("score_vm"), col("vec_id"))
+      .select(col("vec_id").as("doc_id"), col("score_vm"), col("r_v"))
+  }
+
+  /** [[vHybridRrf]] over the MATERIALIZED layouts — the r13 verdict's
+    * top gap closed: the keyword leg reads exact-token postings
+    * ([[graft.sources.LexIndex.termCountScores]] — tgrp partition
+    * pruning + tok pushdown, the corpus TEXT is only probed for the
+    * id-ordered zero tail when fewer than 100 documents hit, which at
+    * serving scale never happens), the vector leg is the exact-bound
+    * codes-sidecar pipeline ([[vectorTop100Indexed]]), and the fusion
+    * is the same bounded full-outer [[graft.operators.Fusion.rrfFuse]].
+    * Same oracle as `v_hybrid_rrf`: indexed serving must not change
+    * one row. */
+  val vHybridRrfIndexed = Q("v_hybrid_rrf_indexed",
+    (s, dir) => {
+      val lex = lexIndexDir(s, dir)
+      val hits = graft.sources.LexIndex
+        .termCountScores(s, lex, Seq("data", "query", "table"))
+      val tTop = graft.sources.LexIndex.rankedTopN(s, hits,
+          Tables.load(s, dir, "documents").select("doc_id"),
+          "doc_id", "score_t", 100, "r_t")
+        .select(col("doc_id"), col("r_t"))
+      graft.operators.Fusion.rrfFuse(tTop,
+        vectorTop100Indexed(s, dir).select("doc_id", "r_v"))
+    },
+    vHybridRrf.oracle)
+
+  /** [[vHybridDbsf]] over the MATERIALIZED layouts — both legs' scored
+    * top-100 lists come from the serving layouts (exact keyword counts
+    * from postings with the adaptive zero tail; exact micro cosine from
+    * the bound-candidate rescore), then the same
+    * [[graft.operators.Fusion.dbsfFuse]] μ±3σ normalization. Same
+    * oracle as `v_hybrid_dbsf`. */
+  val vHybridDbsfIndexed = Q("v_hybrid_dbsf_indexed",
+    (s, dir) => {
+      val lex = lexIndexDir(s, dir)
+      val hits = graft.sources.LexIndex
+        .termCountScores(s, lex, Seq("data", "query", "table"))
+      val tTop = graft.sources.LexIndex.rankedTopN(s, hits,
+          Tables.load(s, dir, "documents").select("doc_id"),
+          "doc_id", "score_t", 100, "r_t")
+        .select(col("doc_id"), col("score_t"))
+      val vTop = vectorTop100Indexed(s, dir)
+        .select(col("doc_id"), col("score_vm").as("score_v"))
+      graft.operators.Fusion.dbsfFuse(tTop, vTop)
+    },
+    vHybridDbsf.oracle)
+
   /** Scalar quantization (the public Qdrant int8 compression scheme) as a
     * declared query: per-vector min-max range in micro units + the code
     * checksum — the oracle replays the affine int8 map bit-for-bit
@@ -1740,7 +1824,8 @@ object VectorQueries {
     vKnnDslRouted, vKnnGeo, vKnnGeoIndexed, vKnnGeoPoly, vKnnGeoPolyRouted,
     vKnnGeoSelRouted, vKnnGeoRadius,
     vL2, vManhattan, vDot, vFusion, vFusionPartial, vMaxsim, vHybridRrf,
-    vHybridDbsf, vSqQuantize, vSqSearch, vBqSearch, vPrefetch,
+    vHybridDbsf, vHybridRrfIndexed, vHybridDbsfIndexed,
+    vSqQuantize, vSqSearch, vBqSearch, vPrefetch,
     vSqSearchIndexed, vBqSearchIndexed, vBqSearchMulti, vPrefetchIndexed,
     vMrlSearch, vMrlSearchIndexed, vScoreBoost, collStats)
 }

@@ -1160,6 +1160,29 @@ object SqUtil {
     }
     dot / (math.sqrt(xx) * math.sqrt(yy))
   }
+
+  /** Raw DEQUANTIZED dot product from materialized codes:
+    * Σ (mn + cᵢ/255·(mx−mn))·qᵢ, one sequential accumulator — the
+    * numerator of [[scoreFromCodes]] alone, un-normalized. The
+    * EXACT-bound candidate stage ([[graft.sources.QuantIndex]]
+    * `cosineCandidates`) brackets the true dot with
+    * `dotFromCodes ± (Δ/2)·‖q‖₁` (per-coordinate quantization error
+    * ≤ Δ/2 by the round-to-nearest code map) and divides by the STORED
+    * true norm, so cosine bounds come from a codes-only scan. */
+  def dotFromCodes(codes: ArrayData, mn: Double, mx: Double,
+                   q: Array[Double]): Double = {
+    val n = codes.numElements()
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val dq =
+        if (mx == mn) mn
+        else mn + codes.getInt(i).toDouble / 255 * (mx - mn)
+      dot += dq * q(i)
+      i += 1
+    }
+    dot
+  }
 }
 
 /** Quantized-cosine score from materialized codes (see
@@ -1204,6 +1227,57 @@ case class SqCodesScoreExpr(codes: Expression, mnE: Expression,
       if ($c.numElements() != $qRef.length) { ${ev.isNull} = true; }
       else { ${ev.value} =
         graft.functions.SqUtil.scoreFromCodes($c, $mn, $mx, $qRef); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(codes = newFirst, mnE = newSecond, mxE = newThird)
+}
+
+/** Raw dequantized dot product from materialized codes (see
+  * [[SqUtil.dotFromCodes]]): children are (codes: array<int>,
+  * mn: double, mx: double); the query is a bound literal. Stage-1 of
+  * EXACT-bound serving — the supplying scan never reads the embedding
+  * column. */
+case class SqCodesDotExpr(codes: Expression, mnE: Expression,
+                          mxE: Expression, query: Seq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = codes
+  override def second: Expression = mnE
+  override def third: Expression = mxE
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, mnE.dataType, mxE.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+            DoubleType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (c, a, b) => TypeCheckResult.TypeCheckFailure(
+        s"sq_codes_dot needs (array<int>, double, double), got " +
+          s"(${c.catalogString}, ${a.catalogString}, ${b.catalogString})")
+    }
+
+  override def prettyName: String = "graft_sq_codes_dot"
+
+  @transient private lazy val qArr: Array[Double] = query.toArray
+
+  override protected def nullSafeEval(c: Any, mn: Any, mx: Any): Any = {
+    val a = c.asInstanceOf[ArrayData]
+    if (a.numElements() != qArr.length) null
+    else SqUtil.dotFromCodes(a, mn.asInstanceOf[Double],
+      mx.asInstanceOf[Double], qArr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("sqQuery", qArr, "double[]")
+    nullSafeCodeGen(ctx, ev, (c, mn, mx) => s"""
+      if ($c.numElements() != $qRef.length) { ${ev.isNull} = true; }
+      else { ${ev.value} =
+        graft.functions.SqUtil.dotFromCodes($c, $mn, $mx, $qRef); }
     """)
   }
 

@@ -25,9 +25,11 @@ import graft.functions.VectorOps
   *
   * {{{
   * quantDir/
-  *   _quant_index.json            {"id_col", "vec_col", "dim", "word_bits"}
+  *   _quant_index.json            {"id_col", "vec_col", "dim", "word_bits",
+  *                                 "prefix_dim"}
   *   src_bucket=b/part-….parquet  (id, bq ARRAY<BIGINT>, mn, mx,
-  *                                 codes ARRAY<INT>)
+  *                                 codes ARRAY<INT>,
+  *                                 prefix ARRAY<FLOAT>, norm DOUBLE)
   * }}}
   *
   * `bq` = sign bits packed 32/word ([[VectorOps.bqPack]]); `(mn, mx,
@@ -122,10 +124,15 @@ object QuantIndex {
       .select(col(m.idCol),
         VectorOps.bqPack(col(m.vecCol), m.dim, m.wordBits).as("bq"),
         VectorOps.sqCodes(col(m.vecCol)).as("__q"),
-        slice(col(m.vecCol), 1, m.prefixDim).as("prefix"))
+        slice(col(m.vecCol), 1, m.prefixDim).as("prefix"),
+        // the TRUE L2 norm, stored at build (the SemanticDedupIndex
+        // stored-norm discipline): the EXACT-bound candidate stage
+        // divides its dequantized-dot bracket by it, so rigorous
+        // cosine bounds come from a codes-only scan
+        VectorOps.norm(col(m.vecCol)).as("norm"))
       .select(col(m.idCol), col("bq"),
         col("__q.mn").as("mn"), col("__q.mx").as("mx"),
-        col("__q.codes").as("codes"), col("prefix"))
+        col("__q.codes").as("codes"), col("prefix"), col("norm"))
 
   /** Materialize the sidecar from a points frame (fixture-table form). */
   def build(points: DataFrame, idCol: String, vecCol: String, dim: Int,
@@ -304,6 +311,88 @@ object QuantIndex {
       .select(col("query_id"), col(m.idCol), col("hamming"),
         col("score_q"))
   }
+
+  /** EXACT top-`n`-cosine candidate set from the codes sidecar — the
+    * refine-and-filter law (the FAISS refine / BlockMax family shape),
+    * made RIGOROUS by the round-to-nearest code map:
+    *
+    *  - per coordinate, |v − dequant(code)| ≤ Δ/2 with
+    *    Δ = (mx−mn)/255, so the true dot is bracketed by
+    *    `dotFromCodes ± (Δ/2)·‖q‖₁` and the true cosine by that
+    *    bracket over the STORED true norm × ‖q‖;
+    *  - job 1 heaps the per-row cosine LOWER bounds to the n-th
+    *    largest, θ (a bounded TakeOrderedAndProject + 1-row collect).
+    *    Every true top-n member's cosine ≥ the n-th largest true
+    *    cosine ≥ the n-th largest lower bound = θ (lb ≤ cos
+    *    pointwise ⇒ order statistics dominate pointwise);
+    *  - job 2 keeps rows whose UPPER bound ≥ θ − [[BoundSlack]] — a
+    *    guaranteed SUPERSET of the exact top-n (slack covers the
+    *    caller's micro-unit tie window and FP accumulation headroom;
+    *    it only ever ADDS candidates).
+    *
+    * The caller exact-rescores the candidates' full vectors (literal
+    * id probe / semi-join downgrade — [[graft.operators.GraphAnn]]
+    * inIdsFrame) and re-ranks: the result is the EXACT top-n, from a
+    * stage-1 that scanned codes + 3 doubles per row and never the
+    * vector column (ReadSchema spec-asserted). Candidate count is
+    * n + the rows whose ±err band straddles θ — the band is
+    * data-independent (quantization width), so the overshoot tracks
+    * the score DENSITY at the boundary, not the corpus (probed FLAT;
+    * see SURVEY §8).
+    *
+    * Contract: zero-norm vectors never become candidates (their
+    * cosine is NULL in-plan and a NULL never outranks a scored row;
+    * they could only surface in a top-n over a collection with < n
+    * scoreable rows, where this verb already returns every scoreable
+    * row because θ is the minimum lower bound). Returns
+    * (idCol, lb, ub). */
+  def cosineCandidates(spark: SparkSession, dir: String,
+                       query: Seq[Double], n: Int): DataFrame = {
+    val m = metaOf(dir)
+    require(query.length == m.dim,
+      s"query dim ${query.length} != index dim ${m.dim}")
+    val base = read(spark, dir)
+    if (!base.columns.contains("norm"))
+      throw new IllegalStateException(
+        s"quant sidecar at $dir predates the stored-norm column — " +
+          "rebuild it with QuantIndex.build (a derived layout, " +
+          "rebuildable from the collection)")
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val qL1 = query.map(math.abs).sum
+    require(qNorm > 0, "cosine candidates need a non-zero query vector")
+    val bounded = base
+      .filter(col("norm") > 0)
+      .withColumn("__dq", org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.SqCodesDotExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("codes")),
+          org.apache.spark.sql.GraftSqlBridge.expression(col("mn")),
+          org.apache.spark.sql.GraftSqlBridge.expression(col("mx")),
+          query)))
+      .withColumn("__err",
+        (col("mx") - col("mn")) / lit(255.0) / lit(2.0) * lit(qL1))
+      .withColumn("lb",
+        (col("__dq") - col("__err")) / (col("norm") * lit(qNorm)))
+      .withColumn("ub",
+        (col("__dq") + col("__err")) / (col("norm") * lit(qNorm)))
+    // θ = n-th largest lower bound; < n scoreable rows → the minimum
+    // (every row a candidate). Bounded: heap + 1-row collect.
+    val thetaRow = bounded.select(col("lb"))
+      .orderBy(desc("lb")).limit(n)
+      .agg(min("lb")).collect()
+    val theta = if (thetaRow.isEmpty || thetaRow.head.isNullAt(0))
+      Double.NegativeInfinity else thetaRow.head.getDouble(0)
+    bounded
+      .filter(col("ub") >= lit(theta - BoundSlack))
+      .select(col(m.idCol), col("lb"), col("ub"))
+  }
+
+  /** Candidate slack: 1e-6 for the caller's micro-unit rank-tie window
+    * (a row can enter a micro-ranked top-n with a true cosine up to
+    * half a micro below the n-th score's rounding band) + 1e-6 of FP
+    * accumulation headroom (≫ the ~1e-13 worst case of a few-thousand-
+    * term double sum). Slack only ADDS candidates — the exact rescore
+    * discards them — so correctness never rests on it being tight. */
+  val BoundSlack: Double = 2e-6
 
   /** Incremental refresh from the change feed — the
     * [[PayloadIndex.refresh]] contract verbatim: stale `src_bucket=`

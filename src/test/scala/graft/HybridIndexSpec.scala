@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+import graft.sources.{LexIndex, QuantIndex}
+
+/** Indexed hybrid retrieval (the r13 verdict's top gap): the lexical
+  * postings layout, the exact-bound dense candidate stage, and the
+  * three `v_hybrid_*_indexed` keys — every claim pinned against the
+  * in-plan twins the UNCHANGED oracles gate. */
+class HybridIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  private lazy val lexDir = VectorQueries.lexIndexDir(spark, sf)
+  private lazy val quantDir = VectorQueries.quantIndexDir(spark, sf)
+
+  private def qv(i: Long): Seq[Double] =
+    emb.filter(col("vec_id") === i)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+
+  test("cosineCandidates: guaranteed SUPERSET of the exact micro-ranked " +
+       "top-100, for several queries, and the bound brackets the true " +
+       "cosine on every row") {
+    for (q <- Seq(0L, 3L, 7L)) {
+      val query = qv(q)
+      val exact = emb
+        .withColumn("m", floor(graft.functions.VectorOps.cosine(
+          col("embedding"), typedLit(query)) * 1e6 + lit(0.5)).cast("long"))
+        .orderBy(desc("m"), col("vec_id"))
+        .limit(100).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val cands = QuantIndex.cosineCandidates(spark, quantDir, query, 100)
+      val candIds = cands.select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(exact.subsetOf(candIds),
+        s"query $q: exact top-100 not covered — missing " +
+          s"${(exact -- candIds).take(5)} of ${exact.size} " +
+          s"(candidates ${candIds.size})")
+      // lb ≤ cos ≤ ub pointwise (joined against the true vectors)
+      val viol = cands
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .withColumn("c", graft.functions.VectorOps.cosine(
+          col("embedding"), typedLit(query)))
+        .filter(col("c") < col("lb") - lit(1e-12) ||
+          col("c") > col("ub") + lit(1e-12))
+      assert(viol.count() == 0,
+        s"query $q: bound does not bracket the true cosine")
+    }
+  }
+
+  test("cosineCandidates stage 1 is a codes-only scan: one parquet scan " +
+       "of the sidecar, ReadSchema carries codes+range+norm but neither " +
+       "the bq words nor the MRL prefix (pruned), and never a vector " +
+       "column") {
+    val cands = QuantIndex.cosineCandidates(spark, quantDir, qv(0), 100)
+    val plan = cands.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"candidate stage must be one codes scan:\n$plan")
+    val rs = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(rs.nonEmpty && rs.forall(s =>
+        !s.contains("embedding") && !s.contains("prefix") &&
+          !s.contains("bq")),
+      s"stage-1 ReadSchema reads more than codes+range+norm:\n$plan")
+    assert(rs.exists(s => s.contains("codes") && s.contains("norm")),
+      s"stage-1 ReadSchema misses codes/norm:\n$plan")
+  }
+
+  test("SqCodesDotExpr is bit-equal to the HOF dequantize-dot twin") {
+    val query = qv(3)
+    val dq = graft.functions.VectorOps.sqDequantize(col("codes"),
+      struct(col("mn"), col("mx")))
+    val hof = aggregate(
+      zip_with(dq, typedLit(query), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val fused = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.SqCodesDotExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("codes")),
+        org.apache.spark.sql.GraftSqlBridge.expression(col("mn")),
+        org.apache.spark.sql.GraftSqlBridge.expression(col("mx")),
+        query))
+    val diverged = QuantIndex.read(spark, quantDir)
+      .select(hof.as("a"), fused.as("b"))
+      .filter(!(col("a") <=> col("b")))
+    assert(diverged.count() == 0,
+      "fused dequantized dot != sequential HOF twin")
+  }
+
+  test("LexIndex.bm25 equals TextAnalysis.bm25 row-for-row (tf, len, " +
+       "df, N, Σlen all from the layout)") {
+    val terms = Seq("data", "query", "table")
+    val served = LexIndex.bm25(spark, lexDir, terms)
+      .select("doc_id", "bm25_micro", "n_terms_hit")
+      .collect().map(_.toSeq).toSet
+    val inPlan = TextAnalysis.bm25(docs, "doc_id", "text", terms)
+      .select("doc_id", "bm25_micro", "n_terms_hit")
+      .collect().map(_.toSeq).toSet
+    assert(served == inPlan, "postings-served BM25 diverges from in-plan")
+    // and for a term set with different df/tf shape (single rare-ish term)
+    val t2 = Seq("scan")
+    val s2 = LexIndex.bm25(spark, lexDir, t2)
+      .collect().map(_.toSeq).toSet
+    val p2 = TextAnalysis.bm25(docs, "doc_id", "text", t2)
+      .collect().map(_.toSeq).toSet
+    assert(s2 == p2, "single-term BM25 diverges")
+  }
+
+  test("termCountScores equals the in-plan keyword-occurrence count " +
+       "(hit documents), and the postings scan prunes tgrp partitions " +
+       "at listing with no text column anywhere") {
+    val kws = Seq("data", "query", "table")
+    val served = LexIndex.termCountScores(spark, lexDir, kws)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inPlan = docs
+      .withColumn("s", size(filter(TextAnalysis.tokens(col("text")),
+        t => array_contains(typedLit(kws), t))).cast("long"))
+      .filter(col("s") > 0)
+      .select("doc_id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == inPlan, "postings keyword counts diverge from in-plan")
+    val plan = LexIndex.termPostings(spark, lexDir, kws)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*tgrp[^\\]]*".r
+        .findFirstIn(plan).isDefined,
+      s"term groups not pruned at file listing:\n$plan")
+    val rs = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(rs.nonEmpty && rs.forall(!_.contains("text")),
+      s"postings serving reads the corpus text:\n$plan")
+  }
+
+  test("rankedTopN: zero-fill path (fewer hits than n) and no-fill path " +
+       "both equal the in-plan rank-over-the-whole-corpus twin") {
+    val kws = Seq("data", "query", "table")
+    val hits = LexIndex.termCountScores(spark, lexDir, kws)
+    val universe = docs.select("doc_id")
+    val inPlanAll = graft.operators.Fusion.topNRanked(
+      docs.withColumn("score_t",
+        size(filter(TextAnalysis.tokens(col("text")),
+          t => array_contains(typedLit(kws), t))).cast("long")),
+      100, "r_t", desc("score_t"), col("doc_id"))
+    // sf0.001 has 50 docs < 100 → the id-ordered zero tail must appear
+    val a100 = LexIndex.rankedTopN(spark, hits, universe, "doc_id",
+        "score_t", 100, "r_t")
+      .select("doc_id", "score_t", "r_t")
+      .collect().map(_.toSeq).toSet
+    val b100 = inPlanAll.select("doc_id", "score_t", "r_t")
+      .collect().map(_.toSeq).toSet
+    assert(a100 == b100, "zero-fill ranked list diverges from in-plan")
+    assert(a100.size == universe.count().min(100),
+      "zero-fill did not reach the full list length")
+    // n below the hit count → pure-heap path (universe never consulted)
+    val a5 = LexIndex.rankedTopN(spark, hits, universe, "doc_id",
+        "score_t", 5, "r_t")
+      .select("doc_id", "score_t", "r_t")
+      .collect().map(_.toSeq).toSet
+    val b5 = graft.operators.Fusion.topNRanked(
+        docs.withColumn("score_t",
+          size(filter(TextAnalysis.tokens(col("text")),
+            t => array_contains(typedLit(kws), t))).cast("long")),
+        5, "r_t", desc("score_t"), col("doc_id"))
+      .select("doc_id", "score_t", "r_t")
+      .collect().map(_.toSeq).toSet
+    assert(a5 == b5, "no-fill ranked list diverges from in-plan")
+  }
+
+  test("the three indexed hybrid keys equal their in-plan twins " +
+       "row-for-row (the unchanged-oracle contract, asserted locally)") {
+    for (base <- Seq("v_hybrid_rrf", "v_hybrid_bm25", "v_hybrid_dbsf")) {
+      val a = Queries.queries(base)(spark, sf)
+        .collect().map(_.toSeq.toString).toSeq
+      val b = Queries.queries(s"${base}_indexed")(spark, sf)
+        .collect().map(_.toSeq.toString).toSeq
+      assert(a == b, s"$base: indexed serving changed rows")
+    }
+  }
+
+  test("loud contracts: empty term set, wrong query dim, stale layout " +
+       "without the norm column") {
+    intercept[IllegalArgumentException] {
+      LexIndex.termPostings(spark, lexDir, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      QuantIndex.cosineCandidates(spark, quantDir, Seq(1.0, 2.0), 10)
+    }
+    // a sidecar persisted BEFORE the stored-norm column: descriptive
+    // rebuild-it error, not an AnalysisException three calls later
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-oldquant")
+    val full = root.resolve("full").toString
+    val old = root.resolve("old").toString
+    QuantIndex.build(emb.limit(50), "vec_id", "embedding",
+      qv(0).length, full)
+    spark.read.parquet(full).drop("norm")
+      .write.mode("overwrite").parquet(old)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(full, "_quant_index.json"),
+      java.nio.file.Paths.get(old, "_quant_index.json"))
+    val e = intercept[IllegalStateException] {
+      QuantIndex.cosineCandidates(spark, old, qv(0), 10)
+    }
+    assert(e.getMessage.contains("stored-norm"),
+      s"unexpected error: ${e.getMessage}")
+  }
+}
