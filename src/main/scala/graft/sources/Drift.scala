@@ -144,6 +144,37 @@ object Drift {
     else now.toDouble / pinned.toDouble
   }
 
+  /** Default maintenance threshold for [[maintain]]: the signal is
+    * EXACTLY 1.0 on unchanged data (same points, same pinned artifacts,
+    * deterministic sketch — spec-pinned) and the scaled-permutation
+    * distribution shift (a re-embedding: dims rolled, 2.5× scale) fires
+    * well above 1.1 in every gated walk (CollectionsSpec /
+    * SemanticDedupIndexSpec), so 1.1 separates "noise-free identical"
+    * from "the artifacts no longer describe the data" with margin on
+    * both sides. Deployments tracking gradual drift can lower it;
+    * anything ≤ 1.0 retrains on every call by construction. */
+  val DefaultThreshold: Double = 1.1
+
+  /** One [[maintain]] outcome: the measured signal and whether the
+    * retrain ran. */
+  final case class MaintainResult(ratio: Double, retrained: Boolean)
+
+  /** ONE-CALL drift maintenance — the composition the r13 machinery
+    * left to the deployment: evaluate the signal, retrain past the
+    * threshold, no-op otherwise. `ratio` and `retrain` are by-name so a
+    * no-op call costs exactly one signal pass and the layout's bytes
+    * are untouched (spec-asserted). The per-layout `maintain` verbs
+    * ([[IvfIndex]], [[IvfPqIndex]], [[PqIndex]], [[GraphIndex]],
+    * [[SemanticDedupIndex]]) delegate here with their own signal and
+    * retrain wiring, so the threshold policy lives in one place. */
+  def maintain(threshold: Double)(ratio: => Double)(retrain: => Unit)
+      : MaintainResult = {
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val r = ratio
+    if (r > threshold) { retrain; MaintainResult(r, retrained = true) }
+    else MaintainResult(r, retrained = false)
+  }
+
   private def rmTree(p: java.io.File): Unit = {
     Option(p.listFiles()).foreach(_.foreach(rmTree)); p.delete(); ()
   }

@@ -232,8 +232,72 @@ object GraphIndex {
     Drift.stagedRebuild(indexDir) { staging =>
       buildFromPoints(Collections.read(spark, collDir), idCol, vecCol,
         Collections.numBuckets(collDir), staging, p)
+      // baseline against the NEW layout's seeds, inside staging — the
+      // swap publishes layout and baseline atomically (renames only)
+      Drift.snapshotAssignment(staging,
+        Collections.read(spark, collDir), vecCol,
+        seedCentroids(spark, collDir, staging, idCol, vecCol))
     }
     cur
+  }
+
+  /** The persisted entry seeds' VECTORS as a (cid, cv) table — the
+    * routing "centroids" of a pinned-seed graph (bounded:
+    * buckets · seedCap rows, literal id probe). */
+  private def seedCentroids(spark: SparkSession, collDir: String,
+                            indexDir: String, idCol: String,
+                            vecCol: String): DataFrame = {
+    val ids = ServedReads.of(spark, s"$indexDir/seeds")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    GraphAnn.inIds(
+      Collections.read(spark, collDir)
+        .select(col(idCol).cast("long").as("cid"),
+          col(vecCol).cast("array<double>").as("cv")),
+      "cid", ids)
+  }
+
+  /** Persist the drift baseline for a pinned-seed graph: the
+    * [[Drift.assignmentSketch]] of every point's distance to the
+    * nearest persisted ENTRY SEED vector (the seeds' CURRENT vectors —
+    * beam scoring reads current vectors too, so the signal measures
+    * the current routing geometry). A pinned-seed layout over drifted
+    * data degrades exactly like pinned centroids — beam entry starts
+    * far from every query's neighborhood while incremental [[refresh]]
+    * keeps the seeds by contract — and this is the deterministic
+    * signal of that gap. Call after [[build]]; [[retrain]] refreshes
+    * it automatically. Note the signal is vacuously 1.0 while every
+    * point IS a seed (collection ≤ buckets·seedCap — a toy-fixture
+    * state no real collection stays in). */
+  def snapshotDrift(spark: SparkSession, collDir: String,
+                    indexDir: String, idCol: String,
+                    vecCol: String): Unit =
+    Drift.snapshotAssignment(indexDir, Collections.read(spark, collDir),
+      vecCol, seedCentroids(spark, collDir, indexDir, idCol, vecCol))
+
+  /** The drift signal: current-collection 0.9-quantile
+    * distance-to-nearest-seed over the pinned build-time quantile —
+    * exactly 1.0 on unchanged data. */
+  def driftRatio(spark: SparkSession, collDir: String, indexDir: String,
+                 idCol: String, vecCol: String,
+                 q: Double = 0.9): Double =
+    Drift.assignmentRatio(spark, indexDir,
+      Collections.read(spark, collDir), vecCol,
+      seedCentroids(spark, collDir, indexDir, idCol, vecCol), q = q)
+
+  /** ONE-CALL maintenance ([[Drift.maintain]]): evaluate [[driftRatio]],
+    * [[retrain]] past `threshold`, no-op otherwise (layout bytes
+    * untouched). Returns the signal and, iff it fired, the fresh
+    * cursor. */
+  def maintain(spark: SparkSession, collDir: String, indexDir: String,
+               idCol: String, vecCol: String, p: Params,
+               threshold: Double = Drift.DefaultThreshold)
+      : (Drift.MaintainResult, Option[Collections.ManifestView]) = {
+    var out: Option[Collections.ManifestView] = None
+    val res = Drift.maintain(threshold)(
+      driftRatio(spark, collDir, indexDir, idCol, vecCol)) {
+      out = Some(retrain(spark, collDir, indexDir, idCol, vecCol, p))
+    }
+    (res, out)
   }
 
   /** Full build from any points frame (fixture-table form — the same

@@ -103,4 +103,30 @@ object IvfIndex {
     }
     (cur, cents)
   }
+
+  /** ONE-CALL maintenance ([[Drift.maintain]]): evaluate the drift
+    * signal of the CURRENT collection under the caller-held serving
+    * centroids (the layout's pinned artifacts), [[retrain]] past
+    * `threshold` (default [[Drift.DefaultThreshold]] — the measured
+    * fire point), no-op otherwise with the layout bytes untouched.
+    * Returns the signal and, iff it fired, retrain's
+    * (cursor, fresh centroids) — the caller swaps its serving
+    * centroids exactly as after a manual retrain. Requires the
+    * build-time [[Drift.snapshotAssignment]] baseline. */
+  def maintain(spark: SparkSession, collDir: String, indexDir: String,
+               idCol: String, vecCol: String, centroids: DataFrame,
+               trainCentroids: DataFrame => DataFrame,
+               cidCol: String = "cid", cvCol: String = "cv",
+               threshold: Double = Drift.DefaultThreshold)
+      : (Drift.MaintainResult,
+         Option[(Collections.ManifestView, DataFrame)]) = {
+    var out: Option[(Collections.ManifestView, DataFrame)] = None
+    val res = Drift.maintain(threshold)(
+      Drift.assignmentRatio(spark, indexDir,
+        Collections.read(spark, collDir), vecCol, centroids, cvCol)) {
+      out = Some(retrain(spark, collDir, indexDir, idCol, vecCol,
+        trainCentroids, cidCol, cvCol))
+    }
+    (res, out)
+  }
 }

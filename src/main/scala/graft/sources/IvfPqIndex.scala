@@ -163,6 +163,39 @@ object IvfPqIndex {
     cur
   }
 
+  /** Persist the build-time drift baseline under the layout's PINNED
+    * coarse centroids (call after [[build]] when maintenance is wanted;
+    * [[retrain]] refreshes it automatically — the
+    * [[SemanticDedupIndex]].snapshotDrift contract). */
+  def snapshotDrift(spark: SparkSession, collDir: String,
+                    indexDir: String): Unit = {
+    val mt = metaOf(indexDir)
+    Drift.snapshotAssignment(indexDir, Collections.read(spark, collDir),
+      mt.vecCol, centroidsOf(spark, indexDir))
+  }
+
+  /** ONE-CALL maintenance ([[Drift.maintain]]): signal of the CURRENT
+    * collection under the layout's PINNED coarse centroids (read from
+    * `_centroids/` — self-contained, unlike [[IvfIndex]] whose caller
+    * holds them), [[retrain]] past `threshold`, no-op otherwise.
+    * Returns the signal and, iff it fired, the fresh cursor. */
+  def maintain(spark: SparkSession, collDir: String, indexDir: String,
+               trainCentroids: DataFrame => DataFrame,
+               trainCodebooks: DataFrame => Array[Array[(Long, Array[Long])]],
+               threshold: Double = Drift.DefaultThreshold)
+      : (Drift.MaintainResult, Option[Collections.ManifestView]) = {
+    val mt = metaOf(indexDir)
+    var out: Option[Collections.ManifestView] = None
+    val res = Drift.maintain(threshold)(
+      Drift.assignmentRatio(spark, indexDir,
+        Collections.read(spark, collDir), mt.vecCol,
+        centroidsOf(spark, indexDir))) {
+      out = Some(retrain(spark, collDir, indexDir, mt.idCol, mt.vecCol,
+        trainCentroids, trainCodebooks, mt.subDim))
+    }
+    (res, out)
+  }
+
   /** The layout rows (id, codes, cluster) — the swap-unit column
     * dropped, the IVF cell kept (it is partition metadata — reading it
     * costs nothing and the declared queries surface it). */

@@ -206,7 +206,89 @@ object PqIndex {
     Drift.stagedRebuild(indexDir) { staging =>
       build(pts, idCol, vecCol, cbs, subDim, staging,
         Collections.numBuckets(collDir))
+      snapshotDistortion(staging, pts, metaOf(staging), cbs)
     }
     cur
+  }
+
+  /** The PQ-NATIVE drift fingerprint: per point, the SUM over subspaces
+    * of the L2 distance (micro space — [[Pq.vmicro]]'s integer lattice,
+    * where the codebooks live) from the sub-vector to its nearest
+    * pinned codeword — exactly the quantity PQ encoding minimizes, so
+    * rising totals mean the codebooks stop covering the data (the
+    * coarse-centroid assignment sketch's law, in the layout's own
+    * geometry). Same bounded HDR shape as [[Drift.assignmentSketch]]:
+    * one fused-kernel pass, ≤ 7.3k rows out, per-row contract. */
+  private def distortionSketch(points: DataFrame, mt: Meta,
+      cbs: Array[Array[(Long, Array[Long])]]): DataFrame = {
+    val vm = Pq.vmicro(col(mt.vecCol)).cast("array<double>")
+    val subDists = (0 until mt.m).map { sub =>
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.MinCellDistExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(
+            slice(vm, sub * mt.subDim + 1, mt.subDim)),
+          cbs(sub).map(_._2.map(_.toDouble).toSeq).toSeq))
+    }
+    points
+      .select(subDists.reduce(_ + _).as("__d"))
+      .filter(col("__d").isNotNull)
+      .select(graft.operators.Hdr.bucket(
+        floor(col("__d") + lit(0.5)).cast("long")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  private def snapshotDistortion(indexDir: String, points: DataFrame,
+      mt: Meta, cbs: Array[Array[(Long, Array[Long])]]): Unit = {
+    distortionSketch(points, mt, cbs)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/_drift")
+    ()
+  }
+
+  /** Persist the build-time distortion baseline under the PINNED
+    * codebooks (call after [[build]] when maintenance is wanted;
+    * [[retrain]] refreshes it automatically). */
+  def snapshotDrift(spark: SparkSession, collDir: String,
+                    indexDir: String): Unit = {
+    val mt = metaOf(indexDir)
+    snapshotDistortion(indexDir, Collections.read(spark, collDir), mt,
+      codebooksOf(spark, indexDir))
+  }
+
+  /** The drift signal: current-collection 0.9-quantile PQ distortion
+    * under the PINNED codebooks over the pinned build-time quantile —
+    * exactly 1.0 on unchanged data ([[Drift.assignmentRatio]]'s
+    * contract in the PQ geometry). */
+  def driftRatio(spark: SparkSession, collDir: String, indexDir: String,
+                 q: Double = 0.9): Double = {
+    require(Files.isDirectory(Paths.get(indexDir, "_drift")),
+      s"no drift snapshot at $indexDir/_drift — call snapshotDrift " +
+        "after build")
+    val mt = metaOf(indexDir)
+    val now = Drift.quantileUpper(
+      distortionSketch(Collections.read(spark, collDir), mt,
+        codebooksOf(spark, indexDir)), q)
+    val pinned = Drift.quantileUpper(
+      spark.read.parquet(s"$indexDir/_drift"), q)
+    if (pinned == 0L) (if (now == 0L) 1.0 else Double.PositiveInfinity)
+    else now.toDouble / pinned.toDouble
+  }
+
+  /** ONE-CALL maintenance ([[Drift.maintain]]): evaluate [[driftRatio]],
+    * [[retrain]] past `threshold`, no-op otherwise (layout bytes
+    * untouched). Returns the signal and, iff it fired, the fresh
+    * cursor. */
+  def maintain(spark: SparkSession, collDir: String, indexDir: String,
+               trainCodebooks: DataFrame => Array[Array[(Long, Array[Long])]],
+               threshold: Double = Drift.DefaultThreshold)
+      : (Drift.MaintainResult, Option[Collections.ManifestView]) = {
+    val mt = metaOf(indexDir)
+    var out: Option[Collections.ManifestView] = None
+    val res = Drift.maintain(threshold)(
+      driftRatio(spark, collDir, indexDir)) {
+      out = Some(retrain(spark, collDir, indexDir, mt.idCol, mt.vecCol,
+        trainCodebooks, mt.subDim))
+    }
+    (res, out)
   }
 }

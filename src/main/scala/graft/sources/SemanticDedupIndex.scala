@@ -530,11 +530,21 @@ object SemanticDedupIndex {
     * appended content drifts from the distribution the centroids were
     * trained on (see [[Drift.assignmentRatio]]). */
   def driftRatio(spark: SparkSession, dir: String,
-                 q: Double = 0.9): Double = {
-    val g = geometry(dir)
+                 q: Double = 0.9): Double =
     Drift.assignmentRatio(spark, dir, storedPoints(spark, dir), "v",
       pinnedCentroids(spark, dir), q = q)
-  }
+
+  /** ONE-CALL maintenance ([[Drift.maintain]]): evaluate [[driftRatio]],
+    * [[retrain]] past `threshold` (default
+    * [[Drift.DefaultThreshold]] — the measured fire point), no-op
+    * otherwise (layout bytes untouched — spec-asserted). Requires the
+    * [[snapshotDrift]] baseline, like the signal itself. */
+  def maintain(spark: SparkSession, dir: String,
+               trainCentroids: DataFrame => DataFrame,
+               threshold: Double = Drift.DefaultThreshold)
+      : Drift.MaintainResult =
+    Drift.maintain(threshold)(driftRatio(spark, dir))(
+      retrain(spark, dir, trainCentroids))
 
   /** Staged RETRAIN (the [[Drift]] maintenance verb, the IvfIndex
     * contract): train FRESH centroids from the CURRENT index contents

@@ -1624,4 +1624,163 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     assert(GraphIndex.seeds(spark, gIdx, 4).toSeq ==
       GraphIndex.seeds(spark, gFresh, 4).toSeq)
   }
+
+  test("one-call drift maintenance (maintain) on every trained layout " +
+       "(IVF, PQ, IVF-PQ, graph): below threshold a byte-identical " +
+       "no-op; a distribution shift fires all four, each retrains with " +
+       "its original trainer, the signal returns to 1.0, IVF probe " +
+       "recall recovers, and refresh continues from the returned cursor") {
+    import graft.sources.{Drift, GraphIndex, IvfIndex, IvfPqIndex, PqIndex}
+    import graft.operators.{Ann, Pq}
+    val root = Files.createTempDirectory("graft-maintain").toString
+    val dir = s"$root/coll"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(64), "embedding", "vec_id", "seq")
+    val emb = Tables.load(spark, sf, "embeddings").limit(300)
+    sink.write(emb.withColumn("seq", lit(0)))
+    // the proven recall-recovery geometry of the drift+retrain test
+    // (k=8, iters=2, nprobe 2 of 8) — k=4/nprobe-2-of-4 probes half the
+    // cells and stale recall stays lucky at toy scale
+    def train(pts: org.apache.spark.sql.DataFrame) =
+      Ann.kmeansFit(pts, "vec_id", "embedding", k = 8, iters = 2)
+    def cbs(pts: org.apache.spark.sql.DataFrame) =
+      Pq.trainCodebooks(pts, "vec_id", "embedding", m = 4, subDim = 16,
+        k = 16, iters = 1)
+    val coll0 = Collections.read(spark, dir)
+    val cents0 = train(coll0)
+
+    val ivfIdx = s"$root/ivf"
+    val v0 = IvfIndex.build(spark, dir, ivfIdx, "vec_id", "embedding",
+      cents0, "cid", "cv")
+    Drift.snapshotAssignment(ivfIdx, coll0, "embedding", cents0)
+    val pqIdx = s"$root/pq"
+    PqIndex.build(coll0, "vec_id", "embedding", cbs(coll0), 16, pqIdx,
+      Collections.numBuckets(dir))
+    PqIndex.snapshotDrift(spark, dir, pqIdx)
+    val ivfpqIdx = s"$root/ivfpq"
+    IvfPqIndex.build(coll0, "vec_id", "embedding", cents0, cbs(coll0),
+      16, ivfpqIdx, Collections.numBuckets(dir))
+    IvfPqIndex.snapshotDrift(spark, dir, ivfpqIdx)
+    // seedCap = 2 (of the default 64): with 200 points in 16 buckets
+    // the default would make EVERY point a seed and the routing signal
+    // degenerately 0 on both sides — real collections outgrow
+    // buckets x seedCap immediately, toy fixtures must force it
+    val gParams = GraphIndex.Params(2, 6, 4, 6, 1, Ann.hyperplanes(12, 64),
+      seedCap = 2)
+    val gIdx = s"$root/graph"
+    GraphIndex.buildFromPoints(coll0, "vec_id", "embedding",
+      Collections.numBuckets(dir), gIdx, gParams)
+    GraphIndex.snapshotDrift(spark, dir, gIdx, "vec_id", "embedding")
+
+    def fileState(d: String): Map[String, (Long, Long)] = {
+      val rp = java.nio.file.Paths.get(d)
+      val s = java.nio.file.Files.walk(rp)
+      try s.filter(java.nio.file.Files.isRegularFile(_)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => rp.relativize(p).toString ->
+          (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toMap
+      finally s.close()
+    }
+
+    // --- below threshold: every maintain is a byte-identical no-op ---
+    val states0 = Seq(ivfIdx, pqIdx, ivfpqIdx, gIdx).map(fileState)
+    val (mi0, ri0) = IvfIndex.maintain(spark, dir, ivfIdx, "vec_id",
+      "embedding", cents0, train)
+    val (mp0, rp0) = PqIndex.maintain(spark, dir, pqIdx, cbs)
+    val (mq0, rq0) = IvfPqIndex.maintain(spark, dir, ivfpqIdx, train, cbs)
+    val (mg0, rg0) = GraphIndex.maintain(spark, dir, gIdx, "vec_id",
+      "embedding", gParams)
+    for ((m, what) <- Seq((mi0, "ivf"), (mp0, "pq"), (mq0, "ivfpq"),
+        (mg0, "graph"))) {
+      assert(m.ratio == 1.0 && !m.retrained,
+        s"$what: no-drift maintain was not a 1.0 no-op: $m")
+    }
+    assert(ri0.isEmpty && rp0.isEmpty && rq0.isEmpty && rg0.isEmpty)
+    assert(Seq(ivfIdx, pqIdx, ivfpqIdx, gIdx).map(fileState) == states0,
+      "a no-op maintain touched layout bytes")
+
+    // --- the CollectionsSpec distribution shift (dims rolled by 17,
+    // 2.5× scale): every signal fires, every layout retrains ---
+    sink.write(emb.withColumn("embedding",
+        transform(concat(slice(col("embedding"), 18, 47),
+          slice(col("embedding"), 1, 17)), x => x * 2.5f)
+          .cast("array<float>"))
+      .withColumn("seq", lit(1)))
+    val (mi1, ri1) = IvfIndex.maintain(spark, dir, ivfIdx, "vec_id",
+      "embedding", cents0, train)
+    val (mp1, rp1) = PqIndex.maintain(spark, dir, pqIdx, cbs)
+    val (mq1, rq1) = IvfPqIndex.maintain(spark, dir, ivfpqIdx, train, cbs)
+    val (mg1, rg1) = GraphIndex.maintain(spark, dir, gIdx, "vec_id",
+      "embedding", gParams)
+    for ((m, what) <- Seq((mi1, "ivf"), (mp1, "pq"), (mq1, "ivfpq"),
+        (mg1, "graph"))) {
+      assert(m.ratio > 1.1 && m.retrained,
+        s"$what: maintain did not fire on the shift: $m")
+    }
+    // every signal is back at exactly 1.0 under the NEW artifacts
+    val cents1 = ri1.get._2
+    assert(Drift.assignmentRatio(spark, ivfIdx,
+      Collections.read(spark, dir), "embedding", cents1) == 1.0)
+    assert(PqIndex.driftRatio(spark, dir, pqIdx) == 1.0)
+    assert(Drift.assignmentRatio(spark, ivfpqIdx,
+      Collections.read(spark, dir), "embedding",
+      IvfPqIndex.centroidsOf(spark, ivfpqIdx)) == 1.0)
+    assert(GraphIndex.driftRatio(spark, dir, gIdx, "vec_id",
+      "embedding") == 1.0)
+    assert(rp1.nonEmpty && rq1.nonEmpty && rg1.nonEmpty)
+
+    // IVF probe recall recovered vs the stale pinned centroids
+    def recall(cents: org.apache.spark.sql.DataFrame,
+               idxDir: String): Double = {
+      val coll = Collections.read(spark, dir)
+      val qs = Seq(1L, 5L, 9L).map { qid =>
+        coll.filter(col("vec_id") === qid)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+      }
+      qs.map { q =>
+        val exact = graft.operators.Knn.knn(coll, "embedding", q, 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val probes = Ann.probeClusters(cents, "cid", "cv", q, 2)
+          .collect().map(_.getLong(0))
+        val got = graft.operators.Knn.knn(
+            spark.read.parquet(idxDir).filter(
+              col("cluster").isin(probes.map(Long.box): _*)),
+            "embedding", q, 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        (got & exact).size.toDouble / exact.size
+      }.sum / qs.size
+    }
+    // the maintained layout (new artifacts) vs a stale pinned rebuild
+    val stale = s"$root/ivf_stale"
+    IvfIndex.build(spark, dir, stale, "vec_id", "embedding", cents0,
+      "cid", "cv")
+    assert(recall(cents1, ivfIdx) > recall(cents0, stale),
+      "maintain's retrain did not recover IVF probe recall")
+
+    // refresh continues from maintain's returned cursor with the NEW
+    // artifacts (the retrain contract, through the one-call verb)
+    sink.write(emb.limit(20)
+      .withColumn("embedding",
+        transform(concat(slice(col("embedding"), 18, 47),
+          slice(col("embedding"), 1, 17)), x => x * 2.5f)
+          .cast("array<float>"))
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .withColumn("seq", lit(2)))
+    IvfIndex.refresh(spark, dir, ivfIdx, "vec_id", "embedding", cents1,
+      "cid", "cv", ri1.get._1)
+    val full = s"$root/ivf_full"
+    IvfIndex.build(spark, dir, full, "vec_id", "embedding", cents1,
+      "cid", "cv")
+    def rows(p: String): Seq[String] =
+      spark.read.parquet(p)
+        .select(col("vec_id"), col("cluster").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)).toString)
+        .toSeq.sorted
+    assert(rows(ivfIdx) == rows(full),
+      "refresh from maintain's cursor diverged from rebuild")
+    assert(v0 != null)
+  }
 }

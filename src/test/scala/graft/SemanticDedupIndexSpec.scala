@@ -349,6 +349,26 @@ class SemanticDedupIndexSpec extends AnyFunSuite with SparkSpec {
     SemanticDedupIndex.snapshotDrift(spark, dir)
     assert(SemanticDedupIndex.driftRatio(spark, dir) == 1.0,
       "signal not exactly 1.0 on unchanged data")
+    // ONE-CALL maintenance below threshold: a no-op that leaves every
+    // layout byte untouched (no file added, removed, resized or
+    // rewritten)
+    def fileState(d: String): Map[String, (Long, Long)] = {
+      val root = java.nio.file.Paths.get(d)
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => root.relativize(p).toString ->
+          (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toMap
+      finally s.close()
+    }
+    val st0 = fileState(dir)
+    val m0 = SemanticDedupIndex.maintain(spark, dir,
+      pts => Ann.kmeansFit(pts, "vec_id", "v", k = 8, iters = 2))
+    assert(m0 == graft.sources.Drift.MaintainResult(1.0,
+      retrained = false), s"no-drift maintain was not a no-op: $m0")
+    assert(fileState(dir) == st0, "no-op maintain touched the layout")
     // a gated batch BEFORE the maintenance: its replay fence must
     // survive the retrain swap
     val novel = vecOf(1L).map(-_)
@@ -369,9 +389,12 @@ class SemanticDedupIndexSpec extends AnyFunSuite with SparkSpec {
     val fired = SemanticDedupIndex.driftRatio(spark, dir)
     assert(fired > 1.1,
       s"drift signal $fired did not rise on a distribution shift")
-    // staged retrain with the ORIGINAL trainer on the CURRENT contents
-    SemanticDedupIndex.retrain(spark, dir,
+    // ONE-CALL maintenance past threshold: fires, runs the same staged
+    // retrain with the ORIGINAL trainer on the CURRENT contents
+    val m1 = SemanticDedupIndex.maintain(spark, dir,
       pts => Ann.kmeansFit(pts, "vec_id", "v", k = 8, iters = 2))
+    assert(m1.retrained && m1.ratio == fired,
+      s"maintain did not fire on the measured signal: $m1 vs $fired")
     assert(SemanticDedupIndex.driftRatio(spark, dir) == 1.0,
       "retrain did not restore the signal baseline")
     // retrained layout == fresh build with identically-trained artifacts
