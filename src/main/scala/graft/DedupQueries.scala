@@ -1306,11 +1306,262 @@ object DedupQueries {
       ORDER BY m.vec_id"""
     })
 
+  /** A combined text+embedding delivery for the INDEXED curation loop:
+    * one incoming batch where every item carries both modalities
+    * (documents ⋈ embeddings on id — the fixtures share the id domain).
+    * Four planted groups exercise every gate:
+    *  - %100==0: exact text + exact vector (the LEXICAL gate rejects);
+    *  - %100==1: near text (4-token tail) + exact vector (lexical
+    *    rejects — ≥ 1 shared band);
+    *  - %100==2: salt-interleaved stopword text (every shingle unique →
+    *    passes lexical) + the +0.25 perturbed vector (cosine ≈ 0.97 —
+    *    the SEMANTIC gate rejects);
+    *  - %100==3: differently-salted stopword text + the NEGATED vector
+    *    (novel both ways — survives to the QUALITY gate, where the
+    *    trained classifier's verdict on the salted bigrams decides).
+    * Salt tokens embed the source id, so every 3-gram shingle is unique
+    * across the delivery AND the corpus — no accidental band
+    * collisions. */
+  private[graft] def curateDelivery(s: SparkSession, dir: String)
+      : DataFrame = {
+    val off = plantOffset(s, dir, "documents", "doc_id")
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val src = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(col("doc_id").as("src"), col("text"), col("v"))
+    def salted(a: String, b: String, c: String, d: String) =
+      concat(lit("the u"), col("src"), lit(s"$a of u"), col("src"),
+        lit(s"$b and u"), col("src"), lit(s"$c is u"), col("src"),
+        lit(d))
+    src.filter(col("src") % 100 === 0)
+      .select((col("src") + off).as("item_id"), col("text"), col("v"))
+      .unionAll(src.filter(col("src") % 100 === 1)
+        .select((col("src") + off * 2).as("item_id"),
+          concat(col("text"), lit(" extra trailing tokens appended"))
+            .as("text"), col("v")))
+      .unionAll(src.filter(col("src") % 100 === 2)
+        .select((col("src") + off * 3).as("item_id"),
+          salted("a", "b", "c", "d").as("text"),
+          concat(array(element_at(col("v"), 1) + lit(0.25)),
+            slice(col("v"), 2, 63)).as("v")))
+      .unionAll(src.filter(col("src") % 100 === 3)
+        .select((col("src") + off * 4).as("item_id"),
+          salted("e", "f", "g", "h").as("text"),
+          transform(col("v"), x => -x).as("v")))
+  }
+
+  /** The INDEXED end-to-end curation loop (the r13 verdict's #3): one
+    * delivery through the three serving gates the persisted layouts
+    * exist for, with per-stage accounting —
+    *
+    *   1. LEXICAL near-dup gate vs the persisted band index
+    *      ([[graft.sources.DedupIndex.gateKept]] — corpus banded once,
+    *      delivery broadcast against the pruned index; reject on ≥ 1
+    *      shared band or an intra-batch lower-id twin);
+    *   2. SEMANTIC near-dup gate vs the persisted cell index
+    *      ([[graft.sources.SemanticDedupIndex.gateKept]] — pinned-
+    *      centroid assignment, literal cell pruning, stored-norm dot
+    *      verify at τ = 0.9);
+    *   3. QUALITY gate through the corpus-TRAINED classifier (the
+    *      txt_classify_trained model via the fused
+    *      [[graft.functions.TokensNgramScoreExpr]] kernel, keep iff
+    *      score > 0).
+    *
+    * This is `pipe_curate` re-expressed over the serving layouts: the
+    * batch form of the ingest loop (the streaming form — the same
+    * gates' `gateAppend` composed in foreachBatch — is StreamSpec's
+    * walk; gated layouts == this batch law by the gateAppend
+    * contract). Output: (stage, n_in, n_kept), one row per gate. The
+    * oracle replays both sides' banding, k-means assignment + cell
+    * cosine, and the classifier fit end to end. */
+  val pipeCurateIndexed = Q("pipe_curate_indexed",
+    (s, dir) => {
+      val delivery = curateDelivery(s, dir)
+      val kept1 = graft.sources.DedupIndex.gateKept(
+        s, dedupIndexDir(s, dir),
+        delivery.select("item_id", "text"), "item_id", "text")
+      val kept2 = kept1.join(
+        graft.sources.SemanticDedupIndex.gateKept(
+            s, semanticIndexDir(s, dir),
+            delivery.join(kept1.select("item_id"), "item_id")
+              .select("item_id", "v"),
+            "item_id", "v", 900000L)
+          .select("item_id"),
+        "item_id")
+      val score = org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.TokensNgramScoreExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(
+            Dedup.tokens(col("text"))),
+          TextQueries.trainedWeights(s, dir)))
+      val kept3 = kept2.filter(score > 0)
+      def cnt(df: DataFrame, as: String) =
+        df.agg(count(lit(1)).cast("long").as(as))
+      def stage(name: String, in: DataFrame, kept: DataFrame) =
+        cnt(in, "n_in").crossJoin(cnt(kept, "n_kept"))
+          .select(lit(name).as("stage"), col("n_in"), col("n_kept"))
+      stage("1_lexical_gate", delivery, kept1)
+        .unionAll(stage("2_semantic_gate", kept1, kept2))
+        .unionAll(stage("3_quality_gate", kept2, kept3))
+        .orderBy("stage")
+    },
+    Some {
+      val en = graft.operators.TextAnalysis.stopwords.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""
+      WITH poff AS (SELECT greatest(100000, max(doc_id) + 1) AS o
+                    FROM documents),
+      corpus AS (SELECT doc_id, text FROM documents),
+      ${AnnQueries.kmeansSql(8, 2)},
+      -- delivery items need BOTH modalities: restrict to ids present
+      -- in documents AND embeddings (the engine's join — the fixture
+      -- tables share a prefix of the id domain, not all of it)
+      dsel AS (
+        SELECT doc_id AS src, doc_id + (SELECT o FROM poff) AS item_id,
+               0 AS grp FROM documents
+        WHERE doc_id % 100 = 0 AND doc_id IN (SELECT vec_id FROM e)
+        UNION ALL
+        SELECT doc_id, doc_id + 2 * (SELECT o FROM poff), 1
+        FROM documents
+        WHERE doc_id % 100 = 1 AND doc_id IN (SELECT vec_id FROM e)
+        UNION ALL
+        SELECT doc_id, doc_id + 3 * (SELECT o FROM poff), 2
+        FROM documents
+        WHERE doc_id % 100 = 2 AND doc_id IN (SELECT vec_id FROM e)
+        UNION ALL
+        SELECT doc_id, doc_id + 4 * (SELECT o FROM poff), 3
+        FROM documents
+        WHERE doc_id % 100 = 3 AND doc_id IN (SELECT vec_id FROM e)),
+      dtext AS (
+        SELECT s.item_id AS doc_id,
+               CASE s.grp
+                 WHEN 0 THEN d.text
+                 WHEN 1 THEN d.text || ' extra trailing tokens appended'
+                 WHEN 2 THEN 'the u' || s.src || 'a of u' || s.src ||
+                   'b and u' || s.src || 'c is u' || s.src || 'd'
+                 ELSE 'the u' || s.src || 'e of u' || s.src ||
+                   'f and u' || s.src || 'g is u' || s.src || 'h'
+               END AS text
+        FROM dsel s JOIN documents d ON d.doc_id = s.src),
+      dvec AS (
+        SELECT s.item_id AS vec_id,
+               CASE s.grp
+                 WHEN 2 THEN [e.v[1] + 0.25] || e.v[2:64]
+                 WHEN 3 THEN list_transform(e.v, x -> -x)
+                 ELSE e.v
+               END AS v
+        FROM dsel s JOIN e ON e.vec_id = s.src)""" +
+      bandCtes("corpus", "_c") + bandCtes("dtext", "_d") + s""",
+      rej1 AS (
+        SELECT DISTINCT s.doc_id
+        FROM bands_d s JOIN bands_c c
+          ON s.band = c.band AND s.band_sig = c.band_sig
+        UNION
+        SELECT DISTINCT b.doc_id
+        FROM bands_d a JOIN bands_d b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id),
+      kept1 AS (
+        SELECT doc_id FROM dtext
+        WHERE doc_id NOT IN (SELECT doc_id FROM rej1)),
+      ${assignSql("e", "casg")},
+      dveck AS (
+        SELECT v.vec_id, v.v FROM dvec v
+        JOIN kept1 k ON k.doc_id = v.vec_id),
+      ${assignSql("dveck", "dasg")},
+      rej2 AS (
+        SELECT DISTINCT d.vec_id AS doc_id
+        FROM dasg d JOIN casg c ON d.cluster = c.cluster
+        WHERE CAST(floor(list_cosine_similarity(c.v, d.v) * 1000000 + 0.5)
+                AS BIGINT) >= 900000
+        UNION
+        SELECT DISTINCT b.vec_id
+        FROM dasg a JOIN dasg b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5)
+                AS BIGINT) >= 900000),
+      kept2 AS (
+        SELECT doc_id FROM kept1
+        WHERE doc_id NOT IN (SELECT doc_id FROM rej2)),
+      -- the trained-classifier fit, txt_classify_trained's chain
+      tkw AS (
+        SELECT doc_id, list_filter(
+          regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS tk
+        FROM documents),
+      labw AS (
+        SELECT doc_id, tk,
+               CASE WHEN len(tk) >= 2 AND
+                 len(list_filter(tk, t -> list_contains($en, t))) * 10
+                   >= len(tk)
+                 THEN 1 ELSE 0 END AS label
+        FROM tkw),
+      bgw AS (
+        SELECT doc_id, label,
+               unnest(list_transform(range(len(tk) - 1),
+                 i -> tk[i + 1] || ' ' || tk[i + 2])) AS g
+        FROM labw WHERE len(tk) >= 2),
+      bkw AS (
+        SELECT doc_id, label,
+               ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS bk
+        FROM bgw),
+      freqw AS (
+        SELECT bk, COUNT(CASE WHEN label = 1 THEN 1 END) AS p,
+                   COUNT(CASE WHEN label = 0 THEN 1 END) AS q
+        FROM bkw GROUP BY bk),
+      totw AS (SELECT SUM(p) AS pt, SUM(q) AS qt FROM freqw),
+      -- the DENSE 4096-bucket LUT (the engine's fitted array): a
+      -- delivery bigram the corpus never produced still scores its
+      -- bucket's Laplace-prior weight — the sparse observed-buckets
+      -- join of the txt_classify_trained oracle is only equivalent
+      -- when every scored bigram came from the training corpus
+      freqf AS (
+        SELECT a.bk, COALESCE(f.p, 0) AS p, COALESCE(f.q, 0) AS q
+        FROM (SELECT unnest(range(4096)) AS bk) a
+        LEFT JOIN freqw f USING (bk)),
+      ww AS (
+        SELECT bk,
+               ((p + 1) * 1000000 // (pt + 4096)) * 1000 //
+                 greatest((q + 1) * 1000000 // (qt + 4096), 1) - 1000 AS w
+        FROM freqf CROSS JOIN totw),
+      dtk AS (
+        SELECT t.doc_id, list_filter(
+          regexp_split_to_array(lower(t.text), '\\s+'), x -> x <> '') AS tk
+        FROM dtext t JOIN kept2 k ON k.doc_id = t.doc_id),
+      dbg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(len(tk) - 1),
+                 i -> tk[i + 1] || ' ' || tk[i + 2])) AS g
+        FROM dtk WHERE len(tk) >= 2),
+      dbk AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS bk
+        FROM dbg),
+      dsc AS (
+        SELECT d.doc_id, SUM(w.w) AS score
+        FROM dbk d JOIN ww w USING (bk) GROUP BY d.doc_id),
+      kept3 AS (
+        SELECT k.doc_id FROM kept2 k
+        LEFT JOIN dsc s ON s.doc_id = k.doc_id
+        WHERE COALESCE(s.score, 0) > 0)
+      SELECT '1_lexical_gate' AS stage,
+             (SELECT COUNT(*) FROM dtext) AS n_in,
+             (SELECT COUNT(*) FROM kept1) AS n_kept
+      UNION ALL
+      SELECT '2_semantic_gate',
+             (SELECT COUNT(*) FROM kept1),
+             (SELECT COUNT(*) FROM kept2)
+      UNION ALL
+      SELECT '3_quality_gate',
+             (SELECT COUNT(*) FROM kept2),
+             (SELECT COUNT(*) FROM kept3)
+      ORDER BY stage"""
+    })
+
   def queries: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash,
     dedupNgram, dedupEmbed, dedupCluster, dedupPriority,
     dedupStreamNeardup,
     dedupSegments, dedupSemantic, dedupBloom, dedupSubstring,
     dedupIncremental, dedupLookup, dedupLookupBatch,
     dedupSemanticIncremental, dedupSemanticLookup,
-    dedupSemanticLookupBatch, dedupSemanticKeeper)
+    dedupSemanticLookupBatch, dedupSemanticKeeper, pipeCurateIndexed)
 }

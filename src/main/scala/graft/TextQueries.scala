@@ -1784,7 +1784,7 @@ object TextQueries {
     * rule/seed set into a hashed-feature model. */
   private val nbCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
-  private def trainedWeights(s: SparkSession, dir: String): Seq[Long] =
+  private[graft] def trainedWeights(s: SparkSession, dir: String): Seq[Long] =
     nbCache.computeIfAbsent(dir, _ => {
       val en = graft.operators.TextAnalysis.stopwords.toMap.apply("en")
       graft.operators.TextAnalysis.fitBigramRatioWeights(

@@ -251,24 +251,38 @@ object DedupIndex {
       Paths.get(dir, "_gated_batches", id.toString))
     if (marker.exists(Files.exists(_)))
       return batch.limit(0)
-    val g = geometry(dir)
-    val vsCorpus = pairsAgainst(spark, dir, batch, idCol, textCol)
-      .select(col("shard_id").as(idCol)).distinct()
-    val intraLosers = graft.operators.Dedup.lshCandidates(
-        banded(batch, idCol, textCol, g), idCol)
-      .select(col("doc_b").as(idCol)).distinct()
     // materialize the gate ONCE (localCheckpoint — blocks released by
     // the ContextCleaner, the inIdsFrame discipline): append() below and
     // the caller's consumption of the returned frame would otherwise
     // each re-run the corpus-pair and intra-batch banding joins
-    val kept = batch.join(vsCorpus.unionAll(intraLosers).distinct(),
-        Seq(idCol), "left_anti")
+    val kept = gateKept(spark, dir, batch, idCol, textCol)
       .localCheckpoint(eager = true)
     append(kept, textCol, dir)
     marker.foreach { m =>
       Files.createDirectories(m.getParent); Files.write(m, Array[Byte]())
     }
     kept
+  }
+
+  /** The PURE gate decision — [[gateAppend]]'s kept set with NO
+    * mutation and no fence: batch rows surviving reject-vs-corpus
+    * (≥ 1 shared band with the index) and keep-lowest-id within the
+    * batch (the LSH-candidate loser rule). One definition shared with
+    * [[gateAppend]], and directly callable by declared queries (which
+    * must not mutate state — `pipe_curate_indexed` composes this with
+    * the semantic and quality gates). */
+  def gateKept(spark: SparkSession, dir: String, batch: DataFrame,
+               idCol: String, textCol: String): DataFrame = {
+    require(idCol != "shard_id" && idCol != "corpus_id",
+      "batch id column must not collide with the pair output names")
+    val g = geometry(dir)
+    val vsCorpus = pairsAgainst(spark, dir, batch, idCol, textCol)
+      .select(col("shard_id").as(idCol)).distinct()
+    val intraLosers = graft.operators.Dedup.lshCandidates(
+        banded(batch, idCol, textCol, g), idCol)
+      .select(col("doc_b").as(idCol)).distinct()
+    batch.join(vsCorpus.unionAll(intraLosers).distinct(),
+      Seq(idCol), "left_anti")
   }
 
   /** Driver-side band signatures of one probe text — the bit-identical

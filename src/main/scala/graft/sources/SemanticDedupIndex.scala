@@ -479,6 +479,32 @@ object SemanticDedupIndex {
       Paths.get(dir, "_gated_batches", id.toString))
     if (marker.exists(Files.exists(_)))
       return batch.limit(0)
+    // materialize the gate ONCE (localCheckpoint — blocks released by
+    // the ContextCleaner, the inIdsFrame discipline): append() below and
+    // the caller's consumption of the returned frame (foreachBatch sinks
+    // count/write it) would otherwise each re-run the corpus-pair and
+    // intra-batch joins — double the per-batch gate cost
+    val kept = gateKept(spark, dir, batch, idCol, vecCol, tauMicro)
+      .localCheckpoint(eager = true)
+    append(spark, kept, vecCol, dir)
+    marker.foreach { m =>
+      Files.createDirectories(m.getParent); Files.write(m, Array[Byte]())
+    }
+    kept
+  }
+
+  /** The PURE gate decision — [[gateAppend]]'s kept set with NO
+    * mutation and no fence: batch rows surviving reject-vs-corpus
+    * (≥ 1 same-cell cosine ≥ τ against the index) and keep-lowest-id
+    * within the batch. One definition shared with [[gateAppend]], and
+    * directly callable by declared queries (which must not mutate
+    * state — `pipe_curate_indexed` composes this with the lexical and
+    * quality gates). */
+  def gateKept(spark: SparkSession, dir: String, batch: DataFrame,
+               idCol: String, vecCol: String,
+               tauMicro: Long): DataFrame = {
+    require(idCol != "delivery_id" && idCol != "corpus_id",
+      "batch id column must not collide with the pair output names")
     val vsCorpus = pairsAgainst(spark, dir, batch, idCol, vecCol, tauMicro)
       .select(col("delivery_id").as(idCol)).distinct()
     val asg = assignedLocal(batch.select(col(idCol), col(vecCol)), idCol,
@@ -492,19 +518,8 @@ object SemanticDedupIndex {
       .filter(normScoreMicro(col("__va"), col("__vb"), col("__na"),
         col("__nb")) >= tauMicro)
       .select(col("__b").as(idCol)).distinct()
-    // materialize the gate ONCE (localCheckpoint — blocks released by
-    // the ContextCleaner, the inIdsFrame discipline): append() below and
-    // the caller's consumption of the returned frame (foreachBatch sinks
-    // count/write it) would otherwise each re-run the corpus-pair and
-    // intra-batch joins — double the per-batch gate cost
-    val kept = batch.join(vsCorpus.unionAll(intraLosers).distinct(),
-        Seq(idCol), "left_anti")
-      .localCheckpoint(eager = true)
-    append(spark, kept, vecCol, dir)
-    marker.foreach { m =>
-      Files.createDirectories(m.getParent); Files.write(m, Array[Byte]())
-    }
-    kept
+    batch.join(vsCorpus.unionAll(intraLosers).distinct(),
+      Seq(idCol), "left_anti")
   }
 
   /** The layout's stored points as the (id, v) frame maintenance verbs

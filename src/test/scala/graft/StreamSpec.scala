@@ -621,6 +621,155 @@ class StreamSpec extends AnyFunSuite with SparkSpec {
     assert(hit == Map(102L -> 1000000L), s"post-stream lookup got $hit")
   }
 
+  test("INDEXED curation loop, streamed: two micro-batches through " +
+       "lexical gateAppend → semantic gateAppend → trained-classifier " +
+       "gate equal the one-batch pure-gate composition (the gateAppend " +
+       "law, composed), per-stage accounting matches, and both gated " +
+       "layouts equal full rebuilds over corpus + their survivors") {
+    import graft.sources.{DedupIndex, SemanticDedupIndex}
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-curate-stream")
+    val lexIdx = tmp.resolve("lex").toString
+    val semIdx = tmp.resolve("sem").toString
+    val outDir = tmp.resolve("curated").toString
+
+    def vecOf(id: Long): Seq[Double] =
+      Tables.load(spark, sf, "embeddings").filter(col("vec_id") === id)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+    def nearCopy(v: Seq[Double]): Seq[Double] = (v.head + 1e-4) +: v.tail
+    val (v1, v2, v3, v4) = (vecOf(1L), vecOf(2L), vecOf(3L), vecOf(4L))
+
+    val cText1 =
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val cText2 =
+      "five six seven eight nine ten eleven twelve thirteen fourteen"
+    val tA = "the small cat and the old dog are in the big house"
+    val tB = "a quick brown fox jumps over the lazy sleeping dog today"
+    val tC = "an old green bird and a young blue fish near the wide river"
+    val tD = "the warm sun is over the cold hill and the wet field"
+
+    DedupIndex.build(Seq((1L, cText1), (2L, cText2))
+      .toDF("item_id", "text"), "item_id", "text", lexIdx)
+    SemanticDedupIndex.build(spark,
+      Seq((1L, v1), (2L, v2)).toDF("item_id", "v"), "item_id", "v",
+      semIdx, AnnQueries.trainedCentroids(spark, sf, 8, 2))
+    val weights = TextQueries.trainedWeights(spark, sf)
+    def score(tk: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.TokensNgramScoreExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(tk), weights))
+
+    //   b1: 101 = corpus text dup (LEXICAL reject)
+    //       102 = novel text, near-copy of corpus v1 (SEMANTIC reject)
+    //       103 = novel text + novel vector (reaches the classifier)
+    //       104 = intra-batch copy of 103's text (lexical keep-lowest)
+    //   b2: 201 = copy of 103's text (lexical reject — proves the
+    //             lexical APPEND of b1's survivor)
+    //       202 = novel text, near-copy of 103's vector (semantic
+    //             reject — proves the semantic APPEND)
+    //       203 = novel text + novel vector (reaches the classifier)
+    val b1 = Seq((101L, cText1, vecOf(5L)), (102L, tA, nearCopy(v1)),
+      (103L, tB, v3), (104L, tB, vecOf(6L)))
+    val b2 = Seq((201L, tB, vecOf(7L)), (202L, tC, nearCopy(v3)),
+      (203L, tD, v4))
+    val in = tmp.resolve("in").toString
+    b1.toDF("item_id", "text", "v").coalesce(1)
+      .write.mode("append").parquet(in)
+    b2.toDF("item_id", "text", "v").coalesce(1)
+      .write.mode("append").parquet(in)
+
+    // per-stage accounting, accumulated across batches (local mode —
+    // foreachBatch runs on the driver)
+    val acct = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)] // batch, in, k1, k2, k3
+    val items = spark.readStream
+      .schema("item_id LONG, text STRING, v ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    Stream.runAvailableNow(items.writeStream
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val kept1 = DedupIndex.gateAppend(spark, lexIdx,
+          batch.select("item_id", "text"), "item_id", "text",
+          batchId = Some(id))
+        val kept2 = SemanticDedupIndex.gateAppend(spark, semIdx,
+          batch.join(kept1.select("item_id"), "item_id")
+            .select("item_id", "v"),
+          "item_id", "v", 900000L, batchId = Some(id))
+        val kept3 = batch
+          .join(kept2.select("item_id"), "item_id")
+          .filter(score(graft.operators.Dedup.tokens(col("text"))) > 0)
+          .select("item_id", "text")
+        kept3.write.mode("append").parquet(outDir)
+        acct += ((id, batch.count(), kept1.count(), kept2.count(),
+          spark.read.parquet(outDir).count()))
+        ()
+      })
+
+    val curated = spark.read.parquet(outDir)
+      .select("item_id").collect().map(_.getLong(0)).toSet
+
+    // the one-batch PURE composition over fresh identical indexes (the
+    // gateAppend law, composed: id-ordered deliveries make the
+    // streamed corpus-reject of a b1 survivor the one-batch
+    // keep-lowest intra reject)
+    val lex2 = tmp.resolve("lex2").toString
+    val sem2 = tmp.resolve("sem2").toString
+    DedupIndex.build(Seq((1L, cText1), (2L, cText2))
+      .toDF("item_id", "text"), "item_id", "text", lex2)
+    SemanticDedupIndex.build(spark,
+      Seq((1L, v1), (2L, v2)).toDF("item_id", "v"), "item_id", "v",
+      sem2, AnnQueries.trainedCentroids(spark, sf, 8, 2))
+    val all = (b1 ++ b2).toDF("item_id", "text", "v")
+    val k1b = DedupIndex.gateKept(spark, lex2,
+      all.select("item_id", "text"), "item_id", "text")
+    val k2b = SemanticDedupIndex.gateKept(spark, sem2,
+      all.join(k1b.select("item_id"), "item_id").select("item_id", "v"),
+      "item_id", "v", 900000L)
+    val k3b = all.join(k2b.select("item_id"), "item_id")
+      .filter(score(graft.operators.Dedup.tokens(col("text"))) > 0)
+    val k1Ids = k1b.select("item_id").collect().map(_.getLong(0)).toSet
+    val k2Ids = k2b.select("item_id").collect().map(_.getLong(0)).toSet
+    val k3Ids = k3b.select("item_id").collect().map(_.getLong(0)).toSet
+    assert(k1Ids == Set(102L, 103L, 202L, 203L),
+      s"batch-law lexical kept $k1Ids")
+    assert(k2Ids == Set(103L, 203L), s"batch-law semantic kept $k2Ids")
+    assert(curated == k3Ids,
+      s"streamed curation $curated != one-batch law $k3Ids")
+    assert(k3Ids.subsetOf(Set(103L, 203L)))
+
+    // per-stage accounting: batch sizes and kept counts line up with
+    // the planted structure (k1: 2 of 4 then 2 of 3; k2: 1 then 1)
+    assert(acct.map(a => (a._2, a._3, a._4)).toSeq ==
+      Seq((4L, 2L, 1L), (3L, 2L, 1L)), s"accounting was $acct")
+
+    // both gated layouts equal full rebuilds over corpus + survivors
+    val lexFull = tmp.resolve("lex_full").toString
+    DedupIndex.build(
+      Seq((1L, cText1), (2L, cText2), (102L, tA), (103L, tB),
+        (202L, tC), (203L, tD)).toDF("item_id", "text"),
+      "item_id", "text", lexFull)
+    def bandRows(p: String): Set[(Long, String)] =
+      spark.read.parquet(p)
+        .select(col("item_id"), concat_ws("|", col("band"),
+          col("band_sig")).as("b"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(bandRows(lexIdx) == bandRows(lexFull),
+      "gated lexical index diverges from a full rebuild")
+    val semFull = tmp.resolve("sem_full").toString
+    SemanticDedupIndex.build(spark,
+      Seq((1L, v1), (2L, v2), (103L, v3), (203L, v4)).toDF("item_id", "v"),
+      "item_id", "v", semFull,
+      AnnQueries.trainedCentroids(spark, sf, 8, 2))
+    def cellRows(p: String): Set[(Long, Long)] =
+      spark.read.parquet(p)
+        .select(col("item_id"), col("cluster").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cellRows(semIdx) == cellRows(semFull),
+      "gated semantic index diverges from a full rebuild")
+  }
+
   test("nearDupStreamTtl: expired band bucket re-admits content; " +
        "within-TTL duplicate still hits") {
     import spark.implicits._
