@@ -224,6 +224,38 @@ object Dev {
               f"$total%8d (${(System.nanoTime() - t0) / 1e9}%.2f s)")
           }
         }
+      case "curateprof" :: dir :: Nil =>
+        // stage decomposition of pipe_curate_indexed (the semprobe
+        // discipline): time each gate's count in isolation, twice
+        def t[A](what: String)(f: => A): A = {
+          val t0 = System.nanoTime()
+          val r = f
+          println(f"[$what] ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          r
+        }
+        (1 to 2).foreach { _ =>
+          val delivery = DedupQueries.curateDelivery(spark, dir)
+          t("delivery")(delivery.count())
+          val kept1 = graft.sources.DedupIndex.gateKept(
+            spark, DedupQueries.dedupIndexDir(spark, dir),
+            delivery.select("item_id", "text"), "item_id", "text")
+          t("kept1")(kept1.count())
+          val kept2 = kept1.join(
+            graft.sources.SemanticDedupIndex.gateKept(
+                spark, DedupQueries.semanticIndexDir(spark, dir),
+                delivery.join(kept1.select("item_id"), "item_id")
+                  .select("item_id", "v"),
+                "item_id", "v", 900000L)
+              .select("item_id"), "item_id")
+          t("kept2")(kept2.count())
+          val score = org.apache.spark.sql.GraftSqlBridge.column(
+            graft.functions.TokensNgramScoreExpr(
+              org.apache.spark.sql.GraftSqlBridge.expression(
+                graft.operators.Dedup.tokens(org.apache.spark.sql.functions
+                  .col("text"))),
+              TextQueries.trainedWeights(spark, dir)))
+          t("kept3")(kept2.filter(score > 0).count())
+        }
       case "scaleprobe" :: dir :: rest =>
         // 10×/100× blow-up probe (SURVEY §8.5): materialize synthetic
         // embeddings/documents at 1×, 10×, 100× of `dir` (deterministic
