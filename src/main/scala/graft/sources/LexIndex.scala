@@ -28,22 +28,40 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   * lexDir/
-  *   _lex_index.json   {"kind": "lex", "id_col", "text_col",
-  *                      "n_docs", "sum_len"}       (pinned corpus stats)
-  *   tgrp=g/part-….parquet   (tok STRING, <id>, tf BIGINT, len BIGINT)
+  *   _lex_index.json   {"kind": "lex", "id_col", "text_col"}
+  *   _stats/part-….parquet   (src_bucket, n_docs, sum_len) — one row
+  *                           per live collection bucket (zero-token
+  *                           documents counted: BM25's N and Σlen
+  *                           cover EVERY document, the oracle's `lens`
+  *                           contract)
+  *   src_bucket=b/tgrp=g/part-….parquet  (tok STRING, <id>, tf BIGINT,
+  *                                        len BIGINT)
   * }}}
   *
   * One row per distinct (document, token): `tf` = occurrences of `tok`
   * in the document, `len` = the document's total token count
   * (denormalized onto its postings — a BM25 candidate's length arrives
   * with the posting row, no second probe; the Lucene norms-with-
-  * postings trade). `tgrp = h32(tok) mod [[Groups]]` partitions the
-  * directory so a query's literal term set prunes to ≤ |terms| of the
-  * [[Groups]] posting groups at FILE LISTING time, and the residual
-  * `tok IN (...)` equality pushes to parquet row groups — at 100 TB a
-  * 3-term query opens ≤ 3/64 of the index bytes and NEVER the corpus
-  * text. `n_docs`/`sum_len` are exact integers pinned at build (the
-  * quantities every BM25 score shares; reading them can cost no jobs).
+  * postings trade). `tgrp = h32(tok) mod [[Groups]]` prunes a query's
+  * literal term set to ≤ |terms| of the [[Groups]] posting groups at
+  * FILE LISTING time, and the residual `tok IN (...)` equality pushes
+  * to parquet row groups — at 100 TB a 3-term query opens ≤ 3/64 of
+  * the index bytes and NEVER the corpus text. `src_bucket` (the
+  * collection's id-hash bucket, outermost) is the refresh/swap unit —
+  * Spark prunes on ANY partition column, so `tgrp` pruning is
+  * unchanged ([[IvfPqIndex]]'s two-level argument exactly).
+  *
+  * == Refresh ==
+  *
+  * [[refresh]] composes the change feed with the staged per-bucket
+  * swap ([[Collections.stagedBucketRefresh]] — the contract every flat
+  * derived layout shares): postings for touched buckets re-derive,
+  * untouched buckets' files are not read, not rewritten, not moved;
+  * the `_stats` rows of touched buckets recompute from the SAME feed
+  * rows (per-bucket counts are bucket-local by construction). A crash
+  * between the swap and the stats rewrite leaves pinned stats one
+  * generation stale — re-running refresh with the same cursor heals
+  * (the staged-refresh retry contract).
   *
   * Query terms are matched VERBATIM (no normalization): build-side
   * tokens went through the engine's one tokenizer
@@ -52,10 +70,6 @@ import org.apache.spark.sql.functions._
   * `.bm25`, the keyword-count leg's `array_contains`) match their term
   * literals against those tokens verbatim too — normalizing here would
   * DIVERGE from the twins on a cased query term, not fix it.
-  *
-  * A derived layout, rebuildable byte-identically from the collection
-  * (the [[QuantIndex]] contract): refresh = [[buildFrom]] over the new
-  * corpus.
   */
 object LexIndex {
 
@@ -63,8 +77,7 @@ object LexIndex {
     * few-term query prunes to a few 64ths of the files. */
   val Groups = 64
 
-  final case class Meta(idCol: String, textCol: String, nDocs: Long,
-                        sumLen: Long)
+  final case class Meta(idCol: String, textCol: String)
 
   private def metaPath(dir: String) = Paths.get(dir, "_lex_index.json")
 
@@ -75,8 +88,7 @@ object LexIndex {
         "verbatim in the layout metadata)")
     Files.write(metaPath(dir),
       (s"""{"kind": "lex", "id_col": "${m.idCol}", """ +
-        s""""text_col": "${m.textCol}", "n_docs": ${m.nDocs}, """ +
-        s""""sum_len": ${m.sumLen}}""")
+        s""""text_col": "${m.textCol}"}""")
         .getBytes(StandardCharsets.UTF_8))
     ()
   }
@@ -84,16 +96,13 @@ object LexIndex {
   def metaOf(dir: String): Meta = {
     val txt = new String(Files.readAllBytes(metaPath(dir)),
       StandardCharsets.UTF_8)
-    def field(k: String, re: String): String =
-      (""""""" + k + """":\s*""" + re).r.findFirstMatchIn(txt)
+    def str(k: String): String =
+      (""""""" + k + """":\s*"([^"]+)"""").r.findFirstMatchIn(txt)
         .getOrElse(throw new IllegalStateException(
           s"lex index at $dir predates the $k metadata — rebuild it " +
             "with LexIndex.buildFrom (a derived layout)"))
         .group(1)
-    Meta(field("id_col", """"([^"]+)""""),
-      field("text_col", """"([^"]+)""""),
-      field("n_docs", """(\d+)""").toLong,
-      field("sum_len", """(\d+)""").toLong)
+    Meta(str("id_col"), str("text_col"))
   }
 
   /** The posting group of one term — driver-side twin of the build's
@@ -101,36 +110,114 @@ object LexIndex {
   def tgrpOf(term: String): Long =
     graft.operators.Dedup.h32(term) % Groups
 
-  /** Materialize the layout. Two corpus passes (build-time): one folds
-    * the pinned stats (n_docs counts EVERY document, zero-token ones
-    * included — the bm25 oracle's `lens` CTE contract), one derives the
-    * postings; one exchange on the partition key writes one file per
-    * posting group (the [[DedupIndex]] build discipline). */
-  def buildFrom(points: DataFrame, idCol: String, textCol: String,
-                dir: String): Unit = {
-    require(!Seq("tok", "tf", "len", "tgrp").contains(idCol),
-      "id column must not be named tok/tf/len/tgrp (layout columns)")
+  /** Posting rows for a point set — ONE definition shared by build and
+    * refresh (they can never disagree): tokenize once, tf per
+    * (id, tok), the document length joined back onto each posting. */
+  private def postingsOf(points: DataFrame, idCol: String,
+                         textCol: String, numBuckets: Int): DataFrame = {
     val toks = points.select(col(idCol),
       graft.operators.TextAnalysis.tokens(col(textCol)).as("__tk"))
-    val statsRow = toks
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(size(col("__tk"))), lit(0L)).as("sl"))
-      .head()
-    val m = Meta(idCol, textCol, statsRow.getLong(0),
-      statsRow.getAs[Number](1).longValue)
-    val lens = toks.select(col(idCol), size(col("__tk")).cast("long")
-      .as("len"))
+    val lens = toks.select(col(idCol),
+      size(col("__tk")).cast("long").as("len"))
     toks
       .select(col(idCol), explode(col("__tk")).as("tok"))
       .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
       .join(lens, idCol)
+      .withColumn("src_bucket", Collections.bucketOf(idCol, numBuckets))
       .withColumn("tgrp", graft.operators.Dedup.h32(col("tok")) % Groups)
-      .repartition(col("tgrp"))
-      .write.mode("overwrite").partitionBy("tgrp").parquet(dir)
-    // meta AFTER data (overwrite deletes the dir first; stats without
-    // data must never claim a live index)
-    writeMeta(dir, m)
+  }
+
+  /** Per-bucket stats rows for a point set (n_docs counts EVERY
+    * document, zero-token ones included). */
+  private def statsOf(points: DataFrame, idCol: String, textCol: String,
+                      numBuckets: Int): DataFrame =
+    points
+      .select(Collections.bucketOf(idCol, numBuckets).as("src_bucket"),
+        size(graft.operators.TextAnalysis.tokens(col(textCol)))
+          .cast("long").as("__len"))
+      .groupBy("src_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__len")), lit(0L)).as("sum_len"))
+
+  private def writeStats(spark: SparkSession, rows: DataFrame,
+                         dir: String): Unit = {
+    rows.select(col("src_bucket").cast("int"),
+        col("n_docs").cast("long"), col("sum_len").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_stats")
+    ServedReads.evict(s"$dir/_stats")
+  }
+
+  /** The pinned corpus statistics, summed over the per-bucket rows
+    * (≤ numBuckets rows — a driver-bounded metadata read). */
+  def corpusStats(spark: SparkSession, dir: String): (Long, Long) = {
+    val r = ServedReads.of(spark, s"$dir/_stats")
+      .agg(coalesce(sum("n_docs"), lit(0L)),
+        coalesce(sum("sum_len"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Materialize the layout from a points frame (fixture-table form;
+    * collections go through [[build]] so [[refresh]] has a manifest
+    * cursor). */
+  def buildFrom(points: DataFrame, idCol: String, textCol: String,
+                dir: String,
+                numBuckets: Int = Collections.DefaultBuckets): Unit = {
+    require(!Seq("tok", "tf", "len", "tgrp", "src_bucket").contains(idCol),
+      "id column must not be named tok/tf/len/tgrp/src_bucket " +
+        "(layout columns)")
+    postingsOf(points, idCol, textCol, numBuckets)
+      .write.mode("overwrite").partitionBy("src_bucket", "tgrp")
+      .parquet(dir)
+    // sidecars AFTER data (overwrite deletes the dir first), meta LAST
+    // (its presence claims a complete live index)
+    writeStats(points.sparkSession,
+      statsOf(points, idCol, textCol, numBuckets), dir)
+    writeMeta(dir, Meta(idCol, textCol))
     ServedReads.evict(dir)
+  }
+
+  /** Full build from a collection; returns the manifest cursor for
+    * [[refresh]]. */
+  def build(spark: SparkSession, collDir: String, indexDir: String,
+            idCol: String, textCol: String): Collections.ManifestView = {
+    val cur = Collections.manifestView(collDir)
+    buildFrom(Collections.read(spark, collDir), idCol, textCol, indexDir,
+      Collections.numBuckets(collDir))
+    cur
+  }
+
+  /** Incremental refresh from the change feed: touched buckets'
+    * posting dirs swap staged, untouched buckets byte-stable, and the
+    * touched buckets' `_stats` rows recompute from the same feed rows.
+    * Returns the new cursor. */
+  def refresh(spark: SparkSession, collDir: String, indexDir: String,
+              prev: Collections.ManifestView): Collections.ManifestView = {
+    val m = metaOf(indexDir)
+    val nb = Collections.numBuckets(collDir)
+    // the feed's delta, read ONCE for the stats math (stagedBucketRefresh
+    // re-derives its own identical view from the same manifests)
+    val (cur0, changedDf, dropped) =
+      Collections.changedSince(spark, collDir, prev)
+    val stale = Collections.changedBuckets(prev, cur0)
+    val cur = Collections.stagedBucketRefresh(spark, collDir, indexDir,
+      prev, Seq("src_bucket", "tgrp"))(
+      postingsOf(_, m.idCol, m.textCol, nb))
+    val gone = (stale ++ dropped).map(_.toLong)
+    val keptOld = ServedReads.of(spark, s"$indexDir/_stats")
+      .filter(!col("src_bucket").cast("long")
+        .isin(gone.toSeq.map(Long.box): _*))
+      .select(col("src_bucket").cast("int"),
+        col("n_docs").cast("long"), col("sum_len").cast("long"))
+    // localCheckpoint: the overwrite below deletes the files this frame
+    // reads — materialize before writing over them
+    val merged = keptOld
+      .unionAll(statsOf(changedDf, m.idCol, m.textCol, nb)
+        .select(col("src_bucket").cast("int"),
+          col("n_docs").cast("long"), col("sum_len").cast("long")))
+      .localCheckpoint(eager = true)
+    writeStats(spark, merged, indexDir)
+    ServedReads.evict(indexDir)
+    cur
   }
 
   /** Exact postings of the (distinct, verbatim) query terms: the
@@ -165,18 +252,22 @@ object LexIndex {
     * every input read from the layout: tf and len ride the posting
     * row, df folds over the ≤ |terms| pruned postings (per-term
     * document counts — exact, every document containing a term has a
-    * posting for it), n/Σlen are the pinned build stats. Only
+    * posting for it), N/Σlen are the pinned per-bucket stats. Only
     * documents hitting ≥ 1 term appear — the in-plan contract.
     * Returns (id, bm25_micro, n_terms_hit). */
   def bm25(spark: SparkSession, dir: String, terms: Seq[String],
            k1Milli: Long = 1200, bMilli: Long = 750): DataFrame = {
     val m = metaOf(dir)
+    val (nDocs, sumLen) = corpusStats(spark, dir)
+    require(nDocs > 0,
+      s"lex index at $dir covers an empty corpus — BM25 is undefined " +
+        "(avgdl division)")
     def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       call_function("div", a, b)
     val post = termPostings(spark, dir, terms)
     val dfs = post.groupBy("tok").agg(count(lit(1)).as("__df"))
     // avglen is a pure function of the pinned stats — same integer DIV
-    val avglenMilli = m.sumLen * 1000L / m.nDocs
+    val avglenMilli = sumLen * 1000L / nDocs
     post.join(broadcast(dfs), "tok")
       .withColumn("__ratio_milli",
         idiv(col("len") * lit(1000000L), lit(avglenMilli)))
@@ -184,7 +275,7 @@ object LexIndex {
         lit(1000L - bMilli) +
           idiv(lit(bMilli) * col("__ratio_milli"), lit(1000L)))
       .withColumn("__idf_micro",
-        idiv(lit(1000000L * m.nDocs), col("__df") + lit(1L)))
+        idiv(lit(1000000L) * lit(nDocs), col("__df") + lit(1L)))
       .withColumn("__denom_milli",
         col("tf") * lit(1000L) +
           idiv(lit(k1Milli) * col("__norm_milli"), lit(1000L)))

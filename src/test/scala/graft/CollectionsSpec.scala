@@ -1138,6 +1138,79 @@ class CollectionsSpec extends AnyFunSuite with SparkSpec {
     assert(rows(idx).nonEmpty)
   }
 
+  test("lex postings refresh over the change feed equals a full rebuild " +
+       "(postings AND pinned stats); untouched bucket dirs physically " +
+       "untouched; BM25 served from the refreshed layout equals the " +
+       "in-plan operator over the current collection") {
+    import graft.sources.LexIndex
+    val root = Files.createTempDirectory("graft-lex").toString
+    val dir = s"$root/c16"
+    val sink = new Collections.ParquetCollectionSink(spark, dir,
+      VectorConfig(2), "vec", "doc_id", "seq")
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+      .select(col("doc_id"), col("text"))
+      .withColumn("vec", array(lit(0.0f), lit(1.0f)))
+    sink.write(docs.withColumn("seq", lit(0)))
+    val idx = s"$root/lidx"
+    val v0 = LexIndex.build(spark, dir, idx, "doc_id", "text")
+
+    sink.write(docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(col("text"), lit(" extra planted token")))
+      .withColumn("seq", lit(1)))
+    Collections.deleteWhere(spark, dir, col("doc_id") % 7 === 0, "doc_id")
+
+    val nb = Collections.numBuckets(dir)
+    val touched = docs
+      .filter(col("doc_id") % 10 === 0 || col("doc_id") % 7 === 0)
+      .select(pmod(hash(col("doc_id")), lit(nb)))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val untouched = (0 until nb).find(b => !touched.contains(b) &&
+      Files.exists(java.nio.file.Paths.get(idx, s"src_bucket=$b")))
+    def listing(b: Int): Set[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(java.nio.file.Paths.get(idx, s"src_bucket=$b"))
+      try walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toSet
+      finally walk.close()
+    }
+    val preListing = untouched.map(listing)
+
+    LexIndex.refresh(spark, dir, idx, v0)
+    untouched.foreach(b => assert(listing(b) == preListing.get,
+      s"untouched bucket $b posting files were rewritten"))
+
+    val idx2 = s"$root/lidx_full"
+    LexIndex.build(spark, dir, idx2, "doc_id", "text")
+    def rows(p: String): Seq[String] =
+      spark.read.parquet(p)
+        .select(col("doc_id"), col("tok"), col("tf"), col("len"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3)).toString)
+        .toSeq.sorted
+    assert(rows(idx) == rows(idx2),
+      "incrementally-maintained lex index diverges from a full rebuild")
+    assert(rows(idx).nonEmpty)
+    assert(LexIndex.corpusStats(spark, idx) ==
+      LexIndex.corpusStats(spark, idx2),
+      "refreshed pinned stats diverge from a rebuild's")
+
+    // BM25 from the refreshed layout == the in-plan operator over the
+    // CURRENT collection (serving from a maintained layout must not
+    // change a score)
+    val terms = Seq("data", "query", "extra")
+    val served = LexIndex.bm25(spark, idx, terms)
+      .collect().map(_.toSeq).toSet
+    val inPlan = graft.operators.TextAnalysis.bm25(
+        Collections.read(spark, dir), "doc_id", "text", terms)
+      .select("doc_id", "bm25_micro", "n_terms_hit")
+      .collect().map(_.toSeq).toSet
+    assert(served == inPlan,
+      "BM25 served from the refreshed lex layout diverges from in-plan")
+  }
+
   test("tenant layout refresh over the change feed equals a full rebuild; " +
        "untouched bucket leaves are physically untouched") {
     import graft.sources.Tenancy
