@@ -54,6 +54,29 @@ object VectorQueries {
       LIMIT 10
     """))
 
+  /** [[vKnn]] served EXACTLY from the codes sidecar — the flagship use
+    * of the quantization-error bound outside hybrid: stage 1 brackets
+    * every stored vector's true cosine from a codes+norm-only scan
+    * ([[graft.sources.QuantIndex.cosineCandidates]] — a GUARANTEED
+    * superset of the exact top-10, ~1/7 of the vector column's bytes),
+    * stage 2 exact-rescores only the candidates by literal id probe.
+    * Unlike every approximate `_indexed` sibling this is EXACT kNN
+    * at reduced IO — same oracle as `v_knn`, not a staged-semantics
+    * twin. The bound's slack covers the rounded-score rank-tie window
+    * (same micro granularity). */
+  val vKnnIndexed = Q("v_knn_indexed",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = queryVec(s, dir, 0)
+      val cands = graft.sources.QuantIndex
+        .cosineCandidates(s, quantIndexDir(s, dir), qv, 10)
+        .select("vec_id")
+      Knn.knn(graft.operators.GraphAnn.inIdsFrame(emb, "vec_id", cands),
+          "embedding", qv, 10)
+        .select("vec_id", "label", "score")
+    },
+    vKnn.oracle)
+
   /** Memoized tenant-partitioned serving layout of the embeddings table
     * (shard key = `label`) — the shared per-fixture/per-pid temp
     * materialization discipline (Tables.memoTempDir). */
@@ -1816,7 +1839,8 @@ object VectorQueries {
       WHERE rnk > 3 AND rnk <= 13
       ORDER BY rnk"""))
 
-  def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnTenant, vKnnMulti, vKnnPage,
+  def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnIndexed, vKnnTenant,
+    vKnnMulti, vKnnPage,
     vKnnMultiAgg, vKnnBatch, vKnnBatchDsl, vKnnFiltered, vKnnPayloadIndexed,
     vKnnDsl,
     vKnnDslExcept,

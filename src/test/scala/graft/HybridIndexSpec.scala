@@ -167,9 +167,11 @@ class HybridIndexSpec extends AnyFunSuite with SparkSpec {
     assert(a5 == b5, "no-fill ranked list diverges from in-plan")
   }
 
-  test("the three indexed hybrid keys equal their in-plan twins " +
-       "row-for-row (the unchanged-oracle contract, asserted locally)") {
-    for (base <- Seq("v_hybrid_rrf", "v_hybrid_bm25", "v_hybrid_dbsf")) {
+  test("the three indexed hybrid keys AND exact sidecar kNN equal " +
+       "their in-plan twins row-for-row (the unchanged-oracle " +
+       "contract, asserted locally)") {
+    for (base <- Seq("v_hybrid_rrf", "v_hybrid_bm25", "v_hybrid_dbsf",
+        "v_knn")) {
       val a = Queries.queries(base)(spark, sf)
         .collect().map(_.toSeq.toString).toSeq
       val b = Queries.queries(s"${base}_indexed")(spark, sf)
