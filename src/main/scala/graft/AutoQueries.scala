@@ -247,7 +247,46 @@ object AutoQueries {
         WHERE em.label = 3)
       WHERE rk <= 10 ORDER BY rk"""))
 
+  /** ROUTED hybrid retrieval — the declare-once law applied to the
+    * default retrieval recipe: each leg independently serves from the
+    * first declared layout of its kind
+    * ([[VectorRouter.lexDirOf]] → the exact-token postings text leg,
+    * [[VectorRouter.quantDirOf]] → the exact-bound codes dense leg) and
+    * independently falls back to its in-plan pipeline when nothing is
+    * declared (PARTIAL routing composes — a collection may declare only
+    * its text index). `exact = true` (the Qdrant `search_params.exact`
+    * bypass) ignores every declaration. Both branches of each leg are
+    * row-identical by construction (the indexed legs are EXACT — the
+    * quantization-error bound and the exact-token postings, not staged
+    * approximations), so routing is a plan decision, never a semantic
+    * one: the UNCHANGED v_hybrid_rrf oracle gates every combination. */
+  private[graft] def hybridRrfRouted(s: org.apache.spark.sql.SparkSession,
+                                     dir: String, declared: Seq[String],
+                                     exact: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    val lexDir =
+      if (exact) None else VectorRouter.lexDirOf(declared)
+    val qDir =
+      if (exact) None else VectorRouter.quantDirOf(declared)
+    val tTop = lexDir match {
+      case Some(ld) => VectorQueries.kwsTop100Indexed(s, dir, ld)
+      case None => VectorQueries.kwsTop100(s, dir)
+    }
+    val vTop = qDir match {
+      case Some(qd) => VectorQueries.vectorTop100Indexed(s, dir, qd)
+        .select("doc_id", "r_v")
+      case None => VectorQueries.vectorTop100(s, dir)
+    }
+    graft.operators.Fusion.rrfFuse(tTop, vTop)
+  }
+
+  val vAutoHybrid = Q("v_auto_hybrid",
+    (s, dir) => hybridRrfRouted(s, dir,
+      Seq(VectorQueries.lexIndexDir(s, dir), quantIndexDir(s, dir))),
+    VectorQueries.vHybridRrf.oracle)
+
   def queries: Seq[Q] =
     Seq(vAutoSearch, vAutoExact, vAutoFiltered, vAutoGraph,
-      vAutoSearchMulti, vAutoFilteredMulti, vAutoFilteredGraph)
+      vAutoSearchMulti, vAutoFilteredMulti, vAutoFilteredGraph,
+      vAutoHybrid)
 }

@@ -344,7 +344,8 @@ object TextQueries {
           100, "r_t", desc("bm25_micro"), col("doc_id"))
         .select(col("doc_id"), col("r_t"))
       graft.operators.Fusion.rrfFuse(bmTop,
-        VectorQueries.vectorTop100Indexed(s, dir).select("doc_id", "r_v"))
+        VectorQueries.vectorTop100Indexed(s, dir,
+          VectorQueries.quantIndexDir(s, dir)).select("doc_id", "r_v"))
     },
     vHybridBm25.oracle)
 

@@ -1033,19 +1033,36 @@ object VectorQueries {
       ORDER BY rrf_milli DESC, doc_id
       LIMIT 10"""
 
+  /** The shared keyword-count text leg (in-plan form): occurrences of
+    * the 3 hybrid query terms over the corpus text, ranked top-100. */
+  private[graft] val hybridKws = Seq("data", "query", "table")
+  private[graft] def kwsTop100(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Fusion.topNRanked(
+        Tables.load(s, dir, "documents")
+          .withColumn("__tk",
+            graft.operators.TextAnalysis.tokens(col("text")))
+          .withColumn("score_t",
+            size(filter(col("__tk"),
+              t => array_contains(typedLit(hybridKws), t)))),
+        100, "r_t", desc("score_t"), col("doc_id"))
+      .select(col("doc_id"), col("r_t"))
+
+  /** The keyword-count text leg served from a lexical postings layout
+    * (exact Σtf + the adaptive zero tail — [[graft.sources.LexIndex]]). */
+  private[graft] def kwsTop100Indexed(s: org.apache.spark.sql.SparkSession,
+                                      dir: String, lexDir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.sources.LexIndex.rankedTopN(s,
+        graft.sources.LexIndex.termCountScores(s, lexDir, hybridKws),
+        Tables.load(s, dir, "documents").select("doc_id"),
+        "doc_id", "score_t", 100, "r_t")
+      .select(col("doc_id"), col("r_t"))
+
   val vHybridRrf = Q("v_hybrid_rrf",
-    (s, dir) => {
-      val kws = typedLit(Seq("data", "query", "table"))
-      val docsTop = graft.operators.Fusion.topNRanked(
-          Tables.load(s, dir, "documents")
-            .withColumn("__tk",
-              graft.operators.TextAnalysis.tokens(col("text")))
-            .withColumn("score_t",
-              size(filter(col("__tk"), t => array_contains(kws, t)))),
-          100, "r_t", desc("score_t"), col("doc_id"))
-        .select(col("doc_id"), col("r_t"))
-      graft.operators.Fusion.rrfFuse(docsTop, vectorTop100(s, dir))
-    },
+    (s, dir) =>
+      graft.operators.Fusion.rrfFuse(kwsTop100(s, dir),
+        vectorTop100(s, dir)),
     Some(s"""
       WITH t AS (
         SELECT doc_id,
@@ -1169,12 +1186,13 @@ object VectorQueries {
     * (the unchanged hybrid oracles are the gate). Returns
     * (doc_id, score_vm, r_v). */
   private[graft] def vectorTop100Indexed(s: org.apache.spark.sql.SparkSession,
-                                         dir: String)
+                                         dir: String,
+                                         quantDir: String)
       : org.apache.spark.sql.DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
     val qv = queryVec(s, dir, 0)
     val cands = graft.sources.QuantIndex
-      .cosineCandidates(s, quantIndexDir(s, dir), qv, 100)
+      .cosineCandidates(s, quantDir, qv, 100)
       .select("vec_id")
     val scored = graft.operators.GraphAnn
       .inIdsFrame(emb.select("vec_id", "embedding"), "vec_id", cands)
@@ -1197,17 +1215,11 @@ object VectorQueries {
     * Same oracle as `v_hybrid_rrf`: indexed serving must not change
     * one row. */
   val vHybridRrfIndexed = Q("v_hybrid_rrf_indexed",
-    (s, dir) => {
-      val lex = lexIndexDir(s, dir)
-      val hits = graft.sources.LexIndex
-        .termCountScores(s, lex, Seq("data", "query", "table"))
-      val tTop = graft.sources.LexIndex.rankedTopN(s, hits,
-          Tables.load(s, dir, "documents").select("doc_id"),
-          "doc_id", "score_t", 100, "r_t")
-        .select(col("doc_id"), col("r_t"))
-      graft.operators.Fusion.rrfFuse(tTop,
-        vectorTop100Indexed(s, dir).select("doc_id", "r_v"))
-    },
+    (s, dir) =>
+      graft.operators.Fusion.rrfFuse(
+        kwsTop100Indexed(s, dir, lexIndexDir(s, dir)),
+        vectorTop100Indexed(s, dir, quantIndexDir(s, dir))
+          .select("doc_id", "r_v")),
     vHybridRrf.oracle)
 
   /** [[vHybridDbsf]] over the MATERIALIZED layouts — both legs' scored
@@ -1225,7 +1237,7 @@ object VectorQueries {
           Tables.load(s, dir, "documents").select("doc_id"),
           "doc_id", "score_t", 100, "r_t")
         .select(col("doc_id"), col("score_t"))
-      val vTop = vectorTop100Indexed(s, dir)
+      val vTop = vectorTop100Indexed(s, dir, quantIndexDir(s, dir))
         .select(col("doc_id"), col("score_vm").as("score_v"))
       graft.operators.Fusion.dbsfFuse(tTop, vTop)
     },

@@ -113,6 +113,21 @@ object VectorRouter {
     else if (Files.isDirectory(Paths.get(dir, "_seeds"))) Some("graph")
     else None
 
+  /** First declared lexical-postings layout ([[LexIndex]]) — the
+    * hybrid TEXT leg's serving source. Deliberately NOT a [[kindOf]]
+    * vector kind: [[route]] must never pick a postings layout for a
+    * plain vector search. */
+  def lexDirOf(dirs: Seq[String]): Option[String] =
+    dirs.find(d => Files.exists(Paths.get(d, "_lex_index.json")))
+
+  /** First declared quant codes sidecar — the hybrid DENSE leg's
+    * exact-bound source ([[QuantIndex.cosineCandidates]]). A declared
+    * pre-norm layout fails THERE with the loud rebuild-it contract
+    * rather than silently degrading to the in-plan leg: a declaration
+    * is an operator's statement that the layout serves. */
+  def quantDirOf(dirs: Seq[String]): Option[String] =
+    dirs.find(d => kindOf(d).contains("quant"))
+
   /** The first usable declaration under `params`, if any. */
   private def route(vectorIndexes: Seq[String], params: Params)
       : Option[(String, String)] =

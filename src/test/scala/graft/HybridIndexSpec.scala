@@ -180,6 +180,29 @@ class HybridIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("routed hybrid (v_auto_hybrid): every declaration combination — " +
+       "both legs, one leg, none, exact bypass — returns the identical " +
+       "row set (routing is a plan decision, never a semantic one), " +
+       "and the sniffers pick only their own layout kinds") {
+    import graft.sources.VectorRouter
+    val both = Seq(lexDir, quantDir)
+    // sniffers: each finds its own kind, ignores the other
+    assert(VectorRouter.lexDirOf(both).contains(lexDir))
+    assert(VectorRouter.quantDirOf(both).contains(quantDir))
+    assert(VectorRouter.lexDirOf(Seq(quantDir)).isEmpty)
+    assert(VectorRouter.quantDirOf(Seq(lexDir)).isEmpty)
+    val base = Queries.queries("v_hybrid_rrf")(spark, sf)
+      .collect().map(_.toSeq.toString).toSeq
+    def routed(decls: Seq[String], exact: Boolean = false): Seq[String] =
+      AutoQueries.hybridRrfRouted(spark, sf, decls, exact)
+        .collect().map(_.toSeq.toString).toSeq
+    assert(routed(both) == base, "both-legs routing changed rows")
+    assert(routed(Seq(lexDir)) == base, "text-only routing changed rows")
+    assert(routed(Seq(quantDir)) == base, "dense-only routing changed rows")
+    assert(routed(Nil) == base, "no-declaration fallback changed rows")
+    assert(routed(both, exact = true) == base, "exact bypass changed rows")
+  }
+
   test("loud contracts: empty term set, wrong query dim, stale layout " +
        "without the norm column") {
     intercept[IllegalArgumentException] {
