@@ -138,6 +138,33 @@ object VectorQueries {
       ORDER BY query_id, rnk
     """))
 
+  /** [[vKnnMulti]] served EXACTLY from the codes sidecar — the batched
+    * form of [[vKnnIndexed]]'s bound pipeline
+    * ([[graft.sources.QuantIndex.cosineCandidatesMulti]]: all five
+    * queries share the two codes-only scans, per-query θ heaps
+    * map-side, job budget independent of the batch size). The exact
+    * stage probes the UNION candidate set once and scores every
+    * (query, row) pair — correct because a row outside query q's
+    * candidate set has ub < θ_q ≤ q's n-th-best cosine, so it can
+    * never enter q's top-n whatever pool it rides in. Same oracle as
+    * `v_knn_multi`: EXACT batched kNN at codes-sidecar stage-1 IO. */
+  val vKnnMultiIndexed = Q("v_knn_multi_indexed",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val queries = (0L until 5L).map(i => i -> queryVec(s, dir, i))
+      val cands = graft.sources.QuantIndex
+        .cosineCandidatesMulti(s, quantIndexDir(s, dir), queries, 3)
+        .select("vec_id").distinct()
+      Knn.knnMulti(
+          graft.operators.GraphAnn.inIdsFrame(emb, "vec_id", cands),
+          qs, "embedding", "qid", "qv", 3)
+        .select("query_id", "vec_id", "score", "rnk")
+        .orderBy("query_id", "rnk")
+    },
+    vKnnMulti.oracle)
+
   /** V2 via the bounded-heap TypedImperativeAggregate (same oracle as
     * v_knn_multi — the two physical forms must hash-match). */
   val vKnnMultiAgg = Q("v_knn_multi_agg",
@@ -1852,7 +1879,7 @@ object VectorQueries {
       ORDER BY rnk"""))
 
   def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnIndexed, vKnnTenant,
-    vKnnMulti, vKnnPage,
+    vKnnMulti, vKnnMultiIndexed, vKnnPage,
     vKnnMultiAgg, vKnnBatch, vKnnBatchDsl, vKnnFiltered, vKnnPayloadIndexed,
     vKnnDsl,
     vKnnDslExcept,

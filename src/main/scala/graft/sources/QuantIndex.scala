@@ -386,6 +386,86 @@ object QuantIndex {
       .select(col(m.idCol), col("lb"), col("ub"))
   }
 
+  /** BATCHED exact-bound candidates — the queryPointsMulti law applied
+    * to [[cosineCandidates]]: N queries share the TWO codes-only scans
+    * (each query's dequantized dot is its own bound literal expression
+    * in a per-query CASE chain — the prefetchTopNMulti rule, CHECKED
+    * against [[graft.operators.Knn.MaxBatchQueries]]); job 1 heaps
+    * every query's lower bounds map-side
+    * ([[graft.plans.TopKByScore]] — |partitions|·N·n rows shuffled)
+    * and collects the N θ values (one bounded row per query), job 2
+    * filters the broadcast-joined upper bounds. Per query the
+    * candidate set is IDENTICAL to the single-query verb
+    * (spec-pinned); the job budget is independent of the batch size.
+    * Returns (query_id, idCol, lb, ub). */
+  def cosineCandidatesMulti(spark: SparkSession, dir: String,
+                            queries: Seq[(Long, Seq[Double])], n: Int)
+      : DataFrame = {
+    val m = metaOf(dir)
+    queries.foreach { case (qid, q) => require(q.length == m.dim,
+      s"query $qid dim ${q.length} != index dim ${m.dim}") }
+    require(queries.map(_._1).distinct.length == queries.length,
+      "cosineCandidatesMulti: duplicate query ids in the batch")
+    graft.operators.Knn.requireBatch(queries.length,
+      "cosineCandidatesMulti")
+    val base = read(spark, dir)
+    if (!base.columns.contains("norm"))
+      throw new IllegalStateException(
+        s"quant sidecar at $dir predates the stored-norm column — " +
+          "rebuild it with QuantIndex.build (a derived layout, " +
+          "rebuildable from the collection)")
+    val consts = queries.map { case (qid, q) =>
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      require(qn > 0, s"query $qid: cosine candidates need a non-zero " +
+        "query vector")
+      (qid, qn, q.map(math.abs).sum)
+    }
+    import spark.implicits._
+    val qdf = broadcast(consts.toDF("query_id", "__qn", "__ql1"))
+    // each query's dot is its OWN literal kernel (the one-column-per-
+    // query rule: a query's weights must ride generated code, and rows
+    // pair with every query via the broadcast constants frame)
+    val dqCase = queries.foldRight(lit(null).cast("double")) {
+      case ((qid, q), acc) =>
+        when(col("query_id") === qid,
+          org.apache.spark.sql.GraftSqlBridge.column(
+            graft.functions.SqCodesDotExpr(
+              org.apache.spark.sql.GraftSqlBridge.expression(col("codes")),
+              org.apache.spark.sql.GraftSqlBridge.expression(col("mn")),
+              org.apache.spark.sql.GraftSqlBridge.expression(col("mx")),
+              q))).otherwise(acc)
+    }
+    def bounded = base
+      .filter(col("norm") > 0)
+      .crossJoin(qdf)
+      .withColumn("__dq", dqCase)
+      .withColumn("__err",
+        (col("mx") - col("mn")) / lit(255.0) / lit(2.0) * col("__ql1"))
+      .withColumn("lb",
+        (col("__dq") - col("__err")) / (col("norm") * col("__qn")))
+      .withColumn("ub",
+        (col("__dq") + col("__err")) / (col("norm") * col("__qn")))
+    // job 1: per-query θ (n-th largest lower bound; < n scoreable rows
+    // → that query's minimum) — map-side heaps, N bounded rows out
+    val thetas = bounded
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByScore.topK(col("lb"),
+        col(m.idCol).cast("long"), n).as("__tk"))
+      .select(col("query_id"),
+        posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .groupBy("query_id").agg(min(col("__e.score")).as("__theta"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val missing = queries.map(_._1).toSet -- thetas.map(_._1).toSet
+    val tdf = broadcast(
+      (thetas ++ missing.map(_ -> Double.NegativeInfinity))
+        .toSeq.toDF("query_id", "__theta"))
+    // job 2 (the caller's): same bounded frame, per-query θ filter
+    bounded
+      .join(tdf, "query_id")
+      .filter(col("ub") >= col("__theta") - lit(BoundSlack))
+      .select(col("query_id"), col(m.idCol), col("lb"), col("ub"))
+  }
+
   /** Candidate slack: 1e-6 for the caller's micro-unit rank-tie window
     * (a row can enter a micro-ranked top-n with a true cosine up to
     * half a micro below the n-th score's rounding band) + 1e-6 of FP

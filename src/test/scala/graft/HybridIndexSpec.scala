@@ -203,6 +203,61 @@ class HybridIndexSpec extends AnyFunSuite with SparkSpec {
     assert(routed(both, exact = true) == base, "exact bypass changed rows")
   }
 
+  test("cosineCandidatesMulti: per-query candidates equal the " +
+       "single-query verb; the job budget is flat across batch sizes; " +
+       "batched exact kNN (v_knn_multi_indexed) equals the in-plan " +
+       "batch; loud batch contracts") {
+    import graft.sources.QuantIndex
+    val qs3 = Seq(0L, 3L, 7L).map(i => i -> qv(i))
+    val multiRows = QuantIndex
+      .cosineCandidatesMulti(spark, quantDir, qs3, 100)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((q, vec) <- qs3) {
+      val single = QuantIndex.cosineCandidates(spark, quantDir, vec, 100)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(multiRows(q) == single,
+        s"query $q: batched candidates diverge from single-query")
+    }
+    // the queryPointsMulti job-budget law: a doubled batch runs the
+    // same number of jobs (two shared scans + the θ collect)
+    val sc = spark.sparkContext
+    def jobsFor(qs: Seq[(Long, Seq[Double])]): Int = {
+      val group = s"candmulti-${qs.length}-${System.nanoTime()}"
+      sc.setJobGroup(group, group)
+      try QuantIndex.cosineCandidatesMulti(spark, quantDir, qs, 100)
+        .queryExecution.toRdd.foreach(_ => ())
+      finally sc.clearJobGroup()
+      val deadline = System.nanoTime() + 10000000000L
+      var jobs = sc.statusTracker.getJobIdsForGroup(group).length
+      var prev = -1
+      while (jobs != prev && System.nanoTime() < deadline) {
+        prev = jobs; Thread.sleep(200)
+        jobs = sc.statusTracker.getJobIdsForGroup(group).length
+      }
+      jobs
+    }
+    val qs6 = qs3 ++ Seq(1L, 2L, 4L).map(i => i -> qv(i))
+    assert(jobsFor(qs3) == jobsFor(qs6),
+      "candidate job budget grew with the batch")
+    // the declared batched key equals its in-plan twin row-for-row
+    val a = Queries.queries("v_knn_multi")(spark, sf)
+      .collect().map(_.toSeq.toString).toSeq
+    val b = Queries.queries("v_knn_multi_indexed")(spark, sf)
+      .collect().map(_.toSeq.toString).toSeq
+    assert(a == b, "batched sidecar kNN changed rows")
+    intercept[IllegalArgumentException] {
+      QuantIndex.cosineCandidatesMulti(spark, quantDir,
+        Seq((1L, qv(0)), (1L, qv(3))), 10)
+    }
+    intercept[IllegalArgumentException] {
+      QuantIndex.cosineCandidatesMulti(spark, quantDir,
+        (0 to graft.operators.Knn.MaxBatchQueries)
+          .map(i => i.toLong -> qv(0)), 10)
+    }
+  }
+
   test("loud contracts: empty term set, wrong query dim, stale layout " +
        "without the norm column") {
     intercept[IllegalArgumentException] {
