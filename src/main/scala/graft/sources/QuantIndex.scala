@@ -446,8 +446,12 @@ object QuantIndex {
       .withColumn("ub",
         (col("__dq") + col("__err")) / (col("norm") * col("__qn")))
     // job 1: per-query θ (n-th largest lower bound; < n scoreable rows
-    // → that query's minimum) — map-side heaps, N bounded rows out
+    // → that query's minimum) — map-side heaps, N bounded rows out.
+    // lb is null only for a codes/query dim mismatch (construction-
+    // impossible past the entry require) — filtered like every heap
+    // input (the hammingTopNMulti discipline) rather than trusted
     val thetas = bounded
+      .filter(col("lb").isNotNull)
       .groupBy("query_id")
       .agg(graft.plans.TopKByScore.topK(col("lb"),
         col(m.idCol).cast("long"), n).as("__tk"))
