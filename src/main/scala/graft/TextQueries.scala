@@ -303,6 +303,21 @@ object TextQueries {
       SELECT doc_id, bm25_micro, n_terms_hit
       FROM bm ORDER BY bm25_micro DESC, doc_id LIMIT 10"""))
 
+  /** [[txtBm25]] over the MATERIALIZED lexical postings — standalone
+    * BM25 retrieval served without touching the corpus text
+    * ([[graft.sources.LexIndex.bm25]], integer-for-integer the in-plan
+    * chain, spec-pinned): a 3-term query opens ≤ 3/64 of the postings
+    * bytes, scores fold per hit document, bounded top-10 heap. Same
+    * oracle as `txt_bm25`. */
+  val txtBm25Indexed = Q("txt_bm25_indexed",
+    (s, dir) =>
+      graft.sources.LexIndex.bm25(s,
+          VectorQueries.lexIndexDir(s, dir), bm25Terms)
+        .orderBy(desc("bm25_micro"), col("doc_id"))
+        .limit(10)
+        .select("doc_id", "bm25_micro", "n_terms_hit"),
+    txtBm25.oracle)
+
   /** V8 — hybrid retrieval with the PRINCIPLED keyword side: BM25 top-100
     * list fused with the vector top-100 by RRF (same bounded-list form as
     * v_hybrid_rrf — TakeOrderedAndProject per side, rank over survivors,
@@ -1945,7 +1960,8 @@ object TextQueries {
       FROM hits WHERE score_micro >= 900000
       GROUP BY 1 ORDER BY 1"""))
 
-  def queries: Seq[Q] = Seq(txtBm25, vHybridBm25, vHybridBm25Indexed,
+  def queries: Seq[Q] = Seq(txtBm25, txtBm25Indexed, vHybridBm25,
+    vHybridBm25Indexed,
     txtTokens, txtLangid,
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats, txtPhrase,
     txtPhraseIndexed,
