@@ -180,7 +180,13 @@ object TextAnalysis {
       val tf = tfs.getItem(i)
       val idfMicro = idiv(lit(1000000L) * col("n"), col("__dfs").getItem(i) + lit(1L))
       val denomMilli = tf * lit(1000L) + idiv(lit(k1Milli) * col("norm_milli"), lit(1000L))
-      when(tf > 0, idiv(idfMicro * tf * lit(1000L + k1Milli), denomMilli))
+      // numerator in DECIMAL(38,0): the LONG product overflows once
+      // N·tf ≈ 4e9 (rare term ⇒ idfMicro ≈ 1e6·N). IntegralDivide
+      // floors decimals exactly like longs, so every non-overflowing
+      // score is bit-identical — and LexIndex.bm25 widens the same way,
+      // keeping the served twin integer-for-integer at every scale.
+      when(tf > 0, idiv(idfMicro.cast(org.apache.spark.sql.types
+          .DecimalType(38, 0)) * tf * lit(1000L + k1Milli), denomMilli))
         .otherwise(lit(0L))
     }
     val hit = qTerms.indices.map(i =>

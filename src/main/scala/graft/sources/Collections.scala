@@ -820,6 +820,20 @@ object Collections {
   private[sources] def stagedBucketRefresh(
       spark: SparkSession, collDir: String, indexDir: String,
       prev: ManifestView, partitionCols: Seq[String])(
+      replacementOf: DataFrame => DataFrame): ManifestView =
+    stagedBucketRefreshFrom(spark, indexDir, prev,
+      changedSince(spark, collDir, prev), partitionCols)(replacementOf)
+
+  /** [[stagedBucketRefresh]] over a caller-derived change feed — for
+    * layouts that ALSO consume the feed for sidecar math (LexIndex's
+    * `_stats` merge): both steps see ONE `(cur, changedDf, dropped)`
+    * view, so a concurrent publish between "derive the feed" and "swap
+    * the buckets" can never leave the sidecar computed from a different
+    * manifest generation than the swapped dirs. */
+  private[sources] def stagedBucketRefreshFrom(
+      spark: SparkSession, indexDir: String, prev: ManifestView,
+      view: (ManifestView, DataFrame, Set[Int]),
+      partitionCols: Seq[String])(
       replacementOf: DataFrame => DataFrame): ManifestView = {
     require(partitionCols.headOption.contains("src_bucket"),
       s"staged refresh swaps src_bucket dirs; got $partitionCols")
@@ -827,7 +841,7 @@ object Collections {
     // memoized listing predates the swap (and one re-memoized mid-swap
     // is stale too — second evict below)
     ServedReads.evict(indexDir)
-    val (cur, changedDf, dropped) = changedSince(spark, collDir, prev)
+    val (cur, changedDf, dropped) = view
     val stale = changedBuckets(prev, cur)
     val staging = Paths.get(indexDir, "_staging_refresh")
     if (Files.exists(staging)) deleteRecursively(staging)

@@ -194,13 +194,14 @@ object LexIndex {
               prev: Collections.ManifestView): Collections.ManifestView = {
     val m = metaOf(indexDir)
     val nb = Collections.numBuckets(collDir)
-    // the feed's delta, read ONCE for the stats math (stagedBucketRefresh
-    // re-derives its own identical view from the same manifests)
-    val (cur0, changedDf, dropped) =
+    // ONE change-feed view drives BOTH the postings swap and the stats
+    // merge (stagedBucketRefreshFrom): a concurrent publish between the
+    // two steps can never desync `_stats` from the swapped buckets
+    val view @ (cur0, changedDf, dropped) =
       Collections.changedSince(spark, collDir, prev)
     val stale = Collections.changedBuckets(prev, cur0)
-    val cur = Collections.stagedBucketRefresh(spark, collDir, indexDir,
-      prev, Seq("src_bucket", "tgrp"))(
+    val cur = Collections.stagedBucketRefreshFrom(spark, indexDir,
+      prev, view, Seq("src_bucket", "tgrp"))(
       postingsOf(_, m.idCol, m.textCol, nb))
     val gone = (stale ++ dropped).map(_.toLong)
     val keptOld = ServedReads.of(spark, s"$indexDir/_stats")
@@ -279,9 +280,14 @@ object LexIndex {
       .withColumn("__denom_milli",
         col("tf") * lit(1000L) +
           idiv(lit(k1Milli) * col("__norm_milli"), lit(1000L)))
+      // the numerator in DECIMAL(38,0): in LONG, idf_micro (≈ 1e6·N for
+      // a rare term) × tf × (1000+k1) overflows past N·tf ≈ 4e9 — well
+      // inside 100-TB corpora. Same exact integer (IntegralDivide floors
+      // decimals identically — the in-plan twin widens the same way, so
+      // scores stay bit-identical at every scale up to 10^38.
       .withColumn("__term_score",
-        idiv(col("__idf_micro") * col("tf") * lit(1000L + k1Milli),
-          col("__denom_milli")))
+        idiv(col("__idf_micro").cast("decimal(38,0)") * col("tf") *
+          lit(1000L + k1Milli), col("__denom_milli")))
       .groupBy(col(m.idCol))
       .agg(sum("__term_score").as("bm25_micro"),
         count(lit(1)).as("n_terms_hit"))
@@ -309,10 +315,14 @@ object LexIndex {
     val ranked =
       if (rows.length >= n) local
       else {
-        val hitIds = rows.map(r =>
-          r.getAs[Number](r.fieldIndex(idCol)).longValue)
+        // type-AGNOSTIC hit exclusion (left_anti against the ≤ n
+        // collected rows, broadcast): the Long-literal isin this
+        // replaced assumed numeric ids and CCE'd at serve time on a
+        // string-id layout — the fill must work for any id type the
+        // layout accepts
         val fill = universe
-          .filter(!col(idCol).isin(hitIds.map(Long.box): _*))
+          .join(broadcast(local.select(col(idCol))), Seq(idCol),
+            "left_anti")
           .orderBy(col(idCol)).limit(n - rows.length)
           .withColumn(scoreCol, lit(0L))
           .select(local.columns.map(col): _*)

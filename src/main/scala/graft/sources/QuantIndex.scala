@@ -70,6 +70,15 @@ object QuantIndex {
   final case class Meta(idCol: String, vecCol: String, dim: Int,
                         wordBits: Int, prefixDim: Int)
 
+  /** Data-file layout generation, version-stamped into the metadata:
+    * 2 = every bucket carries the stored-norm column the EXACT-bound
+    * candidate stage divides by. A sidecar persisted before the stamp
+    * existed reads as 1 — [[refresh]] and the candidate verbs refuse it
+    * LOUDLY, because a partial bucket swap onto a norm-less layout would
+    * leave a MIXED schema where unrefreshed buckets' rows read norm as
+    * NULL and silently fall out of the guaranteed-superset contract. */
+  val CurrentLayout: Int = 2
+
   private def metaPath(dir: String) = Paths.get(dir, "_quant_index.json")
 
   private def writeMeta(dir: String, m: Meta): Unit = {
@@ -77,12 +86,31 @@ object QuantIndex {
       "column names must not contain quotes")
     Files.createDirectories(Paths.get(dir))
     Files.write(metaPath(dir),
-      (s"""{"id_col": "${m.idCol}", "vec_col": "${m.vecCol}", """ +
+      (s"""{"layout": $CurrentLayout, """ +
+        s""""id_col": "${m.idCol}", "vec_col": "${m.vecCol}", """ +
         s""""dim": ${m.dim}, "word_bits": ${m.wordBits}, """ +
         s""""prefix_dim": ${m.prefixDim}}""")
         .getBytes(StandardCharsets.UTF_8))
     ()
   }
+
+  /** The sidecar's stamped layout generation; a pre-stamp metadata file
+    * reads as 1 (the norm-less shape). */
+  def layoutOf(dir: String): Int = {
+    val txt = new String(Files.readAllBytes(metaPath(dir)),
+      StandardCharsets.UTF_8)
+    """"layout":\s*(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(1)
+  }
+
+  private def requireCurrentLayout(dir: String, what: String): Unit =
+    if (layoutOf(dir) < CurrentLayout)
+      throw new IllegalStateException(
+        s"quant sidecar at $dir predates the stored-norm layout " +
+          s"(generation ${layoutOf(dir)} < $CurrentLayout) — $what " +
+          "would silently break the exact-bound contract on the " +
+          "norm-less buckets; rebuild with QuantIndex.build (a derived " +
+          "layout, rebuildable from the collection)")
 
   /** Read back the pinned parameters. A missing field (a sidecar
     * persisted by an older layout shape) gets the descriptive
@@ -351,12 +379,12 @@ object QuantIndex {
     val m = metaOf(dir)
     require(query.length == m.dim,
       s"query dim ${query.length} != index dim ${m.dim}")
+    // the layout STAMP, not a schema sniff: a mixed layout (partial
+    // swap onto a pre-norm sidecar) still INFERS a norm column while
+    // unrefreshed buckets read it as NULL — only the stamped generation
+    // proves every bucket carries it
+    requireCurrentLayout(dir, "serving exact-bound candidates")
     val base = read(spark, dir)
-    if (!base.columns.contains("norm"))
-      throw new IllegalStateException(
-        s"quant sidecar at $dir predates the stored-norm column — " +
-          "rebuild it with QuantIndex.build (a derived layout, " +
-          "rebuildable from the collection)")
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     val qL1 = query.map(math.abs).sum
     require(qNorm > 0, "cosine candidates need a non-zero query vector")
@@ -408,12 +436,9 @@ object QuantIndex {
       "cosineCandidatesMulti: duplicate query ids in the batch")
     graft.operators.Knn.requireBatch(queries.length,
       "cosineCandidatesMulti")
+    // the layout stamp, not a schema sniff (see cosineCandidates)
+    requireCurrentLayout(dir, "serving exact-bound candidates")
     val base = read(spark, dir)
-    if (!base.columns.contains("norm"))
-      throw new IllegalStateException(
-        s"quant sidecar at $dir predates the stored-norm column — " +
-          "rebuild it with QuantIndex.build (a derived layout, " +
-          "rebuildable from the collection)")
     val consts = queries.map { case (qid, q) =>
       val qn = math.sqrt(q.map(x => x * x).sum)
       require(qn > 0, s"query $qid: cosine candidates need a non-zero " +
@@ -485,6 +510,10 @@ object QuantIndex {
   def refresh(spark: SparkSession, collDir: String, indexDir: String,
               prev: Collections.ManifestView): Collections.ManifestView = {
     val m = metaOf(indexDir)
+    // a partial swap writes CURRENT-layout buckets — onto a pre-norm
+    // layout that produces the mixed schema the candidate verbs can't
+    // detect from inference alone; refuse loudly, force a full rebuild
+    requireCurrentLayout(indexDir, "a partial bucket swap")
     Collections.stagedBucketRefresh(spark, collDir, indexDir, prev,
       Seq("src_bucket")) { changed =>
       codesOf(changed, m).withColumn("src_bucket",

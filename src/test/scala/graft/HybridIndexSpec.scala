@@ -165,6 +165,20 @@ class HybridIndexSpec extends AnyFunSuite with SparkSpec {
       .select("doc_id", "score_t", "r_t")
       .collect().map(_.toSeq).toSet
     assert(a5 == b5, "no-fill ranked list diverges from in-plan")
+    // STRING ids through the fill path: the layout accepts any id
+    // column, so the zero-tail exclusion must be type-agnostic (the
+    // Long-literal isin it replaced CCE'd here at serve time)
+    import spark.implicits._
+    val sHits = Seq(("b", 5L), ("d", 2L)).toDF("k", "s")
+    val sUniverse = Seq("a", "b", "c", "d", "e").toDF("k")
+    val sRanked = LexIndex.rankedTopN(spark, sHits, sUniverse, "k",
+        "s", 4, "r")
+      .select("k", "s", "r")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .sortBy(_._3)
+    assert(sRanked.toSeq == Seq(("b", 5L, 1), ("d", 2L, 2),
+        ("a", 0L, 3), ("c", 0L, 4)),
+      s"string-id fill path diverged: ${sRanked.toSeq}")
   }
 
   test("the three indexed hybrid keys AND exact sidecar kNN equal " +
@@ -266,8 +280,12 @@ class HybridIndexSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] {
       QuantIndex.cosineCandidates(spark, quantDir, Seq(1.0, 2.0), 10)
     }
-    // a sidecar persisted BEFORE the stored-norm column: descriptive
-    // rebuild-it error, not an AnalysisException three calls later
+    // a sidecar persisted BEFORE the stored-norm column (no layout
+    // stamp in its metadata): descriptive rebuild-it error from EVERY
+    // verb that would otherwise silently break on it — the candidate
+    // stage (mixed/NULL norms drop rows from the guaranteed superset)
+    // AND refresh (a partial swap would CREATE the mixed layout a
+    // schema sniff cannot detect)
     val root = java.nio.file.Files
       .createTempDirectory("graft-oldquant")
     val full = root.resolve("full").toString
@@ -276,13 +294,32 @@ class HybridIndexSpec extends AnyFunSuite with SparkSpec {
       qv(0).length, full)
     spark.read.parquet(full).drop("norm")
       .write.mode("overwrite").parquet(old)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(full, "_quant_index.json"),
-      java.nio.file.Paths.get(old, "_quant_index.json"))
+    val preStamp = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(full, "_quant_index.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .replaceFirst("""\"layout\":\s*\d+,\s*""", "")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(old, "_quant_index.json"),
+      preStamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(QuantIndex.layoutOf(full) == QuantIndex.CurrentLayout)
+    assert(QuantIndex.layoutOf(old) == 1)
     val e = intercept[IllegalStateException] {
       QuantIndex.cosineCandidates(spark, old, qv(0), 10)
     }
     assert(e.getMessage.contains("stored-norm"),
       s"unexpected error: ${e.getMessage}")
+    intercept[IllegalStateException] {
+      QuantIndex.cosineCandidatesMulti(spark, old, Seq(0L -> qv(0)), 10)
+    }
+    val e2 = intercept[IllegalStateException] {
+      QuantIndex.refresh(spark, old, old,
+        graft.sources.Collections.ManifestView(0, Map.empty))
+    }
+    assert(e2.getMessage.contains("partial bucket swap"),
+      s"refresh must refuse a pre-norm layout loudly: ${e2.getMessage}")
+    // the stamp — not schema inference — is what refuses: a MIXED
+    // layout (one refreshed bucket with norm beside pre-norm buckets)
+    // still infers a norm column, which is exactly why the sniff was
+    // insufficient
   }
 }
