@@ -285,8 +285,135 @@ object AutoQueries {
       Seq(VectorQueries.lexIndexDir(s, dir), quantIndexDir(s, dir))),
     VectorQueries.vHybridRrf.oracle)
 
+  /** BATCHED routed hybrid — the batching law's last family
+    * (the Qdrant `query_batch_points` shape with prefetch + fusion):
+    * N hybrid requests, each (query_id, dense vector, term set),
+    * through ONE route decision and SHARED scans per leg —
+    *
+    *  - text legs: the union term set through one pruned postings scan
+    *    ([[graft.sources.LexIndex.termCountScoresMulti]] — per-query
+    *    Σtf fold via a broadcast membership frame), ranked with the
+    *    batched zero-tail ([[graft.sources.LexIndex.rankedTopNMulti]]);
+    *  - dense legs: all queries through the two shared codes-only
+    *    candidate scans ([[VectorQueries.vectorTopNIndexedMulti]] over
+    *    [[graft.sources.QuantIndex.cosineCandidatesMulti]]) and one
+    *    union-pool exact rescore;
+    *  - per-query RRF fuse ([[graft.operators.Fusion.rrfFuseMulti]]).
+    *
+    * Fallback when a leg has no declared layout: that leg runs its
+    * in-plan pipeline once per request (nothing to share — the same
+    * per-request scan the unindexed single-query path costs), so
+    * partial routing composes exactly as [[hybridRrfRouted]]. Per query
+    * the rows equal the single-query routed hybrid with that request's
+    * vector and terms (spec-pinned); the batch's job budget over the
+    * layouts is independent of N (spec via statusTracker). */
+  private[graft] def hybridRrfRoutedMulti(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      declared: Seq[String],
+      requests: Seq[(Long, Seq[Double], Seq[String])],
+      exact: Boolean = false, legN: Int = 100)
+      : org.apache.spark.sql.DataFrame = {
+    graft.operators.Knn.requireBatch(requests.length,
+      "hybridRrfRoutedMulti")
+    require(requests.map(_._1).distinct.length == requests.length,
+      "hybridRrfRoutedMulti: duplicate query ids in the batch")
+    val lexDir = if (exact) None else VectorRouter.lexDirOf(declared)
+    val qDir = if (exact) None else VectorRouter.quantDirOf(declared)
+    val tTop = lexDir match {
+      case Some(ld) =>
+        graft.sources.LexIndex.rankedTopNMulti(s,
+            graft.sources.LexIndex.termCountScoresMulti(s, ld,
+              requests.map(r => r._1 -> r._3)),
+            Tables.load(s, dir, "documents").select("doc_id"),
+            "doc_id", "score_t", legN, "r_t", requests.map(_._1))
+          .select("query_id", "doc_id", "r_t")
+      case None =>
+        requests.map { case (qid, _, terms) =>
+          VectorQueries.kwsTopN(s, dir, terms, legN)
+            .select(lit(qid).as("query_id"), col("doc_id"), col("r_t"))
+        }.reduce(_ unionAll _)
+    }
+    val vTop = qDir match {
+      case Some(qd) =>
+        VectorQueries.vectorTopNIndexedMulti(s, dir, qd,
+            requests.map(r => r._1 -> r._2), legN)
+          .select("query_id", "doc_id", "r_v")
+      case None =>
+        requests.map { case (qid, qv, _) =>
+          VectorQueries.vectorTopN(s, dir, qv, legN)
+            .select(lit(qid).as("query_id"), col("doc_id"), col("r_v"))
+        }.reduce(_ unionAll _)
+    }
+    graft.operators.Fusion.rrfFuseMulti(tTop, vTop)
+  }
+
+  /** The declared batch: three hybrid requests with distinct vectors
+    * AND distinct term sets (the heterogeneous `query_batch_points`
+    * shape). */
+  private[graft] def hybridBatch(s: org.apache.spark.sql.SparkSession,
+                                 dir: String)
+      : Seq[(Long, Seq[Double], Seq[String])] = Seq(
+    (0L, queryVec(s, dir, 0), Seq("data", "query", "table")),
+    (1L, queryVec(s, dir, 3), Seq("scan", "index")),
+    (2L, queryVec(s, dir, 7), Seq("the", "of", "data")))
+
+  /** One DuckDB leg set for request `i`: the v_hybrid_rrf oracle chain
+    * parameterized by vector id and term list, CTE names suffixed. */
+  private def hybridLegSql(i: Int, vecId: Long,
+                           terms: Seq[String]): String = {
+    val lst = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""
+      t$i AS (
+        SELECT doc_id,
+               len(list_filter(
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> ''),
+                 x -> list_contains($lst, x))) AS score_t
+        FROM documents),
+      tr$i AS (
+        SELECT doc_id, r_t FROM (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY score_t DESC, doc_id) AS r_t
+          FROM t$i) WHERE r_t <= 100),
+      vr$i AS (
+        SELECT doc_id, r_v FROM (
+          SELECT vec_id AS doc_id,
+                 ROW_NUMBER() OVER (
+                   ORDER BY CAST(floor(list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                      WHERE vec_id = $vecId)) * 1000000 + 0.5)
+                     AS BIGINT) DESC, vec_id) AS r_v
+          FROM embeddings) WHERE r_v <= 100),
+      f$i AS (
+        SELECT CAST($i AS BIGINT) AS query_id,
+               COALESCE(tr$i.doc_id, vr$i.doc_id) AS doc_id,
+               COALESCE(r_t, 0) AS r_t, COALESCE(r_v, 0) AS r_v,
+               COALESCE(1000000 // (60 + r_t), 0)
+                 + COALESCE(1000000 // (60 + r_v), 0) AS rrf_milli
+        FROM tr$i FULL OUTER JOIN vr$i ON vr$i.doc_id = tr$i.doc_id
+        ORDER BY rrf_milli DESC, doc_id LIMIT 10)"""
+  }
+
+  val vAutoHybridMulti = Q("v_auto_hybrid_multi",
+    (s, dir) => hybridRrfRoutedMulti(s, dir,
+      Seq(VectorQueries.lexIndexDir(s, dir), quantIndexDir(s, dir)),
+      hybridBatch(s, dir)),
+    Some {
+      val legs = Seq((0, 0L, Seq("data", "query", "table")),
+        (1, 3L, Seq("scan", "index")),
+        (2, 7L, Seq("the", "of", "data")))
+      s"""
+      WITH ${legs.map { case (i, v, ts) => hybridLegSql(i, v, ts) }
+          .mkString(",")}
+      SELECT query_id, doc_id, r_t, r_v, rrf_milli FROM (
+        ${legs.map { case (i, _, _) => s"SELECT * FROM f$i" }
+          .mkString(" UNION ALL ")})
+      ORDER BY query_id, rrf_milli DESC, doc_id"""
+    })
+
   def queries: Seq[Q] =
     Seq(vAutoSearch, vAutoExact, vAutoFiltered, vAutoGraph,
       vAutoSearchMulti, vAutoFilteredMulti, vAutoFilteredGraph,
-      vAutoHybrid)
+      vAutoHybrid, vAutoHybridMulti)
 }

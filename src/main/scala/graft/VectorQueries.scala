@@ -1076,14 +1076,37 @@ object VectorQueries {
       .select(col("doc_id"), col("r_t"))
 
   /** The keyword-count text leg served from a lexical postings layout
-    * (exact Σtf + the adaptive zero tail — [[graft.sources.LexIndex]]). */
+    * (exact Σtf + the adaptive zero tail — [[graft.sources.LexIndex]]),
+    * parameterized by term set for the batched routed hybrid. */
+  private[graft] def kwsTopNIndexed(s: org.apache.spark.sql.SparkSession,
+                                    dir: String, lexDir: String,
+                                    terms: Seq[String], n: Int)
+      : org.apache.spark.sql.DataFrame =
+    graft.sources.LexIndex.rankedTopN(s,
+        graft.sources.LexIndex.termCountScores(s, lexDir, terms),
+        Tables.load(s, dir, "documents").select("doc_id"),
+        "doc_id", "score_t", n, "r_t")
+      .select(col("doc_id"), col("r_t"))
+
   private[graft] def kwsTop100Indexed(s: org.apache.spark.sql.SparkSession,
                                       dir: String, lexDir: String)
       : org.apache.spark.sql.DataFrame =
-    graft.sources.LexIndex.rankedTopN(s,
-        graft.sources.LexIndex.termCountScores(s, lexDir, hybridKws),
-        Tables.load(s, dir, "documents").select("doc_id"),
-        "doc_id", "score_t", 100, "r_t")
+    kwsTopNIndexed(s, dir, lexDir, hybridKws, 100)
+
+  /** The in-plan keyword-count leg parameterized by term set — the
+    * per-request fallback of the batched routed hybrid when no lexical
+    * layout is declared. */
+  private[graft] def kwsTopN(s: org.apache.spark.sql.SparkSession,
+                             dir: String, terms: Seq[String], n: Int)
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.Fusion.topNRanked(
+        Tables.load(s, dir, "documents")
+          .withColumn("__tk",
+            graft.operators.TextAnalysis.tokens(col("text")))
+          .withColumn("score_t",
+            size(filter(col("__tk"),
+              t => array_contains(typedLit(terms), t)))),
+        n, "r_t", desc("score_t"), col("doc_id"))
       .select(col("doc_id"), col("r_t"))
 
   val vHybridRrf = Q("v_hybrid_rrf",
@@ -1215,11 +1238,19 @@ object VectorQueries {
   private[graft] def vectorTop100Indexed(s: org.apache.spark.sql.SparkSession,
                                          dir: String,
                                          quantDir: String)
+      : org.apache.spark.sql.DataFrame =
+    vectorTopNIndexed(s, dir, quantDir, queryVec(s, dir, 0), 100)
+
+  /** The exact-bound dense leg parameterized by query vector and list
+    * length (the [[vectorTop100Indexed]] pipeline the batched routed
+    * hybrid composes per request). */
+  private[graft] def vectorTopNIndexed(s: org.apache.spark.sql.SparkSession,
+                                       dir: String, quantDir: String,
+                                       qv: Seq[Double], n: Int)
       : org.apache.spark.sql.DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
-    val qv = queryVec(s, dir, 0)
     val cands = graft.sources.QuantIndex
-      .cosineCandidates(s, quantDir, qv, 100)
+      .cosineCandidates(s, quantDir, qv, n)
       .select("vec_id")
     val scored = graft.operators.GraphAnn
       .inIdsFrame(emb.select("vec_id", "embedding"), "vec_id", cands)
@@ -1227,8 +1258,60 @@ object VectorQueries {
         floor(VectorOps.cosine(col("embedding"), typedLit(qv)) * 1e6 +
           lit(0.5)).cast("long"))
     graft.operators.Fusion
-      .topNRanked(scored, 100, "r_v", desc("score_vm"), col("vec_id"))
+      .topNRanked(scored, n, "r_v", desc("score_vm"), col("vec_id"))
       .select(col("vec_id").as("doc_id"), col("score_vm"), col("r_v"))
+  }
+
+  /** The in-plan dense leg parameterized by query vector — the
+    * per-request fallback of the batched routed hybrid when no codes
+    * sidecar is declared. */
+  private[graft] def vectorTopN(s: org.apache.spark.sql.SparkSession,
+                                dir: String, qv: Seq[Double], n: Int)
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.Fusion.topNRanked(
+        Tables.load(s, dir, "embeddings")
+          .withColumn("score_vm",
+            floor(VectorOps.cosine(col("embedding"), typedLit(qv)) * 1e6 +
+              lit(0.5)).cast("long")),
+        n, "r_v", desc("score_vm"), col("vec_id"))
+      .select(col("vec_id").as("doc_id"), col("r_v"))
+
+  /** BATCHED exact-bound dense legs — N queries through the shared
+    * codes-only candidate scans
+    * ([[graft.sources.QuantIndex.cosineCandidatesMulti]]: per-query θ
+    * heaps map-side, job budget independent of the batch), then ONE
+    * literal-id probe of the UNION candidate set and a per-(query, row)
+    * exact micro-cosine via the per-query CASE kernel (the
+    * prefetchTopNMulti one-column-per-query rule — a row is scored for
+    * query q only when it sits in q's OWN candidate set, so each
+    * query's ranked list equals its single-query
+    * [[vectorTopNIndexed]]). Returns (query_id, doc_id, score_vm, r_v). */
+  private[graft] def vectorTopNIndexedMulti(
+      s: org.apache.spark.sql.SparkSession, dir: String, quantDir: String,
+      queries: Seq[(Long, Seq[Double])], n: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.load(s, dir, "embeddings")
+    val cands = graft.sources.QuantIndex
+      .cosineCandidatesMulti(s, quantDir, queries, n)
+      .select("query_id", "vec_id")
+    val vecs = graft.operators.GraphAnn.inIdsFrame(
+      emb.select("vec_id", "embedding"), "vec_id",
+      cands.select("vec_id").distinct())
+    val scoreCase = queries.foldRight(lit(null).cast("long")) {
+      case ((qid, q), acc) =>
+        when(col("query_id") === qid,
+          floor(VectorOps.cosine(col("embedding"), typedLit(q)) * 1e6 +
+            lit(0.5)).cast("long")).otherwise(acc)
+    }
+    cands.join(vecs, "vec_id")
+      .withColumn("score_vm", scoreCase)
+      .withColumn("r_v", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(desc("score_vm"), col("vec_id"))))
+      .filter(col("r_v") <= n)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("score_vm"), col("r_v"))
   }
 
   /** [[vHybridRrf]] over the MATERIALIZED layouts — the r13 verdict's

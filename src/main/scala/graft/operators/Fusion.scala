@@ -130,4 +130,25 @@ object Fusion {
       .orderBy(desc("rrf_milli"), col("doc_id"))
       .limit(topN)
       .select("doc_id", "r_t", "r_v", "rrf_milli")
+
+  /** BATCHED [[rrfFuse]]: both sides carry a `query_id` column
+    * (N per-query ranked lists in one frame) and fuse per query — a
+    * full outer join on (query_id, doc_id) plus a per-query top-`topN`
+    * window (each partition ≤ the two lists' lengths — bounded). Per
+    * query the rows equal the single-query [[rrfFuse]] of that query's
+    * lists (spec-pinned). */
+  def rrfFuseMulti(tRanks: DataFrame, vRanks: DataFrame, rrfK: Int = 60,
+                   topN: Int = 10): DataFrame =
+    tRanks.join(vRanks, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_milli",
+        coalesce(expr(s"1000000 DIV ($rrfK + r_t)"), lit(0)) +
+        coalesce(expr(s"1000000 DIV ($rrfK + r_v)"), lit(0)))
+      .withColumn("r_t", coalesce(col("r_t"), lit(0)))
+      .withColumn("r_v", coalesce(col("r_v"), lit(0)))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(desc("rrf_milli"), col("doc_id"))))
+      .filter(col("__rk") <= topN)
+      .select("query_id", "doc_id", "r_t", "r_v", "rrf_milli")
+      .orderBy(col("query_id"), desc("rrf_milli"), col("doc_id"))
 }

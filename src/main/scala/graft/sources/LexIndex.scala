@@ -35,11 +35,15 @@ import org.apache.spark.sql.functions._
   *                           cover EVERY document, the oracle's `lens`
   *                           contract)
   *   src_bucket=b/tgrp=g/part-….parquet  (tok STRING, <id>, tf BIGINT,
-  *                                        len BIGINT)
+  *                                        pos ARRAY<INT>, len BIGINT)
   * }}}
   *
   * One row per distinct (document, token): `tf` = occurrences of `tok`
-  * in the document, `len` = the document's total token count
+  * in the document, `pos` = the token's 0-based positions in the
+  * document's token stream (ascending — the positional-postings
+  * extension [[phraseMatches]] intersects; ranked/count/BM25 serving
+  * never references it, so parquet column pruning keeps those scans as
+  * narrow as before), `len` = the document's total token count
   * (denormalized onto its postings — a BM25 candidate's length arrives
   * with the posting row, no second probe; the Lucene norms-with-
   * postings trade). `tgrp = h32(tok) mod [[Groups]]` prunes a query's
@@ -79,6 +83,15 @@ object LexIndex {
 
   final case class Meta(idCol: String, textCol: String)
 
+  /** Data-file layout generation, version-stamped into the metadata
+    * (the [[QuantIndex.CurrentLayout]] discipline): 2 = every posting
+    * row carries the POSITIONS array phrase serving intersects. A
+    * pre-stamp layout reads as 1 — [[refresh]] and [[phraseMatches]]
+    * refuse it loudly (a partial bucket swap onto a position-less
+    * layout would leave a mixed schema where unrefreshed buckets read
+    * `pos` as NULL and phrases silently stop matching there). */
+  val CurrentLayout: Int = 2
+
   private def metaPath(dir: String) = Paths.get(dir, "_lex_index.json")
 
   private def writeMeta(dir: String, m: Meta): Unit = {
@@ -87,11 +100,28 @@ object LexIndex {
       "column names must not contain quotes or backslashes (pinned " +
         "verbatim in the layout metadata)")
     Files.write(metaPath(dir),
-      (s"""{"kind": "lex", "id_col": "${m.idCol}", """ +
+      (s"""{"kind": "lex", "layout": $CurrentLayout, """ +
+        s""""id_col": "${m.idCol}", """ +
         s""""text_col": "${m.textCol}"}""")
         .getBytes(StandardCharsets.UTF_8))
     ()
   }
+
+  /** The layout's stamped generation; pre-stamp metadata reads as 1. */
+  def layoutOf(dir: String): Int = {
+    val txt = new String(Files.readAllBytes(metaPath(dir)),
+      StandardCharsets.UTF_8)
+    """"layout":\s*(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(1)
+  }
+
+  private def requireCurrentLayout(dir: String, what: String): Unit =
+    if (layoutOf(dir) < CurrentLayout)
+      throw new IllegalStateException(
+        s"lex index at $dir predates the positional-postings layout " +
+          s"(generation ${layoutOf(dir)} < $CurrentLayout) — $what " +
+          "would silently break on the position-less buckets; rebuild " +
+          "with LexIndex.buildFrom (a derived layout)")
 
   def metaOf(dir: String): Meta = {
     val txt = new String(Files.readAllBytes(metaPath(dir)),
@@ -112,7 +142,11 @@ object LexIndex {
 
   /** Posting rows for a point set — ONE definition shared by build and
     * refresh (they can never disagree): tokenize once, tf per
-    * (id, tok), the document length joined back onto each posting. */
+    * (id, tok), the document length joined back onto each posting, and
+    * the token's POSITIONS in the document's token stream (0-based,
+    * ascending — the textbook positional-postings extension that lets
+    * phrase/match-text semantics serve from the layout alone,
+    * [[phraseMatches]]). */
   private def postingsOf(points: DataFrame, idCol: String,
                          textCol: String, numBuckets: Int): DataFrame = {
     val toks = points.select(col(idCol),
@@ -120,8 +154,10 @@ object LexIndex {
     val lens = toks.select(col(idCol),
       size(col("__tk")).cast("long").as("len"))
     toks
-      .select(col(idCol), explode(col("__tk")).as("tok"))
-      .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+      .select(col(idCol), posexplode(col("__tk")).as(Seq("__pos", "tok")))
+      .groupBy(idCol, "tok")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("__pos"))).as("pos"))
       .join(lens, idCol)
       .withColumn("src_bucket", Collections.bucketOf(idCol, numBuckets))
       .withColumn("tgrp", graft.operators.Dedup.h32(col("tok")) % Groups)
@@ -193,6 +229,10 @@ object LexIndex {
   def refresh(spark: SparkSession, collDir: String, indexDir: String,
               prev: Collections.ManifestView): Collections.ManifestView = {
     val m = metaOf(indexDir)
+    // a partial swap writes CURRENT-layout buckets — refusing a
+    // pre-positions layout here is what makes the mixed schema
+    // impossible (the QuantIndex.refresh stamp discipline)
+    requireCurrentLayout(indexDir, "a partial bucket swap")
     val nb = Collections.numBuckets(collDir)
     // ONE change-feed view drives BOTH the postings swap and the stats
     // merge (stagedBucketRefreshFrom): a concurrent publish between the
@@ -247,18 +287,100 @@ object LexIndex {
       .agg(sum("tf").as(scoreCol))
   }
 
-  /** BM25 from the postings + pinned stats — integer-for-integer the
-    * [[graft.operators.TextAnalysis.bm25]] chain (deterministic
-    * fixed-point, ln-free idf surrogate; same k1/b defaults), with
-    * every input read from the layout: tf and len ride the posting
-    * row, df folds over the ≤ |terms| pruned postings (per-term
-    * document counts — exact, every document containing a term has a
-    * posting for it), N/Σlen are the pinned per-bucket stats. Only
-    * documents hitting ≥ 1 term appear — the in-plan contract.
-    * Returns (id, bm25_micro, n_terms_hit). */
-  def bm25(spark: SparkSession, dir: String, terms: Seq[String],
-           k1Milli: Long = 1200, bMilli: Long = 750): DataFrame = {
+  /** Documents whose token stream contains the phrase's terms
+    * CONSECUTIVELY — Qdrant `match: {"phrase": ...}` served from the
+    * POSITIONAL postings alone, never the corpus text: term i's
+    * positions shift by −i, and a document matches iff the shifted
+    * position sets intersect (∃p: tok_i at p+i for every i — the
+    * textbook positional-index phrase algorithm). Each term's leg is a
+    * tgrp-pruned pruned-column scan (≤ |phrase|/64 of the index bytes);
+    * the legs join on the id (a repeated term joins the same pruned
+    * group twice — still exact: each occurrence list shifts by its own
+    * offset). Word order and adjacency are settled from positions —
+    * no candidates-then-verify fetch of the document rows (the
+    * [[graft.sources.SparseIndex]] phrase path's verify step), which is
+    * what lets a phrase filter run over collections whose text is cold
+    * storage. Returns the matching ids (one column). */
+  def phraseMatches(spark: SparkSession, dir: String,
+                    phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseMatches needs ≥ 1 term")
     val m = metaOf(dir)
+    requireCurrentLayout(dir, "serving phrase matches")
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      ServedReads.of(spark, dir)
+        .filter(col("tgrp") === tgrpOf(t) && col("tok") === t)
+        .select(col(m.idCol),
+          transform(col("pos"), p => p - i).as(s"__p$i"))
+    }
+    val joined = legs.reduce((a, b) => a.join(b, Seq(m.idCol)))
+    val common = phrase.indices.map(i => col(s"__p$i"))
+      .reduce((a, b) => array_intersect(a, b))
+    joined.filter(size(common) > 0).select(col(m.idCol))
+  }
+
+  /** BATCHED keyword-occurrence scores — N term sets through ONE pruned
+    * postings scan (the queryPointsMulti batching law applied to the
+    * text leg): the UNION term set prunes tgrp partitions once, a
+    * broadcast (query_id, tok) membership frame fans each posting row
+    * out to exactly the queries that asked for its token, and the
+    * per-(query, document) Σtf fold equals the single-query
+    * [[termCountScores]] row-for-row (spec-pinned). The job budget is
+    * independent of the batch size; the membership frame is
+    * |queries|·|terms| rows — literal data, CHECKED against
+    * [[graft.operators.Knn.MaxBatchQueries]]. Returns
+    * (query_id, id, scoreCol). */
+  def termCountScoresMulti(spark: SparkSession, dir: String,
+                           queries: Seq[(Long, Seq[String])],
+                           scoreCol: String = "score_t"): DataFrame = {
+    graft.operators.Knn.requireBatch(queries.length,
+      "termCountScoresMulti")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "termCountScoresMulti: duplicate query ids in the batch")
+    val m = metaOf(dir)
+    import spark.implicits._
+    val memb = broadcast(queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "tok"))
+    termPostings(spark, dir, queries.flatMap(_._2).distinct)
+      .join(memb, "tok")
+      .groupBy(col("query_id"), col(m.idCol))
+      .agg(sum("tf").as(scoreCol))
+  }
+
+  /** BATCHED BM25 — N term sets, one pruned postings scan. The
+    * per-(token, document) term score is QUERY-INDEPENDENT (tf, len, df
+    * and the pinned stats don't mention the query), so the batch
+    * computes it once over the union term set and the per-query fold is
+    * just the membership join + Σ — per query integer-identical to
+    * [[bm25]] on its own term set (spec-pinned). Returns
+    * (query_id, id, bm25_micro, n_terms_hit). */
+  def bm25Multi(spark: SparkSession, dir: String,
+                queries: Seq[(Long, Seq[String])],
+                k1Milli: Long = 1200, bMilli: Long = 750): DataFrame = {
+    graft.operators.Knn.requireBatch(queries.length, "bm25Multi")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "bm25Multi: duplicate query ids in the batch")
+    val m = metaOf(dir)
+    import spark.implicits._
+    val memb = broadcast(queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "tok"))
+    termScores(spark, dir, queries.flatMap(_._2).distinct, k1Milli,
+        bMilli)
+      .join(memb, "tok")
+      .groupBy(col("query_id"), col(m.idCol))
+      .agg(sum("__term_score").as("bm25_micro"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** The per-(token, document) BM25 term scores over a term set — the
+    * shared body of [[bm25]] (grouped per document) and [[bm25Multi]]
+    * (grouped per query × document): every input from the layout, the
+    * df fold over the ≤ |terms| pruned postings, fixed-point integers
+    * throughout. */
+  private def termScores(spark: SparkSession, dir: String,
+                         terms: Seq[String], k1Milli: Long,
+                         bMilli: Long): DataFrame = {
     val (nDocs, sumLen) = corpusStats(spark, dir)
     require(nDocs > 0,
       s"lex index at $dir covers an empty corpus — BM25 is undefined " +
@@ -267,7 +389,6 @@ object LexIndex {
       call_function("div", a, b)
     val post = termPostings(spark, dir, terms)
     val dfs = post.groupBy("tok").agg(count(lit(1)).as("__df"))
-    // avglen is a pure function of the pinned stats — same integer DIV
     val avglenMilli = sumLen * 1000L / nDocs
     post.join(broadcast(dfs), "tok")
       .withColumn("__ratio_milli",
@@ -282,12 +403,27 @@ object LexIndex {
           idiv(lit(k1Milli) * col("__norm_milli"), lit(1000L)))
       // the numerator in DECIMAL(38,0): in LONG, idf_micro (≈ 1e6·N for
       // a rare term) × tf × (1000+k1) overflows past N·tf ≈ 4e9 — well
-      // inside 100-TB corpora. Same exact integer (IntegralDivide floors
-      // decimals identically — the in-plan twin widens the same way, so
-      // scores stay bit-identical at every scale up to 10^38.
+      // inside 100-TB corpora. Same exact integer (IntegralDivide
+      // floors decimals identically); the in-plan twin widens the same
+      // way, so scores stay bit-identical at every scale up to 10^38.
       .withColumn("__term_score",
         idiv(col("__idf_micro").cast("decimal(38,0)") * col("tf") *
           lit(1000L + k1Milli), col("__denom_milli")))
+  }
+
+  /** BM25 from the postings + pinned stats — integer-for-integer the
+    * [[graft.operators.TextAnalysis.bm25]] chain (deterministic
+    * fixed-point, ln-free idf surrogate; same k1/b defaults), with
+    * every input read from the layout: tf and len ride the posting
+    * row, df folds over the ≤ |terms| pruned postings (per-term
+    * document counts — exact, every document containing a term has a
+    * posting for it), N/Σlen are the pinned per-bucket stats. Only
+    * documents hitting ≥ 1 term appear — the in-plan contract.
+    * Returns (id, bm25_micro, n_terms_hit). */
+  def bm25(spark: SparkSession, dir: String, terms: Seq[String],
+           k1Milli: Long = 1200, bMilli: Long = 750): DataFrame = {
+    val m = metaOf(dir)
+    termScores(spark, dir, terms, k1Milli, bMilli)
       .groupBy(col(m.idCol))
       .agg(sum("__term_score").as("bm25_micro"),
         count(lit(1)).as("n_terms_hit"))
@@ -330,5 +466,68 @@ object LexIndex {
       }
     ranked.withColumn(rankCol,
       row_number().over(Window.orderBy(desc(scoreCol), col(idCol))))
+  }
+
+  /** BATCHED [[rankedTopN]]: per-query ranked top-`n` with the same
+    * id-ordered zero tail, for hit frames carrying a `query_id` column
+    * (the [[termCountScoresMulti]] shape). Bounded by construction:
+    * ONE windowed job collects ≤ |queries|·n hit rows (per-query heaps
+    * — partitionBy query_id), and ONLY when some query under-fills does
+    * a second job read the first 2n universe ids (a query with h < n
+    * hits excludes at most h < n of them, so 2n non-excluded ids always
+    * cover the tail); the per-query lists assemble driver-side from
+    * those bounded rows — rank arithmetic on ≤ |queries|·n local rows,
+    * never a corpus job per query. Per query the result equals
+    * [[rankedTopN]] on that query's hits (spec-pinned). `queryIds`
+    * names every query in the batch so a query with ZERO hits still
+    * gets its pure zero tail. Returns
+    * (query_id, idCol, scoreCol, rankCol). */
+  def rankedTopNMulti(spark: SparkSession, hits: DataFrame,
+                      universe: DataFrame, idCol: String,
+                      scoreCol: String, n: Int, rankCol: String,
+                      queryIds: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.operators.Knn.requireBatch(queryIds.length, "rankedTopNMulti")
+    require(queryIds.distinct.length == queryIds.length,
+      "rankedTopNMulti: duplicate query ids in the batch")
+    val ordered = hits
+      .select(col("query_id"), col(idCol), col(scoreCol))
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(desc(scoreCol), col(idCol))))
+      .filter(col("__rnk") <= n)
+    val top = ordered.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(3))).toMap
+    val needFill = queryIds.exists(q => top.getOrElse(q, Array.empty).length < n)
+    val uniIds: Seq[Any] =
+      if (!needFill) Seq.empty
+      else universe.select(col(idCol)).orderBy(col(idCol)).limit(2 * n)
+        .collect().map(_.get(0)).toSeq
+    val rows = queryIds.flatMap { q =>
+      val hs = top.getOrElse(q, Array.empty[org.apache.spark.sql.Row])
+      val hit = hs.map(r =>
+        org.apache.spark.sql.Row(q, r.get(1), r.getLong(2))).toSeq
+      val fill =
+        if (hs.length >= n) Seq.empty
+        else {
+          val seen = hs.map(_.get(1)).toSet
+          uniIds.filterNot(seen).take(n - hs.length)
+            .map(id => org.apache.spark.sql.Row(q, id, 0L))
+        }
+      (hit ++ fill).zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), i + 1)
+      }
+    }
+    val idField = universe.schema(idCol)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        idField.copy(name = idCol),
+        org.apache.spark.sql.types.StructField(scoreCol,
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(rankCol,
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
   }
 }

@@ -272,6 +272,163 @@ class HybridIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("batched routed hybrid: termCountScoresMulti / bm25Multi / " +
+       "rankedTopNMulti / v_auto_hybrid_multi each equal their " +
+       "single-query twins per query; text-leg job budget flat across " +
+       "batch sizes; loud batch contracts") {
+    val batch = Seq(0L -> Seq("data", "query", "table"),
+      1L -> Seq("scan", "index"), 2L -> Seq("the", "of", "data"))
+    // Σtf fold per query == single-query termCountScores
+    val tcMulti = LexIndex.termCountScoresMulti(spark, lexDir, batch)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((qid, terms) <- batch) {
+      val single = LexIndex.termCountScores(spark, lexDir, terms)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(tcMulti.getOrElse(qid, Set.empty) == single,
+        s"query $qid: batched term counts diverge")
+    }
+    // BM25 fold per query == single-query bm25 (integer-identical)
+    val bmMulti = LexIndex.bm25Multi(spark, lexDir, batch)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((qid, terms) <- batch) {
+      val single = LexIndex.bm25(spark, lexDir, terms)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(bmMulti.getOrElse(qid, Set.empty) == single,
+        s"query $qid: batched BM25 diverges")
+    }
+    // batched ranked lists (incl. the zero tail — sf0.001 under-fills)
+    val universe = docs.select("doc_id")
+    val rtMulti = LexIndex.rankedTopNMulti(spark,
+        LexIndex.termCountScoresMulti(spark, lexDir, batch),
+        universe, "doc_id", "score_t", 100, "r_t", batch.map(_._1))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getInt(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((qid, terms) <- batch) {
+      val single = LexIndex.rankedTopN(spark,
+          LexIndex.termCountScores(spark, lexDir, terms),
+          universe, "doc_id", "score_t", 100, "r_t")
+        .select("doc_id", "score_t", "r_t")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(rtMulti.getOrElse(qid, Set.empty) == single,
+        s"query $qid: batched ranked list diverges")
+    }
+    // the declared key equals the single-query routed composition
+    val multi = Queries.queries("v_auto_hybrid_multi")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val reqs = AutoQueries.hybridBatch(spark, sf)
+    for ((qid, qvec, terms) <- reqs) {
+      val single = graft.operators.Fusion.rrfFuse(
+          VectorQueries.kwsTopNIndexed(spark, sf, lexDir, terms, 100),
+          VectorQueries.vectorTopNIndexed(spark, sf, quantDir, qvec, 100)
+            .select("doc_id", "r_v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      assert(multi.getOrElse(qid, Set.empty) == single,
+        s"query $qid: batched routed hybrid diverges from single-query")
+    }
+    // text-leg job budget: a doubled batch over the SAME layouts runs
+    // the same number of jobs (one pruned postings scan + the bounded
+    // rank collect + the shared zero-tail head)
+    val sc = spark.sparkContext
+    def jobsFor(qs: Seq[(Long, Seq[String])]): Int = {
+      val group = s"lexmulti-${qs.length}-${System.nanoTime()}"
+      sc.setJobGroup(group, group)
+      try LexIndex.rankedTopNMulti(spark,
+        LexIndex.termCountScoresMulti(spark, lexDir, qs),
+        universe, "doc_id", "score_t", 100, "r_t", qs.map(_._1)).count()
+      finally sc.clearJobGroup()
+      val deadline = System.nanoTime() + 10000000000L
+      var jobs = sc.statusTracker.getJobIdsForGroup(group).length
+      var prev = -1
+      while (jobs != prev && System.nanoTime() < deadline) {
+        prev = jobs; Thread.sleep(200)
+        jobs = sc.statusTracker.getJobIdsForGroup(group).length
+      }
+      jobs
+    }
+    val batch6 = batch ++ Seq(3L -> Seq("data"), 4L -> Seq("query"),
+      5L -> Seq("table", "scan"))
+    assert(jobsFor(batch) == jobsFor(batch6),
+      "text-leg job budget grew with the batch")
+    intercept[IllegalArgumentException] {
+      LexIndex.termCountScoresMulti(spark, lexDir,
+        Seq(1L -> Seq("data"), 1L -> Seq("query")))
+    }
+    intercept[IllegalArgumentException] {
+      LexIndex.bm25Multi(spark, lexDir,
+        (0 to graft.operators.Knn.MaxBatchQueries)
+          .map(i => i.toLong -> Seq("data")))
+    }
+  }
+
+  test("positional postings: phraseMatches equals the in-plan phrase " +
+       "predicate for 1/2/3-term and repeated-term phrases, from " +
+       "text-free scans; pre-positions layouts are refused loudly") {
+    import graft.operators.PayloadFilter
+    def inPlan(phrase: String): Set[Long] = docs
+      .filter(PayloadFilter.fromJson(
+        s"""{"must": [{"key": "text", "match": {"phrase": "$phrase"}}]}""",
+        idCol = "doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    for (phrase <- Seq("scan", "scan query", "the scan query",
+        "the the", "data data data", "zzznope query")) {
+      val served = LexIndex.phraseMatches(spark, lexDir,
+          phrase.split(" ").toSeq)
+        .collect().map(_.getLong(0)).toSet
+      assert(served == inPlan(phrase),
+        s"phrase '$phrase': positions diverge from the in-plan predicate")
+    }
+    // position lists never touch the corpus text, and every leg prunes
+    // its posting group at listing
+    val plan = LexIndex.phraseMatches(spark, lexDir, Seq("scan", "query"))
+      .queryExecution.executedPlan.toString
+    val rs = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(rs.nonEmpty && rs.forall(!_.contains("text")),
+      s"phrase serving reads the corpus text:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*tgrp[^\\]]*".r
+        .findFirstIn(plan).isDefined,
+      s"phrase legs not pruned at file listing:\n$plan")
+    // a pre-positions layout (no stamp): loud rebuild-it errors from
+    // phrase serving AND refresh (the QuantIndex stamp discipline)
+    val root = java.nio.file.Files.createTempDirectory("graft-oldlex")
+    val old = root.resolve("old").toString
+    spark.read.parquet(lexDir).drop("pos")
+      .write.mode("overwrite").partitionBy("src_bucket", "tgrp")
+      .parquet(old)
+    val preStamp = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(lexDir, "_lex_index.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .replaceFirst(""""layout":\s*\d+,\s*""", "")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(old, "_lex_index.json"),
+      preStamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(LexIndex.layoutOf(lexDir) == LexIndex.CurrentLayout)
+    assert(LexIndex.layoutOf(old) == 1)
+    intercept[IllegalStateException] {
+      LexIndex.phraseMatches(spark, old, Seq("scan", "query"))
+    }
+    intercept[IllegalStateException] {
+      LexIndex.refresh(spark, old, old,
+        graft.sources.Collections.ManifestView(0, Map.empty))
+    }
+    // the declared key equals its in-plan twin
+    val a = Queries.queries("txt_phrase")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = Queries.queries("txt_phrase_lex")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "positional phrase serving changed rows")
+  }
+
   test("loud contracts: empty term set, wrong query dim, stale layout " +
        "without the norm column") {
     intercept[IllegalArgumentException] {
