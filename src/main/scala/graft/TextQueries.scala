@@ -474,6 +474,28 @@ object TextQueries {
     },
     txtPhrase.oracle)
 
+  /** [[txtPhrase]] served from the POSITIONAL postings alone
+    * ([[graft.sources.LexIndex.phraseMatches]]): adjacency and word
+    * order are verified by intersecting the terms' shifted position
+    * lists — the candidates-then-verify document fetch of
+    * txt_phrase_indexed disappears, and the corpus TEXT column is never
+    * read anywhere in the plan (only the matched ids' lang/n_chars for
+    * the roll-up — the spec asserts text-free ReadSchemas). The
+    * textbook positional-index phrase algorithm, each term's leg a
+    * tgrp-pruned 64th of the index. Same oracle as txt_phrase: the
+    * layout must not change a row. */
+  val txtPhraseLex = Q("txt_phrase_lex",
+    (s, dir) => {
+      val matched = graft.sources.LexIndex.phraseMatches(
+        s, VectorQueries.lexIndexDir(s, dir), Seq("scan", "query"))
+      Tables.load(s, dir, "documents")
+        .join(matched, Seq("doc_id"), "left_semi")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy("lang")
+    },
+    txtPhrase.oracle)
+
   /** STRATIFIED sampling — the language-rebalancing form of pipe_sample a
     * multilingual training mix needs: each stratum gets its OWN keep rate
     * (the dominant language downsampled hard, the rest kept high), and
@@ -1598,19 +1620,48 @@ object TextQueries {
                AS BIGINT) AS phase
       FROM documents ORDER BY doc_id"""))
 
+  /** Fit the LM bigram-continuation table into a persisted
+    * [[graft.sources.ModelIndex]] layout (form `table`): per-bigram
+    * micro-probability p(w₂|w₁) = (count(w₁w₂)·1e6) DIV count(w₁·).
+    * The pinned signal is the fit-corpus OOV mass — 0 BY CONSTRUCTION
+    * (the fit corpus covers its own bigrams), so any new vocabulary
+    * moves the maintain ratio off 1.0. */
+  private[graft] def fitLmModel(docs: org.apache.spark.sql.DataFrame,
+                                target: String): Unit = {
+    val dbg = bigramsOf(docs)
+    val bgc = dbg.groupBy("bigram").agg(sum("k").as("cb"))
+      .withColumn("w1", expr("split(bigram, ' ')[0]"))
+    val pfx = bgc.groupBy("w1").agg(sum("cb").as("cp"))
+    graft.sources.ModelIndex.buildTable(
+      bgc.join(pfx, "w1")
+        .select(col("bigram"), expr("(cb * 1000000) DIV cp").as("p_micro")),
+      target, "lm-bigram", "bigram", "p_micro",
+      "corpus bigram continuation counts", docs.count(),
+      signalMicro = 0L)
+  }
+
+  /** Current-corpus OOV mass against a pinned LM layout — the drift
+    * signal [[graft.sources.ModelIndex.maintain]] compares against the
+    * fit-time 0. */
+  private[graft] def lmSignalMicro(s: SparkSession, modelDir: String,
+                                   docs: org.apache.spark.sql.DataFrame)
+      : Long =
+    graft.sources.ModelIndex.oovMicro(s, modelDir, bigramsOf(docs),
+      "bigram", "k")
+
+  private[graft] def lmModelDir(s: SparkSession, dir: String): String =
+    Tables.memoTempDir("modellm", dir) { target =>
+      fitLmModel(Tables.load(s, dir, "documents"), target)
+    }
+
   val txtLmScore = Q("txt_lm_score",
     (s, dir) => {
-      val lmDir = Tables.memoTempDir("lm", dir) { target =>
-        val dbg = bigramsOf(Tables.load(s, dir, "documents"))
-        val bgc = dbg.groupBy("bigram").agg(sum("k").as("cb"))
-          .withColumn("w1", expr("split(bigram, ' ')[0]"))
-        val pfx = bgc.groupBy("w1").agg(sum("cb").as("cp"))
-        bgc.join(pfx, "w1")
-          .select(col("bigram"), expr("(cb * 1000000) DIV cp").as("p_micro"))
-          .write.mode("overwrite").parquet(target)
-      }
+      // served from the persisted model layout (the fit is pinned once
+      // per fixture; at 100 TB it is a versioned corpus pass, not a
+      // per-query memo) — same rows as fitting in-plan
+      val model = graft.sources.ModelIndex.table(s, lmModelDir(s, dir))
       bigramsOf(Tables.load(s, dir, "documents"))
-        .join(s.read.parquet(lmDir), "bigram")
+        .join(model, "bigram")
         .groupBy("doc_id")
         .agg(sum("k").as("n_bigrams"),
           sum(col("k") * col("p_micro")).as("sp"))
@@ -1699,38 +1750,74 @@ object TextQueries {
              CAST(SUM(score) AS BIGINT) AS sum_score
       FROM sc GROUP BY lang ORDER BY lang"""))
 
-  /** The DSIR importance-ratio table for fixture dir `dir`, memoized per
-    * JVM (deterministic — gate-safe): one corpus pass aggregates raw and
-    * target (lang = 'en') token counts per hashed unigram bucket — the
-    * output is BOUNDED at 1024 rows by construction, so the collect is
+  /** Fit the DSIR importance-ratio LUT into a persisted
+    * [[graft.sources.ModelIndex]] layout: one corpus pass aggregates
+    * raw and target (lang = 'en') token counts per hashed unigram
+    * bucket — BOUNDED at 1024 rows by construction, so the collect is
     * the literal-LUT discipline, never a corpus collect. Ratios are
     * Laplace-smoothed integer micro-probabilities (the log-free,
     * oracle-exact surrogate of the DSIR log-likelihood ratio: monotone
-    * per bucket, summed per token). */
+    * per bucket, summed per token). The pinned signal is the fit-time
+    * teacher disagreement: target membership (lang = 'en') vs the
+    * model's own above-parity call (per-token milli-ratio > 1000). */
+  private[graft] def fitDsirModel(docs: org.apache.spark.sql.DataFrame,
+                                  target: String): Unit = {
+    val rows = docs
+      .select(col("lang"),
+        explode(graft.operators.Dedup.tokens(col("text"))).as("t"))
+      .select(col("lang"),
+        pmod(graft.operators.Dedup.h32(col("t")), lit(1024L))
+          .cast("int").as("bk"))
+      .groupBy("bk")
+      .agg(count(lit(1)).as("pr"),
+        count(when(col("lang") === "en", 1)).as("pt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val prt = rows.map(_._2).sum
+    val ptt = rows.map(_._3).sum
+    val m = rows.map(t => t._1 -> (t._2, t._3)).toMap
+    val ratios = (0 until 1024).map { b =>
+      val (pr, pt) = m.getOrElse(b, (0L, 0L))
+      val prm = math.max(((pr + 1L) * 1000000L) / (prt + 1024L), 1L)
+      val ptm = ((pt + 1L) * 1000000L) / (ptt + 1024L)
+      (ptm * 1000L) / prm
+    }
+    val (n, d) = dsirDisagreement(docs, ratios)
+    graft.sources.ModelIndex.buildLut(docs.sparkSession, ratios, target,
+      "dsir-ratio", "target domain = lang en", n, d)
+  }
+
+  /** Teacher disagreement of a DSIR ratio LUT on a corpus: target
+    * membership vs the model's above-parity per-token score. Returns
+    * (nDocs, disagreeMicro) — the [[graft.sources.ModelIndex]] drift
+    * signal for the DSIR layout. */
+  private[graft] def dsirDisagreement(
+      docs: org.apache.spark.sql.DataFrame, ratios: Seq[Long])
+      : (Long, Long) = {
+    val toks = graft.operators.Dedup.tokens(col("text"))
+    val score = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.TokensNgramScoreExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(toks),
+        ratios, g = 1))
+    graft.sources.ModelIndex.disagreementMicro(
+      docs.select(col("lang"), size(toks).cast("long").as("n_tok"),
+          score.as("score"))
+        .filter(col("n_tok") > 0)
+        .withColumn("keep", expr("score DIV n_tok") > 1000),
+      col("lang") === "en", col("keep"))
+  }
+
+  private[graft] def dsirModelDir(s: SparkSession, dir: String): String =
+    Tables.memoTempDir("modeldsir", dir) { target =>
+      fitDsirModel(Tables.load(s, dir, "documents"), target)
+    }
+
+  /** The served DSIR LUT (per-JVM memo of the persisted layout's
+    * bounded weight read — deterministic, gate-safe). */
   private val dsirCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
   private def dsirRatios(s: SparkSession, dir: String): Seq[Long] =
-    dsirCache.computeIfAbsent(dir, _ => {
-      val rows = Tables.load(s, dir, "documents")
-        .select(col("lang"),
-          explode(graft.operators.Dedup.tokens(col("text"))).as("t"))
-        .select(col("lang"),
-          pmod(graft.operators.Dedup.h32(col("t")), lit(1024L))
-            .cast("int").as("bk"))
-        .groupBy("bk")
-        .agg(count(lit(1)).as("pr"),
-          count(when(col("lang") === "en", 1)).as("pt"))
-        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      val prt = rows.map(_._2).sum
-      val ptt = rows.map(_._3).sum
-      val m = rows.map(t => t._1 -> (t._2, t._3)).toMap
-      (0 until 1024).map { b =>
-        val (pr, pt) = m.getOrElse(b, (0L, 0L))
-        val prm = math.max(((pr + 1L) * 1000000L) / (prt + 1024L), 1L)
-        val ptm = ((pt + 1L) * 1000000L) / (ptt + 1024L)
-        (ptm * 1000L) / prm
-      }
-    })
+    dsirCache.computeIfAbsent(dir, _ =>
+      graft.sources.ModelIndex.lut(s, dsirModelDir(s, dir)))
 
   /** Importance-resampling data selection (the DSIR shape, Xie et al.
     * 2023 — hashed n-gram importance weights of a TARGET domain against
@@ -1788,29 +1875,69 @@ object TextQueries {
       WHERE len(t.tk) > 0
       ORDER BY dsir_milli DESC, t.doc_id LIMIT 50"""))
 
-  /** The TRAINED classifier's weight LUT for fixture dir `dir`, memoized
-    * per JVM (deterministic — gate-safe): ONE corpus pass folds per-label
-    * bigram-bucket occurrence counts (output BOUNDED at 4096 rows by
-    * construction — the dsirRatios literal-LUT discipline), and the
-    * weight is the Laplace-smoothed integer micro-prob ratio of the two
-    * classes, CENTERED on 0 (ratio 1 → 0) so `score > 0` is the
+  /** The TRAINED classifier's weight LUT: ONE corpus pass folds
+    * per-label bigram-bucket occurrence counts (output BOUNDED at 4096
+    * rows by construction — the dsirRatios literal-LUT discipline), and
+    * the weight is the Laplace-smoothed integer micro-prob ratio of the
+    * two classes, CENTERED on 0 (ratio 1 → 0) so `score > 0` is the
     * likelihood-ratio keep decision. Teacher labels are the heuristic
     * stopword-density gate (`stop_hits · 10 ≥ n_tok`, the division-free
     * form of ratio ≥ 0.1) — the fastText recipe of distilling a cheap
-    * rule/seed set into a hashed-feature model. */
+    * rule/seed set into a hashed-feature model.
+    *
+    * Fit the trained quality classifier into a persisted
+    * [[graft.sources.ModelIndex]] layout: the
+    * [[graft.operators.TextAnalysis.fitBigramRatioWeights]] LUT over
+    * the stopword-density teacher, with the fit-time teacher
+    * disagreement pinned as the maintain signal. */
+  private[graft] def fitClassifierModel(
+      docs: org.apache.spark.sql.DataFrame, target: String): Unit = {
+    val en = graft.operators.TextAnalysis.stopwords.toMap.apply("en")
+    val w = graft.operators.TextAnalysis.fitBigramRatioWeights(
+      docs.select(graft.operators.Dedup.tokens(col("text")).as("tk"))
+        .withColumn("label",
+          graft.operators.TextAnalysis.hitCount(col("tk"), en) * 10
+            >= size(col("tk"))),
+      "tk", "label")
+    val (n, d) = classifierDisagreement(docs, w)
+    graft.sources.ModelIndex.buildLut(docs.sparkSession, w, target,
+      "quality-classifier",
+      "stopword-density rule (en hits x10 over n_tok)", n, d)
+  }
+
+  /** Teacher disagreement of a classifier LUT on a corpus — the
+    * txt_classify_trained confusion's (label != keep) rate, one bounded
+    * aggregation pass. Returns (nDocs, disagreeMicro). */
+  private[graft] def classifierDisagreement(
+      docs: org.apache.spark.sql.DataFrame, weights: Seq[Long])
+      : (Long, Long) = {
+    val en = graft.operators.TextAnalysis.stopwords.toMap.apply("en")
+    val score = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.TokensNgramScoreExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("tk")),
+        weights))
+    graft.sources.ModelIndex.disagreementMicro(
+      docs.select(graft.operators.Dedup.tokens(col("text")).as("tk"))
+        .withColumn("label", size(col("tk")) >= 2 &&
+          graft.operators.TextAnalysis.hitCount(col("tk"), en) * 10
+            >= size(col("tk")))
+        .withColumn("keep", score > 0),
+      col("label"), col("keep"))
+  }
+
+  private[graft] def classifierModelDir(s: SparkSession, dir: String)
+      : String =
+    Tables.memoTempDir("modelcls", dir) { target =>
+      fitClassifierModel(Tables.load(s, dir, "documents"), target)
+    }
+
+  /** The served classifier LUT (per-JVM memo of the persisted layout's
+    * bounded weight read — deterministic, gate-safe). */
   private val nbCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
   private[graft] def trainedWeights(s: SparkSession, dir: String): Seq[Long] =
-    nbCache.computeIfAbsent(dir, _ => {
-      val en = graft.operators.TextAnalysis.stopwords.toMap.apply("en")
-      graft.operators.TextAnalysis.fitBigramRatioWeights(
-        Tables.load(s, dir, "documents")
-          .select(graft.operators.Dedup.tokens(col("text")).as("tk"))
-          .withColumn("label",
-            graft.operators.TextAnalysis.hitCount(col("tk"), en) * 10
-              >= size(col("tk"))),
-        "tk", "label")
-    })
+    nbCache.computeIfAbsent(dir, _ =>
+      graft.sources.ModelIndex.lut(s, classifierModelDir(s, dir)))
 
   /** TRAINED hashed-feature quality classifier — closes the learned-gate
     * loop txt_classify (stand-in weights) and pipe_dsir (single-class
@@ -1964,7 +2091,7 @@ object TextQueries {
     vHybridBm25Indexed,
     txtTokens, txtLangid,
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats, txtPhrase,
-    txtPhraseIndexed,
+    txtPhraseIndexed, txtPhraseLex,
     pipeSample, pipeSplit, pipeStratified, pipeShuffle, txtWinnow, pipeCurate,
     sketchDistinct, sketchCm, sketchQuantile, txtDecontam, pipePack,
     txtPii, txtBpePairs,
