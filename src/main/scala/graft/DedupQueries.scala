@@ -1378,26 +1378,27 @@ object DedupQueries {
   val pipeCurateIndexed = Q("pipe_curate_indexed",
     (s, dir) => {
       val delivery = curateDelivery(s, dir)
-      // STAGE BOUNDARIES ARE MATERIALIZED (localCheckpoint — the
-      // deterministic-cache rule): each gate runs several internal
-      // actions (cell collects, estimates) and the accounting counts
-      // each stage, so an unpinned lineage re-runs the lexical gate
-      // inside every semantic action and the whole chain per count —
-      // measured 55 s vs ~4 s at sf0.01 (Dev curateprof)
-      val kept1 = graft.sources.DedupIndex.gateKept(
-          s, dedupIndexDir(s, dir),
-          delivery.select("item_id", "text"), "item_id", "text")
-        .localCheckpoint(eager = true)
-      val semIn = delivery.join(kept1.select("item_id"), "item_id")
-        .select("item_id", "v")
-        .localCheckpoint(eager = true)
-      val kept2 = kept1.join(
-          graft.sources.SemanticDedupIndex.gateKept(
-              s, semanticIndexDir(s, dir), semIn,
-              "item_id", "v", 900000L)
-            .select("item_id"),
-          "item_id")
-        .localCheckpoint(eager = true)
+      // STAGE BOUNDARIES ARE MATERIALIZED (write-then-read temp parquet
+      // — the deterministic-cache rule): each gate runs several
+      // internal actions (cell collects, estimates) and the accounting
+      // counts each stage, so an unpinned lineage re-runs the lexical
+      // gate inside every semantic action and the whole chain per
+      // count — measured 55 s vs ~4 s at sf0.01 (Dev curateprof).
+      // Immutable files, not localCheckpoint: checkpoint blocks live in
+      // the block manager, whose accumulated state made this key's
+      // bench figure swing 3.1–7.6 s across same-day runs (SURVEY §8)
+      val kept1 = Tables.pinned(graft.sources.DedupIndex.gateKept(
+        s, dedupIndexDir(s, dir),
+        delivery.select("item_id", "text"), "item_id", "text"))
+      val semIn = Tables.pinned(
+        delivery.join(kept1.select("item_id"), "item_id")
+          .select("item_id", "v"))
+      val kept2 = Tables.pinned(kept1.join(
+        graft.sources.SemanticDedupIndex.gateKept(
+            s, semanticIndexDir(s, dir), semIn,
+            "item_id", "v", 900000L)
+          .select("item_id"),
+        "item_id"))
       val score = org.apache.spark.sql.GraftSqlBridge.column(
         graft.functions.TokensNgramScoreExpr(
           org.apache.spark.sql.GraftSqlBridge.expression(

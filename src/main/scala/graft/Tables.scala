@@ -53,6 +53,27 @@ object Tables {
   private val memoCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), java.util.concurrent.FutureTask[String]]()
 
+  /** Pin a SMALL intermediate frame by write-then-read of an immutable
+    * temp parquet — the stage-boundary materialization for multi-action
+    * composites (pipe_curate_indexed): downstream actions re-read
+    * frozen files instead of re-executing the upstream lineage.
+    * Deliberately NOT `localCheckpoint`: checkpoint blocks live in the
+    * executor block manager, whose accumulated state made the composite
+    * key's latency swing ~2.5× across same-day bench runs; parquet temp
+    * files cost one small write and read back at a flat price. Dirs are
+    * unique per call and reaped on JVM exit. Contents must be
+    * deterministic (the memoTempDir gate-safety rule) — a declared
+    * query stays a pure function of the fixture. */
+  def pinned(df: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pin")
+    val target = dir.resolve("p").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      rmTree(dir.toFile)
+    }))
+    df.write.mode("overwrite").parquet(target)
+    df.sparkSession.read.parquet(target)
+  }
+
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
