@@ -256,6 +256,27 @@ object Dev {
               TextQueries.trainedWeights(spark, dir)))
           t("kept3")(kept2.filter(score > 0).count())
         }
+      case "hybridprof" :: dir :: Nil =>
+        // stage decomposition of v_hybrid_rrf_indexed (verdict r14 #5):
+        // which leg dominates at scale — the keyword leg's ranked list
+        // (incl. the zero-tail test), the dense exact-bound leg, or the
+        // fusion barrier. Twice per stage (cold then warm).
+        def th[A](what: String)(f: => A): A = {
+          val t0 = System.nanoTime()
+          val r = f
+          println(f"[$what] ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          r
+        }
+        val lexD = VectorQueries.lexIndexDir(spark, dir)
+        val quantD = VectorQueries.quantIndexDir(spark, dir)
+        (1 to 2).foreach { _ =>
+          val t = VectorQueries.kwsTop100Indexed(spark, dir, lexD)
+          th("kws_leg")(t.count())
+          val v = VectorQueries.vectorTop100Indexed(spark, dir, quantD)
+            .select("doc_id", "r_v")
+          th("vec_leg")(v.count())
+          th("fuse")(graft.operators.Fusion.rrfFuse(t, v).count())
+        }
       case "scaleprobe" :: dir :: rest =>
         // 10×/100× blow-up probe (SURVEY §8.5): materialize synthetic
         // embeddings/documents at 1×, 10×, 100× of `dir` (deterministic

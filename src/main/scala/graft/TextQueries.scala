@@ -318,6 +318,91 @@ object TextQueries {
         .select("doc_id", "bm25_micro", "n_terms_hit"),
     txtBm25.oracle)
 
+  /** The BM25 chain of [[bm25Ctes]] parameterized by CTE suffix and
+    * term set — the batched key replays one chain per request (`lens` /
+    * `stats` are term-independent and shared). */
+  private def bm25CtesFor(i: Int, terms: Seq[String]): String = {
+    val ts = terms.map(t => s"'$t'").mkString(", ")
+    s"""
+      tf$i AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(tk) AS tok FROM tk) u
+        WHERE tok IN ($ts)
+        GROUP BY doc_id, tok),
+      dft$i AS (SELECT tok, COUNT(*) AS df FROM tf$i GROUP BY tok),
+      sc$i AS (
+        SELECT t.doc_id, t.tf, l.len,
+               s.sumlen * 1000 // s.n AS avglen_milli,
+               1000000 * s.n // (d.df + 1) AS idf_micro
+        FROM tf$i t
+        JOIN dft$i d ON d.tok = t.tok
+        JOIN lens l ON l.doc_id = t.doc_id
+        CROSS JOIN stats s),
+      sc2$i AS (SELECT *, len * 1000000 // avglen_milli AS ratio_milli
+                FROM sc$i),
+      sc3$i AS (SELECT *,
+                 (1000 - 750) + (750 * ratio_milli) // 1000 AS norm_milli
+                FROM sc2$i),
+      sc4$i AS (SELECT *,
+                 tf * 1000 + (1200 * norm_milli) // 1000 AS denom_milli
+                FROM sc3$i),
+      sc5$i AS (SELECT doc_id,
+                 idf_micro * tf * (1000 + 1200) // denom_milli
+                   AS term_score_micro
+                FROM sc4$i),
+      bm$i AS (
+        SELECT doc_id, CAST(SUM(term_score_micro) AS BIGINT) AS bm25_micro,
+               COUNT(*) AS n_terms_hit
+        FROM sc5$i GROUP BY doc_id),
+      top$i AS (
+        SELECT CAST($i AS BIGINT) AS query_id, doc_id, bm25_micro,
+               n_terms_hit
+        FROM bm$i ORDER BY bm25_micro DESC, doc_id LIMIT 10)"""
+  }
+
+  /** The batched BM25 request set — heterogeneous term sets, one with a
+    * term the corpus may not contain (robustness of the pruned-scan
+    * path to empty posting groups). */
+  private val bm25Batch: Seq[(Long, Seq[String])] = Seq(
+    0L -> bm25Terms,
+    1L -> Seq("scan", "index"),
+    2L -> Seq("the", "of", "data"))
+
+  /** BATCHED indexed BM25 — N term sets through ONE pruned postings
+    * scan ([[graft.sources.LexIndex.bm25Multi]]: the per-(token,
+    * document) term score is query-independent, so the batch computes
+    * it once over the union term set and each request's fold is a
+    * broadcast membership join + Σ), per-query bounded top-10. The
+    * Qdrant `query_batch_points` shape for the standalone BM25 surface;
+    * the oracle replays every request's full fixed-point chain and
+    * unions — the batch must be integer-identical to N single
+    * queries. */
+  val txtBm25MultiIndexed = Q("txt_bm25_multi_indexed",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.sources.LexIndex.bm25Multi(s,
+          VectorQueries.lexIndexDir(s, dir), bm25Batch)
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(desc("bm25_micro"), col("doc_id"))))
+        .filter(col("__rk") <= 10)
+        .select("query_id", "doc_id", "bm25_micro", "n_terms_hit")
+        .orderBy(col("query_id"), desc("bm25_micro"), col("doc_id"))
+    },
+    Some {
+      val legs = bm25Batch.map { case (qid, ts) =>
+        bm25CtesFor(qid.toInt, ts)
+      }
+      tkSql + s""",
+      lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM tk),
+      stats AS (SELECT COUNT(*) AS n, SUM(len) AS sumlen FROM lens),
+      ${legs.mkString(",")}
+      SELECT query_id, doc_id, bm25_micro, n_terms_hit FROM (
+        ${bm25Batch.map { case (qid, _) => s"SELECT * FROM top${qid.toInt}" }
+          .mkString(" UNION ALL ")})
+      ORDER BY query_id, bm25_micro DESC, doc_id"""
+    })
+
   /** V8 — hybrid retrieval with the PRINCIPLED keyword side: BM25 top-100
     * list fused with the vector top-100 by RRF (same bounded-list form as
     * v_hybrid_rrf — TakeOrderedAndProject per side, rank over survivors,
@@ -2087,7 +2172,8 @@ object TextQueries {
       FROM hits WHERE score_micro >= 900000
       GROUP BY 1 ORDER BY 1"""))
 
-  def queries: Seq[Q] = Seq(txtBm25, txtBm25Indexed, vHybridBm25,
+  def queries: Seq[Q] = Seq(txtBm25, txtBm25Indexed, txtBm25MultiIndexed,
+    vHybridBm25,
     vHybridBm25Indexed,
     txtTokens, txtLangid,
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats, txtPhrase,
