@@ -114,6 +114,44 @@ object VectorQueries {
       LIMIT 10
     """))
 
+  /** Filtered search with a FULL-TEXT PHRASE condition (the Qdrant
+    * `filter.must: match.phrase` + query composite), the phrase side
+    * served from the POSITIONAL postings layout
+    * ([[graft.sources.LexIndex.phraseMatches]] — adjacency from
+    * intersected position lists, corpus text never read): matching ids
+    * semi-join the vector scan, then the ordinary exact top-10. The
+    * dense side stays a full scan of the FILTERED rows rather than the
+    * exact-bound candidate stage, deliberately: the bound's θ is an
+    * order statistic of the WHOLE collection, so its superset guarantee
+    * does not survive an arbitrary filter (a filtered top-10 can sit
+    * entirely below the global θ) — the same reason v_auto_filtered
+    * routes around the candidate stage. Oracle: brute force over the
+    * documents ⋈ embeddings join with the in-plan phrase predicate. */
+  val vKnnPhraseIndexed = Q("v_knn_phrase_indexed",
+    (s, dir) => {
+      val matched = graft.sources.LexIndex.phraseMatches(
+          s, lexIndexDir(s, dir), Seq("scan", "query"))
+        .withColumnRenamed("doc_id", "vec_id")
+      val emb = Tables.load(s, dir, "embeddings")
+        .join(matched, Seq("vec_id"), "left_semi")
+      Knn.knn(emb, "embedding", queryVec(s, dir, 0), 10)
+        .select("vec_id", "label", "score")
+    },
+    Some(s"""
+      WITH n AS (
+        SELECT doc_id,
+               ' ' || array_to_string(list_filter(
+                 string_split_regex(lower(text), '\\s+'), x -> x <> ''), ' ')
+                 || ' ' AS norm
+        FROM documents),
+      m AS (SELECT doc_id FROM n WHERE norm LIKE '% scan query %')
+      SELECT e.vec_id, e.label,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               $oracleQ0), 6) AS score
+      FROM embeddings e JOIN m ON m.doc_id = e.vec_id
+      ORDER BY score DESC, vec_id
+      LIMIT 10"""))
+
   /** V2 multi-query — broadcast the 5-vector query set, per-query top-3 via
     * window rank (collection side unshuffled; see Knn.knnMulti). */
   val vKnnMulti = Q("v_knn_multi",
@@ -1962,7 +2000,7 @@ object VectorQueries {
       ORDER BY rnk"""))
 
   def queries: Seq[Q] = Seq(vCosine, vKnn, vKnnIndexed, vKnnTenant,
-    vKnnMulti, vKnnMultiIndexed, vKnnPage,
+    vKnnMulti, vKnnMultiIndexed, vKnnPhraseIndexed, vKnnPage,
     vKnnMultiAgg, vKnnBatch, vKnnBatchDsl, vKnnFiltered, vKnnPayloadIndexed,
     vKnnDsl,
     vKnnDslExcept,
