@@ -1419,6 +1419,52 @@ object TextQueries {
       FROM tok t JOIN freq f ON f.w = t.w
       GROUP BY t.doc_id ORDER BY t.doc_id"""))
 
+  /** Fit the corpus token-frequency table into a persisted
+    * [[graft.sources.ModelIndex]] layout (form `table`) — the CCNet
+    * shape made explicit: the frequency model is fit ONCE, versioned,
+    * and served everywhere (at 100 TB the pass-1 fold is a corpus job
+    * you do not re-run inside every scoring query). Pinned signal =
+    * fit-corpus OOV token mass (0 by construction — the LM layout's
+    * law). */
+  private[graft] def fitFreqModel(docs: org.apache.spark.sql.DataFrame,
+                                  target: String): Unit =
+    graft.sources.ModelIndex.buildTable(
+      docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq")),
+      target, "token-freq", "w", "freq",
+      "corpus distinct-token frequencies", docs.count(),
+      signalMicro = 0L)
+
+  private[graft] def freqModelDir(s: SparkSession, dir: String): String =
+    Tables.memoTempDir("modelfreq", dir) { target =>
+      fitFreqModel(Tables.load(s, dir, "documents"), target)
+    }
+
+  /** [[txtFreqScore]] served from the persisted frequency model: pass 1
+    * (the corpus fold) comes from the layout, pass 2 is the same
+    * token ⋈ freq join and per-doc aggregate — fit once, score many,
+    * with [[graft.sources.ModelIndex.maintain]]'s OOV signal guarding
+    * staleness. Same oracle as `txt_freq_score`: serving from the
+    * layout must not change a row (the frequency table is a
+    * deterministic function of the corpus). */
+  val txtFreqScoreIndexed = Q("txt_freq_score_indexed",
+    (s, dir) => {
+      val freq = graft.sources.ModelIndex.table(s, freqModelDir(s, dir))
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text")))
+          .as("w"))
+      toks.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("ntok"),
+          sum(when(col("freq") >= 25, 1L).otherwise(0L)).as("__common"),
+          sum("freq").as("__fsum"))
+        .select(col("doc_id"), col("ntok"),
+          expr("__common * 1000000 DIV ntok").as("common_micro"),
+          expr("__fsum DIV ntok").as("avg_freq"))
+        .orderBy("doc_id")
+    },
+    txtFreqScore.oracle)
+
   /** Domain MIXTURE weights — the data-mixing step that turns per-source
     * corpus sizes into sampling weights (the published temperature-
     * sampling recipe with α = 0.5, i.e. weight ∝ tokens^α): per source,
@@ -2182,7 +2228,8 @@ object TextQueries {
     sketchDistinct, sketchCm, sketchQuantile, txtDecontam, pipePack,
     txtPii, txtBpePairs,
     txtBpeTrain, txtBpeEncode,
-    txtFreqScore, pipeMix, txtNovelty, txtLmScore, pipeCurriculum,
+    txtFreqScore, txtFreqScoreIndexed, pipeMix, txtNovelty, txtLmScore,
+    pipeCurriculum,
     txtIdfKeywords, pipeMask, txtClassify, pipeDsir, txtClassifyTrained,
     txtDecontamSemantic)
 }

@@ -336,6 +336,22 @@ class HybridIndexSpec extends AnyFunSuite with SparkSpec {
       assert(multi.getOrElse(qid, Set.empty) == single,
         s"query $qid: batched routed hybrid diverges from single-query")
     }
+    // routing is a plan decision for the BATCH too: every declaration
+    // combination — both legs, one leg, none, exact bypass — returns
+    // the identical row set
+    val base = AutoQueries.hybridRrfRoutedMulti(spark, sf,
+        Seq(lexDir, quantDir), reqs)
+      .collect().map(_.toSeq).toSet
+    for (decls <- Seq(Seq(lexDir), Seq(quantDir), Seq.empty[String])) {
+      val got = AutoQueries.hybridRrfRoutedMulti(spark, sf, decls, reqs)
+        .collect().map(_.toSeq).toSet
+      assert(got == base,
+        s"batched routing with decls=$decls changed rows")
+    }
+    val bypass = AutoQueries.hybridRrfRoutedMulti(spark, sf,
+        Seq(lexDir, quantDir), reqs, exact = true)
+      .collect().map(_.toSeq).toSet
+    assert(bypass == base, "batched exact bypass changed rows")
     // text-leg job budget: a doubled batch over the SAME layouts runs
     // the same number of jobs (one pruned postings scan + the bounded
     // rank collect + the shared zero-tail head)
