@@ -490,6 +490,10 @@ object LexIndex {
     graft.operators.Knn.requireBatch(queryIds.length, "rankedTopNMulti")
     require(queryIds.distinct.length == queryIds.length,
       "rankedTopNMulti: duplicate query ids in the batch")
+    require(hits.schema(scoreCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"rankedTopNMulti needs a LONG $scoreCol (the zero tail fills " +
+        "with 0L) — cast the hits frame")
     val ordered = hits
       .select(col("query_id"), col(idCol), col(scoreCol))
       .withColumn("__rnk", row_number().over(
