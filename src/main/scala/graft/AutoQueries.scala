@@ -358,7 +358,9 @@ object AutoQueries {
     (2L, queryVec(s, dir, 7), Seq("the", "of", "data")))
 
   /** One DuckDB leg set for request `i`: the v_hybrid_rrf oracle chain
-    * parameterized by vector id and term list, CTE names suffixed. */
+    * parameterized by vector id and term list, CTE names suffixed
+    * (vector leg + fuse tail shared with the other batched hybrids —
+    * [[VectorQueries.vectorTopSqlFor]] / [[VectorQueries.rrfFuseCteFor]]). */
   private def hybridLegSql(i: Int, vecId: Long,
                            terms: Seq[String]): String = {
     val lst = terms.map(t => s"'$t'").mkString("[", ", ", "]")
@@ -375,24 +377,8 @@ object AutoQueries {
           SELECT doc_id,
                  ROW_NUMBER() OVER (ORDER BY score_t DESC, doc_id) AS r_t
           FROM t$i) WHERE r_t <= 100),
-      vr$i AS (
-        SELECT doc_id, r_v FROM (
-          SELECT vec_id AS doc_id,
-                 ROW_NUMBER() OVER (
-                   ORDER BY CAST(floor(list_cosine_similarity(
-                     CAST(embedding AS DOUBLE[]),
-                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
-                      WHERE vec_id = $vecId)) * 1000000 + 0.5)
-                     AS BIGINT) DESC, vec_id) AS r_v
-          FROM embeddings) WHERE r_v <= 100),
-      f$i AS (
-        SELECT CAST($i AS BIGINT) AS query_id,
-               COALESCE(tr$i.doc_id, vr$i.doc_id) AS doc_id,
-               COALESCE(r_t, 0) AS r_t, COALESCE(r_v, 0) AS r_v,
-               COALESCE(1000000 // (60 + r_t), 0)
-                 + COALESCE(1000000 // (60 + r_v), 0) AS rrf_milli
-        FROM tr$i FULL OUTER JOIN vr$i ON vr$i.doc_id = tr$i.doc_id
-        ORDER BY rrf_milli DESC, doc_id LIMIT 10)"""
+      ${VectorQueries.vectorTopSqlFor(i, vecId)},
+      ${VectorQueries.rrfFuseCteFor(i)}"""
   }
 
   val vAutoHybridMulti = Q("v_auto_hybrid_multi",

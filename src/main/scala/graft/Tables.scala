@@ -61,9 +61,13 @@ object Tables {
     * executor block manager, whose accumulated state made the composite
     * key's latency swing ~2.5× across same-day bench runs; parquet temp
     * files cost one small write and read back at a flat price. Dirs are
-    * unique per call and reaped on JVM exit. Contents must be
-    * deterministic (the memoTempDir gate-safety rule) — a declared
-    * query stays a pure function of the fixture. */
+    * unique per call and reaped on JVM exit; like un-unpersisted
+    * checkpoint blocks they accumulate for the JVM's lifetime (one
+    * small dir per pinned frame) — a long-lived serving process running
+    * composite queries in a loop should bound that churn with its own
+    * checkpoint location. Contents must be deterministic (the
+    * memoTempDir gate-safety rule) — a declared query stays a pure
+    * function of the fixture. */
   def pinned(df: DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_pin")
     val target = dir.resolve("p").toString

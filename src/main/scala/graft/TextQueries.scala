@@ -319,9 +319,10 @@ object TextQueries {
     txtBm25.oracle)
 
   /** The BM25 chain of [[bm25Ctes]] parameterized by CTE suffix and
-    * term set — the batched key replays one chain per request (`lens` /
-    * `stats` are term-independent and shared). */
-  private def bm25CtesFor(i: Int, terms: Seq[String]): String = {
+    * term set, ending at `bm$i(doc_id, bm25_micro, n_terms_hit)` — the
+    * batched keys replay one chain per request (`lens` / `stats` are
+    * term-independent and shared) and append their own tails. */
+  private def bm25ChainFor(i: Int, terms: Seq[String]): String = {
     val ts = terms.map(t => s"'$t'").mkString(", ")
     s"""
       tf$i AS (
@@ -353,12 +354,17 @@ object TextQueries {
       bm$i AS (
         SELECT doc_id, CAST(SUM(term_score_micro) AS BIGINT) AS bm25_micro,
                COUNT(*) AS n_terms_hit
-        FROM sc5$i GROUP BY doc_id),
+        FROM sc5$i GROUP BY doc_id)"""
+  }
+
+  /** [[bm25ChainFor]] + the standalone-retrieval tail (per-query
+    * bounded top-10 with the batch's query id). */
+  private def bm25CtesFor(i: Int, terms: Seq[String]): String =
+    bm25ChainFor(i, terms) + s""",
       top$i AS (
         SELECT CAST($i AS BIGINT) AS query_id, doc_id, bm25_micro,
                n_terms_hit
         FROM bm$i ORDER BY bm25_micro DESC, doc_id LIMIT 10)"""
-  }
 
   /** The batched BM25 request set — heterogeneous term sets, one with a
     * term the corpus may not contain (robustness of the pruned-scan
@@ -448,6 +454,57 @@ object TextQueries {
           VectorQueries.quantIndexDir(s, dir)).select("doc_id", "r_v"))
     },
     vHybridBm25.oracle)
+
+  /** BATCHED indexed BM25 hybrid — the `query_batch_points` shape with
+    * a BM25 prefetch leg: N requests (vector + term set) share ONE
+    * pruned postings scan for the keyword legs
+    * ([[graft.sources.LexIndex.bm25Multi]], per-query top-100 via
+    * WindowGroupLimit heaps) and the TWO codes-only candidate scans
+    * for the dense legs
+    * ([[VectorQueries.vectorTopNIndexedMulti]]), fused per query
+    * ([[graft.operators.Fusion.rrfFuseMulti]]). No zero tail — the
+    * BM25 hybrid contract. The oracle replays every request's full
+    * fixed-point BM25 chain + vector ranking + fuse and unions. */
+  val vHybridBm25MultiIndexed = Q("v_hybrid_bm25_multi_indexed",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val reqs = AutoQueries.hybridBatch(s, dir)
+      val bmTops = graft.sources.LexIndex.bm25Multi(s,
+          VectorQueries.lexIndexDir(s, dir),
+          reqs.map(r => r._1 -> r._3))
+        .withColumn("r_t", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(desc("bm25_micro"), col("doc_id"))))
+        .filter(col("r_t") <= 100)
+        .select("query_id", "doc_id", "r_t")
+      val vTops = VectorQueries.vectorTopNIndexedMulti(s, dir,
+          VectorQueries.quantIndexDir(s, dir),
+          reqs.map(r => r._1 -> r._2), 100)
+        .select("query_id", "doc_id", "r_v")
+      graft.operators.Fusion.rrfFuseMulti(bmTops, vTops)
+    },
+    Some {
+      val legs = Seq((0, 0L, bm25Terms), (1, 3L, Seq("scan", "index")),
+        (2, 7L, Seq("the", "of", "data")))
+      tkSql + s""",
+      lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM tk),
+      stats AS (SELECT COUNT(*) AS n, SUM(len) AS sumlen FROM lens),
+      ${legs.map { case (i, v, ts) =>
+        bm25ChainFor(i, ts) + s""",
+      tr$i AS (
+        SELECT doc_id, r_t FROM (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id)
+                   AS r_t
+          FROM bm$i) WHERE r_t <= 100),
+      ${VectorQueries.vectorTopSqlFor(i, v)},
+      ${VectorQueries.rrfFuseCteFor(i)}"""
+      }.mkString(",")}
+      SELECT query_id, doc_id, r_t, r_v, rrf_milli FROM (
+        ${legs.map { case (i, _, _) => s"SELECT * FROM f$i" }
+          .mkString(" UNION ALL ")})
+      ORDER BY query_id, rrf_milli DESC, doc_id"""
+    })
 
   /** Deterministic hash sampling — the reproducible subsampling op every
     * training-data pipeline needs (a seeded md5 bucket per doc id, no
@@ -2219,7 +2276,7 @@ object TextQueries {
       GROUP BY 1 ORDER BY 1"""))
 
   def queries: Seq[Q] = Seq(txtBm25, txtBm25Indexed, txtBm25MultiIndexed,
-    vHybridBm25,
+    vHybridBm25, vHybridBm25MultiIndexed,
     vHybridBm25Indexed,
     txtTokens, txtLangid,
     txtQuality, txtFingerprint, txtRepetition, txtChunks, txtStats, txtPhrase,

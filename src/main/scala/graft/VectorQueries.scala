@@ -1088,6 +1088,33 @@ object VectorQueries {
                      AS BIGINT) DESC, vec_id) AS r_v
           FROM embeddings) WHERE r_v <= 100)"""
 
+  /** DuckDB vector-leg CTE parameterized by suffix and query vector id
+    * (`vr$i`) — the batched hybrid oracles instantiate one per
+    * request. */
+  private[graft] def vectorTopSqlFor(i: Int, vecId: Long): String = s"""
+      vr$i AS (
+        SELECT doc_id, r_v FROM (
+          SELECT vec_id AS doc_id,
+                 ROW_NUMBER() OVER (
+                   ORDER BY CAST(floor(list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                      WHERE vec_id = $vecId)) * 1000000 + 0.5)
+                     AS BIGINT) DESC, vec_id) AS r_v
+          FROM embeddings) WHERE r_v <= 100)"""
+
+  /** DuckDB per-query RRF fuse tail over `tr$i`/`vr$i` (`f$i`) — the
+    * batched twin of [[rrfFuseTailSql]]. */
+  private[graft] def rrfFuseCteFor(i: Int): String = s"""
+      f$i AS (
+        SELECT CAST($i AS BIGINT) AS query_id,
+               COALESCE(tr$i.doc_id, vr$i.doc_id) AS doc_id,
+               COALESCE(r_t, 0) AS r_t, COALESCE(r_v, 0) AS r_v,
+               COALESCE(1000000 // (60 + r_t), 0)
+                 + COALESCE(1000000 // (60 + r_v), 0) AS rrf_milli
+        FROM tr$i FULL OUTER JOIN vr$i ON vr$i.doc_id = tr$i.doc_id
+        ORDER BY rrf_milli DESC, doc_id LIMIT 10)"""
+
   /** DuckDB twin of Fusion.rrfFuse over CTEs `tr` and `vr`. */
   private[graft] val rrfFuseTailSql = """
       SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
