@@ -448,4 +448,41 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
         s"q=$q above the HDR error bound: $est vs $truth")
     }
   }
+
+  test("positional phrase serving == a naive substring-of-token-stream " +
+       "model on random small-vocabulary corpora (repeats, short docs, " +
+       "absent terms)") {
+    // tiny vocabulary forces repeated tokens, overlapping occurrences
+    // and same-term phrases — the edge cases of the shifted-position
+    // intersection
+    val vocab = Vector("a", "b", "c")
+    val docGen = Gen.listOfN(
+      8, Gen.chooseNum(0, 5).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(vocab))))
+    val phraseGen = Gen.chooseNum(1, 3)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab :+ "zz")))
+    val corpora = Gen.listOfN(6, docGen).sample.get
+    val phrases = Gen.listOfN(8, phraseGen).sample.get
+    corpora.zipWithIndex.foreach { case (docs, ci) =>
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-proplex$ci").resolve("x").toString
+      graft.sources.LexIndex.buildFrom(df, "doc_id", "text", dir)
+      phrases.foreach { ph =>
+        val served = graft.sources.LexIndex
+          .phraseMatches(spark, dir, ph)
+          .collect().map(_.getLong(0)).toSet
+        val model = docs.zipWithIndex.collect {
+          case (ts, i) if ts.indices.exists(p =>
+            p + ph.length <= ts.length &&
+              ts.slice(p, p + ph.length) == ph) => i.toLong
+        }.toSet
+        assert(served == model,
+          s"corpus $ci phrase ${ph.mkString(" ")}: $served vs $model " +
+            s"over ${docs.map(_.mkString(" "))}")
+      }
+    }
+  }
 }
