@@ -12,11 +12,13 @@ cd "$(dirname "$0")/.."
 declared=$(grep -rhoE 'Q\("([a-z0-9_]+)"' src/main/scala/graft --include='*.scala' \
   | sort -u | wc -l)
 specs=$(grep -rhoE '^\s*test\(' src/test/scala/graft | wc -l)
-suites=$(ls src/test/scala/graft/*Spec.scala | wc -l)
+# suite CLASSES, not files — one file may declare several suites
+suites=$(grep -rhoE '^class \w+Spec\b' src/test/scala/graft/*.scala | wc -l)
+suite_files=$(ls src/test/scala/graft/*Spec.scala | wc -l)
 advice=$(grep -cE '^- \*\*(low|medium|high)\*\*' ADVICE.md 2>/dev/null || echo 0)
 
 echo "distinct declared Q(\"…\") keys in main sources: $declared"
-echo "ScalaTest test(...) cases: $specs across $suites suites"
+echo "ScalaTest test(...) cases: $specs across $suites suites ($suite_files spec files)"
 echo "ADVICE.md findings: $advice"
 
 if [ -n "$1" ] && [ -f "$1" ]; then
@@ -29,7 +31,9 @@ print(sum(1 for v in d.values()
           and v.get('hash_match', True)))")
   echo "$1: $rows gate rows, $green green"
 fi
-if [ -f /tmp/verify_out/oracle_sql.json ]; then
-  o=$(python3 -c "import json; print(len(json.load(open('/tmp/verify_out/oracle_sql.json'))))")
-  echo "declared oracles (last /tmp/verify_out dump): $o"
-fi
+# declared-oracle count derived FRESH from the sources (an old
+# /tmp/verify_out dump mis-reported here once — never cite a stale
+# artifact for a current count)
+oracles=$(grep -rhoE 'Q\("([a-z0-9_]+)"' src/main/scala/graft --include='*.scala' \
+  | sort -u | wc -l)
+echo "declared query keys (fresh source grep, = oracle_sql.json rows at next dump): $oracles"

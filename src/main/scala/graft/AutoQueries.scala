@@ -80,6 +80,25 @@ object AutoQueries {
                $oracleQ0) DESC, vec_id
       LIMIT 10"""))
 
+  /** [[vAutoFiltered]]'s OVER-THRESHOLD quant route, pinned
+    * deterministically with the public planner knob (`scanThreshold = 0`
+    * — the `v_auto_filtered_graph` discipline) and now EXACT (r16): the
+    * filter's id population scopes the codes-sidecar bound, so θ and
+    * the guaranteed superset live WITHIN the filtered rows and the
+    * exact rescore of the candidates is row-identical to brute force —
+    * the same oracle as `v_auto_filtered` gates BOTH cardinality plan
+    * branches. This closes the r15 verdict's one collection-growth
+    * dense path: the only full-vector bytes read are the candidates'. */
+  val vAutoFilteredQuant = Q("v_auto_filtered_quant",
+    (s, dir) =>
+      VectorRouter.queryPoints(s, Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", decls(s, dir),
+        Seq("label" -> payloadIdxDir(s, dir)), queryVec(s, dir, 0), 10,
+        dslJson = Some("""
+          {"must": [{"key": "label", "match": {"value": 3}}]}"""),
+        params = VectorRouter.Params(scanThreshold = 0)),
+    vAutoFiltered.oracle)
+
   /** Routed search with a GRAPH declaration first: the router sniffs the
     * maintained adjacency layout (its persisted `_seeds/`) and serves
     * the fixed-round beam search — `ann_graph_search`'s pipeline
@@ -210,6 +229,25 @@ object AutoQueries {
           (SELECT v FROM e WHERE vec_id = 3)) DESC, vec_id
         LIMIT 10)
       SELECT * FROM r0 UNION ALL SELECT * FROM r3"""))
+
+  /** The BATCHED over-threshold quant route (`scanThreshold = 0` on
+    * [[vAutoFilteredMulti]]'s requests) — EXACT by the same r16 scoped
+    * bound, batched: one shared scope population, both queries through
+    * the two scoped codes-only scans
+    * ([[graft.sources.QuantIndex.cosineCandidatesMulti]] with scope),
+    * one union-pool exact rescore. The UNCHANGED `v_auto_filtered_multi`
+    * oracle gates it — the batched filtered quant branch is no longer
+    * spec-only. */
+  val vAutoFilteredQuantMulti = Q("v_auto_filtered_quant_multi",
+    (s, dir) =>
+      VectorRouter.queryPointsMulti(s, Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", decls(s, dir),
+        Seq(0L, 3L).map(i => i -> queryVec(s, dir, i)), 10,
+        dslJson = Some(
+          """{"must": [{"key": "label", "match": {"value": 3}}]}"""),
+        payloadIndexes = Seq("label" -> payloadIdxDir(s, dir)),
+        params = VectorRouter.Params(scanThreshold = 0)),
+    vAutoFilteredMulti.oracle)
 
   /** FILTERED GRAPH TRAVERSAL (r13 worklist #4 — the filtrable-HNSW
     * serving shape): a graph declaration + a `label = 3` filter forced
@@ -399,7 +437,8 @@ object AutoQueries {
     })
 
   def queries: Seq[Q] =
-    Seq(vAutoSearch, vAutoExact, vAutoFiltered, vAutoGraph,
-      vAutoSearchMulti, vAutoFilteredMulti, vAutoFilteredGraph,
+    Seq(vAutoSearch, vAutoExact, vAutoFiltered, vAutoFilteredQuant,
+      vAutoGraph, vAutoSearchMulti, vAutoFilteredMulti,
+      vAutoFilteredQuantMulti, vAutoFilteredGraph,
       vAutoHybrid, vAutoHybridMulti)
 }

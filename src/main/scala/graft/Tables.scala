@@ -53,6 +53,44 @@ object Tables {
   private val memoCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), java.util.concurrent.FutureTask[String]]()
 
+  /** Live pin dirs, oldest-first — ONE static shutdown hook reaps
+    * whatever is left at exit (r15 ADVICE: the previous per-call
+    * `addShutdownHook` grew an unreclaimed hook THREAD per pin for the
+    * JVM's lifetime). Bounded: past [[MaxLivePins]] the oldest pin is
+    * reaped on the next [[pinned]] call, so a serving loop's pin-dir
+    * count is flat (spec-probed) — safe because a pin is only read
+    * between its creation and its composite's terminal action, and a
+    * process holding [[MaxLivePins]] composites in flight at once is
+    * far outside the pin's small-intermediate-frame shape. */
+  private val livePins =
+    new java.util.concurrent.ConcurrentLinkedDeque[java.nio.file.Path]()
+
+  /** Pin-pool bound: the oldest pin above this is reaped on the next
+    * [[pinned]] call. pipe_curate_indexed holds 3 pins per execution,
+    * so 64 covers ~20 concurrent executions before the pool recycles a
+    * dir that could still be live. */
+  val MaxLivePins: Int = 64
+
+  private lazy val pinReaperHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var d = livePins.pollFirst()
+      while (d != null) { rmTree(d.toFile); d = livePins.pollFirst() }
+    }))
+    ()
+  }
+
+  /** Drop every live pin's files now — the explicit cleanup a
+    * long-lived serving process calls between composite executions
+    * (any frame still reading a pin becomes invalid; callers own that
+    * ordering). */
+  def releasePins(): Unit = {
+    var d = livePins.pollFirst()
+    while (d != null) { rmTree(d.toFile); d = livePins.pollFirst() }
+  }
+
+  /** Live pin-dir count (probe surface for the flat-churn contract). */
+  def livePinCount: Int = livePins.size()
+
   /** Pin a SMALL intermediate frame by write-then-read of an immutable
     * temp parquet — the stage-boundary materialization for multi-action
     * composites (pipe_curate_indexed): downstream actions re-read
@@ -61,19 +99,21 @@ object Tables {
     * executor block manager, whose accumulated state made the composite
     * key's latency swing ~2.5× across same-day bench runs; parquet temp
     * files cost one small write and read back at a flat price. Dirs are
-    * unique per call and reaped on JVM exit; like un-unpersisted
-    * checkpoint blocks they accumulate for the JVM's lifetime (one
-    * small dir per pinned frame) — a long-lived serving process running
-    * composite queries in a loop should bound that churn with its own
-    * checkpoint location. Contents must be deterministic (the
-    * memoTempDir gate-safety rule) — a declared query stays a pure
-    * function of the fixture. */
+    * tracked in the bounded [[livePins]] pool (oldest reaped past
+    * [[MaxLivePins]]; one static exit hook reaps the remainder;
+    * [[releasePins]] for eager cleanup), so neither hook threads nor
+    * dirs accumulate across a serving loop. Contents must be
+    * deterministic (the memoTempDir gate-safety rule) — a declared
+    * query stays a pure function of the fixture. */
   def pinned(df: DataFrame): DataFrame = {
+    pinReaperHook
+    while (livePins.size() >= MaxLivePins) {
+      val old = livePins.pollFirst()
+      if (old != null) rmTree(old.toFile)
+    }
     val dir = java.nio.file.Files.createTempDirectory("graft_pin")
+    livePins.addLast(dir)
     val target = dir.resolve("p").toString
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      rmTree(dir.toFile)
-    }))
     df.write.mode("overwrite").parquet(target)
     df.sparkSession.read.parquet(target)
   }

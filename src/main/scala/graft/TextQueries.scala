@@ -1447,22 +1447,38 @@ object TextQueries {
     * forcing a broadcast is the r4 connected-components defect over
     * again; AQE broadcasts when the actual size fits and shuffle-joins
     * on `w` when it doesn't. */
+  /** The freq-scoring chain parameterized by DECLARATIONS (the
+    * [[graft.sources.ModelRouter]] declare-once law): pass 1 (the
+    * corpus token-frequency fold) serves from the first declared
+    * `token-freq` model layout, or runs in-plan when nothing matches —
+    * row-identical either way (the layout is the persisted form of the
+    * same deterministic fold; spec-pinned in both declaration
+    * states). */
+  private[graft] def freqScoreFrom(s: SparkSession,
+                                   docs: org.apache.spark.sql.DataFrame,
+                                   declared: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text")))
+        .as("w"))
+    val freq = graft.sources.ModelRouter.tableOr(s, declared,
+        "token-freq") {
+      toks.groupBy("w").agg(count(lit(1)).as("freq"))
+    }
+    toks.join(freq.select("w", "freq"), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ntok"),
+        sum(when(col("freq") >= 25, 1L).otherwise(0L)).as("__common"),
+        sum("freq").as("__fsum"))
+      .select(col("doc_id"), col("ntok"),
+        expr("__common * 1000000 DIV ntok").as("common_micro"),
+        expr("__fsum DIV ntok").as("avg_freq"))
+      .orderBy("doc_id")
+  }
+
   val txtFreqScore = Q("txt_freq_score",
-    (s, dir) => {
-      val toks = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text")))
-          .as("w"))
-      val freq = toks.groupBy("w").agg(count(lit(1)).as("freq"))
-      toks.join(freq, "w")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("ntok"),
-          sum(when(col("freq") >= 25, 1L).otherwise(0L)).as("__common"),
-          sum("freq").as("__fsum"))
-        .select(col("doc_id"), col("ntok"),
-          expr("__common * 1000000 DIV ntok").as("common_micro"),
-          expr("__fsum DIV ntok").as("avg_freq"))
-        .orderBy("doc_id")
-    },
+    (s, dir) =>
+      freqScoreFrom(s, Tables.load(s, dir, "documents"), Nil),
     Some("""
       WITH tok AS (
         SELECT doc_id, unnest(list_filter(
@@ -1520,6 +1536,21 @@ object TextQueries {
           expr("__fsum DIV ntok").as("avg_freq"))
         .orderBy("doc_id")
     },
+    txtFreqScore.oracle)
+
+  /** [[txtFreqScore]] ROUTED through a model DECLARATION — the
+    * declare-once law for the learned text gates
+    * ([[graft.sources.ModelRouter]], r15 verdict worklist #5): the
+    * collection declares its pinned `token-freq` layout once and every
+    * freq-scoring query serves pass 1 from it (the
+    * `txt_freq_score_indexed` pipeline), while an undeclared collection
+    * runs the in-plan fold — row-identical in both declaration states
+    * (spec-pinned, the `v_auto_hybrid` combination pattern) under the
+    * UNCHANGED `txt_freq_score` oracle. */
+  val txtFreqScoreRouted = Q("txt_freq_score_routed",
+    (s, dir) =>
+      freqScoreFrom(s, Tables.load(s, dir, "documents"),
+        Seq(freqModelDir(s, dir))),
     txtFreqScore.oracle)
 
   /** Domain MIXTURE weights — the data-mixing step that turns per-source
@@ -1813,7 +1844,10 @@ object TextQueries {
     * micro-probability p(w₂|w₁) = (count(w₁w₂)·1e6) DIV count(w₁·).
     * The pinned signal is the fit-corpus OOV mass — 0 BY CONSTRUCTION
     * (the fit corpus covers its own bigrams), so any new vocabulary
-    * moves the maintain ratio off 1.0. */
+    * moves the maintain ratio off 1.0. The table also carries `cb` —
+    * the bigram's fit-corpus occurrence count — so serving can split
+    * the model into a bounded HOT head (top mass, broadcast) and a
+    * join-served cold tail ([[txtLmScore]]'s r16 pruning). */
   private[graft] def fitLmModel(docs: org.apache.spark.sql.DataFrame,
                                 target: String): Unit = {
     val dbg = bigramsOf(docs)
@@ -1822,7 +1856,8 @@ object TextQueries {
     val pfx = bgc.groupBy("w1").agg(sum("cb").as("cp"))
     graft.sources.ModelIndex.buildTable(
       bgc.join(pfx, "w1")
-        .select(col("bigram"), expr("(cb * 1000000) DIV cp").as("p_micro")),
+        .select(col("bigram"), expr("(cb * 1000000) DIV cp").as("p_micro"),
+          col("cb")),
       target, "lm-bigram", "bigram", "p_micro",
       "corpus bigram continuation counts", docs.count(),
       signalMicro = 0L)
@@ -1842,20 +1877,77 @@ object TextQueries {
       fitLmModel(Tables.load(s, dir, "documents"), target)
     }
 
+  /** Bounded hot-head size for the LM model's serving split: the top
+    * [[LmHotBigrams]] bigrams by fit-corpus mass (the pinned `cb`
+    * column) ride into generated code as a bound hash table — a
+    * driver-bounded collect of exactly this many (bigram, p_micro)
+    * rows — so the Zipf-overwhelming share of occurrences scores
+    * IN-ROW and never shuffles. Correctness is split-independent —
+    * both paths read the same pinned p_micro — so the knob tunes IO,
+    * never rows. */
+  private[graft] val LmHotBigrams: Int = 1 << 18
+
+  /** The hot head: top-`k` model rows by pinned fit-time mass, as the
+    * literal map [[graft.functions.LmBigramHotExpr]] binds — a
+    * driver-bounded collect of exactly `k` (bigram, p_micro) rows. */
+  private[graft] def lmHotHead(model: org.apache.spark.sql.DataFrame,
+                               k: Int): Map[String, Long] =
+    model.orderBy(desc("cb"), col("bigram"))
+      .limit(k)
+      .select("bigram", "p_micro")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** The r16 LM serving chain, parameterized by the hot head so the
+    * spec can force a TINY head and exercise the cold tail (at the
+    * gate SFs the default head covers every bigram): hot occurrences
+    * score in-row ([[graft.functions.LmBigramHotExpr]]), cold
+    * occurrences explode into a left join against the model table,
+    * and n_bigrams counts matched occurrences only — the wholesale
+    * inner join's semantics row-for-row, whatever the split. */
+  private[graft] def lmScoreServed(docs: org.apache.spark.sql.DataFrame,
+                                   model: org.apache.spark.sql.DataFrame,
+                                   hotMap: Map[String, Long])
+      : org.apache.spark.sql.DataFrame = {
+    val st = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.LmBigramHotExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(
+          graft.operators.TextAnalysis.tokens(col("text"))),
+        hotMap))
+    docs
+      .select(col("doc_id"), st.as("__lm"))
+      .select(col("doc_id"), col("__lm.n_hot").as("n_hot"),
+        col("__lm.sp_hot").as("sp_hot"),
+        explode_outer(col("__lm.cold")).as("bigram"))
+      .join(model.select("bigram", "p_micro"), Seq("bigram"), "left")
+      .groupBy("doc_id")
+      .agg(max("n_hot").as("n_hot"), max("sp_hot").as("sp_hot"),
+        count("p_micro").as("n_cold"), sum("p_micro").as("sp_cold"))
+      .withColumn("sp_cold", coalesce(col("sp_cold"), lit(0L)))
+      .withColumn("n_bigrams", col("n_hot") + col("n_cold"))
+      .filter(col("n_bigrams") > 0)
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(sp_hot + sp_cold) DIV n_bigrams").as("lm_score_micro"))
+      .orderBy("doc_id")
+  }
+
   val txtLmScore = Q("txt_lm_score",
     (s, dir) => {
       // served from the persisted model layout (the fit is pinned once
       // per fixture; at 100 TB it is a versioned corpus pass, not a
-      // per-query memo) — same rows as fitting in-plan
+      // per-query memo) — same rows as fitting in-plan. r16: the
+      // corpus ⋈ corpus-sized-model join (the suite's worst 1000×
+      // probe, 148 s) is split on the pinned fit-time mass column:
+      // the HOT head (top LmHotBigrams by cb) scores in-row through
+      // [[graft.functions.LmBigramHotExpr]] — one documents scan, no
+      // bigram explode, no (doc, bigram) aggregation, no shuffle for
+      // the hot mass — and only COLD-tail occurrences explode into
+      // the join against the model table. Σ p over occurrences equals
+      // Σ k·p over distinct bigrams, and n_bigrams counts matched
+      // occurrences only (the old inner join's semantics), so rows
+      // are unchanged by construction (the DuckDB oracle is the gate).
       val model = graft.sources.ModelIndex.table(s, lmModelDir(s, dir))
-      bigramsOf(Tables.load(s, dir, "documents"))
-        .join(model, "bigram")
-        .groupBy("doc_id")
-        .agg(sum("k").as("n_bigrams"),
-          sum(col("k") * col("p_micro")).as("sp"))
-        .select(col("doc_id"), col("n_bigrams"),
-          expr("sp DIV n_bigrams").as("lm_score_micro"))
-        .orderBy("doc_id")
+      lmScoreServed(Tables.load(s, dir, "documents"), model,
+        lmHotHead(model, LmHotBigrams))
     },
     Some("""
       WITH toks AS (
@@ -2078,15 +2170,24 @@ object TextQueries {
     * [[graft.operators.TextAnalysis.fitBigramRatioWeights]] LUT over
     * the stopword-density teacher, with the fit-time teacher
     * disagreement pinned as the maintain signal. */
-  private[graft] def fitClassifierModel(
-      docs: org.apache.spark.sql.DataFrame, target: String): Unit = {
+  /** The classifier's weight derivation — ONE definition shared by the
+    * persisted fit ([[fitClassifierModel]]) and the router's in-plan
+    * fallback ([[routedClassifierWeights]]), so the two can never
+    * drift. */
+  private[graft] def classifierFitWeights(
+      docs: org.apache.spark.sql.DataFrame): Seq[Long] = {
     val en = graft.operators.TextAnalysis.stopwords.toMap.apply("en")
-    val w = graft.operators.TextAnalysis.fitBigramRatioWeights(
+    graft.operators.TextAnalysis.fitBigramRatioWeights(
       docs.select(graft.operators.Dedup.tokens(col("text")).as("tk"))
         .withColumn("label",
           graft.operators.TextAnalysis.hitCount(col("tk"), en) * 10
             >= size(col("tk"))),
       "tk", "label")
+  }
+
+  private[graft] def fitClassifierModel(
+      docs: org.apache.spark.sql.DataFrame, target: String): Unit = {
+    val w = classifierFitWeights(docs)
     val (n, d) = classifierDisagreement(docs, w)
     graft.sources.ModelIndex.buildLut(docs.sparkSession, w, target,
       "quality-classifier",
@@ -2120,12 +2221,29 @@ object TextQueries {
     }
 
   /** The served classifier LUT (per-JVM memo of the persisted layout's
-    * bounded weight read — deterministic, gate-safe). */
+    * bounded weight read — deterministic, gate-safe), ROUTED: the
+    * memoized layout is the declaration, and
+    * [[graft.sources.ModelRouter.lutOr]]'s in-plan fallback is the
+    * same deterministic fit — so `pipe_curate_indexed`'s quality gate
+    * and `txt_classify_trained` follow the declare-once law
+    * (spec-pinned identical in both declaration states). */
   private val nbCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
   private[graft] def trainedWeights(s: SparkSession, dir: String): Seq[Long] =
     nbCache.computeIfAbsent(dir, _ =>
-      graft.sources.ModelIndex.lut(s, classifierModelDir(s, dir)))
+      routedClassifierWeights(s, Tables.load(s, dir, "documents"),
+        Seq(classifierModelDir(s, dir))))
+
+  /** Classifier weight LUT by declaration with the in-plan fit as the
+    * fallback (the [[graft.sources.ModelRouter]] law;
+    * [[classifierFitWeights]] is the one weight definition both
+    * states share). */
+  private[graft] def routedClassifierWeights(
+      s: SparkSession, docs: org.apache.spark.sql.DataFrame,
+      declared: Seq[String]): Seq[Long] =
+    graft.sources.ModelRouter.lutOr(s, declared, "quality-classifier") {
+      classifierFitWeights(docs)
+    }
 
   /** TRAINED hashed-feature quality classifier — closes the learned-gate
     * loop txt_classify (stand-in weights) and pipe_dsir (single-class
@@ -2285,7 +2403,8 @@ object TextQueries {
     sketchDistinct, sketchCm, sketchQuantile, txtDecontam, pipePack,
     txtPii, txtBpePairs,
     txtBpeTrain, txtBpeEncode,
-    txtFreqScore, txtFreqScoreIndexed, pipeMix, txtNovelty, txtLmScore,
+    txtFreqScore, txtFreqScoreIndexed, txtFreqScoreRouted, pipeMix,
+    txtNovelty, txtLmScore,
     pipeCurriculum,
     txtIdfKeywords, pipeMask, txtClassify, pipeDsir, txtClassifyTrained,
     txtDecontamSemantic)

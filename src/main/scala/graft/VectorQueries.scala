@@ -118,23 +118,34 @@ object VectorQueries {
     * `filter.must: match.phrase` + query composite), the phrase side
     * served from the POSITIONAL postings layout
     * ([[graft.sources.LexIndex.phraseMatches]] — adjacency from
-    * intersected position lists, corpus text never read): matching ids
-    * semi-join the vector scan, then the ordinary exact top-10. The
-    * dense side stays a full scan of the FILTERED rows rather than the
-    * exact-bound candidate stage, deliberately: the bound's θ is an
-    * order statistic of the WHOLE collection, so its superset guarantee
-    * does not survive an arbitrary filter (a filtered top-10 can sit
-    * entirely below the global θ) — the same reason v_auto_filtered
-    * routes around the candidate stage. Oracle: brute force over the
-    * documents ⋈ embeddings join with the in-plan phrase predicate. */
+    * intersected position lists, corpus text never read), the dense
+    * side from the FILTER-SCOPED exact-bound candidate stage
+    * ([[graft.sources.QuantIndex.cosineCandidates]] with the phrase
+    * ids as the scope — r16, the r15 verdict's top item): θ and the
+    * guaranteed superset are computed WITHIN the phrase-matching
+    * population (the codes scan semi-joins the phrase ids before the θ
+    * heap — both jobs see the same population, so the superset proof
+    * holds under the filter), then the exact top-10 rescores only the
+    * candidates' full vectors. Neither stage reads the corpus text or
+    * the filtered rows' full vector column — the whole composite
+    * serves from postings + codes slivers + ≤ candidates full rows,
+    * where the r15 serving scanned every filtered row's embedding
+    * (the one dense path that still grew with the collection). Oracle:
+    * brute force over the documents ⋈ embeddings join with the in-plan
+    * phrase predicate — UNCHANGED from the full-scan serving. */
   val vKnnPhraseIndexed = Q("v_knn_phrase_indexed",
     (s, dir) => {
       val matched = graft.sources.LexIndex.phraseMatches(
           s, lexIndexDir(s, dir), Seq("scan", "query"))
         .withColumnRenamed("doc_id", "vec_id")
+      val qv = queryVec(s, dir, 0)
+      val cands = graft.sources.QuantIndex
+        .cosineCandidates(s, quantIndexDir(s, dir), qv, 10,
+          scope = Some(matched))
+        .select("vec_id")
       val emb = Tables.load(s, dir, "embeddings")
-        .join(matched, Seq("vec_id"), "left_semi")
-      Knn.knn(emb, "embedding", queryVec(s, dir, 0), 10)
+      Knn.knn(graft.operators.GraphAnn.inIdsFrame(emb, "vec_id", cands),
+          "embedding", qv, 10)
         .select("vec_id", "label", "score")
     },
     Some(s"""
@@ -1418,6 +1429,117 @@ object VectorQueries {
     },
     vHybridDbsf.oracle)
 
+  /** One request's DBSF chain as DuckDB CTEs — the `v_hybrid_dbsf`
+    * oracle verbatim, parameterized by request id, vector id and term
+    * set (CTE names suffixed), ending at `g$i(query_id, doc_id,
+    * nt_micro, nv_micro, dbsf_micro)`. */
+  private def dbsfLegSql(i: Int, vecId: Long,
+                         terms: Seq[String]): String = {
+    val lst = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    val qv = s"(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings " +
+      s"WHERE vec_id = $vecId)"
+    s"""
+      t$i AS (
+        SELECT doc_id,
+               len(list_filter(
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> ''),
+                 x -> list_contains($lst, x))) AS score_t
+        FROM documents),
+      tt$i AS (
+        SELECT doc_id, score_t FROM (
+          SELECT doc_id, score_t,
+                 ROW_NUMBER() OVER (ORDER BY score_t DESC, doc_id) AS r
+          FROM t$i) WHERE r <= 100),
+      ts$i AS (SELECT COUNT(*) AS n, CAST(SUM(score_t) AS BIGINT) AS s1,
+                      CAST(SUM(score_t * score_t) AS BIGINT) AS s2
+               FROM tt$i),
+      tn$i AS (
+        SELECT doc_id,
+               CASE WHEN n * s2 - s1 * s1 = 0 THEN 500000
+                 ELSE CAST(floor(
+                   (CAST(n * score_t - s1 AS DOUBLE)
+                      + 3.0 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)))
+                     / (6.0 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)))
+                     * 1000000 + 0.5) AS BIGINT) END AS nt_micro
+        FROM tt$i, ts$i),
+      v$i AS (
+        SELECT vec_id AS doc_id,
+               CAST(floor(list_cosine_similarity(
+                 CAST(embedding AS DOUBLE[]), $qv) * 1000000 + 0.5)
+                 AS BIGINT) AS score_v
+        FROM embeddings),
+      vv$i AS (
+        SELECT doc_id, score_v FROM (
+          SELECT doc_id, score_v,
+                 ROW_NUMBER() OVER (ORDER BY score_v DESC, doc_id) AS r
+          FROM v$i) WHERE r <= 100),
+      vs$i AS (SELECT COUNT(*) AS n, CAST(SUM(score_v) AS BIGINT) AS s1,
+                      CAST(SUM(score_v * score_v) AS BIGINT) AS s2
+               FROM vv$i),
+      vn$i AS (
+        SELECT doc_id,
+               CASE WHEN n * s2 - s1 * s1 = 0 THEN 500000
+                 ELSE CAST(floor(
+                   (CAST(n * score_v - s1 AS DOUBLE)
+                      + 3.0 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)))
+                     / (6.0 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)))
+                     * 1000000 + 0.5) AS BIGINT) END AS nv_micro
+        FROM vv$i, vs$i),
+      g$i AS (
+        SELECT CAST($i AS BIGINT) AS query_id,
+               COALESCE(tn.doc_id, vn.doc_id) AS doc_id,
+               COALESCE(nt_micro, 0) AS nt_micro,
+               COALESCE(nv_micro, 0) AS nv_micro,
+               COALESCE(nt_micro, 0) + COALESCE(nv_micro, 0)
+                 AS dbsf_micro
+        FROM tn$i tn FULL OUTER JOIN vn$i vn ON vn.doc_id = tn.doc_id
+        ORDER BY dbsf_micro DESC, doc_id LIMIT 10)"""
+  }
+
+  /** BATCHED indexed DBSF hybrid — the batching law's LAST fusion kind
+    * (r15 verdict "What's missing" #3): N hybrid requests (vector +
+    * term set) share ONE pruned postings scan for the keyword legs
+    * ([[graft.sources.LexIndex.termCountScoresMulti]] +
+    * [[graft.sources.LexIndex.rankedTopNMulti]] — the zero-tail ranked
+    * lists DBSF normalizes, exactly the single key's
+    * [[graft.sources.LexIndex.rankedTopN]] shape) and the two
+    * codes-only candidate scans for the dense legs
+    * ([[vectorTopNIndexedMulti]]), then fuse per query by each list's
+    * OWN μ±3σ band ([[graft.operators.Fusion.dbsfFuseMulti]] — the
+    * per-query stats are N bounded rows). Request 0 is byte-identical
+    * to the single `v_hybrid_dbsf_indexed` serving (same vector, same
+    * terms — spec-pinned); the oracle replays all three DBSF chains
+    * and unions. */
+  val vHybridDbsfMultiIndexed = Q("v_hybrid_dbsf_multi_indexed",
+    (s, dir) => {
+      val reqs = AutoQueries.hybridBatch(s, dir)
+      val lex = lexIndexDir(s, dir)
+      val hits = graft.sources.LexIndex.termCountScoresMulti(s, lex,
+        reqs.map(r => r._1 -> r._3))
+      val tTops = graft.sources.LexIndex.rankedTopNMulti(s, hits,
+          Tables.load(s, dir, "documents").select("doc_id"),
+          "doc_id", "score_t", 100, "r_t", reqs.map(_._1))
+        .select("query_id", "doc_id", "score_t")
+      val vTops = vectorTopNIndexedMulti(s, dir, quantIndexDir(s, dir),
+          reqs.map(r => r._1 -> r._2), 100)
+        .select(col("query_id"), col("doc_id"),
+          col("score_vm").as("score_v"))
+      graft.operators.Fusion.dbsfFuseMulti(tTops, vTops)
+    },
+    Some {
+      val legs = Seq((0, 0L, Seq("data", "query", "table")),
+        (1, 3L, Seq("scan", "index")),
+        (2, 7L, Seq("the", "of", "data")))
+      s"""
+      WITH ${legs.map { case (i, v, ts) => dbsfLegSql(i, v, ts) }
+          .mkString(",")}
+      SELECT query_id, doc_id, nt_micro, nv_micro, dbsf_micro FROM (
+        ${legs.map { case (i, _, _) => s"SELECT * FROM g$i" }
+          .mkString(" UNION ALL ")})
+      ORDER BY query_id, dbsf_micro DESC, doc_id"""
+    })
+
   /** Scalar quantization (the public Qdrant int8 compression scheme) as a
     * declared query: per-vector min-max range in micro units + the code
     * checksum — the oracle replays the affine int8 map bit-for-bit
@@ -2036,6 +2158,7 @@ object VectorQueries {
     vKnnGeoSelRouted, vKnnGeoRadius,
     vL2, vManhattan, vDot, vFusion, vFusionPartial, vMaxsim, vHybridRrf,
     vHybridDbsf, vHybridRrfIndexed, vHybridDbsfIndexed,
+    vHybridDbsfMultiIndexed,
     vSqQuantize, vSqSearch, vBqSearch, vPrefetch,
     vSqSearchIndexed, vBqSearchIndexed, vBqSearchMulti, vPrefetchIndexed,
     vMrlSearch, vMrlSearchIndexed, vScoreBoost, collStats)

@@ -468,6 +468,104 @@ case class TokensNgramScoreExpr(child: Expression, weights: Seq[Long],
     copy(child = newChild)
 }
 
+/** Runtime helper for [[LmBigramHotExpr]] — same plain-JVM contract as
+  * [[NgramScoreUtil]]. Bigram formation mirrors the relational
+  * `explodedBigrams` chain exactly: consecutive token pairs joined by
+  * one space; a pair touching a null token is skipped (its SQL concat
+  * is a NULL bigram, which the model join drops). */
+object LmScoreUtil {
+  private val Space =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** One pass over the token array: occurrences whose bigram sits in
+    * the bounded HOT table accumulate (count, Σ p_micro) in-row —
+    * Σ over occurrences equals the relational Σ k·p over distinct
+    * bigrams — and the misses come back as the COLD occurrence list
+    * for the join-served tail. Returns struct
+    * (n_hot, sp_hot, cold ARRAY<STRING>). */
+  def score(tokens: ArrayData,
+            hot: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+              java.lang.Long])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = tokens.numElements()
+    var nHot = 0L
+    var sp = 0L
+    val cold = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < n - 1) {
+      if (!tokens.isNullAt(i) && !tokens.isNullAt(i + 1)) {
+        val bg = org.apache.spark.unsafe.types.UTF8String.concat(
+          tokens.getUTF8String(i), Space, tokens.getUTF8String(i + 1))
+        val p = hot.get(bg)
+        if (p != null) { nHot += 1; sp += p.longValue() }
+        else cold.add(bg)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nHot, sp,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          cold.toArray)))
+  }
+}
+
+/** Fused tokens → LM hot-head scoring ([[LmScoreUtil.score]]): the
+  * bounded top-mass slice of the bigram model rides into generated
+  * code as a bound hash table (the [[TokensNgramScoreExpr]]
+  * addReferenceObj discipline), so the overwhelming Zipf share of
+  * bigram occurrences scores IN-ROW — no explode, no (doc, bigram)
+  * aggregation, no corpus-sized shuffle — and only the cold tail
+  * leaves the row for the join-served model table. The struct output
+  * carries the per-document hot partials plus the cold occurrence
+  * list the caller explodes. */
+case class LmBigramHotExpr(child: Expression, hot: Map[String, Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_hot",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sp_hot",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("cold",
+      ArrayType(org.apache.spark.sql.types.StringType,
+        containsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"lm_hot_score needs array<string>, got ${dt.catalogString}")
+  }
+
+  override def prettyName: String = "graft_lm_hot_score"
+
+  @transient private lazy val jmap
+      : java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+        java.lang.Long] = {
+    val m = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, java.lang.Long](
+      math.max(16, hot.size * 2))
+    hot.foreach { case (k, v) =>
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(k),
+        java.lang.Long.valueOf(v))
+    }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    LmScoreUtil.score(input.asInstanceOf[ArrayData], jmap)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("lmHot", jmap, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.LmScoreUtil.score($a, $mRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Runtime helper for [[ArgminCellExpr]] — same plain-JVM contract as
   * [[NgramScoreUtil]] (one JIT-compiled loop shared by the interpreted
   * and codegen paths). The compare is bit-identical to the distributed

@@ -115,6 +115,54 @@ object Fusion {
       .limit(topN)
       .select("doc_id", "nt_micro", "nv_micro", "dbsf_micro")
 
+  /** BATCHED [[dbsfNormalize]]: the list carries a `query_id` column
+    * (N per-query bounded score lists in one frame) and each query
+    * normalizes by ITS OWN list's μ±3σ — the per-query (n, Σs, Σs²)
+    * ride a grouped aggregate (N bounded rows, broadcast back), the
+    * band expression is the single-query one verbatim. Per query the
+    * rows equal [[dbsfNormalize]] on that query's list (spec-pinned
+    * via the fused key's per-query-equals-single contract). */
+  def dbsfNormalizeMulti(list: DataFrame, scoreCol: String,
+                         outCol: String): DataFrame = {
+    val s = col(scoreCol).cast("long")
+    val stats = list.groupBy("query_id").agg(count(lit(1)).as("__n"),
+      sum(s).as("__s1"), sum(s * s).as("__s2"))
+    val varN2 = col("__n") * col("__s2") - col("__s1") * col("__s1")
+    val sd = sqrt(varN2.cast("double"))
+    list.join(broadcast(stats), "query_id")
+      .withColumn(outCol,
+        when(varN2 === 0, lit(500000L))
+          .otherwise(floor(
+            ((col("__n") * s - col("__s1")).cast("double") + lit(3.0) * sd)
+              / (lit(6.0) * sd) * 1000000 + lit(0.5)).cast("long")))
+      .drop("__n", "__s1", "__s2")
+  }
+
+  /** BATCHED [[dbsfFuse]]: both sides carry `query_id`, each query's
+    * sides normalize by their own bands ([[dbsfNormalizeMulti]]), fuse
+    * is a full outer join on (query_id, doc_id) + a per-query bounded
+    * top-`topN` window — the [[rrfFuseMulti]] shape with the DBSF
+    * normalization. Per query the rows equal the single-query
+    * [[dbsfFuse]] of that query's lists. */
+  def dbsfFuseMulti(tList: DataFrame, vList: DataFrame,
+                    topN: Int = 10): DataFrame =
+    dbsfNormalizeMulti(tList, "score_t", "nt_micro")
+      .select("query_id", "doc_id", "nt_micro")
+      .join(dbsfNormalizeMulti(vList, "score_v", "nv_micro")
+        .select("query_id", "doc_id", "nv_micro"),
+        Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("dbsf_micro",
+        coalesce(col("nt_micro"), lit(0L)) +
+          coalesce(col("nv_micro"), lit(0L)))
+      .withColumn("nt_micro", coalesce(col("nt_micro"), lit(0L)))
+      .withColumn("nv_micro", coalesce(col("nv_micro"), lit(0L)))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(desc("dbsf_micro"), col("doc_id"))))
+      .filter(col("__rk") <= topN)
+      .select("query_id", "doc_id", "nt_micro", "nv_micro", "dbsf_micro")
+      .orderBy(col("query_id"), desc("dbsf_micro"), col("doc_id"))
+
   /** Reciprocal-rank fusion of two ranked lists (doc_id, r_t) and
     * (doc_id, r_v): full outer join — a doc contributes 1/(rrfK + r) per
     * list it appears in, rank 0 marks absence — top `topN` by fused

@@ -73,7 +73,10 @@ import org.apache.spark.sql.functions._
   * split), and the in-plan twins ([[graft.operators.TextAnalysis]]
   * `.bm25`, the keyword-count leg's `array_contains`) match their term
   * literals against those tokens verbatim too — normalizing here would
-  * DIVERGE from the twins on a cased query term, not fix it.
+  * DIVERGE from the twins on a cased query term, not fix it. The ONE
+  * exception is [[phraseMatches]], whose in-plan twin (the
+  * `match.phrase` DSL clause) normalizes its query STRING with the
+  * build tokenizer — the indexed path normalizes identically (r16).
   */
 object LexIndex {
 
@@ -300,20 +303,31 @@ object LexIndex {
     * no candidates-then-verify fetch of the document rows (the
     * [[graft.sources.SparseIndex]] phrase path's verify step), which is
     * what lets a phrase filter run over collections whose text is cold
-    * storage. Returns the matching ids (one column). */
+    * storage. The phrase normalizes through the build tokenizer
+    * (lowercase + whitespace split — each input element may be one
+    * term or a whole phrase string), matching the in-plan
+    * `match.phrase` twin's query normalization exactly. Returns the
+    * matching ids (one column). */
   def phraseMatches(spark: SparkSession, dir: String,
                     phrase: Seq[String]): DataFrame = {
-    require(phrase.nonEmpty, "phraseMatches needs ≥ 1 term")
+    // normalize with the BUILD tokenizer (lowercase + whitespace split
+    // — TextAnalysis.tokens), exactly as the in-plan match.phrase twin
+    // normalizes its query string (PayloadFilter): before r16 a
+    // mixed-case or multi-word term silently returned no matches
+    // because stored tokens are lowercased single words (r15 ADVICE)
+    val terms = phrase.flatMap(
+      _.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    require(terms.nonEmpty, "phraseMatches needs ≥ 1 term")
     val m = metaOf(dir)
     requireCurrentLayout(dir, "serving phrase matches")
-    val legs = phrase.zipWithIndex.map { case (t, i) =>
+    val legs = terms.zipWithIndex.map { case (t, i) =>
       ServedReads.of(spark, dir)
         .filter(col("tgrp") === tgrpOf(t) && col("tok") === t)
         .select(col(m.idCol),
           transform(col("pos"), p => p - i).as(s"__p$i"))
     }
     val joined = legs.reduce((a, b) => a.join(b, Seq(m.idCol)))
-    val common = phrase.indices.map(i => col(s"__p$i"))
+    val common = terms.indices.map(i => col(s"__p$i"))
       .reduce((a, b) => array_intersect(a, b))
     joined.filter(size(common) > 0).select(col(m.idCol))
   }
@@ -518,7 +532,20 @@ object LexIndex {
           uniIds.filterNot(seen).take(n - hs.length)
             .map(id => org.apache.spark.sql.Row(q, id, 0L))
         }
-      (hit ++ fill).zipWithIndex.map { case (r, i) =>
+      // rank the ASSEMBLED list by (score DESC, id ASC) — the exact
+      // ordering rankedTopN's union window applies. Hits-then-fill
+      // would differ when a hit's score is exactly 0 (theoretically
+      // reachable for bm25_micro after integral-divide flooring): the
+      // single-query verb interleaves 0-score hits with fill rows by
+      // id (r15 ADVICE). Ids compare via their natural Comparable
+      // order (long or string — the layout's two id shapes).
+      val ranked = (hit ++ fill).sortWith { (a, b) =>
+        val (sa, sb) = (a.getLong(2), b.getLong(2))
+        if (sa != sb) sa > sb
+        else a.get(1).asInstanceOf[Comparable[Any]]
+          .compareTo(b.get(1).asInstanceOf[Comparable[Any]]) < 0
+      }
+      ranked.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), i + 1)
       }
     }

@@ -372,10 +372,25 @@ object QuantIndex {
     * cosine is NULL in-plan and a NULL never outranks a scored row;
     * they could only surface in a top-n over a collection with < n
     * scoreable rows, where this verb already returns every scoreable
-    * row because θ is the minimum lower bound). Returns
-    * (idCol, lb, ub). */
+    * row because θ is the minimum lower bound).
+    *
+    * `scope` — the FILTER-SCOPED form (the r15 verdict's open dense
+    * path: Qdrant's filtered search with quantization enabled): a
+    * one-column id frame naming the filtered population. The bound
+    * survives scoping because BOTH jobs see the same population — the
+    * codes scan semi-joins the scope ids BEFORE the θ heap, so θ is
+    * the n-th largest lower bound WITHIN the filter and the ub ≥ θ
+    * rows are a guaranteed superset of the filtered exact top-n (the
+    * unscoped proof verbatim, quantified over the scoped rows). What
+    * this buys at scale: a filter-composed exact search reads the
+    * filter's own pruned columns + the codes sliver, never the full
+    * vector column of the filtered rows — the one dense serving path
+    * that previously grew with the collection. Stage-1 ReadSchema on
+    * the codes table is unchanged (the semi-join adds the scope's own
+    * scan, separately pruned). Returns (idCol, lb, ub). */
   def cosineCandidates(spark: SparkSession, dir: String,
-                       query: Seq[Double], n: Int): DataFrame = {
+                       query: Seq[Double], n: Int,
+                       scope: Option[DataFrame] = None): DataFrame = {
     val m = metaOf(dir)
     require(query.length == m.dim,
       s"query dim ${query.length} != index dim ${m.dim}")
@@ -384,7 +399,12 @@ object QuantIndex {
     // unrefreshed buckets read it as NULL — only the stamped generation
     // proves every bucket carries it
     requireCurrentLayout(dir, "serving exact-bound candidates")
-    val base = read(spark, dir)
+    val base = scope match {
+      case Some(sc) =>
+        read(spark, dir).join(sc.select(col(m.idCol)), Seq(m.idCol),
+          "left_semi")
+      case None => read(spark, dir)
+    }
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     val qL1 = query.map(math.abs).sum
     require(qNorm > 0, "cosine candidates need a non-zero query vector")
@@ -425,9 +445,13 @@ object QuantIndex {
     * filters the broadcast-joined upper bounds. Per query the
     * candidate set is IDENTICAL to the single-query verb
     * (spec-pinned); the job budget is independent of the batch size.
-    * Returns (query_id, idCol, lb, ub). */
+    * `scope` composes exactly as in [[cosineCandidates]] — one shared
+    * filter population semi-joined before every query's θ heap (the
+    * shared-filter `query_batch_points` shape), per-query supersets
+    * within the filter. Returns (query_id, idCol, lb, ub). */
   def cosineCandidatesMulti(spark: SparkSession, dir: String,
-                            queries: Seq[(Long, Seq[Double])], n: Int)
+                            queries: Seq[(Long, Seq[Double])], n: Int,
+                            scope: Option[DataFrame] = None)
       : DataFrame = {
     val m = metaOf(dir)
     queries.foreach { case (qid, q) => require(q.length == m.dim,
@@ -438,7 +462,12 @@ object QuantIndex {
       "cosineCandidatesMulti")
     // the layout stamp, not a schema sniff (see cosineCandidates)
     requireCurrentLayout(dir, "serving exact-bound candidates")
-    val base = read(spark, dir)
+    val base = scope match {
+      case Some(sc) =>
+        read(spark, dir).join(sc.select(col(m.idCol)), Seq(m.idCol),
+          "left_semi")
+      case None => read(spark, dir)
+    }
     val consts = queries.map { case (qid, q) =>
       val qn = math.sqrt(q.map(x => x * x).sum)
       require(qn > 0, s"query $qid: cosine candidates need a non-zero " +

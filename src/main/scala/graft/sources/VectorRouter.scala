@@ -71,15 +71,26 @@ import graft.operators.GraphAnn
   *    visited set where post-filtering a k-beam under-returns.
   *    Oracle-gated (`v_auto_filtered_graph` replays the per-round
   *    scored-set union);
-  *  - above the threshold, code-based kinds (quant/ivfpq): ANN
-  *    candidates (oversampled), the full DSL residual on the
-  *    candidates, exact top-k. Honest contract: this is candidate
-  *    POST-filtering — recall-bounded like every oversampling-based
-  *    filtered-ANN scheme, and may return fewer than `k` rows when the
-  *    filter kills most candidates (their stage-1 runs on codes
-  *    sidecars that carry no payload to filter DURING the scan; the
-  *    scan-plan branch below the threshold is exact). Spec-gated (plan
-  *    choice + row containment), not oracle-gated.
+  *  - above the threshold, QUANT declaration: FILTER-SCOPED EXACT-BOUND
+  *    serving (r16 — Qdrant's filtered search with quantization
+  *    enabled): the predicate's id population (a pruned payload-column
+  *    scan) scopes the codes-sidecar quantization-error bound — θ and
+  *    the guaranteed superset are computed WITHIN the filtered rows
+  *    ([[QuantIndex.cosineCandidates]]'s scope contract), then the
+  *    exact stage rescores only the candidates. EXACT, row-identical
+  *    to brute force over the filtered points (oracle-gated:
+  *    `v_auto_filtered_quant`), and the only full-vector bytes read
+  *    are the candidates' — the filtered dense path no longer grows
+  *    with the collection;
+  *  - above the threshold, ivfpq: ANN candidates (oversampled), the
+  *    full DSL residual on the candidates, exact top-k. Honest
+  *    contract: this is candidate POST-filtering — recall-bounded like
+  *    every oversampling-based filtered-ANN scheme, and may return
+  *    fewer than `k` rows when the filter kills most candidates (its
+  *    stage-1 prunes to nprobe cells, which carry no payload to filter
+  *    during the scan, and a cell-pruned scan cannot host a
+  *    whole-population θ). Spec-gated (plan choice + row containment),
+  *    not oracle-gated.
   *
   * == Output contract ==
   *
@@ -167,8 +178,29 @@ object VectorRouter {
             GraphAnn.beamSearchIndexedFiltered(points, idCol, vecCol, dir,
                 query, params.beam, params.rounds, k, pred)
               .select(col("id").as(idCol), col("score_micro"))
+          case Some(("quant", dir)) if estimate > params.scanThreshold =>
+            // FILTER-SCOPED EXACT-BOUND serving (r16 — the quant kind's
+            // filtered search is EXACT, not candidate post-filtering):
+            // the predicate's id population (a pruned payload-column
+            // scan, never the vector column) scopes the codes-sidecar
+            // bound — θ and the guaranteed superset are computed WITHIN
+            // the filtered rows ([[QuantIndex.cosineCandidates]] scope
+            // contract) — then the exact stage rescores only the
+            // candidates' full vectors. Row-identical to brute force
+            // over the filtered points (oracle-gated:
+            // v_auto_filtered_quant), at codes-sliver stage-1 IO.
+            val m = QuantIndex.metaOf(dir)
+            val scope = points.filter(pred)
+              .select(col(idCol).as(m.idCol))
+            val cands = QuantIndex
+              .cosineCandidates(spark, dir, query, k, Some(scope))
+              .select(col(m.idCol).as(idCol))
+            exactTopK(GraphAnn.inIdsFrame(points, idCol, cands), idCol,
+              vecCol, query, k)
           case Some((kind, dir)) if estimate > params.scanThreshold =>
-            // candidate post-filtering (see scaladoc: recall-bounded)
+            // candidate post-filtering (see scaladoc: recall-bounded —
+            // the ivfpq kind; quant and graph serve filtered-exact and
+            // filtered-traversal above)
             val candIds =
               annCandidateIds(spark, points, idCol, vecCol, kind, dir,
                 query, k, params)
@@ -249,8 +281,25 @@ object VectorRouter {
                 resultPred = Some(pred))
               .select(col("query_id"), col("id").as(idCol),
                 col("score_micro"))
+          case Some(("quant", dir)) if estimate > params.scanThreshold =>
+            // batched FILTER-SCOPED EXACT-BOUND serving (r16): one
+            // shared scope population (the filter is per batch), all
+            // queries through the two scoped codes-only scans
+            // ([[QuantIndex.cosineCandidatesMulti]] with scope), one
+            // union-pool exact rescore — per query identical to the
+            // single-query filtered route (spec-gated)
+            val m = QuantIndex.metaOf(dir)
+            val scope = points.filter(pred)
+              .select(col(idCol).as(m.idCol))
+            rescoreMulti(points, idCol, vecCol,
+              QuantIndex
+                .cosineCandidatesMulti(spark, dir, queries, k,
+                  Some(scope))
+                .select(col("query_id"), col(m.idCol).as(idCol)),
+              queries, k, byMicro = false)
           case Some((kind, dir)) if estimate > params.scanThreshold =>
-            // candidate post-filtering (recall-bounded, see scaladoc)
+            // candidate post-filtering (recall-bounded, see scaladoc —
+            // the ivfpq kind)
             rescoreMulti(points.filter(pred), idCol, vecCol,
               annCandidatesMulti(spark, points, idCol, vecCol, kind, dir,
                 queries, k, params),

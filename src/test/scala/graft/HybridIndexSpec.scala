@@ -53,6 +53,54 @@ class HybridIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cosineCandidates with a SCOPE: θ and the superset live within " +
+       "the filtered population (covers the scoped exact top-n, every " +
+       "candidate passes the filter, no embedding bytes in any scan), " +
+       "and the batched form matches per query") {
+    val scope = emb.filter(col("label") === 3).select(col("vec_id"))
+    val scopeIds = scope.collect().map(_.getLong(0)).toSet
+    for (q <- Seq(0L, 7L)) {
+      val query = qv(q)
+      // the scoped exact top-10 can sit entirely below the GLOBAL θ —
+      // exactly the case the scope parameter exists for
+      val exact = emb.filter(col("label") === 3)
+        .withColumn("m", floor(graft.functions.VectorOps.cosine(
+          col("embedding"), typedLit(query)) * 1e6 + lit(0.5)).cast("long"))
+        .orderBy(desc("m"), col("vec_id"))
+        .limit(10).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val cands = QuantIndex.cosineCandidates(spark, quantDir, query, 10,
+        scope = Some(scope))
+      val candIds = cands.select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(exact.subsetOf(candIds),
+        s"query $q: scoped exact top-10 not covered — missing " +
+          s"${(exact -- candIds).take(5)}")
+      assert(candIds.subsetOf(scopeIds),
+        s"query $q: a candidate escaped the scope")
+      // the candidate stage still never reads a vector column — the
+      // scope side is its own pruned scan (vec_id+label only here)
+      val plan = cands.queryExecution.executedPlan.toString
+      val rs = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+      assert(rs.nonEmpty && rs.forall(!_.contains("embedding")),
+        s"scoped stage-1 reads a vector column:\n$plan")
+    }
+    // batched scoped == single scoped per query (the shared-filter
+    // query_batch_points contract)
+    val qs = Seq(0L, 7L).map(i => i -> qv(i))
+    val multi = QuantIndex.cosineCandidatesMulti(spark, quantDir, qs, 10,
+        scope = Some(scope))
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    qs.foreach { case (qid, query) =>
+      val single = QuantIndex
+        .cosineCandidates(spark, quantDir, query, 10, Some(scope))
+        .select("vec_id").collect().map(r => (qid, r.getLong(0))).toSet
+      assert(multi.filter(_._1 == qid) == single,
+        s"query $qid: batched scoped candidates != single")
+    }
+  }
+
   test("cosineCandidates stage 1 is a codes-only scan: one parquet scan " +
        "of the sidecar, ReadSchema carries codes+range+norm but neither " +
        "the bq words nor the MRL prefix (pruned), and never a vector " +
@@ -179,6 +227,28 @@ class HybridIndexSpec extends AnyFunSuite with SparkSpec {
     assert(sRanked.toSeq == Seq(("b", 5L, 1), ("d", 2L, 2),
         ("a", 0L, 3), ("c", 0L, 4)),
       s"string-id fill path diverged: ${sRanked.toSeq}")
+    // r16 (r15 ADVICE): a ZERO-SCORE HIT must interleave with the fill
+    // rows by id — the single-query verb ranks the assembled union by
+    // (score DESC, id), so the batched form must too, not hits-first
+    val zHits = Seq((5L, 3L, 7L), (5L, 4L, 0L))
+      .toDF("query_id", "doc_id", "score_t")
+    val zUni = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val zMulti = LexIndex.rankedTopNMulti(spark, zHits, zUni, "doc_id",
+        "score_t", 4, "r_t", Seq(5L))
+      .select("doc_id", "score_t", "r_t")
+      .collect().map(_.toSeq).toSet
+    val zSingle = LexIndex.rankedTopN(spark,
+        zHits.filter(col("query_id") === 5L).drop("query_id"),
+        zUni, "doc_id", "score_t", 4, "r_t")
+      .select("doc_id", "score_t", "r_t")
+      .collect().map(_.toSeq).toSet
+    assert(zMulti == zSingle,
+      s"zero-score hit ranks differently batched ($zMulti) vs " +
+        s"single ($zSingle)")
+    // the 0-score hit (doc 4) must NOT outrank lower-id fill rows
+    assert(zMulti.contains(Seq(1L, 0L, 2)) &&
+        zMulti.contains(Seq(4L, 0L, 4)),
+      s"assembled ordering wrong: $zMulti")
   }
 
   test("the three indexed hybrid keys AND exact sidecar kNN equal " +
@@ -387,6 +457,26 @@ class HybridIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("batched DBSF hybrid: request 0 of v_hybrid_dbsf_multi_indexed " +
+       "equals the single v_hybrid_dbsf_indexed serving row-for-row " +
+       "(same vector, same terms), and every query fuses by its OWN " +
+       "band (nt/nv differ across requests)") {
+    val multi = Queries.queries("v_hybrid_dbsf_multi_indexed")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val single = Queries.queries("v_hybrid_dbsf_indexed")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(multi.filter(_._1 == 0L)
+        .map(t => (t._2, t._3, t._4, t._5)).toSeq == single,
+      "batched DBSF request 0 != single-query indexed serving")
+    // three requests, ≤ 10 rows each, all three present
+    assert(multi.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(multi.groupBy(_._1).values.forall(_.length <= 10))
+  }
+
   test("positional postings: phraseMatches equals the in-plan phrase " +
        "predicate for 1/2/3-term and repeated-term phrases, from " +
        "text-free scans; pre-positions layouts are refused loudly") {
@@ -404,6 +494,15 @@ class HybridIndexSpec extends AnyFunSuite with SparkSpec {
       assert(served == inPlan(phrase),
         s"phrase '$phrase': positions diverge from the in-plan predicate")
     }
+    // r16: the indexed path normalizes through the build tokenizer —
+    // mixed-case and multi-word inputs match the in-plan twin's query
+    // normalization (r15 ADVICE: they silently returned no matches)
+    assert(LexIndex.phraseMatches(spark, lexDir, Seq("Scan", "QUERY"))
+        .collect().map(_.getLong(0)).toSet == inPlan("scan query"),
+      "mixed-case phrase terms diverge from the normalized form")
+    assert(LexIndex.phraseMatches(spark, lexDir, Seq("scan query"))
+        .collect().map(_.getLong(0)).toSet == inPlan("scan query"),
+      "a whole-phrase string diverges from the split form")
     // position lists never touch the corpus text, and every leg prunes
     // its posting group at listing
     val plan = LexIndex.phraseMatches(spark, lexDir, Seq("scan", "query"))

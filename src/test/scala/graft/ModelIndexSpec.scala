@@ -199,6 +199,84 @@ class ModelIndexSpec extends AnyFunSuite with SparkSpec {
       "refit must cover the shifted corpus' bigrams")
   }
 
+  test("LM hot/cold serving split: a TINY hot head (cold tail through " +
+       "the model join) and an all-covering head both reproduce the " +
+       "wholesale model join row-for-row — the split tunes IO, never " +
+       "rows") {
+    val dir = tmp("lmhot")
+    TextQueries.fitLmModel(fitDocs, dir)
+    val model = ModelIndex.table(spark, dir)
+    // the wholesale inner-join twin (the pre-r16 serving shape):
+    // explode bigrams, inner join the model, Σ p per doc
+    val expect = fitDocs
+      .withColumn("__tk", graft.operators.TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(when(size(col("__tk")) >= 2,
+          expr("""transform(sequence(0, size(__tk) - 2),
+                  i -> concat(__tk[i], ' ', __tk[i + 1]))"""))
+          .otherwise(array())).as("bigram"))
+      .join(model.select("bigram", "p_micro"), "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_micro").as("sp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sp DIV n_bigrams").as("lm_score_micro"))
+      .collect().map(_.toSeq).toSet
+    val nModel = model.count()
+    for (head <- Seq(2, nModel.toInt + 5)) {
+      val hot = TextQueries.lmHotHead(model, head)
+      if (head == 2) assert(hot.size == 2, "tiny head must be tiny")
+      else assert(hot.size == nModel, "full head must cover the model")
+      val served = TextQueries.lmScoreServed(fitDocs, model, hot)
+        .collect().map(_.toSeq).toSet
+      assert(served == expect,
+        s"hot head of $head diverges from the wholesale join")
+    }
+    // and the empty head degenerates to the pure join path
+    val servedEmpty = TextQueries
+      .lmScoreServed(fitDocs, model, Map.empty)
+      .collect().map(_.toSeq).toSet
+    assert(servedEmpty == expect, "empty hot head diverges")
+  }
+
+  test("model-layout ROUTING (declare-once): declared layout and " +
+       "in-plan fallback are row-identical for freq scoring and the " +
+       "classifier weights; non-model and wrong-name declarations are " +
+       "inert") {
+    import graft.sources.ModelRouter
+    // freq scoring: declared vs nothing declared vs inert extras
+    val freqDir = tmp("freqroute")
+    TextQueries.fitFreqModel(fitDocs, freqDir)
+    val inert = tmp("notamodel") // exists, holds no _model_index.json
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inert))
+    def freqRows(declared: Seq[String]) =
+      TextQueries.freqScoreFrom(spark, fitDocs, declared)
+        .collect().map(_.toSeq).toSeq
+    val declaredRows = freqRows(Seq(freqDir))
+    assert(declaredRows == freqRows(Nil),
+      "declared freq layout changes rows vs the in-plan fold")
+    assert(declaredRows == freqRows(Seq(inert, freqDir)),
+      "a non-model declaration is not inert")
+    assert(declaredRows.nonEmpty)
+    // name matching: a token-freq layout must NOT serve a classifier
+    // request; the classifier layout must
+    val clsDir = tmp("clsroute")
+    TextQueries.fitClassifierModel(fitDocs, clsDir)
+    assert(ModelRouter.modelDirOf(Seq(freqDir), "quality-classifier")
+      .isEmpty)
+    assert(ModelRouter.modelDirOf(Seq(inert, freqDir, clsDir),
+      "quality-classifier").contains(clsDir))
+    // classifier weights: layout-served == in-plan fit, and the
+    // declared state never runs the fallback
+    val wServed = TextQueries.routedClassifierWeights(spark, fitDocs,
+      Seq(clsDir))
+    val wInPlan = TextQueries.routedClassifierWeights(spark, fitDocs, Nil)
+    assert(wServed == wInPlan,
+      "declared classifier LUT != the in-plan fit")
+    val wNoFallback = ModelRouter.lutOr(spark, Seq(clsDir),
+      "quality-classifier")(fail("fallback ran despite a declaration"))
+    assert(wNoFallback == wServed)
+  }
+
   test("loud contracts: lut() refuses a table layout, table() refuses " +
        "a LUT layout, a dense-LUT violation is caught at read") {
     val lmDir = tmp("lm2")

@@ -1671,18 +1671,37 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     val scanPlan = auto(Seq(quantDir), dsl = Some(dsl), pidx = pidx)
     assert(scanPlan == bruteTopK(emb.filter(col("label") === 3)),
       "scan-plan filtered search != brute force")
-    // threshold 0 forces the ANN branch: oversampled candidates,
-    // residual filter, exact top-k — recall-bounded by construction
+    // threshold 0 forces the quant ANN branch — since r16 the
+    // FILTER-SCOPED exact bound (θ + superset within the filtered id
+    // population), so BOTH cardinality branches are row-identical to
+    // brute force over the filtered points: the plan choice is never
+    // a semantic one for the quant kind
     val annPlan = auto(Seq(quantDir), Params(scanThreshold = 0),
       Some(dsl), pidx)
-    val candIds = QuantIndex.prefetchTopN(spark, quantDir, q, 100, 30)
+    assert(annPlan.nonEmpty)
+    assert(annPlan == bruteTopK(emb.filter(col("label") === 3)),
+      "scoped-bound filtered search != brute force over the filter")
+    assert(annPlan == scanPlan,
+      "the two cardinality branches disagree on the quant kind")
+    // the ivfpq kind keeps the honest candidate post-filter contract
+    // (its cell-pruned stage-1 cannot host a whole-population θ):
+    // oversampled candidates ∩ filter, exact-ranked
+    val ivfpqPlan = auto(Seq(ivfpqDir),
+      Params(scanThreshold = 0, oversampling = 2), Some(dsl), pidx)
+    val pqCandIds = graft.sources.IvfPqIndex
+      .adcTopN(spark, ivfpqDir, q, 2, 20)
       .select("vec_id").collect()
       .map(_.getAs[Number](0).longValue).toSeq
-    assert(annPlan.nonEmpty)
-    assert(annPlan == bruteTopK(
+    def bruteTopKMicro(base: org.apache.spark.sql.DataFrame) =
+      rows(base
+        .select(col("vec_id"),
+          floor(VectorOps.cosine(col("embedding"), typedLit(q)) * 1e6 +
+            lit(0.5)).cast("long").as("score_micro"))
+        .orderBy(desc("score_micro"), col("vec_id")).limit(10))
+    assert(ivfpqPlan == bruteTopKMicro(
         emb.filter(col("label") === 3)
-          .filter(col("vec_id").isin(candIds.map(Long.box): _*))),
-      "ANN-plan filtered search != candidates ∩ filter, exact-ranked")
+          .filter(col("vec_id").isin(pqCandIds.map(Long.box): _*))),
+      "ivfpq ANN-plan filtered search != candidates ∩ filter")
   }
 
   test("as-of join matches the brute-force model (ties: quote at equal " +
@@ -3019,5 +3038,46 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     // at the cap itself, construction succeeds (the bound is exact)
     Knn.knnBatchDsl(emb, over.take(Knn.MaxBatchQueries)
       .map { case (i, q) => (i, q, lit(true)) }, "embedding", 10)
+  }
+
+  test("Tables.pinned churn is BOUNDED: a serving loop holds at most " +
+       "MaxLivePins dirs and ONE shutdown hook; rows survive the " +
+       "recycling; releasePins drops everything") {
+    // shutdown-hook census via the JDK's own registry (java.lang is
+    // add-opened for Spark already) — the r15 verdict's leak was one
+    // unreclaimed hook THREAD per pinned frame
+    def hookCount: Int = {
+      val cls = Class.forName("java.lang.ApplicationShutdownHooks")
+      val f = cls.getDeclaredField("hooks")
+      f.setAccessible(true)
+      f.get(null).asInstanceOf[java.util.Map[Thread, Thread]].size
+    }
+    val small = Tables.load(spark, sf, "nation").select("n_nationkey")
+    val expect = small.count()
+    val first = Tables.pinned(small) // registers the one static hook
+    val hooksBefore = hookCount
+    var last: org.apache.spark.sql.DataFrame = first
+    (1 to Tables.MaxLivePins + 16).foreach { _ =>
+      last = Tables.pinned(small)
+      assert(last.count() == expect, "pinned frame lost rows mid-loop")
+    }
+    assert(Tables.livePinCount <= Tables.MaxLivePins,
+      s"pin-dir pool grew to ${Tables.livePinCount}")
+    // the leak class would add one hook PER PIN (≥ the loop's 80);
+    // other suites run in parallel in this JVM and their memoTempDir
+    // builds legitimately add a few hooks — tolerate those, catch the
+    // per-pin growth
+    assert(hookCount - hooksBefore < Tables.MaxLivePins / 2,
+      s"pinned registered ${hookCount - hooksBefore} extra shutdown " +
+        "hooks across the loop — the per-call hook leak is back")
+    // the NEWEST pin survives the recycling (only the oldest reap)
+    assert(last.count() == expect)
+    assert(last.collect().map(_.getAs[Number](0).longValue).sorted.toSeq ==
+      small.collect().map(_.getAs[Number](0).longValue).sorted.toSeq)
+    Tables.releasePins()
+    assert(Tables.livePinCount == 0, "releasePins left live pins")
+    // and the pool restarts cleanly after an explicit release
+    assert(Tables.pinned(small).count() == expect)
+    Tables.releasePins()
   }
 }
