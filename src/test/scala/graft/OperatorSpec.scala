@@ -2954,18 +2954,35 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       VectorRouter.queryPoints(spark, emb, "vec_id", "embedding", decls,
         Nil, q, 10).collect()
     }
-    // a filter that routes NOTHING (no payload index declared): the old
+    // a filter that routes NOTHING (no payload index declared), pinned
+    // to the SCAN branch (threshold above any estimate): the old
     // estimate ran a whole-collection count job; the zero-job estimate
-    // must keep the job count at the unfiltered serving's level
+    // must keep estimate + one exact filtered pass at or below the
+    // unfiltered serving's job count
+    val dslNoIdx =
+      """{"must": [{"key": "label", "match": {"value": 3}}]}"""
     val j2 = jobsOf("vr-filter-noidx") {
       VectorRouter.queryPoints(spark, emb, "vec_id", "embedding", decls,
-        Nil, q, 10, dslJson = Some(
-          """{"must": [{"key": "label", "match": {"value": 3}}]}"""))
+        Nil, q, 10, dslJson = Some(dslNoIdx),
+        params = VectorRouter.Params(scanThreshold = Long.MaxValue))
         .collect()
     }
     assert(j1 > 0 && j2 <= j1,
       s"filtered search spent $j2 jobs vs $j1 unfiltered — " +
         "a count job crept back into the estimate")
+    // the OVER-threshold quant branch (r16: filter-scoped exact bound)
+    // legitimately spends a few more jobs than the post-filter chain it
+    // replaced — the scoped θ collect, the candidate probe — but the
+    // count is a CONSTANT bound (never ∝ collection), and the estimate
+    // itself still runs no job
+    val j3 = jobsOf("vr-filter-ann") {
+      VectorRouter.queryPoints(spark, emb, "vec_id", "embedding", decls,
+        Nil, q, 10, dslJson = Some(dslNoIdx),
+        params = VectorRouter.Params(scanThreshold = 0)).collect()
+    }
+    assert(j3 <= j1 + 6,
+      s"scoped-bound filtered search spent $j3 jobs vs $j1 unfiltered " +
+        "— the exact branch's job budget is no longer a small constant")
     // the footer count of a ROUTED read: exact on the pruned listing,
     // hence >= the read's own post-residual count (bucket co-residents),
     // and exact for an unfiltered parquet read
