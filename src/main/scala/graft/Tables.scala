@@ -111,7 +111,21 @@ object Tables {
       val old = livePins.pollFirst()
       if (old != null) rmTree(old.toFile)
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft_pin")
+    // PID-KEYED name under the graft_ orphan convention —
+    // createTempDirectory("graft_pin") put a NON-numeric tail after the
+    // last underscore, which sweepOrphans parses as a dead pid: any
+    // concurrently-starting graft process reaped another process's LIVE
+    // pins mid-query (observed: a verify JVM deleted a profiling JVM's
+    // pin files). With the pid suffix the sweep sees the owner alive,
+    // and a SIGKILLed owner's pins are reclaimed like every other memo
+    // dir.
+    val dir = {
+      val d = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_pin_${java.util.UUID.randomUUID().toString
+          .replace("-", "")}_${ProcessHandle.current().pid()}")
+      require(d.mkdirs(), s"could not create pin dir $d")
+      d.toPath
+    }
     livePins.addLast(dir)
     val target = dir.resolve("p").toString
     df.write.mode("overwrite").parquet(target)

@@ -118,18 +118,26 @@ object Fusion {
   /** BATCHED [[dbsfNormalize]]: the list carries a `query_id` column
     * (N per-query bounded score lists in one frame) and each query
     * normalizes by ITS OWN list's μ±3σ — the per-query (n, Σs, Σs²)
-    * ride a grouped aggregate (N bounded rows, broadcast back), the
-    * band expression is the single-query one verbatim. Per query the
-    * rows equal [[dbsfNormalize]] on that query's list (spec-pinned
-    * via the fused key's per-query-equals-single contract). */
+    * ride WHOLE-PARTITION window aggregates over query_id, so the
+    * list's lineage executes ONCE (a stats-then-self-join would run
+    * the upstream leg twice — the r18 1000× probe measured the
+    * double execution directly; figures in SURVEY §8.13); the band
+    * expression is the
+    * single-query one verbatim on the same exact integers. Per query
+    * the rows equal [[dbsfNormalize]] on that query's list
+    * (spec-pinned via the fused key's per-query-equals-single
+    * contract). */
   def dbsfNormalizeMulti(list: DataFrame, scoreCol: String,
                          outCol: String): DataFrame = {
+    val w = Window.partitionBy("query_id")
     val s = col(scoreCol).cast("long")
-    val stats = list.groupBy("query_id").agg(count(lit(1)).as("__n"),
-      sum(s).as("__s1"), sum(s * s).as("__s2"))
+    val withStats = list
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s1", sum(s).over(w))
+      .withColumn("__s2", sum(s * s).over(w))
     val varN2 = col("__n") * col("__s2") - col("__s1") * col("__s1")
     val sd = sqrt(varN2.cast("double"))
-    list.join(broadcast(stats), "query_id")
+    withStats
       .withColumn(outCol,
         when(varN2 === 0, lit(500000L))
           .otherwise(floor(
