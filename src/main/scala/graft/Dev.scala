@@ -177,6 +177,24 @@ object Dev {
           eval(dir)
           println(f"[$name] iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
+      case "timeseq" :: names :: dir :: n =>
+        // Bench-context replica for a SUBSET: time a comma-separated
+        // query list in one session, in order, min-of-2 like the bench —
+        // isolates which neighbor (or accumulated session state) inflates
+        // a key that times differently under `time` vs the full bench.
+        val iters = n.headOption.map(_.toInt).getOrElse(2)
+        val list = names.split(",").toSeq
+        def evalq(name: String, d: String): Unit =
+          Queries.queries(name)(spark, d).queryExecution.toRdd.foreach(_ => ())
+        list.foreach(evalq(_, "/root/testdata/sf0.001")) // warmup pass
+        list.foreach { name =>
+          val times = (1 to iters).map { _ =>
+            val t0 = System.nanoTime()
+            evalq(name, dir)
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[$name] min ${times.min}%.3f  all ${times.map(t => f"$t%.2f").mkString(",")}")
+        }
       case "ccprof" :: dir :: Nil =>
         import org.apache.spark.sql.functions._
         def t[A](what: String)(f: => A): A = {
