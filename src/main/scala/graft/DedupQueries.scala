@@ -298,9 +298,14 @@ object DedupQueries {
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val (bands, planes) = embGeometry(s, dir)
-      val banded = emb.select(col("vec_id"),
-        posexplode(graft.operators.Ann.lshBandBuckets(
-          col("embedding"), planes, bands)).as(Seq("band", "bits")))
+      // spread + repartition-on-the-join-key (r16): parallelize the
+      // single-split banding projection and share ONE exchange between
+      // the self-join sides (ReusedExchange) instead of computing the
+      // banding twice under a broadcast — the bandedPairsCarry shape
+      val banded = graft.operators.Par.spread(emb).select(col("vec_id"),
+          posexplode(graft.operators.Ann.lshBandBuckets(
+            col("embedding"), planes, bands)).as(Seq("band", "bits")))
+        .repartition(col("band"), col("bits"))
       val cands = banded
         .select(col("band"), col("bits"), col("vec_id").as("doc_a"))
         .join(banded.select(col("band"), col("bits"),
@@ -1334,21 +1339,27 @@ object DedupQueries {
       concat(lit("the u"), col("src"), lit(s"$a of u"), col("src"),
         lit(s"$b and u"), col("src"), lit(s"$c is u"), col("src"),
         lit(d))
-    src.filter(col("src") % 100 === 0)
-      .select((col("src") + off).as("item_id"), col("text"), col("v"))
-      .unionAll(src.filter(col("src") % 100 === 1)
-        .select((col("src") + off * 2).as("item_id"),
-          concat(col("text"), lit(" extra trailing tokens appended"))
-            .as("text"), col("v")))
-      .unionAll(src.filter(col("src") % 100 === 2)
-        .select((col("src") + off * 3).as("item_id"),
-          salted("a", "b", "c", "d").as("text"),
-          concat(array(element_at(col("v"), 1) + lit(0.25)),
-            slice(col("v"), 2, 63)).as("v")))
-      .unionAll(src.filter(col("src") % 100 === 3)
-        .select((col("src") + off * 4).as("item_id"),
-          salted("e", "f", "g", "h").as("text"),
-          transform(col("v"), x => -x).as("v")))
+    // SINGLE-PASS group dispatch (r16): the previous four filtered
+    // unionAll arms each re-planned the docs ⋈ embeddings subtree — four
+    // scans of BOTH tables and four joins per delivery evaluation (and
+    // the unpinned gate composite evaluated the delivery several times,
+    // multiplying that). Same row set, one scan + one join: the group is
+    // a CASE dispatch per row (guide §2.4 — remove duplicate subtrees
+    // outright). Row order differs (interleaved, not arm-concatenated) —
+    // immaterial: every consumer is an order-insensitive gate/aggregate.
+    val g = (col("src") % 100).cast("long")
+    src.filter(g <= 3)
+      .select((col("src") + lit(off) * (g + 1L)).as("item_id"),
+        when(g === 0L, col("text"))
+          .when(g === 1L,
+            concat(col("text"), lit(" extra trailing tokens appended")))
+          .when(g === 2L, salted("a", "b", "c", "d"))
+          .otherwise(salted("e", "f", "g", "h")).as("text"),
+        when(g <= 1L, col("v"))
+          .when(g === 2L,
+            concat(array(element_at(col("v"), 1) + lit(0.25)),
+              slice(col("v"), 2, 63)))
+          .otherwise(transform(col("v"), x => -x)).as("v"))
   }
 
   /** The INDEXED end-to-end curation loop (the r13 verdict's #3): one
@@ -1377,7 +1388,13 @@ object DedupQueries {
     * cosine, and the classifier fit end to end. */
   val pipeCurateIndexed = Q("pipe_curate_indexed",
     (s, dir) => {
-      val delivery = curateDelivery(s, dir)
+      // the delivery is pinned too (r16): unpinned, its docs ⋈ embeddings
+      // lineage re-executed inside BOTH banding arms of the lexical gate,
+      // the left_anti probe side, AND the semIn join — ~4 subtree
+      // evaluations per run for a ~|corpus|/25-row frame that costs one
+      // small parquet write to freeze (Dev curateprof round-2 split
+      // measures the pinned form directly)
+      val delivery = Tables.pinned(curateDelivery(s, dir))
       // STAGE BOUNDARIES ARE MATERIALIZED (write-then-read temp parquet
       // — the deterministic-cache rule): each gate runs several
       // internal actions (cell collects, estimates) and the accounting

@@ -177,6 +177,60 @@ object Dev {
           eval(dir)
           println(f"[$name] iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
+      case "prof" :: name :: dir :: n =>
+        // Job/stage accounting for ONE query (guide §1/§7 without the
+        // UI): warm first, then run `iters` timed passes with a listener
+        // recording per-job wall time, stage count and task count — the
+        // gap between Σ(job wall) and the query wall is driver-side
+        // (planning, AQE re-optimization, collects between jobs).
+        val iters = n.headOption.map(_.toInt).getOrElse(1)
+        val fn = Queries.queries(name)
+        def evalp(d: String): Unit =
+          fn(spark, d).queryExecution.toRdd.foreach(_ => ())
+        evalp("/root/testdata/sf0.001")
+        evalp(dir) // warm at the measured SF too (memo builds)
+        import org.apache.spark.scheduler._
+        val jobs = new java.util.concurrent.ConcurrentHashMap[
+          Int, (Long, Long, Int, Int)]() // id -> (t0, t1, stages, tasks)
+        val tasks = new java.util.concurrent.atomic.AtomicInteger
+        val stageToJob = new java.util.concurrent.ConcurrentHashMap[
+          Int, Int]()
+        val listener = new SparkListener {
+          override def onJobStart(j: SparkListenerJobStart): Unit = {
+            jobs.put(j.jobId, (j.time, 0L, j.stageIds.length, 0))
+            j.stageIds.foreach(s => stageToJob.put(s, j.jobId))
+          }
+          override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+            val v = jobs.get(j.jobId)
+            if (v != null) jobs.put(j.jobId, (v._1, j.time, v._3, v._4))
+          }
+          override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+            tasks.incrementAndGet()
+            val jid = stageToJob.get(t.stageId)
+            val v = jobs.get(jid)
+            if (v != null)
+              jobs.put(jid, (v._1, v._2, v._3, v._4 + 1))
+          }
+        }
+        (1 to iters).foreach { i =>
+          jobs.clear(); tasks.set(0)
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          evalp(dir)
+          val wall = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.removeSparkListener(listener)
+          Thread.sleep(200) // let queued listener events drain
+          val js = scala.jdk.CollectionConverters
+            .MapHasAsScala(jobs).asScala.toSeq.sortBy(_._1)
+          val jobWall = js.map { case (_, (a, b, _, _)) =>
+            math.max(0L, b - a) }.sum / 1e3
+          println(f"[$name] iter $i wall $wall%.2f s  jobs ${js.size}  " +
+            f"stages ${js.map(_._2._3).sum}  tasks ${tasks.get}  " +
+            f"sum(job wall) $jobWall%.2f s  driver gap ${wall - jobWall}%.2f s")
+          js.foreach { case (id, (a, b, st, tk)) =>
+            println(f"    job $id%3d  ${math.max(0L, b - a) / 1e3}%6.2f s  stages $st%2d  tasks $tk%4d")
+          }
+        }
       case "timeseq" :: names :: dir :: n =>
         // Bench-context replica for a SUBSET: time a comma-separated
         // query list in one session, in order, min-of-2 like the bench —

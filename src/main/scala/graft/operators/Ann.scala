@@ -327,7 +327,11 @@ object Ann {
   def knnJoin(points: DataFrame, idCol: String, vecCol: String,
               planes: Seq[Seq[Double]], bands: Int, k: Int,
               maxBucket: Option[Int] = None): DataFrame = {
-    val banded = points.select(col(idCol),
+    // spread: the 36-plane banding projection is per-row compute over a
+    // possibly single-split source (Par.spread scaladoc — no-op on a
+    // real cluster's many-split scan); row-independent, so the reshuffle
+    // cannot change any result
+    val banded = graft.operators.Par.spread(points).select(col(idCol),
       posexplode(lshBandBuckets(col(vecCol), planes, bands))
         .as(Seq("band", "bits")))
     // undirected collision pairs from the shared banded core (with the
@@ -337,7 +341,10 @@ object Ann {
     // swapped projections re-executed the whole scoring subtree per
     // branch: measured 488 s warm at the 100× probe before this shape)
     val undirected =
-      Dedup.bandedPairs(banded, Seq("band", "bits"), idCol, maxBucket)
+      Dedup.bandedPairs(banded, Seq("band", "bits"), idCol, maxBucket,
+        // hyperplane banding is expensive narrow work — share one keyed
+        // exchange between the self-join sides (see bandedPairsCarry)
+        shareExchange = true)
     val scored = undirected
       .join(points.select(col(idCol).as("doc_a"),
         col(vecCol).as("__va")), "doc_a")

@@ -270,8 +270,9 @@ object Dedup {
     * [[simhashCandidates]]). Distinct (doc_a < doc_b) pairs. */
   private[graft] def bandedPairs(bands: DataFrame, keyCols: Seq[String],
                                  idCol: String,
-                                 maxBucket: Option[Int]): DataFrame =
-    bandedPairsCarry(bands, keyCols, idCol, maxBucket, Nil)
+                                 maxBucket: Option[Int],
+                                 shareExchange: Boolean = false): DataFrame =
+    bandedPairsCarry(bands, keyCols, idCol, maxBucket, Nil, shareExchange)
       .select("doc_a", "doc_b")
       .distinct()
 
@@ -300,7 +301,9 @@ object Dedup {
   private[graft] def bandedPairsCarry(bands: DataFrame,
                                       keyCols: Seq[String], idCol: String,
                                       maxBucket: Option[Int],
-                                      carry: Seq[String]): DataFrame = {
+                                      carry: Seq[String],
+                                      shareExchange: Boolean = false)
+      : DataFrame = {
     val kept = maxBucket match {
       case None => bands
       case Some(cap) =>
@@ -310,7 +313,23 @@ object Dedup {
           .filter(col("count") <= cap).drop("count")
         bands.join(ok, keyCols, "leftsemi")
     }
-    def side(suffix: String) = kept.select(
+    // shareExchange (r16, guide §2.4): when the banding subtree above
+    // this self-join is EXPENSIVE NARROW work (the 36-hyperplane-dot
+    // banding of the kNN-join family), the planner's broadcast self-join
+    // computes it once per side (Dev prof on v_knn_join: the two
+    // dominant single-task jobs were the duplicate banding+build); an
+    // explicit repartition on the join keys pins both sides to ONE
+    // exchange (the second side plans as ReusedExchange) — also the only
+    // shape a corpus-sized self-join can take at scale. When the banded
+    // frame already ENDS in an exchange (lshBands' aggregation, the
+    // spread simhash signature), that exchange is reused as-is and the
+    // broadcast self-join duplicates only an alias projection — there
+    // the extra keyed exchange is pure cost (measured: dedup_minhash
+    // 0.15 → 0.77 s under a blanket repartition), so the old broadcast
+    // shape stays the default.
+    val keyed =
+      if (shareExchange) kept.repartition(keyCols.map(col): _*) else kept
+    def side(suffix: String) = keyed.select(
       (keyCols.map(col) :+ col(idCol).as(s"doc$suffix")) ++
         carry.map(c => col(c).as(s"$c$suffix")): _*)
     side("_a").join(side("_b"), keyCols)

@@ -62,13 +62,21 @@ object Embed {
     // spread: the md5 bucket/sign hashing runs in this projection — a
     // single-split local scan would hash the whole corpus on one core
     // (no-op on a real cluster; see Par.spread)
+    // ONE md5 per token (r16): bucket and sign are both substrings of the
+    // same digest — the previous bucket(...)/sign(...) pair evaluated two
+    // full md5 calls per token (bit-identical digests, so results are
+    // unchanged; guide §1.2 per-task work)
     val toks = Par.spread(df)
       .select(col(idCol),
         explode(filter(split(lower(col(textCol)), "\\s+"),
           t => t =!= "")).as("__tok"))
       .select(col(idCol),
-        bucket(concat(lit(seed), col("__tok")), dim).as("__bucket"),
-        sign(concat(lit(seed), col("__tok"))).as("__sgn"))
+        md5(concat(lit(seed), col("__tok"))).as("__md5"))
+      .select(col(idCol),
+        (conv(substring(col("__md5"), 1, 8), 16, 10).cast("long") % dim)
+          .as("__bucket"),
+        when(conv(substring(col("__md5"), 9, 1), 16, 10)
+          .cast("long") % 2 === 0, 1L).otherwise(-1L).as("__sgn"))
     val sums = toks.groupBy(idCol, "__bucket")
       .agg(sum("__sgn").as("__v"))
     val vecs = sums.groupBy(idCol)
